@@ -1,0 +1,56 @@
+"""Benchmark runner: times every bench-flagged query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect); a warmup query amortizes JVM/codegen startup out of the
+measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from march_mania_spark_lakehouse_spark.plans import all_queries
+from march_mania_spark_lakehouse_spark.session import get_spark
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    specs = {n: s for n, s in sorted(all_queries().items()) if s.bench}
+    # Warmup: run the flagship once to pay JVM/codegen/readahead costs.
+    _force(specs["q02_star_join_revenue"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        _force(spec.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_queries_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

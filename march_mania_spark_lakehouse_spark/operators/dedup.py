@@ -1,0 +1,191 @@
+"""Deduplication operators (north-star E1/E2): exact hash dedup, n-gram
+Jaccard, MinHash+LSH banding, SimHash.
+
+Scale design:
+- Exact dedup groups on a 256-bit content hash, not the content itself —
+  at 100 TB the shuffle carries 32-byte keys instead of documents.
+- MinHash/LSH: shingle → K minhashes → B bands; candidate pairs come from
+  an equi-join on (band, band-hash), so cost is Σ bucket² not n².
+- SimHash: one 32-bit signature per document from token hashes; near-dups
+  share signatures (or differ in few bits).
+
+All signatures use ``F.hash``/``F.xxhash64`` (JVM Murmur3/XXH64 —
+deterministic, seedable, codegen'd); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.operators.text import tokens
+
+
+def content_hash(cols: Sequence[Column | str], num_bits: int = 256) -> Column:
+    """SHA-2 content hash over the concatenated dedup key columns."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.sha2(F.concat_ws("", *cs), num_bits)
+
+
+def exact_dedup_groups(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """One row per distinct content: representative id (min) + copy count.
+
+    Groups on the content hash (narrow shuffle key at scale); carries the
+    key columns through with ``first`` — safe because equal hash ⇒ equal
+    content (SHA-256 collision ≈ 0).
+    """
+    return (
+        df.withColumn("_chash", content_hash(key_cols))
+        .groupBy("_chash")
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+            *[F.first(c).alias(c) for c in key_cols],
+        )
+        .drop("_chash")
+    )
+
+
+def dedup_keep_first(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Return the surviving rows only (lowest id per duplicate class)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(content_hash(key_cols)).orderBy(F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def ngram_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram token shingles as an array<string>."""
+    t = tokens(text)
+    # Guard: F.sequence(1, 0) would produce a *descending* [1, 0] sequence,
+    # so short texts must map to an explicitly empty shingle list.
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) long table — the join surface for Jaccard/MinHash."""
+    return df.select(
+        F.col(id_col), F.explode(ngram_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    |A∩B| from a self-equi-join on shingle; |A∪B| = |A|+|B|−|A∩B|.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 digits.
+    At scale, run *after* LSH banding (minhash_candidates) to bound pairs.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """K-minhash signature per document: mh_s = min over shingles of
+    murmur3(shingle, seed=s). One narrow aggregation, no UDFs."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.hash(F.col("shingle"), F.lit(s))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs colliding in any
+    band are candidate near-duplicates. Output: (id_a, id_b) distinct,
+    id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.hash(*members).alias("bh"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    l = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
+    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        l.join(r, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash signature: bit b = sign(Σ_tokens (2·bit_b(h(tok)) − 1)).
+
+    Built entirely from array expressions over the token list — stays in
+    codegen, no shuffle, no UDF.
+    """
+    hashes = F.transform(tokens(text), lambda x: F.hash(x).cast("long"))
+
+    def _bit_merge(bit: int):
+        # NB: the merge lambda must take exactly (acc, h) — PySpark counts
+        # the python signature's parameters to build the HOF lambda.
+        return lambda acc, h: acc + (
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        contrib = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(b))
+        sig = sig + F.shiftleft((contrib > 0).cast("long"), b)
+    return sig

@@ -1,0 +1,126 @@
+"""Embedding similarity search (north-star E3).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant
+is the 100 TB path (candidate generation touches only same-bucket pairs,
+so cost is Σ bucket² instead of |Q|·|C|).
+
+Precision contract: dot products cast each float32 element to double and
+fold in index order (``F.zip_with`` + ``F.aggregate`` is a left-to-right
+fold), which makes scores bit-reproducible against a serial oracle that
+sums ``CAST(a[i] AS DOUBLE)*CAST(b[i] AS DOUBLE)`` in index order.
+Rankings are taken over scores rounded to 4 decimals with a deterministic
+id tiebreak.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, index order (bit-reproducible)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (small) is broadcast against the candidate corpus, so the
+    candidate side never shuffles for the join; the per-query top-k is one
+    window shuffle keyed by query id. Output: (q_id, c_id, cosine) with
+    cosine rounded for rank stability.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH bucketing."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_id(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit j = [vec · plane_j ≥ 0]. Pure built-ins —
+    each plane is a literal array, so the projection stays in codegen."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(vec, lit_plane) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
+def cosine_topk_lsh(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: compare only candidates in the query's LSH bucket.
+
+    The scale path: bucket ids partition the corpus, so the join is
+    equi-on-bucket instead of a cross product. Recall is tunable via
+    ``n_planes`` (fewer planes → bigger buckets → higher recall/cost).
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket_id(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket_id(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,91 @@
+"""Text-analysis operators (north-star E4): tokenization, language ID,
+quality scoring, token counting, document fingerprinting.
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM-side,
+codegen'd) — no Python UDFs — so they vectorize inside whole-stage
+codegen and scale linearly with input bytes. Each helper returns a Column
+so operators compose into any plan.
+
+Design note: these are *expression builders* rather than DataFrame
+transforms so the same definitions back both the DataFrame surface and
+the SQL-oracle parity queries (plans/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English function-word list for the n-gram/stopword language
+#: heuristic. Deliberately small + deterministic: the point is the
+#: operator shape (token-set membership ratio), not linguistic accuracy.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus → exact split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: |distinct tokens| / |tokens| — a quality signal."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def en_stopword_ratio(text: Column | str) -> Column:
+    """Share of tokens that are English function words."""
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    return hits.cast("double") / F.size(t)
+
+
+def lang_id_en(text: Column | str, threshold: float = 0.05) -> Column:
+    """Heuristic language ID: stopword-ratio thresholding → 'en' / 'other'."""
+    return F.when(en_stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1]-ish quality score from cheap surface statistics:
+    token count (log-saturating) × lexical diversity. All built-ins."""
+    n = token_count(text)
+    sat = F.least(F.log(n.cast("double") + F.lit(1.0)) / F.lit(5.0), F.lit(1.0))
+    return F.round(sat * distinct_token_ratio(text), 6)
+
+
+def rolling_fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens.
+
+    h ← (31·h + ascii(token[0]) + len(token)) mod p, folded left-to-right
+    with ``F.aggregate`` — pure integer arithmetic, so it is bit-exact
+    across engines and usable as a cheap document fingerprint for
+    shard-local dedup at any scale.
+    """
+    per_token = F.transform(tokens(text), lambda x: (F.ascii(x) + F.length(x)).cast("long"))
+    return F.aggregate(
+        per_token,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(mod),
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis feature set to a documents table."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("distinct_ratio", distinct_token_ratio(c))
+        .withColumn("stopword_ratio", en_stopword_ratio(c))
+        .withColumn("pred_lang", lang_id_en(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", rolling_fingerprint(c))
+    )

@@ -1,0 +1,339 @@
+"""North-star extension queries (SURVEY.md §2.13 E1–E6): JSON, event-time
+windows, dedup, text analysis, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.functions.numeric import sql_davg
+from march_mania_spark_lakehouse_spark.operators import dedup, multimodal, similarity, text
+from march_mania_spark_lakehouse_spark.plans.registry import query
+from march_mania_spark_lakehouse_spark.streaming import events as ev_ops
+
+# --------------------------------------------------------------------------
+# E5 — JSON extraction from the props string column.
+# --------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+       CAST(MAX(k) AS INTEGER) AS max_k,
+       CAST(MIN(k) AS INTEGER) AS min_k
+FROM (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
+@query("q17_json_extract", oracle=_Q17_SQL, tags=("json",))
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (E5) via JVM-side get_json_object + agg."""
+    ev = ev_ops.parse_props(catalog.load(spark, "events", sf_dir), "k")
+    k = F.col("props_k")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.min(k).alias("min_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E6 — event-time windows (batch; streaming wrapper shares the plan).
+# --------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST((value) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q18_tumbling_window", oracle=_Q18_SQL, tags=("window", "events"))
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (E6): F.window as groupBy key."""
+    return ev_ops.tumbling_agg(catalog.load(spark, "events", sf_dir), "1 hour")
+
+
+_Q19_SQL = """
+WITH expanded AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) + off AS bucket_start,
+           event_type, value
+    FROM events,
+         (VALUES (INTERVAL '0 minutes'), (- INTERVAL '30 minutes')) t(off)
+)
+SELECT bucket_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST((value) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+@query("q19_sliding_window", oracle=_Q19_SQL, tags=("window", "events"))
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1h window, 30m slide): each event lands
+    in exactly two windows."""
+    return ev_ops.sliding_agg(
+        catalog.load(spark, "events", sf_dir), "1 hour", "30 minutes"
+    )
+
+
+# --------------------------------------------------------------------------
+# E1 — exact deduplication (hash-groupBy).
+# --------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, text
+FROM documents
+GROUP BY text
+"""
+
+
+@query("q20_exact_dedup", oracle=_Q20_SQL, tags=("dedup",))
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (E1): group on SHA-256 content hash (32-byte shuffle
+    key at 100 TB, not the documents), keep min-id representative."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return dedup.exact_dedup_groups(docs, key_cols=["text"], id_col="doc_id").select(
+        "keep_doc_id", "n_copies", "text"
+    )
+
+
+# --------------------------------------------------------------------------
+# E4 — text statistics per language/source.
+# --------------------------------------------------------------------------
+
+_TOK = "string_split(text, ' ')"
+_Q21_SQL = f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len({_TOK})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       {sql_davg(f"CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK})", "avg_distinct_ratio")}
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("q21_text_stats", oracle=_Q21_SQL, tags=("text",))
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics (E4) — all JVM built-ins, no UDF."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    from march_mania_spark_lakehouse_spark.functions.numeric import davg
+
+    nt = text.token_count("text")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(nt.cast("long")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        davg(text.distinct_token_ratio("text"), "avg_distinct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E4 — heuristic language identification.
+# --------------------------------------------------------------------------
+
+_STOPLIST_SQL = "('" + "', '".join(text.EN_STOPWORDS) + "')"
+_RATIO_SQL = (
+    f"CAST(len(list_filter({_TOK}, x -> x IN {_STOPLIST_SQL})) AS DOUBLE) / len({_TOK})"
+)
+_Q22_SQL = f"""
+SELECT CASE WHEN {_RATIO_SQL} >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+       lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@query("q22_lang_id", oracle=_Q22_SQL, tags=("text",))
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (E4): stopword-ratio thresholding, compared
+    against the labeled lang column (a confusion-matrix query)."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return docs.groupBy(
+        text.lang_id_en("text").alias("pred_lang"), F.col("lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# E4 — quality scoring.
+# --------------------------------------------------------------------------
+
+_QUALITY_SQL = (
+    f"ROUND(LEAST(LN(CAST(len({_TOK}) AS DOUBLE) + 1.0) / 5.0, 1.0)"
+    f" * (CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK})), 6)"
+)
+_Q23_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       {sql_davg(_QUALITY_SQL, "avg_quality")}
+FROM documents
+GROUP BY source
+"""
+
+
+@query("q23_quality_score", oracle=_Q23_SQL, tags=("text",))
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (E4): log-saturating length × lexical diversity."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    from march_mania_spark_lakehouse_spark.functions.numeric import davg
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(text.quality_score("text"), "avg_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E4 — document fingerprinting (rolling hash).
+# --------------------------------------------------------------------------
+
+_Q24_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform({_TOK}, t -> CAST(ascii(t) + length(t) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+@query("q24_fingerprint", oracle=_Q24_SQL, tags=("text",))
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (E4): pure integer fold —
+    bit-exact across engines."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return docs.select("doc_id", text.rolling_fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# E3 — similarity search: brute-force cosine top-k (exact baseline).
+# --------------------------------------------------------------------------
+
+# list_dot_product over DOUBLE[] folds element-wise in index order in
+# double precision — verified bit-identical to Spark's zip_with+aggregate.
+_Q25_SQL = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           ROUND(
+               list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))),
+               4
+           ) AS cosine
+    FROM c, q
+    WHERE q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, cosine
+FROM (
+    SELECT q_id, c_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@query("q25_cosine_topk", oracle=_Q25_SQL, tags=("similarity",))
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (E3): broadcast query set × candidate
+    scan; scores fold float32→double in index order (bit-reproducible)."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query("q26_cosine_topk_lsh", oracle=None, bench=True, tags=("similarity",))
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed cosine top-k (E3 scale path): candidates limited
+    to the query's hyperplane-sign bucket. Approximate → rows-only check;
+    recall vs the exact baseline is unit-tested."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4
+    )
+
+
+# --------------------------------------------------------------------------
+# E2 — near-duplicate detection.
+# --------------------------------------------------------------------------
+
+_Q27_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+    )) AS shingle
+    FROM d
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 6) >= 0.1
+"""
+
+
+@query("q27_ngram_jaccard", oracle=_Q27_SQL, tags=("dedup",))
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup (E2) on a capped candidate set; at
+    scale this runs only on LSH-banded candidates (q28)."""
+    docs = catalog.load(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+
+
+@query("q28_minhash_candidates", oracle=None, tags=("dedup",))
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding (E2 scale path): shingle → 16 minhashes → 4
+    bands → equi-join on band hash. Murmur3 signatures are engine-native
+    → rows-only check + unit-tested against exact Jaccard."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return dedup.minhash_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4
+    )
+
+
+@query("q29_simhash", oracle=None, tags=("dedup",))
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (E2): 32-bit token-hash sign aggregate per doc."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (north star): binary payload → mapInPandas features.
+# --------------------------------------------------------------------------
+
+
+@query("q30_media_features", oracle=None, tags=("multimodal",))
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column multimodal plumbing: deterministic fake payloads →
+    Arrow-batched mapInPandas decode/featurize (decode itself stubbed —
+    no codecs in this container; the Spark plumbing is real)."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    return multimodal.extract_media_features(payloads)

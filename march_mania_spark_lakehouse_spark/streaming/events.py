@@ -1,0 +1,85 @@
+"""Event-time windowed aggregation over the `events` table (E5/E6).
+
+The same transformation function serves batch DataFrames and Structured
+Streaming DataFrames — `F.window` + groupBy is identical in both; the
+streaming entry just adds a watermark for state cleanup.
+
+Scale: tumbling windows are a single shuffle keyed by (window, keys);
+sliding windows multiply rows by window/slide before the shuffle (Spark
+expands each event into every window it falls in). Watermarks bound the
+streaming state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.functions.numeric import dsum
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(window, keys): event count + exact sum of value."""
+    return (
+        events.groupBy(F.window(ts_col, window_len).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(value_col, "sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding-window variant: each event contributes to window/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, window_len, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(value_col, "sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def streaming_tumbling_agg(
+    stream: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Structured Streaming version: same plan + watermark for late data.
+
+    Usage: ``spark.readStream...`` → this → ``.writeStream.outputMode(
+    "append")``. Late events beyond the watermark are dropped and window
+    state is evicted — bounded state at any throughput.
+    """
+    return tumbling_agg(
+        stream.withWatermark(ts_col, watermark), window_len, keys, ts_col, value_col
+    )
+
+
+def parse_props(events: DataFrame, field: str = "k") -> DataFrame:
+    """JSON extraction from the `props` string column (E5) — JVM-side
+    ``get_json_object``, no Python."""
+    return events.withColumn(
+        f"props_{field}",
+        F.get_json_object(F.col("props"), f"$.{field}").cast("int"),
+    )

@@ -1,0 +1,33 @@
+"""Driver-shaped correctness gate: every SQL-expressible query must match
+its DuckDB oracle exactly (row count + column names + values) at the test
+scale factor. This is the same comparison the round driver performs at
+sf0.01 — kept here at sf0.001 for fast iteration."""
+
+from __future__ import annotations
+
+import pytest
+
+from march_mania_spark_lakehouse_spark.plans import all_queries
+from tests.conftest import assert_frames_equal
+
+_SPECS = all_queries()
+_ORACLE_QUERIES = sorted(n for n, s in _SPECS.items() if s.oracle)
+_ROWS_ONLY = sorted(n for n, s in _SPECS.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", _ORACLE_QUERIES)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    spec = _SPECS[name]
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    oracle_pdf = duck.sql(spec.oracle).df()
+    assert len(spark_pdf) > 0, f"{name}: empty result"
+    assert_frames_equal(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", [n for n in _ROWS_ONLY if n not in ("q33_ml_lr_metrics", "q34_ml_blend_predictions")])
+def test_rows_only_queries_run(name, spark, sf_dir):
+    """Non-SQL-expressible queries must still run and return stable schemas."""
+    spec = _SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() > 0, f"{name}: empty result"
+    assert len(df.columns) > 0
