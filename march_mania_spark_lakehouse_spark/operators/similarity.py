@@ -84,40 +84,59 @@ def lsh_bucket_id(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _table_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """array of (table, bucket) structs — one sign-LSH bucket per table."""
+    entries = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("tbl"), lsh_bucket_id(vec, planes).alias("bucket")
+            )
+        )
+    return F.array(*entries)
+
+
 def cosine_topk_lsh(
     candidates: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 3,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: compare only candidates in the query's LSH bucket.
+    """Approximate top-k via multi-table sign-LSH (OR-amplification).
 
-    The scale path: bucket ids partition the corpus, so the join is
-    equi-on-bucket instead of a cross product. Recall is tunable via
-    ``n_planes`` (fewer planes → bigger buckets → higher recall/cost).
+    The 100 TB path: each of ``n_tables`` hash tables buckets the corpus
+    by ``n_planes`` hyperplane signs; a pair is compared iff it collides
+    in ≥1 table, so the join is equi-on-(table, bucket) instead of a
+    cross product. Recall ≈ 1−(1−p^b)^L with p = 1−θ/π — tune tables up
+    for recall, planes up for selectivity. Scoring cost per query is
+    Σ_table |bucket| instead of |corpus|.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket_id(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("bk"),
+    ).select("q_id", "q_vec", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
     c = candidates.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_bucket_id(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
+        F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("bk"),
+    ).select("c_id", "c_vec", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+    pairs = (
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
-        .select("q_id", "c_id", "cosine")
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
     )
+    scored = pairs.withColumn(
+        "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    ).select("q_id", "c_id", "cosine")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))

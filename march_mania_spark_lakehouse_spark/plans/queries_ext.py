@@ -265,7 +265,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact baseline is unit-tested."""
     emb = catalog.load(spark, "embeddings", sf_dir)
     return similarity.cosine_topk_lsh(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=3, n_tables=8
     )
 
 

@@ -1,0 +1,132 @@
+"""Operator-level property tests (SURVEY.md §5 strategy): invariants the
+oracle can't see — group cardinality, frame edge cases, signature
+determinism, candidate-set containment."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.operators import core, dedup, joins, setops, similarity
+
+
+def test_explode_roles_doubles_rows(spark, sf_dir):
+    """Long-table explosion yields exactly 2 rows per input row (U1)."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    long_t = setops.explode_roles(
+        li,
+        [
+            [F.col("l_suppkey").alias("party"), F.lit("s").alias("role")],
+            [F.col("l_partkey").alias("party"), F.lit("p").alias("role")],
+        ],
+    )
+    assert long_t.count() == 2 * li.count()
+
+
+def test_latest_per_group_is_unique_per_key(spark, sf_dir):
+    orders = catalog.load(spark, "orders", sf_dir)
+    latest = core.latest_per_group(
+        orders, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    dup = latest.groupBy("o_custkey").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+    assert latest.count() == orders.select("o_custkey").distinct().count()
+
+
+def test_causal_rolling_first_row_is_null(spark, sf_dir):
+    """Frame (-n, -1) excludes the current row → first row per group null."""
+    ev = catalog.load(spark, "events", sf_dir)
+    rolled = core.causal_rolling_avg(
+        ev, ["user_id"], ["ts", "event_id"], "value", 10, "roll"
+    )
+    firsts = core.latest_per_group(
+        rolled, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    assert firsts.filter(F.col("roll").isNotNull()).count() == 0
+
+
+def test_topk_bounded_and_ordered(spark, sf_dir):
+    orders = catalog.load(spark, "orders", sf_dir)
+    top3 = core.topk_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    over = top3.groupBy("o_custkey").count().filter(F.col("count") > 3).count()
+    assert over == 0
+
+
+def test_semi_plus_anti_partition_left(spark, sf_dir):
+    """semi(L, R) ∪ anti(L, R) == L, disjointly."""
+    cust = catalog.load(spark, "customer", sf_dir)
+    hi = catalog.load(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") > 450000
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    n_semi = joins.semi_join(cust, hi, ["c_custkey"]).count()
+    n_anti = joins.anti_join(cust, hi, ["c_custkey"]).count()
+    assert n_semi + n_anti == cust.count()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        (3, "unrelated text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = dedup.exact_dedup_groups(df, ["text"], "doc_id")
+    dup = {r["text"]: (r["keep_doc_id"], r["n_copies"]) for r in groups.collect()}
+    assert dup["alpha beta gamma"] == (1, 2)
+    assert dup["unrelated text here"] == (3, 1)
+    survivors = dedup.dedup_keep_first(df, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3]
+
+
+def test_ngram_shingles_short_text_is_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "id long, text string")
+    sh = df.select("id", dedup.ngram_shingles("text", 3).alias("sh")).collect()
+    by_id = {r["id"]: r["sh"] for r in sh}
+    assert by_id[1] == []
+    assert by_id[2] == ["a b c", "b c d"]
+
+
+def test_minhash_candidates_contain_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " ok"), (3, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(df, "doc_id", num_hashes=16, bands=8).collect()
+    }
+    assert (1, 2) in cands
+
+
+def test_simhash_deterministic_and_close_for_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " ok"), (3, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = df.select("doc_id", dedup.simhash("text").alias("s"))
+    a = {r["doc_id"]: r["s"] for r in sig.collect()}
+    b = {r["doc_id"]: r["s"] for r in sig.collect()}
+    assert a == b  # deterministic
+
+    def hamming(x: int, y: int) -> int:
+        return bin(x ^ y).count("1")
+
+    assert hamming(a[1], a[2]) < hamming(a[1], a[3])
+
+
+def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    approx = similarity.cosine_topk_lsh(emb, q, k=5, n_planes=3, n_tables=8)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    # approx scores, where present, must equal the exact scores
+    es = {(r["q_id"], r["c_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["q_id"], r["c_id"])
+        if key in es:
+            assert es[key] == pytest.approx(r["cosine"], abs=1e-9)
