@@ -1,0 +1,207 @@
+"""Numbered medallion jobs — the reference's pipeline re-expressed on the
+testdata domain (`jobs/01..12` → Bronze→Silver→Gold→ML, SURVEY.md §3).
+
+Each job is a function ``(spark, cfg, paths) -> None`` that reads the
+previous layer and materializes the next. Failure semantics match the
+reference runner: any job raising aborts the pipeline
+(`jobs/run_pipeline.py:46-48`).
+
+Scale posture: every write goes through the partition-aware parquet sink;
+silver tables carry the keys downstream jobs re-join on, so at 100 TB the
+layer writes would be bucketed on those keys to make the gold build
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.functions.numeric import davg, dsum
+from march_mania_spark_lakehouse_spark.ml import modeling
+from march_mania_spark_lakehouse_spark.operators import core as ops
+from march_mania_spark_lakehouse_spark.operators import fold, setops
+from march_mania_spark_lakehouse_spark.pipeline.config import PipelineConfig
+from march_mania_spark_lakehouse_spark.pipeline.paths import LakePaths
+from march_mania_spark_lakehouse_spark.sources import readers, writers
+
+
+def job_01_ingest_bronze(spark: SparkSession, cfg: PipelineConfig, paths: LakePaths) -> None:
+    """Bronze ingest (parity `jobs/01_ingest_bronze.py`): land every
+    registered dataset with declared schemas + string trim; unknown
+    inputs would route to bronze/misc (S8)."""
+    for name in catalog.TABLE_NAMES:
+        df = readers.trim_string_columns(catalog.load(spark, name, cfg.sf_dir))
+        writers.write_parquet(df, paths.bronze(name))
+
+
+def job_02_build_silver_party_stats(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """Silver: long-table explosion + per-party season stats (parity
+    `src/features/basketball_features.py` over `jobs/02`)."""
+    li = spark.read.parquet(paths.bronze("lineitem"))
+    catalog.assert_cols(
+        li, ["l_suppkey", "l_partkey", "l_extendedprice", "l_quantity"], "lineitem"
+    )
+    long_t = setops.explode_roles(
+        li,
+        [
+            [
+                F.lit("supplier").alias("role"),
+                F.col("l_suppkey").alias("party"),
+                F.col("l_extendedprice").alias("amount"),
+                F.col("l_quantity").alias("qty"),
+            ],
+            [
+                F.lit("part").alias("role"),
+                F.col("l_partkey").alias("party"),
+                F.col("l_extendedprice").alias("amount"),
+                F.col("l_quantity").alias("qty"),
+            ],
+        ],
+    )
+    stats = long_t.groupBy("role", "party").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("amount", "sum_amount"),
+        davg("qty", "avg_qty"),
+    )
+    writers.write_parquet(stats, paths.silver("party_stats"))
+
+
+def job_03_build_silver_elo(spark: SparkSession, cfg: PipelineConfig, paths: LakePaths) -> None:
+    """Silver: sequential Elo per day over event-derived matches (parity
+    `jobs/05` + `src/features/elo.py`)."""
+    ev = spark.read.parquet(paths.bronze("events")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    pair = ev.withColumn("match_id", F.floor(F.col("event_id") / 2))
+    a = pair.filter(F.col("event_id") % 2 == 0).select(
+        "match_id",
+        F.to_date("ts").alias("season"),
+        F.col("user_id").alias("player_a"),
+        F.col("value").alias("value_a"),
+    )
+    b = pair.filter(F.col("event_id") % 2 == 1).select(
+        "match_id", F.col("user_id").alias("player_b"), F.col("value").alias("value_b")
+    )
+    matches = (
+        a.join(b, "match_id")
+        .filter(F.col("player_a") != F.col("player_b"))
+        .withColumn("a_won", (F.col("value_a") >= F.col("value_b")).cast("double"))
+        .select("season", "match_id", "player_a", "player_b", "a_won")
+    )
+    ratings = fold.elo_ratings(matches, k=cfg.elo_k, base=cfg.elo_base)
+    writers.write_parquet(ratings, paths.silver("elo_ratings"))
+
+
+def job_04_build_silver_rolling(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """Silver: causal rolling features + end-of-history snapshot (parity
+    `src/features/rolling.py` + `jobs/06_build_silver_rolling.py`)."""
+    ev = spark.read.parquet(paths.bronze("events")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    rolled = ops.causal_rolling_avg(
+        ev, ["user_id"], ["ts", "event_id"], "value", cfg.rolling_last_n, "roll_avg_value"
+    )
+    writers.write_parquet(rolled, paths.silver("rolling_events"))
+    snapshot = ops.latest_per_group(
+        rolled, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "roll_avg_value")
+    writers.write_parquet(snapshot, paths.silver("rolling_snapshot"))
+
+
+def _attach_optional(df: DataFrame, feature_df, on: str, cols: list[str]) -> DataFrame:
+    """Graceful optional-feature attachment (parity
+    `jobs/feature_helpers.py:20-36,96-104`): a missing/unreadable feature
+    source degrades to typed-null columns instead of failing the build."""
+    if feature_df is None:
+        for c in cols:
+            df = df.withColumn(c, F.lit(None).cast("double"))
+        return df
+    return df.join(feature_df, on=on, how="left")
+
+
+def job_05_build_gold_training(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """Gold: per-order features + label, with optional silver features
+    attached gracefully (parity `jobs/03_build_gold_training_set.py`)."""
+    li = spark.read.parquet(paths.bronze("lineitem"))
+    orders = spark.read.parquet(paths.bronze("orders"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_discount"),
+    )
+    gold = (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "inner")
+        .withColumn(
+            "label", F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+        )
+        .withColumn("o_year", F.year("o_orderdate"))
+        .select("o_orderkey", "o_custkey", "o_year", "label", "o_totalprice",
+                "n_items", "sum_qty", "avg_price", "avg_discount")
+    )
+    try:
+        snap = spark.read.parquet(paths.silver("rolling_snapshot")).select(
+            F.col("user_id").alias("o_custkey"),
+            F.col("roll_avg_value").alias("cust_roll_value"),
+        )
+    except Exception:  # noqa: BLE001 — degrade, don't fail (reference parity)
+        snap = None
+    gold = _attach_optional(gold, snap, "o_custkey", ["cust_roll_value"])
+    gold = ops.drop_null_rows(gold, ["n_items", "sum_qty"])
+    writers.write_parquet(gold, paths.gold("training_orders"), partition_by=["o_year"])
+
+
+def job_06_train_and_export(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """ML: season-holdout LR fit + blend-ready scoring + single-file CSV
+    submission export (parity `jobs/04_train_and_export_submission.py`)."""
+    gold = spark.read.parquet(paths.gold("training_orders")).cache()
+    years = sorted(r[0] for r in gold.select("o_year").distinct().collect())
+    train, test = modeling.season_holdout(gold, "o_year", years[-1])
+    model = modeling.build_lr_pipeline(cfg.feature_cols, max_iter=20).fit(train)
+    scored = modeling.p1_column(model.transform(test))
+    sub = scored.select(
+        F.concat_ws("_", F.col("o_year"), F.col("o_orderkey")).alias("ID"),
+        F.round(F.col("p1"), 6).alias("Pred"),
+    )
+    writers.write_single_csv(sub, paths.artifact("submission.csv"))
+
+
+def job_07_backtest(spark: SparkSession, cfg: PipelineConfig, paths: LakePaths) -> None:
+    """ML: rolling per-season backtest, metrics to a driver-side CSV
+    artifact (parity `jobs/07_backtest_and_export_blend.py:88-104`)."""
+    gold = spark.read.parquet(paths.gold("training_orders")).cache()
+    years = sorted(r[0] for r in gold.select("o_year").distinct().collect())
+    results = modeling.rolling_backtest(
+        gold,
+        lambda: modeling.build_lr_pipeline(cfg.feature_cols, max_iter=20),
+        "o_year",
+        [y for y in years if y >= cfg.backtest_min_year],
+    )
+    writers.write_driver_csv(
+        [(r.season, r.auc, r.logloss, r.n_train, r.n_test) for r in results],
+        ["season", "auc", "logloss", "n_train", "n_test"],
+        paths.artifact("backtest_metrics.csv"),
+    )
+
+
+#: Discovery registry — numbered like the reference's job files; the
+#: runner selects by number range (`jobs/run_pipeline.py:24-32` parity).
+JOBS = {
+    1: ("ingest_bronze", job_01_ingest_bronze),
+    2: ("build_silver_party_stats", job_02_build_silver_party_stats),
+    3: ("build_silver_elo", job_03_build_silver_elo),
+    4: ("build_silver_rolling", job_04_build_silver_rolling),
+    5: ("build_gold_training", job_05_build_gold_training),
+    6: ("train_and_export", job_06_train_and_export),
+    7: ("backtest", job_07_backtest),
+}
