@@ -67,6 +67,27 @@ def test_rolling_backtest_shapes(separable):
         assert r.n_train > 0 and r.n_test > 0
 
 
+def test_tvs_hpo_selects_valid_params(separable):
+    train, _ = modeling.season_holdout(separable, "season", 2003)
+    model, best = modeling.tvs_hpo_lr(train, ["x1", "x2"], parallelism=2)
+    assert best["regParam"] in (0.01, 0.05, 0.1, 0.5)
+    assert best["elasticNetParam"] in (0.0, 0.5)
+    assert model.transform(train).count() == train.count()
+
+
+def test_matchup_labels_are_symmetric(spark, sf_dir):
+    """U3 property: every pair appears twice with labels summing to 1."""
+    from march_mania_spark_lakehouse_spark.plans.queries_core3 import q48
+
+    m = q48(spark, sf_dir)
+    per_pair = m.withColumn(
+        "lo", F.least("key1", "key2")
+    ).withColumn("hi", F.greatest("key1", "key2")).groupBy("entity", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("s")
+    )
+    assert per_pair.filter((F.col("n") != 2) | (F.col("s") != 1)).count() == 0
+
+
 def test_vector_assembler_keeps_nulls(spark):
     df = spark.createDataFrame(
         [(1, 1.0, None, 1), (2, 0.5, 2.0, 0)], "id long, x1 double, x2 double, label int"
