@@ -28,11 +28,13 @@ def main() -> None:
     spark = get_spark("bench")
 
     specs = {n: s for n, s in sorted(all_queries().items()) if s.bench}
-    # Warmup: run the flagship once to pay JVM/codegen/readahead costs.
-    _force(specs["q02_star_join_revenue"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
+        # First execution pays whole-stage-codegen JIT compilation for the
+        # query's generated classes; time the steady-state second run (the
+        # number that scales with data, not with JVM warmup).
+        _force(spec.fn(spark, sf_dir))
         t0 = time.perf_counter()
         _force(spec.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

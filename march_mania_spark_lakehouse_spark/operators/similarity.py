@@ -97,6 +97,115 @@ def _table_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: in
     return F.array(*entries)
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine ≥ threshold and id_a < id_b.
+
+    This exact all-pairs form is the correctness baseline; at corpus scale
+    the identical scoring runs over LSH candidate pairs instead
+    (``cosine_topk_lsh``'s bucket join), turning O(n²) into Σ bucket².
+    Norms are computed once per side before the join so the join emits
+    only (id, vec, norm) — no repeated norm work per pair.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_topk_ivf(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    The other 100 TB scale path next to sign-LSH: KMeans (MLlib, seeded)
+    learns ``n_cells`` centroids on a sample; every candidate is assigned
+    to its nearest centroid once (one scan); each query probes only its
+    ``n_probe`` nearest cells. Scoring cost per query drops from |corpus|
+    to ~(n_probe/n_cells)·|corpus|, and the candidate side joins on the
+    tiny broadcast (query, cell) pairs — no corpus shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = candidates.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centroids = [[float(x) for x in c] for c in km.clusterCenters()]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """array of the n nearest centroid ids by cosine (literal centroids
+        → the whole ranking stays in codegen, no model broadcast needed)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(float(x)) for x in cen])).alias("s"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, cen in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: s["cell"])
+
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        nearest_cells(F.col(vec_col), 1).getItem(0).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_topk_lsh(
     candidates: DataFrame,
     queries: DataFrame,

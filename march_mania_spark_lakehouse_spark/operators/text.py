@@ -34,6 +34,23 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to what both
+#: Spark (Java regex) and DuckDB (RE2) support): contractions, letter
+#: runs, digit runs, punctuation runs.
+BPE_TOKEN_PATTERN = "('s|'t|'re|'ve|'m|'ll|'d|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization (BPE-style word splitting): the unit a BPE
+    merge table would start from. `regexp_extract_all` is JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(1))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def distinct_token_ratio(text: Column | str) -> Column:
     """Lexical diversity: |distinct tokens| / |tokens| — a quality signal."""
     t = tokens(text)

@@ -9,6 +9,7 @@ import pytest
 
 from march_mania_spark_lakehouse_spark import catalog
 from march_mania_spark_lakehouse_spark.operators import core, dedup, joins, setops, similarity
+from march_mania_spark_lakehouse_spark.operators import text as text_ops
 
 
 def test_explode_roles_doubles_rows(spark, sf_dir):
@@ -130,3 +131,34 @@ def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
         key = (r["q_id"], r["c_id"])
         if key in es:
             assert es[key] == pytest.approx(r["cosine"], abs=1e-9)
+
+
+def test_ivf_topk_recall_against_bruteforce(spark, sf_dir):
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    approx = similarity.cosine_topk_ivf(emb, q, k=5, n_cells=16, n_probe=8)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    v = [1.0] * 8
+    near = [1.0] * 7 + [0.9]
+    far = [1.0, -1.0] * 4
+    df = spark.createDataFrame(
+        [(1, v), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+
+def test_bpe_tokens_split_punctuation_and_digits(spark):
+    df = spark.createDataFrame([(1, "don't stop, it's 42 laps!")], "i long, text string")
+    row = df.select(text_ops.bpe_tokens("text").alias("t")).first()
+    assert row["t"] == ["don", "'t", "stop", ",", "it", "'s", "42", "laps", "!"]

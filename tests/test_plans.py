@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions: the 100 TB posture, checked.
+
+These lock in the plan properties that matter at scale — dimension joins
+broadcast (the fact side never shuffles), filters reach the parquet scan
+(PushedFilters), projections prune the read schema, and the hot path
+stays inside whole-stage codegen. A regression here is a performance
+bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.plans import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    """q02 joins lineitem→orders→customer→nation: every dimension side
+    must broadcast so the fact table is never shuffled for the join."""
+    plan = _plan(all_queries()["q02_star_join_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """A filter on a scanned column must appear in PushedFilters, not
+    only as a post-scan Filter node."""
+    df = catalog.load(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 100)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderkey)" in plan or "LessThan(o_orderkey,100)" in plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    """Selecting 2 of 16 lineitem columns must shrink ReadSchema to
+    exactly those columns — reading all columns for a 2-column
+    projection is wrong at any scale."""
+    df = catalog.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    """groupBy aggregates must map-side combine (partial_ functions
+    before the exchange) — at 100 TB the shuffle carries one partial row
+    per (partition, key), not every input row."""
+    plan = _plan(all_queries()["q01_pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_scalar_pipeline_stays_in_codegen(spark, sf_dir):
+    """Pure-expression queries (scalar string/date functions) must be a
+    single WholeStageCodegen span over the scan — no Python, no exchange."""
+    for name in ("q46_string_functions", "q47_date_functions"):
+        plan = _plan(all_queries()[name].fn(spark, sf_dir))
+        assert "* Project" in plan, name  # '*' = inside WholeStageCodegen
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_text_operators_need_no_python_workers(spark, sf_dir):
+    """The text-analysis surface (E4) is all JVM built-ins: no
+    Python-eval nodes may appear in its plans."""
+    for name in ("q21_text_stats", "q22_lang_id", "q23_quality_score",
+                 "q24_fingerprint", "q53_bpe_token_stats"):
+        plan = _plan(all_queries()[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_similarity_broadcasts_query_side(spark, sf_dir):
+    """Cosine top-k must broadcast the (small) query set; the candidate
+    corpus — the 100 TB side — must not be exchanged for the join."""
+    plan = _plan(all_queries()["q25_cosine_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
