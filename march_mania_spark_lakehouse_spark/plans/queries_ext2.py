@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
-from march_mania_spark_lakehouse_spark.operators import similarity, text
+from march_mania_spark_lakehouse_spark.operators import similarity, skew, text
 from march_mania_spark_lakehouse_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -63,6 +63,8 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Both engines run the same pattern (Java regex / RE2 agree on this
 # subset); token counts are exact integers so the hash match is strict.
+# The pattern's single quotes must be doubled inside the SQL literal.
+_BPE_SQL_PATTERN = text.BPE_TOKEN_PATTERN.replace("'", "''")
 _Q53_SQL = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -71,7 +73,7 @@ SELECT lang,
        SUM(CASE WHEN n_bpe = n_ws THEN 1 ELSE 0 END) AS n_pure_word_docs
 FROM (
     SELECT lang,
-           len(regexp_extract_all(text, '{text.BPE_TOKEN_PATTERN}', 1)) AS n_bpe,
+           len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}', 1)) AS n_bpe,
            len(string_split(text, ' ')) AS n_ws
     FROM documents
 )
@@ -97,3 +99,93 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pure_word_docs"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation — salted ops are result-identical to their plain forms,
+# so the plain SQL is the oracle.
+# --------------------------------------------------------------------------
+
+_Q54_SQL = """
+SELECT l_returnflag,
+       COUNT(l_quantity) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20, 4))) AS DOUBLE) AS total_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q54_salted_agg", oracle=_Q54_SQL, tags=("agg", "skew"))
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over a 3-value (maximally hot) key:
+    stage 1 combines per (key, salt) across 8 reducers, stage 2 merges
+    the ≤8 partial rows. Result-identical to plain groupBy; decimal-cast
+    sum keeps the float total order-independent."""
+    li = catalog.load(spark, "lineitem", sf_dir).withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(20,4)")
+    )
+    out = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("l_quantity", "count"),
+            "total_qty": ("qty_dec", "sum"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        n_salts=8,
+    )
+    return out.withColumn("total_qty", F.col("total_qty").cast("double"))
+
+
+_Q55_SQL = """
+SELECT o.o_custkey, COUNT(*) AS n_orders, MAX(c.c_acctbal) AS acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey
+"""
+
+
+@query("q55_salted_join", oracle=_Q55_SQL, tags=("join", "skew"))
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-side join: orders get one salt, customers explode to
+    all 8 salt values, so a hot customer's orders spread over 8 reducers.
+    (Here the dim is broadcastable — the salted path is for when it is
+    not; correctness is what this query checks.)"""
+    orders = catalog.load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = (
+        catalog.load(spark, "customer", sf_dir)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_acctbal")
+    )
+    joined = skew.salted_join(orders, cust, on=["o_custkey"], n_salts=8)
+    return joined.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("c_acctbal").alias("acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Raw SQL surface — spark.sql() over catalog-registered views, running
+# the IDENTICAL ANSI text the DuckDB oracle runs (dialect-common subset:
+# decimal-cast sums for order independence, no engine-specific functions).
+# --------------------------------------------------------------------------
+
+_Q56_SQL = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20, 4))) AS DOUBLE) AS total_value,
+       MAX(o.o_orderdate) AS latest_order
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY n.n_name
+"""
+
+
+@query("q56_sql_surface", oracle=_Q56_SQL, tags=("sql", "join", "agg"))
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry point: catalog views + the exact SQL string
+    the oracle runs. Catalyst plans it like the DataFrame surface —
+    broadcast dims, pushed filter on o_orderstatus, partial aggs."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_Q56_SQL)

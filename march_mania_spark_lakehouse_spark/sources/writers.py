@@ -36,6 +36,53 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    The 100 TB co-location tool: two tables bucketed by the same join key
+    into the same bucket count join with ZERO exchange — each task reads
+    matching bucket files from both sides. Worth it for fact⋈fact joins
+    reused across many queries, where a broadcast is impossible and
+    re-shuffling per query would dominate. Sorted buckets additionally
+    let sort-merge join skip its sort.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> str:
+    """Format-pluggable lake write: 'delta' / 'iceberg' when the runtime
+    ships the connector, falling back to parquet otherwise (this
+    container has neither — the call site stays identical on a cluster
+    that does). Returns the format actually used."""
+    if fmt in ("delta", "iceberg"):
+        try:
+            df.write.format(fmt).mode(mode).save(path)
+            return fmt
+        except Exception:  # connector jar absent → plain parquet layout
+            fmt = "parquet"
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return "parquet"
+
+
 def write_single_csv(df: DataFrame, dest_file: str, header: bool = True) -> None:
     """coalesce(1) → temp dir → move the one part file to ``dest_file``."""
     tmp = dest_file + ".tmpdir"
