@@ -103,27 +103,32 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    batch: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine ≥ threshold and id_a < id_b.
 
-    This exact all-pairs form is the correctness baseline; at corpus scale
-    the identical scoring runs over LSH candidate pairs instead
-    (``cosine_topk_lsh``'s bucket join), turning O(n²) into Σ bucket².
-    Norms are computed once per side before the join so the join emits
-    only (id, vec, norm) — no repeated norm work per pair.
+    With ``batch`` given, only pairs whose *smaller id* is in the batch
+    are scored — the incremental-dedup shape (new arrivals vs corpus):
+    the batch side broadcasts, so the corpus never shuffles and cost is
+    |batch|·|corpus|, not |corpus|². Without it, exact all-pairs — the
+    correctness baseline only; at corpus scale the identical scoring runs
+    over LSH candidate pairs instead (``cosine_topk_lsh``'s bucket join),
+    turning O(n²) into Σ bucket². Norms are computed once per side before
+    the join so no norm work repeats per pair.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("norm"),
-    )
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")
-    )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")
-    )
+
+    def prep(side: DataFrame, suffix: str) -> DataFrame:
+        return side.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col(vec_col).alias(f"vec_{suffix}"),
+            l2_norm(F.col(vec_col)).alias(f"norm_{suffix}"),
+        )
+
+    a = prep(batch if batch is not None else df, "a")
+    if batch is not None:
+        a = F.broadcast(a)
+    b = prep(df, "b")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -148,6 +153,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     seed: int = 42,
     round_digits: int = 4,
+    max_iter: int = 8,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
@@ -164,7 +170,7 @@ def cosine_topk_ivf(
     train = candidates.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
     centroids = [[float(x) for x in c] for c in km.clusterCenters()]
 
     def nearest_cells(vec: Column, n: int) -> Column:

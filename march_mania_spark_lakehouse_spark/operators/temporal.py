@@ -1,0 +1,116 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are expressed as compositions of existing DataFrame ops (SURVEY §2
+"custom operators" rule (a)) — no UDFs, no driver loops — so Catalyst
+plans them like any relational query and they scale with ordinary
+shuffle/window machinery.
+
+- ``asof_join``: one shuffle on the key, one ordered window pass. The
+  classic union trick: interleave both sides on (key, ts), carry the
+  last right-side value forward with ``last(..., ignorenulls=True)``,
+  keep left rows. Cost is a sort within key partitions — no range
+  explosion, no per-row probing.
+- ``range_join``: equi-join on (key, coarse time bucket) with the right
+  side exploded to every bucket its window can reach, then the exact
+  range predicate filters. Turns an O(|L|·|R|) theta join into a
+  bucket-local join — the standard interval-join strategy streaming
+  engines use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right row
+    with right_ts < left_ts (strict) or <= (non-strict), per key.
+
+    Output: all left columns + the as-of values (null when no earlier
+    right row exists) — i.e. an as-of LEFT join.
+    """
+    l_marked = left.withColumn(_SIDE, F.lit(0)).withColumn("__ts", F.col(left_ts))
+    carried = [f"__v_{c}" for c in value_cols]
+    r_marked = (
+        right.select(
+            *on,
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(v) for c, v in zip(value_cols, carried)],
+        ).withColumn(_SIDE, F.lit(1))
+    )
+    both = l_marked.unionByName(r_marked, allowMissingColumns=True)
+
+    # At equal ts, right rows sort AFTER left rows for strict (<) —
+    # invisible to the frame ending at the current row — and BEFORE for
+    # non-strict (<=). Ties among right rows resolve by keeping the
+    # last in (ts, side) order, made total by __ts alone per side.
+    side_order = F.col(_SIDE).asc() if strict else F.col(_SIDE).desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attached = both.select(
+        "*",
+        *[
+            F.last(v, ignorenulls=True).over(w).alias(f"__last_{v}")
+            for v in carried
+        ],
+    )
+    out_vals = [
+        F.col(f"__last___v_{c}").alias(f"asof_{c}") for c in value_cols
+    ]
+    return (
+        attached.filter(F.col(_SIDE) == 0)
+        .select(*left.columns, *out_vals)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Inner join of left×right on key equality AND
+    ``left_ts + lower_s <= right_ts < left_ts + upper_s`` (seconds).
+
+    The left side is exploded to every coarse ``bucket_s``-second bucket
+    its window spans, so matching is an equi-join on (key, bucket) + the
+    exact filter — pick the bucket ≈ window width (the default) so each
+    left row lands in ~2 buckets.
+    """
+    if bucket_s is None:
+        bucket_s = max(upper_s - lower_s, 1)
+    lo = F.col(left_ts) + F.make_dt_interval(secs=F.lit(float(lower_s)))
+    hi = F.col(left_ts) + F.make_dt_interval(secs=F.lit(float(upper_s)))
+
+    def bucket_of(ts: Column) -> Column:
+        return F.floor(F.unix_timestamp(ts) / bucket_s)
+
+    l_b = left.withColumn("__lo", lo).withColumn("__hi", hi).withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket_of(F.col("__lo")), bucket_of(F.col("__hi")))),
+    )
+    r_b = right.withColumn("__bucket", bucket_of(F.col(right_ts)))
+    joined = l_b.join(r_b, [*on, "__bucket"]).filter(
+        (F.col(right_ts) >= F.col("__lo")) & (F.col(right_ts) < F.col("__hi"))
+    )
+    return joined.drop("__bucket", "__lo", "__hi")

@@ -26,7 +26,8 @@ pairs AS (
                   * sqrt(list_dot_product(b.emb, b.emb))),
                4
            ) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM (SELECT * FROM e WHERE vec_id < 100) a
+    JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
 """
@@ -34,10 +35,14 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
 
 @query("q51_embedding_near_dup", oracle=_Q51_SQL, tags=("dedup", "similarity"))
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (E2): exact all-pairs baseline;
-    the LSH bucket join (q26) is the same scoring at corpus scale."""
+    """Embedding-cosine near-dup (E2) in the incremental-dedup shape: a
+    100-vector arrival batch scored against the whole corpus (batch
+    broadcasts; corpus never shuffles). The all-pairs baseline is unit-
+    tested; LSH bucketing (q26) is the same scoring at corpus scale."""
     emb = catalog.load(spark, "embeddings", sf_dir)
-    return similarity.embedding_near_dup(emb, threshold=0.35)
+    return similarity.embedding_near_dup(
+        emb, threshold=0.35, batch=emb.filter(F.col("vec_id") < 100)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -45,7 +50,9 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("q52_cosine_topk_ivf", oracle=None, bench=True, tags=("similarity",))
+# bench=False: each call re-fits the KMeans quantizer (training, not query
+# execution) — same policy as the MLlib queries q33/q34.
+@query("q52_cosine_topk_ivf", oracle=None, bench=False, tags=("similarity", "ml"))
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed cosine top-k (E3): KMeans coarse quantizer; queries
     probe their 8 nearest of 16 cells (recall 0.8 on this *uniform random*
@@ -189,3 +196,76 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dims, pushed filter on o_orderstatus, partial aggs."""
     catalog.register_views(spark, sf_dir)
     return spark.sql(_Q56_SQL)
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of and range — operators
+# Spark lacks as built-ins, composed from union+window / bucket-join.
+# DuckDB has native ASOF JOIN, making both fully oracle-checkable.
+# --------------------------------------------------------------------------
+
+_Q57_SQL = """
+SELECT a.event_id, a.user_id, a.value AS click_value, b.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts < a.ts
+"""
+
+
+@query("q57_asof_join", oracle=_Q57_SQL, tags=("join", "temporal"))
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the same user's latest strictly-earlier
+    purchase value. One shuffle on user_id + one ordered window pass —
+    no range explosion (union trick, `operators/temporal.py:asof_join`)."""
+    from march_mania_spark_lakehouse_spark.operators import temporal
+
+    ev = catalog.load(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = temporal.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], strict=True,
+    )
+    return out.select("event_id", "user_id", "click_value", "asof_value")
+
+
+_Q58_SQL = """
+SELECT a.event_id,
+       COUNT(*) AS n_nearby_clicks,
+       MAX(b.value) AS max_click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 3600 SECOND
+ AND b.ts < a.ts
+GROUP BY a.event_id
+"""
+
+
+@query("q58_range_join", oracle=_Q58_SQL, tags=("join", "temporal"))
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks in the hour before each same-user error. The
+    theta predicate becomes an equi-join on (user, time bucket) with the
+    left side exploded to its ~2 candidate buckets, then exact-filtered
+    (`operators/temporal.py:range_join`)."""
+    from march_mania_spark_lakehouse_spark.operators import temporal
+
+    ev = catalog.load(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts"), F.col("value")
+    )
+    pairs = temporal.range_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="c_ts",
+        lower_s=-3600, upper_s=0,
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_nearby_clicks"),
+        F.max("value").alias("max_click_value"),
+    )
