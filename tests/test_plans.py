@@ -83,3 +83,25 @@ def test_similarity_broadcasts_query_side(spark, sf_dir):
     plan = _plan(all_queries()["q25_cosine_topk"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a partitioned parquet layout
+    must prune at planning time (PartitionFilters), not scan-and-filter —
+    the property that makes date-partitioned 100 TB tables queryable."""
+    from march_mania_spark_lakehouse_spark.sources import writers
+
+    orders = catalog.load(spark, "orders", sf_dir).withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    writers.write_parquet(orders, path, partition_by=["o_year"])
+
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = _plan(df)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_year" in pf
+    # The scan must report fewer files than the full table holds.
+    full = spark.read.parquet(path)
+    assert df.count() < full.count()
+    assert df.count() == full.filter(F.col("o_year") == 1995).count()
