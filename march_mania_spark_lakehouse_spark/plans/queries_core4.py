@@ -1,0 +1,117 @@
+"""Fourth relational batch: grouping sets, ranking-window extras,
+approximate distinct counting, conditional aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# GROUPING SETS — the general form behind rollup (q36) / cube (q37).
+# Identical SQL text runs on both engines.
+# --------------------------------------------------------------------------
+
+_Q59_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20, 4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("q59_grouping_sets", oracle=_Q59_SQL, tags=("agg", "sql"))
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via spark.sql — one scan, Expand node fans rows to
+    each grouping, then a single partial→final hash agg (not one job per
+    grouping)."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_Q59_SQL)
+
+
+# --------------------------------------------------------------------------
+# Ranking-window extras beyond q35: ntile / percent_rank / cume_dist.
+# --------------------------------------------------------------------------
+
+_Q60_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       NTILE(4) OVER w AS price_quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+       ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("q60_rank_distribution", oracle=_Q60_SQL, tags=("window",))
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over a totally-ordered window (the
+    o_orderkey tiebreaker makes ranks deterministic). One shuffle keyed
+    on the partition column."""
+    orders = catalog.load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct counting — the 100 TB cardinality tool. HLL is
+# engine-specific (not oracle-matchable); the error bound is the test.
+# --------------------------------------------------------------------------
+
+
+@query("q61_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count per
+    group. At 100 TB the exact form shuffles every distinct value; the
+    sketch is constant-size per group and mergeable. rsd=0.02 → ±2%
+    (error bound unit-tested)."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregation — CASE-based, dialect-common.
+# --------------------------------------------------------------------------
+
+_Q62_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+       SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS n_taxfree,
+       CAST(SUM(CASE WHEN l_discount > 0.05
+                     THEN CAST(l_extendedprice AS DECIMAL(20, 4))
+                     ELSE 0 END) AS DOUBLE) AS discounted_value
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q62_conditional_agg", oracle=_Q62_SQL, tags=("agg",))
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE inside SUM): many metrics in one
+    scan + one shuffle instead of one filtered job per metric."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    disc = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(disc, 1).otherwise(0)).alias("n_discounted"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_taxfree"),
+        F.sum(
+            F.when(disc, F.col("l_extendedprice").cast("decimal(20,4)")).otherwise(
+                F.lit(0).cast("decimal(20,4)")
+            )
+        )
+        .cast("double")
+        .alias("discounted_value"),
+    )

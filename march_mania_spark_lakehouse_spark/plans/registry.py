@@ -12,6 +12,7 @@ _QUERY_MODULES = (
     "march_mania_spark_lakehouse_spark.plans.queries_core",
     "march_mania_spark_lakehouse_spark.plans.queries_core2",
     "march_mania_spark_lakehouse_spark.plans.queries_core3",
+    "march_mania_spark_lakehouse_spark.plans.queries_core4",
     "march_mania_spark_lakehouse_spark.plans.queries_ext",
     "march_mania_spark_lakehouse_spark.plans.queries_ext2",
     "march_mania_spark_lakehouse_spark.plans.queries_fold",

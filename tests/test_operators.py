@@ -162,3 +162,13 @@ def test_bpe_tokens_split_punctuation_and_digits(spark):
     df = spark.createDataFrame([(1, "don't stop, it's 42 laps!")], "i long, text string")
     row = df.select(text_ops.bpe_tokens("text").alias("t")).first()
     assert row["t"] == ["don", "'t", "stop", ",", "it", "'s", "42", "laps", "!"]
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    from march_mania_spark_lakehouse_spark.plans import all_queries
+
+    rows = all_queries()["q61_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
+        assert rel_err < 0.1, f"{r['l_returnflag']}: {rel_err}"
