@@ -196,3 +196,44 @@ def tvs_hpo_lr(
         "elasticNetParam": best_lr.getElasticNetParam(),
     }
     return model.bestModel, best_params
+
+
+def tvs_hpo_gbt(
+    train: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "label",
+    train_ratio: float = 0.8,
+    parallelism: int = 2,
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """M6 (GBT side): TrainValidationSplit over the reference's GBT grid
+    shape — maxDepth × subsamplingRate (`src/ml/tuning.py:127-150`).
+
+    Returns (best_model, best_params_dict).
+    """
+    pipe = build_gbt_pipeline(feature_cols, label_col, max_iter=max_iter)
+    gbt = pipe.getStages()[1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(gbt.maxDepth, [3, 5])
+        .addGrid(gbt.subsamplingRate, [0.8, 1.0])
+        .build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(
+            rawPredictionCol="rawPrediction", labelCol=label_col
+        ),
+        trainRatio=train_ratio,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    model = tvs.fit(train)
+    best_gbt = model.bestModel.stages[1]
+    best_params = {
+        "maxDepth": best_gbt.getMaxDepth(),
+        "subsamplingRate": best_gbt.getSubsamplingRate(),
+    }
+    return model.bestModel, best_params

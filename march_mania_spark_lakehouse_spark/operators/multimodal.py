@@ -90,3 +90,74 @@ def extract_media_features(df: DataFrame, batch_size_hint: int = 256) -> DataFra
             )
 
     return df.mapInPandas(_process, schema=MEDIA_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, media_type string, width int, height int, payload binary"
+)
+
+
+def resize_media(
+    df: DataFrame, target_w: int = 8, target_h: int = 8
+) -> DataFrame:
+    """Resize stage over ``mapInPandas``: contract (media_id, media_type,
+    payload) → fixed (target_w × target_h) payloads.
+
+    The pixel resample itself is stubbed deterministically (byte-level
+    nearest-neighbor over the payload — no codec in this container); the
+    Spark plumbing is the real thing: Arrow batches in, binary column
+    out, executor memory bounded per batch, schema declared up front.
+    """
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # nearest-neighbor byte resample to the target size
+                idx = (np.arange(n_out) * max(len(raw), 1) // n_out) % max(len(raw), 1)
+                out.append(raw[idx].tobytes() if len(raw) else b"\x00" * n_out)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(_process, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling for video-like payloads: treat the payload as a
+    sequence of fixed-size frames, keep every ``every_n``-th.
+
+    Emits one row per sampled frame — a row-multiplying ``mapInPandas``
+    (the output iterator is not 1:1 with input batches), which is the
+    shape a real video pipeline needs: frames of one clip stay in one
+    partition, downstream ops repartition as usual.
+    """
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = len(raw) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(media_id)
+                    idxs.append(fi)
+                    frames.append(raw[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return df.mapInPandas(_process, schema=FRAME_SCHEMA)

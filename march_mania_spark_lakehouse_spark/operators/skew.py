@@ -28,8 +28,11 @@ SALT_COL = "__salt"
 
 
 def with_salt(df: DataFrame, n_salts: int) -> DataFrame:
-    """Uniform random salt in [0, n_salts). Non-deterministic by design —
-    results of downstream salted ops are salt-invariant."""
+    """Uniform salt in [0, n_salts). ``rand(seed)`` is deterministic per
+    (partition, row-offset), so the assignment can shift when the scan
+    layout changes — which is safe here: every downstream salted op is
+    salt-invariant (any assignment yields identical results; only the
+    reducer spread varies)."""
     return df.withColumn(SALT_COL, (F.rand(seed=42) * n_salts).cast("int"))
 
 

@@ -41,6 +41,11 @@ def asof_join(
 
     Output: all left columns + the as-of values (null when no earlier
     right row exists) — i.e. an as-of LEFT join.
+
+    Determinism contract: (key, right_ts) should be unique on the right —
+    when two right rows tie on ts, which one wins is plan-dependent (the
+    same caveat as pandas merge_asof / DuckDB ASOF). Pre-aggregate the
+    right side to one row per (key, ts) if ties are possible.
     """
     l_marked = left.withColumn(_SIDE, F.lit(0)).withColumn("__ts", F.col(left_ts))
     carried = [f"__v_{c}" for c in value_cols]

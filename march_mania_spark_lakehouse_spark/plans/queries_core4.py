@@ -115,3 +115,58 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("discounted_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Native session windows — same 30-min-gap semantics as the relational
+# sessionization (q43), but via Spark's built-in session_window operator
+# (which also runs unchanged under Structured Streaming with a watermark).
+# The oracle derives sessions relationally (lag → flag → running sum).
+# --------------------------------------------------------------------------
+
+_Q63_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20, 6))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("q63_session_window_native", oracle=_Q63_SQL, tags=("window", "events"))
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap): one shuffle keyed on
+    (user, merged session). Streaming-ready — the identical groupBy runs
+    under a watermark with state eviction. Oracle = the relational
+    lag+cumsum derivation, proving both formulations agree."""
+    ev = catalog.load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -269,3 +269,29 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nearby_clicks"),
         F.max("value").alias("max_click_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal pipeline: payload → resize → frame-sample → per-media stats.
+# --------------------------------------------------------------------------
+
+
+@query("q64_media_pipeline", oracle=None, tags=("multimodal",))
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained multimodal stages (attach → resize → frame-sample →
+    aggregate): three Arrow mapInPandas hops with declared schemas, then
+    a relational agg — the decode is stubbed (no codecs here) but the
+    batch plumbing, schemas and row-multiplying frame stage are real.
+    Deterministic → rows-only driver check + unit tests."""
+    from march_mania_spark_lakehouse_spark.operators import multimodal
+
+    docs = catalog.load(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    media = multimodal.attach_fake_payload(docs, "doc_id", "text", media_type="video")
+    resized = multimodal.resize_media(media, target_w=16, target_h=16)
+    frames = multimodal.sample_frames(
+        resized.select("media_id", "media_type", "payload"), frame_bytes=32, every_n=2
+    )
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_payload")).alias("total_bytes"),
+    )

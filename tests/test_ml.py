@@ -94,3 +94,12 @@ def test_vector_assembler_keeps_nulls(spark):
     )
     out = modeling.assemble_features(["x1", "x2"]).transform(df)
     assert out.count() == 2  # handleInvalid="keep" → no row loss
+
+
+def test_tvs_hpo_gbt_selects_valid_params(separable):
+    model, params = modeling.tvs_hpo_gbt(
+        separable, ["x1", "x2"], max_iter=5, parallelism=2
+    )
+    assert params["maxDepth"] in (3, 5)
+    assert params["subsamplingRate"] in (0.8, 1.0)
+    assert modeling.auc(model.transform(separable)) > 0.8

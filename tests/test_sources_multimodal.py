@@ -75,3 +75,29 @@ def test_media_features_deterministic_and_shaped(spark, sf_dir):
         F.col("n_bytes") != F.length("text")
     )
     assert joined.count() == 0
+
+
+def test_resize_media_fixed_output_size(spark, sf_dir):
+    docs = catalog.load(spark, "documents", sf_dir).limit(20)
+    media = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    resized = multimodal.resize_media(media, target_w=8, target_h=8).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(bytes(r["payload"])) == 64
+    # deterministic: same input → same bytes
+    again = multimodal.resize_media(media, target_w=8, target_h=8).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in resized} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
+
+
+def test_sample_frames_every_nth(spark):
+    payload = bytes(range(256)) * 4  # 1024 bytes = 16 frames of 64
+    df = spark.createDataFrame(
+        [(1, "video", payload)], "media_id long, media_type string, payload binary"
+    )
+    frames = multimodal.sample_frames(df, frame_bytes=64, every_n=4).collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 4, 8, 12]
+    f0 = next(bytes(r["frame_payload"]) for r in frames if r["frame_idx"] == 0)
+    assert f0 == payload[:64]
