@@ -33,6 +33,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail for every top-k path (exact, LSH, IVF): the
+    same (cosine desc, c_id asc) total order everywhere, so the recall
+    tests compare approximate paths against an identically-ranked exact
+    baseline."""
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_topk_bruteforce(
     candidates: DataFrame,
     queries: DataFrame,
@@ -59,12 +72,7 @@ def cosine_topk_bruteforce(
         .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
         .select("q_id", "c_id", "cosine")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _topk_per_query(scored, k)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -108,8 +116,10 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine ≥ threshold and id_a < id_b.
 
-    With ``batch`` given, only pairs whose *smaller id* is in the batch
-    are scored — the incremental-dedup shape (new arrivals vs corpus):
+    With ``batch`` given, every pair with at least one member in the
+    batch is scored regardless of id order (ids are canonicalized with
+    least/greatest afterwards, so new arrivals with the highest ids are
+    still paired against the whole corpus) — the incremental-dedup shape:
     the batch side broadcasts, so the corpus never shuffles and cost is
     |batch|·|corpus|, not |corpus|². Without it, exact all-pairs — the
     correctness baseline only; at corpus scale the identical scoring runs
@@ -125,22 +135,28 @@ def embedding_near_dup(
             l2_norm(F.col(vec_col)).alias(f"norm_{suffix}"),
         )
 
-    a = prep(batch if batch is not None else df, "a")
-    if batch is not None:
-        a = F.broadcast(a)
     b = prep(df, "b")
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
-                round_digits,
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    if batch is not None:
+        # batch×corpus, both orientations covered by one asymmetric join;
+        # canonicalize ids and drop the in-batch duplicates afterwards.
+        a = F.broadcast(prep(batch, "a"))
+        pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    else:
+        a = prep(df, "a")
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+            round_digits,
+        ),
+    ).filter(F.col("cosine") >= threshold)
+    out = scored.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "cosine",
     )
+    return out.dropDuplicates(["id_a", "id_b"]) if batch is not None else out
 
 
 def cosine_topk_ivf(
@@ -158,17 +174,27 @@ def cosine_topk_ivf(
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
     The other 100 TB scale path next to sign-LSH: KMeans (MLlib, seeded)
-    learns ``n_cells`` centroids on a sample; every candidate is assigned
-    to its nearest centroid once (one scan); each query probes only its
-    ``n_probe`` nearest cells. Scoring cost per query drops from |corpus|
-    to ~(n_probe/n_cells)·|corpus|, and the candidate side joins on the
-    tiny broadcast (query, cell) pairs — no corpus shuffle.
+    learns ``n_cells`` centroids on a bounded sample (≤256·n_cells rows —
+    quantizer quality needs a sample, not the corpus); every candidate is
+    assigned to its nearest centroid once (one scan); each query probes
+    only its ``n_probe`` nearest cells. Scoring cost per query drops from
+    |corpus| to ~(n_probe/n_cells)·|corpus|, and the candidate side joins
+    on the tiny broadcast (query, cell) pairs — no corpus shuffle.
+
+    Training vectors are L2-normalized first: on the unit sphere,
+    Euclidean KMeans partitions by direction (‖a−b‖² = 2−2·cosθ), which
+    makes the Euclidean-trained cells consistent with the cosine-based
+    cell assignment below.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = candidates.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+    )
+    train = (
+        candidates.select(array_to_vector(unit).alias("features"))
+        .limit(256 * n_cells)
     )
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
     centroids = [[float(x) for x in c] for c in km.clusterCenters()]
@@ -204,12 +230,7 @@ def cosine_topk_ivf(
         .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
         .select("q_id", "c_id", "cosine")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_topk_lsh(
@@ -252,9 +273,4 @@ def cosine_topk_lsh(
     scored = pairs.withColumn(
         "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
     ).select("q_id", "c_id", "cosine")
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _topk_per_query(scored, k)

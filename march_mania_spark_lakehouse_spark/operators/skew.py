@@ -79,7 +79,16 @@ def salted_join(
     Left rows get one salt each; right rows are exploded to all
     ``n_salts`` values, so every (key, salt) pair finds its match and the
     hot key's rows land on ``n_salts`` different reducers.
+
+    Only left-preserving joins are valid: an unmatched RIGHT row would
+    survive once per salt copy under right/full outer semantics.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "semi",
+                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r} "
+            "(an unmatched right row would appear n_salts times)"
+        )
     salted_left = with_salt(left, n_salts)
     exploded_right = right.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -68,15 +68,17 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the whole right row as one struct: the struct is non-null for
+    # every right row even when its value columns are NULL, so a matched
+    # right row with a NULL value yields NULL (as DuckDB ASOF / pandas
+    # merge_asof do) instead of resurrecting an older non-null value.
+    pack = F.when(F.col(_SIDE) == 1, F.struct(*[F.col(v) for v in carried]))
     attached = both.select(
-        "*",
-        *[
-            F.last(v, ignorenulls=True).over(w).alias(f"__last_{v}")
-            for v in carried
-        ],
+        "*", F.last(pack, ignorenulls=True).over(w).alias("__asof_pack")
     )
     out_vals = [
-        F.col(f"__last___v_{c}").alias(f"asof_{c}") for c in value_cols
+        F.col("__asof_pack").getField(f"__v_{c}").alias(f"asof_{c}")
+        for c in value_cols
     ]
     return (
         attached.filter(F.col(_SIDE) == 0)

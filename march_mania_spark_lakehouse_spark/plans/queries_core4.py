@@ -127,6 +127,9 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q63_SQL = """
 WITH flagged AS (
     SELECT user_id, ts, value,
+           -- strict > : session_window MERGES an event at exactly
+           -- last_ts+gap (verified by the boundary test in test_plans) —
+           -- a new session needs the gap strictly exceeded.
            CASE WHEN ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
                   OR LAG(ts) OVER w IS NULL
                 THEN 1 ELSE 0 END AS is_new

@@ -72,9 +72,23 @@ def write_table(
     that does). Returns the format actually used."""
     if fmt in ("delta", "iceberg"):
         try:
-            df.write.format(fmt).mode(mode).save(path)
+            writer = df.write.format(fmt).mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(path)
             return fmt
-        except Exception:  # connector jar absent → plain parquet layout
+        except Exception as e:
+            # Fall back ONLY when the connector is missing — any other
+            # failure (schema conflict, concurrent write, storage error)
+            # must surface, not silently degrade the table to parquet.
+            msg = str(e)
+            if not (
+                "Failed to find data source" in msg
+                or "Failed to find the data source" in msg
+                or "ClassNotFoundException" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+            ):
+                raise
             fmt = "parquet"
     writer = df.write.mode(mode)
     if partition_by:

@@ -172,3 +172,22 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     for r in rows:
         rel_err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
         assert rel_err < 0.1, f"{r['l_returnflag']}: {rel_err}"
+
+
+def test_embedding_near_dup_batch_with_high_ids(spark):
+    """Regression: new arrivals carry the HIGHEST ids — batch mode must
+    still pair them with older (smaller-id) corpus rows."""
+    v = [1.0] * 8
+    near = [1.0] * 7 + [0.9]
+    corpus = spark.createDataFrame(
+        [(1, v), (2, [1.0, -1.0] * 4), (1000, near)],
+        "vec_id long, embedding array<float>",
+    )
+    batch = corpus.filter(F.col("vec_id") == 1000)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup(
+            corpus, threshold=0.9, batch=batch
+        ).collect()
+    }
+    assert (1, 1000) in pairs

@@ -105,3 +105,40 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     full = spark.read.parquet(path)
     assert df.count() < full.count()
     assert df.count() == full.filter(F.col("o_year") == 1995).count()
+
+
+def test_session_window_boundary_matches_oracle_semantics(spark):
+    """Boundary pin: Spark's session_window MERGES an event arriving at
+    exactly last_ts + gap (new session only when the gap is strictly
+    exceeded) — the q63 oracle's strict > flag must agree. An event 1s
+    past the gap must split."""
+    import duckdb
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 7),
+        (1, datetime(2024, 1, 1, 10, 30, 0), 8),    # exactly 1800s → merge
+        (1, datetime(2024, 1, 1, 11, 0, 1), 9),     # 1801s → split
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    spark_sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    )
+    assert spark_sessions == 2  # [10:00, 10:30] and [11:00:01]
+
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    oracle_sessions = con.sql(
+        """
+        SELECT COUNT(DISTINCT session_id) FROM (
+          SELECT SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                          OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        """
+    ).fetchone()[0]
+    assert oracle_sessions == 2

@@ -52,3 +52,14 @@ def test_salted_agg_spreads_hot_key(spark):
     df = spark.range(10_000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
     salts = skew.with_salt(df, 8).select(skew.SALT_COL).distinct().collect()
     assert len(salts) == 8
+
+
+def test_salted_join_rejects_right_preserving_joins(spark, sf_dir):
+    import pytest
+
+    orders = catalog.load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = catalog.load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    with pytest.raises(ValueError, match="left-preserving"):
+        skew.salted_join(orders, cust, on=["o_custkey"], how="full")

@@ -150,3 +150,23 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         pd.testing.assert_series_equal(
             ours, ref, check_names=False, check_exact=True
         )
+
+
+def test_asof_join_matched_null_value_stays_null(spark):
+    """Regression: a matched right row whose value is NULL must yield
+    NULL, not resurrect an older non-null value (DuckDB/pandas semantics)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T13:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T11:00:00"), 100.0),
+            (1, _ts("2024-01-01T12:00:00"), None),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = temporal.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["v"], strict=True,
+    ).collect()
+    assert out[0]["asof_v"] is None
