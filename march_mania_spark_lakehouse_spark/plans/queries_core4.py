@@ -173,3 +173,60 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Array functions over the tokenized documents (Spark array_* ↔ DuckDB
+# list_* — same semantics, different names).
+# --------------------------------------------------------------------------
+
+_Q65_SQL = """
+SELECT doc_id,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       list_contains(string_split(text, ' '), 'the') AS has_the,
+       list_sort(list_distinct(string_split(text, ' ')))[1] AS first_token,
+       -- DuckDB list slices are INCLUSIVE: [1:4] = 4 elements, matching
+       -- Spark's slice(toks, 1, 4).
+       len(string_split(text, ' ')[1:4]) AS head_len
+FROM documents
+WHERE doc_id < 1000
+"""
+
+
+@query("q65_array_functions", oracle=_Q65_SQL, tags=("scalar", "array"))
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: split → distinct/contains/sort/slice, all JVM
+    built-ins over the token array (no shuffle, pure projection)."""
+    docs = catalog.load(spark, "documents", sf_dir).filter(F.col("doc_id") < 1000)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.sort_array(F.array_distinct(toks)).getItem(0).alias("first_token"),
+        F.size(F.slice(toks, 1, 4)).alias("head_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset set ops — the ALL variants keep duplicates (q39/q40 are the
+# distinct forms).
+# --------------------------------------------------------------------------
+
+_Q66_SQL = """
+SELECT o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@query("q66_intersect_all", oracle=_Q66_SQL, tags=("setop",))
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — min of per-side multiplicity,
+    which plain intersect's dedup would lose)."""
+    orders = catalog.load(spark, "orders", sf_dir)
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b)
