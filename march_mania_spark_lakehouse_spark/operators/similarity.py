@@ -274,3 +274,64 @@ def cosine_topk_lsh(
         "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
     ).select("q_id", "c_id", "cosine")
     return _topk_per_query(scored, k)
+
+
+def cosine_topk_vectorized(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k via blocked numpy matmul — the production scoring path.
+
+    The query set is collected once (it is small by contract) and closed
+    over into a ``mapInPandas`` stage: each Arrow batch of candidates is
+    one float64 GEMM against the query matrix, emitting only that batch's
+    per-query top-k (≤ k·|Q| rows per batch). A final window pass merges
+    the partial top-ks — the classic tree top-k, so the corpus is scanned
+    once, never shuffled, and the shuffle input is k·|Q|·n_batches rows.
+
+    Trade-off vs ``cosine_topk_bruteforce``: ~10× less per-pair overhead
+    (BLAS instead of interpreted ``zip_with`` folds) but float summation
+    order is BLAS-defined, not index-order — scores can differ from the
+    serial oracle in the last ulp, so this variant is recall-tested
+    against the exact baseline instead of oracle-hashed.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    q_pd = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).toPandas()
+    q_ids = q_pd["q_id"].to_numpy()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pd["q_vec"]])
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_unit @ q_unit.T  # (n_batch, n_q)
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = c_ids != qid
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                top = idx[np.argsort(-col[idx], kind="stable")[:k]]
+                out_q.extend([qid] * len(top))
+                out_c.extend(c_ids[top])
+                out_s.extend(np.round(col[top], round_digits))
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cosine": out_s})
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(
+        _score, schema="q_id long, c_id long, cosine double"
+    )
+    return _topk_per_query(partial, k)

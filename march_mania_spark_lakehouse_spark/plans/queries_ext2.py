@@ -295,3 +295,14 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame_payload")).alias("total_bytes"),
     )
+
+
+@query("q67_cosine_topk_vectorized", oracle=None, tags=("similarity",))
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-GEMM top-k (E3 production path): one numpy matmul per
+    Arrow batch + tree top-k merge. Same results as q25 (agreement
+    unit-tested to 1e-9); BLAS summation order → rows-only driver check."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk_vectorized(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )

@@ -191,3 +191,17 @@ def test_embedding_near_dup_batch_with_high_ids(spark):
         ).collect()
     }
     assert (1, 1000) in pairs
+
+
+def test_vectorized_topk_matches_exact_baseline(spark, sf_dir):
+    """The BLAS-scored path must return the same top-k pairs as the
+    bit-exact interpreted baseline (scores agree to rounding)."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    fast = similarity.cosine_topk_vectorized(emb, q, k=5)
+    e = {(r["q_id"], r["c_id"]): r["cosine"] for r in exact.collect()}
+    f = {(r["q_id"], r["c_id"]): r["cosine"] for r in fast.collect()}
+    assert set(e) == set(f)
+    for key in e:
+        assert abs(e[key] - f[key]) < 1e-9, key
