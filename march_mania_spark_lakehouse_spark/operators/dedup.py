@@ -189,3 +189,31 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
         contrib = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(b))
         sig = sig + F.shiftleft((contrib > 0).cast("long"), b)
     return sig
+
+
+def simhash_relational(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash via explode → per-bit conditional sums → sign-pack: the
+    whole-stage-codegen formulation of ``simhash`` (bit-identical output,
+    same token hash, same sign rule).
+
+    Shape: one explode (no shuffle) + one hash-aggregate on the doc id —
+    every expression is a JVM built-in, so unlike the column version
+    (32 interpreted ``F.aggregate`` folds per row) this vectorizes and is
+    the form to use corpus-wide. Output: (id_col, simhash long).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).withColumn("__h", F.hash("__tok").cast("long"))
+    bit_sums = [
+        F.sum(
+            F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.shiftleft((F.col(f"__b{b}") > 0).cast("long"), b)
+    return agg.select(F.col(id_col), sig.alias("simhash"))

@@ -319,7 +319,11 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q29_simhash", oracle=None, tags=("dedup",))
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (E2): 32-bit token-hash sign aggregate per doc."""
+    """SimHash signatures (E2): 32-bit token-hash sign aggregate per doc.
+    Shuffle-free column form — fastest at bench scale; the bit-identical
+    ``simhash_relational`` (explode → codegen sums, map-side combined)
+    is the corpus-wide form when per-row interpreted folds become the
+    bottleneck. Equality is unit-tested."""
     docs = catalog.load(spark, "documents", sf_dir)
     return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
 

@@ -83,3 +83,31 @@ def parse_props(events: DataFrame, field: str = "k") -> DataFrame:
         f"props_{field}",
         F.get_json_object(F.col("props"), f"$.{field}").cast("int"),
     )
+
+
+def stream_stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lower_s: int = -3600,
+    upper_s: int = 0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream inner join on key equality + an event-time range
+    (right_ts in [left_ts+lower_s, left_ts+upper_s)).
+
+    Watermarks on BOTH sides bound the join state: a buffered left row
+    can be evicted once the right watermark passes its upper bound and
+    vice versa — without them the state store grows with the stream.
+    This is the streaming twin of ``operators/temporal.range_join``
+    (batch proves correctness; this proves the plan runs incrementally).
+    """
+    l = left_stream.withWatermark(left_ts, watermark)
+    r = right_stream.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{key} = __rkey AND {right_ts} >= {left_ts} + INTERVAL {lower_s} SECOND "
+        f"AND {right_ts} < {left_ts} + INTERVAL {upper_s} SECOND"
+    )
+    return l.join(r.withColumnRenamed(key, "__rkey"), cond, "inner").drop("__rkey")

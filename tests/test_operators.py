@@ -205,3 +205,18 @@ def test_vectorized_topk_matches_exact_baseline(spark, sf_dir):
     assert set(e) == set(f)
     for key in e:
         assert abs(e[key] - f[key]) < 1e-9, key
+
+
+def test_simhash_relational_matches_column_version(spark, sf_dir):
+    """The codegen (explode+agg) SimHash must be bit-identical to the
+    higher-order-function column version."""
+    docs = catalog.load(spark, "documents", sf_dir).limit(200)
+    col_ver = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", dedup.simhash("text").alias("s")).collect()
+    }
+    rel_ver = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_relational(docs, "doc_id").collect()
+    }
+    assert col_ver == rel_ver

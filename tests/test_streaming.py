@@ -92,3 +92,51 @@ def test_stateful_running_totals_accumulate_across_microbatches(spark, sf_dir, t
     for k, (n, s) in expected.items():
         assert final[k][0] == n
         assert abs(final[k][1] - s) < 1e-6
+
+
+def test_stream_stream_interval_join_matches_batch_range_join(spark, sf_dir, tmp_path):
+    """Stream–stream join with event-time bounds must produce the same
+    pairs as the batch range join over the same data."""
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.operators import temporal
+
+    ev = catalog.load(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_event_id")
+    )
+    e_src, c_src = str(tmp_path / "errs"), str(tmp_path / "clicks")
+    errors.write.mode("overwrite").parquet(e_src)
+    clicks.write.mode("overwrite").parquet(c_src)
+
+    l_stream = spark.readStream.schema(errors.schema).parquet(e_src)
+    r_stream = spark.readStream.schema(clicks.schema).parquet(c_src)
+    joined = ev_ops.stream_stream_interval_join(
+        l_stream, r_stream, lower_s=-3600, upper_s=0, watermark="100 hours"
+    )
+
+    sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select("event_id", "r_event_id")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+
+    batch = {
+        (r["event_id"], r["r_event_id"])
+        for r in temporal.range_join(
+            errors, clicks, on=["user_id"], left_ts="ts", right_ts="r_ts",
+            lower_s=-3600, upper_s=0,
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
