@@ -202,10 +202,18 @@ def simhash_relational(
     every expression is a JVM built-in, so unlike the column version
     (32 interpreted ``F.aggregate`` folds per row) this vectorizes and is
     the form to use corpus-wide. Output: (id_col, simhash long).
+
+    NULL text matches the column form exactly: ``explode_outer`` keeps the
+    row, the guarded hash keeps ``__h`` NULL (a bare ``F.hash(NULL)``
+    would return the seed, not NULL), the NULL bit-sums propagate, and the
+    signature comes out NULL — same as folding over a NULL token array.
     """
     toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
-    ).withColumn("__h", F.hash("__tok").cast("long"))
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("__tok")
+    ).withColumn(
+        "__h",
+        F.when(F.col("__tok").isNotNull(), F.hash("__tok").cast("long")),
+    )
     bit_sums = [
         F.sum(
             F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1

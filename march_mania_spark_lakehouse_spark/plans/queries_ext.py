@@ -320,12 +320,13 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q29_simhash", oracle=None, tags=("dedup",))
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (E2): 32-bit token-hash sign aggregate per doc.
-    Shuffle-free column form — fastest at bench scale; the bit-identical
-    ``simhash_relational`` (explode → codegen sums, map-side combined)
-    is the corpus-wide form when per-row interpreted folds become the
-    bottleneck. Equality is unit-tested."""
+    Uses ``simhash_relational`` (explode → whole-stage-codegen per-bit
+    conditional sums, map-side combined) — ~4× the throughput of the
+    higher-order-function column form at sf0.1 because every expression
+    stays inside codegen instead of 32 interpreted ``F.aggregate`` folds
+    per row. Bit-equality of the two forms is unit-tested."""
     docs = catalog.load(spark, "documents", sf_dir)
-    return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
+    return dedup.simhash_relational(docs, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------

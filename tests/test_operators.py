@@ -209,8 +209,19 @@ def test_vectorized_topk_matches_exact_baseline(spark, sf_dir):
 
 def test_simhash_relational_matches_column_version(spark, sf_dir):
     """The codegen (explode+agg) SimHash must be bit-identical to the
-    higher-order-function column version."""
-    docs = catalog.load(spark, "documents", sf_dir).limit(200)
+    higher-order-function column version — including NULL and empty
+    text, where both forms must agree (NULL sig / empty-token sig)."""
+    docs = (
+        catalog.load(spark, "documents", sf_dir)
+        .limit(200)
+        .select("doc_id", "text")
+        .unionAll(
+            spark.createDataFrame(
+                [(10_000_001, None), (10_000_002, ""), (10_000_003, "  ")],
+                "doc_id long, text string",
+            )
+        )
+    )
     col_ver = {
         r["doc_id"]: r["s"]
         for r in docs.select("doc_id", dedup.simhash("text").alias("s")).collect()
@@ -220,3 +231,4 @@ def test_simhash_relational_matches_column_version(spark, sf_dir):
         for r in dedup.simhash_relational(docs, "doc_id").collect()
     }
     assert col_ver == rel_ver
+    assert len(rel_ver) == 203  # NULL-text row survives explode_outer
