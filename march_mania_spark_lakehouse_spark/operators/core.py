@@ -102,3 +102,24 @@ def global_topk(df: DataFrame, order_by: Sequence[Column | str], k: int) -> Data
     partition top-k then a single-reducer merge — no full global sort is
     materialized, so this is safe at any scale for small k."""
     return df.orderBy(*_cols(order_by)).limit(k)
+
+
+def rebalance_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism —
+    but only when the incoming plan yields FEWER partitions than that.
+
+    Compute-heavy operators (per-pair cosine folds, shingle explosion,
+    Arrow GEMM batches) inherit the scan's partitioning when their joins
+    broadcast; a corpus that arrives as one small file then runs on one
+    task while every other core idles, and AQE cannot split it because
+    there is no shuffle boundary. At real corpus scale the scan already
+    has ≥ parallelism partitions and this is an identity — no shuffle is
+    ever added to a well-partitioned input. The shuffle it does add moves
+    only the raw scan columns: Catalyst keeps derived projections (norms,
+    signatures) above the user Repartition, so the heavy expressions run
+    post-exchange, in parallel.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

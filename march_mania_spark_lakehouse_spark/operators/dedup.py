@@ -20,6 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
 from march_mania_spark_lakehouse_spark.operators.text import tokens
 
 
@@ -76,6 +77,7 @@ def shingle_table(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingle) long table — the join surface for Jaccard/MinHash."""
+    df = rebalance_scan(df)
     return df.select(
         F.col(id_col), F.explode(ngram_shingles(text_col, n)).alias("shingle")
     )
@@ -208,7 +210,7 @@ def simhash_relational(
     would return the seed, not NULL), the NULL bit-sums propagate, and the
     signature comes out NULL — same as folding over a NULL token array.
     """
-    toks = df.select(
+    toks = rebalance_scan(df).select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("__tok")
     ).withColumn(
         "__h",

@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, index order (bit-reproducible)."""
@@ -64,7 +66,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = candidates.select(
+    c = rebalance_scan(candidates).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -135,7 +137,7 @@ def embedding_near_dup(
             l2_norm(F.col(vec_col)).alias(f"norm_{suffix}"),
         )
 
-    b = prep(df, "b")
+    b = prep(rebalance_scan(df), "b")
     if batch is not None:
         # batch×corpus, both orientations covered by one asymmetric join;
         # canonicalize ids and drop the in-batch duplicates afterwards.
@@ -214,7 +216,7 @@ def cosine_topk_ivf(
         top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
         return F.transform(top, lambda s: s["cell"])
 
-    c = candidates.select(
+    c = rebalance_scan(candidates).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         nearest_cells(F.col(vec_col), 1).getItem(0).alias("cell"),
@@ -259,7 +261,7 @@ def cosine_topk_lsh(
         F.col(vec_col).alias("q_vec"),
         F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("bk"),
     ).select("q_id", "q_vec", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
-    c = candidates.select(
+    c = rebalance_scan(candidates).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("bk"),
@@ -331,7 +333,7 @@ def cosine_topk_vectorized(
                 out_s.extend(np.round(col[top], round_digits))
             yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cosine": out_s})
 
-    partial = candidates.select(id_col, vec_col).mapInPandas(
+    partial = rebalance_scan(candidates).select(id_col, vec_col).mapInPandas(
         _score, schema="q_id long, c_id long, cosine double"
     )
     return _topk_per_query(partial, k)
