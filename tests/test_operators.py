@@ -232,3 +232,65 @@ def test_simhash_relational_matches_column_version(spark, sf_dir):
     }
     assert col_ver == rel_ver
     assert len(rel_ver) == 203  # NULL-text row survives explode_outer
+
+
+def test_hash_split_deterministic_disjoint_exhaustive(spark, sf_dir):
+    """Split labels are a pure function of doc_id: stable across runs,
+    every row labeled, proportions near the 98/1/1 weights."""
+    from march_mania_spark_lakehouse_spark.operators import sampling
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in sampling.hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.hash_split(docs, "doc_id").collect()}
+    assert a == b
+    assert None not in a.values()  # exhaustive: every bucket < 100 labeled
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.9 * n <= train <= n  # 98% weight, small-sample tolerance
+
+
+def test_quota_sample_cardinality_and_membership(spark, sf_dir):
+    """≤ n rows per group, and the selected rows are exactly the top-n
+    under the (quality desc, doc_id) order."""
+    from march_mania_spark_lakehouse_spark.operators import sampling
+
+    docs = catalog.load(spark, "documents", sf_dir)
+    scored = docs.select(
+        "lang", "doc_id", text_ops.quality_score("text").alias("q")
+    )
+    sample = sampling.quota_sample(
+        scored, ["lang"], [F.col("q").desc(), F.col("doc_id").asc()], 5
+    ).collect()
+    by_lang: dict = {}
+    for r in sample:
+        by_lang.setdefault(r["lang"], []).append((r["q"], r["doc_id"]))
+    full = scored.collect()
+    expect: dict = {}
+    for r in full:
+        expect.setdefault(r["lang"], []).append((r["q"], r["doc_id"]))
+    for lang, rows in expect.items():
+        top = sorted(rows, key=lambda t: (-t[0], t[1]))[:5]
+        assert sorted(by_lang[lang]) == sorted(top), lang
+        assert len(by_lang[lang]) <= 5
+
+
+def test_pack_bins_matches_serial_recompute(spark, sf_dir):
+    """Bin assignment equals a serial per-shard exclusive-prefix-sum
+    recompute (concat-then-chunk semantics, first doc in bin 0)."""
+    from march_mania_spark_lakehouse_spark.operators import sampling
+
+    docs = catalog.load(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", text_ops.token_count("text").cast("long").alias("n_tok"))
+    packed = {
+        r["doc_id"]: (r["shard"], r["bin"])
+        for r in sampling.pack_bins(toks, "doc_id", "n_tok", 2048, 1000).collect()
+    }
+    rows = sorted((r["doc_id"], r["n_tok"]) for r in toks.collect())
+    shards: dict = {}
+    for doc_id, n_tok in rows:
+        shards.setdefault(doc_id // 1000, []).append((doc_id, n_tok))
+    for shard, members in shards.items():
+        cum = 0
+        for doc_id, n_tok in members:  # already id-sorted
+            assert packed[doc_id] == (shard, cum // 2048), doc_id
+            cum += n_tok
