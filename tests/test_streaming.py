@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from march_mania_spark_lakehouse_spark import catalog
 from march_mania_spark_lakehouse_spark.streaming import events as ev_ops
 
@@ -140,3 +142,48 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, sf_dir, tmp
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_tws_dedup_stream_exactly_once_across_microbatches(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas dedup: a stream that delivers every
+    event twice (two files → two micro-batches) must emit each event_id
+    exactly once, with the full original row."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.streaming import tws
+
+    events = catalog.load(spark, "events", sf_dir).filter(F.col("event_id") < 500)
+    src = str(tmp_path / "dup_src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)  # replay: every id twice
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = tws.dedup_stream(stream, key_cols=("event_id",))
+
+    sink = f"tws_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) > 1, "expected multiple micro-batches"
+
+    got = spark.sql(f"SELECT * FROM {sink}")
+    n_expected = events.count()
+    assert got.count() == n_expected  # each id exactly once
+    assert got.select("event_id").distinct().count() == n_expected
+    # surviving rows are real input rows (spot-check the value column)
+    expect_vals = {r["event_id"]: r["value"] for r in events.collect()}
+    for r in got.collect():
+        assert abs(r["value"] - expect_vals[r["event_id"]]) < 1e-12
