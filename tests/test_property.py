@@ -1,0 +1,116 @@
+"""Hypothesis property tests: generated inputs against serial models.
+
+The seeded-random tests elsewhere pin behavior on the shipped corpus;
+these search the input space (empty strings, repeated separators, id
+extremes, adversarial token counts) for contract violations the fixed
+corpus can't surface. Each property runs a handful of examples — every
+example is a Spark round-trip, so example counts are deliberately small
+and deadlines disabled.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from march_mania_spark_lakehouse_spark.operators import dedup, sampling
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Texts that stress the single-space tokenizer: empty, leading/trailing/
+# repeated spaces, unicode, single chars.
+_texts = st.text(
+    alphabet=st.sampled_from(list("ab xyζ")), min_size=0, max_size=40
+)
+# Ids up to the engine-neutral hash overflow bound (~3.4e9 keeps every
+# intermediate < 2^63).
+_ids = st.integers(min_value=0, max_value=3_400_000_000)
+
+
+@_SETTINGS
+@given(st.lists(_ids, min_size=1, max_size=50, unique=True))
+def test_hash_bucket_matches_serial_formula_and_range(spark, ids):
+    """Spark's hash_bucket must equal the pure-integer serial formula for
+    any id in the supported range (engine-neutrality is the whole point),
+    and land in [0, 100)."""
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["b"]
+        for r in df.select("id", sampling.hash_bucket("id").alias("b")).collect()
+    }
+    for i in ids:
+        expect = ((i * sampling.HASH_MULT + sampling.HASH_ADD) % sampling.HASH_MOD) % 100
+        assert got[i] == expect
+        assert 0 <= got[i] < 100
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 5_000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pack_bins_matches_serial_model_on_generated_loads(spark, rows):
+    """Concat-then-chunk binning equals the serial per-shard exclusive
+    prefix-sum model for arbitrary (id, token-count) loads — including
+    zero-token docs and docs larger than the whole budget."""
+    uniq = {i: t for i, t in rows}  # last write wins; ids unique
+    df = spark.createDataFrame(list(uniq.items()), "doc_id long, n_tok long")
+    packed = {
+        r["doc_id"]: (r["shard"], r["bin"])
+        for r in sampling.pack_bins(df, "doc_id", "n_tok", budget=100, shard_size=50).collect()
+    }
+    shards: dict = {}
+    for doc_id in sorted(uniq):
+        shards.setdefault(doc_id // 50, []).append(doc_id)
+    for shard, members in shards.items():
+        cum = 0
+        for doc_id in members:
+            assert packed[doc_id] == (shard, cum // 100), (doc_id, uniq[doc_id])
+            cum += uniq[doc_id]
+
+
+@_SETTINGS
+@given(st.lists(_texts, min_size=1, max_size=30))
+def test_simhash_forms_agree_on_generated_texts(spark, texts):
+    """Column-fold and explode-aggregate SimHash must stay bit-identical
+    on adversarial texts (empty, repeated/leading spaces, unicode)."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    col_ver = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", dedup.simhash("text").alias("s")).collect()
+    }
+    rel_ver = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_relational(df, "doc_id").collect()
+    }
+    assert col_ver == rel_ver
+
+
+@_SETTINGS
+@given(st.lists(_texts, min_size=1, max_size=30))
+def test_exact_dedup_partition_invariants(spark, texts):
+    """exact_dedup_groups: copy counts sum to the input row count, every
+    representative is the minimum id of its class, and keep-first
+    survivors are exactly the representatives."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    groups = dedup.exact_dedup_groups(df, ["text"], "doc_id").collect()
+    assert sum(r["n_copies"] for r in groups) == len(texts)
+    by_text: dict = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    assert len(groups) == len(by_text)
+    for r in groups:
+        assert r["keep_doc_id"] == min(by_text[r["text"]])
+        assert r["n_copies"] == len(by_text[r["text"]])
+    survivors = sorted(
+        r["doc_id"] for r in dedup.dedup_keep_first(df, ["text"], "doc_id").collect()
+    )
+    assert survivors == sorted(min(v) for v in by_text.values())
