@@ -46,6 +46,8 @@ def main() -> None:
                 "metric": "total_bench_queries_sec",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
+                "mean_query_sec": round(total / max(len(timings), 1), 4),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1,0 +1,99 @@
+"""Connected components over an edge list — the clustering step that
+turns near-duplicate *pairs* (MinHash/SimHash/embedding candidates,
+`operators/dedup.py`, `operators/similarity.py`) into duplicate *groups*
+with one canonical survivor per group.
+
+Algorithm: alternating min-label propagation with path shortening — the
+relational form of the "large-star / small-star" map-reduce connected
+components (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14). Each iteration is one shuffle (groupBy min) + one
+join; label paths halve every round, so convergence is
+O(log(diameter)) iterations, not O(diameter). All state is
+(node, label) pairs — never materializes a component's member list on
+one executor, so the largest component can exceed executor memory.
+
+Determinism: labels are min node ids, so the fixpoint is unique
+regardless of partitioning or iteration interleaving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    Iterates star-contraction rounds until the label assignment stops
+    changing (checked with one count per round — driver-side loop with
+    a bounded number of Spark jobs, reference pattern `jobs/07:89-99`).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    # initial label: min(self, neighbors)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("lbl"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("lbl")).alias("lbl"),
+        )
+    )
+    # localCheckpoint (not cache): iterative plans double in size every
+    # round if lineage is kept — the analyzer, not the data, OOMs. Lineage
+    # truncation per round keeps plan size constant; on a cluster with a
+    # checkpoint dir, `checkpoint()` gives the fault-tolerant variant.
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # propagate: candidate label for each node = min over neighbors'
+        # labels and its own; plus path-shortening hop (label's label).
+        via_edges = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("lbl"))
+        )
+        via_label = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.lbl").alias("lbl"))
+        )
+        new_labels = (
+            labels.select("node", "lbl")
+            .union(via_edges)
+            .union(via_label)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def canonical_per_component(components: DataFrame) -> DataFrame:
+    """Collapse to one row per component: the canonical survivor (min
+    node) plus the component's size — the keep-list a dedup pipeline
+    joins back against."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("canonical"),
+    )

@@ -1,0 +1,208 @@
+"""Lakehouse write-path + dedup-clustering batch: MERGE-style upsert,
+SCD2 dimension history, and connected-components duplicate grouping.
+
+All three are oracle-checked — including connected components, whose
+DuckDB oracle derives the same fixpoint with a recursive CTE, proving
+the iterative Spark algorithm against a from-first-principles
+reachability closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.operators.graph import connected_components
+from march_mania_spark_lakehouse_spark.operators.merge import merge_upsert, scd2_apply
+from march_mania_spark_lakehouse_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# q81 — MERGE-style upsert: one changeset carrying updates (urgent-order
+# customers get PRIORITY segment), deletes (negative balances), and
+# inserts (synthetic new keys), applied in a single anti-join + union.
+# This is the relational core of Delta/Iceberg MERGE INTO.
+# --------------------------------------------------------------------------
+
+_Q81_SQL = """
+WITH urgent AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+upd AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           'PRIORITY' AS c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM urgent) AND c_acctbal >= 0
+),
+dead AS (
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+),
+ins AS (
+    SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+           c_acctbal, 'NEW' AS c_mktsegment
+    FROM customer WHERE c_acctbal > 9900
+),
+touched AS (
+    SELECT c_custkey FROM upd
+    UNION SELECT c_custkey FROM dead
+    UNION SELECT c_custkey FROM ins
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM touched)
+UNION ALL
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM ins
+"""
+
+
+@query("q81_merge_upsert", oracle=_Q81_SQL, tags=("lake", "join"))
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO expressed relationally (`operators/merge.py`): the
+    changeset's keys anti-join the base (one key shuffle; changeset keys
+    broadcast under AQE), live change rows union in. Update/delete/
+    insert in one pass — the base table is scanned exactly once."""
+    cust = catalog.load(spark, "customer", sf_dir)
+    orders = catalog.load(spark, "orders", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    upd = (
+        cust.join(urgent, "c_custkey", "left_semi")
+        .filter(F.col("c_acctbal") >= 0)
+        .withColumn("c_mktsegment", F.lit("PRIORITY"))
+        .withColumn("deleted", F.lit(False))
+    )
+    dead = cust.filter(F.col("c_acctbal") < 0).withColumn("deleted", F.lit(True))
+    ins = (
+        cust.filter(F.col("c_acctbal") > 9900)
+        .withColumn("c_custkey", F.col("c_custkey") + 10000000)
+        .withColumn("c_mktsegment", F.lit("NEW"))
+        .withColumn("deleted", F.lit(False))
+    )
+    changes = upd.unionByName(dead).unionByName(ins)
+    return merge_upsert(cust, changes, ["c_custkey"], delete_col="deleted")
+
+
+# --------------------------------------------------------------------------
+# q82 — SCD2 history: close the current version of changed keys at the
+# update timestamp, append the new version, keep everything else.
+# --------------------------------------------------------------------------
+
+_Q82_SQL = """
+WITH dim AS (
+    SELECT c_custkey AS k, c_mktsegment AS seg,
+           TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM customer
+),
+upd AS (
+    SELECT o_custkey AS k, 'BULK' AS seg, MAX(o_orderdate) AS ts
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+),
+hit AS (
+    SELECT d.k, d.seg AS old_seg, u.seg AS new_seg, d.valid_from, u.ts
+    FROM dim d JOIN upd u ON d.k = u.k
+    WHERE d.seg IS DISTINCT FROM u.seg
+)
+SELECT k, old_seg AS seg, valid_from, ts AS valid_to FROM hit
+UNION ALL
+SELECT k, new_seg AS seg, ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+FROM hit
+UNION ALL
+SELECT k, seg, valid_from, valid_to FROM dim
+WHERE k NOT IN (SELECT k FROM hit)
+"""
+
+
+@query("q82_scd2_history", oracle=_Q82_SQL, tags=("lake", "join"))
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply (`operators/merge.py:scd2_apply`): customers reaching
+    ≥8 orders move to the BULK segment, with validity intervals closed/
+    opened at the last order date. No-op updates (same attrs) version
+    nothing. One join keyed on the dimension key."""
+    cust = catalog.load(spark, "customer", sf_dir)
+    orders = catalog.load(spark, "orders", sf_dir)
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("o_orderdate").alias("ts"))
+        .filter(F.col("n") >= 8)
+        .select("k", F.lit("BULK").alias("seg"), "ts")
+    )
+    return scd2_apply(dim, upd, key="k", attr_cols=["seg"], ts_col="ts")
+
+
+# --------------------------------------------------------------------------
+# q83 — connected components for dedup grouping. Edges chain documents
+# that fall in the same (source, size-bucket) cell; the component label
+# (min reachable doc_id) is the canonical-survivor assignment. The
+# oracle recomputes the fixpoint from first principles with a recursive
+# reachability CTE — an independent derivation of the same answer.
+# --------------------------------------------------------------------------
+
+_Q83_SQL = """
+WITH RECURSIVE
+nodes AS (
+    SELECT doc_id, source, n_chars // 200 AS bkt FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, bkt,
+           ROW_NUMBER() OVER (PARTITION BY source, bkt ORDER BY doc_id) AS rn
+    FROM nodes
+),
+edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM ranked a
+    JOIN ranked b ON a.source = b.source AND a.bkt = b.bkt AND b.rn = a.rn + 1
+),
+sym AS (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges
+),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component
+FROM reach GROUP BY node
+"""
+
+
+@query("q83_dedup_components", oracle=_Q83_SQL, tags=("dedup", "graph"))
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → duplicate groups via alternating min-label
+    propagation with path shortening (`operators/graph.py` — the
+    relational star-contraction CC; O(log diameter) rounds, one shuffle
+    per round, state = (node,label) pairs only). Singleton documents
+    keep their own id as component."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    nodes = docs.select(
+        "doc_id", "source", F.expr("n_chars div 200").alias("bkt")
+    )
+    w = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    ranked = nodes.withColumn("rn", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        nodes.select("doc_id")
+        .join(comp, nodes.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )

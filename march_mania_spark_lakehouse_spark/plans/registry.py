@@ -13,8 +13,11 @@ _QUERY_MODULES = (
     "march_mania_spark_lakehouse_spark.plans.queries_core2",
     "march_mania_spark_lakehouse_spark.plans.queries_core3",
     "march_mania_spark_lakehouse_spark.plans.queries_core4",
+    "march_mania_spark_lakehouse_spark.plans.queries_core5",
+    "march_mania_spark_lakehouse_spark.plans.queries_lake",
     "march_mania_spark_lakehouse_spark.plans.queries_ext",
     "march_mania_spark_lakehouse_spark.plans.queries_ext2",
+    "march_mania_spark_lakehouse_spark.plans.queries_ext3",
     "march_mania_spark_lakehouse_spark.plans.queries_fold",
     "march_mania_spark_lakehouse_spark.plans.queries_pipeline",
     "march_mania_spark_lakehouse_spark.plans.queries_ml",

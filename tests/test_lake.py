@@ -1,0 +1,119 @@
+"""Invariants for the lakehouse write-path batch (q81–q83) and the
+graph/merge operators behind it."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.operators.graph import (
+    canonical_per_component,
+    connected_components,
+)
+from march_mania_spark_lakehouse_spark.operators.merge import merge_upsert, scd2_apply
+from march_mania_spark_lakehouse_spark.plans import all_queries
+
+Q = all_queries()
+
+
+def test_merge_upsert_semantics(spark):
+    """Golden case: update wins on match, tombstone deletes, new key inserts,
+    untouched rows pass through."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, v string, x double"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 99.0, False), (3, None, 0.0, True), (4, "d", 40.0, False)],
+        "k int, v string, x double, deleted boolean",
+    )
+    out = {r["k"]: r for r in merge_upsert(base, changes, ["k"], "deleted").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["v"] == "a"
+    assert out[2]["v"] == "B" and out[2]["x"] == 99.0
+    assert out[4]["v"] == "d"
+
+
+def test_scd2_versions_and_noop(spark):
+    """Changed key gets closed+opened rows; no-op update versions nothing."""
+    dim = spark.createDataFrame(
+        [(1, "gold", "2020-01-01", None), (2, "silver", "2020-01-01", None)],
+        "k int, seg string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "seg",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [(1, "platinum", "2021-06-01"), (2, "silver", "2021-06-01")],
+        "k int, seg string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_apply(dim, upd, "k", ["seg"], "ts").collect()
+    k1 = sorted(
+        [r for r in out if r["k"] == 1], key=lambda r: (r["valid_to"] is None)
+    )
+    assert len(k1) == 2
+    assert k1[0]["seg"] == "gold" and k1[0]["valid_to"] is not None
+    assert k1[1]["seg"] == "platinum" and k1[1]["valid_to"] is None
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["seg"] == "silver" and k2[0]["valid_to"] is None
+
+
+def test_scd2_base_count_invariant(spark, sf_dir):
+    """SCD2 output = |dim| + |actually-changed keys| rows; exactly one
+    current row per key."""
+    out = Q["q82_scd2_history"].fn(spark, sf_dir).cache()
+    cust = catalog.load(spark, "customer", sf_dir)
+    n_changed = out.filter(F.col("valid_to").isNotNull()).count()
+    assert out.count() == cust.count() + n_changed
+    per_key_current = (
+        out.filter(F.col("valid_to").isNull()).groupBy("k").count()
+    )
+    assert per_key_current.filter(F.col("count") != 1).count() == 0
+    out.unpersist()
+
+
+def test_connected_components_golden(spark):
+    """Two chains + one singleton edge case: labels are min reachable id,
+    including across a 5-hop path (exercises >1 propagation round)."""
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21), (5, 5)],
+        "src long, dst long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    for n in (10, 11, 12, 13, 14):
+        assert comp[n] == 10
+    assert comp[20] == 20 and comp[21] == 20
+    # self-loop-only node is dropped by the operator (no real edge)
+    assert 5 not in comp
+
+
+def test_canonical_per_component(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "src long, dst long")
+    cc = connected_components(edges)
+    canon = {
+        r["component"]: (r["canonical"], r["n_members"])
+        for r in canonical_per_component(cc).collect()
+    }
+    assert canon[1] == (1, 3)
+    assert canon[7] == (7, 2)
+
+
+def test_q83_components_respect_cells(spark, sf_dir):
+    """Every component stays inside one (source, size-bucket) cell and
+    labels equal the cell minimum."""
+    out = Q["q83_dedup_components"].fn(spark, sf_dir)
+    docs = catalog.load(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.expr("n_chars div 200").alias("bkt")
+    )
+    joined = out.join(docs, "doc_id")
+    cell_min = joined.groupBy("source", "bkt").agg(F.min("doc_id").alias("mn"))
+    bad = (
+        joined.join(cell_min, ["source", "bkt"])
+        .filter(F.col("component") != F.col("mn"))
+        .count()
+    )
+    assert bad == 0
