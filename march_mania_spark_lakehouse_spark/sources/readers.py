@@ -47,6 +47,16 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — same vectorized columnar path + predicate pushdown as
+    parquet (Spark's OrcFileFormat); interchange format for Hive-era
+    lakes."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def trim_string_columns(df: DataFrame) -> DataFrame:
     """Trim every string column — ingest cleanup (P9, `jobs/01:55-57`)."""
     return df.select(

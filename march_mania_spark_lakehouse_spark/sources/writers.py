@@ -97,6 +97,35 @@ def write_table(
     return "parquet"
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink — the interchange format for downstream tools
+    that don't speak parquet (one object per line, splittable when
+    uncompressed or zstd-framed)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink — columnar alternative with the same partitioned-layout
+    options as parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_single_csv(df: DataFrame, dest_file: str, header: bool = True) -> None:
     """coalesce(1) → temp dir → move the one part file to ``dest_file``."""
     tmp = dest_file + ".tmpdir"

@@ -1,0 +1,101 @@
+"""JSON/ORC source round-trips, the foreachBatch idempotent sink, and
+observe() metrics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.sources import readers, writers
+from march_mania_spark_lakehouse_spark.streaming.sinks import (
+    count_violations,
+    observed,
+    start_idempotent_parquet_sink,
+)
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    cust = catalog.load(spark, "customer", sf_dir)
+    path = str(tmp_path / "cust_json")
+    writers.write_json(cust, path)
+    back = readers.read_json(spark, path, schema=cust.schema)
+    assert back.count() == cust.count()
+    assert back.schema == cust.schema
+    assert (
+        back.agg(F.sum("c_custkey")).collect()[0][0]
+        == cust.agg(F.sum("c_custkey")).collect()[0][0]
+    )
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    orders = catalog.load(spark, "orders", sf_dir)
+    path = str(tmp_path / "orders_orc")
+    writers.write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = readers.read_orc(spark, path)
+    assert back.count() == orders.count()
+    # partition pruning: filtering on the partition column must show
+    # PartitionFilters in the scan
+    plan = (
+        back.filter(F.col("o_orderstatus") == "O")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_foreach_batch_sink_is_idempotent(spark, sf_dir, tmp_path):
+    """Drain a 3-file stream; then re-run one batch's write with the same
+    batch_id — the partition is overwritten, not duplicated."""
+    events = catalog.load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    src = str(tmp_path / "sink_src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = start_idempotent_parquet_sink(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    total = events.count()
+    written = spark.read.parquet(out)
+    assert written.count() == total
+
+    # simulate a replay: rewrite batch 0's rows with the same batch_id
+    replay = written.filter(F.col("batch_id") == 0).drop("batch_id")
+    (
+        replay.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == total
+
+
+def test_observe_metrics_piggyback_on_write(spark, sf_dir, tmp_path):
+    """observe() counters come back from the same action as the write —
+    and match a direct aggregation."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    df, obs = observed(
+        li,
+        "li_metrics",
+        count_violations(
+            ("neg_price", F.col("l_extendedprice") < 0),
+            ("big_qty", F.col("l_quantity") > 45),
+        ),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_quantity") > 45, 1).otherwise(0)).alias("big"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n"]
+    assert got["neg_price"] == 0
+    assert got["big_qty"] == direct["big"]
