@@ -171,6 +171,50 @@ def minhash_candidates(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval n-gram decontamination: for every training document,
+    how many of its distinct ``n``-gram shingles appear anywhere in the
+    eval set (the classic held-out-benchmark leakage check).
+
+    Output: ``(id_col, n_shingles, n_contaminated, contamination)`` with
+    contamination = n_contaminated / n_shingles rounded to 6 digits, one
+    row per train doc that has at least one shingle.
+
+    Scale shape: the eval shingle set is the small side (benchmarks are
+    MBs, corpora are TBs) → distinct-project it and let AQE broadcast;
+    the train side streams through one explode + one hash-aggregate on
+    the doc id. The corpus is never shuffled on text, only on (id,
+    shingle-hit counts).
+    """
+    train_sh = shingle_table(train, id_col, text_col, n)
+    eval_sh = (
+        shingle_table(eval_df, id_col, text_col, n).select("shingle").distinct()
+    )
+    per_doc = train_sh.join(F.broadcast(eval_sh), on="shingle", how="left_semi")
+    hits = per_doc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    sizes = train_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(hits, on=id_col, how="left")
+        .withColumn(
+            "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
+        )
+        .withColumn(
+            "contamination",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+            ),
+        )
+    )
+
+
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash signature: bit b = sign(Σ_tokens (2·bit_b(h(tok)) − 1)).
 

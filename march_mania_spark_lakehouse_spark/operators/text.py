@@ -95,6 +95,113 @@ def rolling_fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Colum
     )
 
 
+def ngram_list(text: Column | str, n: int = 2) -> Column:
+    """All token n-grams in order (NOT distinct — repetition-aware;
+    `operators/dedup.py:ngram_shingles` is the distinct variant)."""
+    t = tokens(text)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+
+def dup_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: 1 − |distinct n-grams|/|n-grams|.
+    Pure array expressions — zero shuffle, linear in input bytes."""
+    grams = ngram_list(text, n)
+    return F.when(
+        F.size(grams) > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def with_repetition_signals(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition/quality signals for corpus filtering:
+
+    - ``n_tokens`` — token count,
+    - ``dup_bigram_frac`` — duplicated-bigram fraction (array-local,
+      no shuffle),
+    - ``top_token_frac`` — most-frequent-token share (explode → two
+      map-side-combinable aggregates keyed on the doc id).
+
+    The explode pipeline is the 100 TB shape: per-token rows never leave
+    their input partition until the (id, token) combine, and the second
+    aggregate carries one row per document.
+    """
+    base = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        dup_ngram_fraction(text_col, 2).alias("dup_bigram_frac"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(F.max("__n").alias("__top"))
+    )
+    return (
+        base.join(tok_counts, on=id_col, how="left")
+        .withColumn(
+            "top_token_frac",
+            F.round(
+                F.coalesce(F.col("__top"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .drop("__top")
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_size: int = 100,
+    stride: int = 80,
+) -> DataFrame:
+    """Overlapping fixed-width character chunking (the context-window
+    pre-tokenization splitter of a training pipeline).
+
+    Chunk ``i`` starts at character ``1 + i·stride`` (1-based) and spans
+    ``chunk_size`` chars; the number of chunks is
+    ``1 + ceil((len − chunk_size)/stride)`` for texts longer than one
+    chunk, else 1, so the final chunk always reaches the end of the text
+    and consecutive chunks overlap by ``chunk_size − stride`` chars.
+
+    Output: ``(id_col, chunk_id, chunk_text, chunk_len)``. The explode is
+    partition-local (no shuffle); chunk rows inherit the parent's
+    partitioning, so a downstream tokenizer runs where the text already
+    lives.
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError("require 0 < stride <= chunk_size")
+    c = F.col(text_col)
+    n = F.length(c)
+    extra = F.greatest(n - chunk_size, F.lit(0))
+    n_chunks = F.lit(1) + ((extra + (stride - 1)) / stride).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_id", "__i"
+        ),
+        c.alias("__text"),
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.col("__text")
+        .substr(F.col("__i") * stride + 1, F.lit(chunk_size))
+        .alias("chunk_text"),
+    ).withColumn("chunk_len", F.length("chunk_text"))
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis feature set to a documents table."""
     c = F.col(text_col)

@@ -57,6 +57,38 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     return reader.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan (`binaryFile` format): one row per file with
+    ``(path, modificationTime, length, content binary)`` — the ingest
+    edge for multimodal corpora (images/audio/video land as opaque
+    payloads + typed metadata; `operators/multimodal.py` featurizes).
+
+    Scale posture: files are split units, not rows — a directory of a
+    billion objects parallelizes by file; pair with
+    ``spark.sql.files.maxPartitionBytes`` and a manifest table when file
+    counts dwarf listing throughput.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False
+) -> DataFrame:
+    """Text scan: one row per line (``value string``), or one row per
+    file with ``wholetext`` — the raw-corpus ingest edge before
+    documents get ids and metadata.
+
+    NB: must go through the ``text()`` keyword — a prior
+    ``.option("wholetext", ...)`` is overwritten by the method
+    parameter's default."""
+    return spark.read.text(path, wholetext=whole)
+
+
 def trim_string_columns(df: DataFrame) -> DataFrame:
     """Trim every string column — ingest cleanup (P9, `jobs/01:55-57`)."""
     return df.select(

@@ -76,6 +76,27 @@ def streaming_tumbling_agg(
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once → effectively-once ingest dedup with the built-in
+    ``dropDuplicatesWithinWatermark``: keeps the first arrival of each
+    key and suppresses re-deliveries that land within the watermark
+    horizon, while the state store evicts keys older than the watermark
+    — state is bounded by (keys/hour × horizon), not stream length.
+
+    This is the engine-native counterpart of `streaming/tws.py:
+    dedup_stream` (which trades the fixed horizon for explicit
+    per-key TTL state via transformWithStateInPandas).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def parse_props(events: DataFrame, field: str = "k") -> DataFrame:
     """JSON extraction from the `props` string column (E5) — JVM-side
     ``get_json_object``, no Python."""

@@ -99,3 +99,33 @@ def test_observe_metrics_piggyback_on_write(spark, sf_dir, tmp_path):
     assert got["n_rows"] == direct["n"]
     assert got["neg_price"] == 0
     assert got["big_qty"] == direct["big"]
+
+
+def test_binary_file_source_reads_payload_and_metadata(spark, tmp_path):
+    """binaryFile scan: content bytes round-trip, glob filters, and the
+    multimodal featurizer consumes the scan output directly."""
+    from march_mania_spark_lakehouse_spark.sources.readers import read_binary_files
+
+    payloads = {"a.img": b"\x89fakepng\x00" * 40, "b.img": b"fakejpeg" * 99}
+    (tmp_path / "c.txt").write_bytes(b"not media")
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, blob in payloads.items():
+        assert bytes(rows[name].content) == blob
+        assert rows[name].length == len(blob)
+
+
+def test_text_source_lines_and_wholetext(spark, tmp_path):
+    from march_mania_spark_lakehouse_spark.sources.readers import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "doc1.txt").write_text("line one\nline two\n")
+    lines = read_text(spark, str(p)).collect()
+    assert sorted(r.value for r in lines) == ["line one", "line two"]
+    whole = read_text(spark, str(p), whole=True).collect()
+    assert len(whole) == 1 and whole[0].value == "line one\nline two\n"

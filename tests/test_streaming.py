@@ -187,3 +187,29 @@ def test_tws_dedup_stream_exactly_once_across_microbatches(spark, sf_dir, tmp_pa
     expect_vals = {r["event_id"]: r["value"] for r in events.collect()}
     for r in got.collect():
         assert abs(r["value"] - expect_vals[r["event_id"]]) < 1e-12
+
+
+def test_dedup_within_watermark_suppresses_redelivery(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: a stream that delivers every event
+    twice (two identical files) must come out with each event_id once."""
+    batch_events = catalog.load(spark, "events", sf_dir).limit(200)
+    src = str(tmp_path / "dedup_src")
+    batch_events.coalesce(1).write.mode("overwrite").parquet(src)
+    batch_events.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(src)
+    deduped = ev_ops.dedup_within_watermark(stream, ("event_id",), "ts", "10 hours")
+
+    sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    ids = [r.event_id for r in spark.sql(f"SELECT event_id FROM {sink}").collect()]
+    assert len(ids) == len(set(ids)), "duplicate event_ids survived dedup"
+    assert set(ids) == {r.event_id for r in batch_events.collect()}

@@ -5,7 +5,7 @@ tuned factory), then every queries() entry at sf0.01 compared against
 oracle_sql() via DuckDB (row count + sorted-column value comparison),
 mirroring CORRECTNESS_r{N}.json. Exit code 0 iff everything matches.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--only q1,q2,...]
 """
 
 from __future__ import annotations
@@ -54,7 +54,13 @@ def frames_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     )
@@ -72,6 +78,8 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
