@@ -119,44 +119,59 @@ def dup_ngram_fraction(text: Column | str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def max_token_count(text: Column | str) -> Column:
+    """Count of the most frequent token, computed WITHOUT a shuffle:
+    sort the token array, then fold it with ``F.aggregate`` tracking the
+    longest run of equal adjacent tokens (equal tokens are adjacent once
+    sorted, so max-run-length == max-count). Null text → 0.
+
+    The accumulator's ``prev`` starts as NULL so the first token always
+    opens a run of 1 (NULL-safe: ``x == NULL`` is NULL → otherwise
+    branch)."""
+    c = F.col(text) if isinstance(text, str) else text
+    arr = F.array_sort(tokens(c))
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.coalesce(
+        F.aggregate(arr, zero, _step, lambda acc: acc["best"]), F.lit(0)
+    )
+
+
 def with_repetition_signals(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
     """Per-document repetition/quality signals for corpus filtering:
 
     - ``n_tokens`` — token count,
-    - ``dup_bigram_frac`` — duplicated-bigram fraction (array-local,
-      no shuffle),
-    - ``top_token_frac`` — most-frequent-token share (explode → two
-      map-side-combinable aggregates keyed on the doc id).
+    - ``dup_bigram_frac`` — duplicated-bigram fraction,
+    - ``top_token_frac`` — most-frequent-token share.
 
-    The explode pipeline is the 100 TB shape: per-token rows never leave
-    their input partition until the (id, token) combine, and the second
-    aggregate carries one row per document.
+    Every signal is a pure array expression over the document's own
+    tokens (`max_token_count` replaces the naive explode→groupBy(id,
+    token) plan), so the whole operator is map-only: zero shuffles, zero
+    row multiplication, linear in input bytes — at 100 TB the text is
+    read once where it lives and only (id, 3 numbers) rows come out.
     """
-    base = df.select(
+    n_tokens = token_count(text_col)
+    return df.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         dup_ngram_fraction(text_col, 2).alias("dup_bigram_frac"),
-    )
-    tok_counts = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
-        .groupBy(id_col, "__tok")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .groupBy(id_col)
-        .agg(F.max("__n").alias("__top"))
-    )
-    return (
-        base.join(tok_counts, on=id_col, how="left")
-        .withColumn(
-            "top_token_frac",
-            F.round(
-                F.coalesce(F.col("__top"), F.lit(0)).cast("double")
-                / F.col("n_tokens"),
-                6,
-            ),
-        )
-        .drop("__top")
+        F.round(
+            max_token_count(text_col).cast("double") / n_tokens, 6
+        ).alias("top_token_frac"),
     )
 
 

@@ -117,11 +117,11 @@ FROM base b LEFT JOIN top t2 USING (doc_id)
 @query("q88_repetition_signals", oracle=_Q88_SQL, tags=("text", "pipeline"))
 def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (`operators/text.py:
-    with_repetition_signals`): dup-bigram fraction is array-local (zero
-    shuffle, whole-stage codegen); top-token share is explode → two
-    map-side-combinable aggregates keyed on doc_id. Both signals come
-    back as one row per document — the filter pass of a quality
-    pipeline reads them and never touches text again."""
+    with_repetition_signals`): dup-bigram fraction AND top-token share
+    are pure array expressions (top-token = max run length over the
+    sorted token array), so the whole query is map-only — zero shuffles,
+    one row out per document. The filter pass of a quality pipeline
+    reads these signals and never touches text again."""
     docs = catalog.load(spark, "documents", sf_dir)
     return with_repetition_signals(docs, "doc_id", "text")
 
@@ -180,18 +180,44 @@ FROM documents
 def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: order = md5(id) — stable
     across runs, engines, and partitionings, with no RNG state to ship.
-    The explicit global ``row_number`` here is the oracle-checkable
-    form; at scale the rank is never materialized — the writer runs
-    ``repartitionByRange(shuffle_key).sortWithinPartitions(...)`` so the
-    order is a property of the layout (range partitioner = one sampled
-    shuffle, no single-reducer sort)."""
+
+    The global rank is computed WITHOUT a single-partition window:
+    the first two hex chars of the key give 256 fixed buckets that are
+    prefix-aligned with the sort order, so rank = per-bucket
+    ``row_number`` (parallel window) + the count of rows in earlier
+    buckets (a 256-row cumulative that broadcasts back). Every stage is
+    bucket-parallel; at 100 TB the writer would skip materializing the
+    rank entirely and make order a layout property via
+    ``repartitionByRange(shuffle_key).sortWithinPartitions(...)``."""
     docs = catalog.load(spark, "documents", sf_dir)
     key = F.md5(F.col("doc_id").cast("string"))
-    return docs.select(
-        "doc_id", key.alias("shuffle_key")
-    ).withColumn(
-        "shuffle_rank",
-        F.row_number().over(Window.orderBy("shuffle_key", "doc_id")),
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.substring(key, 1, 2).alias("__bkt"),
+    )
+    counts = keyed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__bkt",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("__bkt").orderBy("shuffle_key", "doc_id")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__bkt")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("__off") + local_rn).alias("shuffle_rank"),
+        )
     )
 
 

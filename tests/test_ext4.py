@@ -61,6 +61,31 @@ class TestRepetitionSignals:
         r = with_repetition_signals(_docs(spark, [(1, "a")]), "doc_id").collect()[0]
         assert (r.n_tokens, r.dup_bigram_frac, r.top_token_frac) == (1, 0.0, 1.0)
 
+    def test_max_token_count_matches_explode_plan(self, spark):
+        """The array-local max-run-length fold must agree with the naive
+        explode → groupBy(doc, token) → max(count) plan, including ties
+        and a most-frequent token that sorts first/last."""
+        from collections import Counter
+
+        texts = [
+            "b a b a b",          # tie-free, winner sorts last
+            "a b a b a",          # winner sorts first
+            "x y x y",            # exact tie
+            "z",                  # singleton
+            "m m m m m m",        # all same
+            "q w e r t y u i o",  # all distinct
+        ]
+        df = _docs(spark, list(enumerate(texts)))
+        got = {
+            r.doc_id: r
+            for r in with_repetition_signals(df, "doc_id").collect()
+        }
+        for i, text in enumerate(texts):
+            toks = text.split(" ")
+            expect_top = max(Counter(toks).values())
+            assert got[i].n_tokens == len(toks)
+            assert got[i].top_token_frac == round(expect_top / len(toks), 6)
+
 
 class TestChunkText:
     def test_covers_text_exactly_with_overlap(self, spark):
