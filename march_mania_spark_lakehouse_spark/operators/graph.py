@@ -30,7 +30,8 @@ def connected_components(
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
-    ``edges`` is undirected input (each pair listed once is enough).
+    ``edges`` is undirected input (each pair listed once is enough);
+    node ids must be numeric (the convergence witness sums labels).
     Iterates star-contraction rounds until the label assignment stops
     changing (checked with one count per round — driver-side loop with
     a bounded number of Spark jobs, reference pattern `jobs/07:89-99`).
@@ -56,6 +57,10 @@ def connected_components(
     # truncation per round keeps plan size constant; on a cluster with a
     # checkpoint dir, `checkpoint()` gives the fault-tolerant variant.
     labels = labels.localCheckpoint(eager=True)
+    # Convergence witness: min-propagation only ever DECREASES labels, so
+    # Σ lbl strictly decreases until the fixpoint — one cheap agg over the
+    # checkpointed labels replaces a join-based changed-rows check.
+    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
         # propagate: candidate label for each node = min over neighbors'
         # labels and its own; plus path-shortening hop (label's label).
@@ -75,16 +80,11 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 

@@ -15,6 +15,7 @@ id tiebreak.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -105,6 +106,52 @@ def _table_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: in
             )
         )
     return F.array(*entries)
+
+
+def table_buckets_vectorized(
+    dim: int, n_planes: int, n_tables: int, seed: int
+):
+    """Arrow-vectorized multi-table sign-LSH bucketing: ONE float64 GEMM
+    per Arrow batch against the stacked ``(n_tables·n_planes, dim)``
+    hyperplane matrix, then a bit-pack per table — replaces
+    ``n_tables·n_planes`` interpreted ``zip_with`` dot folds per row.
+    Returns a pandas UDF mapping the vector column to ``array<long>``
+    (bucket of table t at index t). Both sides of the LSH join use the
+    same function, so sign decisions are consistent even at the float
+    boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.vstack(
+        [random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes.T >= 0).reshape(len(mat), n_tables, n_planes)
+        out = (signs * weights).sum(axis=2)  # (n, n_tables) int64
+        return pd.Series(list(out))
+
+    return _buckets
+
+
+def pair_cosine_vectorized():
+    """Arrow-vectorized cosine for already-materialized candidate pairs:
+    one einsum + two norms per Arrow batch instead of an interpreted
+    per-element fold per pair. Used on approximate (rows-only) paths;
+    exact oracle paths keep the bit-reproducible index-order fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        c = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+        num = np.einsum("ij,ij->i", q, c)
+        den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def embedding_near_dup(
@@ -229,7 +276,13 @@ def cosine_topk_ivf(
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+        .withColumn(
+            "cosine",
+            F.round(
+                pair_cosine_vectorized()(F.col("q_vec"), F.col("c_vec")),
+                round_digits,
+            ),
+        )
         .select("q_id", "c_id", "cosine")
     )
     return _topk_per_query(scored, k)
@@ -256,16 +309,17 @@ def cosine_topk_lsh(
     for recall, planes up for selectivity. Scoring cost per query is
     Σ_table |bucket| instead of |corpus|.
     """
+    buckets = table_buckets_vectorized(dim, n_planes, n_tables, seed)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("bk"),
-    ).select("q_id", "q_vec", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
     c = rebalance_scan(candidates).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("bk"),
-    ).select("c_id", "c_vec", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
     pairs = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
@@ -273,7 +327,8 @@ def cosine_topk_lsh(
         .dropDuplicates(["q_id", "c_id"])
     )
     scored = pairs.withColumn(
-        "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+        "cosine",
+        F.round(pair_cosine_vectorized()(F.col("q_vec"), F.col("c_vec")), round_digits),
     ).select("q_id", "c_id", "cosine")
     return _topk_per_query(scored, k)
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
+
 #: Tiny English function-word list for the n-gram/stopword language
 #: heuristic. Deliberately small + deterministic: the point is the
 #: operator shape (token-set membership ratio), not linguistic accuracy.
@@ -165,7 +167,9 @@ def with_repetition_signals(
     read once where it lives and only (id, 3 numbers) rows come out.
     """
     n_tokens = token_count(text_col)
-    return df.select(
+    # A single-file corpus scan would run every array fold on one task;
+    # rebalance first (identity on well-partitioned inputs).
+    return rebalance_scan(df).select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         dup_ngram_fraction(text_col, 2).alias("dup_bigram_frac"),

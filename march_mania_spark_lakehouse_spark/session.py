@@ -38,6 +38,13 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Default minPartitionSize (1 MiB) lets AQE coalesce a small
+        # shuffle down to 1-2 partitions, which serializes any
+        # Python-heavy stage that follows (applyInPandas folds ran 3×
+        # slower). 64 KiB keeps parallelismFirst's default-parallelism
+        # target effective for small inputs; at 100 TB shuffles are far
+        # above either floor, so the knob only affects the small end.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Scan-partition sizing: 128 MiB splits keep one task's input
