@@ -1,0 +1,180 @@
+"""Mergeable-sketch aggregation and file-level statistics — the
+operators that make 100 TB counting/pruning cheap.
+
+The reference has no sketch surface (its only approximation is
+`percentile_approx`, `src/features/massey.py:68`); these extend §2.4 the
+way q20–q29 extend dedup, with the three mergeable summaries a lakehouse
+actually runs:
+
+- **HLL (DataSketches)** — approximate COUNT DISTINCT whose state is a
+  mergeable sketch: partial sketches per partition/day/source union into
+  exact-same-answer totals without re-scanning (``hll_sketch_agg`` /
+  ``hll_union_agg`` are Spark 3.5+ built-ins, JVM-side).
+- **Roaring-bitmap buckets** — EXACT distinct counting with mergeable
+  state for dense integer keys (``bitmap_construct_agg``): each group
+  carries ≤32k-bit bitmaps instead of a key set, and cross-group merge
+  is bitwise OR.
+- **Count-min sketch** — frequency estimates for point lookups over a
+  stream-sized domain (``df.stat.countMinSketch``, the Spark built-in
+  sketch aggregate).
+
+Plus the manifest pattern: per-file min/max/count stats gathered in one
+scan (``input_file_name``), and driver-free pruning of a predicate range
+against that manifest — the core of Delta/Iceberg data skipping,
+expressed relationally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    lg_k: int = 12,
+    total_label: str = "ALL",
+) -> DataFrame:
+    """Per-group approximate distinct + grand total from ONE pass of
+    sketch state: build one HLL sketch per group (``hll_sketch_agg``),
+    estimate each, then union the *sketches* (``hll_union_agg``) for the
+    total — the total never re-reads data, which is the entire point of
+    mergeable state at 100 TB (daily sketches roll into monthly ones).
+
+    Output: (group_col string, approx_distinct long); the grand-total row
+    carries ``total_label``.
+    """
+    sketches = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("__sk")
+    )
+    per_group = sketches.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.hll_sketch_estimate("__sk").alias("approx_distinct"),
+    )
+    total = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_distinct")
+    ).select(F.lit(total_label).alias(group_col), "approx_distinct")
+    return per_group.unionByName(total)
+
+
+def bitmap_exact_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """EXACT distinct count of a dense integer key via roaring-style
+    bitmap buckets: key → (bucket, bit position); one bitmap per
+    (group, bucket) via ``bitmap_construct_agg``; distinct = Σ popcount.
+
+    vs ``countDistinct``: the shuffle carries fixed-width bitmaps
+    (≤ 4 KiB per bucket) instead of one row per distinct key, and the
+    per-group state is mergeable (bitwise OR) — so re-aggregating
+    finer-grained results to coarser groups needs no re-scan. Exact, so
+    oracle-checkable against ``COUNT(DISTINCT ...)``.
+    """
+    group_cols = list(group_cols)
+    per_bucket = (
+        df.select(
+            *group_cols,
+            F.bitmap_bucket_number(key_col).alias("__bkt"),
+            F.bitmap_bit_position(key_col).alias("__pos"),
+        )
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.bitmap_construct_agg("__pos").alias("__bm"))
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.sum(F.bitmap_count("__bm")).alias(out_col)
+    )
+
+
+def cms_frequency_estimates(
+    df: DataFrame,
+    key_col: str,
+    candidates: Sequence[int],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min-sketch point-frequency estimates for ``candidates``.
+
+    The sketch is built distributed (one pass, mergeable per-partition
+    state inside the ``count_min_sketch`` aggregate); lookups happen
+    driver-side against the collected O(eps⁻¹·log δ⁻¹) blob — the
+    classic shape for "how often did these K things occur in the
+    stream" without a key-shuffle. Guarantees: est ≥ true, and
+    est ≤ true + eps·N with probability ≥ confidence. Deterministic for
+    a fixed seed.
+
+    Output: (key long, est_count long).
+    """
+    blob = bytes(
+        df.agg(
+            F.count_min_sketch(
+                key_col, F.lit(eps), F.lit(confidence), F.lit(seed)
+            )
+        ).first()[0]
+    )
+    spark = df.sparkSession
+    sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+    rows = [(int(c), int(sk.estimateCount(c))) for c in candidates]
+    return spark.createDataFrame(rows, "key long, est_count long")
+
+
+def file_stats_manifest(
+    df: DataFrame, stat_cols: Sequence[str]
+) -> DataFrame:
+    """Per-file min/max/count manifest from ONE scan: the data-skipping
+    index pattern (Delta/Iceberg file statistics, Parquet footer
+    min/max) materialized relationally via ``input_file_name``.
+
+    Output: (file, n_rows, min_<c>, max_<c> per stat col); ``file`` is
+    the basename, stable across mount points. At 100 TB this table is
+    #files rows — the manifest is what a planner scans, not the data.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.withColumn(
+            "file", F.regexp_extract(F.input_file_name(), "([^/]+)$", 1)
+        )
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def prune_files(
+    manifest: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Files whose [min, max] range overlaps [lo, hi] — the candidate
+    scan set for a range predicate. Sound by construction: a file with
+    ``max < lo`` or ``min > hi`` cannot contain a matching row, so the
+    returned set is a superset of files holding matches."""
+    return manifest.filter(
+        (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+    ).select("file")
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of ``len(cols)`` non-negative integer
+    columns, ``bits`` bits each — the multi-dimensional clustering key a
+    lakehouse writer sorts by so that range predicates on ANY of the
+    dimensions map to contiguous-ish file ranges (data skipping works on
+    every dimension instead of only the first sort column).
+
+    Pure bit arithmetic (shift/or), JVM-side. Use with
+    ``repartitionByRange(zorder_key(...))`` + ``sortWithinPartitions``.
+    """
+    out = F.lit(0).cast("long")
+    n = len(cols)
+    for j, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(cc, b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + j))
+    return out

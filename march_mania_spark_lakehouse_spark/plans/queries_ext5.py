@@ -1,0 +1,147 @@
+"""Fifth extension batch — mergeable sketches, file-stats pruning, and
+multi-dimensional clustering keys:
+
+- q93 HLL distinct rollup (per-source + sketch-merged total)
+- q94 bitmap exact distinct (oracle = COUNT(DISTINCT))
+- q95 count-min-sketch frequency estimates
+- q96 per-file min/max manifest (oracle = DuckDB filename stats)
+- q97 z-order clustering key (oracle = bit-interleave in SQL)
+
+The reference's only approximate aggregate is `percentile_approx`
+(`src/features/massey.py:68`); this batch adds the mergeable-summary
+family a 100 TB lakehouse leans on: sketch state that unions without
+re-scanning (q93), exact distinct whose shuffle is bitmaps instead of
+keys (q94), point-frequency estimates without a key shuffle (q95), and
+the data-skipping manifest + clustering-key machinery (q96/q97).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.operators import sketch
+from march_mania_spark_lakehouse_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# q93 — HLL sketch rollup: per-source distinct users + merged total.
+# --------------------------------------------------------------------------
+
+
+@query("q93_hll_reach", oracle=None, bench=True, tags=("sketch",))
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate user reach per event_type plus an ALL row whose value
+    comes from merging the per-type SKETCHES (`operators/sketch.py:
+    hll_distinct_rollup`) — one data pass total. Approximate →
+    rows-only; the ≤2% relative-error bound vs exact distinct is
+    unit-tested (tests/test_ext5.py)."""
+    ev = catalog.load(spark, "events", sf_dir)
+    return sketch.hll_distinct_rollup(ev, "event_type", "user_id")
+
+
+# --------------------------------------------------------------------------
+# q94 — bitmap exact distinct (oracle-checkable).
+# --------------------------------------------------------------------------
+
+_Q94_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("q94_bitmap_distinct", oracle=_Q94_SQL, tags=("sketch",))
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per order status via roaring-bitmap
+    buckets (`operators/sketch.py:bitmap_exact_distinct`): the shuffle
+    carries fixed-width bitmaps, not one row per distinct key, and
+    states merge by bitwise OR. Exact ⇒ hash-checked against
+    COUNT(DISTINCT)."""
+    orders = catalog.load(spark, "orders", sf_dir)
+    return sketch.bitmap_exact_distinct(
+        orders, ["o_orderstatus"], "o_custkey", out_col="n_customers"
+    )
+
+
+# --------------------------------------------------------------------------
+# q95 — count-min-sketch frequency estimates.
+# --------------------------------------------------------------------------
+
+
+@query("q95_cms_user_counts", oracle=None, tags=("sketch",))
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch event counts for a fixed user panel: the sketch
+    builds in one distributed pass (mergeable per-partition state);
+    point lookups read the collected O(eps⁻¹) table. est ≥ true and
+    est ≤ true + eps·N w.p. ≥ confidence — both bounds unit-tested."""
+    ev = catalog.load(spark, "events", sf_dir)
+    return sketch.cms_frequency_estimates(
+        ev, "user_id", candidates=range(1, 21), eps=0.001, confidence=0.99
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 — per-file min/max manifest (the data-skipping index).
+# --------------------------------------------------------------------------
+
+# The correctness gate always compares at sf0.01 (driver contract), so
+# the filename-grouped oracle reads that path directly instead of the
+# pre-registered view (views carry no filename column).
+_Q96_SQL = """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_o_orderkey,
+       MAX(o_orderkey) AS max_o_orderkey,
+       MIN(o_orderdate) AS min_o_orderdate,
+       MAX(o_orderdate) AS max_o_orderdate
+FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename=true)
+GROUP BY 1
+"""
+
+
+@query("q96_file_stats_manifest", oracle=_Q96_SQL, tags=("lake",))
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max/count stats in one scan (`operators/sketch.py:
+    file_stats_manifest`) — the relational form of Delta/Iceberg data
+    skipping: the planner consults #files manifest rows, never the
+    data. `prune_files` (tested) turns a range predicate into the
+    candidate file set."""
+    orders = catalog.load(spark, "orders", sf_dir)
+    return sketch.file_stats_manifest(orders, ["o_orderkey", "o_orderdate"])
+
+
+# --------------------------------------------------------------------------
+# q97 — z-order clustering key.
+# --------------------------------------------------------------------------
+
+_Q97_BITS = 8
+
+_Q97_SQL_PARTS = " | ".join(
+    f"(((o_custkey >> {b}) & 1) << {2 * b}) | "
+    f"((((o_orderkey % 256) >> {b}) & 1) << {2 * b + 1})"
+    for b in range(_Q97_BITS)
+)
+_Q97_SQL = f"""
+SELECT o_orderkey, ({_Q97_SQL_PARTS}) AS zkey
+FROM orders
+WHERE o_orderkey < 1000
+"""
+
+
+@query("q97_zorder_key", oracle=_Q97_SQL, tags=("lake",))
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/z-order interleave of (o_custkey, o_orderkey mod 256)
+    (`operators/sketch.py:zorder_key`): the clustering key a writer
+    sorts by so range predicates on EITHER dimension skip files. Pure
+    shift/or bit arithmetic ⇒ oracle-checked bit-for-bit against the
+    same interleave written out longhand in SQL."""
+    orders = catalog.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") < 1000
+    )
+    return orders.select(
+        "o_orderkey",
+        sketch.zorder_key(
+            [F.col("o_custkey"), F.col("o_orderkey") % 256], bits=_Q97_BITS
+        ).alias("zkey"),
+    )
