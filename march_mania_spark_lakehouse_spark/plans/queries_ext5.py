@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
-from march_mania_spark_lakehouse_spark.operators import sketch
+from march_mania_spark_lakehouse_spark.operators import drift, quantize, sketch
 from march_mania_spark_lakehouse_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -144,4 +144,106 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch.zorder_key(
             [F.col("o_custkey"), F.col("o_orderkey") % 256], bits=_Q97_BITS
         ).alias("zkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — PSI feature-drift report between two deterministic splits.
+# --------------------------------------------------------------------------
+
+_Q98_BINS, _Q98_LO, _Q98_HI, _Q98_EPS = 10, 0.0, 500.0, 1e-6
+
+_Q98_SQL = f"""
+WITH b AS (
+    SELECT LEAST({_Q98_BINS - 1}, GREATEST(0,
+               CAST(FLOOR((value - {_Q98_LO}) / {(_Q98_HI - _Q98_LO) / _Q98_BINS}) AS INT)
+           )) AS bucket,
+           (user_id % 2 = 0) AS ref
+    FROM events
+),
+c AS (
+    SELECT bucket,
+           COUNT(*) FILTER (WHERE ref) AS n_ref,
+           COUNT(*) FILTER (WHERE NOT ref) AS n_cur
+    FROM b GROUP BY bucket
+),
+t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c),
+s AS (
+    SELECT bucket,
+           CAST(n_ref AS DOUBLE) / t_ref + {_Q98_EPS} AS p,
+           CAST(n_cur AS DOUBLE) / t_cur + {_Q98_EPS} AS q
+    FROM c, t
+),
+pb AS (
+    SELECT bucket, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+           ROUND((p - q) * LN(p / q), 6) AS psi
+    FROM s
+)
+SELECT * FROM pb
+UNION ALL
+SELECT -1, NULL, NULL, ROUND(SUM(psi), 6) FROM pb
+"""
+
+
+@query("q98_psi_drift", oracle=_Q98_SQL, tags=("dq", "pipeline"))
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift between two deterministic user splits
+    (`operators/drift.py:psi_report`): one conditional aggregate over a
+    single scan at any corpus size; the bucket = -1 row is the scalar a
+    monitor alerts on."""
+    ev = catalog.load(spark, "events", sf_dir)
+    return drift.psi_report(
+        ev,
+        "value",
+        is_reference=F.col("user_id") % 2 == 0,
+        lo=_Q98_LO,
+        hi=_Q98_HI,
+        n_bins=_Q98_BINS,
+        eps=_Q98_EPS,
+    )
+
+
+# --------------------------------------------------------------------------
+# q99 — int8 embedding quantization (corpus-derived per-dim scales).
+# --------------------------------------------------------------------------
+
+# (dim = 64 is pinned by the embeddings fixture, FIXTURES.md; DuckDB has
+# no UNNEST WITH ORDINALITY, so the per-dim max uses an index cross join)
+_Q99_SQL = """
+WITH dims AS (SELECT UNNEST(range(1, 65)) AS i),
+mx AS (
+    SELECT i, GREATEST(MAX(ABS(CAST(embedding[i] AS DOUBLE))), 1e-12) AS m
+    FROM embeddings, dims
+    GROUP BY i
+),
+s AS (SELECT list(m ORDER BY i) AS scales FROM mx)
+SELECT vec_id,
+       array_to_string(list_transform(
+           embedding,
+           (x, i) -> CAST(LEAST(127.0, GREATEST(-127.0,
+               ROUND(CAST(x AS DOUBLE) / s.scales[i] * 127, 0))) AS INT)
+       ), ',') AS codes
+FROM embeddings, s
+WHERE vec_id < 100
+"""
+
+
+@query("q99_int8_quantize", oracle=_Q99_SQL, tags=("similarity", "pipeline"))
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with corpus-derived per-dimension
+    scales (`operators/quantize.py`): a dim-sized aggregate then a
+    map-only encode — 4× memory off every ANN structure. Integer codes
+    ⇒ bit-exact oracle; the query serializes the int array to CSV so the
+    hash gate compares engine-neutrally (the operator itself returns the
+    typed array). Reconstruction-cosine bound is unit-tested."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    scales = quantize.dim_scales(emb, "embedding")
+    return (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.concat_ws(
+                ",", quantize.quantize_int8("embedding", scales)
+            ).alias("codes"),
+        )
     )

@@ -69,3 +69,59 @@ def count_violations(*preds: tuple[str, Column]) -> dict[str, Column]:
     for name, pred in preds:
         out[name] = F.sum(F.when(pred, 1).otherwise(0))
     return out
+
+
+def start_hll_merge_sink(
+    stream_df: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    lg_k: int = 12,
+):
+    """Incremental distinct counting over a stream: each micro-batch is
+    reduced to ONE HLL sketch row and unioned into a persistent state
+    sketch (`operators/sketch.py` family) — running distinct-so-far
+    without ever storing keys.
+
+    Replay safety comes from the algebra, not bookkeeping: HLL union is
+    idempotent (register-wise max), so a crash-replayed micro-batch
+    merges to the identical state. State is one row of ≤2^lg_k bytes
+    regardless of stream length — compare `events.py:
+    dedup_within_watermark`, whose state is keys-per-horizon.
+
+    Returns the StreamingQuery; read ``state_path`` for
+    (n_batches, approx_distinct).
+    """
+    import os
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.agg(
+            F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk")
+        ).select(F.lit(1).alias("n_batches"), "sk")
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path).select("n_batches", "sk")
+            # collect the 1-row old state so the overwrite below never
+            # reads the files it is replacing
+            merged_rows = (
+                old.unionByName(new)
+                .agg(
+                    F.sum("n_batches").alias("n_batches"),
+                    F.hll_union_agg("sk").alias("sk"),
+                )
+                .collect()
+            )
+            new = spark.createDataFrame(merged_rows, "n_batches long, sk binary")
+        out = new.select(
+            "n_batches",
+            "sk",
+            F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        )
+        out.write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -157,3 +157,117 @@ class TestZorder:
             base.withColumn("k", F.col("d1") * 1000000 + F.col("d2"))
         )
         assert z < lex
+
+
+class TestPsiDrift:
+    def test_identical_distribution_is_near_zero(self, spark):
+        from march_mania_spark_lakehouse_spark.operators.drift import psi_report
+
+        df = spark.range(10000).select(
+            (F.col("id") % 100).cast("double").alias("x"),
+            (F.col("id") % 2 == 0).alias("ref"),
+        )
+        rows = {r.bucket: r.psi for r in psi_report(
+            df, "x", F.col("ref"), lo=0.0, hi=100.0
+        ).collect()}
+        assert abs(rows[-1]) < 1e-6
+
+    def test_shifted_distribution_alerts(self, spark):
+        from march_mania_spark_lakehouse_spark.operators.drift import psi_report
+
+        # reference uniform on [0,50); current uniform on [50,100)
+        df = spark.range(10000).select(
+            F.when(F.col("id") % 2 == 0, (F.col("id") % 50).cast("double"))
+            .otherwise(50 + (F.col("id") % 50).cast("double"))
+            .alias("x"),
+            (F.col("id") % 2 == 0).alias("ref"),
+        )
+        rows = {r.bucket: r.psi for r in psi_report(
+            df, "x", F.col("ref"), lo=0.0, hi=100.0
+        ).collect()}
+        assert rows[-1] > 0.25  # "broken" territory
+
+    def test_out_of_range_rows_clamp_not_drop(self, spark):
+        """Values outside [lo, hi] clamp to the edge buckets: shares per
+        side must still sum to ~1 (no row lost), with the out-of-range
+        mass visible at buckets 0 and n_bins-1."""
+        from march_mania_spark_lakehouse_spark.operators.drift import psi_report
+
+        df = spark.range(1000).select(
+            (F.col("id").cast("double") - 500).alias("x"),  # half below lo
+            (F.col("id") % 2 == 0).alias("ref"),
+        )
+        out = psi_report(df, "x", F.col("ref"), lo=0.0, hi=10.0).collect()
+        p_sum = sum(r.p for r in out if r.bucket >= 0)
+        q_sum = sum(r.q for r in out if r.bucket >= 0)
+        assert abs(p_sum - 1.0) < 1e-3 and abs(q_sum - 1.0) < 1e-3
+        by_bucket = {r.bucket: r for r in out}
+        # clamped below-lo mass makes bucket 0 by far the heaviest
+        assert by_bucket[0].p > 0.5 and by_bucket[0].q > 0.5
+
+
+class TestQuantize:
+    def test_roundtrip_cosine(self, spark, sf_dir):
+        from march_mania_spark_lakehouse_spark.operators import quantize
+        from march_mania_spark_lakehouse_spark.operators.similarity import cosine
+
+        emb = catalog.load(spark, "embeddings", sf_dir).limit(200)
+        scales = quantize.dim_scales(emb, "embedding")
+        assert all(s > 0 for s in scales)
+        enc = emb.select(
+            "embedding",
+            quantize.dequantize_int8(
+                quantize.quantize_int8("embedding", scales), scales
+            ).alias("approx"),
+        )
+        worst = enc.select(
+            cosine(F.col("embedding"), F.col("approx")).alias("c")
+        ).agg(F.min("c")).first()[0]
+        assert worst > 0.995, worst
+
+    def test_codes_bounded(self, spark, sf_dir):
+        from march_mania_spark_lakehouse_spark.operators import quantize
+
+        emb = catalog.load(spark, "embeddings", sf_dir).limit(200)
+        out = quantize.with_int8_codes(emb)
+        mx = out.select(
+            F.array_max(F.transform("codes", lambda x: F.abs(x))).alias("m")
+        ).agg(F.max("m")).first()[0]
+        assert mx <= 127
+
+
+class TestStreamingHllMerge:
+    def test_two_batches_merge_to_global_estimate(self, spark, sf_dir, tmp_path):
+        from march_mania_spark_lakehouse_spark.streaming.sinks import (
+            start_hll_merge_sink,
+        )
+
+        ev = catalog.load(spark, "events", sf_dir).select("event_id", "user_id")
+        half = ev.count() // 2
+        src = str(tmp_path / "src")
+        ev.limit(half).coalesce(1).write.mode("overwrite").parquet(src)
+
+        state = str(tmp_path / "state")
+        q = start_hll_merge_sink(
+            spark.readStream.schema(ev.schema).parquet(src),
+            "user_id",
+            state,
+            str(tmp_path / "ck1"),
+        )
+        q.awaitTermination(120)
+        first = spark.read.parquet(state).first()
+        assert first.n_batches >= 1
+
+        # second slice arrives; a NEW availableNow query picks it up
+        ev.coalesce(1).write.mode("append").parquet(src)
+        q2 = start_hll_merge_sink(
+            spark.readStream.schema(ev.schema).parquet(src),
+            "user_id",
+            state,
+            str(tmp_path / "ck1"),  # same checkpoint: only new files replay
+            )
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(state).first()
+        exact = ev.select("user_id").distinct().count()
+        assert abs(got.approx_distinct - exact) <= max(3, 0.05 * exact)
