@@ -194,6 +194,126 @@ def job_07_backtest(spark: SparkSession, cfg: PipelineConfig, paths: LakePaths) 
     )
 
 
+def job_08_build_silver_priority(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """Silver: structured-string key parse (parity `jobs/08` +
+    `src/features/seeds.py:21,49-50` — regexp_extract of "W01" → region
+    + number): o_orderpriority "1-URGENT" → (prio_rank int, prio_name)."""
+    orders = spark.read.parquet(paths.bronze("orders"))
+    catalog.assert_cols(orders, ["o_orderkey", "o_orderpriority"], "orders")
+    parsed = orders.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)-([A-Z ]+)$", 1)
+        .cast("int")
+        .alias("prio_rank"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)-([A-Z ]+)$", 2).alias(
+            "prio_name"
+        ),
+    )
+    writers.write_parquet(parsed, paths.silver("order_priority"))
+
+
+def job_09_build_silver_consensus(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """Silver: Massey-consensus parity (`jobs/09` + `src/features/
+    massey.py:53-71`): latest observation per (entity, system) via
+    row_number desc, then mean/median/count consensus per entity."""
+    ev = spark.read.parquet(paths.bronze("events"))
+    latest = ops.latest_per_group(
+        ev.select("user_id", "event_type", "value", "ts", "event_id"),
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    consensus = latest.groupBy("user_id").agg(
+        davg("value", "mean_latest_value"),
+        F.median("value").cast("double").alias("median_latest_value"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    writers.write_parquet(consensus, paths.silver("consensus"))
+
+
+def job_10_build_silver_sos(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """Silver: strength-of-schedule parity (`jobs/10` + `src/features/
+    sos.py:53-59`): broadcast-join each entity's counterparts, average
+    their stats per entity."""
+    li = spark.read.parquet(paths.bronze("lineitem")).select(
+        "l_suppkey", "l_partkey"
+    )
+    part = spark.read.parquet(paths.bronze("part")).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    sos = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            davg("p_retailprice", "sos_part_price"),
+            davg(F.col("p_size").cast("double"), "sos_part_size"),
+        )
+    )
+    writers.write_parquet(sos, paths.silver("supplier_sos"))
+
+
+def job_11_hpo_backtest(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """ML: TrainValidationSplit HPO for both model families; best params
+    land in a driver-side JSON artifact (parity `jobs/11_hpo_backtest.py`
+    + `src/ml/tuning.py`; S10 JSON sink `jobs/11:56-58`)."""
+    gold = spark.read.parquet(paths.gold("training_orders")).cache()
+    years = sorted(r[0] for r in gold.select("o_year").distinct().collect())
+    train, _ = modeling.season_holdout(gold, "o_year", years[-1])
+    _, lr_params = modeling.tvs_hpo_lr(train, cfg.feature_cols)
+    _, gbt_params = modeling.tvs_hpo_gbt(train, cfg.feature_cols, max_iter=10)
+    writers.write_driver_json(
+        {"lr": lr_params, "gbt": gbt_params},
+        paths.artifact("best_params.json"),
+    )
+
+
+def job_12_train_ensemble_export(
+    spark: SparkSession, cfg: PipelineConfig, paths: LakePaths
+) -> None:
+    """ML: α-blend ensemble export (parity `jobs/12_train_ensemble_
+    export.py`): read tuned params back (S10 round-trip `jobs/12:58-65`),
+    fit LR + GBT, inner-join the two scorings on ID (J3) and export
+    Pred = α·P_gbt + (1−α)·P_lr as a single CSV."""
+    gold = spark.read.parquet(paths.gold("training_orders")).cache()
+    years = sorted(r[0] for r in gold.select("o_year").distinct().collect())
+    train, test = modeling.season_holdout(gold, "o_year", years[-1])
+    try:
+        best = writers.read_driver_json(paths.artifact("best_params.json"))
+    except Exception:  # noqa: BLE001 — degrade to defaults (reference parity)
+        best = {"lr": {}, "gbt": {}}
+    lr = modeling.build_lr_pipeline(
+        cfg.feature_cols,
+        max_iter=20,
+        reg_param=best["lr"].get("regParam", 0.05),
+        elastic_net=best["lr"].get("elasticNetParam", 0.0),
+    ).fit(train)
+    gbt = modeling.build_gbt_pipeline(
+        cfg.feature_cols,
+        max_iter=10,
+        max_depth=int(best["gbt"].get("maxDepth", 5)),
+        subsample=best["gbt"].get("subsamplingRate", 1.0),
+    ).fit(train)
+    blended = modeling.blend(
+        gbt.transform(test),  # α weights the GBT side (`conf/pipeline.yml:19`)
+        lr.transform(test),
+        id_cols=["o_orderkey"],
+        alpha=cfg.blend_alpha,
+    )
+    sub = blended.select(
+        F.col("o_orderkey").cast("string").alias("ID"),
+        F.round("pred", 6).alias("Pred"),
+    )
+    writers.write_single_csv(sub, paths.artifact("ensemble_submission.csv"))
+
+
 #: Discovery registry — numbered like the reference's job files; the
 #: runner selects by number range (`jobs/run_pipeline.py:24-32` parity).
 JOBS = {
@@ -204,4 +324,9 @@ JOBS = {
     5: ("build_gold_training", job_05_build_gold_training),
     6: ("train_and_export", job_06_train_and_export),
     7: ("backtest", job_07_backtest),
+    8: ("build_silver_priority", job_08_build_silver_priority),
+    9: ("build_silver_consensus", job_09_build_silver_consensus),
+    10: ("build_silver_sos", job_10_build_silver_sos),
+    11: ("hpo_backtest", job_11_hpo_backtest),
+    12: ("train_ensemble_export", job_12_train_ensemble_export),
 }

@@ -17,7 +17,7 @@ def test_full_pipeline(spark, sf_dir, tmp_path):
     cfg = PipelineConfig(sf_dir=sf_dir)
     paths = LakePaths(root=str(tmp_path / "lake"))
     timings = run_pipeline(spark, cfg, paths)
-    assert [t[0] for t in timings] == [1, 2, 3, 4, 5, 6, 7]
+    assert [t[0] for t in timings] == list(range(1, 13))
 
     # bronze landed every registered table
     assert spark.read.parquet(paths.bronze("lineitem")).count() == 6000
@@ -43,6 +43,23 @@ def test_full_pipeline(spark, sf_dir, tmp_path):
     with open(paths.artifact("backtest_metrics.csv")) as f:
         metrics = list(csv.DictReader(f))
     assert metrics and all(0.0 <= float(m["auc"]) <= 1.0 for m in metrics)
+
+    # jobs 08-10: parsed priority, consensus, SOS silver tables
+    prio = spark.read.parquet(paths.silver("order_priority"))
+    assert prio.filter(F.col("prio_rank").isNull()).count() == 0
+    assert spark.read.parquet(paths.silver("consensus")).count() > 0
+    sos = spark.read.parquet(paths.silver("supplier_sos"))
+    assert sos.groupBy("l_suppkey").count().filter(F.col("count") > 1).count() == 0
+
+    # jobs 11-12: HPO params JSON round-trips into the ensemble export
+    import json
+
+    with open(paths.artifact("best_params.json")) as f:
+        best = json.load(f)
+    assert set(best) == {"lr", "gbt"} and "regParam" in best["lr"]
+    with open(paths.artifact("ensemble_submission.csv")) as f:
+        ens = list(csv.DictReader(f))
+    assert ens and all(0.0 <= float(r["Pred"]) <= 1.0 for r in ens)
 
 
 def test_gold_degrades_without_silver(spark, sf_dir, tmp_path):
