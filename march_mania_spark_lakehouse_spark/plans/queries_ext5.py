@@ -6,6 +6,9 @@ multi-dimensional clustering keys:
 - q95 count-min-sketch frequency estimates
 - q96 per-file min/max manifest (oracle = DuckDB filename stats)
 - q97 z-order clustering key (oracle = bit-interleave in SQL)
+- q98 PSI feature-drift report between two deterministic splits
+- q99 int8 embedding quantization (corpus-derived per-dim scales)
+- q100 VARIANT semi-structured extraction (Spark 4 E5 path)
 
 The reference's only approximate aggregate is `percentile_approx`
 (`src/features/massey.py:68`); this batch adds the mergeable-summary
@@ -246,4 +249,34 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",", quantize.quantize_int8("embedding", scales)
             ).alias("codes"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q100 — VARIANT semi-structured extraction (Spark 4 path for E5).
+# --------------------------------------------------------------------------
+
+_Q100_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(json_extract(props, '$.missing') AS INT) AS missing
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@query("q100_variant_extract", oracle=_Q100_SQL, tags=("json",))
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via VARIANT (Spark 4): ``parse_json``
+    once into the binary variant encoding, then ``variant_get`` typed
+    paths — at scale this beats per-access ``get_json_object`` (q17)
+    because the document parses once and fields shred lazily, and it
+    beats ``from_json`` (q42) when the schema is open. Missing paths via
+    ``try_variant_get`` → typed NULL, not an error."""
+    ev = catalog.load(spark, "events", sf_dir).filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing"),
     )

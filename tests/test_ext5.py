@@ -271,3 +271,29 @@ class TestStreamingHllMerge:
         got = spark.read.parquet(state).first()
         exact = ev.select("user_id").distinct().count()
         assert abs(got.approx_distinct - exact) <= max(3, 0.05 * exact)
+
+
+class TestPythonDataSource:
+    def test_synthetic_docs_source(self, spark):
+        from march_mania_spark_lakehouse_spark.operators.text import token_count
+        from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+            SyntheticDocsDataSource,
+        )
+
+        spark.dataSource.register(SyntheticDocsDataSource)
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("rows", 250)
+            .option("partitions", 5)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 5
+        assert df.count() == 250
+        assert df.select("doc_id").distinct().count() == 250
+        # deterministic across reads
+        a = {r.doc_id: r.text for r in df.collect()}
+        b = {r.doc_id: r.text for r in df.collect()}
+        assert a == b
+        # composes with engine operators
+        n = df.select(token_count("text").alias("n")).agg(F.min("n")).first()[0]
+        assert n >= 5
