@@ -31,7 +31,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query; non-relational
     ops (Elo fold, MLlib, LSH signatures) are intentionally omitted →
-    rows-only checks."""
+    rows-only checks. ``__SF_DIR__`` (oracles that must read files rather
+    than the pre-registered views, e.g. filename-grouped stats) is pinned
+    to the driver's sf0.01 compare scale."""
     return {
-        name: spec.oracle for name, spec in all_queries().items() if spec.oracle
+        name: spec.oracle.replace("__SF_DIR__", "/root/testdata/sf0.01")
+        for name, spec in all_queries().items()
+        if spec.oracle
     }

@@ -88,9 +88,11 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q96 — per-file min/max manifest (the data-skipping index).
 # --------------------------------------------------------------------------
 
-# The correctness gate always compares at sf0.01 (driver contract), so
-# the filename-grouped oracle reads that path directly instead of the
-# pre-registered view (views carry no filename column).
+# The filename-grouped oracle must read files, not the pre-registered
+# views (views carry no filename column). `__SF_DIR__` is substituted by
+# the harness running the oracle: `__spark_entry__.oracle_sql()` pins the
+# driver's sf0.01 compare scale; `tests/test_oracle_parity.py` pins its
+# own sf_dir.
 _Q96_SQL = """
 SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
        COUNT(*) AS n_rows,
@@ -98,7 +100,7 @@ SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
        MAX(o_orderkey) AS max_o_orderkey,
        MIN(o_orderdate) AS min_o_orderdate,
        MAX(o_orderdate) AS max_o_orderdate
-FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename=true)
+FROM read_parquet('__SF_DIR__/orders.parquet', filename=true)
 GROUP BY 1
 """
 

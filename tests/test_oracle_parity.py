@@ -19,7 +19,7 @@ _ROWS_ONLY = sorted(n for n, s in _SPECS.items() if not s.oracle)
 def test_oracle_parity(name, spark, duck, sf_dir):
     spec = _SPECS[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
-    oracle_pdf = duck.sql(spec.oracle).df()
+    oracle_pdf = duck.sql(spec.oracle.replace("__SF_DIR__", sf_dir)).df()
     assert len(spark_pdf) > 0, f"{name}: empty result"
     assert_frames_equal(spark_pdf, oracle_pdf, name)
 
