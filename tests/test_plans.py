@@ -142,3 +142,45 @@ def test_session_window_boundary_matches_oracle_semantics(spark):
         """
     ).fetchone()[0]
     assert oracle_sessions == 2
+
+
+def test_repetition_signals_is_map_only(spark, sf_dir):
+    """q88's claim: every signal is an array expression, so the only
+    Exchange in the plan is the scan rebalance — no aggregate or join
+    shuffle, no row multiplication."""
+    plan = _plan(all_queries()["q88_repetition_signals"].fn(spark, sf_dir))
+    # the only exchange is the rebalance round-robin: no key shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "Join" not in plan
+
+
+def test_corpus_shuffle_rank_has_no_single_partition_sort(spark, sf_dir):
+    """q90's global rank must come from bucket-parallel windows; the only
+    SinglePartition exchange allowed is the 256-row bucket-offset
+    cumulative, which sits under a BroadcastExchange."""
+    plan = _plan(all_queries()["q90_corpus_shuffle"].fn(spark, sf_dir))
+    assert "hashpartitioning(__bkt" in plan
+    # the full-data window is keyed, not global: a SinglePartition window
+    # may appear only on the tiny bucket-count branch (broadcast side)
+    assert "BroadcastExchange" in plan
+
+
+def test_bitmap_distinct_is_partial_then_final(spark, sf_dir):
+    """q94: both aggregation levels (per-bucket bitmap build, per-group
+    popcount sum) must map-side combine."""
+    plan = _plan(all_queries()["q94_bitmap_distinct"].fn(spark, sf_dir))
+    assert "partial_bitmap_construct_agg" in plan
+    assert "partial_sum" in plan
+
+
+def test_quantize_encode_is_shuffle_free(spark, sf_dir):
+    """q99's encode stage (scales already collected) must be map-only:
+    literal scale array + transform lambda, zero Exchange."""
+    from march_mania_spark_lakehouse_spark.operators import quantize
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    scales = quantize.dim_scales(emb, "embedding")
+    plan = _plan(emb.select("vec_id", quantize.quantize_int8("embedding", scales)))
+    assert "Exchange" not in plan
