@@ -271,3 +271,75 @@ def simhash_relational(
     for b in range(bits):
         sig = sig + F.shiftleft((F.col(f"__b{b}") > 0).cast("long"), b)
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The complete near-duplicate removal pipeline in one operator —
+    what an LLM corpus actually runs before training:
+
+    1. **candidates** — MinHash LSH banding (`minhash_candidates`):
+       pairs collide in ≥1 band bucket, so pair generation is
+       bucket-local (Σ bucket², never n²);
+    2. **verify** — exact n-gram Jaccard computed ONLY for candidate
+       pairs: the candidate list joins the shingle table per side, so
+       intersection counting touches candidate pairs' shingles, not the
+       all-pairs shingle self-join (`jaccard_pairs` is the baseline
+       form of that);
+    3. **group** — verified edges (jaccard ≥ threshold) →
+       `graph.connected_components` (transitive closure: A≈B≈C collapse
+       together even if A,C never collided);
+    4. **survive** — keep the min-id document per duplicate group.
+
+    Returns ``df`` filtered to survivors, original columns unchanged.
+    """
+    from march_mania_spark_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_sh"))
+    cand = minhash_candidates(df, id_col, text_col, n, num_hashes, bands)
+    a_sh = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+    )
+    inter = (
+        a_sh.join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n_inter"))
+    )
+    edges = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "__j",
+            F.col("__n_inter").cast("double")
+            / (F.col("__n_a") + F.col("__n_b") - F.col("__n_inter")),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    # survivor = min node per component; min-label components already
+    # carry that as the component id, so survivors are nodes whose label
+    # is their own id — plus every document not in any duplicate pair.
+    dup_losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dup_losers, on=id_col, how="left_anti")

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
-from march_mania_spark_lakehouse_spark.operators import drift, quantize, sketch
+from march_mania_spark_lakehouse_spark.operators import (
+    dedup,
+    drift,
+    quantize,
+    sketch,
+)
 from march_mania_spark_lakehouse_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -282,3 +287,26 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "int").alias("k"),
         F.try_variant_get(v, "$.missing", "int").alias("missing"),
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — the composed near-dup dedup pipeline (candidates → verify →
+# components → survivors).
+# --------------------------------------------------------------------------
+
+
+# bench=False: the composition's cost is its pieces, which are benched
+# individually (q28 MinHash banding, q83 connected components).
+@query("q101_near_dup_dedup", oracle=None, bench=False, tags=("dedup", "pipeline"))
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup (`operators/dedup.py:near_dup_dedup`):
+    MinHash-LSH candidates → exact Jaccard verification restricted to
+    candidate pairs → connected components for transitive groups →
+    min-id survivor per group. MinHash is seed-hash dependent →
+    rows-only; the planted-duplicate collapse (including a transitive
+    A≈B≈C chain) is unit-tested."""
+    docs = catalog.load(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 1000
+    )
+    kept = dedup.near_dup_dedup(docs, "doc_id", "text", threshold=0.5)
+    return kept.select("doc_id", "source", "n_chars")

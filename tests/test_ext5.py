@@ -297,3 +297,35 @@ class TestPythonDataSource:
         # composes with engine operators
         n = df.select(token_count("text").alias("n")).agg(F.min("n")).first()[0]
         assert n >= 5
+
+
+class TestNearDupDedup:
+    def test_planted_duplicates_collapse_transitively(self, spark):
+        from march_mania_spark_lakehouse_spark.operators.dedup import near_dup_dedup
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (1, base),
+            (2, base + " extra"),                       # ≈ 1
+            (3, base.replace("quick", "quick very")),   # ≈ 1 (and ≈ 2 transitively)
+            (10, "completely different text about spark query engines at scale"),
+            (11, "yet another unrelated document mentioning embeddings and ann"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = sorted(r.doc_id for r in near_dup_dedup(
+            df, "doc_id", threshold=0.3, num_hashes=16, bands=8
+        ).collect())
+        # the near-dup cluster {1,2,3} collapses to its min id
+        assert 1 in kept and 2 not in kept and 3 not in kept
+        # unrelated docs untouched
+        assert 10 in kept and 11 in kept
+
+    def test_no_duplicates_is_identity(self, spark):
+        from march_mania_spark_lakehouse_spark.operators.dedup import near_dup_dedup
+
+        rows = [
+            (i, f"document number {i} with its own distinct vocabulary token{i} word{i*7}")
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert near_dup_dedup(df, "doc_id", threshold=0.8).count() == 20
