@@ -53,10 +53,18 @@ def psi_report(
     tot = counts.agg(
         F.sum("__n_ref").alias("__t_ref"), F.sum("__n_cur").alias("__t_cur")
     )
+    # ANSI-safe: an empty split (total 0) degrades to the epsilon floor
+    # instead of a divide-by-zero error.
+    def _share(n: str, t: str) -> Column:
+        return (
+            F.when(F.col(t) > 0, F.col(n) / F.col(t)).otherwise(F.lit(0.0))
+            + eps
+        )
+
     shares = counts.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        (F.col("__n_ref") / F.col("__t_ref") + eps).alias("p"),
-        (F.col("__n_cur") / F.col("__t_cur") + eps).alias("q"),
+        _share("__n_ref", "__t_ref").alias("p"),
+        _share("__n_cur", "__t_cur").alias("q"),
     )
     per_bucket = shares.select(
         "bucket",

@@ -205,6 +205,17 @@ class TestPsiDrift:
         # clamped below-lo mass makes bucket 0 by far the heaviest
         assert by_bucket[0].p > 0.5 and by_bucket[0].q > 0.5
 
+    def test_empty_split_degrades_not_errors(self, spark):
+        """An all-reference input (current split empty) must produce a
+        finite report, not an ANSI divide-by-zero."""
+        from march_mania_spark_lakehouse_spark.operators.drift import psi_report
+
+        df = spark.range(100).select(
+            (F.col("id") % 10).cast("double").alias("x"), F.lit(True).alias("ref")
+        )
+        out = psi_report(df, "x", F.col("ref"), lo=0.0, hi=10.0).collect()
+        assert all(r.psi is not None for r in out)
+
 
 class TestQuantize:
     def test_roundtrip_cosine(self, spark, sf_dir):
