@@ -128,6 +128,8 @@ def table_buckets_vectorized(
 
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (mat @ planes.T >= 0).reshape(len(mat), n_tables, n_planes)
         out = (signs * weights).sum(axis=2)  # (n, n_tables) int64
@@ -145,6 +147,8 @@ def pair_cosine_vectorized():
 
     @pandas_udf("double")
     def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        if len(qv) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=np.float64)
         q = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
         c = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
         num = np.einsum("ij,ij->i", q, c)
@@ -369,6 +373,8 @@ def cosine_topk_vectorized(
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on an empty batch
+                continue
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
