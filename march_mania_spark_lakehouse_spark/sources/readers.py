@@ -97,3 +97,21 @@ def trim_string_columns(df: DataFrame) -> DataFrame:
             for name, dtype in df.dtypes
         ]
     )
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan across schema VERSIONS (`mergeSchema`): files written
+    before a column existed read as typed NULL for it — the ingestion
+    reality of a long-lived 100 TB table where producers add fields over
+    time.
+
+    With an explicit ``schema`` the scan pins to that contract instead
+    (faster — no footer merge pass — and immune to a producer's
+    incompatible surprise column); use mergeSchema for discovery,
+    declared schemas for production, same policy as `catalog.py`.
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -129,3 +129,39 @@ def test_text_source_lines_and_wholetext(spark, tmp_path):
     assert sorted(r.value for r in lines) == ["line one", "line two"]
     whole = read_text(spark, str(p), whole=True).collect()
     assert len(whole) == 1 and whole[0].value == "line one\nline two\n"
+
+
+def test_parquet_schema_evolution_merges_versions(spark, tmp_path):
+    """v1 files lack a column added in v2: mergeSchema unifies, v1 rows
+    read NULL for it; a declared schema pins the contract either way."""
+    from pyspark.sql import types as T
+
+    from march_mania_spark_lakehouse_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, x string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, x string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet_evolved(spark, path)
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+    pinned = read_parquet_evolved(
+        spark,
+        path,
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
+    assert pinned.columns == ["id", "score"]
+    assert {r.id: r.score for r in pinned.collect()} == rows
