@@ -310,3 +310,54 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = dedup.near_dup_dedup(docs, "doc_id", "text", threshold=0.5)
     return kept.select("doc_id", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# q102 — recursive CTE hierarchy traversal (Spark 4 WITH RECURSIVE).
+# --------------------------------------------------------------------------
+
+# A synthetic 10-ary hierarchy over customer keys: parent(k) = k div 10,
+# roots are k < 10. Only chains whose every ancestor exists as a node are
+# reached — identical fixpoint semantics in both engines.
+_Q102_SPARK_SQL = """
+WITH RECURSIVE h(node, root, depth) AS (
+    SELECT k AS node, k AS root, 0 AS depth FROM cust_nodes WHERE k < 10
+    UNION ALL
+    SELECT n.k, h.root, h.depth + 1
+    FROM cust_nodes n JOIN h ON (n.k div 10) = h.node
+    WHERE n.k >= 10
+)
+SELECT node, root, depth FROM h
+"""
+
+_Q102_SQL = """
+WITH RECURSIVE nodes AS (
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey < 10000
+),
+h(node, root, depth) AS (
+    SELECT k AS node, k AS root, 0 AS depth FROM nodes WHERE k < 10
+    UNION ALL
+    SELECT n.k, h.root, h.depth + 1
+    FROM nodes n JOIN h ON (n.k // 10) = h.node
+    WHERE n.k >= 10
+)
+SELECT node, root, depth FROM h
+"""
+
+
+@query("q102_recursive_hierarchy", oracle=_Q102_SQL, tags=("sql", "graph"))
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal with Spark 4's native ``WITH RECURSIVE``:
+    root/depth for every customer key reachable through a synthetic
+    10-ary parent chain. Each recursion level is one self-join the
+    engine plans like any other (broadcast-able, AQE-coalesced), so SQL
+    users get transitive closure without the driver loop that
+    `operators/graph.py:connected_components` manages explicitly — that
+    loop remains the form for UNBOUNDED-depth graphs where per-round
+    checkpointing controls lineage."""
+    catalog.load(spark, "orders", sf_dir).filter(
+        F.col("o_custkey") < 10000
+    ).select(F.col("o_custkey").alias("k")).distinct().createOrReplaceTempView(
+        "cust_nodes"
+    )
+    return spark.sql(_Q102_SPARK_SQL)
