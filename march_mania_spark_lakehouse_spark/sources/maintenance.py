@@ -1,0 +1,116 @@
+"""Lake-maintenance operations: compaction and versioned snapshots.
+
+The two table-maintenance jobs a parquet lake runs that the reference
+(one-shot Kaggle pipeline, `jobs/01..12`) never needed but a continuously
+ingested 100 TB lake cannot live without:
+
+- **compaction** — streaming/micro-batch ingest leaves thousands of
+  small files; scan cost is per-file (open + footer + seek), so a
+  1000-file-of-1MB table reads ~10× slower than 8 files of 128 MB.
+  `compact` rewrites a directory to ~target-sized files in one
+  scan+shuffle-free write (coalesce, not repartition: collapsing
+  partitions needs no exchange).
+- **versioned snapshots** — overwrite-in-place destroys the previous
+  state mid-write (readers see partial data) and forever (no
+  rollback). `write_snapshot` writes `v=N` directories plus a tiny
+  `_LATEST` pointer committed LAST, giving atomic publish, time travel
+  (`read_snapshot(version=...)`) and O(1) rollback (`rollback`) — the
+  poor-man's form of what Delta/Iceberg transaction logs provide, with
+  the same reader contract (readers never observe a half-written
+  version because the pointer flips only after the data lands).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory tree."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Rewrite ``path`` to ceil(total/target) files. Returns
+    (files_before, files_after).
+
+    `coalesce` merges scan partitions without a shuffle; the rewrite
+    streams each output file from its input files directly. The write
+    lands in a sibling temp dir then atomically renames over the
+    original, so concurrent readers see old-or-new, never partial.
+    """
+    before, total_bytes = dir_stats(path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    after, _ = dir_stats(path)
+    return before, after
+
+
+def _version_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"v={version}")
+
+
+def _pointer(root: str) -> str:
+    return os.path.join(root, "_LATEST")
+
+
+def latest_version(root: str) -> int | None:
+    try:
+        with open(_pointer(root)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def write_snapshot(df: DataFrame, root: str) -> int:
+    """Write the next version directory, then flip the `_LATEST` pointer
+    (data first, pointer last = atomic publish). Returns the version."""
+    cur = latest_version(root)
+    nxt = 0 if cur is None else cur + 1
+    df.write.mode("overwrite").parquet(_version_dir(root, nxt))
+    os.makedirs(root, exist_ok=True)
+    tmp = _pointer(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _pointer(root))  # atomic on POSIX
+    return nxt
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read `_LATEST` (default) or any retained version (time travel)."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot published under {root}")
+    return spark.read.parquet(_version_dir(root, v))
+
+
+def rollback(root: str, version: int) -> None:
+    """O(1) rollback: point `_LATEST` at an older retained version."""
+    if not os.path.isdir(_version_dir(root, version)):
+        raise FileNotFoundError(f"version {version} not retained under {root}")
+    tmp = _pointer(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer(root))

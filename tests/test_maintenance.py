@@ -1,0 +1,44 @@
+"""Lake maintenance: compaction and versioned snapshots."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.sources import maintenance as mt
+
+
+def test_compaction_shrinks_file_count_preserves_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "fragmented")
+    orders = catalog.load(spark, "orders", sf_dir).limit(3000)
+    orders.repartition(40).write.mode("overwrite").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    n_before, total = mt.dir_stats(path)
+    assert n_before >= 40
+
+    b, a = mt.compact(spark, path, target_file_bytes=max(total // 3, 1))
+    assert b == n_before and a <= 4
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    # content identical, not just count
+    assert after.exceptAll(orders).count() == 0
+
+
+def test_snapshot_publish_time_travel_rollback(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "versioned")
+    ev = catalog.load(spark, "events", sf_dir).select("event_id", "value").limit(500)
+
+    v0 = mt.write_snapshot(ev, root)
+    v1 = mt.write_snapshot(ev.withColumn("value", F.col("value") * 2), root)
+    assert (v0, v1) == (0, 1)
+    assert mt.latest_version(root) == 1
+
+    latest = mt.read_snapshot(spark, root)
+    old = mt.read_snapshot(spark, root, version=0)
+    s_new = latest.agg(F.sum("value")).first()[0]
+    s_old = old.agg(F.sum("value")).first()[0]
+    assert abs(s_new - 2 * s_old) < 1e-6
+
+    mt.rollback(root, 0)
+    assert mt.latest_version(root) == 0
+    assert abs(mt.read_snapshot(spark, root).agg(F.sum("value")).first()[0] - s_old) < 1e-6
