@@ -175,12 +175,15 @@ FROM exploded WHERE sentence <> ''
 @query("q86_udtf_sentences", oracle=_Q86_SQL, tags=("udf", "text"))
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF lateral join: documents × sentence_split(text) →
-    (sentence, n_words) rows. The oracle derives the same rows
-    relationally (unnest + trim + filter), proving the UDTF against a
-    declarative spec."""
+    (sentence, n_words) rows. Arrow-optimized (``useArrow=True``), so
+    rows cross the Python boundary in Arrow batches, not one by one —
+    the plan shows ArrowEvalPython, never BatchEvalPython (linted for
+    every query by `tests/test_plans.py:test_no_query_uses_cartesian_or_
+    row_python`). The oracle derives the same rows relationally (unnest
+    + trim + filter), proving the UDTF against a declarative spec."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sentence string, n_words int")
+    @udtf(returnType="sentence string, n_words int", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
             if text is None:

@@ -184,3 +184,17 @@ def test_quantize_encode_is_shuffle_free(spark, sf_dir):
     scales = quantize.dim_scales(emb, "embedding")
     plan = _plan(emb.select("vec_id", quantize.quantize_int8("embedding", scales)))
     assert "Exchange" not in plan
+
+
+def test_no_query_uses_cartesian_or_row_python(spark, sf_dir):
+    """Global plan lint over EVERY registered query: no CartesianProduct
+    (an O(n·m) join that went unbroadcast) and no BatchEvalPython (a
+    row-at-a-time Python UDF — Python must always cross via Arrow:
+    ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas)."""
+    skip_prefixes = ("q33", "q34", "q52")  # MLlib model fits (slow, no SQL plan lint value)
+    for name, spec in sorted(all_queries().items()):
+        if name.startswith(skip_prefixes):
+            continue
+        plan = _plan(spec.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
+        assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
