@@ -115,3 +115,20 @@ def read_parquet_evolved(
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan (built into Spark 4): one row per ``row_tag`` element,
+    attributes as ``_attr`` columns. Same schema policy as every other
+    edge format: inferred for discovery, declared for production. For
+    XML embedded in a string COLUMN, use ``F.from_xml`` /
+    ``F.schema_of_xml`` instead of this file-level reader."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

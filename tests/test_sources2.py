@@ -165,3 +165,26 @@ def test_parquet_schema_evolution_merges_versions(spark, tmp_path):
     )
     assert pinned.columns == ["id", "score"]
     assert {r.id: r.score for r in pinned.collect()} == rows
+
+
+def test_xml_source_and_column_parse(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.sources.readers import read_xml
+
+    p = tmp_path / "docs.xml"
+    p.write_text(
+        "<corpus>"
+        "<doc id=\"1\"><lang>en</lang><body>hello world</body></doc>"
+        "<doc id=\"2\"><lang>fr</lang><body>bonjour</body></doc>"
+        "</corpus>"
+    )
+    df = read_xml(spark, str(tmp_path), "doc")
+    rows = {r._id: (r.lang, r.body) for r in df.collect()}
+    assert rows == {1: ("en", "hello world"), 2: ("fr", "bonjour")}
+
+    # column form: from_xml on an embedded XML string
+    s = spark.createDataFrame(
+        [(1, "<m><k>7</k></m>")], "id long, payload string"
+    ).select("id", F.from_xml("payload", "k INT").alias("x"))
+    assert s.select(F.col("x.k")).first()[0] == 7
