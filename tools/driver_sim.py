@@ -78,6 +78,12 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # oracle_sql() pins file-reading oracles to the driver's sf0.01
+    # compare scale; when simulating at another scale, rebind them to
+    # the requested dir so both engines read the same files.
+    oracles = {
+        k: v.replace("/root/testdata/sf0.01", sf_dir) for k, v in oracles.items()
+    }
     if only is not None:
         qs = {k: v for k, v in qs.items() if k in only}
     failures = []
