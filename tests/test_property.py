@@ -114,3 +114,93 @@ def test_exact_dedup_partition_invariants(spark, texts):
         r["doc_id"] for r in dedup.dedup_keep_first(df, ["text"], "doc_id").collect()
     )
     assert survivors == sorted(min(v) for v in by_text.values())
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.floats(min_value=-50, max_value=150), st.booleans()),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda xs: any(r for _, r in xs) and any(not r for _, r in xs))
+)
+def test_psi_total_is_nonnegative(spark, rows):
+    """PSI is a sum of (p−q)·ln(p/q) terms, each ≥ 0 for any pair of
+    distributions — the total must never go (more than rounding-epsilon)
+    negative, whatever the split looks like."""
+    from march_mania_spark_lakehouse_spark.operators.drift import psi_report
+
+    df = spark.createDataFrame(rows, "x double, ref boolean")
+    out = {r.bucket: r.psi for r in psi_report(
+        df, "x", F.col("ref"), lo=0.0, hi=100.0
+    ).collect()}
+    assert out[-1] >= -1e-5
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda vs: any(any(abs(x) > 1e-6 for x in v) for v in vs))
+)
+def test_quantize_roundtrip_error_bounded_by_half_step(spark, vecs):
+    """Per element: |v − dequant(quant(v))| ≤ s_d/254 + ulp for in-range
+    values (half a quantization step of the per-dim scale)."""
+    from march_mania_spark_lakehouse_spark.operators import quantize
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    scales = quantize.dim_scales(df, "embedding")
+    out = df.select(
+        "embedding",
+        quantize.dequantize_int8(
+            quantize.quantize_int8("embedding", scales), scales
+        ).alias("back"),
+    ).collect()
+    for r in out:
+        for d, (orig, back) in enumerate(zip(r.embedding, r.back)):
+            assert abs(orig - back) <= scales[d] / 254 + 1e-9
+
+
+@_SETTINGS
+@given(
+    st.lists(st.tuples(_ids, st.integers(0, 5)), min_size=1, max_size=80)
+)
+def test_bitmap_distinct_equals_count_distinct(spark, rows):
+    """Bitmap-bucket distinct must equal COUNT(DISTINCT) for any key
+    distribution and grouping."""
+    from march_mania_spark_lakehouse_spark.operators import sketch
+
+    df = spark.createDataFrame(rows, "k long, g int")
+    got = {
+        r.g: r.n
+        for r in sketch.bitmap_exact_distinct(df, ["g"], "k", "n").collect()
+    }
+    exact = {
+        r.g: r.n for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    assert got == exact
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 1 << 15), st.integers(0, 1 << 15)), min_size=1, max_size=40))
+def test_zorder_key_roundtrips_both_dimensions(spark, pairs):
+    """De-interleaving the Morton key must recover both inputs exactly
+    (bits=16 covers the generated range)."""
+    from march_mania_spark_lakehouse_spark.operators import sketch
+
+    df = spark.createDataFrame(pairs, "x long, y long").select(
+        "x", "y", sketch.zorder_key(["x", "y"], bits=16).alias("z")
+    )
+    for r in df.collect():
+        x = sum(((r.z >> (2 * b)) & 1) << b for b in range(16))
+        y = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(16))
+        assert (x, y) == (r.x, r.y)
