@@ -361,3 +361,72 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nodes"
     )
     return spark.sql(_Q102_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# q103 — ordered string aggregation (listagg, Spark 4).
+# --------------------------------------------------------------------------
+
+_Q103_SQL = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("q103_listagg_priorities", oracle=_Q103_SQL, tags=("agg", "sql"))
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``listagg`` WITHIN GROUP, Spark 4):
+    distinct priorities per status as one deterministic CSV cell. The
+    explicit ORDER BY inside the aggregate is what makes the result
+    partition-independent — an unordered listagg is nondeterministic
+    under parallelism and would never hash-match a serial oracle."""
+    orders = catalog.load(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderpriority, ',') "
+            "WITHIN GROUP (ORDER BY o_orderpriority)"
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q104 — error-safe typed ingest (try_* family).
+# --------------------------------------------------------------------------
+
+_Q104_SQL = """
+WITH raw AS (
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_tok,
+           n_chars
+    FROM documents
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(TRY_CAST(first_tok AS INT)) AS n_numeric_first,
+       SUM(CASE WHEN TRY_CAST(first_tok AS INT) IS NULL THEN 1 ELSE 0 END)
+           AS n_unparseable,
+       CAST(SUM(COALESCE(TRY_CAST(first_tok AS INT), 0)) AS BIGINT) AS numeric_sum
+FROM raw
+"""
+
+
+@query("q104_try_cast_ingest", oracle=_Q104_SQL, tags=("dq", "sql"))
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe typed ingest (ANSI ``try_cast``): parse a dirty string
+    field, count parse failures instead of failing the job — the ingest
+    contract under ANSI sessions where a bare CAST of junk is a runtime
+    error. At 100 TB one poison row must never kill a scan."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    first_tok = F.split(F.col("text"), " ").getItem(0)
+    parsed = docs.select(first_tok.cast("string").alias("t"))
+    tc = F.col("t").try_cast("int")
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(tc).alias("n_numeric_first"),
+        F.sum(F.when(tc.isNull(), 1).otherwise(0)).alias("n_unparseable"),
+        F.sum(F.coalesce(tc, F.lit(0))).cast("long").alias("numeric_sum"),
+    )
