@@ -132,3 +132,20 @@ def stream_stream_interval_join(
         f"AND {right_ts} < {left_ts} + INTERVAL {upper_s} SECOND"
     )
     return l.join(r.withColumnRenamed(key, "__rkey"), cond, "inner").drop("__rkey")
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join: each micro-batch joins the
+    (bounded, slowly-changing) dimension as a plain batch join — no
+    watermark and no join state, because the static side is re-resolved
+    per micro-batch (which is also why a dim REFRESH is picked up on the
+    next batch). The explicit broadcast pins the physical plan: the
+    stream side never shuffles for the join, exactly the contract of
+    `operators/joins.py:star_join` in batch."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), on=keys, how=how)

@@ -7,6 +7,7 @@ from __future__ import annotations
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
 from march_mania_spark_lakehouse_spark.streaming import events as ev_ops
@@ -213,3 +214,35 @@ def test_dedup_within_watermark_suppresses_redelivery(spark, sf_dir, tmp_path):
     ids = [r.event_id for r in spark.sql(f"SELECT event_id FROM {sink}").collect()]
     assert len(ids) == len(set(ids)), "duplicate event_ids survived dedup"
     assert set(ids) == {r.event_id for r in batch_events.collect()}
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment must produce exactly the batch
+    join's rows, with no watermark/state requirements."""
+    ev = catalog.load(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    src = str(tmp_path / "enrich_src")
+    ev.limit(300).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enriched = ev_ops.stream_static_enrich(stream, dim, "user_id")
+
+    sink = f"enrich_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_id, r.tier)
+        for r in spark.sql(f"SELECT event_id, tier FROM {sink}").collect()
+    }
+    expect = {
+        (r.event_id, r.tier)
+        for r in spark.read.parquet(src).join(dim, "user_id", "left").collect()
+    }
+    assert got == expect
