@@ -1,0 +1,69 @@
+"""Incremental view maintenance: mergeable partial-aggregate state.
+
+A 100 TB gold table is never recomputed from scratch when a day of new
+data lands. The lakehouse pattern is to persist *partial aggregate
+state* per group — for the distributive/algebraic aggregates
+(count/sum/min/max/avg) that state is tiny and exactly mergeable — and
+refresh by aggregating only the delta, then merging states. This is the
+same partial→final split Spark's own hash aggregate performs inside one
+query, lifted to a cross-run boundary (the sibling sketch operators,
+`operators/sketch.py`, do the identical thing for the non-distributive
+aggregates: distinct via HLL/bitmap, frequency via CMS).
+
+Exactness: sums are kept as DECIMAL in the state (order-independent,
+associative — `functions/numeric.py` policy), so merge order and
+batch-split choice cannot change the refreshed result: base+delta is
+bit-identical to a full recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.functions.numeric import DEC
+
+
+def agg_state(
+    df: DataFrame, keys: list[str], measure: Column | str, dec: str = DEC
+) -> DataFrame:
+    """Partial state for count/sum/min/max/avg of `measure` per `keys`:
+    one row per group — `(n, sum_dec, min_m, max_m)`. Map-side combined;
+    the shuffle carries group-count rows, never input rows."""
+    m = F.col(measure) if isinstance(measure, str) else measure
+    return df.groupBy(*keys).agg(
+        F.count(m).alias("n"),
+        F.sum(m.cast(dec)).alias("sum_dec"),
+        F.min(m).alias("min_m"),
+        F.max(m).alias("max_m"),
+    )
+
+
+def merge_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of partial states (associative + commutative):
+    union → re-aggregate per key. Decimal sums make the merge exact
+    regardless of how the input was batched."""
+    keys = [c for c in states[0].columns if c not in ("n", "sum_dec", "min_m", "max_m")]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    )
+
+
+def finalize_state(state: DataFrame) -> DataFrame:
+    """Render user-facing aggregates from state: count/sum/avg/min/max.
+    The avg is exact-decimal-sum / count (deterministic double)."""
+    keys = [c for c in state.columns if c not in ("n", "sum_dec", "min_m", "max_m")]
+    return state.select(
+        *keys,
+        F.col("n").alias("n_rows"),
+        F.col("sum_dec").cast("double").alias("sum_m"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_m"),
+        F.col("min_m"),
+        F.col("max_m"),
+    )
