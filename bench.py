@@ -45,19 +45,41 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_queries_sec",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "mean_query_sec": round(total / max(len(timings), 1), 4),
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "total_bench_queries_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "mean_query_sec": round(total / max(len(timings), 1), 4),
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query timings (long names, 3 decimals) for humans/judges.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+
+    # The driver captures only the last ~2000 chars of stdout and parses the
+    # final line as JSON, so the printed line must stay under that budget:
+    # short keys (q62_conditional_agg -> q62), 2-decimal timings, and if the
+    # query count ever outgrows the budget, keep the slowest entries and
+    # count the rest in "queries_omitted" (total/mean still cover them).
+    short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
+    line_of = lambda q, omitted: json.dumps(  # noqa: E731
+        {**{k: payload[k] for k in
+            ("metric", "value", "unit", "n_queries", "mean_query_sec")},
+         "queries": q, "queries_omitted": omitted, "sf": payload["sf"]},
+        separators=(",", ":"),
     )
+    by_slowest = sorted(short, key=short.get, reverse=True)
+    keep = len(by_slowest)
+    while keep > 0 and len(
+        line_of({k: short[k] for k in sorted(by_slowest[:keep])},
+                len(short) - keep)
+    ) > 1800:
+        keep -= 10
+    print(line_of({k: short[k] for k in sorted(by_slowest[:keep])},
+                  len(short) - keep))
     spark.stop()
 
 

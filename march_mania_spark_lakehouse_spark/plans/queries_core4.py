@@ -88,8 +88,8 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q62_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
-       SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS n_taxfree,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree,
        CAST(SUM(CASE WHEN l_discount > 0.05
                      THEN CAST(l_extendedprice AS DECIMAL(20, 4))
                      ELSE 0 END) AS DOUBLE) AS discounted_value

@@ -75,9 +75,10 @@ _BPE_SQL_PATTERN = text.BPE_TOKEN_PATTERN.replace("'", "''")
 _Q53_SQL = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_bpe) AS total_bpe_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
        MAX(n_bpe) AS max_bpe_tokens,
-       SUM(CASE WHEN n_bpe = n_ws THEN 1 ELSE 0 END) AS n_pure_word_docs
+       CAST(SUM(CASE WHEN n_bpe = n_ws THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pure_word_docs
 FROM (
     SELECT lang,
            len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}', 1)) AS n_bpe,

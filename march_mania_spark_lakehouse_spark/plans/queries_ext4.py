@@ -263,7 +263,7 @@ WITH t AS (
 )
 SELECT bucket,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
 FROM t
 GROUP BY bucket

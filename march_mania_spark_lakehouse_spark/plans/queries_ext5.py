@@ -407,8 +407,8 @@ WITH raw AS (
 )
 SELECT COUNT(*) AS n_rows,
        COUNT(TRY_CAST(first_tok AS INT)) AS n_numeric_first,
-       SUM(CASE WHEN TRY_CAST(first_tok AS INT) IS NULL THEN 1 ELSE 0 END)
-           AS n_unparseable,
+       CAST(SUM(CASE WHEN TRY_CAST(first_tok AS INT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable,
        CAST(SUM(COALESCE(TRY_CAST(first_tok AS INT), 0)) AS BIGINT) AS numeric_sum
 FROM raw
 """

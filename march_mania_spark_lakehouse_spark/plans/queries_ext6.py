@@ -153,7 +153,7 @@ running AS (
            ) AS open_sessions
     FROM pts
 )
-SELECT day, MAX(open_sessions) AS peak_concurrent
+SELECT day, CAST(MAX(open_sessions) AS BIGINT) AS peak_concurrent
 FROM running GROUP BY day
 """
 

@@ -110,7 +110,7 @@ c AS (
 SELECT shard,
        CAST(FLOOR(excl / 2048.0) AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS bin_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS first_doc
 FROM c
 GROUP BY shard, bin
