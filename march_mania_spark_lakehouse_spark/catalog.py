@@ -114,23 +114,21 @@ REGISTRY: dict[str, DatasetSpec] = {
             ),
             partition_hint=("l_shipdate",),
         ),
-        # events.ts is parquet timestamp[ns]; Spark has no nano timestamps,
-        # so scan it as long and truncate to microseconds (exactly what
-        # DuckDB's µs TIMESTAMP does) in the post-transform.
+        # events.ts unit varies by fixture vintage (timestamp[ns] or [us]);
+        # the loader sniffs the parquet footer and normalizes to a µs
+        # TimestampType (exactly what DuckDB's TIMESTAMP does) — see
+        # `_load_events`.
         DatasetSpec(
             "events",
             _s(
                 ("event_id", _L),
-                ("ts", _L),
+                ("ts", _TS),
                 ("user_id", _L),
                 ("event_type", _S),
                 ("value", _D),
                 ("props", _S),
             ),
             partition_hint=("ts",),
-            post=lambda df: df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            ),
         ),
         DatasetSpec(
             "documents",
@@ -164,6 +162,51 @@ def assert_cols(df: DataFrame, required: list[str] | tuple[str, ...], ctx: str =
         raise ValueError(f"{ctx or 'dataset'}: missing required columns {missing}")
 
 
+def _parquet_ts_unit(path: str, col: str) -> str:
+    """Sniff a timestamp column's physical unit from the parquet footer.
+
+    Footer-only metadata read (cheap even on a 100 TB lake — one file's
+    footer). Falls back to 'us' when the footer can't be read (e.g. a
+    directory of parts — sniff the first part instead).
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            parts = sorted(
+                f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith("_")
+            )
+            if not parts:
+                return "us"
+            p = os.path.join(p, parts[0])
+        t = pq.read_schema(p).field(col).type
+        return getattr(t, "unit", "us") or "us"
+    except Exception:
+        return "us"
+
+
+def _load_events(spark: SparkSession, spec: DatasetSpec, sf_dir: str) -> DataFrame:
+    """Events scan, normalizing `ts` to µs TimestampType whatever the file unit.
+
+    - timestamp[us]/[ms] (no tz): declared TimestampType — the vectorized
+      reader takes the stored naive value as a UTC instant, matching
+      DuckDB's `epoch(ts)` semantics.
+    - timestamp[ns]: Spark has no nano timestamps, so scan the raw int64
+      as long and truncate nanos → micros in a post-projection.
+    """
+    path = spec.path(sf_dir)
+    unit = _parquet_ts_unit(path, "ts")
+    if unit == "ns":
+        fields = [
+            T.StructField(f.name, _L if f.name == "ts" else f.dataType, True)
+            for f in spec.schema.fields
+        ]
+        df = spark.read.schema(T.StructType(fields)).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(spec.schema).parquet(path)
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one registered dataset with its declared schema.
 
@@ -172,6 +215,8 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     ReadSchema.
     """
     spec = REGISTRY[name]
+    if name == "events":
+        return _load_events(spark, spec, sf_dir)
     df = spark.read.schema(spec.schema).parquet(spec.path(sf_dir))
     return spec.post(df) if spec.post is not None else df
 

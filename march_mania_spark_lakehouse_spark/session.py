@@ -57,6 +57,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep harness-captured stdout/stderr tails clean (the bench driver
+        # records the last ~2000 chars; \r progress frames are pure noise).
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
