@@ -215,6 +215,50 @@ def decontaminate(
     )
 
 
+def exact_substring_decontaminate(
+    train: DataFrame,
+    eval_snippets: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    snippet_col: str = "snippet",
+) -> DataFrame:
+    """Exact-substring train/eval decontamination: for every training
+    document, how many eval snippets appear verbatim inside it.
+
+    The n-gram form (:func:`decontaminate`) catches paraphrase-level
+    overlap; this is the strict complement — literal benchmark strings
+    (answer keys, canary strings, GSM8K-style questions) embedded in a
+    crawl. Output: ``(id_col, n_eval_hits, contaminated)`` for every
+    training row.
+
+    Scale shape: the snippet set is benchmark-sized (thousands of rows,
+    never corpus-sized) → broadcast nested-loop join with a JVM
+    ``instr`` predicate; the corpus streams through one scan and the
+    per-doc aggregate shuffles (id, count) only. There is deliberately
+    no shingle index here — substring match cannot miss, which is the
+    contract a canary check needs.
+    """
+    hits = (
+        train.select(id_col, text_col)
+        .join(
+            F.broadcast(eval_snippets.select(snippet_col)),
+            F.instr(F.col(text_col), F.col(snippet_col)) > 0,
+            "inner",
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).alias("n_eval_hits"),
+            (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash signature: bit b = sign(Σ_tokens (2·bit_b(h(tok)) − 1)).
 

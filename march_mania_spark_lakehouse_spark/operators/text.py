@@ -221,6 +221,193 @@ def chunk_text(
     ).withColumn("chunk_len", F.length("chunk_text"))
 
 
+def token_table(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, token) long table — NOT distinct (one row per occurrence).
+
+    The join/aggregate surface for corpus-level token statistics (vocab
+    building, OOV rates, LM counts). The explode is partition-local; only
+    downstream aggregates shuffle, and they shuffle tokens, never text.
+    """
+    return rebalance_scan(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+
+
+def top_vocab(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus top-``k`` vocabulary by occurrence count, deterministic
+    tiebreak (count desc, token asc) → ``(token, n_occurrences)``.
+
+    Global top-k compiles to TakeOrderedAndProject (per-partition heaps,
+    no full sort) over a vocab-sized aggregate — same shape as q91's
+    heavy hitters; the result is small by construction (k rows) so
+    downstream joins against it broadcast.
+    """
+    return (
+        token_table(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def oov_stats(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-``k``
+    vocabulary — the tokenizer-coverage signal of a training pipeline
+    (a doc full of tokens the tokenizer never saw trains badly).
+
+    Output: ``(id_col, n_tokens, n_oov, oov_rate)`` with
+    ``oov_rate = n_oov / n_tokens`` rounded to 6 digits (single IEEE
+    long/long division — engine-exact).
+
+    Scale shape: two passes over the token table (one to build the k-row
+    vocab, one to score), the vocab side broadcast into a left join, and
+    the per-doc aggregate shuffles (id, counts) only — document text
+    never crosses the wire.
+    """
+    toks = token_table(df, id_col, text_col)
+    vocab = top_vocab(df, id_col, text_col, k).select("token")
+    return (
+        toks.join(F.broadcast(vocab).withColumn("__iv", F.lit(1)), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def vocab_jaccard(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard similarity between document groups
+    (sources, shards, crawl snapshots): |V_a ∩ V_b| / |V_a ∪ V_b| over
+    each group's *distinct* token set — the standard corpus-mix /
+    duplicate-source diagnostic.
+
+    Output: ``(group_a, group_b, n_inter, jaccard)``, group_a < group_b,
+    jaccard rounded to 6 digits.
+
+    Scale shape: group vocabularies are distinct-projected first (vocab-
+    sized, not corpus-sized), the pair intersection is an equi-join on
+    the token — never a cross join of documents — and the final result
+    is #groups² rows. Text leaves the scan only as distinct tokens.
+    """
+    vocab = (
+        token_table(df, group_col, text_col)
+        .select(F.col(group_col).alias("grp"), "token")
+        .distinct()
+    )
+    sizes = vocab.groupBy("grp").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = vocab.select(F.col("grp").alias("group_a"), "token")
+    b = vocab.select(F.col("grp").alias("group_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("grp").alias("group_a"), F.col("n_vocab").alias("__na")),
+            "group_a",
+        )
+        .join(
+            sizes.select(F.col("grp").alias("group_b"), F.col("n_vocab").alias("__nb")),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def bigram_table(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, w1, bigram) long table, one row per bigram occurrence."""
+    t = tokens(text_col)
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)).alias(
+                "bigram"
+            ),
+        ),
+    )
+    return rebalance_scan(df).select(
+        F.col(id_col), F.explode(pairs).alias("__p")
+    ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.bigram").alias("bigram"))
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram model — the classic cheap LM-quality filter (low score =
+    improbable token sequences = boilerplate/garbage; no neural model
+    needed).
+
+    P(w2|w1) = c(w1 w2) / c(w1 ·) from corpus counts; score(doc) =
+    mean over the doc's bigram occurrences of ln P.
+
+    Float determinism (q71 policy): each ln is one IEEE op on an exactly
+    engine-identical quotient, rounded to 10 decimals, summed as exact
+    DECIMAL (order-independent — parallel Spark must match the serial
+    oracle), then one double division and a 6-digit round.
+
+    Scale shape: the bigram/unigram count tables aggregate with map-side
+    combine (vocab²-bounded, not corpus-bounded); scoring re-joins the
+    occurrence table on the bigram key. Nothing ever shuffles text.
+    """
+    big = bigram_table(df, id_col, text_col)
+    # Build the model on the DISTINCT-bigram table (vocab²-bounded):
+    # c(w1 ·) = Σ over bigrams starting w1 of c(bigram), so the w1 totals
+    # come from re-aggregating the small count table — the corpus-sized
+    # occurrence table is only ever joined ONCE (against the finished
+    # per-bigram logp model), not once per count.
+    c_bg = big.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("__cbg"))
+    c_w1 = c_bg.groupBy("w1").agg(F.sum("__cbg").alias("__cw1"))
+    model = c_bg.join(c_w1, "w1").select(
+        "bigram",
+        F.round(F.log(F.col("__cbg").cast("double") / F.col("__cw1")), 10)
+        .cast("decimal(24,10)")
+        .alias("__logp"),
+    )
+    return (
+        big.join(model, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__logp").alias("__slp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.col("__slp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis feature set to a documents table."""
     c = F.col(text_col)

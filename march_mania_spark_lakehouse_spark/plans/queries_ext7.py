@@ -1,0 +1,304 @@
+"""Seventh extension batch: corpus-hygiene operators a training-data
+pipeline runs beyond near-dup removal — exact-substring (canary)
+decontamination, cross-source vocabulary similarity, bigram-LM quality
+scoring, and tokenizer OOV coverage.
+
+Every query is DuckDB-oracled. Float policy (q71): single IEEE ops on
+engine-identical inputs, exact DECIMAL sums where order could differ,
+explicit rounding at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.operators import dedup, text
+from march_mania_spark_lakehouse_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# q117 — exact-substring decontamination (canary / benchmark-string scan).
+# Eval snippets are carved from the corpus itself (every 50th doc's chars
+# 5..44) so hits are guaranteed and both engines derive the identical
+# snippet set from the same table — no side fixture needed.
+# --------------------------------------------------------------------------
+
+_SNIP_EVERY = 50
+_SNIP_FROM = 5
+_SNIP_LEN = 40
+
+_Q117_SQL = f"""
+WITH ev AS (
+    SELECT substr(text, {_SNIP_FROM}, {_SNIP_LEN}) AS snippet
+    FROM documents WHERE doc_id % {_SNIP_EVERY} = 0
+),
+hits AS (
+    SELECT d.doc_id, COUNT(*) AS n_eval_hits
+    FROM documents d JOIN ev ON strpos(d.text, ev.snippet) > 0
+    GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       COALESCE(h.n_eval_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("q117_exact_substring_decontam", oracle=_Q117_SQL, tags=("dedup", "text"))
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal benchmark-string contamination scan: eval snippets
+    broadcast against the corpus with a JVM instr predicate — the strict
+    complement of q87's n-gram overlap (substring match cannot miss).
+    """
+    docs = catalog.load(spark, "documents", sf_dir)
+    snippets = docs.filter(F.col("doc_id") % _SNIP_EVERY == 0).select(
+        F.substring("text", _SNIP_FROM, _SNIP_LEN).alias("snippet")
+    )
+    return dedup.exact_substring_decontaminate(docs, snippets, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q118 — cross-source vocabulary Jaccard (corpus-mix diagnostic).
+# --------------------------------------------------------------------------
+
+_Q118_SQL = """
+WITH vocab AS (
+    SELECT DISTINCT source AS grp, tok AS token
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+sizes AS (SELECT grp, COUNT(*) AS n_vocab FROM vocab GROUP BY grp),
+inter AS (
+    SELECT a.grp AS group_a, b.grp AS group_b, COUNT(*) AS n_inter
+    FROM vocab a JOIN vocab b ON a.token = b.token AND a.grp < b.grp
+    GROUP BY 1, 2
+)
+SELECT i.group_a, i.group_b, i.n_inter,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_vocab + sb.n_vocab - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.grp = i.group_a
+JOIN sizes sb ON sb.grp = i.group_b
+"""
+
+
+@query("q118_source_vocab_jaccard", oracle=_Q118_SQL, tags=("text", "join"))
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: distinct-token sets
+    equi-joined on the token (vocab-sized, never a document cross join).
+    """
+    docs = catalog.load(spark, "documents", sf_dir)
+    return text.vocab_jaccard(docs, "source")
+
+
+# --------------------------------------------------------------------------
+# q119 — bigram-LM quality scores (corpus self-model).
+# --------------------------------------------------------------------------
+
+_Q119_SQL = """
+WITH grams AS (
+    -- DuckDB can't lateral-join generate_series on a column; build the
+    -- bigram list with the 1-based indexed lambda instead (slices are
+    -- INCLUSIVE: t[1:len-1] = first len-1 elements).
+    SELECT doc_id,
+           unnest(list_transform(t[1:len(t) - 1],
+                                 (x, i) -> x || ' ' || t[i + 1])) AS bigram
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+big AS (
+    SELECT doc_id, string_split(bigram, ' ')[1] AS w1, bigram FROM grams
+),
+c_bg AS (SELECT bigram, COUNT(*) AS cbg FROM big GROUP BY bigram),
+c_w1 AS (SELECT w1, COUNT(*) AS cw1 FROM big GROUP BY w1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(ROUND(ln(CAST(cbg AS DOUBLE) / cw1), 10)
+                           AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_logprob
+FROM big JOIN c_bg USING (bigram) JOIN c_w1 USING (w1)
+GROUP BY doc_id
+"""
+
+
+@query("q119_bigram_logprob", oracle=_Q119_SQL, tags=("text", "agg"))
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log P(w2|w1) per document under the corpus's own bigram
+    counts — the no-neural-model LM quality filter. Decimal-exact sum of
+    10-digit-rounded logs keeps the parallel plan hash-equal to the
+    serial oracle."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return text.bigram_logprob_scores(docs, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q120 — tokenizer OOV coverage against the corpus top-k vocabulary.
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_Q120_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+    SELECT token FROM toks GROUP BY token
+    ORDER BY COUNT(*) DESC, token ASC LIMIT {_VOCAB_K}
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@query("q120_oov_rate", oracle=_Q120_SQL, tags=("text", "agg"))
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate vs the corpus top-100 vocab
+    (deterministic count-desc/token-asc tiebreak); vocab broadcast, text
+    never shuffled."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return text.oov_stats(docs, "doc_id", k=_VOCAB_K)
+
+
+# --------------------------------------------------------------------------
+# q121 — map-type function surface (map_from_entries / transform_values /
+# map_filter / map_entries). Maps have no cross-engine literal form, so
+# the comparator sees a canonical sorted "k:v" string; the oracle computes
+# the same entries relationally (DuckDB needs no MAP type to agree).
+# --------------------------------------------------------------------------
+
+_SHARE_MIN = 0.05
+
+_Q121_SQL = f"""
+WITH cnt AS (
+    SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT c_mktsegment, SUM(n) AS total FROM cnt GROUP BY c_mktsegment
+),
+shares AS (
+    SELECT c.c_mktsegment, c.o_orderstatus,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share
+    FROM cnt c JOIN tot t USING (c_mktsegment)
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) FILTER (WHERE share >= {_SHARE_MIN}) AS INT)
+           AS n_major,
+       COALESCE(string_agg(o_orderstatus || ':' || CAST(share AS VARCHAR),
+                           ',' ORDER BY o_orderstatus)
+                    FILTER (WHERE share >= {_SHARE_MIN}), '') AS status_shares
+FROM shares
+GROUP BY c_mktsegment
+"""
+
+
+@query("q121_map_functions", oracle=_Q121_SQL, tags=("map", "agg"))
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark map-column surface end-to-end: per customer segment, build
+    status→count with ``map_from_entries`` (entries pre-sorted for a
+    deterministic map order), convert to shares with
+    ``transform_values``, drop minor statuses with ``map_filter``, and
+    serialize via ``map_entries`` to the canonical string the comparator
+    can hash. One aggregation tree — the map ops are all row-local."""
+    o = catalog.load(spark, "orders", sf_dir)
+    c = catalog.load(spark, "customer", sf_dir)
+    cnt = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = (
+        cnt.groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").alias("__total"),
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct("o_orderstatus", "n"))
+                )
+            ).alias("__m"),
+        )
+        .withColumn(
+            "__shares",
+            F.transform_values(
+                "__m",
+                lambda _, v: F.round(v.cast("double") / F.col("__total"), 6),
+            ),
+        )
+        .withColumn(
+            "__major",
+            F.map_filter("__shares", lambda _, v: v >= F.lit(_SHARE_MIN)),
+        )
+    )
+    entries = F.sort_array(F.map_entries("__major"))
+    return m.select(
+        "c_mktsegment",
+        F.size("__major").alias("n_major"),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("status_shares"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q122 — regex masking / PII-style redaction. The fixture has no PII-like
+# columns, so both engines first derive identical synthetic contact
+# strings from customer keys (printf), then redact — what's under test is
+# regexp_replace/extract_all parity (Java regex vs RE2) and the masking
+# operator shape, which at 100 TB is a map-only scan.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_Q122_SQL = f"""
+WITH raw AS (
+    SELECT c_custkey,
+           printf('user%d@corp%d.example call +1-555-%04d now',
+                  c_custkey, c_nationkey, c_custkey % 10000) AS contact
+    FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS INT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(contact, '{_PHONE_RE}')) AS INT)
+           AS n_phones
+FROM raw
+"""
+
+
+@query("q122_regex_redaction", oracle=_Q122_SQL, tags=("text", "regex"))
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone masking with counts — the PII-scrub pass every corpus
+    release runs. Pure regexp_replace/regexp_extract_all built-ins: map-
+    only, codegen'd, zero shuffle at any scale."""
+    c = catalog.load(spark, "customer", sf_dir)
+    contact = F.format_string(
+        "user%d@corp%d.example call +1-555-%04d now",
+        F.col("c_custkey"),
+        F.col("c_nationkey"),
+        F.col("c_custkey") % 10000,
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(contact, F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(contact, F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )
