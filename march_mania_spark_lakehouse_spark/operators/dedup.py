@@ -139,6 +139,60 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+#: Modulus for the portable (engine-arithmetic) hash family: large prime
+#: < 2^30, so a*h+b stays far inside int64 for the affine parameters used.
+PORTABLE_MOD = 1_000_000_007
+
+
+def _portable_shingle_hash(shingle: Column) -> Column:
+    """Deterministic polynomial hash of a shingle from pure int64
+    arithmetic — identical in any engine (unlike murmur3/xxhash, which
+    are Spark-specific): h ← (31·h + ascii(tok) + len(tok)) mod p folded
+    left-to-right over the shingle's tokens."""
+    per_tok = F.transform(
+        F.split(shingle, " "), lambda t: (F.ascii(t) + F.length(t)).cast("long")
+    )
+    return F.aggregate(
+        per_tok,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * F.lit(31) + x) % F.lit(PORTABLE_MOD),
+    )
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signatures from the portable hash family:
+    mh_s = min over shingles of (a_s·h + b_s) mod p with a_s = 2s+1,
+    b_s = 997s+13 — exactly reproducible in any SQL engine, so unlike
+    :func:`minhash_signatures` (JVM murmur3, recall-tested) this variant
+    is value-verifiable against a DuckDB oracle.
+
+    Shape advantage: the whole signature is computed from the document's
+    own shingle array — map-only, zero shuffle, no shingle explosion; at
+    100 TB signatures stream out of the scan. The cost is interpreted
+    higher-order-function eval per row (outside codegen), which is why
+    the murmur3 + explode form remains the default production path.
+    """
+    shingles = ngram_shingles(text_col, n)
+    hashes = F.transform(shingles, _portable_shingle_hash)
+    cols = [
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (h * F.lit(2 * s + 1) + F.lit(997 * s + 13))
+                % F.lit(PORTABLE_MOD),
+            )
+        ).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return rebalance_scan(df).select(F.col(id_col), *cols)
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,

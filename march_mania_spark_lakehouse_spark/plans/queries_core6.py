@@ -1,0 +1,144 @@
+"""Classic TPC-H join shapes on the driver fixture: Q5 (local-supplier
+volume — the canonical 6-table join with a cycle predicate) and Q10
+(returned-item revenue top-k). These lock in the multi-join planning
+behavior the relational core must keep at scale: small dimensions
+broadcast, the fact table shuffles at most once per key change, and a
+deterministic top-k cut survives any parallelism.
+
+Reference parity: the reference's joins are all small-dim equi-joins
+(SURVEY.md §2.3, src/features/basketball_features_plus.py:91-99); these
+two queries are the same attach-dimensions idiom at its TPC-H-standard
+hardest (cycle predicate through customer↔supplier nation equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.functions.numeric import dsum, sql_dsum
+from march_mania_spark_lakehouse_spark.plans.registry import query
+
+_Q123_SQL = f"""
+SELECT n.n_name,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("q123_tpch_q5_local_volume", oracle=_Q123_SQL, tags=("join", "agg", "tpch"))
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share a nation (the cycle predicate that defeats naive join
+    reordering). Supplier/nation/region broadcast; lineitem⋈orders⋈
+    customer are the only shuffled joins, and the region/date filters
+    reach their scans."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    o = catalog.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = catalog.load(spark, "customer", sf_dir)
+    s = catalog.load(spark, "supplier", sf_dir)
+    n = catalog.load(spark, "nation", sf_dir)
+    r = catalog.load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q126_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+     LATERAL (SELECT c_custkey, c_acctbal
+              FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey
+              LIMIT 2) t
+"""
+
+
+@query("q126_lateral_topn", oracle=_Q126_SQL, tags=("join", "sql"))
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation by
+    account balance, deterministic tiebreak) — the SQL-standard form of
+    per-group top-k; Catalyst decorrelates it to the same window/limit
+    plan as q11's DataFrame formulation, so the lateral surface costs
+    nothing extra at scale. Identical SQL runs on the oracle."""
+    for t in ("nation", "customer"):
+        catalog.load(spark, t, sf_dir).createOrReplaceTempView(f"__q126_{t}")
+    return spark.sql(
+        _Q126_SQL.replace("nation n", "__q126_nation n").replace(
+            "customer c", "__q126_customer c"
+        )
+    )
+
+
+_Q124_SQL = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("q124_tpch_q10_returns", oracle=_Q124_SQL, tags=("join", "agg", "tpch"))
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. The top-k cut is deterministic at any parallelism: revenue
+    is an exact decimal sum and the (revenue desc, custkey) tiebreak is
+    total — so the LIMIT boundary cannot flap between engines. Compiles
+    to TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    li = catalog.load(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = catalog.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    )
+    c = catalog.load(spark, "customer", sf_dir)
+    n = catalog.load(spark, "nation", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )

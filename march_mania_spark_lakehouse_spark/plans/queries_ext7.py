@@ -276,6 +276,48 @@ FROM raw
 """
 
 
+_MH_K = 8
+_MH_P = 1_000_000_007
+
+_Q125_MHS = ",\n       ".join(
+    f"list_min(list_transform(hv, h -> (h * {2 * s + 1} + {997 * s + 13}) "
+    f"% {_MH_P})) AS mh{s}"
+    for s in range(_MH_K)
+)
+
+_Q125_SQL = f"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(t[1:len(t) - 2],
+               (x, i) -> x || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shs
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+hs AS (
+    SELECT doc_id,
+           list_transform(shs, s -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(s, ' '),
+                                  w -> CAST(ascii(w) + length(w) AS BIGINT))),
+               (h, x) -> (h * 31 + x) % {_MH_P})) AS hv
+    FROM sh
+)
+SELECT doc_id,
+       {_Q125_MHS}
+FROM hs
+"""
+
+
+@query("q125_minhash_portable", oracle=_Q125_SQL, tags=("dedup", "text"))
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash signatures (polynomial shingle hash +
+    affine family, pure int64 arithmetic) — the value-verifiable
+    counterpart of q28's murmur3 signatures, and map-only: the whole
+    signature computes from each document's own shingle array with zero
+    shuffle."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return dedup.minhash_signatures_portable(docs, "doc_id", num_hashes=_MH_K)
+
+
 @query("q122_regex_redaction", oracle=_Q122_SQL, tags=("text", "regex"))
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/phone masking with counts — the PII-scrub pass every corpus

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -114,3 +115,46 @@ def rollback(root: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, _pointer(root))
+
+
+def analyze_table(
+    spark: SparkSession,
+    table: str,
+    columns: "Sequence[str] | None" = None,
+) -> dict:
+    """ANALYZE a managed table and return the recorded statistics.
+
+    Runs ``ANALYZE TABLE ... COMPUTE STATISTICS`` (table-level sizeInBytes
+    + rowCount) and, when ``columns`` is given, ``FOR COLUMNS ...``
+    (per-column ndv/nulls/min/max histograms) — the inputs the cost-based
+    optimizer (``spark.sql.cbo.enabled``) needs for join reordering and
+    build-side selection. At 100 TB this is what lets the planner
+    broadcast a filtered dimension whose *file* size looks huge but whose
+    *post-filter* cardinality is tiny, without AQE having to discover it
+    at runtime.
+
+    Returns ``{"rowCount": int|None, "sizeInBytes": int|None,
+    "columns": {col: {stat: value}}}`` parsed from the catalog.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(columns)
+        )
+    detail = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    stats = detail.get("Statistics", "") or ""
+    out: dict = {"rowCount": None, "sizeInBytes": None, "columns": {}}
+    for part in stats.split(","):
+        part = part.strip()
+        if part.endswith("bytes"):
+            out["sizeInBytes"] = int(part.split()[0])
+        elif part.endswith("rows"):
+            out["rowCount"] = int(part.split()[0])
+    for col in columns or ():
+        rows = spark.sql(f"DESCRIBE EXTENDED {table} {col}").collect()
+        out["columns"][col] = {r["info_name"]: r["info_value"] for r in rows}
+    return out

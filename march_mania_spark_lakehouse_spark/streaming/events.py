@@ -76,6 +76,52 @@ def streaming_tumbling_agg(
     )
 
 
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, session) aggregate over gap-based ``session_window`` —
+    the batch form; identical plan to q63_session_window_native."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(value_col, "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 second",
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Structured Streaming sessionization: the SAME ``session_window``
+    plan with a watermark. Sessions merge across micro-batches in the
+    state store and finalize (append-mode emit + state eviction) once
+    the watermark passes session_end + gap — state is bounded by open
+    sessions per key, not stream length. The tail of sessions still open
+    at end-of-stream stays in state (append-mode semantics), which is
+    exactly what a resumable 100 TB ingest wants.
+    """
+    return session_agg(
+        stream.withWatermark(ts_col, watermark), gap, keys, ts_col, value_col
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     key_cols: Sequence[str] = ("event_id",),

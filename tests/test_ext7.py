@@ -109,3 +109,37 @@ def test_exact_substring_scan_has_no_python_workers(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_portable_minhash_detects_planted_dups(spark):
+    """Identical texts must produce identical signatures; a near-dup
+    (one token changed) must agree on most components; an unrelated doc
+    must not."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "busy")
+    other = "completely different content about spark shuffles and parquet files"
+    df = _docs(spark, [(1, base), (2, base), (3, near), (4, other)])
+    sig = {
+        r.doc_id: [r[f"mh{s}"] for s in range(8)]
+        for r in dedup.minhash_signatures_portable(
+            df, "doc_id", num_hashes=8
+        ).collect()
+    }
+    assert sig[1] == sig[2]
+    agree_near = sum(a == b for a, b in zip(sig[1], sig[3]))
+    agree_other = sum(a == b for a, b in zip(sig[1], sig[4]))
+    assert agree_near >= 4  # high Jaccard → most minhashes agree
+    assert agree_other == 0
+
+
+def test_portable_minhash_is_map_only(spark):
+    """The portable signature plan must contain no Exchange — signatures
+    stream straight out of the scan."""
+    df = _docs(spark, [(1, "a b c d e")])
+    plan = (
+        dedup.minhash_signatures_portable(df, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

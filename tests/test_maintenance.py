@@ -42,3 +42,33 @@ def test_snapshot_publish_time_travel_rollback(spark, sf_dir, tmp_path):
     mt.rollback(root, 0)
     assert mt.latest_version(root) == 0
     assert abs(mt.read_snapshot(spark, root).agg(F.sum("value")).first()[0] - s_old) < 1e-6
+
+
+def test_analyze_table_records_cbo_stats(spark, sf_dir, tmp_path):
+    """ANALYZE must record table rowCount/sizeInBytes and per-column ndv
+    in the catalog, and the logical plan must pick the stats up (CBO's
+    planning input: exact rowCount instead of a size guess)."""
+    from march_mania_spark_lakehouse_spark import catalog as cat
+    from march_mania_spark_lakehouse_spark.sources.maintenance import analyze_table
+
+    tbl = "orders_stats_test"
+    cat.load(spark, "orders", sf_dir).write.mode("overwrite").saveAsTable(tbl)
+    try:
+        n = spark.table(tbl).count()
+        stats = analyze_table(spark, tbl, columns=["o_orderstatus", "o_custkey"])
+        assert stats["rowCount"] == n
+        assert stats["sizeInBytes"] and stats["sizeInBytes"] > 0
+        ndv = int(stats["columns"]["o_orderstatus"]["distinct_count"])
+        assert 1 <= ndv <= 4  # 3 statuses ± HLL estimation slack
+        # with CBO on, the optimizer sees the analyzed rowCount on the
+        # relation (without it, plans only carry a sizeInBytes guess)
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            plan_stats = (
+                spark.table(tbl)._jdf.queryExecution().optimizedPlan().stats()
+            )
+            assert plan_stats.rowCount().get() == n
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -198,3 +198,22 @@ def test_no_query_uses_cartesian_or_row_python(spark, sf_dir):
         plan = _plan(spec.fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
         assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
+
+
+def test_tpch_q5_filters_reach_every_scan(spark, sf_dir):
+    """q123: the region equality and the order-date range must be pushed
+    into their parquet scans, and no SortMergeJoin appears at a scale
+    where every dimension fits a broadcast."""
+    plan = _plan(all_queries()["q123_tpch_q5_local_volume"].fn(spark, sf_dir))
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q10_topk_is_heap_not_global_sort(spark, sf_dir):
+    """q124: LIMIT over ORDER BY must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global Sort, and the
+    returnflag filter must reach the lineitem scan."""
+    plan = _plan(all_queries()["q124_tpch_q10_returns"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan

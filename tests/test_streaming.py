@@ -246,3 +246,45 @@ def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(src).join(dim, "user_id", "left").collect()
     }
     assert got == expect
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming session_window must emit exactly the batch sessions for
+    every session the final watermark closed; sessions still open at
+    end-of-stream legitimately remain in state (append-mode contract),
+    so the comparison is: streamed ⊆ batch, and every batch session that
+    closed before the final watermark was streamed."""
+    batch_events = catalog.load(spark, "events", sf_dir)
+    src = str(tmp_path / "session_src")
+    # multiple files → several micro-batches; sessions must merge across
+    batch_events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(src)
+    agg = ev_ops.streaming_session_agg(stream, gap="30 minutes", watermark="1 second")
+
+    sink = f"session_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    batch = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.sum_value)
+        for r in ev_ops.session_agg(batch_events, gap="30 minutes").collect()
+    }
+    assert streamed, "no sessions emitted"
+    # every emitted session is bit-identical to its batch counterpart
+    for k, v in streamed.items():
+        assert batch[k] == v, k
+    # and the only batch sessions missing are the end-of-stream tail the
+    # watermark never closed
+    max_ts = batch_events.agg(F.max("ts")).first()[0]
+    import datetime
+    horizon = max_ts - datetime.timedelta(seconds=1) - datetime.timedelta(minutes=30)
+    missing = {k for k in batch if k not in streamed}
+    assert all(k[1] > horizon for k in missing), sorted(missing)[:5]
