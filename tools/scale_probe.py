@@ -30,7 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from march_mania_spark_lakehouse_spark.plans import all_queries  # noqa: E402
 from march_mania_spark_lakehouse_spark.session import get_spark  # noqa: E402
 
-K = 10
+K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
 SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BIG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".scale_test", f"x{K}")
@@ -52,17 +52,24 @@ SINGLE_COPY = ("region", "nation")
 #: large, collision-free stride (all fixture keys are far below this)
 STRIDE = 10_000_000
 
-PROBES = (
-    "q01_pricing_summary",      # full-scan agg
-    "q02_star_join_revenue",    # star join (broadcast dims)
-    "q11_topk_orders_per_customer",  # window top-k
-    "q20_exact_dedup",          # hash dedup
-    "q43_sessionize",           # event-time windows
-    "q25_cosine_topk",          # similarity brute force
-    "q87_decontamination",      # broadcast shingle semi-join
-    "q54_salted_agg",           # skew-mitigated agg
-    "q105_cohort_retention",    # behavioral double-shuffle
-    "q119_bigram_logprob",      # corpus LM scoring
+PROBES = tuple(
+    os.environ.get(
+        "SPARK_GRAFT_SCALE_PROBES",
+        ",".join(
+            (
+                "q01_pricing_summary",      # full-scan agg
+                "q02_star_join_revenue",    # star join (broadcast dims)
+                "q11_topk_orders_per_customer",  # window top-k
+                "q20_exact_dedup",          # hash dedup
+                "q43_sessionize",           # event-time windows
+                "q25_cosine_topk",          # similarity brute force
+                "q87_decontamination",      # broadcast shingle semi-join
+                "q54_salted_agg",           # skew-mitigated agg
+                "q105_cohort_retention",    # behavioral double-shuffle
+                "q119_bigram_logprob",      # corpus LM scoring
+            )
+        ),
+    ).split(",")
 )
 
 
