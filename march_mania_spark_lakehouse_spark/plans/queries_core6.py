@@ -71,6 +71,86 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q127_SQL = """
+WITH versions AS (
+    SELECT user_id, ts AS valid_from,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS DOUBLE) AS cum_value
+    FROM events WHERE event_type = 'purchase'
+),
+dim AS (
+    -- ties on valid_from keep the latest version (as-of determinism
+    -- contract); separate CTE because windows cannot nest
+    SELECT * FROM versions
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+                               ORDER BY n_purchases DESC) = 1
+),
+clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       d.n_purchases AS asof_n_purchases,
+       d.cum_value AS asof_cum_value
+FROM clicks c
+ASOF LEFT JOIN dim d ON c.user_id = d.user_id AND d.valid_from <= c.ts
+"""
+
+
+@query("q127_point_in_time_join", oracle=_Q127_SQL, tags=("join", "temporal"))
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time lookup: a versioned dimension (each
+    purchase opens a new version carrying the user's running purchase
+    count and decimal-exact cumulative spend) joined AS-OF each click's
+    event time — the leakage-free feature-attach every training pipeline
+    needs (a click must never see a later version). Built from the same
+    union+window as-of machinery as q57 (one shuffle on the key, one
+    ordered pass, no range explosion); versions tied on valid_from are
+    pre-deduped to the latest, the determinism contract of as-of."""
+    from pyspark.sql import Window
+
+    from march_mania_spark_lakehouse_spark.operators import temporal
+
+    ev = catalog.load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("n_purchases", F.row_number().over(w))
+        .withColumn(
+            "cum_value",
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double"),
+        )
+        .select(
+            "user_id", F.col("ts").alias("valid_from"), "n_purchases", "cum_value"
+        )
+    )
+    w_tie = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.col("n_purchases").desc()
+    )
+    dim = (
+        dim.withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal.asof_join(
+        clicks,
+        dim,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["n_purchases", "cum_value"],
+        strict=False,
+    )
+    return out.select(
+        "event_id", "user_id", "asof_n_purchases", "asof_cum_value"
+    )
+
+
 _Q126_SQL = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n,
