@@ -61,6 +61,32 @@ def get_spark(
         # records the last ~2000 chars; \r progress frames are pure noise).
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Object-store connector (reference S6: S3A → MinIO, src/common/
+    # spark.py:63-72): same spark.hadoop.fs.s3a.* surface, env-gated so
+    # local runs pay nothing. Endpoint implies path-style access +
+    # static credentials, the self-hosted object-store contract.
+    endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+    if endpoint:
+        builder = (
+            builder.config("spark.hadoop.fs.s3a.endpoint", endpoint)
+            .config("spark.hadoop.fs.s3a.path.style.access", "true")
+            .config(
+                "spark.hadoop.fs.s3a.connection.ssl.enabled",
+                os.environ.get("SPARK_GRAFT_S3_SSL", "false"),
+            )
+            .config(
+                "spark.hadoop.fs.s3a.access.key",
+                os.environ.get("SPARK_GRAFT_S3_ACCESS_KEY", ""),
+            )
+            .config(
+                "spark.hadoop.fs.s3a.secret.key",
+                os.environ.get("SPARK_GRAFT_S3_SECRET_KEY", ""),
+            )
+            .config(
+                "spark.hadoop.fs.s3a.aws.credentials.provider",
+                "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -188,3 +188,46 @@ def test_xml_source_and_column_parse(spark, tmp_path):
         [(1, "<m><k>7</k></m>")], "id long, payload string"
     ).select("id", F.from_xml("payload", "k INT").alias("x"))
     assert s.select(F.col("x.k")).first()[0] == 7
+
+
+def test_s3a_conf_surface_is_env_gated(monkeypatch):
+    """With SPARK_GRAFT_S3_ENDPOINT set, the builder must carry the full
+    spark.hadoop.fs.s3a.* surface (endpoint, path-style, creds); without
+    it, no s3a conf is added. Checked on the builder's options dict —
+    no session is created (getOrCreate would reuse the live one)."""
+    import importlib
+
+    from march_mania_spark_lakehouse_spark import session as sess
+
+    monkeypatch.setenv("SPARK_GRAFT_S3_ENDPOINT", "http://minio.local:9000")
+    monkeypatch.setenv("SPARK_GRAFT_S3_ACCESS_KEY", "ak")
+    monkeypatch.setenv("SPARK_GRAFT_S3_SECRET_KEY", "sk")
+    importlib.reload(sess)
+
+    captured = {}
+
+    class FakeBuilder:
+        def config(self, k, v):
+            captured[k] = v
+            return self
+
+        def master(self, *_):
+            return self
+
+        def appName(self, *_):
+            return self
+
+        def getOrCreate(self):
+            raise RuntimeError("stop before session creation")
+
+    monkeypatch.setattr(
+        sess.SparkSession, "builder", FakeBuilder(), raising=False
+    )
+    try:
+        sess.get_spark("s3a_test")
+    except RuntimeError:
+        pass
+    assert captured["spark.hadoop.fs.s3a.endpoint"] == "http://minio.local:9000"
+    assert captured["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert captured["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert captured["spark.hadoop.fs.s3a.secret.key"] == "sk"
