@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,9 +86,16 @@ def latest_version(root: str) -> int | None:
 
 def write_snapshot(df: DataFrame, root: str) -> int:
     """Write the next version directory, then flip the `_LATEST` pointer
-    (data first, pointer last = atomic publish). Returns the version."""
+    (data first, pointer last = atomic publish). Returns the version.
+
+    The new version is allocated ABOVE every retained version, not
+    pointer+1 — publishing after a rollback must branch forward (v3
+    published, v4..v6 retained → next is v7), never silently overwrite
+    a retained directory."""
     cur = latest_version(root)
-    nxt = 0 if cur is None else cur + 1
+    existing = retained_versions(root)
+    floor = max([cur if cur is not None else -1, *existing], default=-1)
+    nxt = floor + 1
     df.write.mode("overwrite").parquet(_version_dir(root, nxt))
     os.makedirs(root, exist_ok=True)
     tmp = _pointer(root) + ".tmp"
@@ -115,6 +123,46 @@ def rollback(root: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, _pointer(root))
+
+
+def retained_versions(root: str) -> list[int]:
+    """All version numbers physically present under ``root``, ascending."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    out = []
+    for name in names:
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def vacuum(root: str, keep_last: int = 2) -> list[int]:
+    """Drop snapshot versions older than the newest ``keep_last``,
+    NEVER dropping the published (`_LATEST`) version even if it is old
+    (post-rollback safety: a pointer at v3 with v8/v9 retained must not
+    lose v3). Returns the versions removed.
+
+    Retention is the other half of versioned snapshots: without it a
+    100 TB table republished daily doubles its footprint every
+    ``keep_last`` days. Deletion order is oldest-first and the pointer
+    is never touched, so a reader that resolved `_LATEST` before the
+    vacuum still reads a fully retained version.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = retained_versions(root)
+    keep = set(versions[-keep_last:])
+    cur = latest_version(root)
+    if cur is not None:
+        keep.add(cur)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(_version_dir(root, v))
+            removed.append(v)
+    return removed
 
 
 def analyze_table(

@@ -72,3 +72,61 @@ def test_analyze_table_records_cbo_stats(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", "false")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_vacuum_retains_published_and_newest(spark, sf_dir, tmp_path):
+    """vacuum(keep_last=2) after 5 publishes drops v0..v2; after a
+    rollback to an old version, vacuum must keep the published version
+    even though it is outside the newest-2 window."""
+    from march_mania_spark_lakehouse_spark import catalog as cat
+    from march_mania_spark_lakehouse_spark.sources.maintenance import (
+        read_snapshot,
+        retained_versions,
+        rollback,
+        vacuum,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    df = cat.load(spark, "region", sf_dir)
+    for i in range(5):
+        write_snapshot(df.withColumn("v", F.lit(i)), root)
+
+    removed = vacuum(root, keep_last=2)
+    assert removed == [0, 1, 2]
+    assert retained_versions(root) == [3, 4]
+    assert read_snapshot(spark, root).select("v").first().v == 4
+
+    # grow to v5/v6, roll back to v3, vacuum keep_last=1: the published
+    # v3 must survive alongside the newest v6
+    write_snapshot(df.withColumn("v", F.lit(5)), root)
+    write_snapshot(df.withColumn("v", F.lit(6)), root)
+    rollback(root, 3)
+    removed = vacuum(root, keep_last=1)
+    assert 3 not in removed
+    assert set(retained_versions(root)) == {3, 6}
+    assert read_snapshot(spark, root).select("v").first().v == 3
+
+
+def test_publish_after_rollback_branches_forward(spark, sf_dir, tmp_path):
+    """Publishing after a rollback must allocate above every retained
+    version (v3 published, v4 retained -> next is v5), never overwrite."""
+    from march_mania_spark_lakehouse_spark import catalog as cat
+    from march_mania_spark_lakehouse_spark.sources.maintenance import (
+        read_snapshot,
+        retained_versions,
+        rollback,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snap_branch")
+    df = cat.load(spark, "region", sf_dir)
+    for i in range(5):
+        write_snapshot(df.withColumn("v", F.lit(i)), root)
+    rollback(root, 3)
+    v = write_snapshot(df.withColumn("v", F.lit(99)), root)
+    assert v == 5  # above the retained v4, not pointer+1 == 4
+    assert retained_versions(root) == [0, 1, 2, 3, 4, 5]
+    # v4's original content is untouched
+    assert read_snapshot(spark, root, version=4).select("v").first().v == 4
+    assert read_snapshot(spark, root).select("v").first().v == 99
