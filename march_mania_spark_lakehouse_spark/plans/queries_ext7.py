@@ -318,6 +318,52 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures_portable(docs, "doc_id", num_hashes=_MH_K)
 
 
+_Q128_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+    SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+),
+tot AS (
+    SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id
+)
+SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(-(CAST(c.c AS DOUBLE) / t.n)
+                                     * ln(CAST(c.c AS DOUBLE) / t.n), 10)
+                           AS DECIMAL(24,10))) AS DOUBLE), 6) AS token_entropy
+FROM cnt c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n
+"""
+
+
+@query("q128_token_entropy", oracle=_Q128_SQL, tags=("text", "agg"))
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    classic repetitiveness/diversity quality filter (near-zero entropy =
+    a document repeating a few tokens). Same determinism recipe as q119:
+    each −p·ln p term is IEEE ops on engine-identical quotients, rounded
+    to 10 digits, summed as exact DECIMAL so any parallel plan matches
+    the serial oracle. Two hash aggregates on (doc, token) → (doc);
+    text never shuffles."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    toks = text.token_table(docs, "doc_id")
+    cnt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 10).cast("decimal(24,10)")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("token_entropy"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            "token_entropy",
+        )
+    )
+
+
 @query("q122_regex_redaction", oracle=_Q122_SQL, tags=("text", "regex"))
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/phone masking with counts — the PII-scrub pass every corpus

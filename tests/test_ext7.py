@@ -143,3 +143,31 @@ def test_portable_minhash_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_token_entropy_hand_computed(spark):
+    """Uniform distribution over k tokens → ln(k); single repeated
+    token → 0."""
+    import math
+
+    from march_mania_spark_lakehouse_spark.plans import all_queries
+
+    # run the registered query shape on a tiny in-memory table via the
+    # operator's own building blocks
+    from march_mania_spark_lakehouse_spark.operators import text as t
+
+    df = _docs(spark, [(1, "a b c d"), (2, "x x x x")])
+    toks = t.token_table(df, "doc_id")
+    cnt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 10).cast("decimal(24,10)")
+    out = {
+        r.doc_id: r.e
+        for r in cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("e"))
+        .collect()
+    }
+    assert out[1] == round(4 * round(0.25 * math.log(4), 10), 6)
+    assert out[2] == 0.0
