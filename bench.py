@@ -26,6 +26,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    # The driver records the tail of this process's output next to the
+    # parsed JSON line; JVM WARN spam (e.g. WindowExec on a deliberate
+    # 256-row unpartitioned cumulative) bloats that artifact, so bench
+    # runs at ERROR — failures still surface, chatter doesn't.
+    spark.sparkContext.setLogLevel("ERROR")
 
     specs = {n: s for n, s in sorted(all_queries().items()) if s.bench}
 

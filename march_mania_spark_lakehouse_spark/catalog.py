@@ -15,6 +15,7 @@ a one-line env change (reference: `local_overrides/src/common/paths.py`).
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -166,23 +167,31 @@ def _parquet_ts_unit(path: str, col: str) -> str:
     """Sniff a timestamp column's physical unit from the parquet footer.
 
     Footer-only metadata read (cheap even on a 100 TB lake — one file's
-    footer). Falls back to 'us' when the footer can't be read (e.g. a
-    directory of parts — sniff the first part instead).
+    footer). Falls back to 'us' with a loud warning when the footer can't
+    be read — a silent fallback on an ns-unit file would load every
+    timestamp 1000× too large. ImportError (pyarrow genuinely absent)
+    propagates: this module already hard-depends on the sniff for events
+    correctness, so a missing dep should fail the job, not skew the data.
     """
-    try:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq  # hard dep: silent absence would corrupt ts
 
-        p = path
-        if os.path.isdir(p):
-            parts = sorted(
-                f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith("_")
-            )
-            if not parts:
-                return "us"
-            p = os.path.join(p, parts[0])
+    p = path
+    if os.path.isdir(p):
+        parts = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        if not parts:
+            return "us"
+        p = os.path.join(p, parts[0])
+    try:
         t = pq.read_schema(p).field(col).type
         return getattr(t, "unit", "us") or "us"
-    except Exception:
+    except (OSError, KeyError, ValueError) as exc:  # unreadable footer / missing col
+        warnings.warn(
+            f"could not sniff timestamp unit for {p!r} ({exc}); assuming 'us' — "
+            "verify the fixture if events timestamps look off by 1000x",
+            stacklevel=2,
+        )
         return "us"
 
 

@@ -83,20 +83,59 @@ def shingle_table(
     )
 
 
+def drop_hot_shingles(
+    sh: DataFrame, id_col: str, max_df: float
+) -> DataFrame:
+    """Drop "stop shingles" whose document frequency exceeds
+    ``max_df`` (fraction of distinct documents) from a (id, shingle)
+    table — standard MinHash practice.
+
+    Why this matters at 100 TB: a single corpus-wide shingle ("in the
+    of ") puts every document in one join bucket, and the candidate
+    self-join cost is Σ bucket² — one bucket holding 30% of N documents
+    costs 0.09·N², i.e. the all-pairs blowup LSH exists to avoid. The
+    hot set itself is tiny by definition (few shingles can exceed X% of
+    docs), so it broadcasts and the guard is a map-side anti-join — no
+    extra shuffle on the corpus-sized table.
+
+    Semantics: downstream Jaccard is computed over the *filtered*
+    shingle universe (both intersections and set sizes), the same
+    approximation every production near-dup pipeline makes. Pass
+    ``max_df=None`` upstream to keep exact semantics.
+    """
+    n_docs = sh.agg(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("__df") > F.col("__n_docs") * F.lit(max_df))
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.0,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
 
     |A∩B| from a self-equi-join on shingle; |A∪B| = |A|+|B|−|A∩B|.
     Output: (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 digits.
-    At scale, run *after* LSH banding (minhash_candidates) to bound pairs.
+    At scale, run *after* LSH banding (minhash_candidates) to bound pairs,
+    and set ``max_df`` (e.g. 0.5) so a corpus-wide stop-shingle can't
+    recreate the all-pairs join this operator exists to avoid — see
+    :func:`drop_hot_shingles`. Default ``None`` keeps exact semantics.
     """
     sh = shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = drop_hot_shingles(sh, id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -148,7 +187,17 @@ def _portable_shingle_hash(shingle: Column) -> Column:
     """Deterministic polynomial hash of a shingle from pure int64
     arithmetic — identical in any engine (unlike murmur3/xxhash, which
     are Spark-specific): h ← (31·h + ascii(tok) + len(tok)) mod p folded
-    left-to-right over the shingle's tokens."""
+    left-to-right over the shingle's tokens.
+
+    BMP/ASCII-corpus assumption: ``ascii(tok)`` is only cross-engine
+    portable for tokens whose first char is in the Basic Multilingual
+    Plane — Spark's ``ascii`` returns the first UTF-16 *code unit* while
+    DuckDB's returns the Unicode *codepoint*, so astral-plane leading
+    chars (emoji, 𝄞 → 55348 vs 119070) diverge. The fixture corpus is
+    ASCII; for a non-ASCII corpus use :func:`minhash_signatures`
+    (murmur3 family, recall-tested) instead — this portable family
+    exists purely so the oracle can value-check the MinHash math.
+    """
     per_tok = F.transform(
         F.split(shingle, " "), lambda t: (F.ascii(t) + F.length(t)).cast("long")
     )
@@ -200,10 +249,20 @@ def minhash_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; docs colliding in any
     band are candidate near-duplicates. Output: (id_a, id_b) distinct,
-    id_a < id_b."""
+    id_a < id_b.
+
+    ``max_bucket`` caps membership of a single (band, hash) bucket:
+    pair-generation cost is Σ bucket², so one mega-bucket (boilerplate
+    corpora where a band of minhashes is corpus-constant) detonates even
+    though the *average* bucket is tiny. Buckets over the cap are
+    dropped — their members still pair through their other (bands−1)
+    buckets, which is the standard banded-LSH degradation. The over-cap
+    bucket list is tiny by construction, so the guard broadcasts.
+    """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = []
@@ -215,6 +274,16 @@ def minhash_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    if max_bucket is not None:
+        over = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "bh")
+        )
+        buckets = buckets.join(
+            F.broadcast(over), on=["band", "bh"], how="left_anti"
+        )
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (
@@ -379,6 +448,7 @@ def near_dup_dedup(
     threshold: float = 0.6,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The complete near-duplicate removal pipeline in one operator —
     what an LLM corpus actually runs before training:
@@ -404,7 +474,9 @@ def near_dup_dedup(
 
     sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_sh"))
-    cand = minhash_candidates(df, id_col, text_col, n, num_hashes, bands)
+    cand = minhash_candidates(
+        df, id_col, text_col, n, num_hashes, bands, max_bucket=max_bucket
+    )
     a_sh = cand.join(
         sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
     )

@@ -188,7 +188,7 @@ shares AS (
 SELECT c_mktsegment,
        CAST(COUNT(*) FILTER (WHERE share >= {_SHARE_MIN}) AS INT)
            AS n_major,
-       COALESCE(string_agg(o_orderstatus || ':' || CAST(share AS VARCHAR),
+       COALESCE(string_agg(o_orderstatus || ':' || printf('%.6f', share),
                            ',' ORDER BY o_orderstatus)
                     FILTER (WHERE share >= {_SHARE_MIN}), '') AS status_shares
 FROM shares
@@ -240,7 +240,12 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 entries,
-                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+                # fixed %.6f on BOTH sides: a raw double cast diverges
+                # cross-engine (Java Double.toString goes scientific
+                # outside [1e-3, 1e7); DuckDB prints plain decimals)
+                lambda e: F.concat_ws(
+                    ":", e["key"], F.format_string("%.6f", e["value"])
+                ),
             ),
             ",",
         ).alias("status_shares"),

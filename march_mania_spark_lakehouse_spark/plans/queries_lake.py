@@ -9,13 +9,17 @@ reachability closure.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.functions.numeric import dsum, sql_dsum
 from march_mania_spark_lakehouse_spark.operators.graph import connected_components
 from march_mania_spark_lakehouse_spark.operators.merge import merge_upsert, scd2_apply
 from march_mania_spark_lakehouse_spark.plans.registry import query
+from march_mania_spark_lakehouse_spark.sources import maintenance
 
 # --------------------------------------------------------------------------
 # q81 — MERGE-style upsert: one changeset carrying updates (urgent-order
@@ -205,4 +209,70 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q129 — manifest-pruned range scan (Iceberg's read path on the snapshot
+# layer, sources/maintenance.py): publish orders range-clustered on
+# o_orderkey with a per-file min/max manifest, then answer a range query
+# planning the file set FROM THE MANIFEST — non-overlapping files are
+# never opened. Pruning is semantically invisible, so the oracle is the
+# plain filtered aggregate over the source table.
+# --------------------------------------------------------------------------
+
+_Q129_LO, _Q129_HI = 1000, 5000
+
+_Q129_SQL = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+WHERE o_orderkey BETWEEN {_Q129_LO} AND {_Q129_HI}
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_lake_root(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent per-fixture publish of the clustered orders snapshot.
+
+    The lake root is keyed by the source fixture's identity (path +
+    mtime + size), so a driver-regenerated fixture gets a fresh publish
+    instead of stale files — and repeated bench runs reuse the existing
+    version instead of republishing.
+    """
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_lake", fp)
+    if maintenance.latest_version(root) is None:
+        clustered = (
+            catalog.load(spark, "orders", sf_dir)
+            .repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+        )
+        maintenance.write_snapshot(clustered, root, stat_cols=["o_orderkey"])
+    return root
+
+
+@query("q129_manifest_pruned_scan", oracle=_Q129_SQL, tags=("lake", "agg"))
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregate over the published lake table via
+    ``maintenance.scan_pruned``: the planner reads the #files-row
+    manifest, keeps only files whose [min,max] overlaps the range, and
+    the residual filter restores exact semantics. At 100 TB this is the
+    difference between opening ~millions of footers and reading KBs of
+    manifest — identical answers either way (this oracle proves it)."""
+    root = _orders_lake_root(spark, sf_dir)
+    pruned = maintenance.scan_pruned(
+        spark, root, "o_orderkey", _Q129_LO, _Q129_HI
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
     )

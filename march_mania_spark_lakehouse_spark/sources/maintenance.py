@@ -18,6 +18,21 @@ ingested 100 TB lake cannot live without:
   poor-man's form of what Delta/Iceberg transaction logs provide, with
   the same reader contract (readers never observe a half-written
   version because the pointer flips only after the data lands).
+- **manifest-based data skipping** — Iceberg's core read-path idea:
+  each published version carries a per-file min/max/count *manifest*
+  (`v=N/_manifest/`, computed at publish time), and a range scan
+  consults the manifest — #files rows — to choose which data files to
+  open instead of listing the directory and reading every footer. See
+  `scan_pruned`. At 100 TB the manifest is the difference between a
+  planner touching KBs of metadata and opening millions of files.
+
+Why not the real `.format("delta")` / `.format("iceberg")` path: the
+connector jars are not in this container's pyspark distribution and the
+sandbox has no network (repo1.maven.org unresolvable — verified), so
+`spark.jars.packages` cannot fetch them; `sources/writers.write_table`
+keeps the format-pluggable call site for clusters that ship the jars,
+and this module provides the transaction-log semantics (atomic publish,
+time travel, rollback, vacuum, file-stats manifests) on plain parquet.
 """
 
 from __future__ import annotations
@@ -28,14 +43,18 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_stats(path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) for a parquet directory tree."""
+    """(n_data_files, total_bytes) for a parquet directory tree,
+    honoring the reader's hidden-file convention (`_*`/`.*` children —
+    _SUCCESS, _manifest — are metadata, not data)."""
     n, total = 0, 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 n += 1
                 total += os.path.getsize(os.path.join(root, f))
     return n, total
@@ -84,19 +103,48 @@ def latest_version(root: str) -> int | None:
         return None
 
 
-def write_snapshot(df: DataFrame, root: str) -> int:
+def _manifest_dir(root: str, version: int) -> str:
+    # Underscore prefix: parquet directory scans ignore `_*` children
+    # (same convention as _SUCCESS/_metadata), so the manifest can live
+    # inside its version dir — colocated, vacuumed with it — without
+    # polluting `read_snapshot`'s data scan.
+    return os.path.join(_version_dir(root, version), "_manifest")
+
+
+def write_snapshot(
+    df: DataFrame, root: str, stat_cols: "Sequence[str] | None" = None
+) -> int:
     """Write the next version directory, then flip the `_LATEST` pointer
     (data first, pointer last = atomic publish). Returns the version.
 
     The new version is allocated ABOVE every retained version, not
     pointer+1 — publishing after a rollback must branch forward (v3
     published, v4..v6 retained → next is v7), never silently overwrite
-    a retained directory."""
+    a retained directory.
+
+    ``stat_cols`` opts the version into Iceberg-style manifests: after
+    the data lands (and before the pointer flips — a published version
+    always has its manifest), a per-file min/max/count table over those
+    columns is written to ``v=N/_manifest/``. `scan_pruned` then plans
+    range scans from the manifest instead of the directory listing.
+    Publish-time stats cost one extra read of the just-written version —
+    the same trade Iceberg/Delta make by collecting stats in the writer.
+    """
+    from march_mania_spark_lakehouse_spark.operators.sketch import (
+        file_stats_manifest,
+    )
+
     cur = latest_version(root)
     existing = retained_versions(root)
     floor = max([cur if cur is not None else -1, *existing], default=-1)
     nxt = floor + 1
     df.write.mode("overwrite").parquet(_version_dir(root, nxt))
+    if stat_cols:
+        spark = df.sparkSession
+        data = spark.read.parquet(_version_dir(root, nxt))
+        file_stats_manifest(data, stat_cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_manifest_dir(root, nxt))
     os.makedirs(root, exist_ok=True)
     tmp = _pointer(root) + ".tmp"
     with open(tmp, "w") as f:
@@ -113,6 +161,61 @@ def read_snapshot(
     if v is None:
         raise FileNotFoundError(f"no snapshot published under {root}")
     return spark.read.parquet(_version_dir(root, v))
+
+
+def read_manifest(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The file-stats manifest of `_LATEST` (default) or any retained
+    version: (file, n_rows, min_<c>, max_<c>…), one row per data file."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot published under {root}")
+    mdir = _manifest_dir(root, v)
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(
+            f"version {v} under {root} was published without stat_cols "
+            "(no manifest) — pass stat_cols to write_snapshot"
+        )
+    return spark.read.parquet(mdir)
+
+
+def scan_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Manifest-driven range scan: read ONLY the data files whose
+    [min, max] for ``col`` overlaps [lo, hi], then apply the residual
+    row filter.
+
+    This is Iceberg's read path on the homegrown snapshot layer: the
+    planner's input is the manifest (#files rows, collected driver-side
+    — exactly the metadata a query planner holds), never a directory
+    listing, and non-overlapping files are not opened at all — no
+    footer read, no task. Sound because `prune_files` keeps every file
+    that *could* contain a match; the residual filter restores exact
+    row semantics inside kept files. Equal to a full-scan+filter by
+    construction (pinned by the parity test in test_maintenance.py).
+    """
+    from march_mania_spark_lakehouse_spark.operators.sketch import prune_files
+
+    v = latest_version(root) if version is None else version
+    keep = [
+        r["file"]
+        for r in prune_files(read_manifest(spark, root, v), col, lo, hi).collect()
+    ]
+    vdir = _version_dir(root, v)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        # schema-only scan of the version dir; no file contains a match
+        return spark.read.parquet(vdir).filter(F.lit(False))
+    return spark.read.parquet(
+        *[os.path.join(vdir, f) for f in sorted(keep)]
+    ).filter(pred)
 
 
 def rollback(root: str, version: int) -> None:

@@ -44,6 +44,71 @@ def test_snapshot_publish_time_travel_rollback(spark, sf_dir, tmp_path):
     assert abs(mt.read_snapshot(spark, root).agg(F.sum("value")).first()[0] - s_old) < 1e-6
 
 
+def test_manifest_pruned_scan_matches_full_filter(spark, sf_dir, tmp_path):
+    """Iceberg-style read path on the snapshot layer: publish with
+    stat_cols → per-file manifest lands with the version; a range scan
+    planned from the manifest opens strictly fewer files yet returns
+    exactly the full-scan+filter rows."""
+    root = str(tmp_path / "lake")
+    orders = catalog.load(spark, "orders", sf_dir)
+    # range-cluster on the stat column so per-file [min,max] are disjoint
+    # (what a lakehouse writer does so skipping has teeth)
+    clustered = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    v = mt.write_snapshot(clustered, root, stat_cols=["o_orderkey"])
+
+    mf = mt.read_manifest(spark, root)
+    n_files, _ = mt.dir_stats(mt._version_dir(root, v))
+    assert mf.count() == n_files >= 8  # one manifest row per data file
+    # the manifest dir must be invisible to the data scan
+    assert mt.read_snapshot(spark, root).columns == orders.columns
+
+    lo, hi = 1000, 5000
+    pruned = mt.scan_pruned(spark, root, "o_orderkey", lo, hi)
+    full = mt.read_snapshot(spark, root).filter(
+        F.col("o_orderkey").between(lo, hi)
+    )
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    assert pruned.count() == full.count() > 0
+
+    # skipping has teeth: the planned file set is a strict subset
+    from march_mania_spark_lakehouse_spark.operators.sketch import prune_files
+
+    kept = prune_files(mf, "o_orderkey", lo, hi).count()
+    assert 0 < kept < n_files
+    # and the executed scan really only touched the kept files
+    touched = (
+        pruned.select(
+            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("f")
+        )
+        .distinct()
+        .count()
+    )
+    assert touched <= kept
+
+    # an empty-overlap range opens nothing and returns nothing
+    assert mt.scan_pruned(spark, root, "o_orderkey", -500, -1).count() == 0
+
+
+def test_manifest_versions_are_independent(spark, sf_dir, tmp_path):
+    """Each version carries its own manifest (time travel includes the
+    planning metadata), and un-stat'd versions say so loudly."""
+    import pytest
+
+    root = str(tmp_path / "lake2")
+    ev = catalog.load(spark, "events", sf_dir).select("event_id", "value")
+    v0 = mt.write_snapshot(ev.filter(F.col("event_id") < 100), root, stat_cols=["event_id"])
+    v1 = mt.write_snapshot(ev, root, stat_cols=["event_id"])
+    hi0 = mt.read_manifest(spark, root, v0).agg(F.max("max_event_id")).first()[0]
+    hi1 = mt.read_manifest(spark, root, v1).agg(F.max("max_event_id")).first()[0]
+    assert hi0 < 100 <= hi1
+    v2 = mt.write_snapshot(ev.limit(10), root)  # no stats requested
+    with pytest.raises(FileNotFoundError, match="without stat_cols"):
+        mt.read_manifest(spark, root, v2)
+
+
 def test_analyze_table_records_cbo_stats(spark, sf_dir, tmp_path):
     """ANALYZE must record table rowCount/sizeInBytes and per-column ndv
     in the catalog, and the logical plan must pick the stats up (CBO's

@@ -101,6 +101,47 @@ def test_minhash_candidates_contain_planted_near_dup(spark):
     assert (1, 2) in cands
 
 
+def test_hot_shingle_max_df_bounds_jaccard_candidates(spark):
+    """A corpus-wide boilerplate sentence ("stop shingles") pairs every
+    doc with every other in the unguarded shingle self-join (~n²/2);
+    max_df drops the hot shingles, keeping only genuinely-similar pairs."""
+    boiler = "terms of service apply to all users of this site always"
+    rows = [
+        (i, f"{boiler} unique{i} content{i} token{i} body{i} words{i}")
+        for i in range(40)
+    ]
+    rows[1] = (1, rows[0][1] + " tiny")  # doc1 = doc0 + suffix: true near-dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = dedup.jaccard_pairs(df, "doc_id", n=3).count()
+    assert unguarded >= 40 * 39 / 2  # every pair collides via boilerplate
+
+    guarded = dedup.jaccard_pairs(df, "doc_id", n=3, max_df=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in guarded.collect()}
+    assert set(got) == {(0, 1)}  # candidates bounded: only the planted pair
+    assert got[(0, 1)] > 0.5  # and it survives with high similarity
+
+
+def test_max_bucket_caps_lsh_mega_buckets(spark):
+    """30 identical docs put 30 members in every band bucket (Σ bucket²
+    blowup); max_bucket drops those buckets while an under-cap 5-copy
+    group still pairs normally."""
+    rows = [(i, "common boilerplate text repeated across the whole corpus") for i in range(30)]
+    rows += [(100 + i, "a small cluster of five near identical documents here") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    free = dedup.minhash_candidates(df, "doc_id", num_hashes=16, bands=4)
+    assert free.count() == 30 * 29 / 2 + 5 * 4 / 2  # all-pairs in each clone group
+
+    capped = dedup.minhash_candidates(
+        df, "doc_id", num_hashes=16, bands=4, max_bucket=10
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert pairs == {
+        (100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)
+    }  # mega-bucket dropped, small bucket intact
+
+
 def test_simhash_deterministic_and_close_for_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [(1, base), (2, base + " ok"), (3, "completely different words entirely here now")]

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from march_mania_spark_lakehouse_spark import catalog  # noqa: E402
 from march_mania_spark_lakehouse_spark.plans import all_queries  # noqa: E402
 from march_mania_spark_lakehouse_spark.session import get_spark  # noqa: E402
 
@@ -74,13 +75,16 @@ PROBES = tuple(
 
 
 def generate(spark) -> None:
+    # Load through catalog.load, not vanilla spark.read.parquet: the
+    # catalog normalizes the events `ts` physical unit (ns-vintage
+    # fixtures would otherwise crash or load 1000x-skewed here).
     os.makedirs(BIG, exist_ok=True)
     for t in SINGLE_COPY:
-        spark.read.parquet(f"{SMALL}/{t}.parquet").write.mode(
+        catalog.load(spark, t, SMALL).write.mode(
             "overwrite"
         ).parquet(f"{BIG}/{t}.parquet")
     for t, keys in OFFSET_COLS.items():
-        df = spark.read.parquet(f"{SMALL}/{t}.parquet")
+        df = catalog.load(spark, t, SMALL)
         copies = None
         for i in range(K):
             c = df
