@@ -96,3 +96,38 @@ def salted_join(
     return salted_left.join(
         exploded_right, [*on, SALT_COL], how
     ).drop(SALT_COL)
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    val: str,
+    alias: str = "n_distinct",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT val) that survives a hot key.
+
+    Plain algebraic aggregates (sum/count/min/max) do NOT need salting in
+    Spark — map-side partial aggregation collapses a hot key to one
+    partial row per task before the shuffle (measured in
+    tools/skew_probe.py). Distinct-count is the aggregate that genuinely
+    skews: partials must keep every distinct value, so a key holding
+    100M distinct values ships them all to a single reducer.
+
+    Fix: salt by ``hash(val) % n_salts`` — the salt is derived from the
+    *counted value*, so the distinct-value sets of different salts are
+    disjoint by construction and the exact count is the SUM of per-salt
+    distinct counts. (A random salt would double-count values that land
+    in multiple salts; a value-derived salt cannot.) The hot key's
+    distinct set spreads over ``n_salts`` reducers; result is exact, not
+    approximate — use HLL (`operators/sketch.py`) when ±2% is fine.
+    """
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(val)), F.lit(n_salts))
+    )
+    return (
+        salted.groupBy(*keys, SALT_COL)
+        .agg(F.count_distinct(F.col(val)).alias("__pc"))
+        .groupBy(*keys)
+        .agg(F.sum("__pc").alias(alias))
+    )

@@ -171,6 +171,34 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q130_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderpriority) AS n_prios
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("q130_salted_distinct_count", oracle=_Q130_SQL, tags=("agg", "skew"))
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key COUNT DISTINCT via value-derived salting
+    (`skew.salted_count_distinct`): the one aggregate family where a hot
+    grouping key genuinely hurts — partial aggregation must carry every
+    distinct value to one reducer, so salting by hash(value) spreads the
+    hot key's distinct set over n_salts disjoint reducers and SUMs the
+    exact partial counts. o_orderstatus is a 3-value (maximally hot)
+    key; result-identical to plain COUNT(DISTINCT ...)."""
+    orders = catalog.load(spark, "orders", sf_dir)
+    custs = skew.salted_count_distinct(
+        orders, ["o_orderstatus"], "o_custkey", alias="n_custs", n_salts=8
+    )
+    prios = skew.salted_count_distinct(
+        orders, ["o_orderstatus"], "o_orderpriority", alias="n_prios", n_salts=8
+    )
+    return custs.join(prios, "o_orderstatus")
+
+
 # --------------------------------------------------------------------------
 # Raw SQL surface — spark.sql() over catalog-registered views, running
 # the IDENTICAL ANSI text the DuckDB oracle runs (dialect-common subset:

@@ -63,3 +63,25 @@ def test_salted_join_rejects_right_preserving_joins(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="left-preserving"):
         skew.salted_join(orders, cust, on=["o_custkey"], how="full")
+
+
+def test_salted_count_distinct_matches_plain(spark, sf_dir):
+    orders = catalog.load(spark, "orders", sf_dir)
+    salted = skew.salted_count_distinct(
+        orders, ["o_orderstatus"], "o_custkey", alias="n", n_salts=8
+    )
+    plain = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n")
+    )
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salted_count_distinct_exact_on_pure_hot_key(spark):
+    """One key, many distinct + repeated values: value-derived salts must
+    partition the distinct set (no double counting across salts)."""
+    df = (
+        spark.range(20_000)
+        .select(F.lit("hot").alias("k"), (F.col("id") % 7_000).alias("v"))
+    )
+    out = skew.salted_count_distinct(df, ["k"], "v", alias="n", n_salts=16)
+    assert out.collect()[0]["n"] == 7_000

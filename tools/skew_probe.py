@@ -1,0 +1,233 @@
+"""Skew probe: measure salted vs unsalted plans on a Zipf-like skewed
+fixture (one hot key owning ~HOT_FRAC of all rows) — the empirical check
+behind the skew-mitigation claims in PERF.md.
+
+Four comparisons, each on a skewed derivative of the sf0.1 fixture:
+
+1. **agg (algebraic)**: plain ``groupBy(key).agg`` vs ``skew.salted_agg``
+   on orders with ~30% of rows re-keyed to one customer. Expected (and
+   measured) finding: plain WINS — Spark's map-side partial aggregation
+   collapses the hot key to one partial row per task before the shuffle,
+   so salting algebraic aggregates only adds a second shuffle. The probe
+   records this so nobody "fixes" a non-problem at 100 TB.
+2. **distinct-count**: plain ``count_distinct`` per key vs
+   ``skew.salted_count_distinct`` — the aggregate that genuinely skews
+   (partials must carry every distinct value to one reducer).
+3. **join**: plain sort-merge join vs ``skew.salted_join`` of the skewed
+   orders against customer, with broadcast and AQE skew-join disabled —
+   emulating the 100 TB case the operator exists for (right side too big
+   to broadcast; AQE's split bounded by partition granularity).
+4. **shingle**: ``jaccard_pairs`` without vs with ``max_df`` on documents
+   where HOT_FRAC_DOCS share one boilerplate sentence — the hot-shingle
+   mega-bucket whose candidate count detonates as Σ bucket².
+
+Timing method matches scale_probe: warm run, then best of N (stragglers
+dominate wall-clock, which is exactly what skew mitigation targets, so
+best-of-N is the honest stat here too).
+
+Usage: python tools/skew_probe.py [--regen]
+Prints one JSON line {probe: {"plain": s, "mitigated": s, "speedup": r,
+...extras}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from march_mania_spark_lakehouse_spark import catalog  # noqa: E402
+from march_mania_spark_lakehouse_spark.operators import dedup, skew  # noqa: E402
+from march_mania_spark_lakehouse_spark.session import get_spark  # noqa: E402
+
+SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale_test", "skew",
+)
+#: 100 offset copies of orders (scale_probe's recipe) before re-keying:
+#: at plain sf0.1 the hot key owns only ~45k rows and per-stage fixed
+#: overhead swamps the straggler — a visible straggler needs the hot
+#: task's work (sort/distinct of ~4.5M rows) to dominate stage overhead.
+K = 100
+#: documents replicas for the shingle probe (hot-block pair count grows
+#: quadratically in replicas, organic pairs near-linearly)
+K_DOCS = 3
+STRIDE = 10_000_000
+HOT_FRAC = 0.30
+#: Boilerplate prevalence for the shingle probe: web-crawl boilerplate
+#: (nav/footer text) realistically lands in over half the corpus.
+HOT_FRAC_DOCS = 0.60
+HOT_KEY = 7
+N_RUNS = 3
+BOILER = (
+    "all rights reserved terms of service privacy policy contact us "
+    "subscribe to our newsletter follow us on social media"
+)
+
+
+def generate(spark) -> None:
+    """Skewed derivatives: deterministic re-keying (hash-mod, no RNG
+    state) so every run and both probe arms see identical data."""
+    os.makedirs(ROOT, exist_ok=True)
+    base = catalog.load(spark, "orders", SMALL)
+    copies = None
+    for i in range(K):
+        c = base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * STRIDE))
+        copies = c if copies is None else copies.unionByName(c)
+    hot = F.pmod(F.xxhash64("o_orderkey"), F.lit(100)) < int(HOT_FRAC * 100)
+    copies.withColumn(
+        "o_custkey", F.when(hot, F.lit(HOT_KEY)).otherwise(F.col("o_custkey"))
+    ).write.mode("overwrite").parquet(f"{ROOT}/orders_skew.parquet")
+
+    base_docs = catalog.load(spark, "documents", SMALL)
+    docs = None
+    for i in range(K_DOCS):
+        c = base_docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * STRIDE))
+        docs = c if docs is None else docs.unionByName(c)
+    hot_d = F.pmod(F.xxhash64("doc_id"), F.lit(100)) < int(HOT_FRAC_DOCS * 100)
+    docs.withColumn(
+        "text",
+        F.when(hot_d, F.concat_ws(" ", F.lit(BOILER), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    ).write.mode("overwrite").parquet(f"{ROOT}/documents_skew.parquet")
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def best_of(fn, n=N_RUNS) -> float:
+    force(fn())  # warm codegen for this plan shape
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        force(fn())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    if "--regen" in sys.argv and os.path.isdir(ROOT):
+        shutil.rmtree(ROOT)
+    spark = get_spark("skew_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(f"{ROOT}/orders_skew.parquet"):
+        generate(spark)
+
+    orders = spark.read.parquet(f"{ROOT}/orders_skew.parquet")
+    cust = catalog.load(spark, "customer", SMALL).select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    docs = spark.read.parquet(f"{ROOT}/documents_skew.parquet")
+    out = {}
+
+    # -- 1. hot-key aggregation ------------------------------------------
+    def plain_agg():
+        return orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.max("o_orderdate").alias("latest"),
+        )
+
+    def salted():
+        return skew.salted_agg(
+            orders,
+            ["o_custkey"],
+            {
+                "n": ("o_orderkey", "count"),
+                "total": ("o_totalprice", "sum"),
+                "latest": ("o_orderdate", "max"),
+            },
+            n_salts=16,
+        )
+
+    t_p, t_s = best_of(plain_agg), best_of(salted)
+    out["agg_algebraic_hot_key"] = {
+        "plain": t_p, "mitigated": t_s, "speedup": round(t_p / t_s, 2),
+        "note": "partial aggregation already absorbs algebraic skew",
+    }
+
+    # -- 1b. hot-key exact distinct count --------------------------------
+    def plain_distinct():
+        return orders.groupBy("o_custkey").agg(
+            F.count_distinct("o_orderkey").alias("n_distinct")
+        )
+
+    def salted_distinct():
+        return skew.salted_count_distinct(
+            orders, ["o_custkey"], "o_orderkey", n_salts=16
+        )
+
+    t_p, t_s = best_of(plain_distinct), best_of(salted_distinct)
+    out["distinct_count_hot_key"] = {
+        "plain": t_p, "mitigated": t_s, "speedup": round(t_p / t_s, 2),
+        # At 15M rows the hot reducer's ~4.5M-value hash dedup is still
+        # ~100ms — under stage overhead. The salted form's real win is
+        # BOUNDED PER-REDUCER STATE: at corpus scale the unsalted plan
+        # does not get slower, it OOMs the reducer holding the hot key's
+        # full distinct set; n_salts caps that state at 1/n_salts.
+        "note": "salting bounds reducer state; latency parity at probe scale",
+    }
+
+    # -- 2. hot-key join (non-broadcastable emulation) -------------------
+    # Same confs for BOTH arms: broadcast off (the 100 TB premise) and
+    # AQE skew-join off so the comparison isolates salting itself.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        def plain_join():
+            return (
+                orders.join(cust, "o_custkey")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("c_acctbal").alias("bal"))
+            )
+
+        def salted_join():
+            return (
+                skew.salted_join(orders, cust, on=["o_custkey"], n_salts=16)
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("c_acctbal").alias("bal"))
+            )
+
+        t_p, t_s = best_of(plain_join), best_of(salted_join)
+        out["join_hot_key_no_broadcast"] = {
+            "plain": t_p, "mitigated": t_s, "speedup": round(t_p / t_s, 2)
+        }
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    # -- 3. hot-shingle candidate join -----------------------------------
+    # Candidate-pair counts are the structural story (Σ bucket²); wall
+    # time follows them.
+    n_plain = dedup.jaccard_pairs(docs, "doc_id", n=3).count()
+    n_guard = dedup.jaccard_pairs(docs, "doc_id", n=3, max_df=0.1).count()
+    t_p = best_of(lambda: dedup.jaccard_pairs(docs, "doc_id", n=3), n=2)
+    t_s = best_of(
+        lambda: dedup.jaccard_pairs(docs, "doc_id", n=3, max_df=0.1), n=2
+    )
+    out["shingle_hot_df"] = {
+        "plain": t_p, "mitigated": t_s, "speedup": round(t_p / t_s, 2),
+        "pairs_plain": n_plain, "pairs_guarded": n_guard,
+    }
+
+    print(json.dumps({"hot_frac": HOT_FRAC, "probes": out},
+                     separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
