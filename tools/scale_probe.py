@@ -68,6 +68,11 @@ PROBES = tuple(
                 "q54_salted_agg",           # skew-mitigated agg
                 "q105_cohort_retention",    # behavioral double-shuffle
                 "q119_bigram_logprob",      # corpus LM scoring
+                "q81_merge_upsert",         # MERGE write-path relational core
+                "q82_scd2_history",         # SCD2 dimension history
+                "q116_incremental_refresh", # IVM delta-merge refresh
+                "q63_session_window_native",  # native session_window
+                "q129_manifest_pruned_scan",  # manifest-planned range scan
             )
         ),
     ).split(",")
