@@ -28,6 +28,14 @@ def get_spark(
     On a real cluster the master/memory settings come from spark-submit;
     locally we default to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    # Before the JVM starts: make google.protobuf importable (real
+    # package if installed, vendored miniproto shim otherwise) so the
+    # transformWithStateInPandas state protocol works in Python workers
+    # — they inherit PYTHONPATH from the environment captured here.
+    from march_mania_spark_lakehouse_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))

@@ -16,14 +16,20 @@ executor, not stream length; TTL turns "exactly once, ever" into
 "exactly once within the replay horizon", which is the bounded-state
 contract a 100 TB/day ingest actually runs with.
 
-Runtime requirement: ``transformWithStateInPandas`` speaks a protobuf
-protocol between the JVM and its Python state server, so executing a
-query built here needs the ``protobuf`` package (standard alongside any
-real PySpark deployment; plan construction and this module import fine
-without it). The test suite skips the execution test when protobuf is
-absent — ``streaming/stateful.py`` covers the same cross-micro-batch
-state contract on the ``applyInPandasWithState`` API, which has no such
-dependency.
+Runtime requirements (both verified end-to-end in
+``tests/test_streaming.py::test_tws_dedup_stream_exactly_once_across_microbatches``):
+
+- ``transformWithStateInPandas`` speaks a protobuf protocol between the
+  JVM and its Python state server. Real deployments have the
+  ``protobuf`` package; in containers without it the session factory
+  activates the vendored miniproto runtime
+  (``vendor/miniproto/google/protobuf/_mini.py``), a clean-room minimal
+  wire-format implementation that this protocol runs on unmodified.
+- The state store must support column families: set
+  ``spark.sql.streaming.stateStore.providerClass`` to
+  ``...state.RocksDBStateStoreProvider`` (bundled with Spark; also the
+  provider you want at 100 TB — the HDFS-backed default keeps state in
+  executor heap, RocksDB spills to local disk).
 """
 
 from __future__ import annotations

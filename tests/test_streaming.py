@@ -149,6 +149,11 @@ def test_tws_dedup_stream_exactly_once_across_microbatches(spark, sf_dir, tmp_pa
     """transformWithStateInPandas dedup: a stream that delivers every
     event twice (two files → two micro-batches) must emit each event_id
     exactly once, with the full original row."""
+    # Real protobuf when installed, vendored miniproto shim otherwise
+    # (session.get_spark activated it before the JVM started).
+    from march_mania_spark_lakehouse_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas state protocol needs protobuf",
@@ -157,37 +162,47 @@ def test_tws_dedup_stream_exactly_once_across_microbatches(spark, sf_dir, tmp_pa
 
     from march_mania_spark_lakehouse_spark.streaming import tws
 
-    events = catalog.load(spark, "events", sf_dir).filter(F.col("event_id") < 500)
-    src = str(tmp_path / "dup_src")
-    events.coalesce(1).write.mode("overwrite").parquet(src)
-    events.coalesce(1).write.mode("append").parquet(src)  # replay: every id twice
-
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    # transformWithStateInPandas needs a state store with column-family
+    # support: RocksDB (bundled with Spark), not the HDFS-backed default.
+    # Same conf a production TWS job sets; runtime-settable per session.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    out = tws.dedup_stream(stream, key_cols=("event_id",))
+    try:
+        events = catalog.load(spark, "events", sf_dir).filter(F.col("event_id") < 500)
+        src = str(tmp_path / "dup_src")
+        events.coalesce(1).write.mode("overwrite").parquet(src)
+        events.coalesce(1).write.mode("append").parquet(src)  # replay: every id twice
 
-    sink = f"tws_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    assert len(q.recentProgress) > 1, "expected multiple micro-batches"
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = tws.dedup_stream(stream, key_cols=("event_id",))
 
-    got = spark.sql(f"SELECT * FROM {sink}")
-    n_expected = events.count()
-    assert got.count() == n_expected  # each id exactly once
-    assert got.select("event_id").distinct().count() == n_expected
-    # surviving rows are real input rows (spot-check the value column)
-    expect_vals = {r["event_id"]: r["value"] for r in events.collect()}
-    for r in got.collect():
-        assert abs(r["value"] - expect_vals[r["event_id"]]) < 1e-12
+        sink = f"tws_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(q.recentProgress) > 1, "expected multiple micro-batches"
+
+        got = spark.sql(f"SELECT * FROM {sink}")
+        n_expected = events.count()
+        assert got.count() == n_expected  # each id exactly once
+        assert got.select("event_id").distinct().count() == n_expected
+        # surviving rows are real input rows (spot-check the value column)
+        expect_vals = {r["event_id"]: r["value"] for r in events.collect()}
+        for r in got.collect():
+            assert abs(r["value"] - expect_vals[r["event_id"]]) < 1e-12
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 def test_dedup_within_watermark_suppresses_redelivery(spark, sf_dir, tmp_path):
