@@ -75,6 +75,92 @@ class _DedupProcessor(StatefulProcessor):
         pass
 
 
+class _ProfileProcessor(StatefulProcessor):
+    """Per-key running profile across micro-batches, exercising every TWS
+    state kind the protocol offers:
+
+    - ValueState  (n, total)          — running count/sum of ``value``
+    - ListState   recent values       — bounded last-``keep_recent`` buffer
+    - MapState    event_type → count  — per-category tallies
+
+    Emits one row per key per micro-batch with the *cumulative* profile,
+    so the latest emission per key equals the batch ``groupBy`` answer —
+    the invariant the test checks. State is per-key in the executor
+    state store; memory scales with live keys × keep_recent, not stream
+    length."""
+
+    def __init__(self, keep_recent: int = 5) -> None:
+        self._keep = keep_recent
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n bigint, total double")
+        self._recent = handle.getListState("recent", "v double")
+        self._by_type = handle.getMapState("by_type", "event_type string", "cnt bigint")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, total = (self._totals.get() or (0, 0.0)) if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            self._recent.appendList([(float(v),) for v in pdf["value"]])
+            for et, cnt in pdf["event_type"].value_counts().items():
+                prev = self._by_type.getValue((et,)) if self._by_type.containsKey((et,)) else (0,)
+                self._by_type.updateValue((et,), (prev[0] + int(cnt),))
+        self._totals.update((n, total))
+        recent = [v for (v,) in self._recent.get()]
+        if len(recent) > self._keep:
+            recent = recent[-self._keep :]
+            self._recent.put([(v,) for v in recent])
+        n_types = sum(1 for _ in self._by_type.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_recent": [len(recent)],
+                "n_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def profile_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    keep_recent: int = 5,
+) -> DataFrame:
+    """Cumulative per-key profile of an event stream (count, sum, bounded
+    recent-value buffer, per-event-type counts) — the grouped-state shape
+    a feature-store ingest keeps per entity. One row per key per
+    micro-batch; the latest row per key is the current profile."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("n_recent", IntegerType()),
+            StructField("n_types", IntegerType()),
+        ]
+    )
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        _ProfileProcessor(keep_recent),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

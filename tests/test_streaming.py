@@ -205,6 +205,85 @@ def test_tws_dedup_stream_exactly_once_across_microbatches(spark, sf_dir, tmp_pa
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_tws_profile_stream_all_state_kinds_match_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas with ValueState + ListState + MapState
+    in one processor: after streaming events in two micro-batches, the
+    latest emitted profile per user must equal the batch groupBy answer
+    (count, sum, distinct event types), and the recent-buffer must be
+    bounded at keep_recent."""
+    from march_mania_spark_lakehouse_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.streaming import tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = catalog.load(spark, "events", sf_dir).filter(F.col("user_id") < 40)
+        src = str(tmp_path / "profile_src")
+        half_a = events.filter(F.col("event_id") % 2 == 0)
+        half_b = events.filter(F.col("event_id") % 2 == 1)
+        half_a.coalesce(1).write.mode("overwrite").parquet(src)
+        half_b.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = tws.profile_stream(stream, key_col="user_id", keep_recent=5)
+
+        sink = f"tws_profile_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(q.recentProgress) > 1, "expected multiple micro-batches"
+
+        # latest (cumulative) emission per user = the one with max n_events
+        emitted = spark.sql(f"SELECT * FROM {sink}").collect()
+        latest: dict[int, tuple] = {}
+        for r in emitted:
+            if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]][0]:
+                latest[r["user_id"]] = (
+                    r["n_events"],
+                    r["total_value"],
+                    r["n_recent"],
+                    r["n_types"],
+                )
+        expect = {
+            r["user_id"]: (r["n"], r["total"], r["n_types"])
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("total"),
+                F.countDistinct("event_type").alias("n_types"),
+            )
+            .collect()
+        }
+        assert set(latest) == set(expect)
+        for uid, (n, total, n_recent, n_types) in latest.items():
+            en, etotal, etypes = expect[uid]
+            assert n == en, f"user {uid}: count {n} != {en}"
+            assert abs(total - etotal) < 1e-6 * max(1.0, abs(etotal))
+            assert n_types == etypes
+            assert n_recent == min(n, 5)  # ListState buffer bounded
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_dedup_within_watermark_suppresses_redelivery(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark: a stream that delivers every event
     twice (two identical files) must come out with each event_id once."""
