@@ -276,3 +276,95 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q131 — Delta-log time travel (sources/delta_log.py): publish orders as
+# a real Delta-format table (v0 = one-third of orders, v1 = append of
+# another third), then answer "what changed per status between v0 and
+# the latest snapshot" by replaying the transaction log at both
+# versions. The log IS the planner input — the reader never lists the
+# directory, so staged/tombstoned files are invisible. v0's rows are a
+# subset of v1's, so the oracle reconstructs both snapshots from the
+# source table with the same key-mod predicates.
+# --------------------------------------------------------------------------
+
+_Q131_SQL = f"""
+WITH v0 AS (
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+),
+v1 AS (
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum("o_totalprice", "total_price")}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY o_orderstatus
+)
+SELECT v1.o_orderstatus,
+       CAST(COALESCE(v0.n, 0) AS BIGINT) AS n_v0,
+       CAST(v1.n AS BIGINT) AS n_latest,
+       CAST(v1.n - COALESCE(v0.n, 0) AS BIGINT) AS n_added,
+       v1.total_price
+FROM v1 LEFT JOIN v0 USING (o_orderstatus)
+"""
+
+
+def _orders_delta_table(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent per-fixture Delta publish (same fingerprint scheme as
+    `_orders_lake_root`): v0 = orders with key%3=0, v1 appends key%3=1."""
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 3 == 0), table,
+            stat_cols=["o_orderkey"],
+        )
+        delta_log.append(
+            orders.filter(F.col("o_orderkey") % 3 == 1), table,
+            stat_cols=["o_orderkey"],
+        )
+        delta_log.checkpoint(table)  # future replays: checkpoint + tail
+    return table
+
+
+@query("q131_delta_time_travel", oracle=_Q131_SQL, tags=("lake", "agg"))
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status diff between Delta snapshot v0 and the latest version,
+    both planned by transaction-log replay (``delta_log.read_delta``).
+    At 100 TB the replay cost is one checkpoint + a bounded JSON tail —
+    independent of table size or history length — and each snapshot scan
+    opens exactly its live file set."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_table(spark, sf_dir)
+    v0 = (
+        delta_log.read_delta(spark, table, version=0)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_v0"))
+    )
+    latest = (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_latest"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+    return (
+        latest.join(v0, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("n_v0"), F.lit(0).cast("long")).alias("n_v0"),
+            "n_latest",
+            (F.col("n_latest") - F.coalesce(F.col("n_v0"), F.lit(0))).alias("n_added"),
+            "total_price",
+        )
+    )

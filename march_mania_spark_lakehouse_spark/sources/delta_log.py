@@ -1,0 +1,492 @@
+"""Delta-Lake-format transaction log: publish, replay, time travel.
+
+Writes tables whose layout conforms to the *public* Delta transaction
+protocol (delta-io PROTOCOL.md): data as uniquely-named parquet files in
+the table root, commits as ordered newline-delimited-JSON action files
+``_delta_log/%020d.json`` (protocol / metaData / add / remove /
+commitInfo actions), per-file ``stats`` JSON on every add (numRecords +
+min/max/nullCount — the data-skipping input), parquet checkpoints with a
+``_last_checkpoint`` pointer, and put-if-absent commit files for
+optimistic single-winner concurrency.
+
+Relation to the rest of the repo:
+
+- ``sources/maintenance.py`` provides the same *semantics* (atomic
+  publish, time travel, rollback, manifests) on a homegrown ``v=N``
+  layout; THIS module emits the interoperable on-disk format instead,
+  so any real Delta reader (Spark+delta jar, delta-rs, DuckDB's delta
+  extension, Trino) can consume the tables. The container ships no such
+  reader (no connector jars, no network — verified), so tests verify
+  structurally: spec-required action fields, log replay semantics,
+  checkpoint equivalence, stats-pruning parity vs full scan.
+- ``sources/writers.write_table`` keeps the ``.format("delta")`` call
+  site for clusters that ship the jar; this module is the no-jar path
+  that still produces real Delta tables.
+
+Scale posture (100 TB): the log grows one small JSON file per commit and
+is compacted into parquet checkpoints every ``checkpoint_interval``
+commits, so snapshot reconstruction reads one checkpoint + a bounded
+tail — never the full history. Per-file stats ride in the add actions,
+so a range scan plans from the log (KBs) instead of opening footers of
+millions of files. Limitations kept honest: unpartitioned tables only
+(partitionValues always empty), no deletion vectors, minReader/Writer
+1/2.
+
+Local-FS commit atomicity: each commit is written to a temp file then
+``os.link``-ed to its final ``%020d.json`` name — link fails with EEXIST
+if a concurrent writer already claimed the version, which is the
+put-if-absent primitive Delta's optimistic concurrency needs (on S3 the
+equivalent is a conditional PUT / DynamoDB lock per the spec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+class DeltaConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic loser)."""
+
+
+def _log_dir(table: str) -> str:
+    return os.path.join(table, "_delta_log")
+
+
+def _commit_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.json")
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+# --------------------------------------------------------------------------
+# Stats: read each data file's parquet footer (row count + per-column
+# min/max/null-count from row-group statistics) — no second Spark job,
+# and exactly the writer-collected stats Delta's spec intends.
+# --------------------------------------------------------------------------
+
+
+def _json_safe(v):
+    import datetime
+
+    if isinstance(v, bytes):
+        return None  # binary min/max not representable in stats JSON
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return None
+    return v
+
+
+def _file_stats(file_path: str, stat_cols: Sequence[str]) -> str:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    schema_names = [md.schema.column(i).path for i in range(md.num_columns)]
+    want = [c for c in stat_cols if c in schema_names]
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci, name in enumerate(schema_names):
+            if name not in want:
+                continue
+            st = group.column(ci).statistics
+            if st is None:
+                continue
+            if st.has_min_max:
+                lo, hi = _json_safe(st.min), _json_safe(st.max)
+                if lo is not None and (name not in mins or lo < mins[name]):
+                    mins[name] = lo
+                if hi is not None and (name not in maxs or hi > maxs[name]):
+                    maxs[name] = hi
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        separators=(",", ":"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Commit machinery
+# --------------------------------------------------------------------------
+
+
+def _write_commit(table: str, version: int, actions: list[dict]) -> None:
+    """Put-if-absent commit: full content lands in a temp file, then a
+    hard link claims the canonical name atomically; EEXIST means a
+    concurrent writer won this version."""
+    os.makedirs(_log_dir(table), exist_ok=True)
+    final = _commit_path(table, version)
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise DeltaConcurrentCommitError(
+            f"version {version} of {table} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _stage_data_files(df: DataFrame, table: str) -> list[str]:
+    """Write df as parquet into a staging dir, then move the part files
+    into the table root under fresh UUID names (Delta requires file
+    names unique across the table's whole history). Returns the new
+    relative file names."""
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    names: list[str] = []
+    for fn in sorted(os.listdir(staging)):
+        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+            continue
+        new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        os.rename(os.path.join(staging, fn), os.path.join(table, new_name))
+        names.append(new_name)
+    shutil.rmtree(staging)
+    return names
+
+
+def _add_actions(
+    table: str, files: Sequence[str], stat_cols: Sequence[str]
+) -> list[dict]:
+    out = []
+    for name in files:
+        p = os.path.join(table, name)
+        out.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(p),
+                    "modificationTime": _now_ms(),
+                    "dataChange": True,
+                    "stats": _file_stats(p, stat_cols),
+                }
+            }
+        )
+    return out
+
+
+def _metadata_action(df: DataFrame, table_id: str) -> dict:
+    return {
+        "metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": _now_ms(),
+        }
+    }
+
+
+def _commit_info(operation: str, params: dict) -> dict:
+    return {
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": operation,
+            "operationParameters": {k: str(v) for k, v in params.items()},
+        }
+    }
+
+
+def latest_version(table: str) -> int | None:
+    """Highest committed version, or None for a non-Delta directory."""
+    try:
+        names = os.listdir(_log_dir(table))
+    except FileNotFoundError:
+        return None
+    versions = [int(n[:20]) for n in names if n.endswith(".json") and n[:20].isdigit()]
+    return max(versions, default=None)
+
+
+def create(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
+    """Create a Delta table at ``table`` (version 0): data files +
+    protocol/metaData/add actions. Fails if a log already exists."""
+    if latest_version(table) is not None:
+        raise FileExistsError(f"{table} already has a Delta log")
+    os.makedirs(table, exist_ok=True)
+    files = _stage_data_files(df, table)
+    actions = [
+        _commit_info("CREATE TABLE AS SELECT", {"mode": "ErrorIfExists"}),
+        {"protocol": dict(PROTOCOL)},
+        _metadata_action(df, uuid.uuid4().hex),
+        *_add_actions(table, files, stat_cols),
+    ]
+    _write_commit(table, 0, actions)
+    return 0
+
+
+def append(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
+    """Append commit: adds only; prior files stay live."""
+    cur = latest_version(table)
+    if cur is None:
+        return create(df, table, stat_cols)
+    files = _stage_data_files(df, table)
+    actions = [
+        _commit_info("WRITE", {"mode": "Append"}),
+        *_add_actions(table, files, stat_cols),
+    ]
+    _write_commit(table, cur + 1, actions)
+    return cur + 1
+
+
+def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
+    """Overwrite commit: tombstones every live file, adds the new ones —
+    old versions remain time-travelable until vacuumed."""
+    cur = latest_version(table)
+    if cur is None:
+        return create(df, table, stat_cols)
+    live = snapshot_files(table, cur)
+    files = _stage_data_files(df, table)
+    ts = _now_ms()
+    actions = [
+        _commit_info("WRITE", {"mode": "Overwrite"}),
+        *(
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
+            for p in sorted(live)
+        ),
+        *_add_actions(table, files, stat_cols),
+    ]
+    _write_commit(table, cur + 1, actions)
+    return cur + 1
+
+
+# --------------------------------------------------------------------------
+# Log replay (reader side)
+# --------------------------------------------------------------------------
+
+
+def _read_actions(path: str) -> list[dict]:
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _last_checkpoint(table: str) -> dict | None:
+    try:
+        with open(os.path.join(_log_dir(table), "_last_checkpoint")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _replay(table: str, version: int) -> dict[str, dict]:
+    """Reconstruct the live file set {path: add_action} at ``version``
+    from the nearest checkpoint ≤ version plus the JSON tail — the
+    spec's snapshot-construction algorithm (bounded log reads however
+    long the history is)."""
+    live: dict[str, dict] = {}
+    start = 0
+    cp = _last_checkpoint(table)
+    if cp is not None and cp["version"] <= version:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_checkpoint_path(table, cp["version"]))
+        for row in t.to_pylist():
+            add = row.get("add")
+            if add and add.get("path"):
+                live[add["path"]] = add
+        start = cp["version"] + 1
+    for v in range(start, version + 1):
+        p = _commit_path(table, v)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"missing commit {v} for {table}")
+        for a in _read_actions(p):
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    return live
+
+
+def snapshot_files(table: str, version: int | None = None) -> list[str]:
+    """Live data-file names at ``version`` (default: latest)."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    return sorted(_replay(table, v))
+
+
+def read_delta(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel reader: the table as of ``version`` (default latest),
+    planned from the log's live file set — never a directory listing, so
+    staged/tombstoned/future files are invisible, exactly the isolation
+    the pointer-file snapshot layer guarantees, now in the interoperable
+    format."""
+    files = snapshot_files(table, version)
+    if not files:
+        raise FileNotFoundError(f"{table} snapshot has no data files")
+    return spark.read.parquet(*[os.path.join(table, f) for f in files])
+
+
+def scan_pruned(
+    spark: SparkSession, table: str, col: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Data skipping from add-action stats: open only files whose
+    [minValues, maxValues] for ``col`` overlaps [lo, hi] (files lacking
+    stats for the column are conservatively kept), then apply the exact
+    residual filter. Planner input is the log — KBs — not file footers."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    keep: list[str] = []
+    for path, add in _replay(table, v).items():
+        stats = json.loads(add.get("stats") or "{}")
+        f_lo = (stats.get("minValues") or {}).get(col)
+        f_hi = (stats.get("maxValues") or {}).get(col)
+        if f_lo is None or f_hi is None or (f_lo <= hi and f_hi >= lo):
+            keep.append(path)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        return read_delta(spark, table, v).filter(F.lit(False))
+    return spark.read.parquet(
+        *[os.path.join(table, f) for f in sorted(keep)]
+    ).filter(pred)
+
+
+# --------------------------------------------------------------------------
+# Checkpoints & vacuum
+# --------------------------------------------------------------------------
+
+
+def checkpoint(table: str, version: int | None = None) -> int:
+    """Write a parquet checkpoint of the snapshot at ``version`` and
+    flip ``_last_checkpoint``. Future replays read checkpoint + tail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    live = _replay(table, v)
+    # Re-read protocol/metaData from the log so the checkpoint is
+    # self-contained, per spec.
+    proto, meta = dict(PROTOCOL), None
+    for vv in range(v + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        for a in _read_actions(p):
+            if "protocol" in a:
+                proto = a["protocol"]
+            elif "metaData" in a:
+                meta = a["metaData"]
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_type = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    rows_add: list = [None, None]
+    rows_meta: list = [None, None]
+    rows_proto: list = [proto, None]
+    if meta is not None:
+        rows_meta[1] = {
+            "id": meta["id"],
+            "format": {"provider": meta["format"]["provider"]},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": meta["partitionColumns"],
+            "createdTime": meta.get("createdTime"),
+        }
+    for add in (live[p] for p in sorted(live)):
+        rows_add.append(
+            {
+                "path": add["path"],
+                "partitionValues": [],
+                "size": add["size"],
+                "modificationTime": add["modificationTime"],
+                "dataChange": False,
+                "stats": add.get("stats"),
+            }
+        )
+        rows_meta.append(None)
+        rows_proto.append(None)
+    t = pa.table(
+        {
+            "protocol": pa.array(rows_proto, type=proto_type),
+            "metaData": pa.array(rows_meta, type=meta_type),
+            "add": pa.array(rows_add, type=add_type),
+        }
+    )
+    pq.write_table(t, _checkpoint_path(table, v))
+    tmp = os.path.join(_log_dir(table), "_last_checkpoint.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": v, "size": t.num_rows}, f)
+    os.replace(tmp, os.path.join(_log_dir(table), "_last_checkpoint"))
+    return v
+
+
+def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    """Delete data files that are (a) not live in the latest snapshot
+    and (b) were tombstoned longer than ``retention_ms`` ago (default
+    7 days, the spec's safety default: readers of recent old versions
+    must still find their files). Returns deleted names."""
+    v = latest_version(table)
+    if v is None:
+        return []
+    live = set(_replay(table, v))
+    cutoff = _now_ms() - retention_ms
+    removed_at: dict[str, int] = {}
+    for vv in range(v + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        for a in _read_actions(p):
+            if "remove" in a:
+                removed_at[a["remove"]["path"]] = a["remove"]["deletionTimestamp"]
+            elif "add" in a:
+                removed_at.pop(a["add"]["path"], None)
+    deleted = []
+    for name, ts in removed_at.items():
+        if name not in live and ts <= cutoff:
+            fp = os.path.join(table, name)
+            if os.path.exists(fp):
+                os.unlink(fp)
+            deleted.append(name)
+    return sorted(deleted)

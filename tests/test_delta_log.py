@@ -1,0 +1,166 @@
+"""Delta-transaction-log publisher (`sources/delta_log.py`).
+
+No Delta reader ships in this container (no connector jars / network),
+so conformance is checked structurally against the public protocol:
+action schemas, %020d commit naming, replay semantics (adds minus
+removes), checkpoint + _last_checkpoint equivalence, put-if-absent
+commits, stats-based pruning parity, and retention-gated vacuum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.sources import delta_log
+
+
+def _orders(spark, sf_dir):
+    return catalog.load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "delta_orders")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_create_append_overwrite_time_travel(spark, sf_dir, table):
+    orders = _orders(spark, sf_dir)
+    lo = orders.filter(F.col("o_orderkey") % 3 == 0)
+    mid = orders.filter(F.col("o_orderkey") % 3 == 1)
+    new = orders.filter(F.col("o_orderkey") % 3 == 2)
+
+    v0 = delta_log.create(lo, table, stat_cols=["o_orderkey"])
+    v1 = delta_log.append(mid, table, stat_cols=["o_orderkey"])
+    v2 = delta_log.overwrite(new, table, stat_cols=["o_orderkey"])
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    assert _rows(delta_log.read_delta(spark, table, 0)) == _rows(lo)
+    assert _rows(delta_log.read_delta(spark, table, 1)) == _rows(lo.unionByName(mid))
+    assert _rows(delta_log.read_delta(spark, table)) == _rows(new)  # latest
+
+
+def test_log_layout_and_required_action_fields(spark, sf_dir, table):
+    delta_log.create(_orders(spark, sf_dir), table, stat_cols=["o_orderkey"])
+    log_dir = os.path.join(table, "_delta_log")
+    names = sorted(os.listdir(log_dir))
+    assert names == ["00000000000000000000.json"]  # %020d naming
+
+    actions = delta_log._read_actions(os.path.join(log_dir, names[0]))
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo"
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == []
+    # schemaString is Spark StructType JSON — parseable, field names intact
+    schema = json.loads(meta["schemaString"])
+    assert {f["name"] for f in schema["fields"]} >= {"o_orderkey", "o_totalprice"}
+
+    for a in actions:
+        if "add" in a:
+            add = a["add"]
+            assert add["path"].endswith(".parquet") and "/" not in add["path"]
+            assert add["dataChange"] is True and add["size"] > 0
+            stats = json.loads(add["stats"])
+            assert stats["numRecords"] > 0
+            assert "o_orderkey" in stats["minValues"]
+            assert stats["minValues"]["o_orderkey"] <= stats["maxValues"]["o_orderkey"]
+            # data file really exists in the table root
+            assert os.path.exists(os.path.join(table, add["path"]))
+
+
+def test_concurrent_commit_single_winner(spark, sf_dir, table):
+    delta_log.create(_orders(spark, sf_dir), table)
+    with pytest.raises(delta_log.DeltaConcurrentCommitError):
+        delta_log._write_commit(table, 0, [{"commitInfo": {"timestamp": 0}}])
+    # and the original commit content is untouched
+    assert delta_log.latest_version(table) == 0
+    assert len(delta_log.snapshot_files(table)) > 0
+
+
+def test_checkpoint_replay_equivalence(spark, sf_dir, table):
+    orders = _orders(spark, sf_dir)
+    delta_log.create(orders.filter("o_orderkey % 2 = 0"), table)
+    delta_log.append(orders.filter("o_orderkey % 4 = 1"), table)
+    before = delta_log.snapshot_files(table)
+
+    cp_v = delta_log.checkpoint(table)
+    assert cp_v == 1
+    assert os.path.exists(
+        os.path.join(table, "_delta_log", f"{cp_v:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(table, "_delta_log", "_last_checkpoint")) as f:
+        lc = json.load(f)
+    assert lc["version"] == cp_v
+
+    # replay from checkpoint must equal pure-JSON replay
+    assert delta_log.snapshot_files(table) == before
+
+    # a commit after the checkpoint lands on top of it
+    delta_log.append(orders.filter("o_orderkey % 4 = 3"), table)
+    expect = orders.filter("o_orderkey % 2 = 0 OR o_orderkey % 2 = 1")
+    assert _rows(delta_log.read_delta(spark, table)) == _rows(expect)
+
+
+def test_stats_pruning_parity_and_file_skipping(spark, sf_dir, table):
+    orders = _orders(spark, sf_dir).orderBy("o_orderkey").repartitionByRange(
+        4, "o_orderkey"
+    )
+    delta_log.create(orders, table, stat_cols=["o_orderkey"])
+    assert len(delta_log.snapshot_files(table)) == 4
+
+    lo, hi = 100, 800
+    pruned = delta_log.scan_pruned(spark, table, "o_orderkey", lo, hi)
+    full = delta_log.read_delta(spark, table).filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    )
+    assert _rows(pruned) == _rows(full)
+
+    # narrow range: planner must open fewer files than the table holds
+    kept = [
+        p
+        for p, add in delta_log._replay(table, 0).items()
+        if (lambda s: s["minValues"]["o_orderkey"] <= hi
+            and s["maxValues"]["o_orderkey"] >= lo)(json.loads(add["stats"]))
+    ]
+    assert len(kept) < 4
+
+
+def test_vacuum_respects_retention_then_deletes(spark, sf_dir, table):
+    orders = _orders(spark, sf_dir)
+    delta_log.create(orders.limit(50), table)
+    old_files = set(delta_log.snapshot_files(table))
+    delta_log.overwrite(orders.limit(20), table)
+
+    # default 7-day retention: tombstoned-but-recent files survive
+    assert delta_log.vacuum(table) == []
+    for f in old_files:
+        assert os.path.exists(os.path.join(table, f))
+
+    # retention 0: tombstoned files go; live snapshot unaffected
+    deleted = delta_log.vacuum(table, retention_ms=0)
+    assert set(deleted) == old_files
+    for f in old_files:
+        assert not os.path.exists(os.path.join(table, f))
+    assert delta_log.read_delta(spark, table).count() == 20
+
+
+def test_create_refuses_existing_log(spark, sf_dir, table):
+    delta_log.create(_orders(spark, sf_dir).limit(5), table)
+    with pytest.raises(FileExistsError):
+        delta_log.create(_orders(spark, sf_dir).limit(5), table)
