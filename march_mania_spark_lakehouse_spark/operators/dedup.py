@@ -242,6 +242,59 @@ def minhash_signatures_portable(
     return rebalance_scan(df).select(F.col(id_col), *cols)
 
 
+def _portable_token_hash(token: Column) -> Column:
+    """Character-level polynomial hash of one token — pure int64
+    arithmetic, identical in any engine: h ← (131·h + ascii(c)) mod p
+    folded over the token's characters. Unlike the per-shingle hash
+    (first-char + length per token), this mixes every character, which
+    SimHash needs: each token must cast ~independent votes on 32 bits.
+    Same BMP/ASCII-corpus assumption as :func:`_portable_shingle_hash`
+    (Spark ``ascii`` = first UTF-16 code unit, DuckDB's = codepoint)."""
+    codes = F.transform(F.split(token, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * F.lit(131) + x) % F.lit(PORTABLE_MOD),
+    )
+
+
+def simhash_portable(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Engine-portable SimHash: per token, 32 derived hashes
+    g_b = ((2b+3)·h + 101b+29) mod p vote ±1 by parity; bit b of the
+    signature is 1 iff the vote sum is positive. The value-verifiable
+    counterpart of :func:`simhash_relational` (JVM murmur3,
+    bit-equality-tested against the column form) — exists so a DuckDB
+    oracle can check the SimHash *math* end-to-end, same role q125's
+    portable MinHash plays for q28.
+
+    Same explode → per-bit-sums → sign-pack shape as
+    ``simhash_relational`` (one shuffle on the doc id): the interpreted
+    char-fold runs ONCE per token row, and the 32 vote sums are plain
+    codegen arithmetic in a single hash aggregate. (The map-only
+    formulation — 32 ``F.aggregate`` folds over a per-row hash array —
+    re-inlines the char fold into every vote expression because
+    projection collapse defeats common-subexpression reuse across
+    aggregate lambdas: measured 30× slower. Materialize-once via explode
+    IS the scalable form.) Output: (id_col, simhash long)."""
+    toks = rebalance_scan(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    )
+    hashed = toks.withColumn("__h", _portable_token_hash(F.col("__tok")))
+    bit_sums = [
+        F.sum(
+            ((F.col("__h") * (2 * b + 3) + (101 * b + 29)) % PORTABLE_MOD) % 2 * 2 - 1
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.shiftleft((F.col(f"__b{b}") > 0).cast("long"), b)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,

@@ -395,3 +395,45 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phones"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q132 — engine-portable SimHash (value-verifiable counterpart of q29's
+# murmur3 form, same role q125 plays for q28's MinHash): char-polynomial
+# token hash → 32 derived parity votes → sign-packed signature, pure
+# int64 arithmetic reproduced exactly in DuckDB. Map-only at any scale —
+# each signature computes from its own row's token array.
+# --------------------------------------------------------------------------
+
+_SH_P = 1_000_000_007
+
+_Q132_BITS = " + ".join(
+    f"CASE WHEN list_sum(list_transform(hv, h -> "
+    f"((h * {2 * b + 3} + {101 * b + 29}) % {_SH_P}) % 2 * 2 - 1)) > 0 "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32)
+)
+
+_Q132_SQL = f"""
+WITH hs AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), w -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (h, x) -> (h * 131 + x) % {_SH_P})) AS hv
+    FROM documents
+)
+SELECT doc_id, CAST({_Q132_BITS} AS BIGINT) AS simhash
+FROM hs
+"""
+
+
+@query("q132_simhash_portable", oracle=_Q132_SQL, tags=("dedup", "text"))
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SimHash signatures over the documents corpus — upgrades
+    the SimHash family from rows-only+bit-equality checking to a full
+    DuckDB value oracle (the hash, the per-bit voting, and the sign-pack
+    are all verified numerically)."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return dedup.simhash_portable(docs, "doc_id")
