@@ -280,6 +280,45 @@ def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
     return cur + 1
 
 
+def merge(
+    changes: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """MERGE INTO the Delta table: source rows win on key match, unmatched
+    rows insert, ``delete_col``-flagged rows delete — the relational core
+    (`operators.merge.merge_upsert`) applied to the latest snapshot, then
+    committed as tombstone-everything + add-result with operation=MERGE.
+    Rewriting every file is the copy-on-write strategy; a production
+    MERGE narrows the rewrite to files whose key ranges the changeset
+    touches (the add-action stats make that file set computable from the
+    log — same pruning as ``scan_pruned``)."""
+    from march_mania_spark_lakehouse_spark.operators.merge import merge_upsert
+
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    spark = changes.sparkSession
+    merged = merge_upsert(
+        read_delta(spark, table, cur), changes, list(keys), delete_col
+    )
+    live = snapshot_files(table, cur)
+    files = _stage_data_files(merged, table)
+    ts = _now_ms()
+    actions = [
+        _commit_info("MERGE", {"matchedPredicates": "update", "keys": ",".join(keys)}),
+        *(
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
+            for p in sorted(live)
+        ),
+        *_add_actions(table, files, stat_cols),
+    ]
+    _write_commit(table, cur + 1, actions)
+    return cur + 1
+
+
 # --------------------------------------------------------------------------
 # Log replay (reader side)
 # --------------------------------------------------------------------------

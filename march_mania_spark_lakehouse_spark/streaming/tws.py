@@ -75,6 +75,82 @@ class _DedupProcessor(StatefulProcessor):
         pass
 
 
+class _IdleTimeoutProcessor(StatefulProcessor):
+    """Idle-timeout sessionizer on processing-time timers: every input
+    batch for a key slides its single timer forward by ``timeout_ms``;
+    when the timer fires (no input for that key for the timeout), the
+    accumulated session row is emitted and the state evicted. This is
+    the timer-driven half of the TWS API — output happens in
+    ``handleExpiredTimer``, not on input — and the operator shape behind
+    "close the visitor session N minutes after their last click".
+
+    Scale: one ValueState tuple + one registered timer per live key;
+    closed keys cost nothing. Timer firing is batch-driven, so an idle
+    key's session closes at the first micro-batch after expiry."""
+
+    def __init__(self, timeout_ms: int) -> None:
+        self._timeout_ms = timeout_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._agg = handle.getValueState("agg", "n bigint, total double")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, total = (self._agg.get() or (0, 0.0)) if self._agg.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._agg.update((n, total))
+        # sliding timeout: drop any earlier timer, re-arm from "now"
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._timeout_ms
+        )
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if self._agg.exists():
+            n, total = self._agg.get()
+            self._agg.clear()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def idle_timeout_sessions(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    timeout_ms: int = 1,
+) -> DataFrame:
+    """Close a per-key session ``timeout_ms`` after the key's last
+    arrival (processing time) and emit one (key, n_events, total_value)
+    row per closed session. Keys still inside their timeout when the
+    stream ends have open sessions and emit nothing."""
+    from pyspark.sql.types import DoubleType, LongType, StructField
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        _IdleTimeoutProcessor(timeout_ms),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )
+
+
 class _ProfileProcessor(StatefulProcessor):
     """Per-key running profile across micro-batches, exercising every TWS
     state kind the protocol offers:

@@ -160,6 +160,41 @@ def test_vacuum_respects_retention_then_deletes(spark, sf_dir, table):
     assert delta_log.read_delta(spark, table).count() == 20
 
 
+def test_merge_into_delta_table(spark, sf_dir, table):
+    """MERGE commit: updates win on key, inserts land, deletes vanish —
+    and the pre-merge snapshot stays time-travelable."""
+    orders = _orders(spark, sf_dir).limit(100)
+    delta_log.create(orders, table, stat_cols=["o_orderkey"])
+
+    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
+    upd_key, del_key, ins_key = keys[0], keys[1], max(keys) + 999
+    changes = spark.createDataFrame(
+        [
+            (upd_key, 0, 123.45, "U", False),
+            (del_key, 0, 0.0, "X", True),
+            (ins_key, 7, 9.99, "N", False),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string, deleted boolean",
+    )
+    v = delta_log.merge(changes, table, keys=["o_orderkey"], delete_col="deleted")
+    assert v == 1
+
+    got = {
+        r["o_orderkey"]: (r["o_totalprice"], r["o_orderstatus"])
+        for r in delta_log.read_delta(spark, table).collect()
+    }
+    assert got[upd_key] == (123.45, "U")  # matched -> update
+    assert del_key not in got  # matched + flag -> delete
+    assert got[ins_key] == (9.99, "N")  # unmatched -> insert
+    assert len(got) == 100  # 100 - 1 delete + 1 insert
+    # commitInfo records the operation; v0 still reconstructs
+    actions = delta_log._read_actions(
+        os.path.join(table, "_delta_log", f"{v:020d}.json")
+    )
+    assert actions[0]["commitInfo"]["operation"] == "MERGE"
+    assert delta_log.read_delta(spark, table, version=0).count() == 100
+
+
 def test_create_refuses_existing_log(spark, sf_dir, table):
     delta_log.create(_orders(spark, sf_dir).limit(5), table)
     with pytest.raises(FileExistsError):

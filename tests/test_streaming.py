@@ -284,6 +284,82 @@ def test_tws_profile_stream_all_state_kinds_match_batch(spark, sf_dir, tmp_path)
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_tws_idle_timeout_sessions_close_via_timers(spark, sf_dir, tmp_path):
+    """Processing-time timers: a key's session closes (emits + evicts
+    state) one idle timeout after its last arrival, inside
+    handleExpiredTimer. Every closed session must equal the batch
+    aggregate for its key. Timer-driven emission means micro-batches
+    keep coming after the data is drained, so the test polls the sink
+    and stops the query itself instead of awaiting termination."""
+    import time as _time
+
+    from march_mania_spark_lakehouse_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.streaming import tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = catalog.load(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+        src = str(tmp_path / "timer_src")
+        events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = tws.idle_timeout_sessions(stream, key_col="user_id", timeout_ms=1)
+
+        sink = f"tws_timer_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        expect = {
+            r["user_id"]: (r["n"], r["t"])
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        try:
+            deadline = _time.time() + 120
+            emitted: list = []
+            while _time.time() < deadline:
+                emitted = spark.sql(f"SELECT * FROM {sink}").collect()
+                if {r["user_id"] for r in emitted} == set(expect) or not q.isActive:
+                    break
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+
+        assert {r["user_id"] for r in emitted} == set(expect)
+        assert len(emitted) == len(expect)  # exactly one close per key
+        for r in emitted:
+            n, t = expect[r["user_id"]]
+            assert r["n_events"] == n
+            assert abs(r["total_value"] - t) < 1e-6 * max(1.0, abs(t))
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_dedup_within_watermark_suppresses_redelivery(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark: a stream that delivers every event
     twice (two identical files) must come out with each event_id once."""
