@@ -152,3 +152,70 @@ def test_timer_response_with_repeated_message():
     out.ParseFromString(resp.SerializeToString())
     assert [(t.key, t.timestampMs) for t in out.timer] == [(b"k1", 100), (b"k2", 200)]
     assert out.requireNextFetch is True
+
+
+# -- property-based round-trips (hypothesis) --------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+def test_varint_roundtrip_u64(v):
+    enc = _mini.encode_varint(v)
+    dec, consumed = _mini.decode_varint(enc, 0)
+    assert dec == v and consumed == len(enc)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+def test_zigzag_roundtrip_i64(v):
+    assert _mini._zigzag_decode(_mini._zigzag_encode(v)) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+    st.text(max_size=80),
+    st.binary(max_size=200),
+    st.booleans(),
+)
+def test_state_response_like_roundtrip(status, err, value, fetch):
+    m = sm.StateResponseWithListGet(
+        statusCode=status, errorMessage=err, value=[value], requireNextFetch=fetch
+    )
+    out = sm.StateResponseWithListGet()
+    out.ParseFromString(m.SerializeToString())
+    assert out.statusCode == status
+    assert out.errorMessage == err
+    assert out.value == [value]
+    assert out.requireNextFetch is fetch
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.binary(max_size=64), max_size=20), st.booleans())
+def test_append_list_repeated_bytes_roundtrip(vals, fetch):
+    m = sm.AppendList(value=vals, fetchWithArrow=fetch)
+    out = sm.AppendList()
+    out.ParseFromString(m.SerializeToString())
+    assert out.value == vals
+    assert out.fetchWithArrow is fetch
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 62)), st.binary(min_size=1, max_size=64))
+def test_nested_request_roundtrip(ts, key):
+    req = sm.StateRequest(
+        version=2,
+        timerRequest=sm.TimerRequest(
+            expiryTimerRequest=sm.ExpiryTimerRequest(expiryTimestampMs=ts)
+        ),
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            setImplicitKey=sm.SetImplicitKey(key=key)
+        ),
+    )
+    out = sm.StateRequest()
+    out.ParseFromString(req.SerializeToString())
+    assert out.version == 2
+    assert out.timerRequest.expiryTimerRequest.expiryTimestampMs == ts
+    assert out.implicitGroupingKeyRequest.setImplicitKey.key == key
