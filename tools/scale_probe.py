@@ -73,6 +73,7 @@ PROBES = tuple(
                 "q116_incremental_refresh", # IVM delta-merge refresh
                 "q63_session_window_native",  # native session_window
                 "q129_manifest_pruned_scan",  # manifest-planned range scan
+                "q131_delta_time_travel",     # Delta-log replay + two snapshot scans
             )
         ),
     ).split(",")
