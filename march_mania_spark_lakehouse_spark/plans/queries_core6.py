@@ -222,3 +222,154 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# q133 — TPC-H Q7 shape (volume shipping): revenue between every pair of
+# distinct (supplier nation, customer nation) by ship year. Two separate
+# nation lookups off one dimension — the classic double-role broadcast —
+# with the fact table shuffling only on its join keys.
+# --------------------------------------------------------------------------
+
+_Q133_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "volume")},
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q133_tpch_q7_volume_shipping", oracle=_Q133_SQL, tags=("join", "agg", "tpch"))
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by ship year. The
+    nation dimension joins TWICE under different roles (supplier side,
+    customer side) — both broadcast, so the only shuffles are the
+    lineitem⋈orders⋈customer fact joins; the ship-date range filter
+    reaches the lineitem scan."""
+    li = catalog.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = catalog.load(spark, "orders", sf_dir)
+    s = catalog.load(spark, "supplier", sf_dir)
+    c = catalog.load(spark, "customer", sf_dir)
+    n1 = catalog.load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = catalog.load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q134 — TPC-H Q9 shape (product-type profit): profit by supplier nation
+# and order year for parts matching a name pattern. (The fixture has no
+# partsupp table, so profit omits the supplycost term — the join/agg
+# topology is Q9's: fact ⋈ filtered part ⋈ supplier ⋈ nation ⋈ orders.)
+# --------------------------------------------------------------------------
+
+_Q134_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "profit")},
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@query("q134_tpch_q9_product_profit", oracle=_Q134_SQL, tags=("join", "agg", "tpch"))
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit restricted to parts
+    whose name matches a pattern. The LIKE-filtered part table shrinks
+    before broadcasting (filter-then-broadcast is the planning win CBO
+    stats enable at scale); supplier/nation broadcast; lineitem⋈orders
+    is the one shuffled join."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    p = catalog.load(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    s = catalog.load(spark, "supplier", sf_dir)
+    n = catalog.load(spark, "nation", sf_dir)
+    o = catalog.load(spark, "orders", sf_dir)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q135 — ranking-window completeness: ntile, percent_rank, cume_dist
+# (the three SQL ranking functions the surface didn't already pin via
+# q35/q60), all over one window — one sort, three functions.
+# --------------------------------------------------------------------------
+
+_Q135_SQL = """
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("q135_ranking_windows", oracle=_Q135_SQL, tags=("window",))
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist share one window spec, so Catalyst
+    evaluates all four functions in a single Window operator over a
+    single per-partition sort (deterministic total order via the
+    orderkey tiebreak — at any parallelism, every rank is stable)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return catalog.load(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
