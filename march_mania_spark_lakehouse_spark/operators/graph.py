@@ -27,6 +27,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    shorten_hops: int = 1,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
@@ -35,7 +36,15 @@ def connected_components(
     Iterates star-contraction rounds until the label assignment stops
     changing (checked with one count per round — driver-side loop with
     a bounded number of Spark jobs, reference pattern `jobs/07:89-99`).
-    """
+
+    ``shorten_hops`` chains that many label→label pointer jumps per
+    round: more hops divide the distance-to-minimum faster (fewer
+    rounds) at one extra (node,label) self-join per hop per round.
+    Measured at sf0.1 (5k nodes, ~200-long chains): hops=2 saves ~2 of
+    8 rounds but the serialized extra join costs more than the saved
+    rounds locally (5.5s vs 3.9s), so the default stays 1; the knob
+    exists for cluster runs where a round is a cross-executor barrier
+    and barrier count, not per-round CPU, is the bill."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -68,17 +77,16 @@ def connected_components(
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), F.col("lbl"))
         )
-        via_label = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.node"))
-            .select(F.col("x.node").alias("node"), F.col("y.lbl").alias("lbl"))
-        )
+        candidates = labels.select("node", "lbl").union(via_edges)
+        hop = labels.select("node", "lbl")
+        for _ in range(max(1, shorten_hops)):
+            nxt = labels.select(F.col("node").alias("__n"), F.col("lbl").alias("__l"))
+            hop = hop.join(nxt, hop["lbl"] == nxt["__n"]).select(
+                hop["node"].alias("node"), nxt["__l"].alias("lbl")
+            )
+            candidates = candidates.union(hop)
         new_labels = (
-            labels.select("node", "lbl")
-            .union(via_edges)
-            .union(via_label)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            candidates.groupBy("node").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)
         new_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
         labels = new_labels
