@@ -2,11 +2,17 @@
 opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is stubbed
-behind ``decode_stub`` (deterministic fake) / ``decode_real``
-(NotImplementedError) — but the Spark-side plumbing is real and tested:
-schema contracts, batch iteration shape, partition sizing, and the
-metadata struct layout all match what a production decode would use.
+Decoding is two-tier and honest about which is which:
+
+- **Real decoders** for formats stdlib + numpy can parse — WAV (RIFF
+  PCM via `wave`), 24-bit BMP, binary PPM — with matching encoders, so
+  round-trips and the Spark pipelines are tested on genuine media
+  bytes (`decode_wav`/`decode_bmp`/`decode_ppm`, dispatched by magic
+  bytes in `decode_real`; real features + real resize in
+  `extract_real_media_features` / `resize_image_real`).
+- **`decode_stub`** (deterministic fake) for the compressed-codec
+  formats (JPEG/PNG/MP4) that genuinely need PIL/ffmpeg, which this
+  container doesn't ship — `decode_real` raises on those.
 
 Scale: payloads travel as Arrow binary buffers; ``mapInPandas`` processes
 one partition's batches streaming-style, so executor memory is bounded by
@@ -42,10 +48,164 @@ def attach_fake_payload(
     )
 
 
-def decode_real(payload: bytes) -> np.ndarray:
-    """Real decode — requires an image/audio codec not in this container."""
+# --------------------------------------------------------------------------
+# REAL decoders for the formats decodable with stdlib + numpy alone:
+# WAV (RIFF PCM via the `wave` module), BMP (24-bit uncompressed,
+# struct-parsed), PPM (P6 binary). Compressed-codec formats (JPEG/PNG/
+# MP4/Opus) genuinely need external libraries and still raise — the
+# dispatcher sniffs magic bytes and is honest about which is which.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono float32 samples in [-1, 1] as a real 16-bit PCM WAV."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PCM WAV: (n_channels, sample_rate, float32 samples in
+    [-1, 1], interleaved channels flattened)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    return n_ch, rate, samples
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real 24-bit uncompressed
+    BMP (bottom-up rows, 4-byte row padding, BITMAPINFOHEADER)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = pixels[y, :, ::-1].tobytes()  # BGR on disk
+        img += row + b"\x00" * (row_bytes - len(row))
+    header_size = 14 + 40
+    file_size = header_size + len(img)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+        + bytes(img)
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr, w, h, _planes, bpp, compression) = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got {bpp}bpp)")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        off = data_offset + i * row_bytes
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off)
+        y = (h - 1 - i) if bottom_up else i
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return out
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) to an (h, w, 3) uint8 RGB array."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts: list[bytes] = []
+    i = 2
+    while len(parts) < 3:  # width, height, maxval — comments allowed
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h = int(parts[0]), int(parts[1])
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def _profile8(values: np.ndarray, post=None) -> np.ndarray:
+    """8-segment mean profile with empty-segment safety: when the input
+    has fewer than 8 elements a segment degenerates to its nearest
+    sample instead of producing a NaN that Arrow would null out."""
+    n = len(values)
+    if n == 0:
+        return np.zeros(8, dtype=np.float32)
+    bounds = [round(i * n / 8) for i in range(9)]
+    out = []
+    for i in range(8):
+        lo, hi = bounds[i], bounds[i + 1]
+        seg = values[lo:hi] if hi > lo else values[min(lo, n - 1) : min(lo, n - 1) + 1]
+        m = float(np.mean(seg))
+        out.append(float(post(m)) if post is not None else m)
+    return np.array(out, dtype=np.float32)
+
+
+def decode_real(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Dispatch on magic bytes and REALLY decode the container-decodable
+    formats: returns (format, width, height, feature[8] float32).
+
+    - WAV  → width = n_frames, height = n_channels, feature = 8-segment
+      RMS envelope of the samples
+    - BMP / PPM → real pixel dims, feature = 8-segment row-mean
+      intensity profile
+    - anything else (JPEG/PNG/MP4… — compressed codecs need external
+      libraries this container doesn't ship) raises NotImplementedError.
+    """
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        n_ch, _rate, samples = decode_wav(payload)
+        feat = _profile8(samples.astype(np.float64) ** 2, post=np.sqrt)
+        return "wav", len(samples) // max(n_ch, 1), n_ch, feat
+    if payload[:2] == b"BM" or payload[:2] == b"P6":
+        px = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+        h, w, _ = px.shape
+        feat = _profile8(px.reshape(h, -1).mean(axis=1) / 255.0)
+        return ("bmp" if payload[:2] == b"BM" else "ppm"), w, h, feat
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg) are not installed; use decode_stub"
+        "compressed media codecs (JPEG/PNG/MP4) need external libraries; "
+        "container-decodable formats are WAV/BMP/PPM"
     )
 
 
@@ -90,6 +250,76 @@ def extract_media_features(df: DataFrame, batch_size_hint: int = 256) -> DataFra
             )
 
     return df.mapInPandas(_process, schema=MEDIA_FEATURE_SCHEMA)
+
+
+REAL_FEATURE_SCHEMA = (
+    "media_id long, format string, n_bytes long, "
+    "width int, height int, feature array<float>"
+)
+
+
+def extract_real_media_features(df: DataFrame) -> DataFrame:
+    """Feature extraction with REAL decoding (`decode_real`): WAV/BMP/PPM
+    payloads are parsed for actual dimensions/samples, features are
+    computed from real pixel/sample values. Same Arrow-batched
+    ``mapInPandas`` shape as the stub pipeline — swap-in proof that the
+    plumbing carries a genuine decoder. Input: (media_id, payload)."""
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, feats, sizes = [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                fmt, w, h, feat = decode_real(raw)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                feats.append(feat.tolist())
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "n_bytes": sizes,
+                    "width": ws,
+                    "height": hs,
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(_process, schema=REAL_FEATURE_SCHEMA)
+
+
+def resize_image_real(
+    df: DataFrame, target_w: int = 8, target_h: int = 8
+) -> DataFrame:
+    """REAL image resize: decode BMP/PPM pixels, nearest-neighbor
+    resample to (target_w × target_h), re-encode as BMP. Output payloads
+    are valid BMP files with the target dimensions — verifiable by
+    decoding them again. Input: (media_id, payload)."""
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                px = decode_bmp(raw) if raw[:2] == b"BM" else decode_ppm(raw)
+                h, w, _ = px.shape
+                ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                out.append(encode_bmp(px[np.ix_(ys, xs)]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(
+        _process, schema="media_id long, width int, height int, payload binary"
+    )
 
 
 RESIZED_SCHEMA = (

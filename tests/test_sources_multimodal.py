@@ -101,3 +101,94 @@ def test_sample_frames_every_nth(spark):
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 4, 8, 12]
     f0 = next(bytes(r["frame_payload"]) for r in frames if r["frame_idx"] == 0)
     assert f0 == payload[:64]
+
+
+# -- REAL media decode (WAV/BMP/PPM — stdlib + numpy, no codecs) -----------
+
+
+def _sine_wav(freq=440.0, rate=8000, secs=0.25):
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    return multimodal.encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+
+
+def _gradient_bmp(w=13, h=7):  # odd width exercises BMP row padding
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = np.arange(w, dtype=np.uint8)[None, :] * 17
+    px[..., 1] = np.arange(h, dtype=np.uint8)[:, None] * 31
+    px[..., 2] = 200
+    return px
+
+
+def test_wav_roundtrip_real_decode():
+    import numpy as np
+
+    payload = _sine_wav()
+    n_ch, rate, samples = multimodal.decode_wav(payload)
+    assert (n_ch, rate) == (1, 8000)
+    assert len(samples) == 2000
+    # real signal properties: amplitude ~0.5 sine → rms ≈ 0.3536
+    assert abs(float(np.sqrt(np.mean(samples**2))) - 0.3536) < 0.01
+    assert abs(float(np.max(samples)) - 0.5) < 0.01
+
+
+def test_bmp_and_ppm_roundtrip_exact_pixels():
+    import numpy as np
+
+    px = _gradient_bmp()
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(px)), px)
+
+
+def test_decode_real_dispatch_and_codec_honesty():
+    import pytest as _pytest
+
+    fmt, w, h, feat = multimodal.decode_real(_sine_wav())
+    assert (fmt, w, h) == ("wav", 2000, 1)
+    fmt, w, h, feat = multimodal.decode_real(multimodal.encode_bmp(_gradient_bmp()))
+    assert (fmt, w, h) == ("bmp", 13, 7)
+    # JPEG magic → honest NotImplementedError, not a fake answer
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+def test_extract_real_media_features_end_to_end(spark):
+    """mapInPandas pipeline over a mixed WAV/BMP/PPM corpus of REAL
+    payloads: decoded dims and features must match direct local decode."""
+    import numpy as np
+
+    px = _gradient_bmp()
+    rows = [
+        (1, bytearray(_sine_wav())),
+        (2, bytearray(multimodal.encode_bmp(px))),
+        (3, bytearray(multimodal.encode_ppm(px))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in multimodal.extract_real_media_features(df).collect()
+    }
+    assert got[1]["format"] == "wav" and got[1]["width"] == 2000
+    assert got[2]["format"] == "bmp" and (got[2]["width"], got[2]["height"]) == (13, 7)
+    assert got[3]["format"] == "ppm" and (got[3]["width"], got[3]["height"]) == (13, 7)
+    for mid, payload in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])):
+        _, _, _, feat = multimodal.decode_real(bytes(payload))
+        assert np.allclose(got[mid]["feature"], feat, atol=1e-6)
+
+
+def test_resize_image_real_produces_valid_bmp(spark):
+    """Real resize: output payloads are decodable BMPs at the target
+    size, and nearest-neighbor keeps the top-left source pixel."""
+    import numpy as np
+
+    px = _gradient_bmp(w=16, h=12)
+    df = spark.createDataFrame(
+        [(7, bytearray(multimodal.encode_bmp(px)))], "media_id long, payload binary"
+    )
+    out = multimodal.resize_image_real(df, target_w=4, target_h=3).collect()[0]
+    resized = multimodal.decode_bmp(bytes(out["payload"]))
+    assert resized.shape == (3, 4, 3)
+    assert np.array_equal(resized[0, 0], px[0, 0])  # NN anchor pixel
