@@ -437,3 +437,70 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all verified numerically)."""
     docs = catalog.load(spark, "documents", sf_dir)
     return dedup.simhash_portable(docs, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q136 — REAL media decode under an exact SQL oracle. Each document gets
+# a deterministic (w, h) from its id; workers ENCODE a real 24-bit BMP
+# of that size and DECODE it back (operators/multimodal.py — genuine
+# struct parsing, not a stub). The decoded dims must equal the formula
+# and the payload length must equal the BMP spec's exact size:
+# 54 header bytes + h × (3w padded to 4). The oracle recomputes all of
+# it in SQL — so the encoder's byte layout and the decoder's header
+# parse are value-verified, no codec library involved.
+# --------------------------------------------------------------------------
+
+_Q136_SQL = """
+SELECT doc_id,
+       CAST(8 + doc_id % 16 AS INT) AS width,
+       CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+       CAST(54 + (8 + (doc_id * 7) % 16)
+                 * (((8 + doc_id % 16) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@query("q136_real_bmp_roundtrip", oracle=_Q136_SQL, tags=("multimodal",))
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode real BMPs in Arrow-batched Python workers and
+    surface (decoded width, decoded height, payload bytes) — hashed
+    against the closed-form BMP size arithmetic. Map-only at any scale;
+    the decode is the real `decode_bmp` header/pixel parser."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from march_mania_spark_lakehouse_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    def _roundtrip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ws, hs, ns = [], [], []
+            for doc_id in pdf["doc_id"]:
+                w = int(8 + doc_id % 16)
+                h = int(8 + (doc_id * 7) % 16)
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[..., 0] = (np.arange(w, dtype=np.int64)[None, :] * 11 % 256).astype(
+                    np.uint8
+                )
+                px[..., 1] = (np.arange(h, dtype=np.int64)[:, None] * 5 % 256).astype(
+                    np.uint8
+                )
+                payload = encode_bmp(px)
+                decoded = decode_bmp(payload)
+                if not np.array_equal(decoded, px):  # pixel-exact or fail loudly
+                    raise ValueError(f"BMP roundtrip mismatch for doc {doc_id}")
+                hs.append(decoded.shape[0])
+                ws.append(decoded.shape[1])
+                ns.append(len(payload))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs, "n_bytes": ns}
+            )
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
+    return text.rebalance_scan(docs).mapInPandas(
+        _roundtrip, schema="doc_id long, width int, height int, n_bytes long"
+    )
