@@ -52,3 +52,62 @@ class _SyntheticDocsReader(DataSourceReader):
         for d in range(i, self.rows, self.parts):
             text = " ".join(_WORDS[(d + j) % len(_WORDS)] for j in range(5 + d % 7))
             yield (d, text, i)
+
+
+# --------------------------------------------------------------------------
+# Streaming side of the same connector: a SimpleDataSourceStreamReader
+# that emits the document sequence in offset-tracked micro-batches.
+# Offsets are {"index": n} dicts checkpointed by Spark — restarts resume
+# from the committed offset, and readBetweenOffsets() regenerates any
+# replayed range deterministically (same contract a Kafka-style source
+# honors; determinism here plays the role of the broker's log).
+# The simple reader runs on the driver, which is the documented fit for
+# low-rate control-plane streams; high-throughput sources implement the
+# partition-planning DataSourceStreamReader instead.
+# --------------------------------------------------------------------------
+
+
+def _doc_row(d: int) -> tuple:
+    text = " ".join(_WORDS[(d + j) % len(_WORDS)] for j in range(5 + d % 7))
+    return (d, text, d % 4)
+
+
+class _SyntheticDocsStreamReader:
+    def __init__(self, options: dict) -> None:
+        self.max_rows = int(options.get("maxrows", 200))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        # Contract: return ALL data available past `start` plus the next
+        # start offset — availableNow snapshots exactly one read() call,
+        # so chunking here would silently truncate the drain. `maxrows`
+        # is the source's current high-water mark (a later run with a
+        # higher mark resumes from the checkpointed offset).
+        i = int(start["index"])
+        end = max(i, self.max_rows)
+        return (iter([_doc_row(d) for d in range(i, end)]), {"index": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_doc_row(d) for d in range(int(start["index"]), int(end["index"]))])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to ack; determinism is the replay log
+
+
+class SyntheticDocsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_docs_stream")`` with option
+    ``maxrows``, the source's current high-water mark: an availableNow
+    run drains up to it and terminates; a later run with a higher mark
+    resumes from the checkpointed offset."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, part int"
+
+    def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
+        return _SyntheticDocsStreamReader(self.options)

@@ -340,3 +340,48 @@ class TestNearDupDedup:
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         assert near_dup_dedup(df, "doc_id", threshold=0.8).count() == 20
+
+
+def test_python_streaming_datasource_offsets_and_restart(spark, tmp_path):
+    """Python Data Source streaming API: the synthetic stream must (a)
+    emit exactly maxrows rows across offset-tracked micro-batches with
+    no duplicates, and (b) resume from the checkpointed offset on
+    restart instead of replaying from zero."""
+    import uuid as _uuid
+
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        SyntheticDocsStreamDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsStreamDataSource)
+    sink = str(tmp_path / "pyds_sink")
+    ckpt = str(tmp_path / "pyds_ckpt")
+
+    def drain(maxrows):
+        stream = (
+            spark.readStream.format("synthetic_docs_stream")
+            .option("maxrows", maxrows)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(100)
+    first = spark.read.parquet(sink)
+    assert first.count() == 100
+    assert first.select("doc_id").distinct().count() == 100
+
+    # restart with a higher high-water mark: resumes at offset 100,
+    # emits ONLY 100..149 (checkpointed offset, not initialOffset)
+    drain(150)
+    out = spark.read.parquet(sink)
+    assert out.count() == 150
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids == set(range(150))
