@@ -228,9 +228,24 @@ def latest_version(table: str) -> int | None:
     return max(versions, default=None)
 
 
-def create(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
+def _txn_action(txn: "tuple[str, int] | None") -> list[dict]:
+    if txn is None:
+        return []
+    app_id, version = txn
+    return [{"txn": {"appId": app_id, "version": int(version)}}]
+
+
+def create(
+    df: DataFrame,
+    table: str,
+    stat_cols: Sequence[str] = (),
+    txn: "tuple[str, int] | None" = None,
+) -> int:
     """Create a Delta table at ``table`` (version 0): data files +
-    protocol/metaData/add actions. Fails if a log already exists."""
+    protocol/metaData/add actions. Fails if a log already exists.
+    ``txn=(app_id, version)`` records a SetTransaction action — the
+    spec's idempotent-streaming-append marker (see `last_txn_version`).
+    """
     if latest_version(table) is not None:
         raise FileExistsError(f"{table} already has a Delta log")
     os.makedirs(table, exist_ok=True)
@@ -239,24 +254,51 @@ def create(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
         _commit_info("CREATE TABLE AS SELECT", {"mode": "ErrorIfExists"}),
         {"protocol": dict(PROTOCOL)},
         _metadata_action(df, uuid.uuid4().hex),
+        *_txn_action(txn),
         *_add_actions(table, files, stat_cols),
     ]
     _write_commit(table, 0, actions)
     return 0
 
 
-def append(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
-    """Append commit: adds only; prior files stay live."""
+def append(
+    df: DataFrame,
+    table: str,
+    stat_cols: Sequence[str] = (),
+    txn: "tuple[str, int] | None" = None,
+) -> int:
+    """Append commit: adds only; prior files stay live. ``txn`` as in
+    :func:`create`."""
     cur = latest_version(table)
     if cur is None:
-        return create(df, table, stat_cols)
+        return create(df, table, stat_cols, txn)
     files = _stage_data_files(df, table)
     actions = [
         _commit_info("WRITE", {"mode": "Append"}),
+        *_txn_action(txn),
         *_add_actions(table, files, stat_cols),
     ]
     _write_commit(table, cur + 1, actions)
     return cur + 1
+
+
+def last_txn_version(table: str, app_id: str) -> int:
+    """Highest SetTransaction version committed for ``app_id`` (-1 if
+    none): the reader side of Delta's exactly-once streaming contract —
+    a restarted stream skips every micro-batch whose id is ≤ this."""
+    v = latest_version(table)
+    if v is None:
+        return -1
+    best = -1
+    for vv in range(v + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        for a in _read_actions(p):
+            t = a.get("txn")
+            if t and t.get("appId") == app_id:
+                best = max(best, int(t["version"]))
+    return best
 
 
 def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:

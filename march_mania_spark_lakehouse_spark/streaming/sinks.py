@@ -125,3 +125,32 @@ def start_hll_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_delta_append_sink(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    app_id: str = "march_mania_spark_lakehouse_stream",
+) -> StreamingQuery:
+    """Exactly-once streaming append into a Delta-format table
+    (`sources/delta_log.py`) via the spec's SetTransaction protocol:
+    every commit carries ``txn = (app_id, batch_id)``, and a replayed
+    micro-batch (same batch_id after a crash/restart) is skipped when
+    the log already holds its transaction — the write-side idempotence
+    check the real Delta streaming sink performs. The offset WAL
+    guarantees the same batch_id on replay; the txn action makes the
+    redelivery a no-op instead of a duplicate."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= delta_log.last_txn_version(table, app_id):
+            return  # already committed by a previous attempt — replay no-op
+        delta_log.append(batch_df, table, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

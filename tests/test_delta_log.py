@@ -199,3 +199,52 @@ def test_create_refuses_existing_log(spark, sf_dir, table):
     delta_log.create(_orders(spark, sf_dir).limit(5), table)
     with pytest.raises(FileExistsError):
         delta_log.create(_orders(spark, sf_dir).limit(5), table)
+
+
+def test_streaming_delta_sink_exactly_once_txn(spark, sf_dir, table, tmp_path):
+    """Streaming append into the Delta log with SetTransaction
+    idempotence: a drained stream, a restart with more data, and a
+    simulated batch replay must leave every row exactly once and the
+    txn watermark at the last batch id."""
+    from march_mania_spark_lakehouse_spark.streaming import sinks
+
+    events = catalog.load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    ).limit(300)
+    src = str(tmp_path / "dsink_src")
+    ckpt = str(tmp_path / "dsink_ckpt")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = sinks.start_delta_append_sink(stream, table, ckpt, app_id="t-app")
+        q.awaitTermination(120)
+
+    run()
+    assert delta_log.read_delta(spark, table).count() == first.count()
+    v_after_first = delta_log.latest_version(table)
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run()  # restart from checkpoint: only the new file becomes batch 1
+    got = delta_log.read_delta(spark, table)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+    # simulated crash-replay of batch 1: the txn check must no-op it
+    from march_mania_spark_lakehouse_spark.sources.delta_log import last_txn_version
+
+    assert last_txn_version(table, "t-app") == 1
+    before = delta_log.latest_version(table)
+    batch_df = spark.read.parquet(src)
+
+    def replay(batch_id):
+        if batch_id <= last_txn_version(table, "t-app"):
+            return
+        delta_log.append(batch_df, table, txn=("t-app", batch_id))
+
+    replay(1)  # same id → skipped
+    assert delta_log.latest_version(table) == before
+    assert delta_log.read_delta(spark, table).count() == events.count()
+    assert v_after_first < before
