@@ -261,20 +261,83 @@ def create(
     return 0
 
 
+class DeltaSchemaMismatchError(ValueError):
+    """Append carried columns the table schema doesn't have and
+    ``merge_schema`` was not requested (Delta's schema enforcement)."""
+
+
+def _latest_metadata(table: str, version: int) -> dict | None:
+    meta = None
+    for vv in range(version + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        for a in _read_actions(p):
+            if "metaData" in a:
+                meta = a["metaData"]
+    return meta
+
+
+def table_schema(table: str, version: int | None = None):
+    """The table's declared StructType at ``version`` (latest metaData
+    action wins — schema history is part of the log)."""
+    from pyspark.sql import types as T
+
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    meta = _latest_metadata(table, v)
+    if meta is None:
+        raise FileNotFoundError(f"{table} log has no metaData action")
+    return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+
 def append(
     df: DataFrame,
     table: str,
     stat_cols: Sequence[str] = (),
     txn: "tuple[str, int] | None" = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append commit: adds only; prior files stay live. ``txn`` as in
-    :func:`create`."""
+    :func:`create`.
+
+    Schema contract (Delta semantics): columns MISSING from the batch
+    read back as null; EXTRA columns are rejected
+    (:class:`DeltaSchemaMismatchError`) unless ``merge_schema=True``,
+    which widens the table by re-emitting metaData with the old fields
+    plus the new ones — schema history lives in the log, and
+    `read_delta` reads every snapshot under its version's declared
+    schema, so pre-evolution files surface the new columns as null."""
     cur = latest_version(table)
     if cur is None:
         return create(df, table, stat_cols, txn)
+    current = table_schema(table, cur)
+    known = {f.name for f in current.fields}
+    extra = [f for f in df.schema.fields if f.name not in known]
+    meta_actions: list[dict] = []
+    if extra:
+        if not merge_schema:
+            raise DeltaSchemaMismatchError(
+                f"append adds columns {[f.name for f in extra]} not in the "
+                f"table schema; pass merge_schema=True to evolve"
+            )
+        from pyspark.sql import types as T
+
+        merged = T.StructType(list(current.fields) + list(extra))
+        old_meta = _latest_metadata(table, cur) or {}
+        meta_actions.append(
+            {
+                "metaData": {
+                    **old_meta,
+                    "schemaString": merged.json(),
+                }
+            }
+        )
     files = _stage_data_files(df, table)
     actions = [
         _commit_info("WRITE", {"mode": "Append"}),
+        *meta_actions,
         *_txn_action(txn),
         *_add_actions(table, files, stat_cols),
     ]
@@ -427,7 +490,13 @@ def read_delta(
     files = snapshot_files(table, version)
     if not files:
         raise FileNotFoundError(f"{table} snapshot has no data files")
-    return spark.read.parquet(*[os.path.join(table, f) for f in files])
+    # Read under the version's DECLARED schema (metaData action), not
+    # whichever file footer Spark samples: post-evolution snapshots then
+    # surface pre-evolution files' missing columns as nulls, and column
+    # order is the log's, not the listing's.
+    return spark.read.schema(table_schema(table, version)).parquet(
+        *[os.path.join(table, f) for f in files]
+    )
 
 
 def scan_pruned(

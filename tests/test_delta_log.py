@@ -248,3 +248,28 @@ def test_streaming_delta_sink_exactly_once_txn(spark, sf_dir, table, tmp_path):
     assert delta_log.latest_version(table) == before
     assert delta_log.read_delta(spark, table).count() == events.count()
     assert v_after_first < before
+
+
+def test_schema_enforcement_and_evolution(spark, sf_dir, table):
+    """Delta schema semantics: extra columns are rejected without
+    merge_schema; with it, metaData evolves and old files read the new
+    column as null — while the pre-evolution snapshot keeps the old
+    schema."""
+    orders = _orders(spark, sf_dir).limit(40)
+    delta_log.create(orders, table)
+
+    widened = orders.limit(10).withColumn("o_channel", F.lit("web"))
+    with pytest.raises(delta_log.DeltaSchemaMismatchError):
+        delta_log.append(widened, table)
+
+    v = delta_log.append(widened, table, merge_schema=True)
+    got = delta_log.read_delta(spark, table, v)
+    assert "o_channel" in got.columns
+    by_channel = {r["o_channel"]: r["n"] for r in
+                  got.groupBy("o_channel").agg(F.count("*").alias("n")).collect()}
+    assert by_channel == {"web": 10, None: 40}  # old files -> null
+    # time travel to v0 keeps the pre-evolution schema
+    assert "o_channel" not in delta_log.read_delta(spark, table, 0).columns
+    # missing-column appends still work post-evolution (null-filled)
+    delta_log.append(orders.limit(5), table)
+    assert delta_log.read_delta(spark, table).count() == 55
