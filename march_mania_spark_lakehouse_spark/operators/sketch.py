@@ -125,6 +125,39 @@ def cms_frequency_estimates(
     return spark.createDataFrame(rows, "key long, est_count long")
 
 
+def cms_portable_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch matrix from a portable affine hash family —
+    h_d(k) = ((2d+3)·k + 101d+29) mod p mod width — pure int64
+    arithmetic any engine reproduces, so unlike
+    :func:`cms_frequency_estimates` (Spark's murmur-based JVM sketch,
+    error-bound-tested) the CONSTRUCTION itself is value-verifiable
+    against a SQL oracle: the output is the full (depth, bucket, cnt)
+    state, the mergeable thing a 100 TB stream keeps per partition and
+    unions. A point estimate is min over depths of its bucket's count
+    (est ≥ true; ≤ true + N·e/width w.h.p. by the standard CMS bound).
+
+    One explode (depth copies, map-side) + one hash aggregate on
+    (depth, bucket) — a depth×width-bounded result whatever the input
+    size. Output: (depth int, bucket int, cnt bigint)."""
+    p = 1_000_000_007
+    depths = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("depth")
+    keyed = df.select(F.col(key_col).cast("long").alias("__k")).select("__k", depths)
+    bucket = (
+        ((F.col("__k") * (F.col("depth") * 2 + 3) + F.col("depth") * 101 + 29) % p)
+        % width
+    )
+    return (
+        keyed.withColumn("bucket", bucket.cast("int"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def file_stats_manifest(
     df: DataFrame, stat_cols: Sequence[str]
 ) -> DataFrame:

@@ -504,3 +504,39 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rebalance_scan(docs).mapInPandas(
         _roundtrip, schema="doc_id long, width int, height int, n_bytes long"
     )
+
+
+# --------------------------------------------------------------------------
+# q137 — value-oracled Count-Min construction: the sketch MATRIX from a
+# portable affine hash family, recomputed bucket-for-bucket in SQL.
+# Complements q95 (Spark's JVM CMS blob, error-bound-tested): here the
+# mergeable state itself is hash-verified, which is what you trust when
+# per-partition sketches union across 1000 executors.
+# --------------------------------------------------------------------------
+
+_CMS_P = 1_000_000_007
+_CMS_D, _CMS_W = 4, 64
+
+_Q137_SQL = f"""
+SELECT CAST(d.d AS INT) AS depth,
+       CAST(((e.user_id * (d.d * 2 + 3) + d.d * 101 + 29) % {_CMS_P})
+                 % {_CMS_W} AS INT) AS bucket,
+       COUNT(*) AS cnt
+FROM events e
+CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) d
+GROUP BY 1, 2
+"""
+
+
+@query("q137_cms_portable", oracle=_Q137_SQL, tags=("sketch",))
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch matrix over events.user_id
+    (`operators/sketch.py:cms_portable_sketch`): one map-side depth
+    explode + one (depth, bucket) aggregate; result size is
+    depth×width regardless of input rows."""
+    from march_mania_spark_lakehouse_spark.operators.sketch import (
+        cms_portable_sketch,
+    )
+
+    ev = catalog.load(spark, "events", sf_dir)
+    return cms_portable_sketch(ev, "user_id", depth=_CMS_D, width=_CMS_W)

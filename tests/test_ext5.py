@@ -385,3 +385,28 @@ def test_python_streaming_datasource_offsets_and_restart(spark, tmp_path):
     assert out.count() == 150
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert ids == set(range(150))
+
+
+def test_cms_portable_estimates_dominate_truth(spark, sf_dir):
+    """Portable CMS: min-over-depth bucket counts must be >= every
+    key's true frequency (the one-sided CMS guarantee), and the matrix
+    must total depth * n_rows."""
+    from march_mania_spark_lakehouse_spark.operators.sketch import (
+        cms_portable_sketch,
+    )
+
+    ev = catalog.load(spark, "events", sf_dir)
+    depth, width, p = 4, 64, 1_000_000_007
+    sk = {(r["depth"], r["bucket"]): r["cnt"]
+          for r in cms_portable_sketch(ev, "user_id", depth, width).collect()}
+    n = ev.count()
+    assert sum(sk.values()) == depth * n
+
+    truth = {r["user_id"]: r["n"] for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("n")).limit(50).collect()}
+    for k, true_n in truth.items():
+        est = min(
+            sk.get((d, ((k * (2 * d + 3) + 101 * d + 29) % p) % width), 0)
+            for d in range(depth)
+        )
+        assert est >= true_n  # CMS never undercounts
