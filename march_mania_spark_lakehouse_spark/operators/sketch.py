@@ -158,6 +158,36 @@ def cms_portable_sketch(
     )
 
 
+def hll_portable_registers(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """HyperLogLog register state from the portable affine hash —
+    bucket = h mod m, rho = leading-zero rank of h div m within its
+    24-bit window (h < 2^30, so v = h div m < 2^24 and
+    rho = 24 - floor(log2 v), 25 when v = 0; exact in IEEE doubles for
+    integer v < 2^53 in any engine). Complements q61/q93's Spark HLL++
+    (binary blob, error-bound-tested): the MERGEABLE state — registers,
+    unioned by per-register max across partitions/streams — is itself
+    value-verifiable. Distinct-count estimate = the standard harmonic
+    mean over these registers.
+
+    One map-side projection + one m-bounded aggregate.
+    Output: (bucket int, register int)."""
+    p = 1_000_000_007
+    h = (F.col(key_col).cast("long") * 2654435761 + 104729) % p
+    v = (h / F.lit(m)).cast("long")  # h div m
+    rho = F.when(v == 0, F.lit(25)).otherwise(
+        F.lit(24) - F.floor(F.log2(v)).cast("int")
+    )
+    return (
+        df.select((h % m).cast("int").alias("bucket"), rho.alias("register"))
+        .groupBy("bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+    )
+
+
 def file_stats_manifest(
     df: DataFrame, stat_cols: Sequence[str]
 ) -> DataFrame:

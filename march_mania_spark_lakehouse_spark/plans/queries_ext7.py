@@ -540,3 +540,38 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = catalog.load(spark, "events", sf_dir)
     return cms_portable_sketch(ev, "user_id", depth=_CMS_D, width=_CMS_W)
+
+
+# --------------------------------------------------------------------------
+# q138 — value-oracled HyperLogLog register state (same portable-hash
+# pattern as q137): bucket = h mod m, register = max leading-zero rank.
+# Complements q61/q93's HLL++ blobs: the union-by-max mergeable state is
+# verified numerically, register for register.
+# --------------------------------------------------------------------------
+
+_HLL_P = 1_000_000_007
+_HLL_M = 64
+
+_Q138_SQL = f"""
+WITH h AS (
+    SELECT (user_id * 2654435761 + 104729) % {_HLL_P} AS hv FROM events
+)
+SELECT CAST(hv % {_HLL_M} AS INT) AS bucket,
+       CAST(MAX(CASE WHEN hv // {_HLL_M} = 0 THEN 25
+                     ELSE 24 - CAST(floor(log2(hv // {_HLL_M})) AS INT)
+                END) AS INT) AS register
+FROM h
+GROUP BY 1
+"""
+
+
+@query("q138_hll_portable", oracle=_Q138_SQL, tags=("sketch",))
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HLL register state over events.user_id
+    (`operators/sketch.py:hll_portable_registers`)."""
+    from march_mania_spark_lakehouse_spark.operators.sketch import (
+        hll_portable_registers,
+    )
+
+    ev = catalog.load(spark, "events", sf_dir)
+    return hll_portable_registers(ev, "user_id", m=_HLL_M)

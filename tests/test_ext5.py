@@ -410,3 +410,29 @@ def test_cms_portable_estimates_dominate_truth(spark, sf_dir):
             for d in range(depth)
         )
         assert est >= true_n  # CMS never undercounts
+
+
+def test_hll_portable_estimate_accuracy(spark, sf_dir):
+    """Portable HLL registers: the standard harmonic-mean estimate over
+    the 64 registers must land within 3 standard errors (1.04/sqrt(m) ~
+    13%) of the true distinct count."""
+    import math
+
+    from march_mania_spark_lakehouse_spark.operators.sketch import (
+        hll_portable_registers,
+    )
+
+    ev = catalog.load(spark, "events", sf_dir)
+    m = 64
+    regs = {r["bucket"]: r["register"]
+            for r in hll_portable_registers(ev, "user_id", m=m).collect()}
+    true_n = ev.select("user_id").distinct().count()
+
+    alpha = 0.709  # alpha_64 per the HLL paper
+    z = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    est = alpha * m * m / z
+    if est <= 2.5 * m:  # small-range correction (linear counting)
+        zeros = sum(1 for b in range(m) if regs.get(b, 0) == 0)
+        if zeros:
+            est = m * math.log(m / zeros)
+    assert abs(est - true_n) / true_n < 3 * 1.04 / math.sqrt(m)
