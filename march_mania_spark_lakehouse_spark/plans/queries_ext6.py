@@ -491,3 +491,79 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivm.agg_state(delta, ["o_custkey"], "o_totalprice"),
     )
     return ivm.finalize_state(merged)
+
+
+# --------------------------------------------------------------------------
+# q139 — last-touch attribution: each purchase is credited to the most
+# recent click/view by the same user within a 24 h lookback ('none' when
+# the last touch is older or absent). One user-partitioned window pass —
+# state per user is its own history, no self-join, no per-purchase
+# probing; the shape survives any number of users because the shuffle
+# key is user_id.
+# --------------------------------------------------------------------------
+
+_Q139_SQL = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+attributed AS (
+    SELECT p.event_id,
+           (SELECT t.event_type
+            FROM events t
+            WHERE t.user_id = p.user_id
+              AND t.event_type IN ('click', 'view')
+              AND t.ts <= p.ts
+              AND t.ts >= p.ts - INTERVAL 24 HOUR
+            ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS touch_type
+    FROM purchases p
+)
+SELECT COALESCE(touch_type, 'none') AS touch_type,
+       COUNT(*) AS n_purchases
+FROM attributed
+GROUP BY 1
+"""
+
+
+@query("q139_last_touch_attribution", oracle=_Q139_SQL, tags=("behavior", "window"))
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch credit via one ordered window: rows sort by
+    (ts, is_purchase, event_id) per user so a purchase sees every touch
+    at-or-before its timestamp (same-ts touches first, ties broken by
+    event_id exactly like the oracle's ORDER BY ... LIMIT 1), then
+    `last(ignorenulls)` carries the latest touch type/ts forward and
+    the 24 h lookback reclassifies stale credit as 'none'."""
+    from pyspark.sql import Window
+
+    ev = catalog.load(spark, "events", sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(is_touch, F.col("event_type")).alias("touch_type_raw"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts_raw"),
+    ).filter(is_touch | (F.col("is_p") == 1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = base.select(
+        "ts",
+        "is_p",
+        F.last("touch_type_raw", ignorenulls=True).over(w).alias("lt_type"),
+        F.last("touch_ts_raw", ignorenulls=True).over(w).alias("lt_ts"),
+    ).filter(F.col("is_p") == 1)
+    return (
+        carried.select(
+            F.when(
+                F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS"),
+                F.col("lt_type"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("touch_type")
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
