@@ -77,6 +77,17 @@ def test_text_operators_need_no_python_workers(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_portable_sketch_and_hash_queries_stay_jvm(spark, sf_dir):
+    """The portable hash families (SimHash, CMS, HLL, MinHash) are pure
+    int64 column arithmetic — their plans must contain no Python-eval
+    nodes and at most ONE shuffle (the final bounded aggregate)."""
+    for name in ("q132_simhash_portable", "q137_cms_portable",
+                 "q138_hll_portable", "q125_minhash_portable"):
+        plan = _plan(all_queries()[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 1, name
+
+
 def test_similarity_broadcasts_query_side(spark, sf_dir):
     """Cosine top-k must broadcast the (small) query set; the candidate
     corpus — the 100 TB side — must not be exchanged for the join."""
