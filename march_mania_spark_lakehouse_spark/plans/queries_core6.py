@@ -373,3 +373,81 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.row_number().over(w).cast("long").alias("rn"),
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — TPC-H Q8 shape (national market share): one supplier nation's
+# share of regional order revenue by order year. Share = conditional
+# sum / total sum in a single aggregate pass — no second join against a
+# totals table — and every dimension broadcasts.
+# --------------------------------------------------------------------------
+
+_Q140_SQL = f"""
+WITH base AS (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38, 10))
+               AS volume,
+           n1.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                           ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+       COUNT(*) AS n_items
+FROM base
+GROUP BY o_year
+"""
+
+
+@query("q140_tpch_q8_market_share", oracle=_Q140_SQL, tags=("join", "agg", "tpch"))
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's (NATION_7) share of ASIA-customer order revenue per
+    year. The share is a conditional-sum / total-sum ratio inside ONE
+    aggregate (no totals self-join); numerator and denominator are
+    exact decimal sums so the ratio is order-independent, then a single
+    IEEE divide+round matches the oracle bit-for-bit. All six
+    dimension joins broadcast; lineitem⋈orders⋈customer shuffle once."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    o = catalog.load(spark, "orders", sf_dir)
+    c = catalog.load(spark, "customer", sf_dir)
+    s = catalog.load(spark, "supplier", sf_dir)
+    n1 = catalog.load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = catalog.load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = catalog.load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,10)")
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
