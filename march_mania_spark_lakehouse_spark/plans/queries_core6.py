@@ -451,3 +451,107 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — TPC-H Q18 shape (large-volume customers): orders whose total
+# line quantity exceeds a threshold, joined back for customer detail.
+# The HAVING subquery becomes a pre-aggregation that is TINY after its
+# filter — the join back to orders/customer broadcasts it.
+# --------------------------------------------------------------------------
+
+_Q141_QTY = 120
+
+_Q141_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q141_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(b.total_qty AS BIGINT) AS total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("q141_tpch_q18_large_orders", oracle=_Q141_SQL, tags=("join", "agg", "tpch"))
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-filter-then-join-back. The
+    post-HAVING order set is a tiny fraction of orders, so it drives
+    the joins as the (broadcastable) build side — the fact table is
+    reduced BEFORE any wide join, which is the entire point of the
+    shape at 100 TB."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > _Q141_QTY)
+    )
+    o = catalog.load(spark, "orders", sf_dir)
+    c = catalog.load(spark, "customer", sf_dir)
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# q142 — TPC-H Q22 shape (global-filter + anti-join): customers from
+# selected "country codes" (key-mod cohorts here) with above-average
+# balance and no URGENT orders (this fixture gives every customer at
+# least one order, so Q22's "no orders at all" would be vacuously
+# empty — the anti-join shape is identical). The global average is a
+# scalar subquery — one number broadcast into the filter — and the
+# negation is a left anti join, never a NOT IN scan.
+# --------------------------------------------------------------------------
+
+_Q142_SQL = """
+WITH avg_bal AS (
+    SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c.c_custkey % 7 AS INT) AS cohort,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(ROUND(c.c_acctbal, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_custkey % 7 IN (1, 3, 5)
+  AND c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+@query("q142_tpch_q22_no_order_customers", oracle=_Q142_SQL, tags=("join", "agg", "tpch"))
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (the global average is
+    ONE broadcast number, not a join) + left ANTI join against the
+    urgent-order customer set, then a cohort aggregate with an exact
+    decimal balance sum."""
+    c = catalog.load(spark, "customer", sf_dir)
+    o = (
+        catalog.load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    )
+    eligible = c.filter(
+        (F.col("c_custkey") % 7).isin(1, 3, 5) & (F.col("c_acctbal") > F.lit(avg_bal))
+    )
+    no_orders = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy((F.col("c_custkey") % 7).cast("int").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.round("c_acctbal", 2).cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
