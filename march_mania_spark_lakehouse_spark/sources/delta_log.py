@@ -28,9 +28,11 @@ is compacted into parquet checkpoints every ``checkpoint_interval``
 commits, so snapshot reconstruction reads one checkpoint + a bounded
 tail — never the full history. Per-file stats ride in the add actions,
 so a range scan plans from the log (KBs) instead of opening footers of
-millions of files. Limitations kept honest: unpartitioned tables only
-(partitionValues always empty), no deletion vectors, minReader/Writer
-1/2.
+millions of files. Hive-partitioned tables are supported: add actions
+carry partitionValues, `scan_partitions` prunes from the log, and
+readers restore partition columns via basePath discovery + declared-
+type casts. Limitations kept honest: no deletion vectors, no column
+mapping, minReader/Writer 1/2.
 
 Local-FS commit atomicity: each commit is written to a temp file then
 ``os.link``-ed to its final ``%020d.json`` name — link fails with EEXIST
@@ -156,35 +158,52 @@ def _write_commit(table: str, version: int, actions: list[dict]) -> None:
         os.unlink(tmp)
 
 
-def _stage_data_files(df: DataFrame, table: str) -> list[str]:
+def _stage_data_files(
+    df: DataFrame, table: str, partition_by: Sequence[str] = ()
+) -> list[tuple[str, dict]]:
     """Write df as parquet into a staging dir, then move the part files
     into the table root under fresh UUID names (Delta requires file
-    names unique across the table's whole history). Returns the new
-    relative file names."""
+    names unique across the table's whole history). Partitioned writes
+    keep the hive ``col=val/`` layout inside the table root and carry
+    their partition values. Returns [(relative path, partitionValues)].
+    """
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    names: list[str] = []
-    for fn in sorted(os.listdir(staging)):
-        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
-            continue
-        new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-        os.rename(os.path.join(staging, fn), os.path.join(table, new_name))
-        names.append(new_name)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    out: list[tuple[str, dict]] = []
+    for root, dirs, files in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in sorted(files):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = v
+            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = os.path.join(rel_dir, new_name) if rel_dir != "." else new_name
+            os.makedirs(os.path.dirname(os.path.join(table, rel)) or table, exist_ok=True)
+            os.rename(os.path.join(root, fn), os.path.join(table, rel))
+            out.append((rel, pvals))
     shutil.rmtree(staging)
-    return names
+    return out
 
 
 def _add_actions(
-    table: str, files: Sequence[str], stat_cols: Sequence[str]
+    table: str, files: Sequence[tuple[str, dict]], stat_cols: Sequence[str]
 ) -> list[dict]:
     out = []
-    for name in files:
+    for name, pvals in files:
         p = os.path.join(table, name)
         out.append(
             {
                 "add": {
                     "path": name,
-                    "partitionValues": {},
+                    "partitionValues": pvals,
                     "size": os.path.getsize(p),
                     "modificationTime": _now_ms(),
                     "dataChange": True,
@@ -195,13 +214,15 @@ def _add_actions(
     return out
 
 
-def _metadata_action(df: DataFrame, table_id: str) -> dict:
+def _metadata_action(
+    df: DataFrame, table_id: str, partition_by: Sequence[str] = ()
+) -> dict:
     return {
         "metaData": {
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": list(partition_by),
             "configuration": {},
             "createdTime": _now_ms(),
         }
@@ -240,25 +261,38 @@ def create(
     table: str,
     stat_cols: Sequence[str] = (),
     txn: "tuple[str, int] | None" = None,
+    partition_by: Sequence[str] = (),
 ) -> int:
     """Create a Delta table at ``table`` (version 0): data files +
     protocol/metaData/add actions. Fails if a log already exists.
     ``txn=(app_id, version)`` records a SetTransaction action — the
     spec's idempotent-streaming-append marker (see `last_txn_version`).
+    ``partition_by`` writes hive-layout partitions whose values ride in
+    each add action's partitionValues — the log-planned partition
+    pruning input (`scan_partitions`).
     """
     if latest_version(table) is not None:
         raise FileExistsError(f"{table} already has a Delta log")
     os.makedirs(table, exist_ok=True)
-    files = _stage_data_files(df, table)
+    files = _stage_data_files(df, table, partition_by)
     actions = [
         _commit_info("CREATE TABLE AS SELECT", {"mode": "ErrorIfExists"}),
         {"protocol": dict(PROTOCOL)},
-        _metadata_action(df, uuid.uuid4().hex),
+        _metadata_action(df, uuid.uuid4().hex, partition_by),
         *_txn_action(txn),
         *_add_actions(table, files, stat_cols),
     ]
     _write_commit(table, 0, actions)
     return 0
+
+
+def table_partition_columns(table: str, version: int | None = None) -> list[str]:
+    """The table's declared partition columns at ``version``."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    meta = _latest_metadata(table, v)
+    return list((meta or {}).get("partitionColumns", []))
 
 
 class DeltaSchemaMismatchError(ValueError):
@@ -334,7 +368,7 @@ def append(
                 }
             }
         )
-    files = _stage_data_files(df, table)
+    files = _stage_data_files(df, table, table_partition_columns(table, cur))
     actions = [
         _commit_info("WRITE", {"mode": "Append"}),
         *meta_actions,
@@ -371,7 +405,7 @@ def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
     if cur is None:
         return create(df, table, stat_cols)
     live = snapshot_files(table, cur)
-    files = _stage_data_files(df, table)
+    files = _stage_data_files(df, table, table_partition_columns(table, cur))
     ts = _now_ms()
     actions = [
         _commit_info("WRITE", {"mode": "Overwrite"}),
@@ -410,7 +444,7 @@ def merge(
         read_delta(spark, table, cur), changes, list(keys), delete_col
     )
     live = snapshot_files(table, cur)
-    files = _stage_data_files(merged, table)
+    files = _stage_data_files(merged, table, table_partition_columns(table, cur))
     ts = _now_ms()
     actions = [
         _commit_info("MERGE", {"matchedPredicates": "update", "keys": ",".join(keys)}),
@@ -490,13 +524,56 @@ def read_delta(
     files = snapshot_files(table, version)
     if not files:
         raise FileNotFoundError(f"{table} snapshot has no data files")
+    return _read_files(spark, table, files, version)
+
+
+def _read_files(
+    spark: SparkSession, table: str, files: Sequence[str], version: int | None
+) -> DataFrame:
     # Read under the version's DECLARED schema (metaData action), not
     # whichever file footer Spark samples: post-evolution snapshots then
     # surface pre-evolution files' missing columns as nulls, and column
-    # order is the log's, not the listing's.
-    return spark.read.schema(table_schema(table, version)).parquet(
-        *[os.path.join(table, f) for f in files]
-    )
+    # order is the log's, not the listing's. Partition columns are not
+    # in the data files (hive layout); basePath-driven discovery
+    # restores them, then a cast pins their declared types.
+    schema = table_schema(table, version)
+    part_cols = table_partition_columns(table, version)
+    paths = [os.path.join(table, f) for f in files]
+    if not part_cols:
+        return spark.read.schema(schema).parquet(*paths)
+    from pyspark.sql import types as T
+
+    data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+    df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
+    for f in schema.fields:
+        if f.name in part_cols:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def scan_partitions(
+    spark: SparkSession,
+    table: str,
+    values: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Partition-pruned scan planned FROM THE LOG: keep only files whose
+    add-action partitionValues match ``values`` (equality per column) —
+    the reader never lists directories, and non-matching partitions
+    contribute zero files, zero tasks. Semantically identical to
+    ``read_delta(...).filter(...)`` (pinned by test)."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    want = {k: str(val) for k, val in values.items()}
+    keep = [
+        path
+        for path, add in _replay(table, v).items()
+        if all((add.get("partitionValues") or {}).get(k) == s for k, s in want.items())
+    ]
+    if not keep:
+        return read_delta(spark, table, v).filter(F.lit(False))
+    return _read_files(spark, table, sorted(keep), v)
 
 
 def scan_pruned(

@@ -273,3 +273,40 @@ def test_schema_enforcement_and_evolution(spark, sf_dir, table):
     # missing-column appends still work post-evolution (null-filled)
     delta_log.append(orders.limit(5), table)
     assert delta_log.read_delta(spark, table).count() == 55
+
+
+def test_partitioned_table_round_trip_and_log_pruning(spark, sf_dir, table):
+    """Hive-partitioned Delta table: partitionValues ride in the add
+    actions, reads restore the partition column with its declared type,
+    appends inherit the partitioning, and scan_partitions plans ONLY
+    the matching partition's files from the log."""
+    orders = _orders(spark, sf_dir).limit(200)
+    delta_log.create(
+        orders, table, stat_cols=["o_orderkey"], partition_by=["o_orderstatus"]
+    )
+    assert delta_log.table_partition_columns(table) == ["o_orderstatus"]
+
+    # add actions carry the partition value; files live under col=val/
+    for path, add in delta_log._replay(table, 0).items():
+        assert add["partitionValues"].get("o_orderstatus") in {"O", "F", "P"}
+        assert path.startswith("o_orderstatus=")
+
+    got = delta_log.read_delta(spark, table)
+    assert _rows(got.select(*orders.columns)) == _rows(orders)
+    assert dict(got.dtypes)["o_orderstatus"] == "string"
+
+    # append inherits partitioning
+    extra = orders.limit(30).withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    delta_log.append(extra, table)
+    assert delta_log.read_delta(spark, table).count() == 230
+
+    # log-planned partition pruning == filter, with fewer files
+    pruned = delta_log.scan_partitions(spark, table, {"o_orderstatus": "F"})
+    full = delta_log.read_delta(spark, table).filter(F.col("o_orderstatus") == "F")
+    assert _rows(pruned.select(*orders.columns)) == _rows(full.select(*orders.columns))
+    n_live = len(delta_log.snapshot_files(table))
+    n_kept = len([
+        p for p, a in delta_log._replay(table, delta_log.latest_version(table)).items()
+        if a["partitionValues"].get("o_orderstatus") == "F"
+    ])
+    assert 0 < n_kept < n_live
