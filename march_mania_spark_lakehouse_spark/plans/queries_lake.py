@@ -368,3 +368,60 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q143 — partition-pruned Delta scan: orders published as a hive-
+# partitioned Delta table (partition column = o_orderstatus), one
+# partition aggregated via `scan_partitions` — the planner keeps only
+# matching add actions from the log; other partitions contribute zero
+# files and zero tasks. Pruning is semantically invisible, so the
+# oracle is the plain filtered aggregate.
+# --------------------------------------------------------------------------
+
+_Q143_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+
+def _orders_delta_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-part|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
+    if delta_log.latest_version(table) is None:
+        delta_log.create(
+            catalog.load(spark, "orders", sf_dir),
+            table,
+            stat_cols=["o_orderkey"],
+            partition_by=["o_orderstatus"],
+        )
+    return table
+
+
+@query("q143_delta_partition_scan", oracle=_Q143_SQL, tags=("lake", "agg"))
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly totals of one order-status partition, planned from the
+    Delta log's partitionValues (`delta_log.scan_partitions`): at 100 TB
+    the non-matching partitions cost nothing — not a listing, not a
+    footer, not a task."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_partitioned(spark, sf_dir)
+    part = delta_log.scan_partitions(spark, table, {"o_orderstatus": "F"})
+    return part.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )

@@ -717,3 +717,72 @@ def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
                 os.unlink(fp)
             deleted.append(name)
     return sorted(deleted)
+
+
+# --------------------------------------------------------------------------
+# Write–Audit–Publish: the lakehouse pattern that makes a bad batch
+# invisible rather than rolled-back. Because readers plan EXCLUSIVELY
+# from the log, data files staged into the table directory are not yet
+# part of any snapshot — so "audit before the commit lands" is a real
+# isolation barrier, not a convention.
+# --------------------------------------------------------------------------
+
+
+class DeltaAuditError(RuntimeError):
+    """The staged batch failed its expectations; nothing was published."""
+
+    def __init__(self, violations: dict[str, int]) -> None:
+        self.violations = violations
+        super().__init__(f"audit failed: {violations}")
+
+
+def write_audit_publish(
+    df: DataFrame,
+    table: str,
+    expectations: "dict[str, object]",
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """Append with an audit gate: stage the data files, evaluate every
+    expectation against EXACTLY the staged bytes (one conditional-
+    aggregation pass — re-reading what was written also catches write
+    corruption, which auditing the in-memory df would miss), and only
+    then commit. On violations the staged files are deleted and
+    :class:`DeltaAuditError` carries the per-check counts; the table's
+    visible state never changes.
+
+    ``expectations`` maps check name → boolean Column that is True for
+    VIOLATING rows (the `operators/dq.violation_counts` convention).
+    """
+    from march_mania_spark_lakehouse_spark.operators.dq import violation_counts
+
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(
+            f"{table} has no Delta log — create() the table first, then WAP-append"
+        )
+    spark = df.sparkSession
+    part_cols = table_partition_columns(table, cur)
+    files = _stage_data_files(df, table, part_cols)
+    # read the staged bytes directly — not yet in any snapshot
+    paths = [os.path.join(table, f) for f, _ in files]
+    if part_cols:
+        staged = spark.read.option("basePath", table).parquet(*paths)
+    else:
+        staged = spark.read.parquet(*paths)
+    report = {
+        r["check_name"]: r["n_violations"]
+        for r in violation_counts(staged, expectations).collect()
+    }
+    bad = {k: v for k, v in report.items() if v > 0}
+    if bad:
+        for f, _ in files:
+            fp = os.path.join(table, f)
+            if os.path.exists(fp):
+                os.unlink(fp)
+        raise DeltaAuditError(bad)
+    actions = [
+        _commit_info("WRITE", {"mode": "Append", "audited": "true"}),
+        *_add_actions(table, files, stat_cols),
+    ]
+    _write_commit(table, cur + 1, actions)
+    return cur + 1

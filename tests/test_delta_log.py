@@ -310,3 +310,43 @@ def test_partitioned_table_round_trip_and_log_pruning(spark, sf_dir, table):
         if a["partitionValues"].get("o_orderstatus") == "F"
     ])
     assert 0 < n_kept < n_live
+
+
+def test_write_audit_publish_gates_bad_batches(spark, sf_dir, table):
+    """WAP: a batch violating its expectations must leave the table's
+    visible state AND version untouched (staged files deleted), while a
+    clean batch publishes normally with audited=true in commitInfo."""
+    orders = _orders(spark, sf_dir).limit(100)
+    delta_log.create(orders, table)
+    v0_files = set(delta_log.snapshot_files(table))
+
+    bad = spark.createDataFrame(
+        [(1, 2, -5.0, "X"), (2, 3, 10.0, "F")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    checks = {
+        "nonneg_price": F.col("o_totalprice") < 0,
+        "known_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    with pytest.raises(delta_log.DeltaAuditError) as exc:
+        delta_log.write_audit_publish(bad, table, checks)
+    assert exc.value.violations == {"nonneg_price": 1, "known_status": 1}
+    assert delta_log.latest_version(table) == 0  # nothing published
+    assert set(delta_log.snapshot_files(table)) == v0_files
+    assert delta_log.read_delta(spark, table).count() == 100
+    # staged files physically removed — no orphan debris for vacuum
+    data_files = [f for f in os.listdir(table)
+                  if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    assert set(data_files) == v0_files
+
+    good = spark.createDataFrame(
+        [(900001, 3, 10.0, "F")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    v = delta_log.write_audit_publish(good, table, checks)
+    assert v == 1
+    assert delta_log.read_delta(spark, table).count() == 101
+    info = delta_log._read_actions(
+        os.path.join(table, "_delta_log", f"{v:020d}.json")
+    )[0]["commitInfo"]
+    assert info["operationParameters"]["audited"] == "true"
