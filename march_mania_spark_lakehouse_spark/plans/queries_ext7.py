@@ -575,3 +575,18 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = catalog.load(spark, "events", sf_dir)
     return hll_portable_registers(ev, "user_id", m=_HLL_M)
+
+
+@query("q144_cosine_topk_pq", oracle=None, tags=("similarity", "ann"))
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`operators/similarity.py:cosine_topk_pq`):
+    corpus compressed to m=16 one-byte codes per vector (16× smaller
+    than float32), scored by per-query lookup tables, exact re-rank on
+    the k×8 shortlist. Recall-tested against the brute-force baseline
+    (`tests/test_operators.py`) like the LSH/IVF paths — ANN is a
+    sanctioned no-oracle family; returned scores are exact cosine."""
+    from march_mania_spark_lakehouse_spark.operators import similarity
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_pq(emb, q, k=5)

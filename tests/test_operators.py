@@ -352,3 +352,33 @@ def test_vectorized_similarity_survives_empty_partitions(spark):
     assert out.count() >= 0  # forces execution through every partition
     vec = similarity.cosine_topk_vectorized(tiny, tiny.filter("vec_id < 2"), k=2)
     assert vec.count() >= 0
+
+
+def test_pq_topk_recall_and_exact_rerank_scores(spark, sf_dir):
+    """PQ-ADC + exact re-rank: recall vs brute force stays high and —
+    because the shortlist is re-scored exactly — every returned score
+    equals the brute-force score bit-for-bit. Codes must be m bytes of
+    information (int in [0, k))."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    approx = similarity.cosine_topk_pq(emb, q, k=5, m=16, n_centroids=32)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"PQ recall collapsed: {recall}"
+    es = {(r["q_id"], r["c_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["q_id"], r["c_id"])
+        if key in es:
+            assert es[key] == pytest.approx(r["cosine"], abs=1e-9)
+
+    books = similarity.pq_train(emb, m=16, k=32)
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 16 for r in codes)
+    assert all(0 <= c < 32 for r in codes for c in r["codes"])
+    # determinism: same codebooks -> same codes
+    again = similarity.pq_encode(emb, books).collect()
+    assert {r["vec_id"]: list(r["codes"]) for r in codes} == {
+        r["vec_id"]: list(r["codes"]) for r in again
+    }
