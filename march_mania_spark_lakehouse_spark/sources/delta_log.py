@@ -786,3 +786,62 @@ def write_audit_publish(
     ]
     _write_commit(table, cur + 1, actions)
     return cur + 1
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: Sequence[str] = (),
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """OPTIMIZE: rewrite the live file set into ~target-sized files
+    (bin-packing compaction), optionally clustering rows by a z-order
+    key over ``zorder_by`` so each output file covers a tight min/max
+    box in every clustered dimension — which is what makes the
+    add-action stats selective for `scan_pruned` on ANY of those
+    columns. Committed as remove(old)+add(new) with dataChange=false
+    semantics (same rows, new layout); history stays time-travelable
+    and a concurrent reader of the old version still finds its files
+    until vacuum.
+
+    Stats default to ``zorder_by`` when ``stat_cols`` is empty — you
+    cluster by exactly the columns you want to skip on."""
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    df = read_delta(spark, table, cur)
+    live = snapshot_files(table, cur)
+    total_bytes = sum(os.path.getsize(os.path.join(table, f)) for f in live)
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    if zorder_by:
+        from march_mania_spark_lakehouse_spark.operators.sketch import zorder_key
+
+        df = (
+            df.withColumn("__z", zorder_key([F.col(c) for c in zorder_by]))
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.coalesce(n_out)
+    part_cols = table_partition_columns(table, cur)
+    files = _stage_data_files(df, table, part_cols)
+    ts = _now_ms()
+    actions = [
+        _commit_info(
+            "OPTIMIZE",
+            {"targetSize": target_file_bytes, "zOrderBy": ",".join(zorder_by)},
+        ),
+        *(
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": False}}
+            for p in sorted(live)
+        ),
+        *_add_actions(table, files, stat_cols or zorder_by),
+    ]
+    # rewrite adds carry dataChange=false: same rows, new layout
+    for a in actions:
+        if "add" in a:
+            a["add"]["dataChange"] = False
+    _write_commit(table, cur + 1, actions)
+    return cur + 1

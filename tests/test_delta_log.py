@@ -350,3 +350,59 @@ def test_write_audit_publish_gates_bad_batches(spark, sf_dir, table):
         os.path.join(table, "_delta_log", f"{v:020d}.json")
     )[0]["commitInfo"]
     assert info["operationParameters"]["audited"] == "true"
+
+
+def test_optimize_compacts_and_zorder_tightens_stats(spark, sf_dir, table):
+    """OPTIMIZE: many small files collapse to the bin-packed count with
+    identical rows and a still-readable pre-optimize version; z-order
+    clustering must make per-file [min,max] boxes on the clustered
+    column strictly tighter than the scattered layout, so scan_pruned
+    opens fewer files for the same range."""
+    orders = _orders(spark, sf_dir).withColumn(
+        "o_key2", (F.col("o_orderkey") * 7919) % 1000
+    )
+    # scattered layout: 8 files, each spanning ~the whole key range
+    delta_log.create(
+        orders.repartition(8), table, stat_cols=["o_orderkey", "o_key2"]
+    )
+    before_files = delta_log.snapshot_files(table)
+    assert len(before_files) == 8
+
+    def files_overlapping(version, lo, hi):
+        n = 0
+        for _, add in delta_log._replay(table, version).items():
+            st = json.loads(add["stats"])
+            if st["minValues"]["o_orderkey"] <= hi and st["maxValues"]["o_orderkey"] >= lo:
+                n += 1
+        return n
+
+    v0_hits = files_overlapping(0, 100, 200)
+    assert v0_hits == 8  # every scattered file overlaps any range
+
+    v = delta_log.optimize(
+        spark, table, target_file_bytes=16 * 1024,
+        zorder_by=["o_orderkey", "o_key2"],
+    )
+    after_files = delta_log.snapshot_files(table)
+    assert set(after_files).isdisjoint(before_files)  # full rewrite
+    assert 1 < len(after_files) < 16
+
+    # identical rows, before and after; old version still time-travels
+    assert _rows(delta_log.read_delta(spark, table, v).select(*orders.columns)) == _rows(orders)
+    assert len(delta_log.snapshot_files(table, 0)) == 8
+
+    # clustering payoff: same range now overlaps a strict minority
+    v1_hits = files_overlapping(v, 100, 200)
+    assert v1_hits < len(after_files)
+    pruned = delta_log.scan_pruned(spark, table, "o_orderkey", 100, 200)
+    full = delta_log.read_delta(spark, table).filter(
+        F.col("o_orderkey").between(100, 200)
+    )
+    assert _rows(pruned.select(*orders.columns)) == _rows(full.select(*orders.columns))
+
+    # OPTIMIZE is dataChange=false on both sides of the rewrite
+    acts = delta_log._read_actions(
+        os.path.join(table, "_delta_log", f"{v:020d}.json")
+    )
+    assert all(a["add"]["dataChange"] is False for a in acts if "add" in a)
+    assert all(a["remove"]["dataChange"] is False for a in acts if "remove" in a)
