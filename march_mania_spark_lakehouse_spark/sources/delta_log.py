@@ -845,3 +845,40 @@ def optimize(
             a["add"]["dataChange"] = False
     _write_commit(table, cur + 1, actions)
     return cur + 1
+
+
+def restore(table: str, version: int) -> int:
+    """RESTORE: make an older snapshot current again by committing
+    forward — remove the files the target version lacks, re-add the
+    ones it has that the head dropped (same add metadata, stats
+    included). History is never rewritten: the bad intermediate
+    versions stay time-travelable and auditable, which is what
+    separates RESTORE from a destructive reset. Restored files must
+    still exist (i.e. not vacuumed), else this raises before touching
+    the log."""
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    if not (0 <= version <= cur):
+        raise ValueError(f"version {version} not in [0, {cur}]")
+    target = _replay(table, version)
+    for path in target:
+        if not os.path.exists(os.path.join(table, path)):
+            raise FileNotFoundError(
+                f"cannot RESTORE to v{version}: data file {path} was vacuumed"
+            )
+    head = _replay(table, cur)
+    ts = _now_ms()
+    actions = [
+        _commit_info("RESTORE", {"version": version}),
+        *(
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
+            for p in sorted(set(head) - set(target))
+        ),
+        *(
+            {"add": {**target[p], "dataChange": True}}
+            for p in sorted(set(target) - set(head))
+        ),
+    ]
+    _write_commit(table, cur + 1, actions)
+    return cur + 1

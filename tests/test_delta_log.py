@@ -406,3 +406,31 @@ def test_optimize_compacts_and_zorder_tightens_stats(spark, sf_dir, table):
     )
     assert all(a["add"]["dataChange"] is False for a in acts if "add" in a)
     assert all(a["remove"]["dataChange"] is False for a in acts if "remove" in a)
+
+
+def test_restore_commits_forward_and_keeps_history(spark, sf_dir, table):
+    """RESTORE re-surfaces an old snapshot as a NEW version: rows equal
+    the target snapshot, intermediate versions stay time-travelable,
+    and restoring a vacuumed version fails loudly before touching the
+    log."""
+    orders = _orders(spark, sf_dir)
+    a = orders.filter("o_orderkey % 3 = 0")
+    b = orders.filter("o_orderkey % 3 = 1")
+    delta_log.create(a, table)
+    delta_log.overwrite(b, table)
+
+    v = delta_log.restore(table, 0)
+    assert v == 2
+    assert _rows(delta_log.read_delta(spark, table)) == _rows(a)
+    # the overwritten middle version is still there
+    assert _rows(delta_log.read_delta(spark, table, 1)) == _rows(b)
+    acts = delta_log._read_actions(
+        os.path.join(table, "_delta_log", f"{v:020d}.json")
+    )
+    assert acts[0]["commitInfo"]["operation"] == "RESTORE"
+
+    # vacuum away v1's files (not live, retention 0) → RESTORE to v1 raises
+    delta_log.vacuum(table, retention_ms=0)
+    with pytest.raises(FileNotFoundError):
+        delta_log.restore(table, 1)
+    assert delta_log.latest_version(table) == v  # log untouched by the failure
