@@ -882,3 +882,48 @@ def restore(table: str, version: int) -> int:
     ]
     _write_commit(table, cur + 1, actions)
     return cur + 1
+
+
+class DeltaNonAppendChangeError(RuntimeError):
+    """The requested change range contains a rewrite commit (overwrite/
+    merge/restore), whose file-level actions are not row-level changes."""
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Append-only change feed: the rows ADDED by commits in
+    ``(from_version, to_version]``, read straight from those commits'
+    dataChange add actions — for an append-only table this is exact
+    row-level CDC without any change-tracking overhead, and the
+    downstream incremental-refresh input (`operators/ivm.py`): refresh
+    cost tracks the delta, never the table.
+
+    Rewrite commits (overwrite / MERGE / RESTORE — remove actions with
+    dataChange=true) in the range raise
+    :class:`DeltaNonAppendChangeError`: their file-level actions don't
+    decompose into row-level inserts/deletes without deletion vectors,
+    and silently returning re-written files would double-count.
+    OPTIMIZE commits (dataChange=false) are correctly invisible."""
+    hi = latest_version(table) if to_version is None else to_version
+    if hi is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    added: list[str] = []
+    for v in range(from_version + 1, hi + 1):
+        p = _commit_path(table, v)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"missing commit {v} for {table}")
+        for a in _read_actions(p):
+            if "remove" in a and a["remove"].get("dataChange", True):
+                raise DeltaNonAppendChangeError(
+                    f"commit {v} rewrites data files; append-only change "
+                    "feed cannot represent it as row-level changes"
+                )
+            if "add" in a and a["add"].get("dataChange", True):
+                added.append(a["add"]["path"])
+    if not added:
+        return read_delta(spark, table, hi).filter(F.lit(False))
+    return _read_files(spark, table, sorted(added), hi)

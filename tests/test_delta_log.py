@@ -434,3 +434,44 @@ def test_restore_commits_forward_and_keeps_history(spark, sf_dir, table):
     with pytest.raises(FileNotFoundError):
         delta_log.restore(table, 1)
     assert delta_log.latest_version(table) == v  # log untouched by the failure
+
+
+def test_table_changes_append_only_cdc_drives_ivm_refresh(spark, sf_dir, table):
+    """Change feed: (a) changes between versions are exactly the
+    appended rows; (b) OPTIMIZE is invisible to it; (c) rewrite commits
+    raise instead of double-counting; (d) feeding the deltas into the
+    IVM state merge equals a full recompute — the end-to-end
+    incremental-refresh loop on the Delta log."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+
+    orders = _orders(spark, sf_dir)
+    a = orders.filter("o_orderkey % 3 = 0")
+    b = orders.filter("o_orderkey % 3 = 1")
+    c = orders.filter("o_orderkey % 3 = 2")
+    delta_log.create(a, table)
+    delta_log.append(b, table)
+    delta_log.append(c, table)
+
+    # (a) exact appended rows, per range
+    assert _rows(delta_log.table_changes(spark, table, 0, 1)) == _rows(b)
+    assert _rows(delta_log.table_changes(spark, table, 0)) == _rows(b.unionByName(c))
+    assert delta_log.table_changes(spark, table, 2).count() == 0
+
+    # (d) IVM: state(base at v0) + state(changes since v0) == full recompute
+    keys = ["o_orderstatus"]
+    base_state = ivm.agg_state(delta_log.read_delta(spark, table, 0), keys, "o_totalprice")
+    delta_state = ivm.agg_state(delta_log.table_changes(spark, table, 0), keys, "o_totalprice")
+    refreshed = ivm.finalize_state(ivm.merge_states(base_state, delta_state))
+    full = ivm.finalize_state(
+        ivm.agg_state(delta_log.read_delta(spark, table), keys, "o_totalprice")
+    )
+    assert _rows(refreshed) == _rows(full)
+
+    # (b) OPTIMIZE (dataChange=false) contributes nothing to the feed
+    v_opt = delta_log.optimize(spark, table, target_file_bytes=1 << 20)
+    assert delta_log.table_changes(spark, table, v_opt - 1, v_opt).count() == 0
+
+    # (c) a rewrite commit in range raises
+    delta_log.overwrite(a.limit(10), table)
+    with pytest.raises(delta_log.DeltaNonAppendChangeError):
+        delta_log.table_changes(spark, table, 0)
