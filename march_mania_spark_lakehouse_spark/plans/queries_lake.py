@@ -425,3 +425,66 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q145 — incremental refresh from the Delta change feed: gold per-status
+# totals maintained as IVM partial state; a new day lands as an append
+# commit, and the refresh aggregates ONLY `table_changes` (the appended
+# rows) before merging states. The oracle is the full recompute —
+# base+delta must be indistinguishable from it, which is the entire
+# contract of incremental view maintenance.
+# --------------------------------------------------------------------------
+
+_Q145_SQL = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_delta_incremental(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-incr|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(orders.filter(F.col("o_orderkey") % 4 != 0), table)
+        delta_log.append(orders.filter(F.col("o_orderkey") % 4 == 0), table)
+    return table
+
+
+@query("q145_delta_incremental_refresh", oracle=_Q145_SQL, tags=("lake", "ivm"))
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status totals = finalize(merge(state(base v0),
+    state(change feed since v0))) — the delta-batch aggregate sees only
+    the appended quarter of the rows, and the decimal-exact mergeable
+    state makes the result hash-identical to the oracle's full
+    recompute at any split."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_incremental(spark, sf_dir)
+    keys = ["o_orderstatus"]
+    base = ivm.agg_state(
+        delta_log.read_delta(spark, table, version=0), keys, "o_totalprice"
+    )
+    delta = ivm.agg_state(
+        delta_log.table_changes(spark, table, from_version=0), keys, "o_totalprice"
+    )
+    out = ivm.finalize_state(ivm.merge_states(base, delta))
+    return out.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_m").alias("sum_price"),
+    )

@@ -16,6 +16,7 @@ without materializing the partition.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -111,3 +112,97 @@ class SyntheticDocsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
         return _SyntheticDocsStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Streaming FROM a Delta-format table: the transaction log is already a
+# replayable ordered change log, so a stream source falls out of it —
+# offsets are table versions, a micro-batch is the rows added by the
+# commits since the checkpointed version (append-only contract, same as
+# `delta_log.table_changes`), and replay is deterministic because
+# committed versions are immutable. Data files are read driver-side
+# with pyarrow (the simple-reader contract; no SparkSession needed) —
+# the documented fit for control-plane-rate streams. Unpartitioned
+# tables only (partition columns live outside the data files).
+# --------------------------------------------------------------------------
+
+
+class _DeltaTableStreamReader:
+    def __init__(self, options: dict) -> None:
+        self.table = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _added_files(self, lo: int, hi: int) -> list:
+        from march_mania_spark_lakehouse_spark.sources import delta_log
+
+        files = []
+        for v in range(lo + 1, hi + 1):
+            p = delta_log._commit_path(self.table, v)
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"missing commit {v} for {self.table}")
+            for a in delta_log._read_actions(p):
+                if "remove" in a and a["remove"].get("dataChange", True):
+                    raise delta_log.DeltaNonAppendChangeError(
+                        f"commit {v} rewrites files; cannot stream it as appends"
+                    )
+                if "add" in a and a["add"].get("dataChange", True):
+                    if a["add"].get("partitionValues"):
+                        raise NotImplementedError(
+                            "delta_table_stream supports unpartitioned tables"
+                        )
+                    files.append(a["add"]["path"])
+        return files
+
+    def _rows(self, files: list):
+        import pyarrow.parquet as pq
+
+        from march_mania_spark_lakehouse_spark.sources import delta_log
+
+        cols = [f.name for f in delta_log.table_schema(self.table).fields]
+        for rel in files:
+            t = pq.read_table(os.path.join(self.table, rel))
+            names = set(t.column_names)
+            for batch in t.to_pylist():
+                yield tuple(batch.get(c) if c in names else None for c in cols)
+
+    def read(self, start: dict):
+        from march_mania_spark_lakehouse_spark.sources import delta_log
+
+        lo = int(start["version"])
+        hi = delta_log.latest_version(self.table)
+        if hi is None or hi <= lo:
+            return (iter(()), {"version": lo})
+        # materialized list, not a generator: Spark's runner pickles the
+        # returned iterable for prefetch bookkeeping
+        return (
+            list(self._rows(self._added_files(lo, hi))),
+            {"version": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(
+            self._rows(self._added_files(int(start["version"]), int(end["version"])))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # committed versions are immutable — the log IS the ack
+
+
+class DeltaTableStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_table_stream").option("path", t)``
+    after registering: each micro-batch carries the rows appended to the
+    Delta table since the checkpointed version."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_table_stream"
+
+    def schema(self):
+        from march_mania_spark_lakehouse_spark.sources import delta_log
+
+        return delta_log.table_schema(self.options["path"])
+
+    def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
+        return _DeltaTableStreamReader(self.options)

@@ -475,3 +475,48 @@ def test_table_changes_append_only_cdc_drives_ivm_refresh(spark, sf_dir, table):
     delta_log.overwrite(a.limit(10), table)
     with pytest.raises(delta_log.DeltaNonAppendChangeError):
         delta_log.table_changes(spark, table, 0)
+
+
+def test_delta_table_stream_source_incremental_batches(spark, sf_dir, table, tmp_path):
+    """Streaming FROM the Delta log: a drain picks up the current
+    snapshot, an append + re-drain (same checkpoint) delivers ONLY the
+    new commit's rows, and nothing duplicates — versions are the
+    offsets."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableStreamDataSource,
+    )
+
+    orders = _orders(spark, sf_dir)
+    a = orders.filter("o_orderkey % 3 = 0")
+    b = orders.filter("o_orderkey % 3 = 1")
+    delta_log.create(a, table)
+
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    sink = str(tmp_path / "dstream_sink")
+    ckpt = str(tmp_path / "dstream_ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("delta_table_stream")
+            .option("path", table)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = spark.read.parquet(sink)
+    assert _rows(got1.select(*orders.columns)) == _rows(a)
+
+    delta_log.append(b, table)
+    drain()  # same checkpoint: only the append lands
+    got2 = spark.read.parquet(sink)
+    assert got2.count() == a.count() + b.count()
+    assert _rows(got2.select(*orders.columns)) == _rows(a.unionByName(b))
