@@ -555,3 +555,136 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — TPC-H Q6 shape (forecast revenue change): the canonical
+# predicate-pushdown benchmark — a pure scan-aggregate whose selective
+# date/discount/quantity band must reach the parquet reader, scanning
+# row groups, not rows.
+# --------------------------------------------------------------------------
+
+_Q146_SQL = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q146_tpch_q6_forecast_revenue", oracle=_Q146_SQL, tags=("agg", "tpch"))
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: one filtered scan, one global aggregate, zero
+    joins — every predicate pushes to the parquet scan (plan-asserted
+    for this family in test_plans), so at 100 TB the reader skips row
+    groups whose stats exclude the band."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q147 — TPC-H Q15 shape (top supplier view): revenue per supplier for a
+# quarter, then the supplier(s) achieving the MAX — the argmax-of-an-
+# aggregate idiom: the "view" aggregates once, the max is a one-row
+# broadcast back onto it, never a re-aggregation.
+# --------------------------------------------------------------------------
+
+_Q147_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q147_tpch_q15_top_supplier", oracle=_Q147_SQL, tags=("join", "agg", "tpch"))
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view → scalar max → equality join
+    back. The revenue view computes ONCE (cached-by-plan reuse of the
+    same subtree); the max is one row broadcast into the filter. Exact
+    decimal revenue makes 'equals the max' deterministic — float sums
+    would make the argmax flap with partitioning."""
+    li = catalog.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("__mx"))
+    s = catalog.load(spark, "supplier", sf_dir)
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q148 — TPC-H Q17 shape (small-quantity-order revenue): lineitems of a
+# brand whose quantity is below 20% of that part's average quantity.
+# The correlated scalar subquery decorrelates to one per-part average
+# joined back — per-part state, never per-row probing.
+# --------------------------------------------------------------------------
+
+_Q148_SQL = f"""
+WITH avg_qty AS (
+    SELECT l_partkey, AVG(CAST(l_quantity AS DOUBLE)) AS aq
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       {sql_dsum("l.l_extendedprice", "total_price")},
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE p.p_type = 'ECONOMY'
+  AND CAST(l.l_quantity AS DOUBLE) < 0.5 * a.aq
+GROUP BY p.p_brand
+"""
+
+
+@query("q148_tpch_q17_small_qty_orders", oracle=_Q148_SQL, tags=("join", "agg", "tpch"))
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated 'below this part's average'
+    predicate as an explicit per-part aggregate joined back (exactly
+    what Catalyst's decorrelation produces) — the aggregate is
+    part-cardinality-sized, the fact table joins it once on the part
+    key."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    p = catalog.load(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg(F.col("l_quantity").cast("double")).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity").cast("double") < 0.5 * F.col("aq"))
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice"), "total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
