@@ -419,3 +419,119 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", rolling_fingerprint(c))
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """LEARN byte-pair-encoding merges from the corpus (vs the fixed
+    BPE-ish regex of `bpe_token_stats`, which only applies a
+    tokenization): the classic iterative algorithm — start from
+    char-level symbols per word, repeatedly take the corpus-wide most
+    frequent adjacent symbol pair and fuse it — run distributed.
+
+    Per round: ONE aggregate over the word-frequency table (pair counts
+    explode from each distinct word × its corpus frequency — the
+    corpus itself is scanned once, up front, into (word, freq)), one
+    driver decision (the argmax pair — a single row), and a map-only
+    symbol rewrite. State is the distinct-word table, vocabulary-
+    bounded, never the corpus; rounds = n_merges, the same bounded-
+    driver-loop shape as connected components. Ties break
+    lexicographically so the learned merges are deterministic under any
+    partitioning.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    words = (
+        rebalance_scan(df)
+        .select(F.explode(tokens(text_col)).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .withColumn("__sym", F.split(F.col("__w"), ""))
+        .select("__sym", "__freq")
+    )
+    words = words.localCheckpoint(eager=True)  # constant plan per round
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            words.select(
+                F.posexplode(F.slice("__sym", 1, 10_000)).alias("__i", "__a"),
+                "__sym",
+                "__freq",
+            )
+            .filter(F.col("__i") < F.size("__sym") - 1)
+            .select(
+                F.col("__a").alias("left"),
+                F.expr("__sym[__i + 1]").alias("right"),
+                "__freq",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("__freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "left", "right")
+            .limit(1)
+        ).collect()
+        if not pairs or pairs[0]["cnt"] < min_count:
+            break
+        left, right = pairs[0]["left"], pairs[0]["right"]
+        merges.append((left, right))
+        fused = left + right
+        # map-only rewrite: fuse every non-overlapping (left, right)
+        # occurrence left-to-right via one aggregate fold per word
+        words = words.select(
+            F.aggregate(
+                "__sym",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right))
+                    # guard: the trailing `left` must not itself be the
+                    # product of a fuse this round (can't re-use it)
+                    ,
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("__sym"),
+            "__freq",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a learned merge list: char-split each word, apply
+    the merges in learned order (map-only column expressions — no
+    Python workers), concat word token lists. Output adds ``out_col``
+    array<string>."""
+    sym = F.transform(tokens(text_col), lambda w: F.split(w, ""))
+
+    def fuse(pair):
+        left, right = pair
+        fused = left + right
+        return lambda arr: F.aggregate(
+            arr,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    def apply_one(prev_sym, f):
+        # closure factory: PySpark derives lambda arity from the Python
+        # signature, so no default-arg smuggling (a 2-arg lambda would
+        # bind f to transform's index argument)
+        return F.transform(prev_sym, lambda w: f(w))
+
+    for pair in merges:
+        sym = apply_one(sym, fuse(pair))
+    return df.withColumn(out_col, F.flatten(sym))

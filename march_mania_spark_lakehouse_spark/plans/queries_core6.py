@@ -688,3 +688,59 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+# an OR of three (brand, size-range, quantity-range) conjunct groups.
+# What's under test is the planner: the disjunction must still produce
+# a usable join (common conjuncts extracted, per-branch ranges pushed),
+# not a cartesian with a residual filter.
+# --------------------------------------------------------------------------
+
+_Q149_SQL = f"""
+SELECT {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("q149_tpch_q19_disjunctive", oracle=_Q149_SQL, tags=("join", "agg", "tpch"))
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join on partkey with a 3-branch disjunction
+    of brand/size/quantity conjuncts on top — the join key is common to
+    every branch, so the plan stays a hash join with the disjunction as
+    a post-join filter whose part-side conjuncts (brand IN, size
+    bounds) still prune the broadcast build side."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    p = catalog.load(spark, "part", sf_dir).filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -590,3 +590,26 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_pq(emb, q, k=5)
+
+
+# bench=False: 8 driver-loop rounds ≈ 13 s at sf0.1 — all fixed
+# per-round overhead (vocab table is tiny); benching it would only
+# re-measure scheduler latency 8×. Correctness runs in the driver sim.
+@query("q150_bpe_vocab_induction", oracle=None, bench=False, tags=("text",))
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE tokenization of the documents corpus: induce 8 merges
+    from the corpus itself (`text.learn_bpe_merges` — iterative
+    distributed pair-counting over the vocabulary-bounded word table,
+    same bounded-driver-loop shape as connected components), then apply
+    them map-only and report per-doc token counts. Iterative vocab
+    induction is non-SQL-expressible (sanctioned rows-only family, like
+    Elo); the algorithm carries a textbook golden test instead
+    (`tests/test_ext4.py`)."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    merges = text.learn_bpe_merges(docs, n_merges=8)
+    out = text.apply_bpe_merges(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).alias("n_distinct_tokens"),
+    )

@@ -142,3 +142,36 @@ class TestCorpusShuffle:
         assert a.agg(F.min("shuffle_rank"), F.max("shuffle_rank")).first() == (1, n)
         b = {r.doc_id: r.shuffle_rank for r in q.fn(spark, sf_dir).collect()}
         assert {r.doc_id: r.shuffle_rank for r in a.collect()} == b
+
+
+def test_learn_bpe_merges_golden_and_deterministic(spark):
+    """Distributed BPE learning reproduces the textbook merge sequence
+    on the classic low/lower/newest corpus, the application operator
+    tokenizes accordingly, and re-learning gives identical merges
+    (lexicographic tie-break => partitioning-independent)."""
+    from march_mania_spark_lakehouse_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "low low low low low"),
+            (2, "lower lower newest"),
+            (3, "newest newest newest widest"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = T.learn_bpe_merges(df, n_merges=6)
+    assert merges[:2] == [("l", "o"), ("lo", "w")]  # 'low'×7 dominates
+    assert ("es", "t") in merges and ("ew", "est") in merges
+    assert merges == T.learn_bpe_merges(df, n_merges=6)  # deterministic
+
+    toks = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in T.apply_bpe_merges(df, merges).collect()
+    }
+    assert toks[1] == ["low"] * 5  # fully fused
+    assert toks[2][:3] == ["low", "e", "r"]
+    assert toks[3].count("ewest") == 3  # 'newest' -> n + ewest
+
+    # min_count floor stops before degenerate singleton merges
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert T.learn_bpe_merges(tiny, n_merges=5, min_count=2) == []
