@@ -230,3 +230,75 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return a.intersectAll(b)
+
+
+# --------------------------------------------------------------------------
+# q151 — DYNAMIC-gap session windows: each event proposes its own
+# inactivity window (purchases hold a session open 60 min, anything
+# else 15), and Spark's session_window merges overlapping proposals.
+# The oracle derives the same union-of-intervals relationally: a new
+# session starts iff the event's ts strictly exceeds the prefix-MAX of
+# previous events' (ts + own gap) — prefix max, not lag, because a
+# long-gap event deep in the session can out-reach every later one.
+# --------------------------------------------------------------------------
+
+_Q151_SQL = """
+WITH gapped AS (
+    SELECT user_id, ts, value,
+           ts + CASE WHEN event_type = 'purchase'
+                     THEN INTERVAL 3600 SECOND
+                     ELSE INTERVAL 900 SECOND END AS reach
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN MAX(reach) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                  OR ts > MAX(reach) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS is_new
+    FROM gapped
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20, 6))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("q151_session_window_dynamic_gap", oracle=_Q151_SQL, tags=("window", "events"))
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a per-event gap Column (purchase 60 min,
+    else 15): the engagement-aware sessionization real products run —
+    high-intent events keep sessions alive longer. Same single-shuffle
+    plan and streaming-readiness as the constant-gap form; the oracle's
+    prefix-max interval-union derivation proves the merge semantics."""
+    ev = catalog.load(spark, "events", sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
