@@ -744,3 +744,83 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q152 — TPC-H Q4 shape (order-priority checking): count orders per
+# priority having ≥1 returned lineitem — EXISTS decorrelates to a left
+# SEMI join (each order contributes once however many lineitems match),
+# then a priority rollup.
+# --------------------------------------------------------------------------
+
+_Q152_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("q152_tpch_q4_priority_check", oracle=_Q152_SQL, tags=("join", "agg", "tpch"))
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left semi join — the probe emits each
+    order at most once regardless of matching-lineitem count (no
+    pre-distinct, no row explosion), then one small rollup."""
+    o = catalog.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = catalog.load(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q153 — TPC-H Q16 shape (part–supplier relationship counting): distinct
+# suppliers per (brand, type, size) for selected sizes, excluding one
+# brand AND suppliers disqualified by a subquery (here: negative
+# balance) — NOT IN compiles to a broadcast anti join, and the distinct
+# count rides a two-level aggregate.
+# --------------------------------------------------------------------------
+
+_Q153_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 16, 25)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q153_tpch_q16_supplier_counts", oracle=_Q153_SQL, tags=("join", "agg", "tpch"))
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: the NOT-IN subquery becomes a broadcast LEFT
+    ANTI join against the (tiny) disqualified-supplier set — never a
+    per-row subquery probe — and COUNT(DISTINCT supplier) per part
+    bucket expands to Spark's two-phase distinct aggregate."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    p = catalog.load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    bad = catalog.load(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
