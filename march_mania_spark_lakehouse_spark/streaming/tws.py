@@ -151,6 +151,90 @@ def idle_timeout_sessions(
     )
 
 
+class _EventTimeSessionProcessor(StatefulProcessor):
+    """Event-time session close: the timer is set to (max event time
+    seen for the key) + gap, and fires when the WATERMARK passes it —
+    so session boundaries are decided by the data's own clock, not by
+    wall-clock processing cadence, and replays produce identical
+    sessions (the determinism processing-time timeouts cannot give)."""
+
+    def __init__(self, gap_ms: int) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._agg = handle.getValueState("agg", "n bigint, total double, last_ms bigint")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, total, last_ms = (
+            (self._agg.get() or (0, 0.0, 0)) if self._agg.exists() else (0, 0.0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = int(pdf["ts"].max().value // 1_000_000)  # ns → ms
+            last_ms = max(last_ms, batch_max)
+        self._agg.update((n, total, last_ms))
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_ms + self._gap_ms)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if self._agg.exists():
+            n, total, last_ms = self._agg.get()
+            self._agg.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_event_ms": [last_ms],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def event_time_sessions(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    gap_ms: int = 3_600_000,
+    watermark_delay: str = "0 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Close a per-key session when the watermark passes (last event
+    time + gap): emits one (key, n_events, total_value, last_event_ms)
+    row per closed session. Keys whose gap hasn't been out-watermarked
+    when the stream drains remain open and emit nothing — exactly the
+    still-open-session contract of event-time processing."""
+    from pyspark.sql.types import DoubleType, LongType, StructField
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_event_ms", LongType()),
+        ]
+    )
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            _EventTimeSessionProcessor(gap_ms),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 class _ProfileProcessor(StatefulProcessor):
     """Per-key running profile across micro-batches, exercising every TWS
     state kind the protocol offers:

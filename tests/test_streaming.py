@@ -510,3 +510,71 @@ def test_streaming_restart_from_checkpoint_exactly_once(spark, sf_dir, tmp_path)
     }
     for k, v in sample.items():
         assert abs(v - expect[k]) < 1e-9
+
+
+def test_tws_event_time_sessions_close_by_watermark(spark, sf_dir, tmp_path):
+    """Event-time TWS timers: a session closes iff the final watermark
+    (max event ts, delay 0) passed its last-event + gap — decided by
+    the data's clock, so the closed set is exactly predictable; closed
+    sessions carry full batch-aggregate counts, and availableNow
+    terminates (unlike processing-time timers, event-time timers can't
+    fire without data advancing the watermark)."""
+    from march_mania_spark_lakehouse_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from march_mania_spark_lakehouse_spark.streaming import tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        gap_ms = 3_600_000
+        events = catalog.load(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+        cut = events.selectExpr("percentile(cast(ts as double), 0.6) p").first()["p"]
+        src = str(tmp_path / "et_src")
+        events.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        events.filter(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = tws.event_time_sessions(stream, gap_ms=gap_ms)
+        sink = f"tws_et_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "event-time query must self-terminate"
+        emitted = {r["user_id"]: r for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+
+        stats = {
+            r["user_id"]: (r["n"], r["t"], int(r["m"].timestamp() * 1000))
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"), F.max("ts").alias("m"))
+            .collect()
+        }
+        wm_ms = max(m for (_, _, m) in stats.values())
+        expected_closed = {u for u, (_, _, m) in stats.items() if m + gap_ms < wm_ms}
+        assert set(emitted) == expected_closed
+        assert len(expected_closed) < len(stats)  # the max-ts user stays open
+        for u in expected_closed:
+            n, t, m = stats[u]
+            assert emitted[u]["n_events"] == n
+            assert abs(emitted[u]["total_value"] - t) < 1e-6 * max(1.0, abs(t))
+            assert emitted[u]["last_event_ms"] == m
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
