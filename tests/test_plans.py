@@ -228,3 +228,24 @@ def test_tpch_q10_topk_is_heap_not_global_sort(spark, sf_dir):
     plan = _plan(all_queries()["q124_tpch_q10_returns"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_tpch_batch_plan_shapes(spark, sf_dir):
+    """Pin the plan properties the new TPC-H shapes claim: Q6 pushes
+    its whole predicate band into the scan with no join; Q18 broadcasts
+    the post-HAVING set; Q19's disjunction stays a hash join (no
+    cartesian); Q7 uses broadcast joins only."""
+    q = all_queries()
+    plan6 = _plan(q["q146_tpch_q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "Join" not in plan6
+    assert "l_shipdate" in plan6.split("PushedFilters", 1)[1][:400]
+
+    plan18 = _plan(q["q141_tpch_q18_large_orders"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan18 and "CartesianProduct" not in plan18
+
+    plan19 = _plan(q["q149_tpch_q19_disjunctive"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan19
+    assert "CartesianProduct" not in plan19 and "BroadcastNestedLoopJoin" not in plan19
+
+    plan7 = _plan(q["q133_tpch_q7_volume_shipping"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan7  # all dims broadcast at this scale
