@@ -15,6 +15,7 @@ _QUERY_MODULES = (
     "march_mania_spark_lakehouse_spark.plans.queries_core4",
     "march_mania_spark_lakehouse_spark.plans.queries_core5",
     "march_mania_spark_lakehouse_spark.plans.queries_core6",
+    "march_mania_spark_lakehouse_spark.plans.queries_core7",
     "march_mania_spark_lakehouse_spark.plans.queries_lake",
     "march_mania_spark_lakehouse_spark.plans.queries_ext",
     "march_mania_spark_lakehouse_spark.plans.queries_ext2",
