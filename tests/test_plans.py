@@ -249,3 +249,40 @@ def test_tpch_batch_plan_shapes(spark, sf_dir):
 
     plan7 = _plan(q["q133_tpch_q7_volume_shipping"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan7  # all dims broadcast at this scale
+
+
+def test_tpch_completion_plan_shapes(spark, sf_dir):
+    """Pin the plan properties of the completion batch (q154-q160).
+    Q2's min-join-back and Q20's nested semi-joins must stay broadcast
+    hash joins; Q11's one-row grand total may cross as a broadcast
+    nested loop but never a cartesian; Q12's shipdate band must reach
+    the lineitem scan; Q13 must keep its outer join (empty groups
+    survive); Q21's two self-joins on derived pair tables are the one
+    place sort-merge is the *correct* at-scale shape (both sides are
+    corpus-sized key sets), so only cartesians are banned there."""
+    q = all_queries()
+
+    plan2 = _plan(q["q154_tpch_q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2 and "CartesianProduct" not in plan2
+
+    plan11 = _plan(q["q155_tpch_q11_important_parts"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan11
+    assert "CartesianProduct" not in plan11  # 1-row total broadcasts
+
+    plan12 = _plan(q["q156_tpch_q12_late_lines_by_flag"].fn(spark, sf_dir))
+    pushed = plan12.split("PushedFilters", 1)[1][:300]
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in pushed
+    assert "LessThan(l_shipdate,1999-01-01" in pushed
+
+    plan13 = _plan(q["q157_tpch_q13_order_count_distribution"].fn(spark, sf_dir))
+    assert "Outer" in plan13  # the ON-clause filter must not degrade to inner
+
+    plan20 = _plan(q["q159_tpch_q20_excess_suppliers"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan20
+    assert "SortMergeJoin" not in plan20 and "CartesianProduct" not in plan20
+
+    plan21 = _plan(q["q160_tpch_q21_sole_late_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+    assert "CartesianProduct" not in plan21
+    assert "BroadcastNestedLoopJoin" not in plan21
