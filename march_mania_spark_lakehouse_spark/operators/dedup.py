@@ -566,3 +566,83 @@ def near_dup_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(dup_losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# Cross-document segment-level dedup (C4 / RefinedWeb line dedup, adapted
+# to the fixture's single-line documents: the dedup unit is a K-word
+# non-overlapping segment instead of a newline-delimited line).
+# --------------------------------------------------------------------------
+
+#: Combined (doc, position) ordering key base — positions are bounded by
+#: document length / K, far below this.
+_SEG_KEY_BASE = 1_000_000
+
+
+def segment_table(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(id, seg_idx, seg): non-overlapping K-word segments per document,
+    built with array ops (sequence → slice → array_join) so segmentation
+    is partition-local — no shuffle, no Python. The trailing segment may
+    be shorter than K."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
+    ).withColumn("seg_idx", F.col("seg_idx").cast("long"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_docs: int = 2,
+) -> DataFrame:
+    """C4-style cross-document duplicate-segment removal: any K-word
+    segment occurring in more than ``max_docs`` distinct documents is
+    dropped from every document except its canonical first occurrence
+    (smallest ``(doc_id, seg_idx)``), then documents are reassembled in
+    segment order. Documents whose every segment was removed disappear
+    (standard filter-pipeline semantics). Returns (id, text).
+
+    Scale posture: the segment-stats aggregate shuffles segment text
+    once (like the shingle table — at corpus scale, hash the segment and
+    aggregate 8-byte keys instead); the hot-segment set is by
+    construction small (df > max_docs survivors only) so the eligibility
+    join broadcasts, and reassembly is the only full-text shuffle. The
+    same rule can run text-shuffle-free as a broadcast-set filter inside
+    ``mapInPandas`` when documents must stay partition-local.
+    """
+    segs = segment_table(rebalance_scan(df), id_col, text_col, k).withColumn(
+        "__key", F.col(id_col) * _SEG_KEY_BASE + F.col("seg_idx")
+    )
+    hot = (
+        segs.groupBy("seg")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min("__key").alias("__min_key"),
+        )
+        .filter(F.col("__nd") > max_docs)
+        .select("seg", "__min_key")
+    )
+    kept = segs.join(F.broadcast(hot), on="seg", how="left").filter(
+        F.col("__min_key").isNull() | (F.col("__key") == F.col("__min_key"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias(text_col)
+        )
+    )

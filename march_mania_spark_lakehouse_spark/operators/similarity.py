@@ -556,3 +556,86 @@ def cosine_topk_pq(
         .select("q_id", "c_id", "cosine")
     )
     return _topk_per_query(exact, k)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster the
+# embedding space, drop any vector with a sufficiently-similar lower-id
+# neighbor in its cluster. Here the coarse quantizer is axis-aligned
+# sign bits — deterministic and engine-portable, so the whole operator
+# is DuckDB-oracle-checkable (unlike a KMeans quantizer, whose centroids
+# are fit-dependent — that variant is `cosine_topk_ivf`).
+# --------------------------------------------------------------------------
+
+
+def sign_cell(vec: Column, sign_dims: int = 4) -> Column:
+    """Cell id from the sign bits of the first ``sign_dims`` coordinates
+    (axis-aligned LSH): cell = Σ (vec[d] >= 0) · 2^(sign_dims-1-d)."""
+    bits = [
+        (vec.getItem(d) >= 0).cast("int") * (2 ** (sign_dims - 1 - d))
+        for d in range(sign_dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int = 4,
+    threshold: float = 0.35,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Surviving (id, cell) rows after SemDeDup pruning: a vector is
+    dropped iff some lower-id vector in the same cell has cosine ≥
+    ``threshold`` (rounded to ``round_digits`` so the comparison is
+    identical in any engine). Deterministic: no model fit, no RNG —
+    the keep-lowest-id rule makes the survivor set unique.
+
+    Scale posture: pairs come from a within-cell self-join, Σ cell² not
+    n²; norms are computed once per side; the drop set (ids only) joins
+    back as a broadcast anti-join so the corpus never reshuffles. More
+    ``sign_dims`` → exponentially more, smaller cells; near-boundary
+    misses are the usual LSH trade-off and SemDeDup explicitly accepts
+    per-cluster locality.
+    """
+    e = rebalance_scan(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_cell(F.col(vec_col), sign_dims).alias("cell"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    )
+    a = e.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("cell"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("cell"),
+        F.col("norm").alias("norm_b"),
+    )
+    drops = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        e.join(F.broadcast(drops), on="id", how="left_anti")
+        .select(F.col("id").alias(id_col), "cell")
+    )

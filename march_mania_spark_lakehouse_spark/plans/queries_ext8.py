@@ -1,0 +1,104 @@
+"""Corpus-dedup extensions round 2: cross-document segment dedup (the
+C4/RefinedWeb "remove duplicated lines across documents" rule, adapted
+to the fixture's single-line documents) and SemDeDup-style semantic
+dedup over embeddings — both fully deterministic and DuckDB-oracled.
+
+These complete the dedup ladder: exact (q20) → n-gram Jaccard (q27) →
+MinHash/LSH (q28/q125) → SimHash (q29/q132) → connected components
+(q83) → embedding near-dup (q51) → end-to-end pipeline (q101) →
+sub-document segment removal (q161) → semantic cluster pruning (q162).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.operators import dedup, similarity
+from march_mania_spark_lakehouse_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# q161 — cross-document segment dedup. Any 5-word segment present in >2
+# distinct documents is removed everywhere except its first occurrence
+# (smallest (doc_id, seg_idx)); documents are reassembled in order.
+# --------------------------------------------------------------------------
+
+_Q161_SQL = """
+WITH words AS (
+    SELECT doc_id, u.s.w AS word, u.s.i AS idx
+    FROM (SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                                (w, i) -> {'w': w, 'i': i}) AS lst
+          FROM documents) t,
+         UNNEST(t.lst) AS u(s)
+),
+segs AS (
+    SELECT doc_id, CAST((idx - 1) // 5 AS BIGINT) AS seg_idx,
+           string_agg(word, ' ' ORDER BY idx) AS seg
+    FROM words GROUP BY 1, 2
+),
+keyed AS (SELECT *, doc_id * 1000000 + seg_idx AS key FROM segs),
+hot AS (
+    SELECT seg, MIN(key) AS min_key
+    FROM keyed GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 2
+),
+kept AS (
+    SELECT k.doc_id, k.seg_idx, k.seg
+    FROM keyed k LEFT JOIN hot h ON k.seg = h.seg
+    WHERE h.min_key IS NULL OR k.key = h.min_key
+)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+@query("q161_segment_dedup", oracle=_Q161_SQL, tags=("dedup", "text"))
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document duplicate-segment removal over the
+    documents table: drop every 5-word segment that occurs in more than
+    2 distinct documents, keeping only its canonical first occurrence,
+    and reassemble the surviving text per document. Segmentation is
+    array-op local (no shuffle); the hot-segment set broadcasts."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    return dedup.segment_dedup(docs, "doc_id", "text", k=5, max_docs=2)
+
+
+# --------------------------------------------------------------------------
+# q162 — SemDeDup semantic dedup. Axis-aligned sign cells (first 4
+# coordinates), cosine ≥ 0.35 within a cell → drop the higher id.
+# --------------------------------------------------------------------------
+
+_Q162_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c AS (
+    SELECT vec_id, emb,
+           (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END) * 8 +
+           (CASE WHEN emb[2] >= 0 THEN 1 ELSE 0 END) * 4 +
+           (CASE WHEN emb[3] >= 0 THEN 1 ELSE 0 END) * 2 +
+           (CASE WHEN emb[4] >= 0 THEN 1 ELSE 0 END) AS cell
+    FROM e
+)
+SELECT x.vec_id, x.cell
+FROM c x
+WHERE NOT EXISTS (
+    SELECT 1 FROM c y
+    WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+      AND ROUND(list_dot_product(x.emb, y.emb) /
+                (sqrt(list_dot_product(x.emb, x.emb)) *
+                 sqrt(list_dot_product(y.emb, y.emb))), 6) >= 0.35
+)
+"""
+
+
+@query("q162_semantic_dedup", oracle=_Q162_SQL, tags=("dedup", "similarity"))
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with a deterministic axis-sign
+    coarse quantizer: within each of 16 sign cells, drop any vector
+    whose cosine to a lower-id cell-mate reaches 0.35; survivors carry
+    their cell id. Pair cost is Σ cell², the drop set anti-joins back as
+    a broadcast, and the keep-lowest-id rule makes the result unique —
+    so the whole operator hash-matches a serial SQL oracle."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", sign_dims=4, threshold=0.35
+    )

@@ -24,6 +24,7 @@ _QUERY_MODULES = (
     "march_mania_spark_lakehouse_spark.plans.queries_ext5",
     "march_mania_spark_lakehouse_spark.plans.queries_ext6",
     "march_mania_spark_lakehouse_spark.plans.queries_ext7",
+    "march_mania_spark_lakehouse_spark.plans.queries_ext8",
     "march_mania_spark_lakehouse_spark.plans.queries_fold",
     "march_mania_spark_lakehouse_spark.plans.queries_pipeline",
     "march_mania_spark_lakehouse_spark.plans.queries_ml",

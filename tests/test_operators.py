@@ -382,3 +382,56 @@ def test_pq_topk_recall_and_exact_rerank_scores(spark, sf_dir):
     assert {r["vec_id"]: list(r["codes"]) for r in codes} == {
         r["vec_id"]: list(r["codes"]) for r in again
     }
+
+
+def test_segment_dedup_drops_hot_segment_keeps_canonical(spark):
+    """A 5-word segment planted in 3 documents (max_docs=2) must vanish
+    from all but its smallest-(doc_id, seg_idx) occurrence; unique
+    segments and under-threshold repeats survive untouched; a document
+    that was entirely the hot segment disappears."""
+    hot = "aa bb cc dd ee"
+    rows = [
+        (1, hot + " one two three four five"),
+        (2, "x y z w v " + hot),
+        (3, hot),
+        (4, "solo words only here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.segment_dedup(df, "doc_id", "text", k=5, max_docs=2).collect()
+    }
+    assert out[1] == hot + " one two three four five"  # canonical keeps it
+    assert out[2] == "x y z w v"  # hot tail removed
+    assert 3 not in out  # fully-hot doc vanishes
+    assert out[4] == "solo words only here now"
+
+
+def test_segment_dedup_identity_when_under_threshold(spark):
+    """With max_docs >= corpus size nothing is hot, so reassembly must
+    be byte-identical to the input (the reassemble path itself cannot
+    reorder or mangle segments)."""
+    rows = [(i, f"w{i} a b c d e f g h i j k l") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.segment_dedup(df, "doc_id", "text", k=5, max_docs=10)
+    assert {(r["doc_id"], r["text"]) for r in out.collect()} == set(rows)
+
+
+def test_semantic_dedup_drops_planted_near_duplicate(spark):
+    """Two near-identical vectors in the same sign cell: the higher id
+    is dropped, the lower survives; an orthogonal cell-mate and a
+    different-cell vector survive."""
+    rows = [
+        (10, [1.0, 1.0, 1.0, 1.0, 0.0, 0.0]),
+        (20, [1.0, 1.0, 1.0, 0.9, 0.01, 0.0]),  # cos ≈ 0.99 with id 10
+        (30, [0.0, 0.0, 0.0, 0.0, 1.0, 1.0]),   # same cell, orthogonal
+        (40, [-1.0, 1.0, 1.0, 1.0, 0.0, 0.0]),  # different sign cell
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(
+        df, "vec_id", "embedding", sign_dims=4, threshold=0.35
+    )
+    kept = {r["vec_id"]: r["cell"] for r in out.collect()}
+    assert set(kept) == {10, 30, 40}
+    assert kept[10] == kept[30] == 0b1111
+    assert kept[40] == 0b0111
