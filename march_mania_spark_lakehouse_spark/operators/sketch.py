@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -241,3 +241,69 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
             bit = F.shiftright(cc, b).bitwiseAND(F.lit(1))
             out = out.bitwiseOR(F.shiftleft(bit, b * n + j))
     return out
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram sketch: the mergeable quantile summary (the
+# fourth sketch next to HLL / bitmap / CMS). Bin counts are integers, so
+# the state merges by addition (union + re-sum) with NO approximation
+# drift, and the quantile estimate from the merged state is bit-identical
+# to single-pass — unlike rank-error sketches (KLL/t-digest), whose merge
+# order changes the answer. Error is bounded by the bin width, a
+# deterministic function of the declared [lo, hi) range and bin count.
+# --------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """(group..., bin, n): fixed-width bin counts of ``value_col`` over
+    the declared range; out-of-range values clamp to the edge bins so
+    counts are never lost. One map-side-combined aggregate; shuffle
+    rows ≤ groups × bins regardless of input size."""
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """(group..., q, est): interpolated quantile estimates from bin
+    counts. For each q, the first bin whose cumulative count reaches
+    q·N is selected and the position inside it linearly interpolated —
+    pure integer cumulative sums + one IEEE division, so any engine
+    computes the identical double. |est − exact quantile| ≤ bin width
+    by construction (plus range clamping at the edges)."""
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wall = Window.partitionBy(*group_cols)
+    rows = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(wall))
+        .withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+        .withColumn("target", F.col("q") * F.col("total"))
+        .filter(
+            (F.col("cum") >= F.col("target"))
+            & ((F.col("cum") - F.col("n")) < F.col("target"))
+        )
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin")
+        + (F.col("target") - (F.col("cum") - F.col("n"))) / F.col("n")
+    )
+    return rows.select(*group_cols, "q", est.alias("est"))

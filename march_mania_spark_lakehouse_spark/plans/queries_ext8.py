@@ -102,3 +102,59 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         emb, "vec_id", "embedding", sign_dims=4, threshold=0.35
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — mergeable histogram-quantile sketch over l_extendedprice by
+# return flag. Fixed [0, 150000) range, 256 bins (width 585.9375 —
+# exactly representable, so binning is bit-identical in any engine).
+# --------------------------------------------------------------------------
+
+_Q163_LO, _Q163_HI, _Q163_BINS = 0.0, 150000.0, 256
+_Q163_QS = (0.5, 0.95, 0.99)
+
+_Q163_SQL = """
+WITH h AS (
+    SELECT l_returnflag,
+           LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 585.9375) AS BIGINT),
+                          0), 255) AS bin,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2
+),
+c AS (
+    SELECT h.*,
+           CAST(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+           CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+    FROM h
+),
+-- q must be DOUBLE: a bare 0.95 literal is DECIMAL in DuckDB, which
+-- would run the whole interpolation in decimal arithmetic and drift
+-- from Spark's IEEE chain in the last bits.
+x AS (SELECT c.*, t.q
+      FROM c, UNNEST([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                      CAST(0.99 AS DOUBLE)]) AS t(q))
+SELECT l_returnflag, q,
+       0.0 + 585.9375 * (bin + (q * total - (cum - n)) / n) AS est
+FROM x
+WHERE cum >= q * total AND (cum - n) < q * total
+"""
+
+
+@query("q163_histogram_quantiles", oracle=_Q163_SQL, tags=("sketch", "agg"))
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable fixed-width histogram sketch (the
+    fourth sketch family next to HLL/bitmap/CMS): bin counts are plain
+    integers, so partial histograms merge by addition with zero drift —
+    at 100 TB the shuffle carries ≤ groups×256 rows however large the
+    scan, daily sketches roll up into monthly ones without re-scanning,
+    and the interpolated estimate is within one bin width of exact
+    (error-bound unit-tested)."""
+    from march_mania_spark_lakehouse_spark.operators import sketch
+
+    li = catalog.load(spark, "lineitem", sf_dir)
+    h = sketch.histogram_sketch(
+        li, "l_extendedprice", ["l_returnflag"], _Q163_LO, _Q163_HI, _Q163_BINS
+    )
+    return sketch.quantiles_from_histogram(
+        h, ["l_returnflag"], _Q163_QS, _Q163_LO, _Q163_HI, _Q163_BINS
+    )

@@ -436,3 +436,63 @@ def test_hll_portable_estimate_accuracy(spark, sf_dir):
         if zeros:
             est = m * math.log(m / zeros)
     assert abs(est - true_n) / true_n < 3 * 1.04 / math.sqrt(m)
+
+
+def test_histogram_sketch_merges_without_drift(spark, sf_dir):
+    """Sketch state is mergeable by addition: histograms of two disjoint
+    halves, unioned and re-summed, must equal the single-pass histogram
+    bit-for-bit — and the quantiles estimated from the merged state must
+    equal the single-pass estimates exactly (no merge-order error, the
+    property rank sketches lack)."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    lo, hi, bins = 0.0, 150000.0, 256
+    full = sketch.histogram_sketch(li, "l_extendedprice", ["l_returnflag"], lo, hi, bins)
+    h1 = sketch.histogram_sketch(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        "l_extendedprice", ["l_returnflag"], lo, hi, bins)
+    h2 = sketch.histogram_sketch(
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        "l_extendedprice", ["l_returnflag"], lo, hi, bins)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("l_returnflag", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    key = lambda df: {  # noqa: E731
+        (r["l_returnflag"], r["bin"]): r["n"] for r in df.collect()
+    }
+    assert key(merged) == key(full)
+    qf = sketch.quantiles_from_histogram(full, ["l_returnflag"], (0.5, 0.95), lo, hi, bins)
+    qm = sketch.quantiles_from_histogram(merged, ["l_returnflag"], (0.5, 0.95), lo, hi, bins)
+    ests = lambda df: {  # noqa: E731
+        (r["l_returnflag"], r["q"]): r["est"] for r in df.collect()
+    }
+    assert ests(qm) == ests(qf)  # bit-identical, not approximately
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """|histogram estimate − exact percentile| ≤ one bin width, for
+    every group and probed quantile."""
+    li = catalog.load(spark, "lineitem", sf_dir)
+    lo, hi, bins = 0.0, 150000.0, 256
+    width = (hi - lo) / bins
+    h = sketch.histogram_sketch(li, "l_extendedprice", ["l_returnflag"], lo, hi, bins)
+    est = {
+        (r["l_returnflag"], r["q"]): r["est"]
+        for r in sketch.quantiles_from_histogram(
+            h, ["l_returnflag"], (0.5, 0.95, 0.99), lo, hi, bins
+        ).collect()
+    }
+    exact = {
+        (r["l_returnflag"], q): r[f"p{int(q*100)}"]
+        for r in li.groupBy("l_returnflag").agg(
+            *[
+                F.percentile(F.col("l_extendedprice"), F.lit(q)).alias(f"p{int(q*100)}")
+                for q in (0.5, 0.95, 0.99)
+            ]
+        ).collect()
+        for q in (0.5, 0.95, 0.99)
+    }
+    assert set(est) == set(exact)
+    for k in est:
+        assert abs(est[k] - exact[k]) <= width, (k, est[k], exact[k])
