@@ -158,3 +158,107 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.quantiles_from_histogram(
         h, ["l_returnflag"], _Q163_QS, _Q163_LO, _Q163_HI, _Q163_BINS
     )
+
+
+# --------------------------------------------------------------------------
+# q164 — fixed-iteration PageRank over the customer↔supplier trade graph,
+# in 1e-15 fixed-point integer arithmetic (see operators/graph.pagerank:
+# iterated float reductions cannot be made bit-stable across engines —
+# decimal-cast partial sums fix the order but the decimal↔double casts
+# themselves round differently per engine — so ranks are BIGINT units
+# and every division is integer DIV). Forward edges: customer → supplier
+# for every traded pair; reverse edges: supplier → customer only where
+# the pair's total quantity exceeds 300, so suppliers without a heavy
+# pair are dangling and the dangling-mass redistribution is exercised.
+# The oracle unrolls the same 5 synchronous steps as chained CTEs.
+# --------------------------------------------------------------------------
+
+_Q164_ITERS = 5
+_Q164_SUPP_OFFSET = 1_000_000
+_Q164_REV_MIN_QTY = 300
+_Q164_UNIT = 1_000_000_000_000_000
+
+
+def _q164_oracle() -> str:
+    u = _Q164_UNIT
+    head = f"""
+WITH fwd AS (
+    SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_Q164_SUPP_OFFSET} AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+rev AS (
+    SELECT l.l_suppkey + {_Q164_SUPP_OFFSET} AS src, o.o_custkey AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(28,6))) > {_Q164_REV_MIN_QTY}
+),
+edges AS (SELECT * FROM fwd UNION ALL SELECT * FROM rev),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY src),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+pr0 AS (SELECT node, CAST({u} // (SELECT n FROM cnt) AS BIGINT) AS rank_fp
+        FROM nodes)"""
+    steps = []
+    for i in range(_Q164_ITERS):
+        steps.append(f""",
+pr{i + 1} AS (
+    SELECT nn.node,
+           CAST((15 * {u}) // (100 * (SELECT n FROM cnt))
+                + (85 * COALESCE(c.contrib, 0)) // 100
+                + (85 * d.mass) // (100 * (SELECT n FROM cnt)) AS BIGINT) AS rank_fp
+    FROM nodes nn
+    LEFT JOIN (SELECT e.dst AS node,
+                      CAST(SUM(p.rank_fp // deg.d) AS BIGINT) AS contrib
+               FROM pr{i} p
+               JOIN deg ON p.node = deg.node
+               JOIN edges e ON p.node = e.src
+               GROUP BY e.dst) c ON nn.node = c.node
+    CROSS JOIN (SELECT COALESCE(CAST(SUM(p.rank_fp) AS BIGINT), 0) AS mass
+                FROM pr{i} p LEFT JOIN deg ON p.node = deg.node
+                WHERE deg.node IS NULL) d
+)""")
+    tail = (
+        f"\nSELECT node, rank_fp,"
+        f" rank_fp / CAST({u} AS DOUBLE) AS rank FROM pr{_Q164_ITERS}"
+    )
+    return head + "".join(steps) + tail
+
+
+_Q164_SQL = _q164_oracle()
+
+
+@query("q164_pagerank_trade_graph", oracle=_Q164_SQL, tags=("graph", "agg"))
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py:pagerank) over the
+    directed customer↔supplier trade graph, dangling mass redistributed
+    uniformly, computed in 1e-15 fixed-point BIGINT units so the 5-step
+    rank vector is identical at any parallelism AND in any engine — an
+    iterative numeric fixpoint, normally a rows-only check, carrying a
+    full value oracle."""
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.operators import graph
+
+    o = catalog.load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = catalog.load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey)
+    fwd = pairs.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + _Q164_SUPP_OFFSET).alias("dst"),
+    ).distinct()
+    rev = (
+        pairs.groupBy(
+            (F.col("l_suppkey") + _Q164_SUPP_OFFSET).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > _Q164_REV_MIN_QTY)
+        .select("src", "dst")
+    )
+    return graph.pagerank(
+        fwd.unionByName(rev), damping_pct=85, iters=_Q164_ITERS
+    )

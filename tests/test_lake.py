@@ -117,3 +117,40 @@ def test_q83_components_respect_cells(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_pagerank_matches_float_reference_and_conserves_mass(spark):
+    """Fixed-point PageRank vs a serial float reference on a hand graph
+    with a dangling node: per-node agreement within the fixed-point
+    truncation budget, total mass within n·iters units of 1.0, and the
+    dangling node holds exactly the minimum (teleport + share) rank."""
+    from march_mania_spark_lakehouse_spark.operators.graph import pagerank
+
+    E = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]  # node 4 has no in-links
+    iters, n = 8, 4
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: (r["rank_fp"], r["rank"]) for r in
+           pagerank(edges, iters=iters, checkpoint_every=3).collect()}
+
+    # serial float reference (same synchronous dangling-redistribution)
+    out: dict[int, list[int]] = {}
+    for s, d in E:
+        out.setdefault(s, []).append(d)
+    rank = {v: 1.0 / n for v in (1, 2, 3, 4)}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in rank}
+        dang = sum(r for v, r in rank.items() if v not in out)
+        for v, targets in out.items():
+            for t in targets:
+                contrib[t] += rank[v] / len(targets)
+        rank = {v: 0.15 / n + 0.85 * contrib[v] + 0.85 * dang / n for v in rank}
+
+    assert set(got) == set(rank)
+    for v in rank:
+        # truncation loses at most ~iters units of 1e-15 per node (the
+        # float reference has its own rounding; give 100x headroom)
+        assert abs(got[v][1] - rank[v]) < 1e-10, (v, got[v], rank[v])
+    total_fp = sum(fp for fp, _ in got.values())
+    assert 10**15 - n * iters * 3 <= total_fp <= 10**15
+    # node 4 is pointed at by nobody: teleport + dangling share only
+    assert got[4][0] == min(fp for fp, _ in got.values())
