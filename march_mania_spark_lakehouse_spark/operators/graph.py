@@ -191,3 +191,95 @@ def pagerank(
     return ranks.select(
         "node", "rank_fp", (F.col("rank_fp") / F.lit(float(unit))).alias("rank")
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph: (node,
+    triangles). Exact integers — deterministic in any engine.
+
+    Algorithm: degree orientation (Latapy 2008; the MapReduce-standard
+    trick) — orient every undirected edge from the endpoint with
+    smaller (degree, id) to the larger, so each triangle is enumerated
+    exactly once as a→b→c with a→c, and the wedge join fans out from
+    each node at most O(arboricity) ways instead of O(max degree):
+    a hub of degree d contributes min(d, √m)-bounded oriented
+    out-degree, which is what keeps the wedge table from exploding on
+    skewed graphs at scale. Two self-joins on the oriented edge list +
+    one union-regroup; no state beyond (edge) and (node, count) pairs.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    keyed = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    # orient: smaller (deg, id) → larger (deg, id); total order ⇒ acyclic
+    oriented = keyed.filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ).select("a", "b")
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, on="y")
+        .join(e3, on=["x", "z"], how="leftsemi")
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.select("node").join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source BFS over a directed edge list: (node, dist) = the
+    minimum hop count from any seed, for every node reachable within
+    ``max_hops``. Synchronous Bellman-Ford relaxation on integer
+    distances — exact, so deterministic in any engine at any
+    parallelism, and a level-unrolled SQL oracle can value-check it.
+
+    Each level is one join + one MIN aggregate over a node-bounded
+    frontier table (never a path table — path enumeration explodes
+    combinatorially; min-per-node stays ≤ |V| rows per level). The
+    fixed-``max_hops`` form is the value-checkable one; run-to-fixpoint
+    is the `connected_components` driver-loop pattern if needed.
+    """
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("int")
+    )
+    for h in range(max_hops):
+        step = (
+            dist.join(e, dist.node == e.e_src)
+            .select(F.col("e_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+        if (h + 1) % checkpoint_every == 0 and (h + 1) < max_hops:
+            dist = dist.localCheckpoint()
+    return dist

@@ -262,3 +262,136 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(
         fwd.unionByName(rev), damping_pct=85, iters=_Q164_ITERS
     )
+
+
+# --------------------------------------------------------------------------
+# q165 — per-supplier triangle counts over the co-order graph (suppliers
+# joined when they appear in the same order). Exact integers; the
+# degree-orientation trick bounds the wedge join on skewed graphs.
+# --------------------------------------------------------------------------
+
+_Q165_SQL = """
+WITH pair AS (
+    SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_suppkey <> l2.l_suppkey
+),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM pair GROUP BY a),
+oriented AS (
+    SELECT p.a, p.b
+    FROM pair p
+    JOIN deg d1 ON p.a = d1.node
+    JOIN deg d2 ON p.b = d2.node
+    WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND p.a < p.b)
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM oriented e1
+    JOIN oriented e2 ON e1.b = e2.a
+    WHERE EXISTS (SELECT 1 FROM oriented e3
+                  WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+t AS (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+SELECT d.node, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS triangles
+FROM deg d
+LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM t GROUP BY node) c
+       ON d.node = c.node
+"""
+
+
+@query("q165_triangle_count", oracle=_Q165_SQL, tags=("graph", "join"))
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py:triangle_count) over
+    the supplier co-order graph. Degree orientation makes each triangle
+    enumerate exactly once and bounds every node's wedge fan-out by its
+    oriented out-degree — the standard arboricity bound that keeps the
+    self-join from exploding on skewed graphs at scale. Integer-exact,
+    so the three-way self-join family carries a full value oracle."""
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.operators import graph
+
+    li = catalog.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_suppkey != l2.s2))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return graph.triangle_count(pairs)
+
+
+# --------------------------------------------------------------------------
+# q166 — multi-source BFS reach: hop distance from a deterministic seed
+# set of customers (c_custkey % 97 == 0) through the undirected trade
+# graph, within 4 hops. Integer min-propagation; the oracle unrolls the
+# same 4 relaxation levels (each level node-bounded — never a path
+# table).
+# --------------------------------------------------------------------------
+
+_Q166_HOPS = 4
+_Q166_SUPP_OFFSET = 1_000_000
+
+
+def _q166_oracle() -> str:
+    head = f"""
+WITH pairs AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + {_Q166_SUPP_OFFSET} AS s
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+d0 AS (SELECT DISTINCT c_custkey AS node, 0 AS dist
+       FROM customer WHERE c_custkey % 97 = 0)"""
+    steps = []
+    for h in range(_Q166_HOPS):
+        steps.append(f""",
+d{h + 1} AS (
+    SELECT node, CAST(MIN(dist) AS INT) AS dist FROM (
+        SELECT node, dist FROM d{h}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + 1 AS dist
+        FROM d{h} p JOIN edges e ON p.node = e.src
+    ) u GROUP BY node
+)""")
+    return head + "".join(steps) + f"\nSELECT node, dist FROM d{_Q166_HOPS}"
+
+
+_Q166_SQL = _q166_oracle()
+
+
+@query("q166_bfs_trade_reach", oracle=_Q166_SQL, tags=("graph", "agg"))
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.py:bfs_distances): minimum hop
+    count from the seed customers to every node reachable within 4 hops
+    of the undirected customer↔supplier trade graph. Integer distances
+    make the iterative relaxation value-oracle-checkable; each level
+    shuffles a node-bounded frontier, never a path table."""
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.operators import graph
+
+    o = catalog.load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = catalog.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _Q166_SUPP_OFFSET).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        catalog.load(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return graph.bfs_distances(edges, seeds, max_hops=_Q166_HOPS)

@@ -154,3 +154,29 @@ def test_pagerank_matches_float_reference_and_conserves_mass(spark):
     assert 10**15 - n * iters * 3 <= total_fp <= 10**15
     # node 4 is pointed at by nobody: teleport + dangling share only
     assert got[4][0] == min(fp for fp, _ in got.values())
+
+
+def test_triangle_count_golden(spark):
+    """Hand graph: K4 on {1,2,3,4} (4 triangles, 3 per node) plus a
+    pendant node 5 and an isolated edge 6-7 (0 triangles each)."""
+    from march_mania_spark_lakehouse_spark.operators.graph import triangle_count
+
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_bfs_distances_golden(spark):
+    """Chain 1-2-3-4-5 plus disconnected 9-10; seeds {1, 9}; max_hops 2
+    reaches exactly dist(1)=0, dist(2)=1, dist(3)=2, dist(9)=0,
+    dist(10)=1 — nodes 4, 5 are beyond the horizon and absent."""
+    from march_mania_spark_lakehouse_spark.operators.graph import bfs_distances
+
+    E = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4),
+         (9, 10), (10, 9)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r["node"]: r["dist"] for r in
+           bfs_distances(edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 9: 0, 10: 1}
