@@ -148,7 +148,11 @@ def pagerank(
     """
     unit = 1_000_000_000_000_000  # 1e15 rank units
     d_num, d_den = int(damping_pct), 100
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    # materialize the edge list once — it feeds every iteration, and an
+    # upstream join pipeline would otherwise re-execute per step
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
@@ -214,6 +218,7 @@ def triangle_count(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()  # feeds deg + orientation; don't recompute
     )
     deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     keyed = (
@@ -224,7 +229,7 @@ def triangle_count(
     oriented = keyed.filter(
         (F.col("da") < F.col("db"))
         | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    ).select("a", "b")
+    ).select("a", "b").localCheckpoint()  # three self-join branches below
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -266,7 +271,9 @@ def bfs_distances(
     fixed-``max_hops`` form is the value-checkable one; run-to-fixpoint
     is the `connected_components` driver-loop pattern if needed.
     """
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint()  # reused every level; don't re-run its lineage
     dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
         "dist", F.lit(0).cast("int")
     )

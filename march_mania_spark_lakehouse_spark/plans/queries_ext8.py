@@ -265,17 +265,21 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q165 — per-supplier triangle counts over the co-order graph (suppliers
-# joined when they appear in the same order). Exact integers; the
-# degree-orientation trick bounds the wedge join on skewed graphs.
+# q165 — per-part triangle counts over the co-order graph (two parts
+# joined when they co-occur in at least 2 distinct orders — the
+# repeat-co-occurrence cut keeps the graph sparse where a single shared
+# order would make it near-complete). Exact integers; degree
+# orientation bounds the wedge join on skewed graphs.
 # --------------------------------------------------------------------------
 
 _Q165_SQL = """
 WITH pair AS (
-    SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+    SELECT l1.l_partkey AS a, l2.l_partkey AS b
     FROM lineitem l1
     JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-                    AND l1.l_suppkey <> l2.l_suppkey
+                    AND l1.l_partkey <> l2.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT l1.l_orderkey) >= 2
 ),
 deg AS (SELECT a AS node, COUNT(*) AS deg FROM pair GROUP BY a),
 oriented AS (
@@ -305,23 +309,27 @@ LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM t GROUP BY node) c
 @query("q165_triangle_count", oracle=_Q165_SQL, tags=("graph", "join"))
 def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py:triangle_count) over
-    the supplier co-order graph. Degree orientation makes each triangle
-    enumerate exactly once and bounds every node's wedge fan-out by its
-    oriented out-degree — the standard arboricity bound that keeps the
-    self-join from exploding on skewed graphs at scale. Integer-exact,
-    so the three-way self-join family carries a full value oracle."""
+    the part co-order graph, edges gated on >= 2 shared orders (without
+    the repeat cut the fixture graph is near-complete and the triangle
+    set itself is O(n^3) — a density knob every production triangle
+    count needs). Degree orientation enumerates each triangle once and
+    bounds wedge fan-out by oriented out-degree (the arboricity bound
+    that survives skew). Integer-exact, so the three-way self-join
+    family carries a full value oracle."""
     from pyspark.sql import functions as F
 
     from march_mania_spark_lakehouse_spark.operators import graph
 
-    li = catalog.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    li = catalog.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
     pairs = (
-        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_suppkey != l2.s2))
-        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
-        .distinct()
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey != l2.p2))
+        .groupBy(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.countDistinct("l_orderkey").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("src", "dst")
     )
     return graph.triangle_count(pairs)
 
@@ -395,3 +403,81 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("node"))
     )
     return graph.bfs_distances(edges, seeds, max_hops=_Q166_HOPS)
+
+
+# --------------------------------------------------------------------------
+# q167 — end-to-end entity resolution (MDM-style): blocked fuzzy match →
+# connected components → survivorship. Composes q109's pair generator
+# with q83's clustering; the canonical record per entity is the
+# min-custkey member (exactly the CC label), its name is propagated to
+# every member, and the entity size rides along for review queues.
+# --------------------------------------------------------------------------
+
+_Q167_SQL = """
+WITH RECURSIVE
+pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a
+    JOIN customer b
+      ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT c_custkey, c_custkey FROM customer
+    UNION
+    SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+),
+ent AS (SELECT node AS c_custkey, MIN(lbl) AS entity_id FROM reach GROUP BY node),
+sizes AS (SELECT entity_id, COUNT(*) AS entity_size FROM ent GROUP BY entity_id)
+SELECT e.c_custkey, e.entity_id, c2.c_name AS canonical_name, s.entity_size
+FROM ent e
+JOIN customer c2 ON e.entity_id = c2.c_custkey
+JOIN sizes s ON e.entity_id = s.entity_id
+"""
+
+
+@query("q167_entity_resolution", oracle=_Q167_SQL, tags=("dedup", "graph", "similarity"))
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over customer records: levenshtein-≤1 pairs
+    from prefix blocks (no cartesian), transitive closure via the
+    star-contraction CC, survivorship by min-key canonical whose name
+    broadcasts back onto every member. Every stage is block- or
+    key-local — the full-records table is never self-joined — and the
+    output is integer/string exact, so the whole MDM pipeline carries a
+    value oracle (recursive-CTE reachability as the independent
+    derivation, the q83 pattern)."""
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.operators import fuzzy
+    from march_mania_spark_lakehouse_spark.operators.graph import connected_components
+
+    cust = catalog.load(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    pairs = fuzzy.blocked_levenshtein_pairs(
+        cust, "c_custkey", "c_name",
+        block=F.substring(F.col("c_name"), 1, 16), max_dist=1,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    ent = (
+        cust.join(comp, cust.c_custkey == comp.node, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("component"), F.col("c_custkey")).alias("entity_id"),
+        )
+    )
+    sizes = ent.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
+    canon = cust.select(
+        F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("canonical_name")
+    )
+    return (
+        ent.join(F.broadcast(canon), on="entity_id")
+        .join(F.broadcast(sizes), on="entity_id")
+        .select("c_custkey", "entity_id", "canonical_name", "entity_size")
+    )

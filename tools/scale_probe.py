@@ -77,6 +77,8 @@ PROBES = tuple(
                 "q160_tpch_q21_sole_late_supplier",  # semi/anti self-joins on pair tables
                 "q161_segment_dedup",         # segment explode + hot-set broadcast + reassemble
                 "q162_semantic_dedup",        # within-cell pair join, Σ cell²
+                "q164_pagerank_trade_graph",  # iterative fixed-point power steps
+                "q166_bfs_trade_reach",       # frontier relaxation, node-bounded levels
             )
         ),
     ).split(",")
