@@ -69,10 +69,12 @@ def main() -> None:
         ivf = similarity.cosine_topk_ivf(
             emb, q, k=TOPK, n_cells=16, n_probe=4
         )
+        pq = similarity.cosine_topk_pq(emb, q, k=TOPK)
         out[label] = {
             "corpus": n,
             "recall_lsh": recall(lsh, exact),
             "recall_ivf": recall(ivf, exact),
+            "recall_pq": recall(pq, exact),
         }
         print(f"# {label}: {out[label]}", file=sys.stderr)
 
