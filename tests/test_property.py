@@ -204,3 +204,86 @@ def test_zorder_key_roundtrips_both_dimensions(spark, pairs):
         x = sum(((r.z >> (2 * b)) & 1) << b for b in range(16))
         y = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(16))
         assert (x, y) == (r.x, r.y)
+
+
+def _segment_dedup_model(rows, k, max_docs):
+    """Serial model of segment_dedup: same rule in plain Python."""
+    segs = []  # (doc_id, seg_idx, seg)
+    for doc_id, text in rows:
+        words = text.split(" ")
+        for i in range(0, len(words), k):
+            segs.append((doc_id, i // k, " ".join(words[i:i + k])))
+    by_seg: dict[str, list[tuple[int, int]]] = {}
+    for d, i, s in segs:
+        by_seg.setdefault(s, []).append((d, i))
+    hot = {s: min(occ) for s, occ in by_seg.items()
+           if len({d for d, _ in occ}) > max_docs}
+    out: dict[int, list[tuple[int, str]]] = {}
+    for d, i, s in segs:
+        if s not in hot or (d, i) == hot[s]:
+            out.setdefault(d, []).append((i, s))
+    return {d: " ".join(s for _, s in sorted(parts))
+            for d, parts in out.items()}
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("abc ")), min_size=0, max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+def test_segment_dedup_matches_serial_model(spark, texts):
+    """segment_dedup must equal the plain-Python rule on arbitrary texts
+    (repeated separators, empty strings, sub-K tails, heavy repeats)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.segment_dedup(df, "doc_id", "text", k=3, max_docs=1).collect()
+    }
+    assert got == _segment_dedup_model(rows, k=3, max_docs=1)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.floats(min_value=-50.0, max_value=150.0, allow_nan=False),
+        min_size=1, max_size=60,
+    )
+)
+def test_histogram_quantiles_match_serial_model(spark, values):
+    """Histogram-sketch quantiles must equal the same binning +
+    interpolation computed serially — including out-of-range clamping
+    and sparse (missing) bins."""
+    from march_mania_spark_lakehouse_spark.operators import sketch
+
+    lo, hi, bins = 0.0, 100.0, 16
+    width = (hi - lo) / bins
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    h = sketch.histogram_sketch(df, "v", [], lo, hi, bins)
+    got = {
+        r["q"]: r["est"]
+        for r in sketch.quantiles_from_histogram(
+            h, [], (0.5, 0.9), lo, hi, bins
+        ).collect()
+    }
+    # serial model
+    counts: dict[int, int] = {}
+    for v in values:
+        b = min(max(int((v - lo) // width), 0), bins - 1)
+        counts[b] = counts.get(b, 0) + 1
+    total = len(values)
+    expected = {}
+    for q in (0.5, 0.9):
+        target = q * total
+        cum = 0
+        for b in sorted(counts):
+            n = counts[b]
+            if cum + n >= target and cum < target:
+                expected[q] = lo + width * (b + (target - cum) / n)
+                break
+            cum += n
+    assert set(got) == set(expected)
+    for q in expected:
+        assert abs(got[q] - expected[q]) < 1e-9, (q, got[q], expected[q])
