@@ -481,3 +481,105 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), on="entity_id")
         .select("c_custkey", "entity_id", "canonical_name", "entity_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q168 — per-label embedding centroids in long (label, dim, centroid)
+# form: the array-valued aggregate done relationally. posexplode →
+# per-(label, dim) exact-decimal mean; output long format so the oracle
+# compares scalars (array columns stringify differently per engine).
+# --------------------------------------------------------------------------
+
+_Q168_SQL = """
+WITH e AS (
+    SELECT label, u.s.v AS v, u.s.i AS i
+    FROM (SELECT label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                (x, i) -> {'v': x, 'i': i}) AS lst
+          FROM embeddings) t,
+         UNNEST(t.lst) AS u(s)
+)
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(v) AS centroid
+FROM e GROUP BY label, i
+"""
+
+
+@query("q168_label_centroids", oracle=_Q168_SQL, tags=("similarity", "agg"))
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, computed relationally: posexplode
+    the vector once, one map-side-combined aggregate per (label, dim) —
+    shuffle rows ≤ labels × dims however large the corpus, which is how
+    class centroids (prototype vectors for classification, coarse cells
+    for IVF, drift baselines) are built at 100 TB. Exact-decimal sums
+    make the parallel mean hash-equal the serial oracle."""
+    from pyspark.sql import functions as F
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count("v")
+        ).alias("centroid")
+    )
+
+
+# --------------------------------------------------------------------------
+# q169 — decile lift: rank customers into revenue deciles with ntile
+# (total order via revenue desc, custkey asc tiebreak), then per-decile
+# share metrics.
+# --------------------------------------------------------------------------
+
+_Q169_SQL = """
+WITH rev AS (
+    SELECT c.c_custkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+),
+d AS (
+    SELECT rev.*,
+           NTILE(10) OVER (ORDER BY revenue DESC, c_custkey) AS decile
+    FROM rev
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS customers,
+       CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE) AS decile_revenue,
+       CAST(SUM(n_orders) AS BIGINT) AS decile_orders
+FROM d GROUP BY decile
+"""
+
+
+@query("q169_revenue_decile_lift", oracle=_Q169_SQL, tags=("window", "agg"))
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue deciles via ntile over a TOTAL order (revenue
+    desc + key tiebreak — without the tiebreak, equal-revenue customers
+    make decile assignment partition-dependent), then per-decile
+    roll-up. The single ordered window is over customer-sized data, not
+    the fact table; at 100 TB the same cut comes from the histogram
+    sketch (q163) instead of a global sort — both forms ship."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c = catalog.load(spark, "customer", sf_dir).select("c_custkey")
+    o = catalog.load(spark, "orders", sf_dir)
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    d = rev.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.sum(F.col("revenue").cast("decimal(28,6)")).cast("double").alias("decile_revenue"),
+        F.sum("n_orders").alias("decile_orders"),
+    )
