@@ -1,12 +1,17 @@
-"""Corpus-dedup extensions round 2: cross-document segment dedup (the
-C4/RefinedWeb "remove duplicated lines across documents" rule, adapted
-to the fixture's single-line documents) and SemDeDup-style semantic
-dedup over embeddings — both fully deterministic and DuckDB-oracled.
+"""Round-4 extension batch — all DuckDB-oracled:
 
-These complete the dedup ladder: exact (q20) → n-gram Jaccard (q27) →
-MinHash/LSH (q28/q125) → SimHash (q29/q132) → connected components
-(q83) → embedding near-dup (q51) → end-to-end pipeline (q101) →
-sub-document segment removal (q161) → semantic cluster pruning (q162).
+- q161/q162: corpus-dedup round 2 — cross-document segment dedup (the
+  C4/RefinedWeb duplicate-line rule adapted to single-line fixture
+  documents) and SemDeDup semantic dedup, completing the dedup ladder:
+  exact (q20) → n-gram Jaccard (q27) → MinHash/LSH (q28/q125) →
+  SimHash (q29/q132) → CC groups (q83) → embedding near-dup (q51) →
+  end-to-end pipeline (q101) → segment removal → semantic pruning.
+- q163: mergeable fixed-width histogram-quantile sketch (fourth sketch
+  family next to HLL/bitmap/CMS).
+- q164–q167: graph analytics — fixed-point PageRank, degree-oriented
+  triangle counting, multi-source BFS, end-to-end entity resolution.
+- q168/q169: per-label embedding centroids (array-valued aggregation in
+  long form) and ntile revenue-decile lift.
 """
 
 from __future__ import annotations
