@@ -35,18 +35,31 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     strict: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``value_cols`` from the latest right row
-    with right_ts < left_ts (strict) or <= (non-strict), per key.
+    """For each left row, attach ``value_cols`` from the matching right
+    row per key — full pandas ``merge_asof`` direction surface:
 
-    Output: all left columns + the as-of values (null when no earlier
-    right row exists) — i.e. an as-of LEFT join.
+    - ``backward`` (default): latest right row with right_ts < left_ts
+      (strict) or <= (non-strict);
+    - ``forward``: earliest right row with right_ts > / >= left_ts;
+    - ``nearest``: whichever of the two is closer in time (ties go
+      backward, the pandas rule), with ``strict`` excluding exact-ts
+      matches from both sides.
+
+    Output: all left columns + the as-of values (null when no matching
+    right row exists) — an as-of LEFT join. One shuffle on the key;
+    backward/forward are one ordered window pass, nearest is two passes
+    over the same partitioning (the exchange is reused, only the sort
+    repeats).
 
     Determinism contract: (key, right_ts) should be unique on the right —
     when two right rows tie on ts, which one wins is plan-dependent (the
     same caveat as pandas merge_asof / DuckDB ASOF). Pre-aggregate the
     right side to one row per (key, ts) if ties are possible.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     l_marked = left.withColumn(_SIDE, F.lit(0)).withColumn("__ts", F.col(left_ts))
     carried = [f"__v_{c}" for c in value_cols]
     r_marked = (
@@ -58,24 +71,61 @@ def asof_join(
     )
     both = l_marked.unionByName(r_marked, allowMissingColumns=True)
 
-    # At equal ts, right rows sort AFTER left rows for strict (<) —
-    # invisible to the frame ending at the current row — and BEFORE for
-    # non-strict (<=). Ties among right rows resolve by keeping the
-    # last in (ts, side) order, made total by __ts alone per side.
-    side_order = F.col(_SIDE).asc() if strict else F.col(_SIDE).desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Carry the whole right row as one struct (plus its ts, for the
+    # nearest-distance compare): the struct is non-null for every right
+    # row even when its value columns are NULL, so a matched right row
+    # with a NULL value yields NULL (as DuckDB ASOF / pandas merge_asof
+    # do) instead of resurrecting an older non-null value.
+    pack = F.when(
+        F.col(_SIDE) == 1,
+        F.struct(F.col("__ts").alias("__rts"), *[F.col(v) for v in carried]),
     )
-    # Carry the whole right row as one struct: the struct is non-null for
-    # every right row even when its value columns are NULL, so a matched
-    # right row with a NULL value yields NULL (as DuckDB ASOF / pandas
-    # merge_asof do) instead of resurrecting an older non-null value.
-    pack = F.when(F.col(_SIDE) == 1, F.struct(*[F.col(v) for v in carried]))
-    attached = both.select(
-        "*", F.last(pack, ignorenulls=True).over(w).alias("__asof_pack")
-    )
+
+    # Tie placement at equal ts decides strictness: a right row sorted
+    # on the far side of the left row falls outside the window frame.
+    # backward frame = (-inf, current]: strict wants tie-rights AFTER
+    # left (side asc); forward frame = [current, +inf): strict wants
+    # tie-rights BEFORE left (side desc). Non-strict flips each.
+    def back_col() -> Column:
+        side = F.col(_SIDE).asc() if strict else F.col(_SIDE).desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), side)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(pack, ignorenulls=True).over(w)
+
+    def fwd_col() -> Column:
+        side = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), side)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        return F.first(pack, ignorenulls=True).over(w)
+
+    if direction == "backward":
+        attached = both.select("*", back_col().alias("__asof_pack"))
+    elif direction == "forward":
+        attached = both.select("*", fwd_col().alias("__asof_pack"))
+    else:  # nearest: pick the closer of the two; equal distance → backward
+        attached = both.select(
+            "*", back_col().alias("__b"), fwd_col().alias("__f")
+        )
+        b_dist = F.unix_micros(F.col("__ts")) - F.unix_micros(
+            F.col("__b").getField("__rts")
+        )
+        f_dist = F.unix_micros(F.col("__f").getField("__rts")) - F.unix_micros(
+            F.col("__ts")
+        )
+        attached = attached.withColumn(
+            "__asof_pack",
+            F.when(
+                F.col("__b").isNotNull()
+                & (F.col("__f").isNull() | (b_dist <= f_dist)),
+                F.col("__b"),
+            ).otherwise(F.col("__f")),
+        )
     out_vals = [
         F.col("__asof_pack").getField(f"__v_{c}").alias(f"asof_{c}")
         for c in value_cols

@@ -588,3 +588,90 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("revenue").cast("decimal(28,6)")).cast("double").alias("decile_revenue"),
         F.sum("n_orders").alias("decile_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q170/q171 — the remaining merge_asof directions (q57 is backward):
+# forward (first purchase after each click) and nearest (closer of the
+# two, ties backward).
+# --------------------------------------------------------------------------
+
+_Q170_SQL = """
+SELECT a.event_id, a.user_id, a.value AS click_value, b.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+"""
+
+
+@query("q170_asof_forward", oracle=_Q170_SQL, tags=("join", "temporal"))
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/temporal.py:asof_join
+    direction='forward'): each click is matched to the user's first
+    strictly-later purchase — one key shuffle + one ordered window pass,
+    same cost shape as backward."""
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.operators import temporal
+
+    ev = catalog.load(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = temporal.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], strict=True, direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("value").alias("click_value"),
+        F.col("asof_value"),
+    )
+
+
+_Q171_SQL = """
+WITH a AS (SELECT * FROM events WHERE event_type = 'click'),
+b AS (SELECT * FROM events WHERE event_type = 'purchase'),
+cand AS (
+    SELECT a.event_id, a.user_id, a.value AS click_value, a.ts,
+           (SELECT MAX(b.ts) FROM b
+            WHERE b.user_id = a.user_id AND b.ts < a.ts) AS bts,
+           (SELECT MIN(b.ts) FROM b
+            WHERE b.user_id = a.user_id AND b.ts > a.ts) AS fts
+    FROM a
+),
+pick AS (
+    SELECT *,
+           CASE WHEN bts IS NOT NULL
+                 AND (fts IS NULL OR (ts - bts) <= (fts - ts))
+                THEN bts ELSE fts END AS mts
+    FROM cand
+)
+SELECT p.event_id, p.user_id, p.click_value, b.value AS asof_value
+FROM pick p
+LEFT JOIN b ON p.user_id = b.user_id AND p.mts = b.ts
+"""
+
+
+@query("q171_asof_nearest", oracle=_Q171_SQL, tags=("join", "temporal"))
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (direction='nearest'): each click matches its
+    closest purchase in either time direction, equal distances going
+    backward (the pandas rule). Two window passes over ONE key shuffle —
+    the exchange is reused, only the sort repeats. The oracle derives
+    the same answer independently from correlated min/max subqueries."""
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.operators import temporal
+
+    ev = catalog.load(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = temporal.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], strict=True, direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("value").alias("click_value"),
+        F.col("asof_value"),
+    )

@@ -170,3 +170,47 @@ def test_asof_join_matched_null_value_stays_null(spark):
         value_cols=["v"], strict=True,
     ).collect()
     assert out[0]["asof_v"] is None
+
+
+def test_asof_directions_golden(spark):
+    """Hand case covering all three directions and strictness at a tie:
+    left rows at ts 10 and 20; right rows at ts 10 (v=1), 14 (v=2),
+    30 (v=3)."""
+    from march_mania_spark_lakehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [(10, 1.0), (14, 2.0), (30, 3.0)], "ts long, v double"
+    ).withColumn("ts", F.timestamp_seconds("ts")).withColumn("k", F.lit(1))
+    left = left.withColumn("k", F.lit(1))
+
+    def run(direction, strict):
+        out = asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                        strict=strict, direction=direction)
+        return {r["id"]: r["asof_v"] for r in out.collect()}
+
+    assert run("backward", True) == {1: None, 2: 2.0}   # ts=10 tie excluded
+    assert run("backward", False) == {1: 1.0, 2: 2.0}   # tie included
+    assert run("forward", True) == {1: 2.0, 2: 3.0}     # first strictly later
+    assert run("forward", False) == {1: 1.0, 2: 3.0}    # tie included
+    # nearest strict: id1 → 14 (dist 4; the tie at 10 excluded);
+    # id2 → 14 (dist 6) beats 30 (dist 10)
+    assert run("nearest", True) == {1: 2.0, 2: 2.0}
+    # nearest non-strict: id1 → exact match at 10
+    assert run("nearest", False) == {1: 1.0, 2: 2.0}
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    """Equal distances pick the backward row (the pandas rule)."""
+    from march_mania_spark_lakehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 20)], "id long, ts long").withColumn(
+        "ts", F.timestamp_seconds("ts")).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [(15, 1.0), (25, 2.0)], "ts long, v double"
+    ).withColumn("ts", F.timestamp_seconds("ts")).withColumn("k", F.lit(1))
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                    strict=True, direction="nearest")
+    assert out.collect()[0]["asof_v"] == 1.0
