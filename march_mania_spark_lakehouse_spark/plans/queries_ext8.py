@@ -562,8 +562,9 @@ FROM d GROUP BY decile
 def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer revenue deciles via ntile over a TOTAL order (revenue
     desc + key tiebreak — without the tiebreak, equal-revenue customers
-    make decile assignment partition-dependent), then per-decile
-    roll-up. The single ordered window is over customer-sized data, not
+    make decile assignment partition-dependent; ranking-window basics
+    incl. ntile are q60's — this is the decile-LIFT rollup shape), then
+    per-decile roll-up. The single ordered window is over customer-sized data, not
     the fact table; at 100 TB the same cut comes from the histogram
     sketch (q163) instead of a global sort — both forms ship."""
     from pyspark.sql import Window
@@ -674,4 +675,150 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.col("value").alias("click_value"),
         F.col("asof_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q172 — robust outliers via median absolute deviation (nested exact
+# medians). Both engines interpolate even-count medians as the midpoint
+# of the middle pair, so med and mad are bit-identical (q06 precedent),
+# and the 3·1.4826·mad cut is IEEE arithmetic on identical doubles.
+# --------------------------------------------------------------------------
+
+_Q172_K = 3 * 1.4826  # ~3 sigma for normal data via the MAD consistency constant
+
+_Q172_SQL = f"""
+WITH med AS (
+    SELECT l_returnflag, CAST(median(l_extendedprice) AS DOUBLE) AS med
+    FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+    SELECT l.l_returnflag, m.med, ABS(l.l_extendedprice - m.med) AS d
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+),
+mad AS (
+    SELECT l_returnflag, med, CAST(median(d) AS DOUBLE) AS mad
+    FROM dev GROUP BY l_returnflag, med
+)
+SELECT d.l_returnflag, mad.med, mad.mad,
+       CAST(SUM(CASE WHEN d.d > {_Q172_K!r} * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_rows
+FROM dev d JOIN mad ON d.l_returnflag = mad.l_returnflag
+GROUP BY d.l_returnflag, mad.med, mad.mad
+"""
+
+
+@query("q172_mad_outliers", oracle=_Q172_SQL, tags=("agg", "quality"))
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation
+    with the 1.4826 normal-consistency constant — immune to the very
+    outliers it hunts, unlike q113's mean/stddev z-score. Two exact-
+    median aggregates + one conditional count; the group stats (med,
+    mad) broadcast back onto the scan, so the fact table never shuffles
+    twice on the same key."""
+    from pyspark.sql import functions as F
+
+    li = catalog.load(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "d", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag", "med").agg(F.median("d").alias("mad"))
+    return (
+        dev.select("l_returnflag", "d")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > F.lit(_Q172_K) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q173 — per-group OLS trendline from fixed-point sufficient statistics.
+# The regr_* builtins are float-order-dependent inside; and even exact
+# DECIMAL sums fail here because sxy carries ~18 significant digits and
+# the decimal→double cast rounds differently per engine (the q164
+# lesson). So every statistic is an INTEGER: x = epoch days, y scaled
+# to 1e-4 units (the fixture's price×discount arithmetic is exact at 4
+# decimals), Σ all in int64 — and int64→double conversion is the same
+# correctly-rounded hardware op in every engine, after which the closed
+# form is IEEE arithmetic on identical inputs.
+# --------------------------------------------------------------------------
+
+_Q173_SQL = """
+WITH pts AS (
+    SELECT l_returnflag,
+           datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS x,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS yu
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+           CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+           CAST(CAST(SUM(yu) AS BIGINT) AS DOUBLE) AS syu,
+           CAST(CAST(SUM(x * yu) AS BIGINT) AS DOUBLE) AS sxyu
+    FROM pts GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (n * sxyu - sx * syu) / (n * sxx - sx * sx) / 10000.0 AS slope,
+       (syu / 10000.0 - (n * sxyu - sx * syu) / (n * sxx - sx * sx) / 10000.0 * sx) / n
+           AS intercept,
+       CAST(n AS BIGINT) AS n_points
+FROM s
+"""
+
+
+@query("q173_group_trend_ols", oracle=_Q173_SQL, tags=("agg", "ml"))
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares revenue trend (slope per day + intercept)
+    from sufficient statistics in ONE aggregation pass — all-integer
+    sums (x = epoch days, y in 1e-4 fixed-point units), then the closed
+    form in IEEE doubles. Integer stats are the only cross-engine-exact
+    formulation: regr_slope/regr_intercept are float-order-dependent,
+    and even decimal sums lose an ulp in the per-engine decimal→double
+    cast at this magnitude. The sufficient-statistics form is also the
+    mergeable one (daily stats roll up into monthly trends without
+    re-scanning)."""
+    from pyspark.sql import functions as F
+
+    li = catalog.load(spark, "lineitem", sf_dir)
+    pts = li.select(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("yu"),
+    )
+    s = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("yu").cast("double").alias("syu"),
+        F.sum(F.col("x") * F.col("yu")).cast("double").alias("sxyu"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxyu") - F.col("sx") * F.col("syu"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / F.lit(10000.0)
+    )
+    return s.select(
+        "l_returnflag",
+        slope.alias("slope"),
+        ((F.col("syu") / F.lit(10000.0) - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+        F.col("n").cast("long").alias("n_points"),
     )

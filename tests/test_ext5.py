@@ -496,3 +496,47 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
     assert set(est) == set(exact)
     for k in est:
         assert abs(est[k] - exact[k]) <= width, (k, est[k], exact[k])
+
+
+def test_ols_trend_matches_numpy_reference(spark, sf_dir):
+    """q173's fixed-point sufficient-statistics slope/intercept must
+    agree with numpy's least-squares fit on the same points to well
+    inside the 1e-4 fixed-point quantization."""
+    import numpy as np
+
+    from march_mania_spark_lakehouse_spark.plans import all_queries
+
+    got = {
+        r["l_returnflag"]: (r["slope"], r["intercept"])
+        for r in all_queries()["q173_group_trend_ols"].fn(spark, sf_dir).collect()
+    }
+    li = catalog.load(spark, "lineitem", sf_dir)
+    pdf = li.select(
+        "l_returnflag",
+        F.datediff("l_shipdate", F.lit("1995-01-01").cast("timestamp")).alias("x"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    ).toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        m, b = np.polyfit(grp.x.to_numpy(float), grp.y.to_numpy(float), 1)
+        assert abs(got[flag][0] - m) < 1e-6, (flag, got[flag][0], m)
+        assert abs(got[flag][1] - b) < 1e-2, (flag, got[flag][1], b)
+
+
+def test_mad_outliers_matches_numpy_reference(spark, sf_dir):
+    """q172's med/mad/outlier-count vs a direct numpy recompute."""
+    import numpy as np
+
+    from march_mania_spark_lakehouse_spark.plans import all_queries
+
+    got = {
+        r["l_returnflag"]: (r["med"], r["mad"], r["n_outliers"])
+        for r in all_queries()["q172_mad_outliers"].fn(spark, sf_dir).collect()
+    }
+    li = catalog.load(spark, "lineitem", sf_dir)
+    pdf = li.select("l_returnflag", "l_extendedprice").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        v = grp.l_extendedprice.to_numpy(float)
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        n_out = int((np.abs(v - med) > 3 * 1.4826 * mad).sum())
+        assert got[flag] == (med, mad, n_out), (flag, got[flag], (med, mad, n_out))
