@@ -574,11 +574,6 @@ def near_dup_dedup(
 # non-overlapping segment instead of a newline-delimited line).
 # --------------------------------------------------------------------------
 
-#: Combined (doc, position) ordering key base — positions are bounded by
-#: document length / K, far below this.
-_SEG_KEY_BASE = 1_000_000
-
-
 def segment_table(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 5
 ) -> DataFrame:
@@ -619,20 +614,25 @@ def segment_dedup(
     same rule can run text-shuffle-free as a broadcast-set filter inside
     ``mapInPandas`` when documents must stay partition-local.
     """
-    segs = segment_table(rebalance_scan(df), id_col, text_col, k).withColumn(
-        "__key", F.col(id_col) * _SEG_KEY_BASE + F.col("seg_idx")
-    )
+    segs = segment_table(rebalance_scan(df), id_col, text_col, k)
+    # Canonical first occurrence = lexicographic min over the
+    # (doc_id, seg_idx) struct — no packed-integer key, so any doc-id
+    # domain (negative, beyond 1e6 segments) picks the right survivor.
     hot = (
         segs.groupBy("seg")
         .agg(
             F.countDistinct(id_col).alias("__nd"),
-            F.min("__key").alias("__min_key"),
+            F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__min_occ"),
         )
         .filter(F.col("__nd") > max_docs)
-        .select("seg", "__min_key")
+        .select("seg", "__min_occ")
     )
     kept = segs.join(F.broadcast(hot), on="seg", how="left").filter(
-        F.col("__min_key").isNull() | (F.col("__key") == F.col("__min_key"))
+        F.col("__min_occ").isNull()
+        | (
+            (F.col(id_col) == F.col("__min_occ").getField(id_col))
+            & (F.col("seg_idx") == F.col("__min_occ").getField("seg_idx"))
+        )
     )
     return (
         kept.groupBy(id_col)

@@ -112,12 +112,21 @@ def asof_join(
         attached = both.select(
             "*", back_col().alias("__b"), fwd_col().alias("__f")
         )
-        b_dist = F.unix_micros(F.col("__ts")) - F.unix_micros(
-            F.col("__b").getField("__rts")
-        )
-        f_dist = F.unix_micros(F.col("__f").getField("__rts")) - F.unix_micros(
-            F.col("__ts")
-        )
+        # Distance on the ts column's own ordered type, so nearest
+        # accepts the same ts types as backward/forward (timestamp,
+        # date, integer epoch, ...) instead of assuming timestamps.
+        ts_type = dict(both.dtypes)["__ts"]
+        if ts_type.startswith("timestamp"):
+            def _dist(a: Column, b: Column) -> Column:
+                return F.unix_micros(a) - F.unix_micros(b)
+        elif ts_type == "date":
+            def _dist(a: Column, b: Column) -> Column:
+                return F.datediff(a, b)
+        else:
+            def _dist(a: Column, b: Column) -> Column:
+                return a - b
+        b_dist = _dist(F.col("__ts"), F.col("__b").getField("__rts"))
+        f_dist = _dist(F.col("__f").getField("__rts"), F.col("__ts"))
         attached = attached.withColumn(
             "__asof_pack",
             F.when(

@@ -764,10 +764,10 @@ WITH pts AS (
 s AS (
     SELECT l_returnflag,
            CAST(COUNT(*) AS DOUBLE) AS n,
-           CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
-           CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
-           CAST(CAST(SUM(yu) AS BIGINT) AS DOUBLE) AS syu,
-           CAST(CAST(SUM(x * yu) AS BIGINT) AS DOUBLE) AS sxyu
+           CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(yu AS HUGEINT)) AS DOUBLE) AS syu,
+           CAST(SUM(CAST(x AS HUGEINT) * yu) AS DOUBLE) AS sxyu
     FROM pts GROUP BY l_returnflag
 )
 SELECT l_returnflag,
@@ -802,12 +802,23 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("yu"),
     )
+    # Sums run in decimal(38,0): x*yu is ~2e12 per row, so a plain long
+    # sum silently wraps past ~4.6e6 rows per group in non-ANSI Spark —
+    # at 100 TB every group crosses that. Exact decimal partial sums stay
+    # mergeable (the sufficient-statistics roll-up claim). Cross-engine
+    # bit-parity holds while totals stay under 2^63 (both engines then do
+    # the one correctly-rounded int→double hardware op — true at every
+    # oracle-compare scale); past 2^63 the statistics stay exact and only
+    # the final double conversion can differ by 1 ulp.
+    def _dsum(c):
+        return F.sum(c.cast("decimal(38,0)")).cast("double")
+
     s = pts.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum("yu").cast("double").alias("syu"),
-        F.sum(F.col("x") * F.col("yu")).cast("double").alias("sxyu"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum(F.col("yu")).alias("syu"),
+        _dsum(F.col("x") * F.col("yu")).alias("sxyu"),
     )
     slope = (
         (F.col("n") * F.col("sxyu") - F.col("sx") * F.col("syu"))

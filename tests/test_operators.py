@@ -407,6 +407,27 @@ def test_segment_dedup_drops_hot_segment_keeps_canonical(spark):
     assert out[4] == "solo words only here now"
 
 
+def test_segment_dedup_negative_and_huge_doc_ids(spark):
+    """Canonical pick is the lexicographic min over (doc_id, seg_idx) —
+    ids outside the old packed-key envelope (negative, > 1e6-segment
+    scale) must still keep exactly the first occurrence (regression:
+    the key was once doc_id*1e6+seg_idx, wrong for these domains)."""
+    hot = "aa bb cc dd ee"
+    rows = [
+        (-7, "p q r s t " + hot),       # smallest doc_id: canonical
+        (3_000_000_000, hot + " z y x w v"),
+        (5, hot),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.segment_dedup(df, "doc_id", "text", k=5, max_docs=2).collect()
+    }
+    assert out[-7] == "p q r s t " + hot  # canonical occurrence kept
+    assert out[3_000_000_000] == "z y x w v"
+    assert 5 not in out
+
+
 def test_segment_dedup_identity_when_under_threshold(spark):
     """With max_docs >= corpus size nothing is hot, so reassembly must
     be byte-identical to the input (the reassemble path itself cannot

@@ -202,6 +202,24 @@ def test_asof_directions_golden(spark):
     assert run("nearest", False) == {1: 1.0, 2: 2.0}
 
 
+def test_asof_nearest_on_long_ts(spark):
+    """nearest must accept the same ts types as backward/forward — here
+    plain integer timestamps, no timestamp cast anywhere (regression:
+    the distance was once computed via unix_micros unconditionally)."""
+    from march_mania_spark_lakehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 205)], "id long, ts long"
+    ).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [(90, 1.0), (104, 2.0), (300, 3.0)], "ts long, v double"
+    ).withColumn("k", F.lit(1))
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                    strict=True, direction="nearest")
+    got = {r["id"]: r["asof_v"] for r in out.collect()}
+    assert got == {1: 2.0, 2: 3.0}  # 104 (d=4) beats 90; 300 (d=95) beats 104
+
+
 def test_asof_nearest_tie_goes_backward(spark):
     """Equal distances pick the backward row (the pandas rule)."""
     from march_mania_spark_lakehouse_spark.operators.temporal import asof_join
