@@ -16,9 +16,14 @@ Relation to the rest of the repo:
   layout; THIS module emits the interoperable on-disk format instead,
   so any real Delta reader (Spark+delta jar, delta-rs, DuckDB's delta
   extension, Trino) can consume the tables. The container ships no such
-  reader (no connector jars, no network — verified), so tests verify
-  structurally: spec-required action fields, log replay semantics,
-  checkpoint equivalence, stats-pruning parity vs full scan.
+  reader (no connector jars, no network — verified), so verification is
+  two-layered: structural tests (spec-required action fields, log replay
+  semantics, checkpoint equivalence, stats-pruning parity vs full scan,
+  `tests/test_delta_log.py`) plus a CLEAN-ROOM INDEPENDENT READER
+  (`tests/delta_reader_independent.py` — stdlib+pyarrow only, zero code
+  shared with this module, enforced by test) that must reconstruct
+  identical file sets and row multisets for every history this writer
+  can produce (`tests/test_delta_interop.py`).
 - ``sources/writers.write_table`` keeps the ``.format("delta")`` call
   site for clusters that ship the jar; this module is the no-jar path
   that still produces real Delta tables.
@@ -476,6 +481,17 @@ def _last_checkpoint(table: str) -> dict | None:
         return None
 
 
+def _normalize_partition_values(pv) -> dict:
+    """partitionValues arrive as a dict from JSON commits but as a list
+    of (key, value) pairs from pyarrow's map type when replayed out of a
+    parquet checkpoint — normalize so `scan_partitions` sees one shape."""
+    if pv is None:
+        return {}
+    if isinstance(pv, dict):
+        return pv
+    return dict(pv)
+
+
 def _replay(table: str, version: int) -> dict[str, dict]:
     """Reconstruct the live file set {path: add_action} at ``version``
     from the nearest checkpoint ≤ version plus the JSON tail — the
@@ -491,6 +507,9 @@ def _replay(table: str, version: int) -> dict[str, dict]:
         for row in t.to_pylist():
             add = row.get("add")
             if add and add.get("path"):
+                add["partitionValues"] = _normalize_partition_values(
+                    add.get("partitionValues")
+                )
                 live[add["path"]] = add
         start = cp["version"] + 1
     for v in range(start, version + 1):
@@ -665,7 +684,13 @@ def checkpoint(table: str, version: int | None = None) -> int:
         rows_add.append(
             {
                 "path": add["path"],
-                "partitionValues": [],
+                # pa.map_ takes (key, value) pairs; partitionValues must
+                # survive the checkpoint or readers planning from it
+                # lose the partition column (caught by the independent
+                # reader in tests/test_delta_interop.py).
+                "partitionValues": sorted(
+                    _normalize_partition_values(add.get("partitionValues")).items()
+                ),
                 "size": add["size"],
                 "modificationTime": add["modificationTime"],
                 "dataChange": False,

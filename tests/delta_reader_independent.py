@@ -1,0 +1,193 @@
+"""A minimal INDEPENDENT Delta-protocol reader for interop testing.
+
+Clean-room rules: this module implements snapshot reconstruction from
+the public Delta transaction protocol (delta-io PROTOCOL.md) using ONLY
+the standard library and pyarrow. It must never import anything from
+the engine package — `tests/test_delta_interop.py` enforces that by
+inspecting this file's source. The point: if a reader sharing zero code
+with the writer reconstructs identical snapshots, the tables really are
+the interoperable format, not merely round-trippable by their author.
+
+Protocol surface implemented (reader side):
+- commit files  ``_delta_log/%020d.json``: newline-delimited JSON
+  actions; ``add`` introduces a live data file, ``remove`` tombstones
+  one, the latest ``metaData`` wins (schemaString, partitionColumns).
+- checkpoint    ``_delta_log/%020d.checkpoint.parquet`` + the
+  ``_last_checkpoint`` pointer: one row per action, struct columns
+  ``add`` / ``metaData`` / ``protocol``; replay = checkpoint rows then
+  the JSON tail ``(cp_version, version]``.
+- snapshot read: each live file under the version's DECLARED schema
+  (columns the file lacks surface as null — schema evolution), hive
+  partition columns restored from the add action's ``partitionValues``
+  strings, cast per the declared type.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+
+def latest_version(table: str) -> int | None:
+    log = os.path.join(table, "_delta_log")
+    try:
+        names = os.listdir(log)
+    except FileNotFoundError:
+        return None
+    vs = [int(n[:20]) for n in names if n.endswith(".json") and n[:20].isdigit()]
+    return max(vs, default=None)
+
+
+def _read_json_commit(table: str, version: int) -> list[dict]:
+    path = os.path.join(table, "_delta_log", f"{version:020d}.json")
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _normalize_pv(pv) -> dict:
+    """partitionValues: dict from JSON commits, list of (k, v) pairs
+    from pyarrow's map type in checkpoints — normalize to dict."""
+    if pv is None:
+        return {}
+    if isinstance(pv, dict):
+        return pv
+    return dict(pv)
+
+
+def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True):
+    """Reconstruct the snapshot at ``version`` (default latest).
+
+    Returns ``{"version", "files", "adds", "schema", "partition_columns",
+    "protocol"}`` where ``files`` is the sorted live file list, ``adds``
+    maps path -> {"partitionValues": dict, "stats": dict|None}, and
+    ``schema`` is the parsed schemaString (latest metaData action wins).
+    ``use_checkpoint=False`` forces a full JSON replay from version 0 —
+    the cross-check that a checkpoint-seeded replay agrees with one that
+    never touches the checkpoint.
+    """
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no _delta_log")
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    protocol: dict | None = None
+    start = 0
+
+    cp_meta_path = os.path.join(table, "_delta_log", "_last_checkpoint")
+    if use_checkpoint and os.path.exists(cp_meta_path):
+        with open(cp_meta_path) as f:
+            cp = json.load(f)
+        if cp["version"] <= v:
+            cp_path = os.path.join(
+                table, "_delta_log", f"{cp['version']:020d}.checkpoint.parquet"
+            )
+            for row in pq.read_table(cp_path).to_pylist():
+                add = row.get("add")
+                if add and add.get("path"):
+                    live[add["path"]] = {
+                        "partitionValues": _normalize_pv(add.get("partitionValues")),
+                        "stats": json.loads(add["stats"]) if add.get("stats") else None,
+                    }
+                m = row.get("metaData")
+                if m and m.get("schemaString"):
+                    meta = m
+                p = row.get("protocol")
+                if p and p.get("minReaderVersion") is not None:
+                    protocol = p
+            start = cp["version"] + 1
+
+    for vv in range(start, v + 1):
+        for a in _read_json_commit(table, vv):
+            if "add" in a:
+                add = a["add"]
+                live[add["path"]] = {
+                    "partitionValues": _normalize_pv(add.get("partitionValues")),
+                    "stats": json.loads(add["stats"]) if add.get("stats") else None,
+                }
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "protocol" in a:
+                protocol = a["protocol"]
+
+    # metaData may predate the replay window (checkpoint is
+    # self-contained per spec, so this only matters for
+    # use_checkpoint=False... which replays from 0 and sees it anyway).
+    if meta is None:
+        raise ValueError(f"{table}: no metaData action found by version {v}")
+    return {
+        "version": v,
+        "files": sorted(live),
+        "adds": live,
+        "schema": json.loads(meta["schemaString"]),
+        "partition_columns": list(meta.get("partitionColumns") or []),
+        "protocol": protocol,
+    }
+
+
+def _cast_partition_value(s: str | None, type_name: str):
+    """Hive partition values are strings in the log; cast per the
+    declared type (the subset the fixtures use)."""
+    if s is None:
+        return None
+    if type_name in ("long", "integer", "short", "byte"):
+        return int(s)
+    if type_name in ("double", "float"):
+        return float(s)
+    if type_name == "boolean":
+        return s == "true"
+    return s
+
+
+def read_rows(
+    table: str, version: int | None = None, use_checkpoint: bool = True
+) -> list[tuple]:
+    """Materialize the snapshot as a list of row tuples in DECLARED
+    column order: data columns from the parquet files (missing ones —
+    pre-schema-evolution files — as None), partition columns from the
+    add action's partitionValues."""
+    snap = snapshot(table, version, use_checkpoint)
+    fields = snap["schema"]["fields"]
+    part_cols = set(snap["partition_columns"])
+    types = {f["name"]: f["type"] for f in fields}
+    out: list[tuple] = []
+    for path in snap["files"]:
+        t = pq.read_table(os.path.join(table, path))
+        cols: dict[str, list] = {}
+        n = t.num_rows
+        pv = snap["adds"][path]["partitionValues"]
+        for f in fields:
+            name = f["name"]
+            if name in part_cols:
+                val = _cast_partition_value(pv.get(name), types[name])
+                cols[name] = [val] * n
+            elif name in t.column_names:
+                cols[name] = t.column(name).to_pylist()
+            else:
+                cols[name] = [None] * n
+        out.extend(zip(*[cols[f["name"]] for f in fields]) if fields else [])
+    return out
+
+
+def file_row_count(table: str, path: str) -> int:
+    """Row count straight from the parquet footer — the independent
+    check against the add action's stats.numRecords."""
+    return pq.ParquetFile(os.path.join(table, path)).metadata.num_rows
+
+
+def file_min_max(table: str, path: str, column: str):
+    """(min, max) of a column computed from the file's DATA (not its
+    footer statistics, which is what the writer itself used)."""
+    vals = [
+        v
+        for v in pq.read_table(os.path.join(table, path), columns=[column])
+        .column(column)
+        .to_pylist()
+        if v is not None
+    ]
+    if not vals:
+        return None, None
+    return min(vals), max(vals)

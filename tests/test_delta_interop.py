@@ -1,0 +1,248 @@
+"""Independent Delta interop: a clean-room reader vs the engine writer.
+
+`sources/delta_log.py` claims to write spec-conformant Delta tables, but
+the container ships no external Delta reader (no delta jar, no delta-rs,
+no network for DuckDB's delta extension — all verified absent), so until
+now the format claim rested on self-verification. These tests close that
+gap with `tests/delta_reader_independent.py`: a snapshot reader built
+ONLY from the public protocol description (stdlib json/os + pyarrow),
+sharing zero code with the writer. Every history the writer can produce
+(create/append/overwrite/merge/evolve/optimize/restore/checkpoint/
+vacuum, plain and hive-partitioned) must reconstruct to the identical
+file set and row multiset through both implementations.
+
+Reference anchor: generalizes the plain parquet lake the reference
+publishes (`/root/reference/jobs/01_ingest_bronze.py:65`) to the
+interoperable Delta format named by BASELINE.md's north star.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import delta_log as dlog
+from tests import delta_reader_independent as indep
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "interop_table")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, cat string, val double")
+
+
+def _spark_rows(spark, table, version=None):
+    return sorted(tuple(r) for r in dlog.read_delta(spark, table, version).collect())
+
+
+def _assert_version_parity(spark, table, version):
+    """File set AND row multiset must agree between the engine reader
+    and the independent reader, via checkpoint and via full replay."""
+    for use_cp in (True, False):
+        snap = indep.snapshot(table, version, use_checkpoint=use_cp)
+        assert snap["files"] == dlog.snapshot_files(table, version), (
+            f"v{version} file set diverges (use_checkpoint={use_cp})"
+        )
+        assert sorted(indep.read_rows(table, version, use_checkpoint=use_cp)) == (
+            _spark_rows(spark, table, version)
+        ), f"v{version} rows diverge (use_checkpoint={use_cp})"
+
+
+def test_independent_reader_shares_no_code():
+    """The reader must be genuinely independent: no import of the
+    engine package anywhere in its source, and only stdlib + pyarrow."""
+    src_path = os.path.join(os.path.dirname(__file__), "delta_reader_independent.py")
+    with open(src_path) as f:
+        src = f.read()
+    assert "march_mania" not in src
+    imports = [
+        line.strip()
+        for line in src.splitlines()
+        if line.startswith(("import ", "from "))
+    ]
+    allowed = {
+        "import json",
+        "import os",
+        "import pyarrow.parquet as pq",
+        "from __future__ import annotations",
+    }
+    assert set(imports) <= allowed, f"unexpected imports: {set(imports) - allowed}"
+
+
+def test_create_append_overwrite_history_full_parity(spark, table):
+    """Every version of a create→append→overwrite→append history must
+    reconstruct identically through the independent reader."""
+    v0 = dlog.create(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table,
+                     stat_cols=("id",))
+    v1 = dlog.append(_df(spark, [(3, "a", 3.0)]), table, stat_cols=("id",))
+    v2 = dlog.overwrite(_df(spark, [(10, "z", 10.0), (11, "z", 11.0)]), table)
+    v3 = dlog.append(_df(spark, [(12, "y", 12.0)]), table)
+    assert (v0, v1, v2, v3) == (0, 1, 2, 3)
+    for v in range(4):
+        _assert_version_parity(spark, table, v)
+    # overwrite really dropped the old rows in BOTH readers
+    assert {t[0] for t in indep.read_rows(table, 2)} == {10, 11}
+    assert {t[0] for t in indep.read_rows(table, 3)} == {10, 11, 12}
+
+
+def test_merge_history_parity(spark, table):
+    dlog.create(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]), table)
+    changes = spark.createDataFrame(
+        [(2, "B", 20.0, False), (4, "d", 4.0, False), (3, "c", 3.0, True)],
+        "id long, cat string, val double, is_delete boolean",
+    )
+    dlog.merge(changes, table, keys=["id"], delete_col="is_delete")
+    for v in (0, 1):
+        _assert_version_parity(spark, table, v)
+    assert sorted(indep.read_rows(table, 1)) == [
+        (1, "a", 1.0), (2, "B", 20.0), (4, "d", 4.0)
+    ]
+
+
+def test_schema_evolution_surfaces_nulls_in_independent_reader(spark, table):
+    """After merge_schema append, the independent reader must apply the
+    DECLARED (evolved) schema to pre-evolution files: old rows carry
+    null for the new column, column order is the log's."""
+    dlog.create(_df(spark, [(1, "a", 1.0)]), table)
+    wide = spark.createDataFrame([(2, "b", 2.0, "extra")],
+                                 "id long, cat string, val double, note string")
+    dlog.append(wide, table, merge_schema=True)
+    _assert_version_parity(spark, table, 0)
+    _assert_version_parity(spark, table, 1)
+    assert sorted(indep.read_rows(table, 1)) == [
+        (1, "a", 1.0, None), (2, "b", 2.0, "extra")
+    ]
+
+
+def test_optimize_and_restore_histories_parity(spark, table):
+    dlog.create(_df(spark, [(i, "a", float(i)) for i in range(10)]), table)
+    dlog.append(_df(spark, [(i, "b", float(i)) for i in range(10, 20)]), table)
+    dlog.optimize(spark, table, zorder_by=("id",))          # v2: rewrite
+    dlog.append(_df(spark, [(99, "x", 99.0)]), table)       # v3
+    dlog.restore(table, 1)                                  # v4 == v1 rows
+    for v in range(5):
+        _assert_version_parity(spark, table, v)
+    assert sorted(indep.read_rows(table, 4)) == sorted(indep.read_rows(table, 1))
+    # OPTIMIZE changed layout, not rows
+    assert sorted(indep.read_rows(table, 2)) == sorted(indep.read_rows(table, 1))
+    assert indep.snapshot(table, 2)["files"] != indep.snapshot(table, 1)["files"]
+
+
+def test_checkpoint_is_self_contained_for_independent_reader(spark, table):
+    """A reader arriving AFTER checkpoint must reconstruct the snapshot
+    from checkpoint + JSON tail alone — proven by physically removing
+    the pre-checkpoint commit files before the independent read."""
+    dlog.create(_df(spark, [(1, "a", 1.0)]), table)
+    dlog.append(_df(spark, [(2, "b", 2.0)]), table)
+    dlog.overwrite(_df(spark, [(3, "c", 3.0), (4, "d", 4.0)]), table)
+    cp_v = dlog.checkpoint(table)
+    assert cp_v == 2
+    dlog.append(_df(spark, [(5, "e", 5.0)]), table)  # v3 tail after cp
+
+    expected_rows = sorted(indep.read_rows(table, 3, use_checkpoint=False))
+    expected_files = indep.snapshot(table, 3, use_checkpoint=False)["files"]
+
+    moved = []
+    for v in range(cp_v + 1):  # drop commits 0..2; checkpoint covers them
+        p = os.path.join(table, "_delta_log", f"{v:020d}.json")
+        shutil.move(p, p + ".bak")
+        moved.append(p)
+    try:
+        snap = indep.snapshot(table, 3)  # must not touch the moved files
+        assert snap["files"] == expected_files
+        assert sorted(indep.read_rows(table, 3)) == expected_rows
+        assert snap["protocol"] is not None  # checkpoint carries protocol
+        assert snap["schema"]["fields"][0]["name"] == "id"
+    finally:
+        for p in moved:
+            shutil.move(p + ".bak", p)
+    _assert_version_parity(spark, table, 3)
+
+
+def test_partitioned_table_parity_and_log_planned_pruning(spark, table):
+    """Hive-partitioned table: the independent reader restores the
+    partition column from add-action partitionValues (the files don't
+    contain it), and per-partition file sets planned from ITS replay
+    agree with the engine's `scan_partitions`."""
+    df = _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "c", 4.0)])
+    dlog.create(df, table, partition_by=("cat",), stat_cols=("id",))
+    dlog.append(_df(spark, [(5, "b", 5.0)]), table)
+    for v in (0, 1):
+        _assert_version_parity(spark, table, v)
+    snap = indep.snapshot(table, 1)
+    assert snap["partition_columns"] == ["cat"]
+    b_files = sorted(
+        p for p, a in snap["adds"].items()
+        if a["partitionValues"].get("cat") == "b"
+    )
+    assert b_files and all(f.startswith("cat=b/") for f in b_files)
+    engine_b = sorted(
+        tuple(r) for r in dlog.scan_partitions(spark, table, {"cat": "b"}).collect()
+    )
+    assert {t[0] for t in engine_b} == {3, 5}
+    # row parity for just that partition
+    indep_b = sorted(
+        t for t in indep.read_rows(table, 1) if t[1] == "b"
+    )
+    assert indep_b == engine_b
+
+
+def test_partitioned_checkpoint_keeps_partition_values(spark, table):
+    """Checkpoints must carry each add's partitionValues — a reader
+    planning from the checkpoint (any real Delta reader; here the
+    independent one AND the engine's own post-checkpoint replay) would
+    otherwise lose the partition column entirely."""
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0)])
+    dlog.create(df, table, partition_by=("cat",))
+    dlog.checkpoint(table)
+    dlog.append(_df(spark, [(4, "c", 4.0)]), table)
+    _assert_version_parity(spark, table, 1)
+    # log-planned pruning still works when the adds came from the checkpoint
+    engine_b = sorted(
+        tuple(r) for r in dlog.scan_partitions(spark, table, {"cat": "b"}).collect()
+    )
+    assert {t[0] for t in engine_b} == {2, 3}
+    snap = indep.snapshot(table, 1, use_checkpoint=True)
+    cp_adds = {p: a for p, a in snap["adds"].items() if p.startswith("cat=b/")}
+    assert cp_adds and all(
+        a["partitionValues"].get("cat") == "b" for a in cp_adds.values()
+    )
+
+
+def test_add_action_stats_match_file_contents(spark, table):
+    """stats on every add action must agree with the FILES: numRecords
+    vs the parquet footer row count, min/max vs the column data —
+    checked by the independent reader, because these stats are what a
+    real Delta reader plans data skipping from."""
+    dlog.create(_df(spark, [(i, "a", float(i)) for i in range(50)]), table,
+                stat_cols=("id", "val"))
+    dlog.append(_df(spark, [(i, "b", float(i)) for i in range(50, 80)]), table,
+                stat_cols=("id", "val"))
+    snap = indep.snapshot(table)
+    total = 0
+    for path, add in snap["adds"].items():
+        stats = add["stats"]
+        assert stats is not None
+        n = indep.file_row_count(table, path)
+        assert stats["numRecords"] == n
+        total += n
+        lo, hi = indep.file_min_max(table, path, "id")
+        assert stats["minValues"]["id"] == lo
+        assert stats["maxValues"]["id"] == hi
+    assert total == 80
+
+
+def test_vacuum_keeps_latest_snapshot_readable(spark, table):
+    dlog.create(_df(spark, [(1, "a", 1.0)]), table)
+    dlog.overwrite(_df(spark, [(2, "b", 2.0)]), table)
+    before = indep.snapshot(table, 1)["files"]
+    deleted = dlog.vacuum(table, retention_ms=0)
+    assert deleted  # the v0 file was tombstoned and past retention
+    assert not (set(deleted) & set(before))  # live files never deleted
+    assert sorted(indep.read_rows(table)) == [(2, "b", 2.0)]
