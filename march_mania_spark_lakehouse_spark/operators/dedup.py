@@ -397,6 +397,8 @@ def exact_substring_decontaminate(
     id_col: str,
     text_col: str = "text",
     snippet_col: str = "snippet",
+    broadcast_limit: int | None = 100_000,
+    anchor_tokens: int = 8,
 ) -> DataFrame:
     """Exact-substring train/eval decontamination: for every training
     document, how many eval snippets appear verbatim inside it.
@@ -407,23 +409,45 @@ def exact_substring_decontaminate(
     crawl. Output: ``(id_col, n_eval_hits, contaminated)`` for every
     training row.
 
-    Scale shape: the snippet set is benchmark-sized (thousands of rows,
-    never corpus-sized) → broadcast nested-loop join with a JVM
-    ``instr`` predicate; the corpus streams through one scan and the
-    per-doc aggregate shuffles (id, count) only. There is deliberately
-    no shingle index here — substring match cannot miss, which is the
-    contract a canary check needs.
+    Scale shape, two regimes guarded by ``broadcast_limit``:
+
+    - **≤ limit snippets** (the normal case — benchmarks are thousands
+      of rows, never corpus-sized): broadcast nested-loop join with a
+      JVM ``instr`` predicate; the corpus streams through one scan and
+      the per-doc aggregate shuffles (id, count) only. No index, so
+      substring match cannot miss at ANY character position — the
+      contract a canary check needs.
+    - **> limit snippets** (an eval union too big to broadcast — BNLJ
+      would replicate it to every task and scan cost would go
+      |corpus|·|snippets|): anchor-shingle pre-filter. Each snippet's
+      first ``anchor_tokens`` whitespace tokens form its anchor; the
+      corpus explodes into same-length token shingles once per distinct
+      anchor length (≤ anchor_tokens plans), candidates come from the
+      hash-partitioned equi-join on the anchor — Σ bucket² bounded like
+      every other inverted-index join here — and ``instr`` verifies the
+      full snippet on candidate pairs only. Both sides normalize
+      whitespace identically, so the only matches this path can miss
+      relative to BNLJ are NON-token-aligned ones (a snippet starting
+      mid-word) — acceptable for benchmark text, and the reason the
+      broadcast form stays the default contract.
     """
-    hits = (
-        train.select(id_col, text_col)
-        .join(
-            F.broadcast(eval_snippets.select(snippet_col)),
-            F.instr(F.col(text_col), F.col(snippet_col)) > 0,
-            "inner",
+    snips = eval_snippets.select(snippet_col).distinct()
+    use_broadcast = broadcast_limit is None or snips.count() <= broadcast_limit
+    if use_broadcast:
+        hits = (
+            train.select(id_col, text_col)
+            .join(
+                F.broadcast(snips),
+                F.instr(F.col(text_col), F.col(snippet_col)) > 0,
+                "inner",
+            )
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_eval_hits"))
         )
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
-    )
+    else:
+        hits = _anchored_substring_hits(
+            train, snips, id_col, text_col, snippet_col, anchor_tokens
+        )
     return (
         train.select(id_col)
         .join(hits, id_col, "left")
@@ -433,6 +457,66 @@ def exact_substring_decontaminate(
             (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def _anchored_substring_hits(
+    train: DataFrame,
+    snips: DataFrame,
+    id_col: str,
+    text_col: str,
+    snippet_col: str,
+    anchor_tokens: int,
+) -> DataFrame:
+    """Shuffle-join fallback for :func:`exact_substring_decontaminate`
+    (see its docstring): anchor equi-join → candidate pairs → exact
+    ``instr`` verification. Never broadcasts the snippet set and never
+    replicates the corpus."""
+    anchored = (
+        snips.withColumn("__toks", F.split(F.col(snippet_col), r"\s+"))
+        .withColumn("__alen", F.least(F.size("__toks"), F.lit(anchor_tokens)))
+        .withColumn(
+            "__anchor",
+            F.array_join(F.slice("__toks", F.lit(1), F.col("__alen")), " "),
+        )
+        .select(snippet_col, "__alen", "__anchor")
+    )
+    # distinct anchor lengths: ≤ anchor_tokens values, a legitimate
+    # driver boundary (same class as the year lists, SURVEY §2.12)
+    lengths = [r["__alen"] for r in anchored.select("__alen").distinct().collect()]
+    toks = F.split(F.col(text_col), r"\s+")
+    cands = None
+    for j in sorted(lengths):
+        doc_sh = (
+            train.select(F.col(id_col), toks.alias("__toks"))
+            .filter(F.size("__toks") >= j)
+            .select(
+                id_col,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__toks") - F.lit(j - 1)),
+                        _slice_join_lambda(j),
+                    )
+                ).alias("__anchor"),
+            )
+            .distinct()
+        )
+        c = doc_sh.join(
+            anchored.filter(F.col("__alen") == j).select(snippet_col, "__anchor"),
+            "__anchor",
+        ).select(id_col, snippet_col)
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.join(train.select(id_col, text_col), id_col)
+        .filter(F.instr(F.col(text_col), F.col(snippet_col)) > 0)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+
+
+def _slice_join_lambda(j: int):
+    # closure factory: the HOF lambda must have exactly one parameter
+    # (PySpark derives lambda arity from the python signature)
+    return lambda i: F.array_join(F.slice(F.col("__toks"), i, j), " ")
 
 
 def simhash(text: Column | str, bits: int = 32) -> Column:

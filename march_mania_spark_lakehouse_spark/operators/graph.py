@@ -18,8 +18,62 @@ regardless of partitioning or iteration interleaving.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Iteration-state materialization modes (lineage truncation between
+#: driver-loop rounds — iterative plans otherwise double in analyzer
+#: size every round):
+#:
+#: - ``local``    `localCheckpoint()`: blocks in executor storage
+#:   memory. Fastest, but in local mode ONE JVM is driver + all 32
+#:   executors, so every round's blocks pile into one heap — that is
+#:   what pushed the 100× PageRank probe to a 24 GB heap.
+#: - ``disk``     `localCheckpoint(storageLevel=DISK_ONLY)`: same single
+#:   computation and lineage truncation, blocks on local disk — caps
+#:   memory residency with no checkpoint dir and no recompute.
+#: - ``reliable`` `checkpoint()`: writes to the SparkContext checkpoint
+#:   dir (HDFS/object store on a cluster) — survives executor loss,
+#:   the fault-tolerant form for long cluster jobs (costs one extra
+#:   computation per checkpoint, Spark's documented reliable-checkpoint
+#:   behavior).
+_STATE_MODES = ("local", "disk", "reliable")
+
+#: Env override (e.g. the scale probe runs with
+#: SPARK_GRAFT_ITER_STATE=disk to fit the 100× graph probes in the
+#: default 8 GB local heap).
+_STATE_ENV = "SPARK_GRAFT_ITER_STATE"
+
+
+def _resolve_state_mode(df: DataFrame, state: str | None) -> str:
+    """``state=None`` auto-selects: the env override if set, else
+    ``reliable`` when the session has a checkpoint dir (a cluster job
+    opts in with one `sc.setCheckpointDir` line, no operator plumbing),
+    else ``local``."""
+    if state is None:
+        state = os.environ.get(_STATE_ENV)
+    if state is None:
+        sc = df.sparkSession.sparkContext
+        state = (
+            "reliable" if sc._jsc.sc().getCheckpointDir().isDefined() else "local"
+        )
+    if state not in _STATE_MODES:
+        raise ValueError(f"state must be one of {_STATE_MODES}, got {state!r}")
+    return state
+
+
+def _materialize(df: DataFrame, state: str) -> DataFrame:
+    """Truncate lineage between iteration rounds per ``state`` (see
+    `_STATE_MODES`)."""
+    if state == "reliable":
+        return df.checkpoint(eager=True)
+    if state == "disk":
+        from pyspark.storagelevel import StorageLevel
+
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -28,6 +82,8 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     shorten_hops: int = 1,
+    check_every: int = 2,
+    state: str | None = None,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
@@ -44,7 +100,16 @@ def connected_components(
     8 rounds but the serialized extra join costs more than the saved
     rounds locally (5.5s vs 3.9s), so the default stays 1; the knob
     exists for cluster runs where a round is a cross-executor barrier
-    and barrier count, not per-round CPU, is the bill."""
+    and barrier count, not per-round CPU, is the bill.
+
+    ``check_every``: run the convergence aggregate (one driver-side job
+    per check) only every k rounds instead of every round. Worst case
+    runs check_every-1 extra propagation rounds past the fixpoint —
+    data-wise no-ops, since min-propagation is idempotent — in exchange
+    for 1/k of the convergence jobs; the fixpoint reached is identical.
+
+    ``state`` picks the iteration-state materialization mode (see
+    `_STATE_MODES`; None = auto)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -61,16 +126,18 @@ def connected_components(
             F.least(F.col("a"), F.col("lbl")).alias("lbl"),
         )
     )
-    # localCheckpoint (not cache): iterative plans double in size every
-    # round if lineage is kept — the analyzer, not the data, OOMs. Lineage
-    # truncation per round keeps plan size constant; on a cluster with a
-    # checkpoint dir, `checkpoint()` gives the fault-tolerant variant.
-    labels = labels.localCheckpoint(eager=True)
+    state = _resolve_state_mode(edges, state)
+    # Checkpoint (not cache): iterative plans double in size every round
+    # if lineage is kept — the analyzer, not the data, OOMs. Lineage
+    # truncation per round keeps plan size constant; `_materialize`
+    # picks memory-resident vs disk-backed.
+    labels = _materialize(labels, state)
     # Convergence witness: min-propagation only ever DECREASES labels, so
     # Σ lbl strictly decreases until the fixpoint — one cheap agg over the
     # checkpointed labels replaces a join-based changed-rows check.
     prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-    for _ in range(max_iter):
+    check_every = max(1, check_every)
+    for it in range(max_iter):
         # propagate: candidate label for each node = min over neighbors'
         # labels and its own; plus path-shortening hop (label's label).
         via_edges = (
@@ -85,14 +152,17 @@ def connected_components(
                 hop["node"].alias("node"), nxt["__l"].alias("lbl")
             )
             candidates = candidates.union(hop)
-        new_labels = (
-            candidates.groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
-        new_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+        new_labels = _materialize(
+            candidates.groupBy("node").agg(F.min("lbl").alias("lbl")), state
+        )
         labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        if (it + 1) % check_every == 0 or (it + 1) == max_iter:
+            new_sum = new_labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))
+            ).first()[0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 
@@ -114,6 +184,7 @@ def pagerank(
     damping_pct: int = 85,
     iters: int = 5,
     checkpoint_every: int = 2,
+    state: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list in **1e-15
     fixed-point integer arithmetic**: (node, rank_fp, rank) after
@@ -141,29 +212,34 @@ def pagerank(
     Scale posture: state is one (node, rank) pair per node; each step is
     one join with the edge list + one keyed aggregate (map-side
     combined) + a one-row broadcast for the dangling mass — the same
-    shuffle budget per step as one large groupBy. ``localCheckpoint``
-    every ``checkpoint_every`` steps keeps lineage/analyzer cost
-    constant in the iteration count (the `connected_components`
-    pattern); per-step cost is edges-linear with no all-pairs term.
+    shuffle budget per step as one large groupBy. Checkpointing every
+    ``checkpoint_every`` steps keeps lineage/analyzer cost constant in
+    the iteration count (the `connected_components` pattern); per-step
+    cost is edges-linear with no all-pairs term. ``state`` picks the
+    iteration-state mode (see `_STATE_MODES`; None = auto) — the
+    memory-resident default otherwise accumulates every step's blocks
+    in one heap in local mode, which is what pushed the 100× probe past
+    8 GB (one JVM = driver + all executors' blocks; `disk` caps it).
     """
     unit = 1_000_000_000_000_000  # 1e15 rank units
     d_num, d_den = int(damping_pct), 100
+    state = _resolve_state_mode(edges, state)
     # materialize the edge list once — it feeds every iteration, and an
     # upstream join pipeline would otherwise re-execute per step
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint()
-    nodes = (
+    e = _materialize(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
+        state,
+    )
+    nodes = _materialize(
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        state,
     )
     n = nodes.count()  # scalar boundary (reference §2.12 pattern)
-    deg = (
-        e.groupBy(F.col("e_src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
+    deg = _materialize(
+        e.groupBy(F.col("e_src").alias("node")).agg(F.count(F.lit(1)).alias("d")),
+        state,
     )
     teleport = ((d_den - d_num) * unit) // (d_den * n)  # exact python int
     ranks = nodes.withColumn("rank_fp", F.lit(unit // n).cast("long"))
@@ -191,14 +267,17 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = _materialize(ranks, state)
     return ranks.select(
         "node", "rank_fp", (F.col("rank_fp") / F.lit(float(unit))).alias("rank")
     )
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    state: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph: (node,
     triangles). Exact integers — deterministic in any engine.
@@ -213,12 +292,13 @@ def triangle_count(
     skewed graphs at scale. Two self-joins on the oriented edge list +
     one union-regroup; no state beyond (edge) and (node, count) pairs.
     """
-    und = (
+    state = _resolve_state_mode(edges, state)
+    und = _materialize(  # feeds deg + orientation; don't recompute
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()  # feeds deg + orientation; don't recompute
+        .distinct(),
+        state,
     )
     deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     keyed = (
@@ -226,10 +306,13 @@ def triangle_count(
         .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
     )
     # orient: smaller (deg, id) → larger (deg, id); total order ⇒ acyclic
-    oriented = keyed.filter(
-        (F.col("da") < F.col("db"))
-        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    ).select("a", "b").localCheckpoint()  # three self-join branches below
+    oriented = _materialize(  # three self-join branches below
+        keyed.filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        ).select("a", "b"),
+        state,
+    )
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -258,6 +341,7 @@ def bfs_distances(
     seed_col: str = "node",
     max_hops: int = 4,
     checkpoint_every: int = 2,
+    state: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS over a directed edge list: (node, dist) = the
     minimum hop count from any seed, for every node reachable within
@@ -271,9 +355,11 @@ def bfs_distances(
     fixed-``max_hops`` form is the value-checkable one; run-to-fixpoint
     is the `connected_components` driver-loop pattern if needed.
     """
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint()  # reused every level; don't re-run its lineage
+    state = _resolve_state_mode(edges, state)
+    e = _materialize(  # reused every level; don't re-run its lineage
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
+        state,
+    )
     dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
         "dist", F.lit(0).cast("int")
     )
@@ -288,5 +374,5 @@ def bfs_distances(
             .agg(F.min("dist").cast("int").alias("dist"))
         )
         if (h + 1) % checkpoint_every == 0 and (h + 1) < max_hops:
-            dist = dist.localCheckpoint()
+            dist = _materialize(dist, state)
     return dist

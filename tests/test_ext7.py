@@ -42,6 +42,49 @@ def test_exact_substring_decontam_hits_and_misses(spark):
     assert len(out) == 4  # every training row reported
 
 
+def test_exact_substring_fallback_matches_broadcast(spark):
+    """broadcast_limit=0 forces the anchor-shingle shuffle-join path;
+    on token-aligned contamination (the benchmark case) it must agree
+    exactly with the broadcast nested-loop form — including multi-hit
+    docs, snippets shorter than anchor_tokens, and clean docs."""
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "the CANARY STRING hides here among many other words indeed"),
+            (3, "clean document nothing to see move along now"),
+            (4, "prefix CANARY STRING suffix and another needle too"),
+            (5, "short hit"),
+        ],
+    )
+    snippets = spark.createDataFrame(
+        [
+            ("CANARY STRING",),            # 2 tokens < anchor_tokens
+            ("another needle",),
+            ("short hit",),                # whole-document match
+            ("gamma delta epsilon zeta eta theta iota kappa",),  # 8 = anchor len
+        ],
+        "snippet string",
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.exact_substring_decontaminate(
+            train, snippets, "doc_id"
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.exact_substring_decontaminate(
+            train, snippets, "doc_id", broadcast_limit=0
+        ).collect()
+    )
+    assert got == want
+    # and the planted expectations hold through the fallback path
+    m = {t[0]: (t[1], t[2]) for t in got}
+    assert m[1] == (1, True) and m[2] == (1, True)
+    assert m[3] == (0, False) and m[4] == (2, True) and m[5] == (1, True)
+
+
 def test_vocab_jaccard_known_overlap(spark):
     df = spark.createDataFrame(
         [

@@ -180,3 +180,65 @@ def test_bfs_distances_golden(spark):
     got = {r["node"]: r["dist"] for r in
            bfs_distances(edges, seeds, max_hops=2).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 9: 0, 10: 1}
+
+
+def test_graph_state_modes_and_sparse_convergence(spark, tmp_path):
+    """Every iteration-state mode (memory-local, DISK_ONLY-local,
+    reliable checkpoint-dir) and sparse convergence checking
+    (check_every>1) must reach the identical fixpoint — CC labels and
+    fixed-point PageRank are deterministic, so equality is exact.
+    Also pins the auto-detect: with a checkpoint dir set, state=None
+    picks the reliable form and actually writes checkpoint files."""
+    import os
+
+    from march_mania_spark_lakehouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (20, 21), (1, 2)],
+        "src long, dst long",
+    )
+    base_cc = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(edges, check_every=1, state="local").collect()
+    )
+    sparse_cc = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(edges, check_every=3, state="local").collect()
+    )
+    assert sparse_cc == base_cc
+    disk_cc = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(edges, state="disk").collect()
+    )
+    assert disk_cc == base_cc
+
+    base_pr = sorted(
+        (r["node"], r["rank_fp"])
+        for r in pagerank(edges, iters=5, state="local").collect()
+    )
+    disk_pr = sorted(
+        (r["node"], r["rank_fp"])
+        for r in pagerank(edges, iters=5, state="disk").collect()
+    )
+    assert disk_pr == base_pr
+
+    jsc = spark.sparkContext._jsc.sc()
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    jsc.setCheckpointDir(ckpt_dir)
+    try:
+        rel_cc = sorted(
+            (r["node"], r["component"])
+            for r in connected_components(edges, check_every=2).collect()
+        )
+        rel_pr = sorted(
+            (r["node"], r["rank_fp"])
+            for r in pagerank(edges, iters=5, checkpoint_every=2).collect()
+        )
+        assert rel_cc == base_cc
+        assert rel_pr == base_pr  # fixed-point: bit-identical across modes
+        # auto-detect really used the dir: RDD checkpoint files landed
+        assert any(os.scandir(ckpt_dir))
+    finally:
+        getattr(jsc, "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )

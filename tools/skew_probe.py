@@ -20,6 +20,12 @@ Four comparisons, each on a skewed derivative of the sf0.1 fixture:
 4. **shingle**: ``jaccard_pairs`` without vs with ``max_df`` on documents
    where HOT_FRAC_DOCS share one boilerplate sentence — the hot-shingle
    mega-bucket whose candidate count detonates as Σ bucket².
+5. **triangle**: naive wedge enumeration vs the degree-oriented form
+   (`graph.triangle_count`) on a Zipf-degree (power-law) graph — the
+   skew story for graph ops: naive wedges grow as Σ deg², all of it on
+   the hubs, while orientation bounds each node's fan-out by its
+   oriented out-degree (≈ arboricity). Both arms must produce identical
+   per-node triangle counts (asserted).
 
 Timing method matches scale_probe: warm run, then best of N (stragglers
 dominate wall-clock, which is exactly what skew mitigation targets, so
@@ -222,6 +228,91 @@ def main() -> None:
     out["shingle_hot_df"] = {
         "plain": t_p, "mitigated": t_s, "speedup": round(t_p / t_s, 2),
         "pairs_plain": n_plain, "pairs_guarded": n_guard,
+    }
+
+    # -- 4. power-law triangle counting ----------------------------------
+    # Zipf-degree fixture: endpoint = floor(N^u) with u hash-uniform in
+    # [0,1) — discrete log-uniform, P(node j) ≈ 1/(j·ln N), i.e. Zipf(1)
+    # degrees with a handful of huge hubs. Deterministic (hash, no RNG).
+    import math
+
+    from march_mania_spark_lakehouse_spark.operators.graph import triangle_count
+
+    n_nodes, n_edges = 20_000, 100_000
+    ln_n = math.log(n_nodes)
+
+    def endpoint(col):
+        u = F.pmod(F.xxhash64(col), F.lit(1_000_000)) / F.lit(1_000_000.0)
+        return F.floor(F.exp(u * F.lit(ln_n))).cast("long")
+
+    edges_pl = (
+        spark.range(n_edges)
+        .select(
+            endpoint(F.col("id")).alias("src"),
+            endpoint(F.col("id") + F.lit(777_777)).alias("dst"),
+        )
+        .filter("src != dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    und = (
+        edges_pl.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges_pl.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    max_deg, wedges_naive = deg.agg(
+        F.max("d"), F.sum(F.expr("d * (d - 1) div 2"))
+    ).first()
+
+    def naive_triangles():
+        # per-node count via unoriented wedges: every wedge centered at
+        # y with x<z, closed by an (x,z) edge — Σ C(deg,2) wedge rows,
+        # hub-quadratic, the plan orientation exists to avoid.
+        e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        closes = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        return (
+            e1.join(e2, "y")
+            .filter(F.col("x") < F.col("z"))
+            .join(closes, on=["x", "z"], how="leftsemi")
+            .groupBy(F.col("y").alias("node"))
+            .agg(F.count(F.lit(1)).alias("triangles"))
+        )
+
+    # structural: the oriented wedge count the library plan generates
+    odeg = (
+        und.join(deg.withColumnRenamed("a", "ja").withColumnRenamed("d", "da"),
+                 F.col("a") == F.col("ja"))
+        .join(deg.withColumnRenamed("a", "jb").withColumnRenamed("d", "db"),
+              F.col("b") == F.col("jb"))
+        .filter((F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+        .groupBy("a").agg(F.count(F.lit(1)).alias("od"))
+    )
+    max_odeg, wedges_oriented = odeg.agg(
+        F.max("od"), F.sum(F.expr("od * (od - 1) div 2"))
+    ).first()
+
+    # correctness cross-check: both arms agree per node (nonzero nodes)
+    naive_counts = {
+        r["node"]: r["triangles"] for r in naive_triangles().collect()
+    }
+    oriented_counts = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(edges_pl).collect()
+        if r["triangles"] > 0
+    }
+    assert naive_counts == oriented_counts, "triangle arms disagree"
+
+    t_p = best_of(naive_triangles, n=2)
+    t_s = best_of(lambda: triangle_count(edges_pl), n=2)
+    out["triangle_powerlaw"] = {
+        "plain": t_p, "mitigated": t_s, "speedup": round(t_p / t_s, 2),
+        "max_degree": int(max_deg), "max_oriented_outdegree": int(max_odeg),
+        "wedges_naive": int(wedges_naive),
+        "wedges_oriented": int(wedges_oriented),
     }
 
     print(json.dumps({"hot_frac": HOT_FRAC, "probes": out},
