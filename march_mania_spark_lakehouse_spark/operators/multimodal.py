@@ -5,14 +5,16 @@ opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 Decoding is two-tier and honest about which is which:
 
 - **Real decoders** for formats stdlib + numpy can parse — WAV (RIFF
-  PCM via `wave`), 24-bit BMP, binary PPM — with matching encoders, so
-  round-trips and the Spark pipelines are tested on genuine media
-  bytes (`decode_wav`/`decode_bmp`/`decode_ppm`, dispatched by magic
-  bytes in `decode_real`; real features + real resize in
+  PCM via `wave`), 24-bit BMP, binary PPM, and baseline sequential
+  JPEG (`operators/jpeg.py`, a from-scratch T.81 implementation) —
+  with matching encoders, so round-trips and the Spark pipelines are
+  tested on genuine media bytes (`decode_wav`/`decode_bmp`/
+  `decode_ppm`/`jpeg.decode`, dispatched by magic bytes in
+  `decode_real`; real features + real resize in
   `extract_real_media_features` / `resize_image_real`).
-- **`decode_stub`** (deterministic fake) for the compressed-codec
-  formats (JPEG/PNG/MP4) that genuinely need PIL/ffmpeg, which this
-  container doesn't ship — `decode_real` raises on those.
+- **`decode_stub`** (deterministic fake) for the remaining compressed
+  formats (PNG needs zlib-DEFLATE-over-filters, MP4/Opus need ffmpeg)
+  — `decode_real` raises on those.
 
 Scale: payloads travel as Arrow binary buffers; ``mapInPandas`` processes
 one partition's batches streaming-style, so executor memory is bounded by
@@ -189,23 +191,34 @@ def decode_real(payload: bytes) -> tuple[str, int, int, np.ndarray]:
 
     - WAV  → width = n_frames, height = n_channels, feature = 8-segment
       RMS envelope of the samples
-    - BMP / PPM → real pixel dims, feature = 8-segment row-mean
-      intensity profile
-    - anything else (JPEG/PNG/MP4… — compressed codecs need external
-      libraries this container doesn't ship) raises NotImplementedError.
+    - BMP / PPM / JPEG → real pixel dims, feature = 8-segment row-mean
+      intensity profile (JPEG via the from-scratch baseline codec in
+      `operators/jpeg.py`)
+    - anything else (PNG/MP4… — still need external libraries) raises
+      NotImplementedError.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         n_ch, _rate, samples = decode_wav(payload)
         feat = _profile8(samples.astype(np.float64) ** 2, post=np.sqrt)
         return "wav", len(samples) // max(n_ch, 1), n_ch, feat
-    if payload[:2] == b"BM" or payload[:2] == b"P6":
-        px = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+    if payload[:2] in (b"BM", b"P6") or payload[:2] == b"\xff\xd8":
+        if payload[:2] == b"BM":
+            fmt, px = "bmp", decode_bmp(payload)
+        elif payload[:2] == b"P6":
+            fmt, px = "ppm", decode_ppm(payload)
+        else:
+            from march_mania_spark_lakehouse_spark.operators import jpeg
+
+            fmt, px = "jpeg", jpeg.decode(payload)
+            if px.ndim == 2:  # greyscale JPEG: profile over rows directly
+                h, w = px.shape
+                return fmt, w, h, _profile8(px.mean(axis=1) / 255.0)
         h, w, _ = px.shape
         feat = _profile8(px.reshape(h, -1).mean(axis=1) / 255.0)
-        return ("bmp" if payload[:2] == b"BM" else "ppm"), w, h, feat
+        return fmt, w, h, feat
     raise NotImplementedError(
-        "compressed media codecs (JPEG/PNG/MP4) need external libraries; "
-        "container-decodable formats are WAV/BMP/PPM"
+        "compressed media codecs (PNG/MP4) need external libraries; "
+        "container-decodable formats are WAV/BMP/PPM/JPEG"
     )
 
 
@@ -293,7 +306,7 @@ def extract_real_media_features(df: DataFrame) -> DataFrame:
 def resize_image_real(
     df: DataFrame, target_w: int = 8, target_h: int = 8
 ) -> DataFrame:
-    """REAL image resize: decode BMP/PPM pixels, nearest-neighbor
+    """REAL image resize: decode BMP/PPM/JPEG pixels, nearest-neighbor
     resample to (target_w × target_h), re-encode as BMP. Output payloads
     are valid BMP files with the target dimensions — verifiable by
     decoding them again. Input: (media_id, payload)."""
@@ -303,7 +316,16 @@ def resize_image_real(
             out = []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                px = decode_bmp(raw) if raw[:2] == b"BM" else decode_ppm(raw)
+                if raw[:2] == b"BM":
+                    px = decode_bmp(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    from march_mania_spark_lakehouse_spark.operators import jpeg
+
+                    px = jpeg.decode(raw)
+                    if px.ndim == 2:
+                        px = np.stack([px] * 3, axis=-1)
+                else:
+                    px = decode_ppm(raw)
                 h, w, _ = px.shape
                 ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)

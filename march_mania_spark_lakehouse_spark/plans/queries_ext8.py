@@ -833,3 +833,74 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").cast("long").alias("n_points"),
     )
+
+
+# --------------------------------------------------------------------------
+# q174 — REAL JPEG decode under an exact SQL oracle (the q136 pattern,
+# upgraded from BMP to a compressed codec). Each document gets a
+# deterministic (w, h, grey level v) from its id; workers ENCODE a real
+# baseline JPEG (operators/jpeg.py — from-scratch T.81: DCT, Annex-K
+# tables, Huffman entropy coding) and DECODE it back. Solid greys make
+# a lossy codec value-oracle-able: chroma planes are exactly 128 (zero
+# DC), and the luma DC quantization error is < 0.5 of a grey level, so
+# the round trip is BIT-EXACT for every v in [0, 255] (pinned by test).
+# The decoded dims and the decoded pixel value hash-match the closed
+# form; a smooth-texture PSNR >= 30 dB sanity check runs on a 2% doc
+# sample inside the worker and fails loudly.
+# --------------------------------------------------------------------------
+
+_Q174_SQL = """
+SELECT doc_id,
+       CAST(8 + doc_id % 16 AS INT) AS width,
+       CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+       CAST(doc_id % 256 AS INT) AS grey
+FROM documents
+"""
+
+
+@query("q174_jpeg_roundtrip", oracle=_Q174_SQL, tags=("multimodal",))
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode real baseline JPEGs in Arrow-batched Python workers
+    and surface (decoded width, decoded height, decoded grey level) —
+    hashed against the closed-form id arithmetic. Map-only at any scale;
+    entropy coding is the irreducibly sequential per-symbol loop, ~2 ms
+    per doc at fixture sizes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from march_mania_spark_lakehouse_spark.operators import jpeg
+    from march_mania_spark_lakehouse_spark.operators.text import rebalance_scan
+
+    def _roundtrip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ws, hs, gs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                w = int(8 + doc_id % 16)
+                h = int(8 + (doc_id * 7) % 16)
+                v = int(doc_id % 256)
+                px = np.full((h, w, 3), v, dtype=np.uint8)
+                decoded = jpeg.decode(jpeg.encode(px, quality=85))
+                if decoded.shape != (h, w, 3) or not (decoded == v).all():
+                    raise ValueError(f"JPEG solid roundtrip broke for doc {doc_id}")
+                if doc_id % 50 == 0:  # smooth-texture fidelity spot check
+                    yy, xx = np.mgrid[0:24, 0:24]
+                    tx = (128 + 90 * np.sin(yy / 7.0) * np.cos(xx / 9.0)).astype(
+                        np.uint8
+                    )
+                    tdec = jpeg.decode(jpeg.encode(np.stack([tx] * 3, -1), 85))
+                    mse = ((tdec.astype(float) - tx[..., None]) ** 2).mean()
+                    if 10 * np.log10(255.0**2 / max(mse, 1e-9)) < 30.0:
+                        raise ValueError(f"JPEG fidelity below 30 dB for {doc_id}")
+                hs.append(decoded.shape[0])
+                ws.append(decoded.shape[1])
+                gs.append(int(decoded[0, 0, 0]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs, "grey": gs}
+            )
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
+    return rebalance_scan(docs).mapInPandas(
+        _roundtrip, schema="doc_id long, width int, height int, grey int"
+    )

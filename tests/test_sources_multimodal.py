@@ -150,9 +150,18 @@ def test_decode_real_dispatch_and_codec_honesty():
     assert (fmt, w, h) == ("wav", 2000, 1)
     fmt, w, h, feat = multimodal.decode_real(multimodal.encode_bmp(_gradient_bmp()))
     assert (fmt, w, h) == ("bmp", 13, 7)
-    # JPEG magic → honest NotImplementedError, not a fake answer
+    # JPEG is now really decoded (operators/jpeg.py baseline codec)
+    from march_mania_spark_lakehouse_spark.operators import jpeg as _jpeg
+
+    import numpy as _np
+
+    fmt, w, h, feat = multimodal.decode_real(
+        _jpeg.encode(_np.full((9, 11, 3), 77, dtype=_np.uint8))
+    )
+    assert (fmt, w, h) == ("jpeg", 11, 9)
+    # PNG magic → honest NotImplementedError, not a fake answer
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+        multimodal.decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
 
 
 def test_extract_real_media_features_end_to_end(spark):
