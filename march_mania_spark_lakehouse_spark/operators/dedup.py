@@ -431,7 +431,11 @@ def exact_substring_decontaminate(
       mid-word) — acceptable for benchmark text, and the reason the
       broadcast form stays the default contract.
     """
-    snips = eval_snippets.select(snippet_col).distinct()
+    # Multiplicity matters: a snippet listed twice in the eval set
+    # counts twice (the q117 oracle's row semantics) — so the fallback
+    # weights each distinct snippet value by its row count instead of
+    # silently deduplicating.
+    snips = eval_snippets.select(snippet_col)
     use_broadcast = broadcast_limit is None or snips.count() <= broadcast_limit
     if use_broadcast:
         hits = (
@@ -470,15 +474,17 @@ def _anchored_substring_hits(
     """Shuffle-join fallback for :func:`exact_substring_decontaminate`
     (see its docstring): anchor equi-join → candidate pairs → exact
     ``instr`` verification. Never broadcasts the snippet set and never
-    replicates the corpus."""
+    replicates the corpus. Duplicate snippet rows carry a weight so the
+    hit counts match the broadcast path's row semantics."""
+    weights = snips.groupBy(snippet_col).agg(F.count(F.lit(1)).alias("__w"))
     anchored = (
-        snips.withColumn("__toks", F.split(F.col(snippet_col), r"\s+"))
+        weights.withColumn("__toks", F.split(F.col(snippet_col), r"\s+"))
         .withColumn("__alen", F.least(F.size("__toks"), F.lit(anchor_tokens)))
         .withColumn(
             "__anchor",
             F.array_join(F.slice("__toks", F.lit(1), F.col("__alen")), " "),
         )
-        .select(snippet_col, "__alen", "__anchor")
+        .select(snippet_col, "__w", "__alen", "__anchor")
     )
     # distinct anchor lengths: ≤ anchor_tokens values, a legitimate
     # driver boundary (same class as the year lists, SURVEY §2.12)
@@ -501,15 +507,17 @@ def _anchored_substring_hits(
             .distinct()
         )
         c = doc_sh.join(
-            anchored.filter(F.col("__alen") == j).select(snippet_col, "__anchor"),
+            anchored.filter(F.col("__alen") == j).select(
+                snippet_col, "__w", "__anchor"
+            ),
             "__anchor",
-        ).select(id_col, snippet_col)
+        ).select(id_col, snippet_col, "__w")
         cands = c if cands is None else cands.unionByName(c)
     return (
         cands.join(train.select(id_col, text_col), id_col)
         .filter(F.instr(F.col(text_col), F.col(snippet_col)) > 0)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+        .agg(F.sum("__w").cast("long").alias("n_eval_hits"))
     )
 
 

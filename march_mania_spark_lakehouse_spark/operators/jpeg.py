@@ -520,8 +520,11 @@ def _decode_scan(data, pos, h, w, comps, scan_map, qts, huff,
                                 k += run
                                 zz[k] = _extend(br.bits(cat), cat)
                                 k += 1
+                            # zz[i] is the coefficient for NATURAL
+                            # position ZIGZAG[i]; its quant step is the
+                            # natural-order table at that same position.
                             coef = np.zeros(64, dtype=np.float64)
-                            coef[ZIGZAG] = zz * qt
+                            coef[ZIGZAG] = zz * qt[ZIGZAG]
                             block = idct @ coef.reshape(8, 8) @ _C
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8

@@ -5,16 +5,17 @@ opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 Decoding is two-tier and honest about which is which:
 
 - **Real decoders** for formats stdlib + numpy can parse — WAV (RIFF
-  PCM via `wave`), 24-bit BMP, binary PPM, and baseline sequential
-  JPEG (`operators/jpeg.py`, a from-scratch T.81 implementation) —
-  with matching encoders, so round-trips and the Spark pipelines are
-  tested on genuine media bytes (`decode_wav`/`decode_bmp`/
-  `decode_ppm`/`jpeg.decode`, dispatched by magic bytes in
+  PCM via `wave`), 24-bit BMP, binary PPM, baseline sequential JPEG
+  (`operators/jpeg.py`, a from-scratch T.81 implementation), and PNG
+  (`operators/png.py`, stdlib zlib + spec filters) — with matching
+  encoders, so round-trips and the Spark pipelines are tested on
+  genuine media bytes (`decode_wav`/`decode_bmp`/`decode_ppm`/
+  `jpeg.decode`/`png.decode`, dispatched by magic bytes in
   `decode_real`; real features + real resize in
   `extract_real_media_features` / `resize_image_real`).
-- **`decode_stub`** (deterministic fake) for the remaining compressed
-  formats (PNG needs zlib-DEFLATE-over-filters, MP4/Opus need ffmpeg)
-  — `decode_real` raises on those.
+- **`decode_stub`** (deterministic fake) for video/audio codec formats
+  (MP4/Opus — genuinely need ffmpeg-class libraries) — `decode_real`
+  raises on those.
 
 Scale: payloads travel as Arrow binary buffers; ``mapInPandas`` processes
 one partition's batches streaming-style, so executor memory is bounded by
@@ -53,9 +54,10 @@ def attach_fake_payload(
 # --------------------------------------------------------------------------
 # REAL decoders for the formats decodable with stdlib + numpy alone:
 # WAV (RIFF PCM via the `wave` module), BMP (24-bit uncompressed,
-# struct-parsed), PPM (P6 binary). Compressed-codec formats (JPEG/PNG/
-# MP4/Opus) genuinely need external libraries and still raise — the
-# dispatcher sniffs magic bytes and is honest about which is which.
+# struct-parsed), PPM (P6 binary), JPEG (`operators/jpeg.py`), PNG
+# (`operators/png.py`). Video/audio codec formats (MP4/Opus) genuinely
+# need ffmpeg-class libraries and still raise — the dispatcher sniffs
+# magic bytes and is honest about which is which.
 # --------------------------------------------------------------------------
 
 
@@ -185,40 +187,70 @@ def _profile8(values: np.ndarray, post=None) -> np.ndarray:
     return np.array(out, dtype=np.float32)
 
 
+def spectral_peak_bin(samples: np.ndarray, n_fft: int | None = None) -> int:
+    """Dominant non-DC frequency bin of a mono signal via numpy rfft —
+    real audio DSP (no external DSP library needed). For a sine placed
+    exactly on a bin center the argmax is deterministic, which is what
+    lets q176 value-oracle an FFT pipeline."""
+    n = len(samples) if n_fft is None else n_fft
+    mag = np.abs(np.fft.rfft(samples[:n], n=n))
+    mag[0] = 0.0  # ignore DC
+    return int(np.argmax(mag))
+
+
+def band_energies(samples: np.ndarray, n_bands: int = 8) -> np.ndarray:
+    """Log-energy in ``n_bands`` equal-width frequency bands — the
+    classic cheap audio feature (a linear-frequency filterbank; swap in
+    mel spacing on a cluster with real speech data)."""
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64))) ** 2
+    n = len(mag)
+    bounds = [round(i * n / n_bands) for i in range(n_bands + 1)]
+    out = []
+    for i in range(n_bands):
+        lo, hi = bounds[i], max(bounds[i + 1], bounds[i] + 1)
+        out.append(float(np.log10(mag[lo:hi].mean() + 1e-12)))
+    return np.array(out, dtype=np.float32)
+
+
 def decode_real(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     """Dispatch on magic bytes and REALLY decode the container-decodable
     formats: returns (format, width, height, feature[8] float32).
 
     - WAV  → width = n_frames, height = n_channels, feature = 8-segment
       RMS envelope of the samples
-    - BMP / PPM / JPEG → real pixel dims, feature = 8-segment row-mean
-      intensity profile (JPEG via the from-scratch baseline codec in
-      `operators/jpeg.py`)
-    - anything else (PNG/MP4… — still need external libraries) raises
-      NotImplementedError.
+    - BMP / PPM / JPEG / PNG → real pixel dims, feature = 8-segment
+      row-mean intensity profile (JPEG/PNG via the from-scratch codecs
+      in `operators/jpeg.py` / `operators/png.py`)
+    - anything else (MP4/Opus… — video/audio codecs genuinely need
+      ffmpeg-class libraries) raises NotImplementedError.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         n_ch, _rate, samples = decode_wav(payload)
         feat = _profile8(samples.astype(np.float64) ** 2, post=np.sqrt)
         return "wav", len(samples) // max(n_ch, 1), n_ch, feat
-    if payload[:2] in (b"BM", b"P6") or payload[:2] == b"\xff\xd8":
-        if payload[:2] == b"BM":
-            fmt, px = "bmp", decode_bmp(payload)
-        elif payload[:2] == b"P6":
-            fmt, px = "ppm", decode_ppm(payload)
-        else:
-            from march_mania_spark_lakehouse_spark.operators import jpeg
+    px = fmt = None
+    if payload[:2] == b"BM":
+        fmt, px = "bmp", decode_bmp(payload)
+    elif payload[:2] == b"P6":
+        fmt, px = "ppm", decode_ppm(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from march_mania_spark_lakehouse_spark.operators import jpeg
 
-            fmt, px = "jpeg", jpeg.decode(payload)
-            if px.ndim == 2:  # greyscale JPEG: profile over rows directly
-                h, w = px.shape
-                return fmt, w, h, _profile8(px.mean(axis=1) / 255.0)
+        fmt, px = "jpeg", jpeg.decode(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from march_mania_spark_lakehouse_spark.operators import png
+
+        fmt, px = "png", png.decode(payload)
+    if px is not None:
+        if px.ndim == 2:  # greyscale: profile over rows directly
+            h, w = px.shape
+            return fmt, w, h, _profile8(px.mean(axis=1) / 255.0)
         h, w, _ = px.shape
         feat = _profile8(px.reshape(h, -1).mean(axis=1) / 255.0)
         return fmt, w, h, feat
     raise NotImplementedError(
-        "compressed media codecs (PNG/MP4) need external libraries; "
-        "container-decodable formats are WAV/BMP/PPM/JPEG"
+        "video/audio codecs (MP4/Opus) need external libraries; "
+        "container-decodable formats are WAV/BMP/PPM/JPEG/PNG"
     )
 
 
@@ -306,7 +338,7 @@ def extract_real_media_features(df: DataFrame) -> DataFrame:
 def resize_image_real(
     df: DataFrame, target_w: int = 8, target_h: int = 8
 ) -> DataFrame:
-    """REAL image resize: decode BMP/PPM/JPEG pixels, nearest-neighbor
+    """REAL image resize: decode BMP/PPM/JPEG/PNG pixels, nearest-neighbor
     resample to (target_w × target_h), re-encode as BMP. Output payloads
     are valid BMP files with the target dimensions — verifiable by
     decoding them again. Input: (media_id, payload)."""
@@ -322,10 +354,16 @@ def resize_image_real(
                     from march_mania_spark_lakehouse_spark.operators import jpeg
 
                     px = jpeg.decode(raw)
-                    if px.ndim == 2:
-                        px = np.stack([px] * 3, axis=-1)
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    from march_mania_spark_lakehouse_spark.operators import png
+
+                    px = png.decode(raw)
                 else:
                     px = decode_ppm(raw)
+                if px.ndim == 2:
+                    px = np.stack([px] * 3, axis=-1)
+                elif px.shape[2] == 4:  # drop alpha for the BMP re-encode
+                    px = px[..., :3]
                 h, w, _ = px.shape
                 ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)

@@ -904,3 +904,126 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_scan(docs).mapInPandas(
         _roundtrip, schema="doc_id long, width int, height int, grey int"
     )
+
+
+# --------------------------------------------------------------------------
+# q175 — REAL PNG decode under an exact SQL oracle. PNG is lossless
+# (stdlib zlib DEFLATE + spec filters — operators/png.py), so unlike
+# q174 the worker asserts FULL bit-equality on TEXTURED content, not
+# just solid colors; the oracle hash-checks dims plus the top-left
+# pixel of the deterministic per-doc pattern.
+# --------------------------------------------------------------------------
+
+_Q175_SQL = """
+SELECT doc_id,
+       CAST(8 + doc_id % 16 AS INT) AS width,
+       CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+       CAST(doc_id % 256 AS INT) AS px00
+FROM documents
+"""
+
+
+@query("q175_png_roundtrip", oracle=_Q175_SQL, tags=("multimodal",))
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode real PNGs in Arrow-batched Python workers: each doc
+    gets a deterministic textured RGB pattern; the worker requires the
+    decoded array to be BIT-IDENTICAL to the source (lossless codec, so
+    any deviation is a bug, not noise) and surfaces (width, height,
+    pixel[0,0].r) against the closed-form id arithmetic. Map-only at any
+    scale; DEFLATE runs in C (stdlib zlib)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from march_mania_spark_lakehouse_spark.operators import png
+    from march_mania_spark_lakehouse_spark.operators.text import rebalance_scan
+
+    def _roundtrip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ws, hs, ps = [], [], []
+            for doc_id in pdf["doc_id"]:
+                w = int(8 + doc_id % 16)
+                h = int(8 + (doc_id * 7) % 16)
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xx * 11 + int(doc_id)) % 256,
+                        (yy * 5 + int(doc_id) * 3) % 256,
+                        (xx + yy * 7) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                decoded = png.decode(png.encode(px))
+                if decoded.shape != px.shape or not np.array_equal(decoded, px):
+                    raise ValueError(f"PNG roundtrip not lossless for doc {doc_id}")
+                hs.append(h)
+                ws.append(w)
+                ps.append(int(decoded[0, 0, 0]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs, "px00": ps}
+            )
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
+    return rebalance_scan(docs).mapInPandas(
+        _roundtrip, schema="doc_id long, width int, height int, px00 int"
+    )
+
+
+# --------------------------------------------------------------------------
+# q176 — real audio DSP under an exact SQL oracle: synthesize a sine at
+# a doc-derived frequency, round-trip it through the REAL PCM WAV codec
+# (16-bit quantization included), then find the dominant FFT bin. The
+# frequency is placed exactly on a bin center (f = bin · rate/N), so the
+# rfft argmax is deterministic despite the lossy 16-bit quantization —
+# which is what makes a DSP pipeline value-oracle-able:
+# bin = 64 + (doc_id % 32) · 16.
+# --------------------------------------------------------------------------
+
+_Q176_SQL = """
+SELECT doc_id,
+       CAST(64 + (doc_id % 32) * 16 AS INT) AS peak_bin,
+       CAST(2048 AS INT) AS n_samples
+FROM documents
+"""
+
+
+@query("q176_audio_peak_bin", oracle=_Q176_SQL, tags=("multimodal",))
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with real DSP: per-doc sine → 16-bit PCM
+    WAV encode → decode → rfft dominant bin (`multimodal.
+    spectral_peak_bin`), hash-matched against the closed-form bin
+    arithmetic. Map-only; FFT and PCM codec run in C (numpy/stdlib)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from march_mania_spark_lakehouse_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        spectral_peak_bin,
+    )
+    from march_mania_spark_lakehouse_spark.operators.text import rebalance_scan
+
+    rate, n = 16000, 2048
+
+    def _pipeline(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        t = np.arange(n) / rate
+        for pdf in batches:
+            bins = []
+            for doc_id in pdf["doc_id"]:
+                target = 64 + int(doc_id) % 32 * 16
+                f = target * rate / n  # exactly on a bin center
+                wav = encode_wav(0.5 * np.sin(2 * np.pi * f * t), rate)
+                _ch, _r, samples = decode_wav(wav)
+                bins.append(spectral_peak_bin(samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "peak_bin": bins,
+                 "n_samples": [n] * len(bins)}
+            )
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
+    return rebalance_scan(docs).mapInPandas(
+        _pipeline, schema="doc_id long, peak_bin int, n_samples int"
+    )

@@ -60,6 +60,7 @@ def test_exact_substring_fallback_matches_broadcast(spark):
     snippets = spark.createDataFrame(
         [
             ("CANARY STRING",),            # 2 tokens < anchor_tokens
+            ("CANARY STRING",),            # duplicate: counts TWICE (row semantics)
             ("another needle",),
             ("short hit",),                # whole-document match
             ("gamma delta epsilon zeta eta theta iota kappa",),  # 8 = anchor len
@@ -81,8 +82,8 @@ def test_exact_substring_fallback_matches_broadcast(spark):
     assert got == want
     # and the planted expectations hold through the fallback path
     m = {t[0]: (t[1], t[2]) for t in got}
-    assert m[1] == (1, True) and m[2] == (1, True)
-    assert m[3] == (0, False) and m[4] == (2, True) and m[5] == (1, True)
+    assert m[1] == (1, True) and m[2] == (2, True)
+    assert m[3] == (0, False) and m[4] == (3, True) and m[5] == (1, True)
 
 
 def test_vocab_jaccard_known_overlap(spark):

@@ -140,10 +140,10 @@ def test_textured_roundtrip_psnr():
     yy, xx = np.mgrid[0:48, 0:40]
     grey = (128 + 100 * np.sin(yy / 9.0) * np.cos(xx / 11.0)).astype(np.uint8)
     rgb = np.stack([grey, 255 - grey, grey // 2], axis=-1).astype(np.uint8)
-    # rgb bound is lower: this synthetic image has full-swing chroma
-    # (opposing channels), which the Annex K.2 chroma table quantizes
-    # hard by design — real photos carry far less chroma energy.
-    for img, min_db in ((grey, 33.0), (rgb, 26.0)):
+    # bounds sit ~5 dB under measured (50.0 / 45.2 dB at q85) so host
+    # float variation can't flake them while a real regression (e.g.
+    # the zigzag/quant mismatch this test once missed) still fails
+    for img, min_db in ((grey, 45.0), (rgb, 40.0)):
         dec = jpeg.decode(jpeg.encode(img, quality=85))
         assert dec.shape == img.shape
         mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
@@ -197,3 +197,27 @@ def test_resize_real_accepts_jpeg(spark):
     out = decode_bmp(bytes(row["payload"]))
     assert out.shape == (8, 8, 3)
     assert out[:4].mean() > 150 and out[4:].mean() < 50
+
+
+def test_property_random_images_roundtrip():
+    """Property sweep (no Spark, so examples are cheap): random dims and
+    content — PNG must be bit-exact always; JPEG must decode to the
+    right shape, and at quality 95 stay within a generous error bound
+    even on white-noise content (the hardest case for a DCT codec)."""
+    from march_mania_spark_lakehouse_spark.operators import png
+
+    rng = np.random.default_rng(42)
+    for _ in range(12):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        channels = rng.choice([0, 3, 4])
+        shape = (h, w) if channels == 0 else (h, w, int(channels))
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+        assert (png.decode(png.encode(px)) == px).all(), f"png {shape}"
+
+        if channels != 4:  # jpeg has no alpha
+            dec = jpeg.decode(jpeg.encode(px, quality=95))
+            assert dec.shape == px.shape, f"jpeg {shape}"
+            err = np.abs(dec.astype(float) - px.astype(float)).mean()
+            assert err < 8.0, (shape, err)  # white noise, still bounded

@@ -159,9 +159,16 @@ def test_decode_real_dispatch_and_codec_honesty():
         _jpeg.encode(_np.full((9, 11, 3), 77, dtype=_np.uint8))
     )
     assert (fmt, w, h) == ("jpeg", 11, 9)
-    # PNG magic → honest NotImplementedError, not a fake answer
+    # PNG is decoded too (operators/png.py, stdlib zlib + filters)
+    from march_mania_spark_lakehouse_spark.operators import png as _png
+
+    fmt, w, h, feat = multimodal.decode_real(
+        _png.encode(_np.full((5, 6), 200, dtype=_np.uint8))
+    )
+    assert (fmt, w, h) == ("png", 6, 5)
+    # MP4 magic → honest NotImplementedError, not a fake answer
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        multimodal.decode_real(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)
 
 
 def test_extract_real_media_features_end_to_end(spark):
@@ -201,3 +208,24 @@ def test_resize_image_real_produces_valid_bmp(spark):
     resized = multimodal.decode_bmp(bytes(out["payload"]))
     assert resized.shape == (3, 4, 3)
     assert np.array_equal(resized[0, 0], px[0, 0])  # NN anchor pixel
+
+
+def test_spectral_peak_and_band_energies():
+    """Real DSP: a 440 Hz sine through the PCM WAV round trip lands its
+    FFT peak at the exact bin, and its energy concentrates in the band
+    containing that bin."""
+    import numpy as np
+
+    rate, n = 8000, 2048
+    target_bin = 120  # f = 120 * 8000/2048 = 468.75 Hz, exactly on-bin
+    f = target_bin * rate / n
+    t = np.arange(n) / rate
+    _ch, _r, samples = multimodal.decode_wav(
+        multimodal.encode_wav(0.5 * np.sin(2 * np.pi * f * t), rate)
+    )
+    assert multimodal.spectral_peak_bin(samples) == target_bin
+    bands = multimodal.band_energies(samples, n_bands=8)
+    assert bands.shape == (8,)
+    # bin 120 of 1025 rfft bins → inside band 0 (bins [0, 128))
+    assert int(np.argmax(bands)) == 0
+    assert bands[0] > bands[4] + 2  # orders of magnitude in log10
