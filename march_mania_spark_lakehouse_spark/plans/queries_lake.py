@@ -488,3 +488,91 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_m").alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q177 — Iceberg-format time travel (sources/iceberg.py): the q131
+# pattern in the SECOND interoperable lake format. Orders published as
+# a real Iceberg v2 filesystem-catalog table (snapshot 1 = keys%3=0,
+# snapshot 2 appends keys%3=1); the per-status diff between the first
+# snapshot and the head is planned purely from metadata.json → manifest
+# list → manifests (Avro, written by the engine's own OCF writer and
+# independently parse-verified in tests/test_iceberg_interop.py).
+# --------------------------------------------------------------------------
+
+_Q177_SQL = f"""
+WITH s1 AS (
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+),
+s2 AS (
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum("o_totalprice", "total_price")}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY o_orderstatus
+)
+SELECT s2.o_orderstatus,
+       CAST(COALESCE(s1.n, 0) AS BIGINT) AS n_first,
+       CAST(s2.n AS BIGINT) AS n_latest,
+       CAST(s2.n - COALESCE(s1.n, 0) AS BIGINT) AS n_added,
+       s2.total_price
+FROM s2 LEFT JOIN s1 USING (o_orderstatus)
+"""
+
+
+def _orders_iceberg_table(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent per-fixture Iceberg publish (fingerprint caching, the
+    q131 scheme): snapshot 1 = orders with key%3=0, snapshot 2 appends
+    key%3=1."""
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_iceberg", fp)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        iceberg.append(orders.filter(F.col("o_orderkey") % 3 == 1), table)
+    return table
+
+
+@query("q177_iceberg_time_travel", oracle=_Q177_SQL, tags=("lake", "agg"))
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status diff between the first Iceberg snapshot and the head,
+    both planned from table metadata (`iceberg.read_iceberg`). At 100 TB
+    planning reads one metadata.json + one manifest list + its manifests
+    (KBs) — never a directory listing; each snapshot scan opens exactly
+    its manifest-listed files."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_table(spark, sf_dir)
+    first_id = iceberg.snapshot_ids(table)[0]
+    first = (
+        iceberg.read_iceberg(spark, table, first_id)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    latest = (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_latest"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+    return (
+        latest.join(first, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("n_first"), F.lit(0).cast("long")).alias("n_first"),
+            "n_latest",
+            (F.col("n_latest") - F.coalesce(F.col("n_first"), F.lit(0))).alias(
+                "n_added"
+            ),
+            "total_price",
+        )
+    )

@@ -1,0 +1,773 @@
+"""Apache-Iceberg-format table metadata: filesystem-catalog tables whose
+layout conforms to the public Iceberg table spec (iceberg.apache.org/spec,
+format-version 2), written without any Iceberg library.
+
+Together with `sources/delta_log.py` this completes the north star's
+"Delta/Iceberg" lake layer: the same publish/time-travel semantics in
+the second interoperable on-disk format. Components per spec:
+
+- ``metadata/vN.metadata.json`` — table metadata: schemas with field
+  ids, partition specs (identity transforms), snapshots, snapshot log,
+  current pointer; ``metadata/version-hint.text`` carries N (the
+  HadoopCatalog convention, so any filesystem-catalog reader finds the
+  head without a metastore).
+- ``metadata/snap-<id>-1-<uuid>.avro`` — the snapshot's manifest list
+  (one entry per manifest: path, sequence numbers, added/existing
+  counts), Avro OCF with the spec's field-ids.
+- ``metadata/<uuid>-m0.avro`` — manifest files (one entry per data
+  file: status, partition tuple, record count, size).
+- ``data/...`` — parquet data files, hive-partition layout when
+  partitioned (identity-partition values ride in the manifests, which
+  is what readers plan from — the spec's identity-column projection).
+
+Avro encoding is `sources/avro_ocf.py` (pure stdlib, null codec).
+Verification mirrors the Delta layer: structural tests plus an
+INDEPENDENT clean-room reader in the test suite
+(`tests/iceberg_reader_independent.py` — its own Avro decoder, zero
+code shared with this module) that must reconstruct identical file sets
+and row multisets for every producible history.
+
+Scale posture: snapshot planning reads ONE metadata.json + ONE manifest
+list + the manifests it names — KBs, never a directory listing; appends
+add one manifest and re-point the head, so commit cost is O(new files)
+regardless of table size. Manifests carry per-file lower/upper
+bounds (spec Appendix-D single-value serialization) so `scan_range`
+plans data skipping from metadata; `expire_snapshots` retires history
+and deletes orphaned files. Limitations kept honest: no delete files
+(merge-on-read), no schema evolution (append enforces the create-time
+schema), identity transforms only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import avro_ocf
+
+FORMAT_VERSION = 2
+
+# --------------------------------------------------------------------------
+# Spark ↔ Iceberg schema mapping (the subset the fixtures use)
+# --------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+}
+
+
+def _iceberg_type(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return spark_type.replace("decimal(", "decimal(").replace(",", ", ")
+    try:
+        return _SPARK_TO_ICEBERG[spark_type]
+    except KeyError:
+        raise NotImplementedError(f"no Iceberg mapping for {spark_type!r}") from None
+
+
+def _schema_json(df: DataFrame) -> dict:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType.simpleString()),
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# --------------------------------------------------------------------------
+# Avro schemas for manifests / manifest lists (spec Appendix C field-ids)
+# --------------------------------------------------------------------------
+
+
+def _partition_record_schema(spec_fields: list[dict], schema: dict) -> dict:
+    by_id = {f["id"]: f for f in schema["fields"]}
+    avro_fields = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        avro_type = {
+            "long": "long", "int": "int", "string": "string",
+            "double": "double", "float": "float", "boolean": "boolean",
+            "date": "int", "timestamptz": "long",
+        }.get(src["type"], "string")
+        avro_fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", avro_type],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": avro_fields}
+
+
+#: map<int, bytes> in Iceberg Avro files: arrays of key/value records
+#: (Avro maps require string keys; this is the spec's Appendix C shape).
+def _kv_bounds_schema(name: str, kid: int, vid: int) -> dict:
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": kid},
+                    {"name": "value", "type": "bytes", "field-id": vid},
+                ],
+            },
+        },
+    ]
+
+
+def _manifest_entry_schema(partition_schema: dict) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_schema, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "lower_bounds", "type": _kv_bounds_schema("k126_v127", 126, 127),
+             "default": None, "field-id": 125},
+            {"name": "upper_bounds", "type": _kv_bounds_schema("k129_v130", 129, 130),
+             "default": None, "field-id": 128},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+             "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None,
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+# --------------------------------------------------------------------------
+# Filesystem-catalog plumbing
+# --------------------------------------------------------------------------
+
+
+def _meta_dir(table: str) -> str:
+    return os.path.join(table, "metadata")
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def current_version(table: str) -> int | None:
+    """Metadata version from version-hint.text (HadoopCatalog rule)."""
+    try:
+        with open(os.path.join(_meta_dir(table), "version-hint.text")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def current_metadata(table: str, version: int | None = None) -> dict:
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Iceberg metadata")
+    with open(os.path.join(_meta_dir(table), f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _write_metadata(table: str, meta: dict) -> int:
+    cur = current_version(table)
+    v = 1 if cur is None else cur + 1
+    os.makedirs(_meta_dir(table), exist_ok=True)
+    path = os.path.join(_meta_dir(table), f"v{v}.metadata.json")
+    # put-if-absent commit: os.link fails with EEXIST if a concurrent
+    # writer claimed the version (same primitive as the Delta layer)
+    tmp = path + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise IcebergConcurrentCommitError(
+            f"metadata v{v} already committed by another writer"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    hint_tmp = os.path.join(_meta_dir(table), f".hint{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(v))
+    os.replace(hint_tmp, os.path.join(_meta_dir(table), "version-hint.text"))
+    return v
+
+
+class IcebergConcurrentCommitError(RuntimeError):
+    """Another writer committed this metadata version first."""
+
+
+def _stage_data_files(
+    df: DataFrame, table: str, partition_by: Sequence[str]
+) -> list[tuple[str, dict, int, int]]:
+    """Write parquet into data/ under fresh names; return
+    [(path relative to table, partition values, record count, bytes)].
+    Hive layout for partitioned tables; identity-partition VALUES are
+    what readers use (spec identity-column projection)."""
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    out = []
+    for root, dirs, files in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in sorted(files):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    pvals[k] = val
+            new_name = f"{uuid.uuid4().hex}.parquet"
+            rel = os.path.join(
+                "data", rel_dir if rel_dir != "." else "", new_name
+            ).replace(os.sep + os.sep, os.sep)
+            dst = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(root, fn), dst)
+            n_rows = pq.ParquetFile(dst).metadata.num_rows
+            out.append((rel, pvals, n_rows, os.path.getsize(dst)))
+    shutil.rmtree(staging)
+    return out
+
+
+def _typed_partition(pvals: dict, meta: dict) -> dict:
+    """Cast hive-layout string partition values to the declared Iceberg
+    types for the manifest's partition record."""
+    schema = meta["schemas"][meta["current-schema-id"]]
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    out = {}
+    for k, v in pvals.items():
+        t = types.get(k, "string")
+        if t in ("long", "int"):
+            out[k] = int(v)
+        elif t in ("double", "float"):
+            out[k] = float(v)
+        elif t == "boolean":
+            out[k] = v == "true"
+        else:
+            out[k] = v
+    return out
+
+
+def _single_value_bytes(value, iceberg_type: str) -> bytes:
+    """Iceberg single-value binary serialization (spec Appendix D) —
+    the encoding of manifest lower/upper bounds."""
+    import struct as _struct
+
+    if iceberg_type == "long":
+        return _struct.pack("<q", int(value))
+    if iceberg_type == "int":
+        return _struct.pack("<i", int(value))
+    if iceberg_type == "double":
+        return _struct.pack("<d", float(value))
+    if iceberg_type == "float":
+        return _struct.pack("<f", float(value))
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    if iceberg_type == "date":
+        import datetime
+
+        epoch = datetime.date(1970, 1, 1)
+        return _struct.pack("<i", (value - epoch).days)
+    if iceberg_type == "timestamptz":
+        import datetime
+
+        epoch = datetime.datetime(1970, 1, 1)
+        return _struct.pack("<q", int((value - epoch).total_seconds() * 1e6))
+    raise NotImplementedError(f"bounds for type {iceberg_type!r}")
+
+
+def single_value_read(data: bytes, iceberg_type: str):
+    """Inverse of the Appendix-D encoding (the pruning-side reader)."""
+    import struct as _struct
+
+    if iceberg_type == "long":
+        return _struct.unpack("<q", data)[0]
+    if iceberg_type == "int":
+        return _struct.unpack("<i", data)[0]
+    if iceberg_type == "double":
+        return _struct.unpack("<d", data)[0]
+    if iceberg_type == "float":
+        return _struct.unpack("<f", data)[0]
+    if iceberg_type == "string":
+        return data.decode("utf-8")
+    raise NotImplementedError(f"bounds for type {iceberg_type!r}")
+
+
+def _file_bounds(path: str, schema: dict, stat_cols: Sequence[str]) -> tuple:
+    """(lower_bounds, upper_bounds) as [{key: field-id, value: bytes}]
+    from the parquet footer's row-group statistics — KB reads, the same
+    planner input real writers record."""
+    if not stat_cols:
+        return None, None
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in schema["fields"]}
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    lowers, uppers = [], []
+    for c in stat_cols:
+        if c not in idx or c not in by_name:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:
+            continue
+        t = by_name[c]["type"]
+        fid = by_name[c]["id"]
+        lowers.append({"key": fid, "value": _single_value_bytes(min(mins), t)})
+        uppers.append({"key": fid, "value": _single_value_bytes(max(maxs), t)})
+    return lowers or None, uppers or None
+
+
+def _write_manifest(
+    table: str,
+    meta: dict,
+    files: list[tuple[str, dict, int, int]],
+    snapshot_id: int,
+    seq: int,
+    stat_cols: Sequence[str] = (),
+) -> tuple[str, int, int, int]:
+    """Write one manifest for ADDED files; returns (path, length,
+    n_files, n_rows)."""
+    schema = meta["schemas"][meta["current-schema-id"]]
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    part_schema = _partition_record_schema(spec, schema)
+    entry_schema = _manifest_entry_schema(part_schema)
+    records = []
+    for rel, pvals, n_rows, size in files:
+        lo, hi = _file_bounds(os.path.join(table, rel), schema, stat_cols)
+        records.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.join(os.path.abspath(table), rel),
+                    "file_format": "PARQUET",
+                    "partition": _typed_partition(pvals, meta),
+                    "record_count": n_rows,
+                    "file_size_in_bytes": size,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                },
+            }
+        )
+    path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
+    os.makedirs(_meta_dir(table), exist_ok=True)
+    avro_ocf.write_ocf(path, entry_schema, records)
+    return (
+        path,
+        os.path.getsize(path),
+        len(files),
+        sum(n for _, _, n, _ in files),
+    )
+
+
+def _write_manifest_list(
+    table: str, snapshot_id: int, manifests: list[dict]
+) -> str:
+    path = os.path.join(
+        _meta_dir(table), f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    avro_ocf.write_ocf(path, _MANIFEST_LIST_SCHEMA, manifests)
+    return path
+
+
+
+
+# --------------------------------------------------------------------------
+# Public write API
+# --------------------------------------------------------------------------
+
+
+def create(
+    df: DataFrame,
+    table: str,
+    partition_by: Sequence[str] = (),
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """Create an Iceberg table (metadata v1, snapshot 1). Returns the
+    snapshot id. ``stat_cols`` records per-file lower/upper bounds in
+    the manifests (the `scan_range` data-skipping input)."""
+    if current_version(table) is not None:
+        raise FileExistsError(f"{table} already has Iceberg metadata")
+    os.makedirs(table, exist_ok=True)
+    schema = _schema_json(df)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by)
+    ]
+    meta = {
+        "format-version": FORMAT_VERSION,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(table),
+        "last-sequence-number": 0,
+        "last-updated-ms": _now_ms(),
+        "last-column-id": len(schema["fields"]),
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    return _commit_snapshot(df, table, meta, "append", False, stat_cols)
+
+
+def append(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
+    """Append snapshot: prior manifests carry over as EXISTING entries
+    in the new manifest list; one new manifest holds the added files."""
+    meta = current_metadata(table)
+    return _commit_snapshot(df, table, meta, "append", False, stat_cols)
+
+
+def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
+    """Overwrite snapshot: the new manifest list names ONLY the new
+    manifest — prior snapshots stay time-travelable via their own
+    manifest lists."""
+    meta = current_metadata(table)
+    return _commit_snapshot(df, table, meta, "overwrite", True, stat_cols)
+
+
+def _commit_snapshot(
+    df: DataFrame,
+    table: str,
+    meta: dict,
+    operation: str,
+    replace: bool,
+    stat_cols: Sequence[str] = (),
+) -> int:
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    part_cols = [
+        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+    files = _stage_data_files(df, table, part_cols)
+    m_path, m_len, n_files, n_rows = _write_manifest(
+        table, meta, files, snapshot_id, seq, stat_cols
+    )
+    new_entry = {
+        "manifest_path": m_path,
+        "manifest_length": m_len,
+        "partition_spec_id": meta["default-spec-id"],
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": n_files,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [new_entry]
+    if not replace and meta.get("current-snapshot-id", -1) != -1:
+        cur_snap = _snapshot(meta, meta["current-snapshot-id"])
+        manifests = avro_ocf.read_ocf(cur_snap["manifest-list"]) + manifests
+    ml_path = _write_manifest_list(table, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {"operation": operation},
+        "schema-id": meta["current-schema-id"],
+    }
+    if meta.get("current-snapshot-id", -1) != -1:
+        snapshot["parent-snapshot-id"] = meta["current-snapshot-id"]
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    _write_metadata(table, meta)
+    return snapshot_id
+
+
+# --------------------------------------------------------------------------
+# Read side
+# --------------------------------------------------------------------------
+
+
+def _snapshot(meta: dict, snapshot_id: int) -> dict:
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise KeyError(f"snapshot {snapshot_id} not in table metadata")
+
+
+def snapshot_ids(table: str) -> list[int]:
+    """All snapshot ids, oldest first (the time-travel surface)."""
+    return [s["snapshot-id"] for s in current_metadata(table)["snapshots"]]
+
+
+def snapshot_files(table: str, snapshot_id: int | None = None) -> list[str]:
+    """Live data-file paths (relative to the table root) at a snapshot,
+    planned purely from metadata: metadata.json → manifest list →
+    manifests. Never lists directories."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    out = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] in (0, 1):  # EXISTING / ADDED
+                out.append(
+                    os.path.relpath(
+                        entry["data_file"]["file_path"], os.path.abspath(table)
+                    )
+                )
+    return sorted(out)
+
+
+def read_iceberg(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Time-travel reader: the table as of ``snapshot_id`` (default
+    current), under the declared schema; hive-layout identity-partition
+    columns restored via basePath discovery and cast to declared types."""
+    from pyspark.sql import types as T
+
+    meta = current_metadata(table)
+    files = snapshot_files(table, snapshot_id)
+    if not files:
+        raise FileNotFoundError(f"{table} snapshot has no data files")
+    schema = meta["schemas"][meta["current-schema-id"]]
+    part_cols = [
+        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+    back = {
+        "long": T.LongType(), "int": T.IntegerType(), "string": T.StringType(),
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "boolean": T.BooleanType(), "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+    }
+    spark_schema = T.StructType(
+        [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
+    )
+    paths = [os.path.join(table, f) for f in files]
+    if not part_cols:
+        return spark.read.schema(spark_schema).parquet(*paths)
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in part_cols]
+    )
+    df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
+    for f in spark_schema.fields:
+        if f.name in part_cols:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df.select(*[f.name for f in spark_schema.fields])
+
+
+def scan_partition(
+    spark: SparkSession, table: str, values: dict, snapshot_id: int | None = None
+) -> DataFrame:
+    """Partition-pruned scan planned from the manifests' typed partition
+    tuples — non-matching partitions contribute zero files/tasks."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    keep = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] not in (0, 1):
+                continue
+            part = entry["data_file"]["partition"] or {}
+            if all(part.get(k) == v for k, v in values.items()):
+                keep.append(
+                    os.path.relpath(
+                        entry["data_file"]["file_path"], os.path.abspath(table)
+                    )
+                )
+    if not keep:
+        return read_iceberg(spark, table, sid).filter(F.lit(False))
+    full = read_iceberg(spark, table, sid)
+    part_cols = [
+        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+    spark_schema = full.schema
+    data_schema = type(spark_schema)(
+        [f for f in spark_schema.fields if f.name not in part_cols]
+    )
+    df = (
+        spark.read.schema(data_schema)
+        .option("basePath", table)
+        .parquet(*[os.path.join(table, f) for f in sorted(keep)])
+    )
+    for f in spark_schema.fields:
+        if f.name in part_cols:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df.select(*[f.name for f in spark_schema.fields])
+
+
+def scan_range(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Data skipping from manifest bounds: open only files whose
+    [lower, upper] for ``col`` overlaps [lo, hi] (files lacking bounds
+    are conservatively kept), then apply the exact residual filter.
+    Planner input is the manifests — KBs — not file footers."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    field = next(f for f in schema["fields"] if f["name"] == col)
+    fid, ftype = field["id"], field["type"]
+    keep = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] not in (0, 1):
+                continue
+            df_rec = entry["data_file"]
+            lob = {b["key"]: b["value"] for b in (df_rec.get("lower_bounds") or [])}
+            upb = {b["key"]: b["value"] for b in (df_rec.get("upper_bounds") or [])}
+            if fid in lob and fid in upb:
+                f_lo = single_value_read(lob[fid], ftype)
+                f_hi = single_value_read(upb[fid], ftype)
+                if f_lo > hi or f_hi < lo:
+                    continue  # skipped from metadata alone
+            keep.append(
+                os.path.relpath(df_rec["file_path"], os.path.abspath(table))
+            )
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        return read_iceberg(spark, table, sid).filter(F.lit(False))
+    return spark.read.parquet(
+        *[os.path.join(table, f) for f in sorted(keep)]
+    ).filter(pred)
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
+    """Retire all but the newest ``keep_last`` snapshots: rewrite the
+    metadata without them (a new metadata version — history of the
+    metadata itself is preserved in older vN files) and delete data
+    files, manifests and manifest lists referenced ONLY by the expired
+    snapshots. Returns the deleted paths (table-relative)."""
+    meta = current_metadata(table)
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return []
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+
+    def _refs(snapshots):
+        mls, manifests, files = set(), set(), set()
+        for s in snapshots:
+            mls.add(s["manifest-list"])
+            for m in avro_ocf.read_ocf(s["manifest-list"]):
+                manifests.add(m["manifest_path"])
+                for e in avro_ocf.read_ocf(m["manifest_path"]):
+                    files.add(e["data_file"]["file_path"])
+        return mls, manifests, files
+
+    keep_mls, keep_manifests, keep_files = _refs(kept)
+    exp_mls, exp_manifests, exp_files = _refs(expired)
+    doomed = (
+        (exp_mls - keep_mls) | (exp_manifests - keep_manifests)
+        | (exp_files - keep_files)
+    )
+    meta = dict(meta)
+    meta["snapshots"] = kept
+    keep_ids = {s["snapshot-id"] for s in kept}
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in keep_ids
+    ]
+    meta["last-updated-ms"] = _now_ms()
+    _write_metadata(table, meta)
+    deleted = []
+    for path in sorted(doomed):
+        if os.path.exists(path):
+            os.unlink(path)
+        deleted.append(os.path.relpath(path, os.path.abspath(table)))
+    return deleted

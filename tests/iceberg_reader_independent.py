@@ -1,0 +1,174 @@
+"""A minimal INDEPENDENT Iceberg reader for interop testing.
+
+Clean-room rules (same pattern as `tests/delta_reader_independent.py`):
+built ONLY from the public Iceberg table spec and the Avro binary-
+encoding spec, using stdlib json/os/struct + pyarrow for the parquet
+data files. It must never import anything from the engine package —
+including the engine's own Avro writer module: the Avro
+object-container decoder below is its own implementation, so the
+manifests are parsed by code sharing zero lines with the writer.
+
+Covers: version-hint resolution, vN.metadata.json (schemas, partition
+specs, snapshots, current pointer), manifest-list Avro, manifest Avro
+(status filtering), snapshot file planning, and data materialization
+with identity-partition column restoration from the manifest's typed
+partition tuples (spec "identity-column projection").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pyarrow.parquet as pq
+
+
+# --------------------------------------------------------------------------
+# Avro binary decoding (Apache Avro spec), written from the spec
+# --------------------------------------------------------------------------
+
+
+class _Avro:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.i = 0
+
+    def vlong(self) -> int:
+        shift = acc = 0
+        while True:
+            b = self.d[self.i]
+            self.i += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def raw(self, n: int) -> bytes:
+        out = self.d[self.i: self.i + n]
+        self.i += n
+        return out
+
+    def datum(self, schema):
+        if isinstance(schema, list):  # union
+            return None if (b := schema[self.vlong()]) == "null" else self.datum(b)
+        t = schema if isinstance(schema, str) else schema["type"]
+        if t == "null":
+            return None
+        if t == "boolean":
+            return self.raw(1) != b"\x00"
+        if t in ("int", "long"):
+            return self.vlong()
+        if t == "float":
+            return struct.unpack("<f", self.raw(4))[0]
+        if t == "double":
+            return struct.unpack("<d", self.raw(8))[0]
+        if t in ("bytes", "string"):
+            v = self.raw(self.vlong())
+            return v.decode("utf-8") if t == "string" else v
+        if t == "fixed":
+            return self.raw(schema["size"])
+        if t == "record":
+            return {f["name"]: self.datum(f["type"]) for f in schema["fields"]}
+        if t in ("array", "map"):
+            out = [] if t == "array" else {}
+            while True:
+                n = self.vlong()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    self.vlong()  # byte-size prefix, unused
+                for _ in range(n):
+                    if t == "array":
+                        out.append(self.datum(schema["items"]))
+                    else:
+                        k = self.raw(self.vlong()).decode("utf-8")
+                        out[k] = self.datum(schema["values"])
+        raise NotImplementedError(t)
+
+
+def read_avro(path: str) -> list[dict]:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"Obj\x01":
+        raise ValueError("not an Avro OCF")
+    a = _Avro(data)
+    a.i = 4
+    meta = a.datum({"type": "map", "values": "bytes"})
+    if meta.get("avro.codec", b"null") not in (b"null",):
+        raise NotImplementedError("compressed avro")
+    schema = json.loads(meta["avro.schema"])
+    sync = a.raw(16)
+    out = []
+    while a.i < len(data):
+        n = a.vlong()
+        a.vlong()  # block byte size
+        for _ in range(n):
+            out.append(a.datum(schema))
+        if a.raw(16) != sync:
+            raise ValueError("bad sync marker")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Iceberg metadata walk
+# --------------------------------------------------------------------------
+
+
+def table_metadata(table: str) -> dict:
+    with open(os.path.join(table, "metadata", "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(table, "metadata", f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def snapshot_files(table: str, snapshot_id: int | None = None) -> list[str]:
+    """Sorted relative data-file paths at a snapshot, planned from the
+    manifest list + manifests only."""
+    meta = table_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    files = []
+    for m in read_avro(snap["manifest-list"]):
+        for e in read_avro(m["manifest_path"]):
+            if e["status"] in (0, 1):  # EXISTING / ADDED (2 = DELETED)
+                files.append(
+                    os.path.relpath(
+                        e["data_file"]["file_path"], os.path.abspath(table)
+                    )
+                )
+    return sorted(files)
+
+
+def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
+    """Materialize a snapshot as row tuples in declared-schema column
+    order; identity-partition columns come from the manifests' typed
+    partition records, not from the files."""
+    meta = table_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    names = [f["name"] for f in schema["fields"]]
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    part_cols = {pf["name"] for pf in spec}
+    out: list[tuple] = []
+    for m in read_avro(snap["manifest-list"]):
+        for e in read_avro(m["manifest_path"]):
+            if e["status"] not in (0, 1):
+                continue
+            df = e["data_file"]
+            t = pq.read_table(df["file_path"])
+            n = t.num_rows
+            assert n == df["record_count"], "manifest record_count lies"
+            cols = {}
+            for name in names:
+                if name in part_cols:
+                    cols[name] = [(df["partition"] or {}).get(name)] * n
+                elif name in t.column_names:
+                    cols[name] = t.column(name).to_pylist()
+                else:
+                    cols[name] = [None] * n
+            out.extend(zip(*[cols[name] for name in names]))
+    return out
