@@ -576,3 +576,69 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q178 — Iceberg manifest-bounds data skipping: a key-range aggregate
+# planned from the manifests' per-file lower/upper bounds (spec
+# Appendix-D encoded), opening only overlapping files. Skipping is
+# semantically invisible, so the oracle is the plain filtered aggregate.
+# --------------------------------------------------------------------------
+
+_Q178_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 20000 AND o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_stats_table(spark: SparkSession, sf_dir: str) -> str:
+    """Like `_orders_iceberg_table` but range-partitioned on the key
+    with per-file o_orderkey bounds recorded — the data-skipping shape
+    (files cover disjoint key ranges, so a range scan prunes most)."""
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-stats|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_iceberg", fp)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 3 == 0)
+            .repartitionByRange(8, "o_orderkey"),
+            table,
+            stat_cols=("o_orderkey",),
+        )
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 3 == 1)
+            .repartitionByRange(8, "o_orderkey"),
+            table,
+            stat_cols=("o_orderkey",),
+        )
+    return table
+
+
+@query("q178_iceberg_pruned_scan", oracle=_Q178_SQL, tags=("lake", "agg"))
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregate over the Iceberg table via `iceberg.scan_range`:
+    the planner keeps only files whose manifest [lower, upper] bounds
+    overlap the key range — at 100 TB that is a KB metadata read
+    selecting a handful of files out of millions, with zero footer
+    opens and zero directory listings."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_stats_table(spark, sf_dir)
+    scanned = iceberg.scan_range(spark, table, "o_orderkey", 1000, 20000)
+    return scanned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_price"),
+    )

@@ -457,6 +457,7 @@ def create(
     table: str,
     partition_by: Sequence[str] = (),
     stat_cols: Sequence[str] = (),
+    summary: dict | None = None,
 ) -> int:
     """Create an Iceberg table (metadata v1, snapshot 1). Returns the
     snapshot id. ``stat_cols`` records per-file lower/upper bounds in
@@ -495,14 +496,19 @@ def create(
         "snapshot-log": [],
         "metadata-log": [],
     }
-    return _commit_snapshot(df, table, meta, "append", False, stat_cols)
+    return _commit_snapshot(df, table, meta, "append", False, stat_cols, summary)
 
 
-def append(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
+def append(
+    df: DataFrame,
+    table: str,
+    stat_cols: Sequence[str] = (),
+    summary: dict | None = None,
+) -> int:
     """Append snapshot: prior manifests carry over as EXISTING entries
     in the new manifest list; one new manifest holds the added files."""
     meta = current_metadata(table)
-    return _commit_snapshot(df, table, meta, "append", False, stat_cols)
+    return _commit_snapshot(df, table, meta, "append", False, stat_cols, summary)
 
 
 def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
@@ -520,6 +526,7 @@ def _commit_snapshot(
     operation: str,
     replace: bool,
     stat_cols: Sequence[str] = (),
+    summary: dict | None = None,
 ) -> int:
     seq = meta["last-sequence-number"] + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
@@ -555,7 +562,7 @@ def _commit_snapshot(
         "sequence-number": seq,
         "timestamp-ms": _now_ms(),
         "manifest-list": ml_path,
-        "summary": {"operation": operation},
+        "summary": {"operation": operation, **(summary or {})},
         "schema-id": meta["current-schema-id"],
     }
     if meta.get("current-snapshot-id", -1) != -1:
@@ -771,3 +778,21 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
             os.unlink(path)
         deleted.append(os.path.relpath(path, os.path.abspath(table)))
     return deleted
+
+
+def last_streamed_batch(table: str, app_id: str) -> int:
+    """Highest streaming batch id committed for ``app_id`` (-1 if none),
+    read from snapshot summary properties — the Iceberg-side half of the
+    exactly-once streaming-append contract (the Delta layer's
+    SetTransaction analogue). Snapshot expiration that drops every
+    snapshot of an active stream would also drop its watermark — keep
+    at least the stream's newest snapshot (real Iceberg sinks carry the
+    same caveat)."""
+    if current_version(table) is None:
+        return -1
+    best = -1
+    for s in current_metadata(table)["snapshots"]:
+        smry = s.get("summary", {})
+        if smry.get("streaming-app-id") == app_id:
+            best = max(best, int(smry.get("streaming-batch-id", -1)))
+    return best

@@ -154,3 +154,38 @@ def start_delta_append_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_iceberg_append_sink(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    app_id: str = "march_mania_spark_lakehouse_stream",
+) -> StreamingQuery:
+    """Exactly-once streaming append into an Iceberg-format table
+    (`sources/iceberg.py`): each commit's snapshot summary carries
+    (streaming-app-id, streaming-batch-id), and a replayed micro-batch
+    is skipped when the metadata already holds its id — the same
+    write-side idempotence as `start_delta_append_sink`, expressed with
+    Iceberg's summary properties instead of SetTransaction actions.
+    The first batch creates the table."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= iceberg.last_streamed_batch(table, app_id):
+            return  # already committed by a previous attempt
+        props = {
+            "streaming-app-id": app_id,
+            "streaming-batch-id": str(batch_id),
+        }
+        if iceberg.current_version(table) is None:
+            iceberg.create(batch_df, table, summary=props)
+        else:
+            iceberg.append(batch_df, table, summary=props)
+
+    return (
+        stream_df.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

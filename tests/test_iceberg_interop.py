@@ -236,3 +236,52 @@ def test_expire_snapshots_deletes_only_orphans(spark, table):
     # the expired snapshot is gone from metadata
     with pytest.raises(KeyError):
         iceberg.snapshot_files(table, s1)
+
+
+def test_streaming_iceberg_sink_exactly_once(spark, table, tmp_path):
+    """Streaming append into the Iceberg table with snapshot-summary
+    idempotence: drain, restart with more data, then a simulated batch
+    replay — every row exactly once, watermark at the last batch id."""
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark import catalog
+    from march_mania_spark_lakehouse_spark.streaming import sinks
+
+    events = catalog.load(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "user_id", "value"
+    ).limit(200)
+    src = str(tmp_path / "isink_src")
+    ckpt = str(tmp_path / "isink_ckpt")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = sinks.start_iceberg_append_sink(stream, table, ckpt, app_id="i-app")
+        q.awaitTermination(120)
+
+    run()
+    assert iceberg.read_iceberg(spark, table).count() == first.count()
+    n_snaps_after_first = len(iceberg.snapshot_ids(table))
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run()  # restart from checkpoint: only the new file becomes batch 1
+    got = iceberg.read_iceberg(spark, table)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+    assert iceberg.last_streamed_batch(table, "i-app") == 1
+
+    # simulated crash-replay of batch 1: the summary check must no-op it
+    before = len(iceberg.snapshot_ids(table))
+    batch_df = spark.read.parquet(src)
+    if 1 > iceberg.last_streamed_batch(table, "i-app"):
+        iceberg.append(batch_df, table, summary={
+            "streaming-app-id": "i-app", "streaming-batch-id": "1"})
+    assert len(iceberg.snapshot_ids(table)) == before
+    assert iceberg.read_iceberg(spark, table).count() == events.count()
+    assert n_snaps_after_first < before
+    # independent reader agrees on the final state
+    assert sorted(t[0] for t in indep.read_rows(table)) == sorted(
+        r["event_id"] for r in events.collect()
+    )
