@@ -14,8 +14,10 @@ Decoding is two-tier and honest about which is which:
   `decode_real`; real features + real resize in
   `extract_real_media_features` / `resize_image_real`).
 - **`decode_stub`** (deterministic fake) for video/audio codec formats
-  (MP4/Opus — genuinely need ffmpeg-class libraries) — `decode_real`
-  raises on those.
+  (MP4/Opus — genuinely need ffmpeg-class libraries for FRAME decode)
+  — `decode_real` raises on those, but `extract_media_metadata` still
+  reads MP4 CONTAINER metadata (dims/duration/tracks) via the pure
+  struct ISO-BMFF parser in `operators/mp4.py`.
 
 Scale: payloads travel as Arrow binary buffers; ``mapInPandas`` processes
 one partition's batches streaming-style, so executor memory is bounded by
@@ -451,3 +453,70 @@ def sample_frames(
             )
 
     return df.mapInPandas(_process, schema=FRAME_SCHEMA)
+
+
+MEDIA_METADATA_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "duration_ms long, n_tracks int"
+)
+
+
+def extract_media_metadata(df: DataFrame) -> DataFrame:
+    """Container-level metadata WITHOUT content decode — the filter
+    input a curation pipeline needs before spending any codec time:
+    images (BMP/PPM/JPEG/PNG) → pixel dims; WAV → duration from the
+    frame count and rate; MP4 → dims/duration/track count from the
+    ISO-BMFF box tree (`operators/mp4.py` — pure struct, no ffmpeg).
+    Input: (media_id, payload); duration is 0 for stills, n_tracks 1
+    for single-stream formats."""
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from march_mania_spark_lakehouse_spark.operators import jpeg, mp4, png
+
+        for pdf in batches:
+            fmts, ws, hs, durs, trs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    n_ch, rate, samples = decode_wav(raw)
+                    n_frames = len(samples) // max(n_ch, 1)
+                    fmt, w, h = "wav", n_frames, n_ch
+                    dur, tracks = n_frames * 1000 // max(rate, 1), 1
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    px = png.decode(raw)
+                    fmt, h, w = "png", px.shape[0], px.shape[1]
+                    dur, tracks = 0, 1
+                elif raw[:2] == b"\xff\xd8":
+                    px = jpeg.decode(raw)
+                    fmt, h, w = "jpeg", px.shape[0], px.shape[1]
+                    dur, tracks = 0, 1
+                elif raw[:2] == b"BM":
+                    px = decode_bmp(raw)
+                    fmt, h, w = "bmp", px.shape[0], px.shape[1]
+                    dur, tracks = 0, 1
+                elif raw[:2] == b"P6":
+                    px = decode_ppm(raw)
+                    fmt, h, w = "ppm", px.shape[0], px.shape[1]
+                    dur, tracks = 0, 1
+                else:
+                    info = mp4.probe(raw)  # raises on unknown formats
+                    fmt = "mp4"
+                    w, h = info["width"], info["height"]
+                    dur, tracks = info["duration_ms"], info["n_tracks"]
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                durs.append(dur)
+                trs.append(tracks)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "duration_ms": durs,
+                    "n_tracks": trs,
+                }
+            )
+
+    return df.mapInPandas(_process, schema=MEDIA_METADATA_SCHEMA)

@@ -1027,3 +1027,65 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_scan(docs).mapInPandas(
         _pipeline, schema="doc_id long, peak_bin int, n_samples int"
     )
+
+
+# --------------------------------------------------------------------------
+# q179 — MP4 container metadata under an exact SQL oracle: per doc, a
+# structurally valid ISO-BMFF file is built with doc-derived dims/
+# duration/track-count, then `extract_media_metadata` parses the box
+# tree back (operators/mp4.py — pure struct; frame decode stays
+# honestly stubbed since it genuinely needs codec libraries). This is
+# the pre-codec filter step of a video curation pipeline: resolution /
+# duration gates cost metadata bytes, not decode time.
+# --------------------------------------------------------------------------
+
+_Q179_SQL = """
+SELECT doc_id,
+       CAST(320 + (doc_id % 8) * 160 AS INT) AS width,
+       CAST(240 + (doc_id % 8) * 120 AS INT) AS height,
+       CAST(1000 + (doc_id % 60) * 1000 AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 3 AS INT) AS n_tracks
+FROM documents
+"""
+
+
+@query("q179_mp4_metadata", oracle=_Q179_SQL, tags=("multimodal",))
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build per-doc MP4 containers and recover (width, height,
+    duration_ms, n_tracks) through the ISO-BMFF parser, hash-matched
+    against the closed-form id arithmetic. Map-only at any scale."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.operators import mp4
+    from march_mania_spark_lakehouse_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+    from march_mania_spark_lakehouse_spark.operators.text import rebalance_scan
+
+    def _build(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    mp4.build_minimal_mp4(
+                        width=320 + d % 8 * 160,
+                        height=240 + d % 8 * 120,
+                        duration_ms=1000 + d % 60 * 1000,
+                        n_tracks=1 + d % 3,
+                        payload=str(d).encode() * 4,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
+    media = rebalance_scan(docs).mapInPandas(
+        _build, schema="media_id long, payload binary"
+    )
+    return extract_media_metadata(media).select(
+        F.col("media_id").alias("doc_id"), "width", "height",
+        "duration_ms", "n_tracks",
+    )

@@ -33,9 +33,13 @@ add one manifest and re-point the head, so commit cost is O(new files)
 regardless of table size. Manifests carry per-file lower/upper
 bounds (spec Appendix-D single-value serialization) so `scan_range`
 plans data skipping from metadata; `expire_snapshots` retires history
-and deletes orphaned files. Limitations kept honest: no delete files
-(merge-on-read), no schema evolution (append enforces the create-time
-schema), identity transforms only.
+and deletes orphaned files; `append(merge_schema=True)` evolves the
+schema with field-id preservation (each snapshot records its
+schema-id, and time travel reads under it); `merge` is copy-on-write
+MERGE INTO; `convert_from_delta` registers a Delta table's snapshot as
+Iceberg metadata over the SAME data files (zero bytes copied).
+Limitations kept honest: no delete files (merge-on-read), identity
+transforms only.
 """
 
 from __future__ import annotations
@@ -82,8 +86,12 @@ def _iceberg_type(spark_type: str) -> str:
 
 
 def _schema_json(df: DataFrame) -> dict:
+    return _schema_json_from_struct(df.schema)
+
+
+def _schema_json_from_struct(struct) -> dict:
     fields = []
-    for i, f in enumerate(df.schema.fields, start=1):
+    for i, f in enumerate(struct.fields, start=1):
         fields.append(
             {
                 "id": i,
@@ -499,15 +507,59 @@ def create(
     return _commit_snapshot(df, table, meta, "append", False, stat_cols, summary)
 
 
+class IcebergSchemaMismatchError(ValueError):
+    """Append carried columns the table schema doesn't have and
+    ``merge_schema`` was not requested (schema enforcement)."""
+
+
 def append(
     df: DataFrame,
     table: str,
     stat_cols: Sequence[str] = (),
     summary: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append snapshot: prior manifests carry over as EXISTING entries
-    in the new manifest list; one new manifest holds the added files."""
+    in the new manifest list; one new manifest holds the added files.
+
+    Schema contract (same semantics as the Delta layer): columns
+    MISSING from the batch read back as null; EXTRA columns are
+    rejected unless ``merge_schema=True``, which registers a NEW schema
+    entry — existing columns KEEP their field ids (the Iceberg
+    invariant real readers key columns on) and new ones continue from
+    ``last-column-id``. Snapshots read under the current schema, so
+    pre-evolution files surface the new columns as null."""
     meta = current_metadata(table)
+    declared = meta["schemas"][meta["current-schema-id"]]
+    known = {f["name"] for f in declared["fields"]}
+    extra = [f for f in df.schema.fields if f.name not in known]
+    if extra:
+        if not merge_schema:
+            raise IcebergSchemaMismatchError(
+                f"append adds columns {[f.name for f in extra]} not in the "
+                f"table schema; pass merge_schema=True to evolve"
+            )
+        next_id = meta["last-column-id"]
+        new_fields = list(declared["fields"])
+        for f in extra:
+            next_id += 1
+            new_fields.append(
+                {
+                    "id": next_id,
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type(f.dataType.simpleString()),
+                }
+            )
+        new_schema = {
+            "type": "struct",
+            "schema-id": len(meta["schemas"]),
+            "fields": new_fields,
+        }
+        meta = dict(meta)
+        meta["schemas"] = list(meta["schemas"]) + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["last-column-id"] = next_id
     return _commit_snapshot(df, table, meta, "append", False, stat_cols, summary)
 
 
@@ -520,20 +572,25 @@ def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
 
 
 def _commit_snapshot(
-    df: DataFrame,
+    df: DataFrame | None,
     table: str,
     meta: dict,
     operation: str,
     replace: bool,
     stat_cols: Sequence[str] = (),
     summary: dict | None = None,
+    staged_files: "list[tuple[str, dict, int, int]] | None" = None,
 ) -> int:
     seq = meta["last-sequence-number"] + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
     part_cols = [
         f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
     ]
-    files = _stage_data_files(df, table, part_cols)
+    files = (
+        staged_files
+        if staged_files is not None
+        else _stage_data_files(df, table, part_cols)
+    )
     m_path, m_len, n_files, n_rows = _write_manifest(
         table, meta, files, snapshot_id, seq, stat_cols
     )
@@ -624,10 +681,16 @@ def read_iceberg(
     from pyspark.sql import types as T
 
     meta = current_metadata(table)
-    files = snapshot_files(table, snapshot_id)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    files = snapshot_files(table, sid)
     if not files:
         raise FileNotFoundError(f"{table} snapshot has no data files")
-    schema = meta["schemas"][meta["current-schema-id"]]
+    # the snapshot's own schema-id (spec rule): time travel to a
+    # pre-evolution snapshot reads under the schema it was written with
+    snap_schema_id = _snapshot(meta, sid).get(
+        "schema-id", meta["current-schema-id"]
+    )
+    schema = meta["schemas"][snap_schema_id]
     part_cols = [
         f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
     ]
@@ -796,3 +859,102 @@ def last_streamed_batch(table: str, app_id: str) -> int:
         if smry.get("streaming-app-id") == app_id:
             best = max(best, int(smry.get("streaming-batch-id", -1)))
     return best
+
+
+def merge(
+    changes: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """MERGE INTO the Iceberg table (copy-on-write, the Delta layer's
+    strategy): apply `operators.merge.merge_upsert` to the current
+    snapshot and commit the result as an overwrite snapshot — old
+    snapshots stay time-travelable. A production merge narrows the
+    rewrite to files whose bounds overlap the changeset's key range
+    (`scan_range` is that planner input)."""
+    from march_mania_spark_lakehouse_spark.operators.merge import merge_upsert
+
+    spark = changes.sparkSession
+    merged = merge_upsert(
+        read_iceberg(spark, table), changes, list(keys), delete_col
+    )
+    meta = current_metadata(table)
+    return _commit_snapshot(
+        merged, table, meta, "overwrite", True, stat_cols,
+        {"merge-keys": ",".join(keys)},
+    )
+
+
+def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
+    """In-place metadata migration: register a Delta table's CURRENT
+    snapshot as a new Iceberg table WITHOUT copying or rewriting any
+    data file — the Iceberg manifests point at the Delta table's
+    existing parquet files (what real catalog-migration tools do; data
+    movement at 100 TB is the cost being avoided). Row counts come from
+    the Delta add-action stats when present, else the parquet footers.
+
+    After conversion the two metadata layers coexist over the same
+    bytes: Delta time travel keeps working on the old log, and the
+    Iceberg head serves the same rows — pinned by the interop test
+    where BOTH independent clean-room readers must agree on the row
+    multiset. Scope: unpartitioned tables (hive-layout partition
+    restoration is Delta-log-specific; a partitioned source raises).
+
+    Retention caveat (inherent to dual-metadata tables, same as
+    UniForm-style deployments): `expire_snapshots` on the converted
+    table would delete shared data files the Delta log still
+    references — coordinate vacuum/expiration across both layers."""
+    import pyarrow.parquet as pq
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    if delta_log.table_partition_columns(delta_table):
+        raise NotImplementedError(
+            "convert_from_delta covers unpartitioned tables; partitioned "
+            "sources need spec-transform mapping of the hive layout"
+        )
+    if current_version(iceberg_table) is not None:
+        raise FileExistsError(f"{iceberg_table} already has Iceberg metadata")
+    struct = delta_log.table_schema(delta_table)
+    v = delta_log.latest_version(delta_table)
+    live = delta_log._replay(delta_table, v)
+
+    schema = _schema_json_from_struct(struct)
+    os.makedirs(iceberg_table, exist_ok=True)
+    meta = {
+        "format-version": FORMAT_VERSION,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(iceberg_table),
+        "last-sequence-number": 0,
+        "last-updated-ms": _now_ms(),
+        "last-column-id": len(schema["fields"]),
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "write.format.default": "parquet",
+            "migrated-from": os.path.abspath(delta_table),
+            "migrated-delta-version": str(v),
+        },
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    staged = []
+    for rel, add in sorted(live.items()):
+        path = os.path.abspath(os.path.join(delta_table, rel))
+        stats = json.loads(add.get("stats") or "{}")
+        n_rows = stats.get("numRecords")
+        if n_rows is None:
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+        staged.append((path, {}, int(n_rows), os.path.getsize(path)))
+    return _commit_snapshot(
+        None, iceberg_table, meta, "append", False, (), None, staged
+    )

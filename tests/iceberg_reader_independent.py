@@ -149,7 +149,7 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
     meta = table_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
-    schema = meta["schemas"][meta["current-schema-id"]]
+    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
     names = [f["name"] for f in schema["fields"]]
     spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
     part_cols = {pf["name"] for pf in spec}

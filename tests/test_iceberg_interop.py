@@ -285,3 +285,86 @@ def test_streaming_iceberg_sink_exactly_once(spark, table, tmp_path):
     assert sorted(t[0] for t in indep.read_rows(table)) == sorted(
         r["event_id"] for r in events.collect()
     )
+
+
+def test_merge_into_iceberg(spark, table):
+    iceberg.create(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]), table)
+    changes = spark.createDataFrame(
+        [(2, "B", 20.0, False), (4, "d", 4.0, False), (3, "c", 3.0, True)],
+        "id long, cat string, val double, is_del boolean",
+    )
+    iceberg.merge(changes, table, keys=["id"], delete_col="is_del")
+    assert sorted(indep.read_rows(table)) == [
+        (1, "a", 1.0), (2, "B", 20.0), (4, "d", 4.0)
+    ]
+    # the pre-merge snapshot stays time-travelable
+    first = iceberg.snapshot_ids(table)[0]
+    assert sorted(t[0] for t in indep.read_rows(table, first)) == [1, 2, 3]
+
+
+def test_convert_from_delta_shares_data_files(spark, tmp_path):
+    """Metadata-only migration: after converting a Delta table, BOTH
+    independent clean-room readers (Delta's and Iceberg's) must agree
+    on the same row multiset over the SAME data files — zero bytes
+    copied (the Iceberg table dir contains metadata only, and every
+    manifest file_path points into the Delta table)."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+    from tests import delta_reader_independent as delta_indep
+
+    dt = str(tmp_path / "delta_src")
+    it = str(tmp_path / "iceberg_dst")
+    delta_log.create(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), dt,
+                     stat_cols=("id",))
+    delta_log.append(_df(spark, [(3, "c", 3.0)]), dt)
+    iceberg.convert_from_delta(dt, it)
+
+    delta_rows = sorted(delta_indep.read_rows(dt))
+    ice_rows = sorted(indep.read_rows(it))
+    assert ice_rows == delta_rows == sorted(
+        tuple(r) for r in iceberg.read_iceberg(spark, it).collect()
+    )
+    # zero data copied: no data/ dir in the Iceberg table, and every
+    # manifest path resolves inside the Delta table root
+    assert not os.path.exists(os.path.join(it, "data"))
+    meta = indep.table_metadata(it)
+    for m in indep.read_avro(meta["snapshots"][-1]["manifest-list"]):
+        for e in indep.read_avro(m["manifest_path"]):
+            assert os.path.realpath(e["data_file"]["file_path"]).startswith(
+                os.path.realpath(dt) + os.sep
+            )
+    # the Delta log is untouched and still time-travels
+    assert delta_log.latest_version(dt) == 1
+    assert {t[0] for t in delta_indep.read_rows(dt, 0)} == {1, 2}
+    # a partitioned source is declined, not silently mis-registered
+    dpt = str(tmp_path / "delta_part")
+    delta_log.create(_df(spark, [(1, "a", 1.0)]), dpt, partition_by=("cat",))
+    with pytest.raises(NotImplementedError):
+        iceberg.convert_from_delta(dpt, str(tmp_path / "nope"))
+
+
+def test_schema_evolution_preserves_field_ids(spark, table):
+    """merge_schema append: existing columns keep their field ids, new
+    ones continue from last-column-id; the evolved snapshot surfaces
+    null for pre-evolution files, and time travel to the pre-evolution
+    snapshot reads under ITS schema (no phantom column). Extra columns
+    without merge_schema are rejected."""
+    s1 = iceberg.create(_df(spark, [(1, "a", 1.0)]), table)
+    wide = spark.createDataFrame(
+        [(2, "b", 2.0, "extra")], "id long, cat string, val double, note string"
+    )
+    with pytest.raises(iceberg.IcebergSchemaMismatchError):
+        iceberg.append(wide, table)
+    s2 = iceberg.append(wide, table, merge_schema=True)
+    meta = indep.table_metadata(table)
+    assert len(meta["schemas"]) == 2 and meta["current-schema-id"] == 1
+    evolved = {f["name"]: f["id"] for f in meta["schemas"][1]["fields"]}
+    assert evolved == {"id": 1, "cat": 2, "val": 3, "note": 4}
+    assert meta["last-column-id"] == 4
+    # evolved head: old file null-fills the new column — both readers
+    assert sorted(indep.read_rows(table, s2)) == [
+        (1, "a", 1.0, None), (2, "b", 2.0, "extra")
+    ]
+    _assert_snapshot_parity(spark, table, s2)
+    # pre-evolution snapshot reads under its own 3-column schema
+    assert sorted(indep.read_rows(table, s1)) == [(1, "a", 1.0)]
+    assert _spark_rows(spark, table, s1) == [(1, "a", 1.0)]

@@ -229,3 +229,37 @@ def test_spectral_peak_and_band_energies():
     # bin 120 of 1025 rfft bins → inside band 0 (bins [0, 128))
     assert int(np.argmax(bands)) == 0
     assert bands[0] > bands[4] + 2  # orders of magnitude in log10
+
+
+def test_mp4_probe_and_metadata_pipeline(spark):
+    """ISO-BMFF container metadata without any codec: hand-parameterized
+    boxes parse back exactly, corrupt payloads raise, and the
+    mapInPandas metadata stage dispatches mixed media correctly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from march_mania_spark_lakehouse_spark.operators import jpeg, mp4, png
+
+    p = mp4.build_minimal_mp4(1920, 1080, duration_ms=12_345, n_tracks=3)
+    info = mp4.probe(p)
+    assert info == {"brand": "mp42", "duration_ms": 12_345, "n_tracks": 3,
+                    "width": 1920, "height": 1080}
+    with _pytest.raises(ValueError):
+        mp4.probe(b"this is not a box tree")
+
+    px = np.full((9, 11, 3), 50, dtype=np.uint8)
+    rows = [
+        (1, bytearray(p)),
+        (2, bytearray(_sine_wav())),               # 2000 frames @ 8 kHz
+        (3, bytearray(jpeg.encode(px))),
+        (4, bytearray(png.encode(px))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           multimodal.extract_media_metadata(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"],
+            got[1]["duration_ms"], got[1]["n_tracks"]) == ("mp4", 1920, 1080,
+                                                           12_345, 3)
+    assert (got[2]["format"], got[2]["duration_ms"]) == ("wav", 250)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("jpeg", 11, 9)
+    assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("png", 11, 9)

@@ -74,6 +74,8 @@ PROBES = tuple(
                 "q63_session_window_native",  # native session_window
                 "q129_manifest_pruned_scan",  # manifest-planned range scan
                 "q131_delta_time_travel",     # Delta-log replay + two snapshot scans
+                "q177_iceberg_time_travel",   # Iceberg metadata plan + two snapshot scans
+                "q178_iceberg_pruned_scan",   # manifest-bounds data skipping
                 "q160_tpch_q21_sole_late_supplier",  # semi/anti self-joins on pair tables
                 "q161_segment_dedup",         # segment explode + hot-set broadcast + reassemble
                 "q162_semantic_dedup",        # within-cell pair join, Σ cell²
