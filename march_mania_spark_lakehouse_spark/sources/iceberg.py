@@ -36,9 +36,10 @@ plans data skipping from metadata; `expire_snapshots` retires history
 and deletes orphaned files; `append(merge_schema=True)` evolves the
 schema with field-id preservation (each snapshot records its
 schema-id, and time travel reads under it); `merge` is copy-on-write
-MERGE INTO; `convert_from_delta` registers a Delta table's snapshot as
-Iceberg metadata over the SAME data files (zero bytes copied).
-Limitations kept honest: no delete files (merge-on-read), identity
+MERGE INTO; `convert_from_delta` /
+`convert_to_delta` migrate metadata between the two lake formats over
+the SAME data files (zero bytes copied, both directions). Limitations
+kept honest: no delete files (merge-on-read), identity
 transforms only.
 """
 
@@ -958,3 +959,84 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
     return _commit_snapshot(
         None, iceberg_table, meta, "append", False, (), None, staged
     )
+
+
+def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
+    """The reverse migration: register this Iceberg table's CURRENT
+    snapshot as a new Delta-format table over the SAME data files
+    (absolute paths in the add actions — spec-legal; zero bytes
+    copied). With `convert_from_delta` this makes the two metadata
+    layers fully interconvertible: a table can round-trip
+    Delta → Iceberg → Delta with every layer serving identical rows
+    (pinned by the interop test through both independent readers).
+    Same dual-metadata retention caveat as `convert_from_delta`."""
+    from pyspark.sql import types as T
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    meta = current_metadata(iceberg_table)
+    sid = meta["current-snapshot-id"]
+    if meta["partition-specs"][meta["default-spec-id"]]["fields"]:
+        raise NotImplementedError(
+            "convert_to_delta covers unpartitioned tables"
+        )
+    if delta_log.latest_version(delta_table) is not None:
+        raise FileExistsError(f"{delta_table} already has a Delta log")
+    schema = meta["schemas"][meta["current-schema-id"]]
+    back = {
+        "long": T.LongType(), "int": T.IntegerType(), "string": T.StringType(),
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "boolean": T.BooleanType(), "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+    }
+    struct = T.StructType(
+        [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
+    )
+    os.makedirs(delta_table, exist_ok=True)
+    adds = []
+    snap = _snapshot(meta, sid)
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] not in (0, 1):
+                continue
+            df_rec = entry["data_file"]
+            adds.append(
+                {
+                    "add": {
+                        "path": df_rec["file_path"],  # absolute: shared bytes
+                        "partitionValues": {},
+                        "size": df_rec["file_size_in_bytes"],
+                        "modificationTime": _now_ms(),
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            {"numRecords": df_rec["record_count"]}
+                        ),
+                    }
+                }
+            )
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "source": os.path.abspath(iceberg_table),
+                    "sourceSnapshotId": str(sid),
+                },
+            }
+        },
+        {"protocol": dict(delta_log.PROTOCOL)},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": struct.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": _now_ms(),
+            }
+        },
+        *sorted(adds, key=lambda a: a["add"]["path"]),
+    ]
+    delta_log._write_commit(delta_table, 0, actions)
+    return 0

@@ -368,3 +368,37 @@ def test_schema_evolution_preserves_field_ids(spark, table):
     # pre-evolution snapshot reads under its own 3-column schema
     assert sorted(indep.read_rows(table, s1)) == [(1, "a", 1.0)]
     assert _spark_rows(spark, table, s1) == [(1, "a", 1.0)]
+
+
+def test_bidirectional_conversion_round_trip(spark, tmp_path):
+    """Delta → Iceberg → Delta over one set of data files: all three
+    metadata layers and BOTH clean-room independent readers serve the
+    identical row multiset, and no parquet file was ever copied (every
+    layer's plan points at the original Delta table's files)."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+    from tests import delta_reader_independent as delta_indep
+
+    d1 = str(tmp_path / "delta_orig")
+    ice = str(tmp_path / "ice_mid")
+    d2 = str(tmp_path / "delta_back")
+    delta_log.create(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), d1)
+    delta_log.append(_df(spark, [(3, "c", 3.0)]), d1)
+    iceberg.convert_from_delta(d1, ice)
+    iceberg.convert_to_delta(ice, d2)
+
+    want = sorted(delta_indep.read_rows(d1))
+    assert sorted(indep.read_rows(ice)) == want
+    assert sorted(delta_indep.read_rows(d2)) == want
+    assert sorted(
+        tuple(r) for r in delta_log.read_delta(spark, d2).collect()
+    ) == want
+    # zero data movement: d2 holds no parquet of its own, and every
+    # add action points into the ORIGINAL table
+    own_parquet = [
+        f for _, _, fs in os.walk(d2) for f in fs if f.endswith(".parquet")
+    ]
+    assert own_parquet == []
+    for p in delta_log.snapshot_files(d2):
+        assert os.path.realpath(os.path.join(d2, p)).startswith(
+            os.path.realpath(d1) + os.sep
+        )
