@@ -206,3 +206,112 @@ class DeltaTableStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
         return _DeltaTableStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Streaming FROM an Iceberg-format table — the `delta_table_stream`
+# pattern on the second lake format: offsets are table SEQUENCE NUMBERS
+# (monotone per commit), a micro-batch is the data files whose manifest
+# entries carry sequence numbers in (checkpointed, latest], and replay
+# is deterministic because committed snapshots are immutable. Append-
+# only contract: a rewrite snapshot (overwrite/MERGE) in the range
+# raises rather than double-counting. Unpartitioned tables only.
+# --------------------------------------------------------------------------
+
+
+class _IcebergTableStreamReader:
+    def __init__(self, options: dict) -> None:
+        self.table = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _added_files(self, lo: int, hi: int) -> list:
+        from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
+
+        meta = iceberg.current_metadata(self.table)
+        for s in meta["snapshots"]:
+            if lo < s["sequence-number"] <= hi and (
+                s.get("summary", {}).get("operation") != "append"
+            ):
+                raise ValueError(
+                    f"snapshot seq {s['sequence-number']} is "
+                    f"{s.get('summary', {}).get('operation')!r}; append-only "
+                    "streams cannot represent rewrites"
+                )
+        snap = iceberg._snapshot(meta, meta["current-snapshot-id"])
+        files = []
+        for m in avro_ocf.read_ocf(snap["manifest-list"]):
+            if not (lo < m["sequence_number"] <= hi):
+                continue
+            for e in avro_ocf.read_ocf(m["manifest_path"]):
+                if e["status"] != 1:
+                    continue
+                if e["data_file"].get("partition"):
+                    raise NotImplementedError(
+                        "iceberg_table_stream supports unpartitioned tables"
+                    )
+                files.append(e["data_file"]["file_path"])
+        return sorted(files)
+
+    def _rows(self, files: list):
+        import pyarrow.parquet as pq
+
+        from march_mania_spark_lakehouse_spark.sources import iceberg
+
+        meta = iceberg.current_metadata(self.table)
+        schema = meta["schemas"][meta["current-schema-id"]]
+        cols = [f["name"] for f in schema["fields"]]
+        for path in files:
+            t = pq.read_table(path)
+            names = set(t.column_names)
+            for rec in t.to_pylist():
+                yield tuple(rec.get(c) if c in names else None for c in cols)
+
+    def read(self, start: dict):
+        from march_mania_spark_lakehouse_spark.sources import iceberg
+
+        lo = int(start["seq"])
+        if iceberg.current_version(self.table) is None:
+            return (iter(()), {"seq": lo})
+        hi = iceberg.current_metadata(self.table)["last-sequence-number"]
+        if hi <= lo:
+            return (iter(()), {"seq": lo})
+        return (list(self._rows(self._added_files(lo, hi))), {"seq": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._rows(self._added_files(int(start["seq"]), int(end["seq"]))))
+
+    def commit(self, end: dict) -> None:
+        pass  # committed snapshots are immutable — the metadata IS the ack
+
+
+class IcebergTableStreamDataSource(DataSource):
+    """``spark.readStream.format("iceberg_table_stream").option("path", t)``
+    after registering: each micro-batch carries the rows appended to the
+    Iceberg table since the checkpointed sequence number."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_table_stream"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        from march_mania_spark_lakehouse_spark.sources import iceberg
+
+        meta = iceberg.current_metadata(self.options["path"])
+        schema = meta["schemas"][meta["current-schema-id"]]
+        back = {
+            "long": T.LongType(), "int": T.IntegerType(),
+            "string": T.StringType(), "double": T.DoubleType(),
+            "float": T.FloatType(), "boolean": T.BooleanType(),
+            "date": T.DateType(), "timestamptz": T.TimestampType(),
+        }
+        return T.StructType(
+            [T.StructField(f["name"], back[f["type"]], True)
+             for f in schema["fields"]]
+        )
+
+    def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
+        return _IcebergTableStreamReader(self.options)
