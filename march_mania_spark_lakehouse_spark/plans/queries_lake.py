@@ -642,3 +642,63 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("o_totalprice", "sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q180 — Iceberg merge-on-read DELETE under an exact SQL oracle: orders
+# published as an Iceberg table, then a key-range DELETE lands as
+# position-delete tombstones (no data file rewritten); the per-status
+# aggregate over the surviving rows must hash-match the plain filtered
+# aggregate. The read plan is scan + broadcast anti-join on
+# (_metadata.file_path, _metadata.row_index) — merge-on-read's whole
+# point at 100 TB: deleting rows costs tombstone bytes, not rewrites.
+# --------------------------------------------------------------------------
+
+_Q180_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: snapshot 1 = orders with key%3=0,
+    snapshot 2 = merge-on-read DELETE of key%9=0 (tombstones only)."""
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-mor|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_iceberg", fp)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        iceberg.delete_where(spark, table, "o_orderkey % 9 = 0")
+    return table
+
+
+@query("q180_iceberg_merge_on_read", oracle=_Q180_SQL, tags=("lake", "agg"))
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an Iceberg snapshot whose DELETE was committed as
+    position-delete files — the tombstone anti-join must be
+    semantically invisible, so the oracle is the plain double-filtered
+    aggregate."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_mor_table(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -38,9 +38,12 @@ schema with field-id preservation (each snapshot records its
 schema-id, and time travel reads under it); `merge` is copy-on-write
 MERGE INTO; `convert_from_delta` /
 `convert_to_delta` migrate metadata between the two lake formats over
-the SAME data files (zero bytes copied, both directions). Limitations
-kept honest: no delete files (merge-on-read), identity
-transforms only.
+the SAME data files (zero bytes copied, both directions);
+`delete_where` is merge-on-read DELETE via spec position-delete files
+(content=1 tombstones; readers — including Spark scans through the
+hidden ``_metadata.row_index`` column — apply them as one broadcast
+anti-join, so deleting rows never rewrites data). Limitations kept
+honest: identity transforms only; no equality deletes.
 """
 
 from __future__ import annotations
@@ -664,13 +667,37 @@ def snapshot_files(table: str, snapshot_id: int | None = None) -> list[str]:
     out = []
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
-            if entry["status"] in (0, 1):  # EXISTING / ADDED
+            if entry["status"] in (0, 1) and (
+                entry["data_file"].get("content", 0) == 0  # data, not deletes
+            ):
                 out.append(
                     os.path.relpath(
                         entry["data_file"]["file_path"], os.path.abspath(table)
                     )
                 )
     return sorted(out)
+
+
+def snapshot_delete_files(table: str, snapshot_id: int | None = None) -> list[str]:
+    """Absolute paths of the POSITION-DELETE files (content=1) live at a
+    snapshot — the merge-on-read inputs a reader must anti-join."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    out = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] in (0, 1) and (
+                entry["data_file"].get("content", 0) == 1
+            ):
+                out.append(entry["data_file"]["file_path"])
+    return sorted(out)
+
+
+#: normalize Spark's _metadata.file_path URI ("file:///abs") to the
+#: plain absolute path manifests and delete files carry
+def _norm_file_path():
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
 
 
 def read_iceberg(
@@ -705,16 +732,49 @@ def read_iceberg(
         [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
     )
     paths = [os.path.join(table, f) for f in files]
+    deletes = snapshot_delete_files(table, sid)
     if not part_cols:
-        return spark.read.schema(spark_schema).parquet(*paths)
-    data_schema = T.StructType(
-        [f for f in spark_schema.fields if f.name not in part_cols]
-    )
-    df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
-    for f in spark_schema.fields:
-        if f.name in part_cols:
-            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        df = spark.read.schema(spark_schema).parquet(*paths)
+    else:
+        data_schema = T.StructType(
+            [f for f in spark_schema.fields if f.name not in part_cols]
+        )
+        df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
+        for f in spark_schema.fields:
+            if f.name in part_cols:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    if deletes:
+        # merge-on-read: anti-join the (file, position) tombstones —
+        # Spark's hidden _metadata.row_index IS the spec's row position,
+        # so the delete application is one broadcast anti-join, no UDFs
+        df = df.select(
+            "*",
+            _norm_file_path().alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        dels = spark.read.parquet(*deletes).select(
+            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+        )
+        df = df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
     return df.select(*[f.name for f in spark_schema.fields])
+
+
+def _anti_join_deletes(spark: SparkSession, df: DataFrame, deletes: list) -> DataFrame:
+    """Apply position-delete tombstones to a parquet-scan DataFrame that
+    still has its `_metadata` column available (call BEFORE any final
+    projection): one broadcast anti-join on (normalized path, row pos)."""
+    if not deletes:
+        return df
+    out_cols = df.columns
+    df = df.select(
+        "*",
+        _norm_file_path().alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    dels = spark.read.parquet(*deletes).select(
+        F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+    )
+    return df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti").select(*out_cols)
 
 
 def scan_partition(
@@ -730,6 +790,8 @@ def scan_partition(
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
             if entry["status"] not in (0, 1):
                 continue
+            if entry["data_file"].get("content", 0) != 0:
+                continue  # delete files are applied, not scanned
             part = entry["data_file"]["partition"] or {}
             if all(part.get(k) == v for k, v in values.items()):
                 keep.append(
@@ -752,6 +814,7 @@ def scan_partition(
         .option("basePath", table)
         .parquet(*[os.path.join(table, f) for f in sorted(keep)])
     )
+    df = _anti_join_deletes(spark, df, snapshot_delete_files(table, sid))
     for f in spark_schema.fields:
         if f.name in part_cols:
             df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
@@ -781,6 +844,8 @@ def scan_range(
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
             if entry["status"] not in (0, 1):
                 continue
+            if entry["data_file"].get("content", 0) != 0:
+                continue  # delete files are applied, not scanned
             df_rec = entry["data_file"]
             lob = {b["key"]: b["value"] for b in (df_rec.get("lower_bounds") or [])}
             upb = {b["key"]: b["value"] for b in (df_rec.get("upper_bounds") or [])}
@@ -795,9 +860,9 @@ def scan_range(
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not keep:
         return read_iceberg(spark, table, sid).filter(F.lit(False))
-    return spark.read.parquet(
-        *[os.path.join(table, f) for f in sorted(keep)]
-    ).filter(pred)
+    df = spark.read.parquet(*[os.path.join(table, f) for f in sorted(keep)])
+    df = _anti_join_deletes(spark, df, snapshot_delete_files(table, sid))
+    return df.filter(pred)
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
@@ -980,6 +1045,11 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
         raise NotImplementedError(
             "convert_to_delta covers unpartitioned tables"
         )
+    if snapshot_delete_files(iceberg_table, sid):
+        raise NotImplementedError(
+            "snapshot has position-delete files; Delta cannot represent "
+            "them without deletion vectors — compact first"
+        )
     if delta_log.latest_version(delta_table) is not None:
         raise FileExistsError(f"{delta_table} already has a Delta log")
     schema = meta["schemas"][meta["current-schema-id"]]
@@ -1040,3 +1110,148 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
     ]
     delta_log._write_commit(delta_table, 0, actions)
     return 0
+
+
+def delete_where(spark: SparkSession, table: str, condition) -> int:
+    """Merge-on-read DELETE: write POSITION-DELETE files (spec content=1
+    — parquet of (file_path, pos) tombstones) instead of rewriting any
+    data file. At 100 TB this is the point of the mechanism: deleting a
+    few rows costs O(matching rows) bytes, not a copy-on-write rewrite
+    of every touched file; readers pay one broadcast anti-join.
+    ``condition`` is a Column or SQL string over the table's columns.
+    Returns the new snapshot id (or the current one when nothing
+    matched — an empty delete commits nothing)."""
+    from pyspark.sql import Column
+
+    pred = F.expr(condition) if isinstance(condition, str) else condition
+    assert isinstance(pred, Column)
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"]
+    snap = _snapshot(meta, sid)
+    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
+    part_cols = [
+        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+    from pyspark.sql import types as T
+
+    back = {
+        "long": T.LongType(), "int": T.IntegerType(), "string": T.StringType(),
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "boolean": T.BooleanType(), "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+    }
+    spark_schema = T.StructType(
+        [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
+    )
+    paths = [os.path.join(table, f) for f in snapshot_files(table, sid)]
+    if part_cols:
+        data_schema = T.StructType(
+            [f for f in spark_schema.fields if f.name not in part_cols]
+        )
+        df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
+        for f in spark_schema.fields:
+            if f.name in part_cols:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    else:
+        df = spark.read.schema(spark_schema).parquet(*paths)
+    hits = (
+        df.select(
+            "*",
+            _norm_file_path().alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .filter(pred)
+        .select("file_path", "pos")
+    )
+    # already-deleted positions must not tombstone twice
+    existing = snapshot_delete_files(table, sid)
+    if existing:
+        prior = spark.read.parquet(*existing).select("file_path", "pos")
+        hits = hits.join(prior, ["file_path", "pos"], "left_anti")
+
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    hits.write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    del_files = []
+    for root, dirs, fs in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in sorted(fs):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            src = os.path.join(root, fn)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            del_files.append(
+                (dst, pq.ParquetFile(dst).metadata.num_rows, os.path.getsize(dst))
+            )
+    shutil.rmtree(staging)
+    if not del_files:
+        return sid  # nothing matched: no commit
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    part_schema = _partition_record_schema(spec, schema)
+    entry_schema = _manifest_entry_schema(part_schema)
+    records = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES
+                "file_path": os.path.abspath(path),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": size,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+        for path, n, size in del_files
+    ]
+    m_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
+    avro_ocf.write_ocf(m_path, entry_schema, records)
+    new_entry = {
+        "manifest_path": m_path,
+        "manifest_length": os.path.getsize(m_path),
+        "partition_spec_id": meta["default-spec-id"],
+        "content": 1,  # deletes manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(del_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(n for _, n, _ in del_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = avro_ocf.read_ocf(snap["manifest-list"]) + [new_entry]
+    ml_path = _write_manifest_list(table, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {"operation": "delete"},
+        "schema-id": snap.get("schema-id", meta["current-schema-id"]),
+        "parent-snapshot-id": sid,
+    }
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    _write_metadata(table, meta)
+    return snapshot_id

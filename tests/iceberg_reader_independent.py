@@ -126,20 +126,39 @@ def table_metadata(table: str) -> dict:
 
 def snapshot_files(table: str, snapshot_id: int | None = None) -> list[str]:
     """Sorted relative data-file paths at a snapshot, planned from the
-    manifest list + manifests only."""
+    manifest list + manifests only (content=0 — delete files are the
+    separate merge-on-read input, `position_deletes`)."""
     meta = table_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
     files = []
     for m in read_avro(snap["manifest-list"]):
         for e in read_avro(m["manifest_path"]):
-            if e["status"] in (0, 1):  # EXISTING / ADDED (2 = DELETED)
+            if e["status"] in (0, 1) and e["data_file"].get("content", 0) == 0:
                 files.append(
                     os.path.relpath(
                         e["data_file"]["file_path"], os.path.abspath(table)
                     )
                 )
     return sorted(files)
+
+
+def position_deletes(table: str, snapshot_id: int | None = None) -> set:
+    """{(file_path, pos)} tombstones from the snapshot's content=1
+    delete files — the spec's merge-on-read application input."""
+    meta = table_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    out = set()
+    for m in read_avro(snap["manifest-list"]):
+        for e in read_avro(m["manifest_path"]):
+            if e["status"] in (0, 1) and e["data_file"].get("content", 0) == 1:
+                t = pq.read_table(e["data_file"]["file_path"])
+                out.update(
+                    zip(t.column("file_path").to_pylist(),
+                        t.column("pos").to_pylist())
+                )
+    return out
 
 
 def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
@@ -153,10 +172,11 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
     names = [f["name"] for f in schema["fields"]]
     spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
     part_cols = {pf["name"] for pf in spec}
+    tombstones = position_deletes(table, sid)
     out: list[tuple] = []
     for m in read_avro(snap["manifest-list"]):
         for e in read_avro(m["manifest_path"]):
-            if e["status"] not in (0, 1):
+            if e["status"] not in (0, 1) or e["data_file"].get("content", 0) != 0:
                 continue
             df = e["data_file"]
             t = pq.read_table(df["file_path"])
@@ -170,5 +190,8 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
                     cols[name] = t.column(name).to_pylist()
                 else:
                     cols[name] = [None] * n
-            out.extend(zip(*[cols[name] for name in names]))
+            fp = df["file_path"]
+            for pos, row in enumerate(zip(*[cols[name] for name in names])):
+                if (fp, pos) not in tombstones:
+                    out.append(row)
     return out

@@ -500,3 +500,43 @@ def test_iceberg_table_stream_source_incremental_batches(spark, table, tmp_path)
     meta = iceberg.current_metadata(table)
     with pytest.raises(ValueError):
         reader._added_files(2, meta["last-sequence-number"])
+
+
+def test_position_deletes_merge_on_read(spark, table):
+    """Merge-on-read DELETE: tombstones land as content=1 delete files
+    (no data file rewritten), reads anti-join them, the pre-delete
+    snapshot stays intact, later appends are unaffected by earlier
+    deletes, and the INDEPENDENT reader applies the same spec rule to
+    reach the identical row multiset."""
+    df = _df(spark, [(i, "a" if i % 2 else "b", float(i)) for i in range(12)])
+    s1 = iceberg.create(df, table)
+    data_before = iceberg.snapshot_files(table)
+    s2 = iceberg.delete_where(spark, table, "id % 4 = 0")
+    # no copy-on-write: data file set unchanged, tombstones separate
+    assert iceberg.snapshot_files(table) == data_before
+    assert iceberg.snapshot_delete_files(table)
+    want = [i for i in range(12) if i % 4 != 0]
+    assert sorted(r["id"] for r in iceberg.read_iceberg(spark, table).collect()) == want
+    _assert_snapshot_parity(spark, table, s2)   # independent reader agrees
+    _assert_snapshot_parity(spark, table, s1)   # pre-delete snapshot intact
+    assert len(indep.read_rows(table, s1)) == 12
+
+    # a later append is NOT affected by the earlier tombstones
+    iceberg.append(_df(spark, [(100, "z", 1.0)]), table)
+    got = sorted(r["id"] for r in iceberg.read_iceberg(spark, table).collect())
+    assert got == want + [100]
+    _assert_snapshot_parity(spark, table)
+
+    # second delete hits the appended file; empty delete commits nothing
+    s4 = iceberg.delete_where(spark, table, "id = 100")
+    assert sorted(r["id"] for r in iceberg.read_iceberg(spark, table).collect()) == want
+    assert iceberg.delete_where(spark, table, "id = 424242") == s4
+    _assert_snapshot_parity(spark, table)
+
+    # pruned scans apply the tombstones too
+    assert sorted(
+        r["id"] for r in iceberg.scan_partition(spark, table, {}).collect()
+    ) == want
+    # conversion refuses a snapshot it cannot represent
+    with pytest.raises(NotImplementedError):
+        iceberg.convert_to_delta(table, table + "_delta")
