@@ -42,8 +42,11 @@ the SAME data files (zero bytes copied, both directions);
 `delete_where` is merge-on-read DELETE via spec position-delete files
 (content=1 tombstones; readers — including Spark scans through the
 hidden ``_metadata.row_index`` column — apply them as one broadcast
-anti-join, so deleting rows never rewrites data). Limitations kept
-honest: identity transforms only; no equality deletes.
+anti-join, so deleting rows never rewrites data); `delete_by_equality`
+writes content=2 equality deletes (the streaming-CDC primitive: key
+tombstones with no write-time scan, applied under the spec's
+strictly-lower-sequence rule). Limitations kept honest: identity
+transforms only.
 """
 
 from __future__ import annotations
@@ -732,7 +735,6 @@ def read_iceberg(
         [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
     )
     paths = [os.path.join(table, f) for f in files]
-    deletes = snapshot_delete_files(table, sid)
     if not part_cols:
         df = spark.read.schema(spark_schema).parquet(*paths)
     else:
@@ -743,27 +745,30 @@ def read_iceberg(
         for f in spark_schema.fields:
             if f.name in part_cols:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    if deletes:
-        # merge-on-read: anti-join the (file, position) tombstones —
-        # Spark's hidden _metadata.row_index IS the spec's row position,
-        # so the delete application is one broadcast anti-join, no UDFs
-        df = df.select(
-            "*",
-            _norm_file_path().alias("__fp"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
-        dels = spark.read.parquet(*deletes).select(
-            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
-        )
-        df = df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
+    # merge-on-read: position tombstones anti-join on
+    # (_metadata.file_path, _metadata.row_index); equality tombstones
+    # anti-join on their key columns under the sequence ordering rule
+    df = _apply_delete_files(spark, table, sid, df)
     return df.select(*[f.name for f in spark_schema.fields])
 
 
-def _anti_join_deletes(spark: SparkSession, df: DataFrame, deletes: list) -> DataFrame:
-    """Apply position-delete tombstones to a parquet-scan DataFrame that
-    still has its `_metadata` column available (call BEFORE any final
-    projection): one broadcast anti-join on (normalized path, row pos)."""
-    if not deletes:
+def _apply_delete_files(
+    spark: SparkSession, table: str, sid: int, df: DataFrame
+) -> DataFrame:
+    """Apply this snapshot's delete files to a parquet-scan DataFrame
+    that still has its `_metadata` column available (call BEFORE any
+    final projection):
+
+    - position deletes (content=1): broadcast anti-join on
+      (normalized file path, _metadata.row_index);
+    - equality deletes (content=2): per delete file, broadcast
+      anti-join on the equality columns restricted to data files with a
+      STRICTLY LOWER sequence number (the spec ordering rule — rows
+      appended after the delete survive even when their keys match).
+    """
+    pos_dels = snapshot_delete_files(table, sid)
+    eq_dels = snapshot_equality_deletes(table, sid)
+    if not pos_dels and not eq_dels:
         return df
     out_cols = df.columns
     df = df.select(
@@ -771,10 +776,26 @@ def _anti_join_deletes(spark: SparkSession, df: DataFrame, deletes: list) -> Dat
         _norm_file_path().alias("__fp"),
         F.col("_metadata.row_index").alias("__pos"),
     )
-    dels = spark.read.parquet(*deletes).select(
-        F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
-    )
-    return df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti").select(*out_cols)
+    if pos_dels:
+        dels = spark.read.parquet(*pos_dels).select(
+            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+        )
+        df = df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
+    if eq_dels:
+        seq_rows = [
+            (path, seq) for path, seq in _data_file_sequences(table, sid).items()
+        ]
+        seq_df = spark.createDataFrame(seq_rows, "__fp string, __dseq long")
+        df = df.join(F.broadcast(seq_df), "__fp", "left")
+        for path, del_seq, cols in eq_dels:
+            keys = spark.read.parquet(path).select(
+                *[F.col(c).alias(f"__k_{c}") for c in cols]
+            )
+            cond = F.col("__dseq") < F.lit(del_seq)
+            for c in cols:
+                cond = cond & (F.col(c) == F.col(f"__k_{c}"))
+            df = df.join(F.broadcast(keys), on=cond, how="left_anti")
+    return df.select(*out_cols)
 
 
 def scan_partition(
@@ -814,7 +835,7 @@ def scan_partition(
         .option("basePath", table)
         .parquet(*[os.path.join(table, f) for f in sorted(keep)])
     )
-    df = _anti_join_deletes(spark, df, snapshot_delete_files(table, sid))
+    df = _apply_delete_files(spark, table, sid, df)
     for f in spark_schema.fields:
         if f.name in part_cols:
             df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
@@ -861,7 +882,7 @@ def scan_range(
     if not keep:
         return read_iceberg(spark, table, sid).filter(F.lit(False))
     df = spark.read.parquet(*[os.path.join(table, f) for f in sorted(keep)])
-    df = _anti_join_deletes(spark, df, snapshot_delete_files(table, sid))
+    df = _apply_delete_files(spark, table, sid, df)
     return df.filter(pred)
 
 
@@ -1045,10 +1066,12 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
         raise NotImplementedError(
             "convert_to_delta covers unpartitioned tables"
         )
-    if snapshot_delete_files(iceberg_table, sid):
+    if snapshot_delete_files(iceberg_table, sid) or snapshot_equality_deletes(
+        iceberg_table, sid
+    ):
         raise NotImplementedError(
-            "snapshot has position-delete files; Delta cannot represent "
-            "them without deletion vectors — compact first"
+            "snapshot has delete files; Delta cannot represent them "
+            "without deletion vectors — compact first"
         )
     if delta_log.latest_version(delta_table) is not None:
         raise FileExistsError(f"{delta_table} already has a Delta log")
@@ -1224,6 +1247,173 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
         "manifest_length": os.path.getsize(m_path),
         "partition_spec_id": meta["default-spec-id"],
         "content": 1,  # deletes manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(del_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(n for _, n, _ in del_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = avro_ocf.read_ocf(snap["manifest-list"]) + [new_entry]
+    ml_path = _write_manifest_list(table, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {"operation": "delete"},
+        "schema-id": snap.get("schema-id", meta["current-schema-id"]),
+        "parent-snapshot-id": sid,
+    }
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    _write_metadata(table, meta)
+    return snapshot_id
+
+
+def snapshot_equality_deletes(
+    table: str, snapshot_id: int | None = None
+) -> list[tuple[str, int, list[str]]]:
+    """(path, sequence_number, equality column names) for the
+    EQUALITY-DELETE files (content=2) live at a snapshot."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    out = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] in (0, 1) and (
+                entry["data_file"].get("content", 0) == 2
+            ):
+                ids = entry["data_file"].get("equality_ids") or []
+                out.append(
+                    (
+                        entry["data_file"]["file_path"],
+                        entry["sequence_number"],
+                        [by_id[i] for i in ids],
+                    )
+                )
+    return sorted(out)
+
+
+def _data_file_sequences(table: str, snapshot_id: int) -> dict[str, int]:
+    """file_path (absolute) -> sequence number for the snapshot's data
+    files — the ordering input for equality-delete application."""
+    meta = current_metadata(table)
+    snap = _snapshot(meta, snapshot_id)
+    out = {}
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] in (0, 1) and (
+                entry["data_file"].get("content", 0) == 0
+            ):
+                out[entry["data_file"]["file_path"]] = entry["sequence_number"]
+    return out
+
+
+def delete_by_equality(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+) -> int:
+    """Equality DELETE (spec content=2): tombstone every row matching
+    any key tuple in ``keys`` (a DataFrame whose columns name the
+    equality columns), WITHOUT scanning the data at write time — this
+    is the streaming-CDC primitive (a Flink-style upsert writes the new
+    row plus an equality delete of its key; no read-side lookup, no
+    rewrite). Per spec the delete applies only to data files with a
+    STRICTLY LOWER sequence number, so rows appended after the delete
+    keep living even if their keys match.
+
+    Write cost: the key tuples themselves — independent of table size
+    (position deletes need a scan to find positions; equality deletes
+    don't, which is why CDC writers use them)."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"]
+    snap = _snapshot(meta, sid)
+    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
+    by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    eq_cols = list(keys.columns)
+    missing = [c for c in eq_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns {missing} not in table schema")
+
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    keys.distinct().coalesce(1).write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    del_files = []
+    for root, dirs, fs in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in sorted(fs):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            src = os.path.join(root, fn)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            rel = os.path.join("data", f"eqdelete-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            del_files.append(
+                (dst, pq.ParquetFile(dst).metadata.num_rows, os.path.getsize(dst))
+            )
+    shutil.rmtree(staging)
+    if not del_files:
+        return sid
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    part_schema = _partition_record_schema(spec, schema)
+    entry_schema = _manifest_entry_schema(part_schema)
+    # equality_ids rides each entry (spec field-id 135)
+    entry_schema["fields"][-1]["type"]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "default": None,
+            "field-id": 135,
+        }
+    )
+    records = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": os.path.abspath(path),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": size,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": [by_name[c] for c in eq_cols],
+            },
+        }
+        for path, n, size in del_files
+    ]
+    m_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
+    avro_ocf.write_ocf(m_path, entry_schema, records)
+    new_entry = {
+        "manifest_path": m_path,
+        "manifest_length": os.path.getsize(m_path),
+        "partition_spec_id": meta["default-spec-id"],
+        "content": 1,
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,

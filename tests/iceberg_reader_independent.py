@@ -173,12 +173,14 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
     spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
     part_cols = {pf["name"] for pf in spec}
     tombstones = position_deletes(table, sid)
+    eq_deletes = equality_deletes(table, sid)
     out: list[tuple] = []
     for m in read_avro(snap["manifest-list"]):
         for e in read_avro(m["manifest_path"]):
             if e["status"] not in (0, 1) or e["data_file"].get("content", 0) != 0:
                 continue
             df = e["data_file"]
+            data_seq = e["sequence_number"]
             t = pq.read_table(df["file_path"])
             n = t.num_rows
             assert n == df["record_count"], "manifest record_count lies"
@@ -191,7 +193,38 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
                 else:
                     cols[name] = [None] * n
             fp = df["file_path"]
+            idx = {name: i for i, name in enumerate(names)}
             for pos, row in enumerate(zip(*[cols[name] for name in names])):
-                if (fp, pos) not in tombstones:
+                if (fp, pos) in tombstones:
+                    continue
+                # equality deletes: spec rule — apply only to data files
+                # with a STRICTLY LOWER sequence number
+                dead = any(
+                    data_seq < del_seq
+                    and tuple(row[idx[c]] for c in key_cols) in keyset
+                    for del_seq, key_cols, keyset in eq_deletes
+                )
+                if not dead:
                     out.append(row)
+    return out
+
+
+def equality_deletes(table: str, snapshot_id: int | None = None):
+    """[(sequence_number, key column names, {key tuples})] from the
+    snapshot's content=2 equality-delete files."""
+    meta = table_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    out = []
+    for m in read_avro(snap["manifest-list"]):
+        for e in read_avro(m["manifest_path"]):
+            if e["status"] in (0, 1) and e["data_file"].get("content", 0) == 2:
+                cols = [by_id[i] for i in (e["data_file"].get("equality_ids") or [])]
+                t = pq.read_table(e["data_file"]["file_path"])
+                keyset = set(
+                    zip(*[t.column(c).to_pylist() for c in cols])
+                )
+                out.append((e["sequence_number"], cols, keyset))
     return out

@@ -540,3 +540,35 @@ def test_position_deletes_merge_on_read(spark, table):
     # conversion refuses a snapshot it cannot represent
     with pytest.raises(NotImplementedError):
         iceberg.convert_to_delta(table, table + "_delta")
+
+
+def test_equality_deletes_cdc_semantics(spark, table):
+    """Equality deletes (content=2, the streaming-CDC primitive):
+    tombstone by key WITHOUT scanning data at write time; the spec's
+    sequence ordering means a row re-appended AFTER the delete survives
+    even though its key matches. Both readers implement the same rule;
+    mixed position+equality tombstones compose."""
+    iceberg.create(_df(spark, [(i, "x", float(i)) for i in range(8)]), table)
+    iceberg.delete_by_equality(
+        spark, table, spark.createDataFrame([(2,), (5,)], "id long")
+    )
+    assert sorted(r["id"] for r in iceberg.read_iceberg(spark, table).collect()) == [
+        0, 1, 3, 4, 6, 7
+    ]
+    _assert_snapshot_parity(spark, table)
+    # re-append a deleted key: STRICTLY-LOWER-sequence rule keeps it
+    iceberg.append(_df(spark, [(5, "reborn", 5.5)]), table)
+    got = {(r["id"], r["cat"]) for r in iceberg.read_iceberg(spark, table).collect()}
+    assert (5, "reborn") in got and (5, "x") not in got
+    _assert_snapshot_parity(spark, table)
+    # compose with a position delete
+    iceberg.delete_where(spark, table, "id = 0")
+    assert sorted(r["id"] for r in iceberg.read_iceberg(spark, table).collect()) == [
+        1, 3, 4, 5, 6, 7
+    ]
+    _assert_snapshot_parity(spark, table)
+    # unknown equality column is rejected loudly
+    with pytest.raises(ValueError):
+        iceberg.delete_by_equality(
+            spark, table, spark.createDataFrame([(1,)], "nope long")
+        )
