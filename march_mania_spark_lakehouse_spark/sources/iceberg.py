@@ -1445,3 +1445,14 @@ def delete_by_equality(
     ]
     _write_metadata(table, meta)
     return snapshot_id
+
+
+def compact(spark: SparkSession, table: str) -> int:
+    """Materialize merge-on-read tombstones: read the current snapshot
+    (deletes applied) and commit it as an overwrite — the new snapshot
+    has clean data files and NO delete files, read cost returns to a
+    plain scan, and Delta conversion becomes possible again. This is
+    what OPTIMIZE does on a merge-on-read table; history stays
+    time-travelable (the tombstoned snapshots keep their delete files
+    until `expire_snapshots`)."""
+    return overwrite(read_iceberg(spark, table), table)

@@ -572,3 +572,22 @@ def test_equality_deletes_cdc_semantics(spark, table):
         iceberg.delete_by_equality(
             spark, table, spark.createDataFrame([(1,)], "nope long")
         )
+
+
+def test_compact_materializes_tombstones(spark, table, tmp_path):
+    """After compaction the snapshot carries zero delete files, serves
+    identical rows, pre-compaction history still time-travels with its
+    tombstones applied, and Delta conversion works again."""
+    iceberg.create(_df(spark, [(i, "x", float(i)) for i in range(10)]), table)
+    s_del = iceberg.delete_where(spark, table, "id % 3 = 0")
+    want = sorted(t for t in indep.read_rows(table, s_del))
+    iceberg.compact(spark, table)
+    assert iceberg.snapshot_delete_files(table) == []
+    assert sorted(indep.read_rows(table)) == want
+    _assert_snapshot_parity(spark, table)
+    _assert_snapshot_parity(spark, table, s_del)  # history intact
+    d = str(tmp_path / "compacted_delta")
+    iceberg.convert_to_delta(table, d)  # no longer refuses
+    from tests import delta_reader_independent as delta_indep
+
+    assert sorted(delta_indep.read_rows(d)) == want
