@@ -76,6 +76,8 @@ PROBES = tuple(
                 "q131_delta_time_travel",     # Delta-log replay + two snapshot scans
                 "q177_iceberg_time_travel",   # Iceberg metadata plan + two snapshot scans
                 "q178_iceberg_pruned_scan",   # manifest-bounds data skipping
+                "q174_jpeg_roundtrip",        # per-doc Python codec (Arrow batches)
+                "q179_mp4_metadata",          # per-doc container parsing
                 "q160_tpch_q21_sole_late_supplier",  # semi/anti self-joins on pair tables
                 "q161_segment_dedup",         # segment explode + hot-set broadcast + reassemble
                 "q162_semantic_dedup",        # within-cell pair join, Σ cell²
