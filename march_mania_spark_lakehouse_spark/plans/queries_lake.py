@@ -702,3 +702,82 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q181 — CDC upsert on the Iceberg table (equality-delete + append, the
+# Flink-style merge-on-read shape): a deterministic change batch
+# re-prices every key%9==0 order and inserts shifted-key copies of
+# key%9==1 orders; the final per-status aggregate must hash-match the
+# relational CASE/UNION reconstruction. Neither the delete nor the
+# append scans or rewrites existing data files.
+# --------------------------------------------------------------------------
+
+_Q181_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 9 = 0
+                THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+inserted AS (
+    SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 9 = 1 AND o_orderkey % 3 = 1
+),
+allrows AS (SELECT * FROM base UNION ALL SELECT * FROM inserted)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM allrows GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: snapshot 1 = orders key%3=0 (3 cols),
+    then one CDC upsert batch — re-priced key%9=0 rows (update) plus
+    key-shifted copies of key%9=1&%3=1 rows (insert)."""
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-cdc|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_iceberg", fp)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        iceberg.create(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        updates = (
+            orders.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 9 == 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        )
+        inserts = (
+            orders.filter((F.col("o_orderkey") % 3 == 1) & (F.col("o_orderkey") % 9 == 1))
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000))
+        )
+        iceberg.upsert(spark, table, updates.unionByName(inserts), ["o_orderkey"])
+    return table
+
+
+@query("q181_iceberg_cdc_upsert", oracle=_Q181_SQL, tags=("lake", "agg"))
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the post-upsert Iceberg snapshot: updated rows
+    replaced their old versions via equality tombstones, inserts landed
+    as ordinary appends, and the read's anti-joins must be semantically
+    invisible — the oracle reconstructs the same state relationally."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_cdc_table(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -1456,3 +1456,17 @@ def compact(spark: SparkSession, table: str) -> int:
     time-travelable (the tombstoned snapshots keep their delete files
     until `expire_snapshots`)."""
     return overwrite(read_iceberg(spark, table), table)
+
+
+def upsert(
+    spark: SparkSession, table: str, changes: DataFrame, keys: Sequence[str]
+) -> int:
+    """CDC-style UPSERT in the merge-on-read idiom: an equality delete
+    of the changed keys followed by an append of the new rows — the
+    order matters (the append's higher sequence number is what lets the
+    new rows survive the tombstones that kill the old ones). No
+    read-time lookup, no data-file rewrite: write cost is O(changes)
+    whatever the table size — the reason CDC writers (Flink's upsert
+    sink) use exactly this shape."""
+    delete_by_equality(spark, table, changes.select(*keys).distinct())
+    return append(changes, table)

@@ -591,3 +591,23 @@ def test_compact_materializes_tombstones(spark, table, tmp_path):
     from tests import delta_reader_independent as delta_indep
 
     assert sorted(delta_indep.read_rows(d)) == want
+
+
+def test_upsert_replaces_and_inserts(spark, table):
+    """upsert = equality delete of changed keys + append, in THAT order
+    (the append's higher sequence is what keeps the new rows alive):
+    updated keys carry new values, unchanged rows persist, new keys
+    insert; the independent reader agrees."""
+    iceberg.create(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]), table)
+    changes = _df(spark, [(2, "B", 20.0), (9, "new", 9.0)])
+    iceberg.upsert(spark, table, changes, ["id"])
+    want = [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (9, "new", 9.0)]
+    assert sorted(
+        tuple(r) for r in iceberg.read_iceberg(spark, table).collect()
+    ) == want
+    assert sorted(indep.read_rows(table)) == want
+    # no data-file rewrite happened: the original files are all still live
+    metas = indep.table_metadata(table)
+    first = metas["snapshots"][0]["snapshot-id"]
+    orig = set(indep.snapshot_files(table, first))
+    assert orig <= set(indep.snapshot_files(table))
