@@ -1470,3 +1470,66 @@ def upsert(
     sink) use exactly this shape."""
     delete_by_equality(spark, table, changes.select(*keys).distinct())
     return append(changes, table)
+
+
+class IcebergNonAppendChangeError(RuntimeError):
+    """The requested change range contains a rewrite or delete commit,
+    whose file-level actions are not row-level inserts."""
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_seq: int,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Append-only change feed (the `delta_log.table_changes` analogue):
+    the rows ADDED by commits with sequence numbers in
+    ``(from_seq, to_seq]``, planned from manifest entries alone — exact
+    row-level CDC for an append-only table, and the incremental-refresh
+    input (`operators/ivm.py`): refresh cost tracks the delta, never the
+    table. Overwrite/MERGE/delete commits in the range raise
+    :class:`IcebergNonAppendChangeError` (their file/tombstone actions
+    don't decompose into row-level inserts)."""
+    meta = current_metadata(table)
+    hi = meta["last-sequence-number"] if to_seq is None else to_seq
+    for s in meta["snapshots"]:
+        if from_seq < s["sequence-number"] <= hi and (
+            s.get("summary", {}).get("operation") != "append"
+        ):
+            raise IcebergNonAppendChangeError(
+                f"snapshot seq {s['sequence-number']} is "
+                f"{s.get('summary', {}).get('operation')!r}; append-only "
+                "change feed cannot represent it"
+            )
+    snap = _snapshot(meta, meta["current-snapshot-id"])
+    added = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        if not (from_seq < m["sequence_number"] <= hi):
+            continue
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] == 1 and entry["data_file"].get("content", 0) == 0:
+                if from_seq < entry["sequence_number"] <= hi:
+                    added.append(
+                        os.path.relpath(
+                            entry["data_file"]["file_path"], os.path.abspath(table)
+                        )
+                    )
+    base = read_iceberg(spark, table)  # declared-schema read machinery
+    if not added:
+        return base.filter(F.lit(False))
+    from pyspark.sql import types as T  # noqa: F401
+
+    schema = base.schema
+    part_cols = [
+        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+    paths = [os.path.join(table, f) for f in sorted(added)]
+    if not part_cols:
+        return spark.read.schema(schema).parquet(*paths)
+    data_schema = type(schema)([f for f in schema.fields if f.name not in part_cols])
+    df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
+    for f in schema.fields:
+        if f.name in part_cols:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df.select(*[f.name for f in schema.fields])

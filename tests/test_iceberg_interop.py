@@ -673,3 +673,26 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
                 assert sorted(indep.read_rows(table, sid)) == _spark_rows(
                     spark, table, sid
                 ), f"trial {trial} snapshot {sid} diverged"
+
+
+def test_table_changes_append_only_feed(spark, table):
+    """Incremental change feed: exactly the rows of the commits in the
+    requested sequence range; rewrites and deletes in range raise."""
+    iceberg.create(_df(spark, [(1, "a", 1.0)]), table)         # seq 1
+    iceberg.append(_df(spark, [(2, "b", 2.0)]), table)         # seq 2
+    iceberg.append(_df(spark, [(3, "c", 3.0)]), table)         # seq 3
+    got = sorted(
+        r["id"] for r in iceberg.table_changes(spark, table, 1).collect()
+    )
+    assert got == [2, 3]
+    assert sorted(
+        r["id"] for r in iceberg.table_changes(spark, table, 1, 2).collect()
+    ) == [2]
+    assert iceberg.table_changes(spark, table, 3).count() == 0
+    iceberg.delete_where(spark, table, "id = 1")               # seq 4
+    with pytest.raises(iceberg.IcebergNonAppendChangeError):
+        iceberg.table_changes(spark, table, 3)
+    # pre-delete ranges still stream fine
+    assert sorted(
+        r["id"] for r in iceberg.table_changes(spark, table, 0, 3).collect()
+    ) == [1, 2, 3]
