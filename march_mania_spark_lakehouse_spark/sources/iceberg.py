@@ -111,6 +111,312 @@ def _schema_json_from_struct(struct) -> dict:
 
 
 # --------------------------------------------------------------------------
+# Partition transforms (spec §Partition Transforms): identity, temporal
+# (year/month/day/hour), bucket[N] (murmur3_x86_32 per spec Appendix B),
+# truncate[W]. Three faces per transform, kept in lock-step and pinned
+# by tests against the spec's published hash vectors:
+#   - a Spark Column expression (the WRITE path — JVM codegen except
+#     bucket, which is an Arrow-batched pandas UDF over the spec hash),
+#   - a driver-side Python function (the PLANNING path — manifest
+#     pruning in scan_partition / scan_range / scan_eq),
+#   - a manifest representation (what `_typed_partition` records).
+# --------------------------------------------------------------------------
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), the hash the Iceberg spec names
+    for the bucket transform (Appendix B). Returns unsigned."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i: i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _days_since_epoch(v) -> int:
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        v = v.date()
+    return (v - datetime.date(1970, 1, 1)).days
+
+
+def _micros_since_epoch(v) -> int:
+    import datetime
+
+    return int((v - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+
+def _bucket_bytes(v, src_type: str) -> bytes:
+    """Spec Appendix-B hash input: int/long/date/timestamp hash as the
+    8-byte little-endian long of their integral form (so bucket(34) is
+    the same whatever the declared width); strings hash their UTF-8."""
+    import struct as _struct
+
+    if src_type in ("int", "long"):
+        return _struct.pack("<q", int(v))
+    if src_type == "string":
+        return str(v).encode("utf-8")
+    if src_type == "date":
+        return _struct.pack("<q", _days_since_epoch(v))
+    if src_type == "timestamptz":
+        return _struct.pack("<q", _micros_since_epoch(v))
+    raise NotImplementedError(f"bucket transform over {src_type!r}")
+
+
+def bucket_of(v, src_type: str, n: int) -> int:
+    """bucket[N](v) per spec: (murmur3_32(bytes) & Int.MaxValue) % N."""
+    return (murmur3_32(_bucket_bytes(v, src_type)) & 0x7FFFFFFF) % n
+
+
+def apply_transform(transform: str, v, src_type: str):
+    """Driver-side transform application — the planning-path twin of
+    `_transform_expr`; null maps to null for every transform (spec)."""
+    import datetime
+
+    if v is None:
+        return None
+    if transform == "identity":
+        return v
+    if transform == "day":
+        return _days_since_epoch(v)
+    if transform == "month":
+        d = v.date() if isinstance(v, datetime.datetime) else v
+        return (d.year - 1970) * 12 + d.month - 1
+    if transform == "year":
+        d = v.date() if isinstance(v, datetime.datetime) else v
+        return d.year - 1970
+    if transform == "hour":
+        return _micros_since_epoch(v) // 3_600_000_000
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket["):-1])
+        return bucket_of(v, src_type, n)
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate["):-1])
+        if src_type == "string":
+            return str(v)[:w]
+        return int(v) - (int(v) % w)  # Python % is floor-mod, per spec
+    raise NotImplementedError(f"transform {transform!r}")
+
+
+def _transform_result_type(transform: str, src_type: str) -> str:
+    """Iceberg type of a partition field's VALUE (what manifests carry:
+    temporal transforms and bucket yield ints; truncate keeps the
+    source type; identity is the source type)."""
+    if transform == "identity" or transform.startswith("truncate["):
+        return src_type
+    if transform in ("day", "month", "year", "hour") or transform.startswith(
+        "bucket["
+    ):
+        return "int"
+    raise NotImplementedError(f"transform {transform!r}")
+
+
+#: transforms whose output preserves the source ordering — the ones
+#: scan_range may prune partition tuples with (bucket is NOT in this
+#: set: hashing scrambles order, so range scans keep every bucket)
+_ORDER_PRESERVING = ("identity", "day", "month", "year", "hour", "truncate[")
+
+
+def _is_order_preserving(transform: str) -> bool:
+    return transform in _ORDER_PRESERVING[:-1] or transform.startswith(
+        "truncate["
+    )
+
+
+def _parse_partition_field(s: str, by_name: dict) -> dict:
+    """Parse one ``partition_by`` entry — a bare column name (identity)
+    or ``day(ts)`` / ``bucket(16, key)`` / ``truncate(4, name)`` — into
+    a spec field dict (name per Iceberg naming convention)."""
+    import re
+
+    s = s.strip()
+    m = re.fullmatch(r"(\w+)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)", s)
+    if m is None:
+        fn, width, col = "identity", None, s
+    else:
+        fn, width, col = m.group(1), m.group(2), m.group(3)
+    if col not in by_name:
+        raise ValueError(f"partition source column {col!r} not in schema")
+    src_type = by_name[col]["type"]
+    if fn == "identity":
+        if src_type == "timestamptz":
+            raise NotImplementedError(
+                "identity-partitioning a timestamp is unbounded-cardinality "
+                "and its hive dir encoding is lossy; use day()/hour() "
+                "transforms instead"
+            )
+        transform, name = "identity", col
+    elif fn in ("year", "month", "day"):
+        if src_type not in ("date", "timestamptz"):
+            raise ValueError(f"{fn}() needs a date/timestamp source, got {src_type}")
+        transform, name = fn, f"{col}_{fn}"
+    elif fn == "hour":
+        if src_type != "timestamptz":
+            raise ValueError(f"hour() needs a timestamp source, got {src_type}")
+        transform, name = fn, f"{col}_hour"
+    elif fn == "bucket":
+        if width is None:
+            raise ValueError("bucket(N, col) needs a width")
+        if src_type not in ("int", "long", "string", "date", "timestamptz"):
+            raise ValueError(f"bucket() over {src_type} unsupported")
+        transform, name = f"bucket[{width}]", f"{col}_bucket"
+    elif fn == "truncate":
+        if width is None:
+            raise ValueError("truncate(W, col) needs a width")
+        if src_type not in ("int", "long", "string"):
+            raise ValueError(f"truncate() over {src_type} unsupported")
+        transform, name = f"truncate[{width}]", f"{col}_trunc"
+    else:
+        raise NotImplementedError(f"transform {fn!r}")
+    return {"source": col, "source_type": src_type, "transform": transform,
+            "name": name}
+
+
+def _bucket_udf(n: int, src_type: str):
+    """Arrow-batched pandas UDF computing the spec bucket value: the
+    long/int/date/timestamp fast path is a fully vectorized numpy
+    Murmur3 over the 8-byte LE block pair (no per-row Python); strings
+    fall back to per-row hashing of their UTF-8 bytes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _vectorized_long(vals):  # np.int64 array -> np.uint32 murmur
+        import numpy as np
+
+        u = vals.astype(np.uint64)
+        c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+        h = np.zeros(len(vals), dtype=np.uint32)
+        for k in (
+            (u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (u >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = k * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h = h ^ k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+        return h
+
+    def _bucket(s):
+        import numpy as np
+
+        if src_type == "string":
+            return pd.Series(
+                [
+                    None
+                    if v is None
+                    else (murmur3_32(str(v).encode()) & 0x7FFFFFFF) % n
+                    for v in s
+                ],
+                dtype="Int32",
+            )
+        if src_type == "timestamptz" and pd.api.types.is_datetime64_any_dtype(s):
+            mask = s.notna()
+            vals = s[mask].astype("int64").to_numpy() // 1000  # ns -> µs
+        elif src_type == "date" and s.dtype == object:
+            mask = s.notna()
+            vals = np.array(
+                [_days_since_epoch(v) for v in s[mask]], dtype=np.int64
+            )
+        else:  # int/long, possibly float64 when nulls are present
+            mask = s.notna()
+            vals = s[mask].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = _vectorized_long(vals)
+        out = pd.Series([None] * len(s), dtype="Int32", index=s.index)
+        out[mask] = ((h & np.uint32(0x7FFFFFFF)).astype(np.int64) % n).astype(
+            "int32"
+        )
+        return out
+
+    # module uses `from __future__ import annotations`, which stringifies
+    # hints pyspark can't resolve here — hand it real annotation objects
+    _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "int")
+
+
+def _transform_expr(transform: str, source: str, src_type: str):
+    """Spark Column computing the transform value for the WRITE path —
+    JVM codegen for every transform except bucket (spec murmur3, pandas
+    UDF)."""
+    c = F.col(source)
+    if transform == "identity":
+        return c
+    if transform == "day":
+        return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+    if transform == "month":
+        return (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+    if transform == "year":
+        return F.year(c) - F.lit(1970)
+    if transform == "hour":
+        return F.floor(c.cast("long") / F.lit(3600)).cast("int")
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket["):-1])
+        return _bucket_udf(n, src_type)(c)
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate["):-1])
+        if src_type == "string":
+            return F.substring(c, 1, w)
+        return (c - F.pmod(c, F.lit(w))).cast(src_type if src_type != "long"
+                                              else "bigint")
+    raise NotImplementedError(f"transform {transform!r}")
+
+
+def _spec_info(meta: dict) -> list[dict]:
+    """The default partition spec resolved against its schema:
+    [{name, transform, source, source_type}]."""
+    schema = meta["schemas"][meta["current-schema-id"]]
+    by_id = {f["id"]: f for f in schema["fields"]}
+    out = []
+    for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]:
+        src = by_id[pf["source-id"]]
+        out.append(
+            {
+                "name": pf["name"],
+                "transform": pf.get("transform", "identity"),
+                "source": src["name"],
+                "source_type": src["type"],
+            }
+        )
+    return out
+
+
+def _identity_part_cols(meta: dict) -> list[str]:
+    """Schema columns physically ABSENT from data files (hive layout):
+    identity-transform partition fields only. Transform fields
+    (ts_day, key_bucket) are derived dir values — their SOURCE columns
+    stay in the data files, per the spec's hidden partitioning."""
+    return [pf["name"] for pf in _spec_info(meta) if pf["transform"] == "identity"]
+
+
+# --------------------------------------------------------------------------
 # Avro schemas for manifests / manifest lists (spec Appendix C field-ids)
 # --------------------------------------------------------------------------
 
@@ -120,11 +426,14 @@ def _partition_record_schema(spec_fields: list[dict], schema: dict) -> dict:
     avro_fields = []
     for pf in spec_fields:
         src = by_id[pf["source-id"]]
+        vtype = _transform_result_type(
+            pf.get("transform", "identity"), src["type"]
+        )
         avro_type = {
             "long": "long", "int": "int", "string": "string",
             "double": "double", "float": "float", "boolean": "boolean",
             "date": "int", "timestamptz": "long",
-        }.get(src["type"], "string")
+        }.get(vtype, "string")
         avro_fields.append(
             {
                 "name": pf["name"],
@@ -270,18 +579,37 @@ class IcebergConcurrentCommitError(RuntimeError):
 
 
 def _stage_data_files(
-    df: DataFrame, table: str, partition_by: Sequence[str]
+    df: DataFrame, table: str, spec_info: Sequence[dict]
 ) -> list[tuple[str, dict, int, int]]:
     """Write parquet into data/ under fresh names; return
     [(path relative to table, partition values, record count, bytes)].
-    Hive layout for partitioned tables; identity-partition VALUES are
-    what readers use (spec identity-column projection)."""
+    Hive layout, one dir level per partition FIELD: identity fields
+    partition by the source column (its values then live only in the
+    manifests — spec identity-column projection); transform fields
+    (day/bucket/...) partition by a derived column named after the
+    field, which lands in the dir path while the SOURCE column stays in
+    the data file (spec hidden partitioning)."""
     import pyarrow.parquet as pq
 
+    part_cols = []
+    for pf in spec_info:
+        if pf["transform"] == "identity":
+            part_cols.append(pf["source"])
+        else:
+            if pf["name"] in df.columns:
+                raise ValueError(
+                    f"column {pf['name']!r} collides with the partition "
+                    f"field name for {pf['transform']}({pf['source']})"
+                )
+            df = df.withColumn(
+                pf["name"],
+                _transform_expr(pf["transform"], pf["source"], pf["source_type"]),
+            )
+            part_cols.append(pf["name"])
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
+    if part_cols:
+        w = w.partitionBy(*part_cols)
     w.parquet(staging)
     out = []
     for root, dirs, files in os.walk(staging):
@@ -309,22 +637,71 @@ def _stage_data_files(
 
 
 def _typed_partition(pvals: dict, meta: dict) -> dict:
-    """Cast hive-layout string partition values to the declared Iceberg
-    types for the manifest's partition record."""
+    """Cast hive-layout string partition values to the Avro types the
+    manifest's partition record declares. Dates become days-since-epoch
+    ints and timestamps micros-since-epoch longs — the spec's partition
+    representation AND what `_partition_record_schema` declares (an
+    unconverted '2024-01-01' string would fail the Avro write)."""
+    import datetime
+    import urllib.parse
+
     schema = meta["schemas"][meta["current-schema-id"]]
     types = {f["name"]: f["type"] for f in schema["fields"]}
+    # transform partition fields (ts_day / key_bucket) are typed by the
+    # transform's RESULT, not the source column
+    by_id = {f["id"]: f for f in schema["fields"]}
+    for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]:
+        tr = pf.get("transform", "identity")
+        if tr != "identity":
+            types[pf["name"]] = _transform_result_type(
+                tr, by_id[pf["source-id"]]["type"]
+            )
     out = {}
     for k, v in pvals.items():
         t = types.get(k, "string")
-        if t in ("long", "int"):
+        # Spark hive-layout dirs escape special chars ('%3A' etc.);
+        # '%' itself is written as '%25', so unquoting is lossless
+        v = urllib.parse.unquote(v)
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            out[k] = None
+        elif t in ("long", "int"):
             out[k] = int(v)
         elif t in ("double", "float"):
             out[k] = float(v)
         elif t == "boolean":
             out[k] = v == "true"
+        elif t == "date":
+            out[k] = (
+                datetime.date.fromisoformat(v) - datetime.date(1970, 1, 1)
+            ).days
+        elif t == "timestamptz":
+            dt = datetime.datetime.fromisoformat(v)
+            out[k] = int(
+                (dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
+            )
         else:
             out[k] = v
     return out
+
+
+def _partition_compare_value(v, transform: str, src_type: str):
+    """Normalize a user-supplied partition value to the representation
+    `_typed_partition` stores in the manifests, so `scan_partition`
+    equality checks compare like with like (date → days-since-epoch,
+    timestamp → micros; transforms apply their own function)."""
+    import datetime
+
+    if transform == "identity":
+        if src_type == "date" and isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            return (v - datetime.date(1970, 1, 1)).days
+        if src_type == "timestamptz" and isinstance(v, datetime.datetime):
+            return int(
+                (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
+            )
+        return v
+    return apply_transform(transform, v, src_type)
 
 
 def _single_value_bytes(value, iceberg_type: str) -> bytes:
@@ -369,6 +746,18 @@ def single_value_read(data: bytes, iceberg_type: str):
         return _struct.unpack("<f", data)[0]
     if iceberg_type == "string":
         return data.decode("utf-8")
+    if iceberg_type == "date":
+        import datetime
+
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=_struct.unpack("<i", data)[0]
+        )
+    if iceberg_type == "timestamptz":
+        import datetime
+
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=_struct.unpack("<q", data)[0]
+        )
     raise NotImplementedError(f"bounds for type {iceberg_type!r}")
 
 
@@ -476,20 +865,35 @@ def create(
 ) -> int:
     """Create an Iceberg table (metadata v1, snapshot 1). Returns the
     snapshot id. ``stat_cols`` records per-file lower/upper bounds in
-    the manifests (the `scan_range` data-skipping input)."""
+    the manifests (the `scan_range` data-skipping input).
+
+    ``partition_by`` entries are bare column names (identity transform)
+    or transform expressions per the spec's partitioning section:
+    ``"day(ts)"`` / ``"month(ts)"`` / ``"year(d)"`` / ``"hour(ts)"`` /
+    ``"bucket(16, key)"`` / ``"truncate(4, name)"`` — hidden
+    partitioning: queries filter the SOURCE column and pruning happens
+    against the transformed manifest tuples."""
     if current_version(table) is not None:
         raise FileExistsError(f"{table} already has Iceberg metadata")
     os.makedirs(table, exist_ok=True)
     schema = _schema_json(df)
     by_name = {f["name"]: f for f in schema["fields"]}
+    parsed = [_parse_partition_field(s, by_name) for s in partition_by]
+    if len({p["name"] for p in parsed}) != len(parsed):
+        raise ValueError("duplicate partition field names")
+    for p in parsed:
+        if p["transform"] != "identity" and p["name"] in by_name:
+            raise ValueError(
+                f"partition field name {p['name']!r} collides with a column"
+            )
     spec_fields = [
         {
-            "name": c,
-            "transform": "identity",
-            "source-id": by_name[c]["id"],
+            "name": p["name"],
+            "transform": p["transform"],
+            "source-id": by_name[p["source"]]["id"],
             "field-id": 1000 + i,
         }
-        for i, c in enumerate(partition_by)
+        for i, p in enumerate(parsed)
     ]
     meta = {
         "format-version": FORMAT_VERSION,
@@ -590,13 +994,10 @@ def _commit_snapshot(
 ) -> int:
     seq = meta["last-sequence-number"] + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
-    part_cols = [
-        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    ]
     files = (
         staged_files
         if staged_files is not None
-        else _stage_data_files(df, table, part_cols)
+        else _stage_data_files(df, table, _spec_info(meta))
     )
     m_path, m_len, n_files, n_rows = _write_manifest(
         table, meta, files, snapshot_id, seq, stat_cols
@@ -703,53 +1104,80 @@ def _norm_file_path():
     return F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
 
 
-def read_iceberg(
-    spark: SparkSession, table: str, snapshot_id: int | None = None
-) -> DataFrame:
-    """Time-travel reader: the table as of ``snapshot_id`` (default
-    current), under the declared schema; hive-layout identity-partition
-    columns restored via basePath discovery and cast to declared types."""
+def _spark_schema(schema: dict):
+    """StructType for an Iceberg schema dict (the declared-read input)."""
     from pyspark.sql import types as T
 
-    meta = current_metadata(table)
-    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
-    files = snapshot_files(table, sid)
-    if not files:
-        raise FileNotFoundError(f"{table} snapshot has no data files")
-    # the snapshot's own schema-id (spec rule): time travel to a
-    # pre-evolution snapshot reads under the schema it was written with
-    snap_schema_id = _snapshot(meta, sid).get(
-        "schema-id", meta["current-schema-id"]
-    )
-    schema = meta["schemas"][snap_schema_id]
-    part_cols = [
-        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    ]
     back = {
         "long": T.LongType(), "int": T.IntegerType(), "string": T.StringType(),
         "double": T.DoubleType(), "float": T.FloatType(),
         "boolean": T.BooleanType(), "date": T.DateType(),
         "timestamptz": T.TimestampType(),
     }
-    spark_schema = T.StructType(
+    return T.StructType(
         [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
     )
-    paths = [os.path.join(table, f) for f in files]
-    if not part_cols:
-        df = spark.read.schema(spark_schema).parquet(*paths)
+
+
+def _read_data_files(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    sid: int,
+    rel_files: Sequence[str],
+) -> DataFrame:
+    """Read a planned set of data files under the snapshot's DECLARED
+    schema, restore hive-layout identity-partition columns (basePath
+    discovery + declared-type cast), apply the snapshot's delete files
+    (merge-on-read), and project the declared column order. Transform
+    partition fields need no restoration — their source columns live in
+    the data files (hidden partitioning)."""
+    from pyspark.sql import types as T
+
+    # the snapshot's own schema-id (spec rule): time travel to a
+    # pre-evolution snapshot reads under the schema it was written with
+    snap_schema_id = _snapshot(meta, sid).get(
+        "schema-id", meta["current-schema-id"]
+    )
+    spark_schema = _spark_schema(meta["schemas"][snap_schema_id])
+    id_cols = _identity_part_cols(meta)
+    has_spec = bool(_spec_info(meta))
+    paths = [os.path.join(table, f) for f in sorted(rel_files)]
+    if not id_cols:
+        # transform dirs (if any) are derived values, not schema
+        # columns; basePath only when there ARE partition dirs — a
+        # converted table's data files can live outside the table root
+        r = spark.read.schema(spark_schema)
+        if has_spec:
+            r = r.option("basePath", table)
+        df = r.parquet(*paths)
     else:
         data_schema = T.StructType(
-            [f for f in spark_schema.fields if f.name not in part_cols]
+            [f for f in spark_schema.fields if f.name not in id_cols]
         )
         df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
         for f in spark_schema.fields:
-            if f.name in part_cols:
+            if f.name in id_cols:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     # merge-on-read: position tombstones anti-join on
     # (_metadata.file_path, _metadata.row_index); equality tombstones
     # anti-join on their key columns under the sequence ordering rule
     df = _apply_delete_files(spark, table, sid, df)
     return df.select(*[f.name for f in spark_schema.fields])
+
+
+def read_iceberg(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Time-travel reader: the table as of ``snapshot_id`` (default
+    current), under the declared schema; hive-layout identity-partition
+    columns restored via basePath discovery and cast to declared types."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    files = snapshot_files(table, sid)
+    if not files:
+        raise FileNotFoundError(f"{table} snapshot has no data files")
+    return _read_data_files(spark, table, meta, sid, files)
 
 
 def _apply_delete_files(
@@ -793,19 +1221,60 @@ def _apply_delete_files(
             )
             cond = F.col("__dseq") < F.lit(del_seq)
             for c in cols:
-                cond = cond & (F.col(c) == F.col(f"__k_{c}"))
+                # null-safe: an equality delete whose key value is NULL
+                # matches rows with NULL in that column (spec; plain ==
+                # would silently never match them)
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
             df = df.join(F.broadcast(keys), on=cond, how="left_anti")
     return df.select(*out_cols)
+
+
+def _resolve_partition_predicates(meta: dict, values: dict) -> dict:
+    """Normalize a user ``values`` dict to {partition field name:
+    manifest representation}. A key naming a partition FIELD compares
+    its value raw (identity values get the date/ts → int conversion); a
+    key naming a SOURCE column of transform fields applies each such
+    field's transform — hidden partitioning's contract: callers filter
+    on source columns, pruning happens on transform values."""
+    spec = _spec_info(meta)
+    by_field = {pf["name"]: pf for pf in spec}
+    want: dict = {}
+    for k, v in values.items():
+        if k in by_field:
+            pf = by_field[k]
+            if pf["transform"] == "identity":
+                want[pf["name"]] = _partition_compare_value(
+                    v, "identity", pf["source_type"]
+                )
+            else:
+                want[pf["name"]] = v  # raw transform value
+            continue
+        hits = [pf for pf in spec if pf["source"] == k]
+        if not hits:
+            raise ValueError(
+                f"{k!r} is neither a partition field nor a partition source "
+                f"column (spec fields: {sorted(by_field)})"
+            )
+        for pf in hits:
+            want[pf["name"]] = apply_transform(
+                pf["transform"], v, pf["source_type"]
+            )
+    return want
 
 
 def scan_partition(
     spark: SparkSession, table: str, values: dict, snapshot_id: int | None = None
 ) -> DataFrame:
     """Partition-pruned scan planned from the manifests' typed partition
-    tuples — non-matching partitions contribute zero files/tasks."""
+    tuples — non-matching partitions contribute zero files/tasks.
+    ``values`` keys may be partition field names (raw transform values)
+    or source column names (source values; the transform is applied
+    here, planner-side — e.g. ``{"ts": date(2024, 1, 1)}`` against a
+    ``day(ts)`` spec prunes to that day's files)."""
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = _snapshot(meta, sid)
+    want = _resolve_partition_predicates(meta, values)
     keep = []
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
@@ -814,7 +1283,7 @@ def scan_partition(
             if entry["data_file"].get("content", 0) != 0:
                 continue  # delete files are applied, not scanned
             part = entry["data_file"]["partition"] or {}
-            if all(part.get(k) == v for k, v in values.items()):
+            if all(part.get(k) == v for k, v in want.items()):
                 keep.append(
                     os.path.relpath(
                         entry["data_file"]["file_path"], os.path.abspath(table)
@@ -822,24 +1291,7 @@ def scan_partition(
                 )
     if not keep:
         return read_iceberg(spark, table, sid).filter(F.lit(False))
-    full = read_iceberg(spark, table, sid)
-    part_cols = [
-        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    ]
-    spark_schema = full.schema
-    data_schema = type(spark_schema)(
-        [f for f in spark_schema.fields if f.name not in part_cols]
-    )
-    df = (
-        spark.read.schema(data_schema)
-        .option("basePath", table)
-        .parquet(*[os.path.join(table, f) for f in sorted(keep)])
-    )
-    df = _apply_delete_files(spark, table, sid, df)
-    for f in spark_schema.fields:
-        if f.name in part_cols:
-            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    return df.select(*[f.name for f in spark_schema.fields])
+    return _read_data_files(spark, table, meta, sid, keep)
 
 
 def scan_range(
@@ -850,16 +1302,30 @@ def scan_range(
     hi,
     snapshot_id: int | None = None,
 ) -> DataFrame:
-    """Data skipping from manifest bounds: open only files whose
-    [lower, upper] for ``col`` overlaps [lo, hi] (files lacking bounds
-    are conservatively kept), then apply the exact residual filter.
-    Planner input is the manifests — KBs — not file footers."""
+    """Data skipping planned from manifests alone — KBs, not footers:
+    open only files that can hold ``col`` values in [lo, hi], judged by
+    (a) per-file lower/upper bounds when recorded (``stat_cols``) and
+    (b) the partition tuple, when ``col`` is the source of an
+    ORDER-PRESERVING transform field (day/month/year/hour/truncate —
+    a day-partitioned table answers a time-range scan from metadata;
+    bucket scrambles order, so bucket fields never range-prune). Files
+    with undecodable or missing bounds are conservatively kept; the
+    exact residual filter runs after."""
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = _snapshot(meta, sid)
     schema = meta["schemas"][meta["current-schema-id"]]
     field = next(f for f in schema["fields"] if f["name"] == col)
     fid, ftype = field["id"], field["type"]
+    range_fields = [
+        (
+            pf["name"],
+            apply_transform(pf["transform"], lo, pf["source_type"]),
+            apply_transform(pf["transform"], hi, pf["source_type"]),
+        )
+        for pf in _spec_info(meta)
+        if pf["source"] == col and _is_order_preserving(pf["transform"])
+    ]
     keep = []
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
@@ -868,22 +1334,43 @@ def scan_range(
             if entry["data_file"].get("content", 0) != 0:
                 continue  # delete files are applied, not scanned
             df_rec = entry["data_file"]
+            part = df_rec.get("partition") or {}
+            if any(
+                part.get(name) is not None
+                and not (t_lo <= part[name] <= t_hi)
+                for name, t_lo, t_hi in range_fields
+            ):
+                continue  # pruned from the partition tuple alone
             lob = {b["key"]: b["value"] for b in (df_rec.get("lower_bounds") or [])}
             upb = {b["key"]: b["value"] for b in (df_rec.get("upper_bounds") or [])}
             if fid in lob and fid in upb:
-                f_lo = single_value_read(lob[fid], ftype)
-                f_hi = single_value_read(upb[fid], ftype)
-                if f_lo > hi or f_hi < lo:
-                    continue  # skipped from metadata alone
+                try:
+                    f_lo = single_value_read(lob[fid], ftype)
+                    f_hi = single_value_read(upb[fid], ftype)
+                except NotImplementedError:
+                    pass  # undecodable bounds: keep the file (no pruning)
+                else:
+                    if f_lo > hi or f_hi < lo:
+                        continue  # skipped from metadata alone
             keep.append(
                 os.path.relpath(df_rec["file_path"], os.path.abspath(table))
             )
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not keep:
         return read_iceberg(spark, table, sid).filter(F.lit(False))
-    df = spark.read.parquet(*[os.path.join(table, f) for f in sorted(keep)])
-    df = _apply_delete_files(spark, table, sid, df)
-    return df.filter(pred)
+    return _read_data_files(spark, table, meta, sid, keep).filter(pred)
+
+
+def scan_eq(
+    spark: SparkSession, table: str, col: str, value, snapshot_id: int | None = None
+) -> DataFrame:
+    """Point lookup: partition-prune on every spec field sourced from
+    ``col`` (for ``bucket(N, col)`` this is THE pruning a hash
+    partition exists for — 1/N of the files planned, from metadata
+    alone), then apply the exact residual equality filter (a bucket
+    holds other keys too)."""
+    pruned = scan_partition(spark, table, {col: value}, snapshot_id)
+    return pruned.filter(F.col(col) == F.lit(value))
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
@@ -1036,6 +1523,12 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
     }
     staged = []
     for rel, add in sorted(live.items()):
+        if add.get("deletionVector"):
+            raise NotImplementedError(
+                "live file carries a deletion vector; Iceberg manifests "
+                "cannot reference Delta DV sidecars — optimize() first to "
+                "materialize them"
+            )
         path = os.path.abspath(os.path.join(delta_table, rel))
         stats = json.loads(add.get("stats") or "{}")
         n_rows = stats.get("numRecords")
@@ -1152,31 +1645,24 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
     sid = meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
     schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
-    part_cols = [
-        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    ]
+    id_cols = _identity_part_cols(meta)
     from pyspark.sql import types as T
 
-    back = {
-        "long": T.LongType(), "int": T.IntegerType(), "string": T.StringType(),
-        "double": T.DoubleType(), "float": T.FloatType(),
-        "boolean": T.BooleanType(), "date": T.DateType(),
-        "timestamptz": T.TimestampType(),
-    }
-    spark_schema = T.StructType(
-        [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
-    )
+    spark_schema = _spark_schema(schema)
     paths = [os.path.join(table, f) for f in snapshot_files(table, sid)]
-    if part_cols:
+    if id_cols:
         data_schema = T.StructType(
-            [f for f in spark_schema.fields if f.name not in part_cols]
+            [f for f in spark_schema.fields if f.name not in id_cols]
         )
         df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
         for f in spark_schema.fields:
-            if f.name in part_cols:
+            if f.name in id_cols:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     else:
-        df = spark.read.schema(spark_schema).parquet(*paths)
+        r = spark.read.schema(spark_schema)
+        if _spec_info(meta):  # transform dirs present but no identity cols
+            r = r.option("basePath", table)
+        df = r.parquet(*paths)
     hits = (
         df.select(
             "*",
@@ -1502,6 +1988,17 @@ def table_changes(
                 f"{s.get('summary', {}).get('operation')!r}; append-only "
                 "change feed cannot represent it"
             )
+    # every commit consumes exactly one sequence number, so any seq in
+    # the range with NO retained snapshot was expired — its operation
+    # (possibly a rewrite) is undetectable and the feed must refuse
+    # rather than silently misreport
+    retained = {s["sequence-number"] for s in meta["snapshots"]}
+    expired = [s for s in range(from_seq + 1, hi + 1) if s not in retained]
+    if expired:
+        raise IcebergNonAppendChangeError(
+            f"sequence numbers {expired} in the requested range were "
+            "expired by expire_snapshots; their operations are unknowable"
+        )
     snap = _snapshot(meta, meta["current-snapshot-id"])
     added = []
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
@@ -1518,18 +2015,18 @@ def table_changes(
     base = read_iceberg(spark, table)  # declared-schema read machinery
     if not added:
         return base.filter(F.lit(False))
-    from pyspark.sql import types as T  # noqa: F401
 
     schema = base.schema
-    part_cols = [
-        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    ]
+    id_cols = _identity_part_cols(meta)
     paths = [os.path.join(table, f) for f in sorted(added)]
-    if not part_cols:
-        return spark.read.schema(schema).parquet(*paths)
-    data_schema = type(schema)([f for f in schema.fields if f.name not in part_cols])
+    if not id_cols:
+        r = spark.read.schema(schema)
+        if _spec_info(meta):  # transform dirs present but no identity cols
+            r = r.option("basePath", table)
+        return r.parquet(*paths).select(*[f.name for f in schema.fields])
+    data_schema = type(schema)([f for f in schema.fields if f.name not in id_cols])
     df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
     for f in schema.fields:
-        if f.name in part_cols:
+        if f.name in id_cols:
             df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     return df.select(*[f.name for f in schema.fields])

@@ -239,6 +239,17 @@ class _IcebergTableStreamReader:
                     f"{s.get('summary', {}).get('operation')!r}; append-only "
                     "streams cannot represent rewrites"
                 )
+        # expire_snapshots can drop snapshot entries whose seq is still
+        # in range — those commits' operations become unknowable, so
+        # refuse rather than silently misreport (same guard as
+        # iceberg.table_changes)
+        retained = {s["sequence-number"] for s in meta["snapshots"]}
+        expired = [s for s in range(lo + 1, hi + 1) if s not in retained]
+        if expired:
+            raise ValueError(
+                f"sequence numbers {expired} were expired by "
+                "expire_snapshots; cannot stream an expired range"
+            )
         snap = iceberg._snapshot(meta, meta["current-snapshot-id"])
         files = []
         for m in avro_ocf.read_ocf(snap["manifest-list"]):

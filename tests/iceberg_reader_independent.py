@@ -171,7 +171,18 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
     schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
     names = [f["name"] for f in schema["fields"]]
     spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    part_cols = {pf["name"] for pf in spec}
+    # only IDENTITY-transform fields are absent from the data files and
+    # restored from the manifest tuple (spec identity-column
+    # projection); transform fields (day/bucket/...) are derived dir
+    # values whose SOURCE columns live in the files (hidden
+    # partitioning). Manifest tuples carry dates as days-since-epoch
+    # and timestamps as micros (spec Appendix D representation).
+    by_fid = {f["id"]: f for f in schema["fields"]}
+    part_cols = {
+        pf["name"]: by_fid[pf["source-id"]]["type"]
+        for pf in spec
+        if pf.get("transform", "identity") == "identity"
+    }
     tombstones = position_deletes(table, sid)
     eq_deletes = equality_deletes(table, sid)
     out: list[tuple] = []
@@ -187,7 +198,18 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
             cols = {}
             for name in names:
                 if name in part_cols:
-                    cols[name] = [(df["partition"] or {}).get(name)] * n
+                    v = (df["partition"] or {}).get(name)
+                    if v is not None and part_cols[name] == "date":
+                        import datetime
+
+                        v = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+                    elif v is not None and part_cols[name] == "timestamptz":
+                        import datetime
+
+                        v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                            microseconds=v
+                        )
+                    cols[name] = [v] * n
                 elif name in t.column_names:
                     cols[name] = t.column(name).to_pylist()
                 else:
