@@ -781,3 +781,196 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q182 — Iceberg hidden partitioning, day(ts) transform: events
+# published day-partitioned (spec §Partition Transforms; transform
+# values in the manifests' partition tuples, SOURCE column kept in the
+# data files), then a time-range aggregate through `iceberg.scan_range`
+# — the planner prunes whole days from the partition tuples alone, no
+# footer opens, no dir listings. Pruning is semantically invisible, so
+# the oracle is the plain time-filtered aggregate.
+# --------------------------------------------------------------------------
+
+_Q182_SQL = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum("value", "sum_value")}
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-04 23:59:59'
+  AND event_id % 2 = 0
+GROUP BY event_type
+"""
+
+
+def _events_iceberg_day_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish of events under a day(ts) partition
+    spec (two appends, exercising multi-snapshot planning)."""
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-day|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_iceberg", fp)
+    if iceberg.current_version(table) is None:
+        events = catalog.load(spark, "events", sf_dir)
+        iceberg.create(
+            events.filter(F.col("event_id") % 4 == 0), table,
+            partition_by=["day(ts)"],
+        )
+        iceberg.append(events.filter(F.col("event_id") % 4 == 2), table)
+    return table
+
+
+@query("q182_iceberg_day_transform_scan", oracle=_Q182_SQL, tags=("lake", "agg"))
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range aggregate over a day(ts)-partitioned Iceberg table:
+    `scan_range` maps the timestamp range to day ordinals driver-side
+    and keeps only manifest entries whose partition tuple falls inside
+    — at 100 TB a one-day scan of a years-long event table plans
+    1/1000th of the files from KBs of metadata. The residual timestamp
+    filter gives exact edges."""
+    import datetime
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _events_iceberg_day_table(spark, sf_dir)
+    scanned = iceberg.scan_range(
+        spark, table, "ts",
+        datetime.datetime(2024, 1, 3, 0, 0, 0),
+        datetime.datetime(2024, 1, 4, 23, 59, 59),
+    )
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q183 — Iceberg bucket(8, o_custkey) transform: point lookups plan
+# exactly one hash bucket (1/8 of the files) from the manifests' bucket
+# tuples — the spec's murmur3_x86_32 bucket function on both the write
+# path (vectorized pandas UDF) and the planning path (driver-side
+# Python), pinned equal by test. Pruning is invisible; the oracle is
+# the plain per-customer aggregate.
+# --------------------------------------------------------------------------
+
+_Q183_SQL = f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_custkey IN (7, 70, 700)
+GROUP BY o_custkey
+"""
+
+
+def _orders_iceberg_bucket_table(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-bucket|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_iceberg", fp)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(orders, table, partition_by=["bucket(8, o_custkey)"])
+    return table
+
+
+@query("q183_iceberg_bucket_transform_lookup", oracle=_Q183_SQL, tags=("lake", "agg"))
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order aggregate where each customer's rows come
+    through `iceberg.scan_eq`: the planner computes the key's bucket
+    (spec murmur3) and keeps only that bucket's files — a metadata-only
+    1/N plan that is what hash partitioning exists for. The exact
+    equality filter removes the bucket's other keys."""
+    from functools import reduce
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_bucket_table(spark, sf_dir)
+    per_key = [
+        iceberg.scan_eq(spark, table, "o_custkey", k) for k in (7, 70, 700)
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), per_key)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — Delta deletion vectors: the q180 shape on the Delta layer. A
+# key-range DELETE lands as a roaring-bitmap DV sidecar (protocol
+# "Deletion Vectors": Z85 descriptor, portable 64-bit roaring, CRC
+# framing — `sources/deletion_vectors.py`) with ZERO data files
+# rewritten; the per-status aggregate over surviving rows must
+# hash-match the plain filtered aggregate.
+# --------------------------------------------------------------------------
+
+_Q184_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_delta_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v0 = orders with key%3=0, v1 =
+    deletion-vector DELETE of key%9=0 (bitmap sidecar only)."""
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-dv|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        delta_log.delete_where(spark, table, "o_orderkey % 9 = 0")
+    return table
+
+
+@query("q184_delta_deletion_vectors", oracle=_Q184_SQL, tags=("lake", "agg"))
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a Delta snapshot whose DELETE was committed as a
+    deletion-vector sidecar: the read plan is scan + one broadcast
+    anti-join on (file, row_index) decoded from the roaring bitmaps —
+    merge-on-read's point at 100 TB, deletes cost bitmap bytes, not
+    rewrites. The DV application must be semantically invisible, so
+    the oracle is the plain double-filtered aggregate."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_dv_table(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -1,0 +1,244 @@
+"""Delta deletion vectors: the protocol's merge-on-read DELETE format.
+
+Implements, from the PUBLIC specs only (delta-io PROTOCOL.md
+"Deletion Vectors" + the RoaringBitmap format spec's 64-bit portable
+extension), the on-disk bits a Delta DV carries:
+
+- **Z85 encoding** (the ZeroMQ RFC 32/Z85 alphabet) of the 16-byte DV
+  file UUID that rides in the descriptor's ``pathOrInlineDv``.
+- **64-bit portable RoaringBitmap** serialization: ``u64 LE`` count of
+  32-bit buckets, then per bucket a ``u32 LE`` high-key and a standard
+  32-bit RoaringBitmap stream (cookie 12346 — no run containers —
+  container count, per-container u16 key / u16 cardinality-1
+  descriptive header, u32 offset header, then array containers
+  (sorted u16 values, cardinality ≤ 4096) or bitmap containers
+  (1024 × u64 LE words)). Both container kinds are written and read;
+  run containers (cookie 12347) are an honest
+  :class:`NotImplementedError` gate on the read side.
+- **DV file layout**: a 1-byte format version (1), then per DV a
+  ``u32 BE`` data size, the data itself — ``u32 LE`` magic 1681511377
+  followed by the portable bitmap — and a ``u32 BE`` CRC-32 of the
+  data. The descriptor's ``offset`` addresses the size field,
+  ``sizeInBytes`` is the data length, ``cardinality`` the set bit
+  count.
+- **Descriptors**: ``storageType`` "u" (UUID-named file in the table
+  dir, ``pathOrInlineDv`` = optional prefix + 20-char Z85 UUID),
+  "p" (absolute path) and "i" (inline: ``pathOrInlineDv`` is the Z85
+  of the data itself) are all readable; the writer emits "u".
+
+Verification is the Delta layer's usual two-step: structural
+round-trip tests here plus a CLEAN-ROOM decoder in
+`tests/delta_reader_independent.py` (its own Z85 + roaring code) that
+must agree with the engine on every produced table.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid as _uuid
+import zlib
+
+MAGIC = 1681511377  # u32 LE magic prefixing every serialized DV blob
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("Z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i: i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError("Z85 input must be a multiple of 5 chars")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i: i + 5]:
+            v = v * 85 + _Z85_INV[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Portable 64-bit RoaringBitmap
+# --------------------------------------------------------------------------
+
+
+def _serialize_roaring32(values: "list[int]") -> bytes:
+    """Standard-format 32-bit RoaringBitmap of SORTED uint32 values."""
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    head = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    desc = b"".join(
+        struct.pack("<HH", k, len(containers[k]) - 1) for k in keys
+    )
+    blobs = []
+    for k in keys:
+        vals = containers[k]
+        if len(vals) <= 4096:
+            blobs.append(struct.pack(f"<{len(vals)}H", *vals))
+        else:
+            words = [0] * 1024
+            for lo in vals:
+                words[lo >> 6] |= 1 << (lo & 63)
+            blobs.append(struct.pack("<1024Q", *words))
+    offsets = []
+    pos = len(head) + len(desc) + 4 * n
+    for b in blobs:
+        offsets.append(pos)
+        pos += len(b)
+    off = struct.pack(f"<{n}I", *offsets)
+    return head + desc + off + b"".join(blobs)
+
+
+def _deserialize_roaring32(data: bytes, start: int) -> "tuple[list[int], int]":
+    """Decode one 32-bit bitmap at ``start``; returns (values, end)."""
+    (cookie,) = struct.unpack_from("<I", data, start)
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
+        raise NotImplementedError("run-container roaring bitmaps")
+    if cookie != _SERIAL_COOKIE_NO_RUN:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    (n,) = struct.unpack_from("<I", data, start + 4)
+    desc = struct.unpack_from(f"<{2 * n}H", data, start + 8)
+    off_base = start + 8 + 4 * n
+    offsets = struct.unpack_from(f"<{n}I", data, off_base)
+    out: list[int] = []
+    end = off_base + 4 * n
+    for i in range(n):
+        key, card_m1 = desc[2 * i], desc[2 * i + 1]
+        card = card_m1 + 1
+        pos = start + offsets[i]
+        if card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", data, pos)
+            out.extend((key << 16) | v for v in vals)
+            end = max(end, pos + 2 * card)
+        else:
+            words = struct.unpack_from("<1024Q", data, pos)
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    out.append((key << 16) | (wi << 6) | b.bit_length() - 1)
+                    w ^= b
+            end = max(end, pos + 8192)
+    return out, end
+
+
+def serialize_roaring64(positions: "list[int]") -> bytes:
+    """Portable 64-bit format: u64 LE bucket count, then per bucket a
+    u32 LE high-key + standard 32-bit stream."""
+    buckets: dict[int, list[int]] = {}
+    for p in sorted(set(positions)):
+        buckets.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = [struct.pack("<Q", len(buckets))]
+    for hi in sorted(buckets):
+        out.append(struct.pack("<I", hi))
+        out.append(_serialize_roaring32(buckets[hi]))
+    return b"".join(out)
+
+
+def deserialize_roaring64(data: bytes) -> "list[int]":
+    (n,) = struct.unpack_from("<Q", data, 0)
+    pos = 8
+    out: list[int] = []
+    for _ in range(n):
+        (hi,) = struct.unpack_from("<I", data, pos)
+        vals, pos = _deserialize_roaring32(data, pos + 4)
+        out.extend((hi << 32) | v for v in vals)
+    return out
+
+
+# --------------------------------------------------------------------------
+# DV files + descriptors
+# --------------------------------------------------------------------------
+
+
+def write_dv_file(table: str, dvs: "dict[str, list[int]]") -> "dict[str, dict]":
+    """Write ONE deletion-vector file holding a DV per entry of
+    ``dvs`` (data-file relative path -> deleted positions); returns
+    {data-file path: descriptor dict} ready to ride in add actions.
+    One file for the whole commit is the spec's intended layout — a
+    DELETE touching 10k data files costs one new object, not 10k."""
+    u = _uuid.uuid4()
+    name = f"deletion_vector_{u}.bin"
+    descriptors: dict[str, dict] = {}
+    with open(os.path.join(table, name), "wb") as f:
+        f.write(b"\x01")  # format version
+        pos = 1
+        for path in sorted(dvs):
+            positions = dvs[path]
+            data = struct.pack("<I", MAGIC) + serialize_roaring64(positions)
+            f.write(struct.pack(">I", len(data)))
+            f.write(data)
+            f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            descriptors[path] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": pos,
+                "sizeInBytes": len(data),
+                "cardinality": len(positions),
+            }
+            pos += 4 + len(data) + 4
+    return descriptors
+
+
+def dv_file_path(table: str, descriptor: dict) -> str:
+    """Resolve a storageType "u"/"p" descriptor to its absolute path."""
+    st = descriptor["storageType"]
+    if st == "p":
+        return descriptor["pathOrInlineDv"]
+    if st != "u":
+        raise ValueError(f"storageType {st!r} has no file path")
+    enc = descriptor["pathOrInlineDv"]
+    prefix, z = enc[:-20], enc[-20:]
+    u = _uuid.UUID(bytes=z85_decode(z))
+    return os.path.join(table, prefix, f"deletion_vector_{u}.bin")
+
+
+def read_dv(table: str, descriptor: dict) -> "list[int]":
+    """Decode a descriptor into its deleted-position list, verifying
+    the magic and the CRC-32 (storage types u/p/i)."""
+    if descriptor["storageType"] == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"])
+    else:
+        with open(dv_file_path(table, descriptor), "rb") as f:
+            f.seek(descriptor["offset"])
+            (size,) = struct.unpack(">I", f.read(4))
+            if size != descriptor["sizeInBytes"]:
+                raise ValueError(
+                    f"DV size {size} != descriptor sizeInBytes "
+                    f"{descriptor['sizeInBytes']}"
+                )
+            data = f.read(size)
+            (crc,) = struct.unpack(">I", f.read(4))
+            if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+                raise ValueError("DV checksum mismatch")
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad DV magic {magic}")
+    out = deserialize_roaring64(data[4:])
+    if len(out) != descriptor["cardinality"]:
+        raise ValueError(
+            f"DV cardinality {len(out)} != descriptor "
+            f"{descriptor['cardinality']}"
+        )
+    return out

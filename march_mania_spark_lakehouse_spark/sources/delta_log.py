@@ -510,6 +510,10 @@ def _replay(table: str, version: int) -> dict[str, dict]:
                 add["partitionValues"] = _normalize_partition_values(
                     add.get("partitionValues")
                 )
+                # pyarrow surfaces an absent struct as all-null fields
+                dv = add.get("deletionVector")
+                if dv is not None and dv.get("storageType") is None:
+                    add["deletionVector"] = None
                 live[add["path"]] = add
         start = cp["version"] + 1
     for v in range(start, version + 1):
@@ -546,6 +550,61 @@ def read_delta(
     return _read_files(spark, table, files, version)
 
 
+def _scan_with_positions(
+    spark: SparkSession,
+    table: str,
+    files: Sequence[str],
+    version: int,
+    force_positions: bool = False,
+) -> DataFrame:
+    """Snapshot scan with the live add actions' DELETION VECTORS
+    applied (broadcast anti-join on (file, position) — the
+    merge-on-read read path). With ``force_positions`` (or whenever DVs
+    exist) the result keeps ``__fp`` (normalized absolute file path)
+    and ``__pos`` (physical row index) helper columns. Used by
+    `_read_files` (which drops the helpers) and `delete_where` (which
+    needs positions to build new DVs — and must not re-tombstone
+    already-deleted rows, which DV application here guarantees).
+    DV-free tables skip the `_metadata` projection entirely."""
+    schema = table_schema(table, version)
+    part_cols = table_partition_columns(table, version)
+    paths = [os.path.join(table, f) for f in files]
+    if not part_cols:
+        df = spark.read.schema(schema).parquet(*paths)
+    else:
+        from pyspark.sql import types as T
+
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
+    live = _replay(table, version)
+    dv_rows = []
+    for f in files:
+        desc = (live.get(f) or {}).get("deletionVector")
+        if desc:
+            from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
+            fp = os.path.abspath(os.path.join(table, f))
+            dv_rows.extend((fp, p) for p in deletion_vectors.read_dv(table, desc))
+    if dv_rows or force_positions:
+        df = df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    if dv_rows:
+        dels = spark.createDataFrame(dv_rows, "__fp string, __pos long")
+        df = df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
+    if part_cols:
+        for f in schema.fields:
+            if f.name in part_cols:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df
+
+
 def _read_files(
     spark: SparkSession, table: str, files: Sequence[str], version: int | None
 ) -> DataFrame:
@@ -554,19 +613,11 @@ def _read_files(
     # surface pre-evolution files' missing columns as nulls, and column
     # order is the log's, not the listing's. Partition columns are not
     # in the data files (hive layout); basePath-driven discovery
-    # restores them, then a cast pins their declared types.
-    schema = table_schema(table, version)
-    part_cols = table_partition_columns(table, version)
-    paths = [os.path.join(table, f) for f in files]
-    if not part_cols:
-        return spark.read.schema(schema).parquet(*paths)
-    from pyspark.sql import types as T
-
-    data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
-    df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
-    for f in schema.fields:
-        if f.name in part_cols:
-            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    # restores them, then a cast pins their declared types. Deletion
+    # vectors on the live adds are applied before projection.
+    v = latest_version(table) if version is None else version
+    schema = table_schema(table, v)
+    df = _scan_with_positions(spark, table, files, v)
     return df.select(*[f.name for f in schema.fields])
 
 
@@ -615,9 +666,7 @@ def scan_pruned(
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not keep:
         return read_delta(spark, table, v).filter(F.lit(False))
-    return spark.read.parquet(
-        *[os.path.join(table, f) for f in sorted(keep)]
-    ).filter(pred)
+    return _read_files(spark, table, sorted(keep), v).filter(pred)
 
 
 # --------------------------------------------------------------------------
@@ -647,6 +696,15 @@ def checkpoint(table: str, version: int | None = None) -> int:
                 proto = a["protocol"]
             elif "metaData" in a:
                 meta = a["metaData"]
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int64()),
+            ("sizeInBytes", pa.int64()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_type = pa.struct(
         [
             ("path", pa.string()),
@@ -655,6 +713,9 @@ def checkpoint(table: str, version: int | None = None) -> int:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            # deletion vectors must survive the checkpoint or replays
+            # seeded from it silently resurrect deleted rows
+            ("deletionVector", dv_type),
         ]
     )
     meta_type = pa.struct(
@@ -695,6 +756,7 @@ def checkpoint(table: str, version: int | None = None) -> int:
                 "modificationTime": add["modificationTime"],
                 "dataChange": False,
                 "stats": add.get("stats"),
+                "deletionVector": add.get("deletionVector"),
             }
         )
         rows_meta.append(None)
@@ -905,6 +967,102 @@ def restore(table: str, version: int) -> int:
             for p in sorted(set(target) - set(head))
         ),
     ]
+    _write_commit(table, cur + 1, actions)
+    return cur + 1
+
+
+#: table-features protocol required once deletion vectors appear
+#: (Delta PROTOCOL.md: reader 3 / writer 7 + the named feature flags)
+DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
+def delete_where(spark: SparkSession, table: str, condition) -> int:
+    """Merge-on-read DELETE via the protocol's DELETION VECTORS: the
+    matched rows' physical positions are written as per-file roaring
+    bitmaps into ONE ``deletion_vector_<uuid>.bin`` sidecar
+    (`sources/deletion_vectors.py` — Z85 descriptor, portable 64-bit
+    roaring, CRC-framed blobs), and each touched data file is
+    re-committed as remove+add with the DV descriptor attached. No
+    data file is rewritten: at 100 TB a DELETE costs O(matched rows)
+    bitmap bytes + one log commit, and readers pay one broadcast
+    anti-join. A second DELETE touching the same file merges with its
+    existing DV (the scan below reads through DVs, so already-deleted
+    rows can never re-match or double-tombstone). The commit also
+    upgrades the table protocol to the deletionVectors table feature,
+    per spec. Returns the committed version (current version when
+    nothing matched)."""
+    from pyspark.sql import Column
+
+    from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
+    pred = F.expr(condition) if isinstance(condition, str) else condition
+    assert isinstance(pred, Column)
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    live = _replay(table, cur)
+    files = sorted(live)
+    scan = _scan_with_positions(spark, table, files, cur, force_positions=True)
+    hits = scan.filter(pred).select(
+        F.col("__fp").alias("fp"), F.col("__pos").alias("pos")
+    )
+    import pandas as pd
+
+    def _pack(pdf):
+        return pd.DataFrame(
+            {
+                "fp": [pdf["fp"].iloc[0]],
+                "positions": [sorted(pdf["pos"].astype("int64").tolist())],
+            }
+        )
+
+    # per-file position sets built executor-side (Arrow-batched); the
+    # driver only sees one row per touched file
+    packed = (
+        hits.groupBy("fp")
+        .applyInPandas(_pack, "fp string, positions array<long>")
+        .collect()
+    )
+    if not packed:
+        return cur
+    base = os.path.abspath(table)
+    dvs: dict[str, list[int]] = {}
+    for r in packed:
+        rel = os.path.relpath(r["fp"], base)
+        positions = list(r["positions"])
+        old_desc = (live.get(rel) or {}).get("deletionVector")
+        if old_desc:
+            positions = sorted(
+                set(positions) | set(deletion_vectors.read_dv(table, old_desc))
+            )
+        dvs[rel] = positions
+    descriptors = deletion_vectors.write_dv_file(table, dvs)
+    ts = _now_ms()
+    actions: list[dict] = [
+        _commit_info("DELETE", {"predicate": str(condition)}),
+        {"protocol": dict(DV_PROTOCOL)},
+    ]
+    for rel in sorted(dvs):
+        old = live[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = {k: v for k, v in old.items()}
+        new_add["deletionVector"] = descriptors[rel]
+        new_add["dataChange"] = True
+        new_add["modificationTime"] = ts
+        actions.append({"add": new_add})
     _write_commit(table, cur + 1, actions)
     return cur + 1
 

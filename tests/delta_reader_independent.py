@@ -26,8 +26,91 @@ from __future__ import annotations
 
 import json
 import os
+import struct
+import uuid as _uuid
+import zlib
 
 import pyarrow.parquet as pq
+
+# --------------------------------------------------------------------------
+# Deletion vectors, decoded from the PUBLIC formats alone (Delta
+# PROTOCOL.md "Deletion Vectors" + the RoaringBitmap format spec +
+# ZeroMQ RFC 32 Z85) — this module's own implementation, sharing zero
+# code with the engine's `sources/deletion_vectors.py`.
+# --------------------------------------------------------------------------
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+
+
+def _z85_to_bytes(s: str) -> bytes:
+    lut = {c: i for i, c in enumerate(_Z85_CHARS)}
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for c in s[i: i + 5]:
+            acc = acc * 85 + lut[c]
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _decode_roaring32(buf: bytes, at: int):
+    cookie, n = struct.unpack_from("<II", buf, at)
+    if cookie != 12346:
+        raise NotImplementedError(f"roaring cookie {cookie}")
+    header = struct.unpack_from(f"<{2 * n}H", buf, at + 8)
+    offsets = struct.unpack_from(f"<{n}I", buf, at + 8 + 4 * n)
+    vals: list[int] = []
+    end = at + 8 + 8 * n
+    for i in range(n):
+        key, card = header[2 * i], header[2 * i + 1] + 1
+        p = at + offsets[i]
+        if card <= 4096:
+            vals.extend(
+                (key << 16) | v
+                for v in struct.unpack_from(f"<{card}H", buf, p)
+            )
+            end = max(end, p + 2 * card)
+        else:
+            for wi, w in enumerate(struct.unpack_from("<1024Q", buf, p)):
+                for bit in range(64):
+                    if w >> bit & 1:
+                        vals.append((key << 16) | (wi << 6) | bit)
+            end = max(end, p + 8192)
+    return vals, end
+
+
+def deleted_positions(table: str, dv: dict) -> set:
+    """Decode a deletionVector descriptor into its position set."""
+    if dv["storageType"] == "i":
+        blob = _z85_to_bytes(dv["pathOrInlineDv"])
+    else:
+        if dv["storageType"] == "u":
+            enc = dv["pathOrInlineDv"]
+            u = _uuid.UUID(bytes=_z85_to_bytes(enc[-20:]))
+            path = os.path.join(table, enc[:-20], f"deletion_vector_{u}.bin")
+        else:
+            path = dv["pathOrInlineDv"]
+        with open(path, "rb") as f:
+            assert f.read(1) == b"\x01", "unknown DV file version"
+            f.seek(dv["offset"])
+            (size,) = struct.unpack(">I", f.read(4))
+            assert size == dv["sizeInBytes"]
+            blob = f.read(size)
+            (crc,) = struct.unpack(">I", f.read(4))
+            assert crc == zlib.crc32(blob) & 0xFFFFFFFF, "DV CRC mismatch"
+    assert struct.unpack_from("<I", blob, 0)[0] == 1681511377, "DV magic"
+    (n64,) = struct.unpack_from("<Q", blob, 4)
+    at = 12
+    out: set = set()
+    for _ in range(n64):
+        (hi,) = struct.unpack_from("<I", blob, at)
+        vals, at = _decode_roaring32(blob, at + 4)
+        out.update((hi << 32) | v for v in vals)
+    assert len(out) == dv["cardinality"], "DV cardinality mismatch"
+    return out
 
 
 def latest_version(table: str) -> int | None:
@@ -86,9 +169,13 @@ def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True
             for row in pq.read_table(cp_path).to_pylist():
                 add = row.get("add")
                 if add and add.get("path"):
+                    dv = add.get("deletionVector")
+                    if dv is not None and dv.get("storageType") is None:
+                        dv = None  # pyarrow all-null struct = absent
                     live[add["path"]] = {
                         "partitionValues": _normalize_pv(add.get("partitionValues")),
                         "stats": json.loads(add["stats"]) if add.get("stats") else None,
+                        "deletionVector": dv,
                     }
                 m = row.get("metaData")
                 if m and m.get("schemaString"):
@@ -105,6 +192,7 @@ def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True
                 live[add["path"]] = {
                     "partitionValues": _normalize_pv(add.get("partitionValues")),
                     "stats": json.loads(add["stats"]) if add.get("stats") else None,
+                    "deletionVector": add.get("deletionVector"),
                 }
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
@@ -168,7 +256,12 @@ def read_rows(
                 cols[name] = t.column(name).to_pylist()
             else:
                 cols[name] = [None] * n
-        out.extend(zip(*[cols[f["name"]] for f in fields]) if fields else [])
+        rows = list(zip(*[cols[f["name"]] for f in fields])) if fields else []
+        dv = snap["adds"][path].get("deletionVector")
+        if dv:
+            dead = deleted_positions(table, dv)
+            rows = [r for pos, r in enumerate(rows) if pos not in dead]
+        out.extend(rows)
     return out
 
 

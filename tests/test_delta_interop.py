@@ -69,6 +69,9 @@ def test_independent_reader_shares_no_code():
     allowed = {
         "import json",
         "import os",
+        "import struct",
+        "import uuid as _uuid",
+        "import zlib",
         "import pyarrow.parquet as pq",
         "from __future__ import annotations",
     }
@@ -246,3 +249,104 @@ def test_vacuum_keeps_latest_snapshot_readable(spark, table):
     assert deleted  # the v0 file was tombstoned and past retention
     assert not (set(deleted) & set(before))  # live files never deleted
     assert sorted(indep.read_rows(table)) == [(2, "b", 2.0)]
+
+
+def test_deletion_vectors_parity_both_readers(spark, table):
+    """Merge-on-read DELETE via deletion vectors: rows vanish without
+    any data-file rewrite, history stays time-travelable, a second
+    DELETE merges into the existing DV — and the independent reader
+    must agree at every version through its OWN Z85/roaring/CRC
+    decoder (the DV bits really are the public format)."""
+    dlog.create(_df(spark, [(i, "a", float(i)) for i in range(100)]), table)
+    files_before = set(indep.snapshot(table)["files"])
+    v1 = dlog.delete_where(spark, table, "id % 10 = 0")
+    # no data file rewritten: same physical file set, now DV'd
+    snap = indep.snapshot(table)
+    assert set(snap["files"]) == files_before
+    assert any(a.get("deletionVector") for a in snap["adds"].values())
+    # protocol upgraded to the table feature, per spec
+    assert snap["protocol"]["minReaderVersion"] == 3
+    assert "deletionVectors" in snap["protocol"]["readerFeatures"]
+    _assert_version_parity(spark, table, v1)
+    assert sorted(t[0] for t in indep.read_rows(table)) == [
+        i for i in range(100) if i % 10
+    ]
+    # second delete on the same files merges position sets
+    v2 = dlog.delete_where(spark, table, "id % 10 = 1")
+    _assert_version_parity(spark, table, v2)
+    assert sorted(t[0] for t in indep.read_rows(table)) == [
+        i for i in range(100) if i % 10 not in (0, 1)
+    ]
+    # time travel: pre-delete and mid-delete versions intact
+    assert len(indep.read_rows(table, 0)) == 100
+    assert len(indep.read_rows(table, v1)) == 90
+    # no-match DELETE commits nothing
+    assert dlog.delete_where(spark, table, "id < 0") == v2
+
+
+def test_deletion_vectors_survive_checkpoint(spark, table):
+    """A replay seeded from a checkpoint must keep the DVs — losing
+    them would silently resurrect deleted rows."""
+    dlog.create(_df(spark, [(i, "a", float(i)) for i in range(40)]), table)
+    dlog.delete_where(spark, table, "id >= 30")
+    dlog.checkpoint(table)
+    dlog.append(_df(spark, [(100, "z", 1.0)]), table)
+    for use_cp in (True, False):
+        assert sorted(t[0] for t in indep.read_rows(table, use_checkpoint=use_cp)) \
+            == list(range(30)) + [100]
+    assert sorted(
+        r["id"] for r in dlog.read_delta(spark, table).collect()
+    ) == list(range(30)) + [100]
+
+
+def test_deletion_vectors_on_partitioned_table(spark, table):
+    dlog.create(
+        _df(spark, [(i, f"c{i % 3}", float(i)) for i in range(60)]),
+        table, partition_by=["cat"],
+    )
+    v = dlog.delete_where(spark, table, "id % 4 = 0")
+    _assert_version_parity(spark, table, v)
+    got = dlog.scan_partitions(spark, table, {"cat": "c1"})
+    assert sorted(r["id"] for r in got.collect()) == [
+        i for i in range(60) if i % 3 == 1 and i % 4 != 0
+    ]
+
+
+def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
+    """Generative interop for the Delta layer (the Iceberg sweep's
+    twin, extended with DV deletes): random append / overwrite /
+    dv-delete / optimize / checkpoint sequences must keep both readers
+    in exact agreement at every surviving version."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        table = str(tmp_path / f"rand_{trial}")
+        nid = [0]
+
+        def fresh(n, cat="r", nid=nid):
+            rows = [(nid[0] + i, cat, float(nid[0] + i)) for i in range(n)]
+            nid[0] += n
+            return rows
+
+        dlog.create(_df(spark, fresh(rng.randrange(3, 8))), table)
+        for _ in range(5):
+            op = rng.choice(
+                ["append", "overwrite", "dv_delete", "dv_delete", "optimize",
+                 "checkpoint"]
+            )
+            if op == "append":
+                dlog.append(_df(spark, fresh(rng.randrange(1, 5))), table)
+            elif op == "overwrite":
+                dlog.overwrite(_df(spark, fresh(rng.randrange(2, 6), "ow")), table)
+            elif op == "dv_delete":
+                dlog.delete_where(spark, table, f"id % 3 = {rng.randrange(3)}")
+            elif op == "optimize":
+                dlog.optimize(spark, table)
+            else:
+                dlog.checkpoint(table)
+        v_hi = dlog.latest_version(table)
+        for v in range(v_hi + 1):
+            assert sorted(indep.read_rows(table, v)) == _spark_rows(
+                spark, table, v
+            ), f"trial {trial} version {v} diverged"
