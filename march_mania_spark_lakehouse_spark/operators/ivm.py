@@ -55,6 +55,44 @@ def merge_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def signed_state(
+    changes: DataFrame,
+    keys: list[str],
+    measure: Column | str,
+    change_col: str = "_change_type",
+    dec: str = DEC,
+) -> DataFrame:
+    """Partial state from a CDC batch that carries DELETES: inserts
+    contribute +1/+x, deletes −1/−x, so merging this state into a base
+    state retracts the deleted rows exactly (count and decimal sum are
+    the invertible aggregates; min/max are NOT invertible under
+    deletes, so the signed state carries them as null — a view needing
+    min/max under deletes recomputes them, which is the standard IVM
+    limitation, not an implementation one). The signed batch aggregate
+    sees only the delta — at 100 TB that is the whole point."""
+    m = F.col(measure) if isinstance(measure, str) else measure
+    sign = F.when(F.col(change_col) == "delete", F.lit(-1)).otherwise(F.lit(1))
+    return changes.groupBy(*keys).agg(
+        F.sum(sign).alias("n"),
+        F.sum(sign * m.cast(dec)).alias("sum_dec"),
+        F.min(F.when(F.lit(False), m)).alias("min_m"),
+        F.max(F.when(F.lit(False), m)).alias("max_m"),
+    )
+
+
+def finalize_counts(state: DataFrame) -> DataFrame:
+    """Render the delete-invertible aggregates (count/sum/avg) from
+    state, dropping groups whose count retracted to zero — the
+    finalize for views maintained through `signed_state`."""
+    keys = [c for c in state.columns if c not in ("n", "sum_dec", "min_m", "max_m")]
+    return state.filter(F.col("n") > 0).select(
+        *keys,
+        F.col("n").alias("n_rows"),
+        F.col("sum_dec").cast("double").alias("sum_m"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_m"),
+    )
+
+
 def finalize_state(state: DataFrame) -> DataFrame:
     """Render user-facing aggregates from state: count/sum/avg/min/max.
     The avg is exact-decimal-sum / count (deterministic double)."""

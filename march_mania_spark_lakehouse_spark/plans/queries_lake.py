@@ -974,3 +974,132 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q185 — incremental refresh THROUGH DELETES (Delta): the change feed
+# decomposes a deletion-vector DELETE commit into row-level deletes
+# (new bitmap − old bitmap positions), the IVM state retracts them
+# (signed −1/−x merge), and the refreshed view must hash-match a full
+# recompute of the post-delete table — the oracle.
+# --------------------------------------------------------------------------
+
+_Q185_SQL = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 5 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_delta_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """v0 = orders key%4!=0, v1 appends key%4=0, v2 DV-deletes key%5=0."""
+    import hashlib
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-cdc|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(orders.filter(F.col("o_orderkey") % 4 != 0), table)
+        delta_log.append(orders.filter(F.col("o_orderkey") % 4 == 0), table)
+        delta_log.delete_where(spark, table, "o_orderkey % 5 = 0")
+    return table
+
+
+@query("q185_delta_cdc_refresh_with_deletes", oracle=_Q185_SQL, tags=("lake", "ivm"))
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """finalize(merge(state(v0), signed_state(changes since v0))): the
+    refresh aggregates only the appended quarter plus the DV-recovered
+    deleted rows — never rescans the base — and count/sum retraction
+    over decimal state makes it bit-identical to the oracle's full
+    recompute. This is the IVM contract extended to deletes."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_cdc_table(spark, sf_dir)
+    keys = ["o_orderstatus"]
+    base = ivm.agg_state(
+        delta_log.read_delta(spark, table, version=0), keys, "o_totalprice"
+    )
+    changes = delta_log.table_changes(
+        spark, table, from_version=0, include_deletes=True
+    )
+    out = ivm.finalize_counts(
+        ivm.merge_states(base, ivm.signed_state(changes, keys, "o_totalprice"))
+    )
+    return out.select(
+        "o_orderstatus", "n_rows", F.col("sum_m").alias("sum_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# q186 — incremental refresh through a CDC UPSERT (Iceberg): the change
+# feed decomposes the upsert's equality tombstone into delete(old row)
+# and its append into insert(new row); the signed state retracts and
+# re-adds, and the refresh must equal a full recompute of the
+# post-upsert table (the q181 state, reconstructed relationally by the
+# oracle).
+# --------------------------------------------------------------------------
+
+_Q186_SQL = f"""
+WITH source AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+kept AS (
+    SELECT * FROM source WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+),
+updated AS (
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice + CAST(1000.0 AS DOUBLE) AS o_totalprice
+    FROM source WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 = 0
+),
+inserted AS (
+    SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus, o_totalprice
+    FROM source WHERE o_orderkey % 3 = 1 AND o_orderkey % 9 = 1
+),
+final AS (
+    SELECT * FROM kept UNION ALL SELECT * FROM updated
+    UNION ALL SELECT * FROM inserted
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM final
+GROUP BY o_orderstatus
+"""
+
+
+@query("q186_iceberg_cdc_refresh_upsert", oracle=_Q186_SQL, tags=("lake", "ivm"))
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q181 CDC table refreshed incrementally: base state at
+    snapshot 1, then `iceberg.table_changes(include_deletes=True)` over
+    the upsert — the equality tombstone surfaces the OLD rows as
+    deletes (alive-at-parent ∩ keys, null-safe), the append surfaces
+    the new ones as inserts, and signed-state merge retracts/re-adds
+    exactly. At 100 TB the refresh reads the changeset and the parent
+    rows matching the changed keys — never the table."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_cdc_table(spark, sf_dir)
+    keys = ["o_orderstatus"]
+    first_sid = iceberg.snapshot_ids(table)[0]
+    base = ivm.agg_state(
+        iceberg.read_iceberg(spark, table, first_sid), keys, "o_totalprice"
+    )
+    changes = iceberg.table_changes(spark, table, 1, include_deletes=True)
+    out = ivm.finalize_counts(
+        ivm.merge_states(base, ivm.signed_state(changes, keys, "o_totalprice"))
+    )
+    return out.select(
+        "o_orderstatus", "n_rows", F.col("sum_m").alias("sum_price")
+    )

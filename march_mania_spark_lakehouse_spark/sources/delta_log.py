@@ -567,6 +567,37 @@ def _scan_with_positions(
     already-deleted rows, which DV application here guarantees).
     DV-free tables skip the `_metadata` projection entirely."""
     schema = table_schema(table, version)
+    live = _replay(table, version)
+    dv_rows = []
+    for f in files:
+        desc = (live.get(f) or {}).get("deletionVector")
+        if desc:
+            from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
+            fp = os.path.abspath(os.path.join(table, f))
+            dv_rows.extend((fp, p) for p in deletion_vectors.read_dv(table, desc))
+    df = _read_files_raw(
+        spark, table, files, version,
+        with_positions=bool(dv_rows) or force_positions,
+    )
+    if dv_rows:
+        dels = spark.createDataFrame(dv_rows, "__fp string, __pos long")
+        df = df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
+    return df
+
+
+def _read_files_raw(
+    spark: SparkSession,
+    table: str,
+    files: Sequence[str],
+    version: int,
+    with_positions: bool = False,
+) -> DataFrame:
+    """Declared-schema scan of a file list with hive partition columns
+    restored but NO deletion-vector application (the CDC input — a
+    change feed must see physically added rows even when later
+    tombstoned). ``with_positions`` adds ``__fp``/``__pos``."""
+    schema = table_schema(table, version)
     part_cols = table_partition_columns(table, version)
     paths = [os.path.join(table, f) for f in files]
     if not part_cols:
@@ -578,16 +609,7 @@ def _scan_with_positions(
             [f for f in schema.fields if f.name not in part_cols]
         )
         df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
-    live = _replay(table, version)
-    dv_rows = []
-    for f in files:
-        desc = (live.get(f) or {}).get("deletionVector")
-        if desc:
-            from march_mania_spark_lakehouse_spark.sources import deletion_vectors
-
-            fp = os.path.abspath(os.path.join(table, f))
-            dv_rows.extend((fp, p) for p in deletion_vectors.read_dv(table, desc))
-    if dv_rows or force_positions:
+    if with_positions:
         df = df.select(
             "*",
             F.regexp_replace(
@@ -595,9 +617,6 @@ def _scan_with_positions(
             ).alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-    if dv_rows:
-        dels = spark.createDataFrame(dv_rows, "__fp string, __pos long")
-        df = df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
     if part_cols:
         for f in schema.fields:
             if f.name in part_cols:
@@ -1077,36 +1096,114 @@ def table_changes(
     table: str,
     from_version: int,
     to_version: int | None = None,
+    include_deletes: bool = False,
 ) -> DataFrame:
-    """Append-only change feed: the rows ADDED by commits in
-    ``(from_version, to_version]``, read straight from those commits'
-    dataChange add actions — for an append-only table this is exact
-    row-level CDC without any change-tracking overhead, and the
-    downstream incremental-refresh input (`operators/ivm.py`): refresh
-    cost tracks the delta, never the table.
+    """Row-level change feed for commits in
+    ``(from_version, to_version]``, read straight from the log's
+    dataChange actions — the downstream incremental-refresh input
+    (`operators/ivm.py`): refresh cost tracks the delta, never the
+    table.
 
-    Rewrite commits (overwrite / MERGE / RESTORE — remove actions with
-    dataChange=true) in the range raise
-    :class:`DeltaNonAppendChangeError`: their file-level actions don't
-    decompose into row-level inserts/deletes without deletion vectors,
-    and silently returning re-written files would double-count.
-    OPTIMIZE commits (dataChange=false) are correctly invisible."""
+    Default (``include_deletes=False``): append-only — the ADDED rows;
+    any commit with dataChange removes (overwrite / MERGE / RESTORE /
+    DV DELETE) raises :class:`DeltaNonAppendChangeError`.
+
+    ``include_deletes=True``: the result carries a ``_change_type``
+    column ('insert' / 'delete') and DELETION-VECTOR delete commits
+    decompose exactly: a DV commit re-adds each touched file with a
+    grown bitmap, so the deleted rows are (new DV − previous DV)
+    positions, recovered by reading ONLY the touched files at those
+    positions. Appends emit their rows RAW as inserts (a row inserted
+    and DV-deleted inside the range emits both — net zero, the CDC
+    contract). True rewrites still raise — remove+add of different
+    files does not decompose into row-level changes.
+    OPTIMIZE commits (dataChange=false) are correctly invisible either
+    way."""
     hi = latest_version(table) if to_version is None else to_version
     if hi is None:
         raise FileNotFoundError(f"{table} has no Delta log")
+    from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
+    # DV state (descriptor per live file) as of the range start —
+    # needed to diff a DELETE commit's bitmap against its predecessor
+    dv_state: dict[str, dict | None] = {}
+    if include_deletes:
+        dv_state = {
+            p: a.get("deletionVector")
+            for p, a in _replay(table, from_version).items()
+        }
     added: list[str] = []
+    deleted_pos: list[tuple[str, int]] = []  # (path, position)
     for v in range(from_version + 1, hi + 1):
         p = _commit_path(table, v)
         if not os.path.exists(p):
             raise FileNotFoundError(f"missing commit {v} for {table}")
-        for a in _read_actions(p):
-            if "remove" in a and a["remove"].get("dataChange", True):
-                raise DeltaNonAppendChangeError(
-                    f"commit {v} rewrites data files; append-only change "
-                    "feed cannot represent it as row-level changes"
-                )
-            if "add" in a and a["add"].get("dataChange", True):
-                added.append(a["add"]["path"])
-    if not added:
-        return read_delta(spark, table, hi).filter(F.lit(False))
-    return _read_files(spark, table, sorted(added), hi)
+        actions = _read_actions(p)
+        removes = {
+            a["remove"]["path"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        }
+        adds = [
+            a["add"] for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        if not removes:
+            added.extend(a["path"] for a in adds)
+            if include_deletes:
+                for a in adds:
+                    dv_state[a["path"]] = a.get("deletionVector")
+            continue
+        readd = {a["path"]: a for a in adds}
+        is_dv_delete = (
+            include_deletes
+            and set(readd) == removes
+            and all(a.get("deletionVector") for a in readd.values())
+        )
+        if not is_dv_delete:
+            raise DeltaNonAppendChangeError(
+                f"commit {v} rewrites data files; this change feed "
+                "cannot represent it as row-level changes"
+            )
+        for path, a in readd.items():
+            new_pos = set(deletion_vectors.read_dv(table, a["deletionVector"]))
+            old_desc = dv_state.get(path)
+            old_pos = (
+                set(deletion_vectors.read_dv(table, old_desc))
+                if old_desc
+                else set()
+            )
+            abs_path = os.path.abspath(os.path.join(table, path))
+            deleted_pos.extend((abs_path, q) for q in sorted(new_pos - old_pos))
+            dv_state[path] = a["deletionVector"]
+    if not include_deletes:
+        if not added:
+            return read_delta(spark, table, hi).filter(F.lit(False))
+        return _read_files(spark, table, sorted(added), hi)
+
+    schema = table_schema(table, hi)
+    names = [f.name for f in schema.fields]
+    pieces: list[DataFrame] = []
+    if added:
+        ins = _read_files_raw(spark, table, sorted(added), hi)
+        pieces.append(
+            ins.select(*names).withColumn("_change_type", F.lit("insert"))
+        )
+    if deleted_pos:
+        ref_files = sorted(
+            {os.path.relpath(fp, os.path.abspath(table)) for fp, _ in deleted_pos}
+        )
+        raw = _read_files_raw(spark, table, ref_files, hi, with_positions=True)
+        tomb = spark.createDataFrame(deleted_pos, "__fp string, __pos long")
+        dead = raw.join(F.broadcast(tomb), ["__fp", "__pos"])
+        pieces.append(
+            dead.select(*names).withColumn("_change_type", F.lit("delete"))
+        )
+    if not pieces:
+        return read_delta(spark, table, hi).filter(F.lit(False)).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out

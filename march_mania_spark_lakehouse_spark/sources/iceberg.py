@@ -1119,19 +1119,21 @@ def _spark_schema(schema: dict):
     )
 
 
-def _read_data_files(
+def _read_raw(
     spark: SparkSession,
     table: str,
     meta: dict,
     sid: int,
     rel_files: Sequence[str],
-) -> DataFrame:
-    """Read a planned set of data files under the snapshot's DECLARED
-    schema, restore hive-layout identity-partition columns (basePath
-    discovery + declared-type cast), apply the snapshot's delete files
-    (merge-on-read), and project the declared column order. Transform
-    partition fields need no restoration — their source columns live in
-    the data files (hidden partitioning)."""
+) -> "tuple[DataFrame, list[str]]":
+    """Read data files under the snapshot's DECLARED schema with
+    hive-layout identity-partition columns restored — but WITHOUT
+    applying delete files and WITHOUT the final projection (the hidden
+    `_metadata` column is still reachable). Returns (df, declared
+    column names). Transform partition fields need no restoration —
+    their source columns live in the data files (hidden partitioning).
+    The raw form is the CDC input: a change feed must see physically
+    added rows even when later tombstoned."""
     from pyspark.sql import types as T
 
     # the snapshot's own schema-id (spec rule): time travel to a
@@ -1159,11 +1161,23 @@ def _read_data_files(
         for f in spark_schema.fields:
             if f.name in id_cols:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    # merge-on-read: position tombstones anti-join on
-    # (_metadata.file_path, _metadata.row_index); equality tombstones
-    # anti-join on their key columns under the sequence ordering rule
+    return df, [f.name for f in spark_schema.fields]
+
+
+def _read_data_files(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    sid: int,
+    rel_files: Sequence[str],
+) -> DataFrame:
+    """`_read_raw` + the snapshot's delete files (merge-on-read:
+    position tombstones anti-join on (_metadata.file_path, row_index);
+    equality tombstones anti-join on key columns under the sequence
+    ordering rule) + the declared-column-order projection."""
+    df, names = _read_raw(spark, table, meta, sid, rel_files)
     df = _apply_delete_files(spark, table, sid, df)
-    return df.select(*[f.name for f in spark_schema.fields])
+    return df.select(*names)
 
 
 def read_iceberg(
@@ -1181,7 +1195,11 @@ def read_iceberg(
 
 
 def _apply_delete_files(
-    spark: SparkSession, table: str, sid: int, df: DataFrame
+    spark: SparkSession,
+    table: str,
+    sid: int,
+    df: DataFrame,
+    keep_positions: bool = False,
 ) -> DataFrame:
     """Apply this snapshot's delete files to a parquet-scan DataFrame
     that still has its `_metadata` column available (call BEFORE any
@@ -1193,11 +1211,21 @@ def _apply_delete_files(
       anti-join on the equality columns restricted to data files with a
       STRICTLY LOWER sequence number (the spec ordering rule — rows
       appended after the delete survive even when their keys match).
+
+    ``keep_positions`` retains ``__fp``/``__pos`` helper columns
+    (normalized file path, physical row index) in the result — the
+    `delete_where` input, so new tombstones can only target LIVE rows.
     """
     pos_dels = snapshot_delete_files(table, sid)
     eq_dels = snapshot_equality_deletes(table, sid)
     if not pos_dels and not eq_dels:
-        return df
+        if not keep_positions:
+            return df
+        return df.select(
+            "*",
+            _norm_file_path().alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
     out_cols = df.columns
     df = df.select(
         "*",
@@ -1226,6 +1254,8 @@ def _apply_delete_files(
                 # would silently never match them)
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
             df = df.join(F.broadcast(keys), on=cond, how="left_anti")
+    if keep_positions:
+        return df.select(*out_cols, "__fp", "__pos")
     return df.select(*out_cols)
 
 
@@ -1663,20 +1693,14 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
         if _spec_info(meta):  # transform dirs present but no identity cols
             r = r.option("basePath", table)
         df = r.parquet(*paths)
+    # scan through ALL existing deletes (position AND equality) so new
+    # tombstones can only target live rows — double-tombstoning would
+    # break the CDC decomposition of delete commits
     hits = (
-        df.select(
-            "*",
-            _norm_file_path().alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
+        _apply_delete_files(spark, table, sid, df, keep_positions=True)
         .filter(pred)
-        .select("file_path", "pos")
+        .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
     )
-    # already-deleted positions must not tombstone twice
-    existing = snapshot_delete_files(table, sid)
-    if existing:
-        prior = spark.read.parquet(*existing).select("file_path", "pos")
-        hits = hits.join(prior, ["file_path", "pos"], "left_anti")
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     hits.write.mode("overwrite").parquet(staging)
@@ -1968,25 +1992,46 @@ def table_changes(
     table: str,
     from_seq: int,
     to_seq: int | None = None,
+    include_deletes: bool = False,
 ) -> DataFrame:
-    """Append-only change feed (the `delta_log.table_changes` analogue):
-    the rows ADDED by commits with sequence numbers in
-    ``(from_seq, to_seq]``, planned from manifest entries alone — exact
-    row-level CDC for an append-only table, and the incremental-refresh
-    input (`operators/ivm.py`): refresh cost tracks the delta, never the
-    table. Overwrite/MERGE/delete commits in the range raise
-    :class:`IcebergNonAppendChangeError` (their file/tombstone actions
-    don't decompose into row-level inserts)."""
+    """Row-level change feed (the `delta_log.table_changes` analogue)
+    for commits with sequence numbers in ``(from_seq, to_seq]``,
+    planned from manifest entries alone — the incremental-refresh input
+    (`operators/ivm.py`): refresh cost tracks the delta, never the
+    table.
+
+    Default (``include_deletes=False``): append-only — the ADDED rows;
+    any overwrite/MERGE/delete commit in the range raises
+    :class:`IcebergNonAppendChangeError`.
+
+    ``include_deletes=True``: the result carries a ``_change_type``
+    column ('insert' / 'delete') and merge-on-read DELETE commits
+    decompose exactly:
+
+    - appended data files emit their rows RAW as inserts (a row
+      inserted and later deleted inside the range emits both — net
+      zero, the CDC contract);
+    - position-delete files recover their tombstoned rows by reading
+      ONLY the referenced data files at the referenced positions
+      (`delete_where` guarantees tombstones target live rows, so no
+      double-delete);
+    - equality-delete files emit the rows alive at their PARENT
+      snapshot matching the key tuples (null-safe) — an `upsert`
+      therefore feeds as delete(old) + insert(new).
+
+    Copy-on-write rewrites (overwrite/MERGE/compact) still raise: a
+    file-level rewrite does not decompose into row-level changes."""
     meta = current_metadata(table)
     hi = meta["last-sequence-number"] if to_seq is None else to_seq
+    ok_ops = ("append", "delete") if include_deletes else ("append",)
     for s in meta["snapshots"]:
         if from_seq < s["sequence-number"] <= hi and (
-            s.get("summary", {}).get("operation") != "append"
+            s.get("summary", {}).get("operation") not in ok_ops
         ):
             raise IcebergNonAppendChangeError(
                 f"snapshot seq {s['sequence-number']} is "
-                f"{s.get('summary', {}).get('operation')!r}; append-only "
-                "change feed cannot represent it"
+                f"{s.get('summary', {}).get('operation')!r}; this change "
+                "feed cannot represent it"
             )
     # every commit consumes exactly one sequence number, so any seq in
     # the range with NO retained snapshot was expired — its operation
@@ -2000,33 +2045,102 @@ def table_changes(
             "expired by expire_snapshots; their operations are unknowable"
         )
     snap = _snapshot(meta, meta["current-snapshot-id"])
-    added = []
+    sid = meta["current-snapshot-id"]
+    added: list[str] = []
+    pos_del_paths: list[str] = []
+    eq_dels: list[tuple[str, int, list[str]]] = []
+    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
+    by_fid = {f["id"]: f["name"] for f in schema["fields"]}
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
         if not (from_seq < m["sequence_number"] <= hi):
             continue
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
-            if entry["status"] == 1 and entry["data_file"].get("content", 0) == 0:
-                if from_seq < entry["sequence_number"] <= hi:
-                    added.append(
-                        os.path.relpath(
-                            entry["data_file"]["file_path"], os.path.abspath(table)
-                        )
+            if entry["status"] != 1:
+                continue
+            if not (from_seq < entry["sequence_number"] <= hi):
+                continue
+            content = entry["data_file"].get("content", 0)
+            if content == 0:
+                added.append(
+                    os.path.relpath(
+                        entry["data_file"]["file_path"], os.path.abspath(table)
                     )
+                )
+            elif content == 1:
+                pos_del_paths.append(entry["data_file"]["file_path"])
+            elif content == 2:
+                eq_dels.append(
+                    (
+                        entry["data_file"]["file_path"],
+                        entry["sequence_number"],
+                        [
+                            by_fid[i]
+                            for i in entry["data_file"].get("equality_ids") or []
+                        ],
+                    )
+                )
+    names: list[str] = [f["name"] for f in schema["fields"]]
     base = read_iceberg(spark, table)  # declared-schema read machinery
-    if not added:
-        return base.filter(F.lit(False))
 
-    schema = base.schema
-    id_cols = _identity_part_cols(meta)
-    paths = [os.path.join(table, f) for f in sorted(added)]
-    if not id_cols:
-        r = spark.read.schema(schema)
-        if _spec_info(meta):  # transform dirs present but no identity cols
-            r = r.option("basePath", table)
-        return r.parquet(*paths).select(*[f.name for f in schema.fields])
-    data_schema = type(schema)([f for f in schema.fields if f.name not in id_cols])
-    df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
-    for f in schema.fields:
-        if f.name in id_cols:
-            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    return df.select(*[f.name for f in schema.fields])
+    def _inserts() -> DataFrame | None:
+        if not added:
+            return None
+        df, cols = _read_raw(spark, table, meta, sid, sorted(added))
+        return df.select(*cols)
+
+    if not include_deletes:
+        ins = _inserts()
+        return ins if ins is not None else base.filter(F.lit(False))
+
+    pieces: list[DataFrame] = []
+    ins = _inserts()
+    if ins is not None:
+        pieces.append(ins.withColumn("_change_type", F.lit("insert")))
+    if pos_del_paths:
+        # tombstoned rows, recovered from ONLY the referenced files
+        tomb = spark.read.parquet(*sorted(pos_del_paths)).select(
+            "file_path", "pos"
+        )
+        ref_files = [
+            os.path.relpath(r["file_path"], os.path.abspath(table))
+            for r in tomb.select("file_path").distinct().collect()
+        ]
+        raw, cols = _read_raw(spark, table, meta, sid, sorted(ref_files))
+        raw = raw.select(
+            *cols,
+            _norm_file_path().alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        dead = raw.join(
+            F.broadcast(
+                tomb.select(
+                    F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+                )
+            ),
+            ["__fp", "__pos"],
+        ).select(*cols)
+        pieces.append(dead.withColumn("_change_type", F.lit("delete")))
+    for path, del_seq, cols_eq in sorted(eq_dels):
+        # rows alive at the delete commit's PARENT snapshot matching
+        # the key tuples (null-safe) — exactly what the tombstone killed
+        del_snap = next(
+            s for s in meta["snapshots"] if s["sequence-number"] == del_seq
+        )
+        parent = del_snap.get("parent-snapshot-id")
+        alive = read_iceberg(spark, table, parent)
+        keys = spark.read.parquet(path).select(
+            *[F.col(c).alias(f"__k_{c}") for c in cols_eq]
+        )
+        cond = F.lit(True)
+        for c in cols_eq:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        dead = alive.join(F.broadcast(keys), on=cond, how="left_semi")
+        pieces.append(dead.withColumn("_change_type", F.lit("delete")))
+    if not pieces:
+        return base.filter(F.lit(False)).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(*names, "_change_type")

@@ -350,3 +350,38 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
             assert sorted(indep.read_rows(table, v)) == _spark_rows(
                 spark, table, v
             ), f"trial {trial} version {v} diverged"
+
+
+def test_table_changes_with_deletes_decomposes_dv_commits(spark, table):
+    """CDC contract: inserts are the RAW appended rows, deletes are the
+    DV-diff positions' rows, and base-state + signed changes must equal
+    the head snapshot exactly."""
+    from collections import Counter
+
+    dlog.create(_df(spark, [(i, "a", float(i)) for i in range(50)]), table)
+    dlog.append(_df(spark, [(i, "b", float(i)) for i in range(50, 60)]), table)
+    dlog.delete_where(spark, table, "id % 10 = 0")
+    dlog.delete_where(spark, table, "id % 10 = 1")
+    ch = dlog.table_changes(spark, table, 0, include_deletes=True)
+    ins = sorted(r["id"] for r in ch.filter("_change_type = 'insert'").collect())
+    dels = sorted(r["id"] for r in ch.filter("_change_type = 'delete'").collect())
+    assert ins == list(range(50, 60))
+    assert dels == [i for i in range(60) if i % 10 in (0, 1)]
+    # a row appended then deleted in range nets to zero
+    base = Counter(tuple(r) for r in dlog.read_delta(spark, table, 0).collect())
+    for r in ch.collect():
+        t = (r["id"], r["cat"], r["val"])
+        if r["_change_type"] == "insert":
+            base[t] += 1
+        else:
+            base[t] -= 1
+            assert base[t] >= 0, f"over-retraction of {t}"
+    head = Counter(tuple(r) for r in dlog.read_delta(spark, table).collect())
+    assert +base == head
+    # append-only mode still refuses DV commits
+    with pytest.raises(dlog.DeltaNonAppendChangeError):
+        dlog.table_changes(spark, table, 0).count()
+    # true rewrites refuse even with include_deletes
+    dlog.overwrite(_df(spark, [(999, "z", 9.0)]), table)
+    with pytest.raises(dlog.DeltaNonAppendChangeError):
+        dlog.table_changes(spark, table, 0, include_deletes=True).count()

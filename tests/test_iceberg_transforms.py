@@ -247,3 +247,63 @@ def test_table_changes_refuses_expired_range(spark, table):
         iceberg.table_changes(spark, table, 1)
     # a range fully inside retained history still works
     assert iceberg.table_changes(spark, table, 3).count() == 0
+
+
+def test_table_changes_with_deletes_pos_and_eq(spark, table):
+    """Iceberg CDC: position-delete commits emit their tombstoned rows
+    as deletes, an upsert emits delete(old)+insert(new) via the
+    equality tombstone's alive-at-parent semantics, and net(changes)
+    applied to the base equals the head snapshot."""
+    from collections import Counter
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"k{i % 3}", float(i)) for i in range(lo, hi)],
+            "id long, k string, v double",
+        )
+
+    iceberg.create(rows(0, 40), table)                       # seq 1
+    iceberg.append(rows(40, 50), table)                      # seq 2
+    iceberg.delete_where(spark, table, "id % 10 = 0")        # seq 3
+    up = spark.createDataFrame(
+        [(5, "up", -1.0), (100, "new", -2.0)], "id long, k string, v double"
+    )
+    iceberg.upsert(spark, table, up, ["id"])                 # seq 4+5
+    ch = iceberg.table_changes(spark, table, 0, include_deletes=True)
+    ins = sorted((r["id"], r["v"]) for r in ch.filter("_change_type='insert'").collect())
+    dels = sorted((r["id"], r["v"]) for r in ch.filter("_change_type='delete'").collect())
+    assert ins == sorted(
+        [(i, float(i)) for i in range(50)] + [(5, -1.0), (100, -2.0)]
+    )
+    assert dels == sorted(
+        [(i, float(i)) for i in range(50) if i % 10 == 0] + [(5, 5.0)]
+    )
+    net = Counter()
+    for r in ch.collect():
+        t = (r["id"], r["k"], r["v"])
+        net[t] += 1 if r["_change_type"] == "insert" else -1
+    head = Counter(tuple(r) for r in iceberg.read_iceberg(spark, table).collect())
+    assert +net == head
+    # append-only mode refuses the delete range; partial ranges fine
+    with pytest.raises(iceberg.IcebergNonAppendChangeError):
+        iceberg.table_changes(spark, table, 2).count()
+    assert iceberg.table_changes(spark, table, 1, 2).count() == 10
+
+
+def test_pos_delete_after_eq_delete_never_double_tombstones(spark, table):
+    """delete_where scans through ALL existing deletes (incl. equality)
+    so a predicate matching an already-eq-deleted row writes no second
+    tombstone — the invariant the CDC decomposition relies on."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    iceberg.create(df, table)
+    iceberg.delete_by_equality(
+        spark, table, spark.createDataFrame([(4,)], "id long")
+    )
+    iceberg.delete_where(spark, table, "id % 2 = 0")  # 4 already dead
+    ch = iceberg.table_changes(spark, table, 0, include_deletes=True)
+    dels = sorted(r["id"] for r in ch.filter("_change_type='delete'").collect())
+    assert dels == sorted(i for i in range(20) if i % 2 == 0)  # 4 once
+    assert sorted(r["id"] for r in iceberg.read_iceberg(spark, table).collect()) \
+        == [i for i in range(20) if i % 2 == 1]
