@@ -51,6 +51,13 @@ def blocked_levenshtein_pairs(
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+        # length gap > d can never be within distance d — an O(1)
+        # codegen prefilter before the O(len·d) verify
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(max_dist)
+        )
+        # thresholded levenshtein short-circuits to -1 past max_dist:
+        # O(len·d) per pair instead of O(len²)
+        .filter(F.levenshtein("name_a", "name_b", max_dist) >= 0)
         .select("id_a", "id_b", "name_a", "name_b")
     )

@@ -146,7 +146,7 @@ def connected_components(
         )
         candidates = labels.select("node", "lbl").union(via_edges)
         hop = labels.select("node", "lbl")
-        for _ in range(max(1, shorten_hops)):
+        for _ in range(max(0, shorten_hops)):
             nxt = labels.select(F.col("node").alias("__n"), F.col("lbl").alias("__l"))
             hop = hop.join(nxt, hop["lbl"] == nxt["__n"]).select(
                 hop["node"].alias("node"), nxt["__l"].alias("lbl")
