@@ -327,6 +327,18 @@ def minhash_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    return _bucket_pairs(buckets, id_col, max_bucket)
+
+
+def _bucket_pairs(
+    buckets: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """(id, band, bh) bucket table → distinct candidate pairs (id_a <
+    id_b) via a self-equi-join on the bucket key — the shared tail of
+    every banded-LSH family (murmur3 MinHash, portable MinHash, SimHash
+    bands). Pair-generation cost is Σ bucket²; ``max_bucket`` drops
+    mega-buckets (the over-cap list is tiny by construction → broadcast
+    anti-join, no extra shuffle on the corpus-sized table)."""
     if max_bucket is not None:
         over = (
             buckets.groupBy("band", "bh")
@@ -344,6 +356,103 @@ def minhash_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def minhash_candidates_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding over the *portable* MinHash family
+    (:func:`minhash_signatures_portable`) — same Σ bucket² candidate
+    shape as :func:`minhash_candidates`, but every hash is pure int64
+    arithmetic, so the full candidate set is value-verifiable against a
+    DuckDB oracle. The band hash is itself portable: a polynomial fold
+    bh ← (10007·bh + mh) mod p over the band's signature members (all
+    intermediates < p·10007 ≈ 10^13, far inside int64).
+
+    Production path remains :func:`minhash_candidates` (murmur3 — no
+    BMP/ASCII corpus assumption); this variant exists so the oracle can
+    check the banding *math* end-to-end, same role q125's portable
+    signatures play for q28's murmur3 ones.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_portable(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        bh = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            bh = (bh * F.lit(10007) + F.col(f"mh{b * rows_per_band + r}")) % F.lit(
+                PORTABLE_MOD
+            )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    return _bucket_pairs(buckets, id_col, max_bucket)
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate *pairs*: banded candidate generation +
+    exact Hamming verification — the operator a SimHash dedup actually
+    runs (the signature queries only produce the fingerprints).
+
+    1. signatures — :func:`simhash_portable` (char-polynomial token
+       hash → parity votes → sign-packed ``bits``-bit signature);
+    2. candidates — split each signature into ``bands`` contiguous
+       bit-bands; docs agreeing exactly on ≥1 band collide in an
+       equi-join bucket. Pigeonhole guarantee: any pair with Hamming
+       distance < ``bands`` MUST agree on at least one band, so recall
+       is 100% for distance ≤ bands−1 and the join is Σ bucket², never
+       n²;
+    3. verify — Hamming distance via ``bit_count(sig_a XOR sig_b)``
+       (one codegen'd expression per candidate), keep ≤ ``max_hamming``.
+
+    Output: (id_a, id_b, hamming), id_a < id_b. Entirely portable int64
+    arithmetic → DuckDB-oracled end-to-end (q29).
+    """
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash_portable(df, id_col, text_col, bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    cand = _bucket_pairs(buckets, id_col, max_bucket)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -594,6 +703,7 @@ def near_dup_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int | None = None,
+    family: str = "murmur3",
 ) -> DataFrame:
     """The complete near-duplicate removal pipeline in one operator —
     what an LLM corpus actually runs before training:
@@ -612,6 +722,14 @@ def near_dup_dedup(
     4. **survive** — keep the min-id document per duplicate group.
 
     Returns ``df`` filtered to survivors, original columns unchanged.
+
+    ``family`` selects the candidate signature family: ``"murmur3"``
+    (default production path — JVM hashes, no corpus assumptions) or
+    ``"portable"`` (:func:`minhash_candidates_portable` — pure int64
+    arithmetic so the ENTIRE pipeline, candidates through survivors, is
+    value-verifiable against a DuckDB oracle; q101). Verification,
+    grouping and survivorship are family-independent: exact Jaccard is
+    computed on the true shingle sets either way.
     """
     from march_mania_spark_lakehouse_spark.operators.graph import (
         connected_components,
@@ -619,7 +737,10 @@ def near_dup_dedup(
 
     sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_sh"))
-    cand = minhash_candidates(
+    cand_fn = (
+        minhash_candidates_portable if family == "portable" else minhash_candidates
+    )
+    cand = cand_fn(
         df, id_col, text_col, n, num_hashes, bands, max_bucket=max_bucket
     )
     a_sh = cand.join(

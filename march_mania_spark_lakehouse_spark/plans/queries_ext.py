@@ -306,27 +306,121 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
 
 
-@query("q28_minhash_candidates", oracle=None, tags=("dedup",))
+# Portable MinHash banding oracle. The sig CTE is the q125 fragment
+# (queries_ext7 — polynomial shingle hash + affine family, pure int64);
+# on top of it, band hashes fold pairs of signature members
+# (bh = (10007·mh_{2b} + mh_{2b+1}) mod p) and candidates come from the
+# band-bucket self-join — exactly `dedup.minhash_candidates_portable`.
+_MH_P = 1_000_000_007
+_Q28_K = 8
+
+_Q28_MHS = ",\n       ".join(
+    f"list_min(list_transform(hv, h -> (h * {2 * s + 1} + {997 * s + 13}) "
+    f"% {_MH_P})) AS mh{s}"
+    for s in range(_Q28_K)
+)
+
+_Q28_SIG_CTE = f"""
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(t[1:len(t) - 2],
+               (x, i) -> x || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shs
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+hs AS (
+    SELECT doc_id,
+           list_transform(shs, s -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(s, ' '),
+                                  w -> CAST(ascii(w) + length(w) AS BIGINT))),
+               (h, x) -> (h * 31 + x) % {_MH_P})) AS hv
+    FROM sh
+),
+sig AS (SELECT doc_id, {_Q28_MHS} FROM hs)
+"""
+
+_Q28_BUCKETS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"(mh{2 * b} * 10007 + mh{2 * b + 1}) % {_MH_P} AS bh FROM sig"
+    for b in range(4)
+)
+
+_Q28_SQL = f"""WITH {_Q28_SIG_CTE}, buckets AS ({_Q28_BUCKETS})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+@query("q28_minhash_candidates", oracle=_Q28_SQL, tags=("dedup",))
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banding (E2 scale path): shingle → 16 minhashes → 4
-    bands → equi-join on band hash. Murmur3 signatures are engine-native
-    → rows-only check + unit-tested against exact Jaccard."""
+    """MinHash+LSH banding (E2 scale path): shingle → 8 minhashes → 4
+    bands → equi-join on band hash, candidate pairs from bucket
+    collisions (Σ bucket², never n²). Portable int64 hash family
+    (`dedup.minhash_candidates_portable`) so the FULL banding pipeline —
+    signatures, band folds, bucket join, pair dedup — hash-matches the
+    DuckDB oracle. The murmur3 family (`dedup.minhash_candidates`)
+    remains the production path for non-ASCII corpora and stays
+    planted-dup + recall tested in `tests/test_corpus.py`."""
     docs = catalog.load(spark, "documents", sf_dir)
-    return dedup.minhash_candidates(
-        docs, "doc_id", "text", n=3, num_hashes=16, bands=4
+    return dedup.minhash_candidates_portable(
+        docs, "doc_id", "text", n=3, num_hashes=_Q28_K, bands=4
     )
 
 
-@query("q29_simhash", oracle=None, tags=("dedup",))
+# SimHash candidate-pair oracle: portable char-polynomial signatures
+# (the q132 fragment, queries_ext7) → 4×8-bit band split → bucket join →
+# exact Hamming verify via bit_count(xor). Pigeonhole: Hamming < 4 ⇒
+# exact agreement on ≥1 band, so recall is 100% for distance ≤ 3.
+_Q29_BITS = " + ".join(
+    f"CASE WHEN list_sum(list_transform(hv, h -> "
+    f"((h * {2 * b + 3} + {101 * b + 29}) % {_MH_P}) % 2 * 2 - 1)) > 0 "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32)
+)
+
+_Q29_BUCKETS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash >> {8 * b}) & 255 AS bh FROM s2"
+    for b in range(4)
+)
+
+_Q29_SQL = f"""WITH hs AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), w -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (h, x) -> (h * 131 + x) % {_MH_P})) AS hv
+    FROM documents
+),
+s2 AS (SELECT doc_id, CAST({_Q29_BITS} AS BIGINT) AS simhash FROM hs),
+buckets AS ({_Q29_BUCKETS}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@query("q29_simhash", oracle=_Q29_SQL, tags=("dedup",))
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (E2): 32-bit token-hash sign aggregate per doc.
-    Uses ``simhash_relational`` (explode → whole-stage-codegen per-bit
-    conditional sums, map-side combined) — ~4× the throughput of the
-    higher-order-function column form at sf0.1 because every expression
-    stays inside codegen instead of 32 interpreted ``F.aggregate`` folds
-    per row. Bit-equality of the two forms is unit-tested."""
+    """SimHash near-dup candidate pairs (E2): portable 32-bit signature →
+    4 contiguous 8-bit bands → bucket equi-join → exact Hamming verify
+    (`bit_count(sig_a XOR sig_b) ≤ 3`) — `dedup.simhash_candidates`,
+    value-oracled end-to-end. The banded join is Σ bucket² with 100%
+    recall for Hamming ≤ bands−1 (pigeonhole); the verify is one codegen
+    expression per candidate. The murmur3 signature form
+    (`dedup.simhash_relational`, map-side-combined per-bit sums) remains
+    the production fingerprint path, bit-equality-tested in unit tests."""
     docs = catalog.load(spark, "documents", sf_dir)
-    return dedup.simhash_relational(docs, "doc_id", "text")
+    return dedup.simhash_candidates(
+        docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+    )
 
 
 # --------------------------------------------------------------------------

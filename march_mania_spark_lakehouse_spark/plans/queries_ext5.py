@@ -295,20 +295,98 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# The full-pipeline oracle recomputes every stage from first principles
+# in DuckDB: portable MinHash signatures (q125 fragment) → band folds →
+# bucket-join candidates → exact-Jaccard verification on the true
+# shingle sets → recursive-CTE connected components (the q83 pattern) →
+# min-id survivors. One SQL statement re-derives the whole dedup.
+_MH_P101 = 1_000_000_007
+
+_Q101_MHS = ",\n       ".join(
+    f"list_min(list_transform(hv, h -> (h * {2 * s + 1} + {997 * s + 13}) "
+    f"% {_MH_P101})) AS mh{s}"
+    for s in range(8)
+)
+
+_Q101_BUCKETS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"(mh{2 * b} * 10007 + mh{2 * b + 1}) % {_MH_P101} AS bh FROM sig"
+    for b in range(4)
+)
+
+_Q101_SQL = f"""WITH RECURSIVE
+docs AS (SELECT * FROM documents WHERE doc_id < 1000),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(t[1:len(t) - 2],
+               (x, i) -> x || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shs
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
+),
+hs AS (
+    SELECT doc_id,
+           list_transform(shs, s -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(s, ' '),
+                                  w -> CAST(ascii(w) + length(w) AS BIGINT))),
+               (h, x) -> (h * 31 + x) % {_MH_P101})) AS hv
+    FROM sh
+),
+sig AS (SELECT doc_id, {_Q101_MHS} FROM hs),
+buckets AS ({_Q101_BUCKETS}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+shl AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shl GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN shl a ON a.doc_id = c.id_a
+    JOIN shl b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst
+    FROM inter
+    JOIN sizes na ON id_a = na.doc_id
+    JOIN sizes nb ON id_b = nb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
+),
+sym AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM docs
+    UNION
+    SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, d.source, d.n_chars
+FROM docs d JOIN comp c ON d.doc_id = c.node
+WHERE c.component = d.doc_id
+"""
+
+
 # bench=False: the composition's cost is its pieces, which are benched
 # individually (q28 MinHash banding, q83 connected components).
-@query("q101_near_dup_dedup", oracle=None, bench=False, tags=("dedup", "pipeline"))
+@query("q101_near_dup_dedup", oracle=_Q101_SQL, bench=False, tags=("dedup", "pipeline"))
 def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup (`operators/dedup.py:near_dup_dedup`):
     MinHash-LSH candidates → exact Jaccard verification restricted to
     candidate pairs → connected components for transitive groups →
-    min-id survivor per group. MinHash is seed-hash dependent →
-    rows-only; the planted-duplicate collapse (including a transitive
-    A≈B≈C chain) is unit-tested."""
+    min-id survivor per group. Runs the portable int64 signature family
+    (`family="portable"`) so the ENTIRE pipeline — candidates, verify,
+    transitive grouping, survivorship — is value-oracled against one
+    recursive-CTE DuckDB statement; the murmur3 family stays the
+    production default and keeps its planted-duplicate unit test
+    (including a transitive A≈B≈C chain)."""
     docs = catalog.load(spark, "documents", sf_dir).filter(
         F.col("doc_id") < 1000
     )
-    kept = dedup.near_dup_dedup(docs, "doc_id", "text", threshold=0.5)
+    kept = dedup.near_dup_dedup(
+        docs, "doc_id", "text", threshold=0.5,
+        num_hashes=8, bands=4, family="portable",
+    )
     return kept.select("doc_id", "source", "n_chars")
 
 

@@ -142,6 +142,74 @@ def test_max_bucket_caps_lsh_mega_buckets(spark):
     }  # mega-bucket dropped, small bucket intact
 
 
+def test_minhash_candidates_portable_planted_near_dup(spark):
+    """The portable int64 banding family finds the same planted near-dup
+    the murmur3 family does (q28's oracled path)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " ok"), (3, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates_portable(
+            df, "doc_id", num_hashes=16, bands=8
+        ).collect()
+    }
+    assert (1, 2) in cands
+
+
+def test_simhash_candidates_recall_guarantee(spark):
+    """Pigeonhole property of the banded SimHash join: EVERY pair with
+    Hamming distance ≤ bands−1 must surface as a candidate (they agree
+    exactly on ≥1 band), and every emitted pair's hamming is the true
+    bit_count(xor) of the portable signatures."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} tail{i} more{i} words{i}") for i in range(20)]
+    rows += [(100, base + " shared suffix here"), (101, base + " shared suffix here"),
+             (102, base + " shared suffix there")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_portable(df, "doc_id", bits=32).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(
+            df, "doc_id", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:  # bands−1 ⇒ guaranteed recall; ≤ max_hamming ⇒ kept
+                assert got[(a, b)] == d, (a, b, d)
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1") and h <= 3
+
+
+def test_near_dup_dedup_portable_collapses_transitive_chain(spark):
+    """family="portable" (q101's oracled path) collapses a planted
+    transitive A≈B≈C chain to the min-id survivor, like the murmur3
+    default."""
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, base + " alpha beta"),
+        (2, base + " alpha gamma"),   # ≈1
+        (3, base + " delta gamma"),   # ≈2, transitively ≈1
+        (9, "totally unrelated content with distinct vocabulary throughout"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in dedup.near_dup_dedup(
+            df, "doc_id", threshold=0.5, num_hashes=8, bands=4,
+            family="portable",
+        ).collect()
+    }
+    assert kept == {1, 9}
+
+
 def test_simhash_deterministic_and_close_for_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [(1, base), (2, base + " ok"), (3, "completely different words entirely here now")]
