@@ -11,12 +11,16 @@ Scope (honest about what it is):
 - **Encoder**: 8-bit greyscale or RGB, 4:4:4 (no chroma subsampling),
   JFIF APP0, Annex K.1/K.2 quantization tables scaled by ``quality``
   (the libjpeg 1–100 convention), Annex K.3 standard Huffman tables.
-- **Decoder**: baseline sequential (SOF0) DCT, 1–4 components, any
-  sampling factors ≤ 2×2 (so 4:4:4, 4:2:2 and 4:2:0 streams decode),
-  restart markers (DRI/RSTn), 0xFF00 byte-unstuffing. Progressive
-  (SOF2), arithmetic coding and 12-bit precision raise
-  NotImplementedError — they are different entropy pipelines, not
-  missing constants.
+  ``encode_progressive`` emits the same quantized coefficients as a
+  SOF2 scan ladder (spectral selection + successive approximation with
+  EOB-run batching) for progressive-decoder fixtures.
+- **Decoder**: baseline sequential (SOF0/1) DCT AND progressive (SOF2,
+  T.81 G.2: per-band Ss..Se scans, Ah/Al successive approximation, EOB
+  runs, AC refinement correction bits), 1–4 components, any sampling
+  factors ≤ 2×2 (so 4:4:4, 4:2:2 and 4:2:0 streams decode), restart
+  markers (DRI/RSTn), 0xFF00 byte-unstuffing. Arithmetic coding,
+  hierarchical mode and 12-bit precision raise NotImplementedError —
+  they are different entropy pipelines, not missing constants.
 
 The DCT is the exact orthonormal form (F = C·B·Cᵀ with the c(0)=1/√2
 normalization), so forward/inverse are matrix products — vectorized
@@ -328,6 +332,227 @@ def encode(pixels: np.ndarray, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+def _uniform_ac_table() -> tuple[list[int], list[int]]:
+    """An AC Huffman table that can code every progressive-scan symbol:
+    EOBn (r<<4 for r=0..14), ZRL (0xF0) and all (run,size) pairs with
+    size 1..10 — 176 symbols, all at 8-bit canonical codes (Kraft sum
+    176/256 < 1; the last code, 175, keeps the all-ones word unused as
+    T.81 requires). The standard AC tables lack the EOBn symbols, so
+    progressive scans define this one instead; fixtures are tiny, so the
+    flat 8-bit cost is irrelevant next to exercising real EOB runs."""
+    syms = sorted(
+        {r << 4 for r in range(15)}
+        | {0xF0}
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    )
+    bits = [0] * 16
+    bits[7] = len(syms)  # all codes 8 bits long
+    return bits, syms
+
+
+class _ProgressiveACWriter:
+    """Shared EOB-run state for one progressive AC scan: first-pass
+    scans batch end-of-band runs (EOBn = 2^r + ext bits); refinement
+    scans additionally buffer correction bits that must be emitted after
+    the EOBn symbol that closes the run (T.81 G.1.2.3 encode side)."""
+
+    def __init__(self, w: _BitWriter, codes: dict) -> None:
+        self.w = w
+        self.codes = codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # buffered correction bits
+
+    def emit_symbol(self, sym: int) -> None:
+        code, ln = self.codes[sym]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.emit_symbol(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.w.write(bit, 1)
+        self.pending = []
+
+    def add_eob(self, correction_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(correction_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def encode_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an (h, w) greyscale or (h, w, 3) RGB uint8 array as a
+    progressive (SOF2) JFIF JPEG — 4:4:4, the same quantized
+    coefficients as :func:`encode`, delivered over a scan ladder that
+    exercises every progressive feature: interleaved DC first scan with
+    successive approximation (Al=1), split spectral-selection AC first
+    scans (1..5, 6..63 at Al=1), per-band AC refinement scans (Ah=1,
+    Al=0, with EOB-run-buffered correction bits), and a final DC
+    refinement scan. decode() of this stream is bit-identical to
+    decode() of the baseline stream for the same pixels/quality, which
+    is the round-trip contract the tests pin."""
+    grey = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if grey:
+        planes = [pixels.astype(np.float64)]
+        qts = [_quality_scale(QT_LUMA, quality)]
+        table_ids = [0]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [_quality_scale(QT_LUMA, quality),
+               _quality_scale(QT_CHROMA, quality)]
+        table_ids = [0, 1, 1]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in qt[ZIGZAG])
+    n_comp = len(planes)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
+    for ci in range(n_comp):
+        out += bytes([ci + 1, 0x11, table_ids[ci]])  # 4:4:4
+    huff_specs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS)]
+    if not grey:
+        huff_specs.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    ac_bits, ac_vals = _uniform_ac_table()
+    huff_specs.append((0x10, ac_bits, ac_vals))
+    for tc_th, bits, vals in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+    zz_planes = [
+        _fdct_quant(_pad_to_8(p), qts[table_ids[ci]])
+        for ci, p in enumerate(planes)
+    ]
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if not grey:
+        dc_codes.append(_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+    ac_codes = _build_codes(ac_bits, ac_vals)
+    by, bx = zz_planes[0].shape[:2]
+
+    def sos_header(comp_ids: list[int], dc_tab: bool,
+                   ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            td = table_ids[cid - 1] if dc_tab else 0
+            hdr += bytes([cid, (td << 4) if dc_tab else td])
+        return b"\xff\xda" + hdr + bytes([ss, se, (ah << 4) | al])
+
+    # ---- scan 1: DC first, interleaved, Al=1 --------------------------
+    out += sos_header(list(range(1, n_comp + 1)), True, 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    preds = [0] * n_comp
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(n_comp):
+                dc = int(zz_planes[ci][yb, xb, 0]) >> 1  # point transform
+                cat, extra = _magnitude(dc - preds[ci])
+                code, ln = dc_codes[table_ids[ci]][cat]
+                bw_.write(code, ln)
+                if cat:
+                    bw_.write(extra, cat)
+                preds[ci] = dc
+    out += bw_.flush()
+
+    # ---- AC first scans per component: bands 1..5 and 6..63, Al=1 -----
+    for ci in range(n_comp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([ci + 1], False, ss, se, 0, 1)
+            bw_ = _BitWriter()
+            pw = _ProgressiveACWriter(bw_, ac_codes)
+            for yb in range(by):
+                for xb in range(bx):
+                    blk = zz_planes[ci][yb, xb]
+                    t = [
+                        (1 if blk[k] >= 0 else -1) * (abs(int(blk[k])) >> 1)
+                        for k in range(ss, se + 1)
+                    ]
+                    nz = [i for i, v in enumerate(t) if v]
+                    if not nz:
+                        pw.add_eob([])
+                        continue
+                    pw.flush_eobrun()
+                    run = 0
+                    for i in range(nz[-1] + 1):
+                        if t[i] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            pw.emit_symbol(0xF0)
+                            run -= 16
+                        cat, extra = _magnitude(t[i])
+                        pw.emit_symbol((run << 4) | cat)
+                        bw_.write(extra, cat)
+                        run = 0
+                    if nz[-1] < se - ss:
+                        pw.add_eob([])
+            pw.flush_eobrun()
+            out += bw_.flush()
+
+    # ---- AC refinement scans per component: band 1..63, Ah=1 Al=0 -----
+    for ci in range(n_comp):
+        out += sos_header([ci + 1], False, 1, 63, 1, 0)
+        bw_ = _BitWriter()
+        pw = _ProgressiveACWriter(bw_, ac_codes)
+        for yb in range(by):
+            for xb in range(bx):
+                blk = zz_planes[ci][yb, xb]
+                absv = [abs(int(blk[k])) for k in range(1, 64)]
+                # last newly-significant position (history |c|>>1 == 0)
+                eob_pos = max(
+                    (i for i, v in enumerate(absv) if v == 1), default=-1
+                )
+                run = 0
+                corrections: list[int] = []
+                for i, v in enumerate(absv):
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob_pos:
+                        pw.flush_eobrun()
+                        pw.emit_symbol(0xF0)
+                        for bit in corrections:
+                            bw_.write(bit, 1)
+                        corrections = []
+                        run -= 16
+                    if v > 1:  # history-nonzero: buffer correction bit
+                        corrections.append(v & 1)
+                        continue
+                    pw.flush_eobrun()
+                    pw.emit_symbol((run << 4) | 1)
+                    bw_.write(1 if blk[i + 1] >= 0 else 0, 1)
+                    for bit in corrections:
+                        bw_.write(bit, 1)
+                    corrections = []
+                    run = 0
+                if run > 0 or corrections:
+                    pw.add_eob(corrections)
+        pw.flush_eobrun()
+        out += bw_.flush()
+
+    # ---- final scan: DC refinement, interleaved, Ah=1 Al=0 ------------
+    out += sos_header(list(range(1, n_comp + 1)), True, 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(n_comp):
+                bw_.write(int(zz_planes[ci][yb, xb, 0]) & 1, 1)
+    out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
@@ -402,9 +627,15 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w) greyscale or
-    (h, w, 3) RGB uint8. Raises NotImplementedError for progressive /
-    arithmetic / 12-bit streams and ValueError for non-JPEG input."""
+    """Decode a baseline sequential (SOF0/1) or progressive (SOF2) JPEG
+    to (h, w) greyscale or (h, w, 3) RGB uint8. Raises
+    NotImplementedError for arithmetic-coded / hierarchical / 12-bit
+    streams and ValueError for non-JPEG input.
+
+    Progressive streams accumulate per-block coefficient state across
+    scans (spectral selection Ss..Se, successive approximation Ah/Al per
+    T.81 G.2) and reconstruct once at EOI; baseline streams decode in a
+    single pass."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qts: dict[int, np.ndarray] = {}
@@ -412,6 +643,9 @@ def decode(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    coeffs: list[np.ndarray] = []  # per comp: (bh, bw, 64) zig-zag order
+    saw_scan = False
     pos = 2
     while True:
         if payload[pos] != 0xFF:
@@ -420,7 +654,9 @@ def decode(payload: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and saw_scan:
+                return _reconstruct(coeffs, comps, qts, h, w)
             raise ValueError("no scan data")
         seg_len = struct.unpack_from(">H", payload, pos)[0]
         body = payload[pos + 2: pos + seg_len]
@@ -443,7 +679,8 @@ def decode(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17: i + 17 + n_vals])
                 huff[(tc, th)] = _build_decode_map(bits, vals)
                 i += 17 + n_vals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
@@ -454,10 +691,19 @@ def decode(payload: bytes) -> np.ndarray:
                 })
             if any(c["h"] > 2 or c["v"] > 2 for c in comps):
                 raise NotImplementedError("sampling factors > 2")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    coeffs.append(np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                    ))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0/SOF1) is supported"
+                "only baseline (SOF0/1) and progressive (SOF2) are supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -467,12 +713,207 @@ def decode(payload: bytes) -> np.ndarray:
             for si in range(n_scan):
                 cid, tables = body[1 + 2 * si], body[2 + 2 * si]
                 scan_map[cid] = (tables >> 4, tables & 0x0F)
-            pos += seg_len
-            return _decode_scan(
-                payload, pos, h, w, comps, scan_map, qts, huff,
-                restart_interval,
+            if not progressive:
+                pos += seg_len
+                return _decode_scan(
+                    payload, pos, h, w, comps, scan_map, qts, huff,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * n_scan], body[2 + 2 * n_scan]
+            ahal = body[3 + 2 * n_scan]
+            ah, al = ahal >> 4, ahal & 0x0F
+            scan_ids = [body[1 + 2 * si] for si in range(n_scan)]
+            pos = _decode_progressive_scan(
+                payload, pos + seg_len, h, w, comps, scan_ids, scan_map,
+                huff, coeffs, ss, se, ah, al, restart_interval,
             )
+            saw_scan = True
+            continue
         pos += seg_len
+
+
+def _comp_block_dims(c: dict, comps: list[dict], h: int, w: int) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: ceil(scaled size / 8)
+    per T.81 A.1.1 (NOT padded to the MCU multiple)."""
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    data, pos, h, w, comps, scan_ids, scan_map, huff, coeffs,
+    ss, se, ah, al, restart_interval,
+):
+    """One progressive scan (T.81 G.2): DC scans (Ss=0) may be
+    interleaved across components; AC scans cover one component's band
+    Ss..Se. Ah=0 scans establish coefficients at precision Al; Ah>0
+    scans refine one bit (DC: two's-complement OR; AC: magnitude growth
+    with correction bits, the G.1.2.3 algorithm). Updates ``coeffs`` in
+    place and returns the stream position after the scan's entropy data."""
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0, "preds": [0] * len(comps), "mcu": 0}
+
+    def check_restart():
+        if restart_interval and state["mcu"] == restart_interval:
+            br.align()
+            br.skip_restart()
+            state["preds"] = [0] * len(comps)
+            state["eobrun"] = 0
+            state["mcu"] = 0
+
+    def dc_block(ci, byi, bxi):
+        blk = coeffs[ci][byi, bxi]
+        if ah == 0:
+            dc_t = huff[(0, scan_map[comps[ci]["id"]][0])]
+            cat = _read_symbol(br, dc_t)
+            diff = _extend(br.bits(cat), cat) if cat else 0
+            state["preds"][ci] += diff
+            blk[0] = state["preds"][ci] << al
+        else:
+            if br.bits(1):
+                blk[0] |= 1 << al
+
+    try:
+        if ss == 0:  # DC scan
+            if len(scan_ids) > 1:  # interleaved MCU order
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        check_restart()
+                        for cid in scan_ids:
+                            ci = by_id[cid]
+                            c = comps[ci]
+                            for vy in range(c["v"]):
+                                for vx in range(c["h"]):
+                                    dc_block(
+                                        ci, my * c["v"] + vy, mx * c["h"] + vx
+                                    )
+                        state["mcu"] += 1
+            else:
+                ci = by_id[scan_ids[0]]
+                bh, bw = _comp_block_dims(comps[ci], comps, h, w)
+                for byi in range(bh):
+                    for bxi in range(bw):
+                        check_restart()
+                        dc_block(ci, byi, bxi)
+                        state["mcu"] += 1
+        else:  # AC scan: single component, band ss..se
+            ci = by_id[scan_ids[0]]
+            ac_t = huff[(1, scan_map[scan_ids[0]][1])]
+            bh, bw = _comp_block_dims(comps[ci], comps, h, w)
+            p1, m1 = 1 << al, -1 << al
+            for byi in range(bh):
+                for bxi in range(bw):
+                    check_restart()
+                    blk = coeffs[ci][byi, bxi]
+                    if ah == 0:  # first pass for this band/bit
+                        if state["eobrun"] > 0:
+                            state["eobrun"] -= 1
+                        else:
+                            k = ss
+                            while k <= se:
+                                rs = _read_symbol(br, ac_t)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    state["eobrun"] = (1 << r) - 1
+                                    if r:
+                                        state["eobrun"] += br.bits(r)
+                                    break
+                                k += r
+                                blk[k] = _extend(br.bits(s), s) << al
+                                k += 1
+                    else:  # refinement pass (T.81 G.1.2.3)
+                        k = ss
+                        if state["eobrun"] == 0:
+                            while k <= se:
+                                rs = _read_symbol(br, ac_t)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r < 15:
+                                        state["eobrun"] = (1 << r)
+                                        if r:
+                                            state["eobrun"] += br.bits(r)
+                                        break  # tail corrected below
+                                    newval = 0  # ZRL: skip 16 zero-history
+                                else:
+                                    # newly-significant coefficient: ±1<<al
+                                    newval = p1 if br.bits(1) else m1
+                                # advance past r zero-history coefficients,
+                                # correcting nonzero-history ones en route
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        if br.bits(1) and not (blk[k] & p1):
+                                            blk[k] += p1 if blk[k] > 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if s and k <= se:
+                                    blk[k] = newval
+                                k += 1
+                        if state["eobrun"] > 0:
+                            # EOB run covers this block: correction bits
+                            # for the remaining nonzero coefficients
+                            while k <= se:
+                                if blk[k] != 0 and br.bits(1) and not (blk[k] & p1):
+                                    blk[k] += p1 if blk[k] > 0 else m1
+                                k += 1
+                            state["eobrun"] -= 1
+                    state["mcu"] += 1
+    except _SegmentEnd:
+        pass  # truncated scan: keep what was accumulated
+    # skip to the next marker (tolerate pad bits / stuffing / restarts)
+    p = br.pos
+    while True:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+
+
+def _reconstruct(coeffs, comps, qts, h, w) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block (vectorized), upsample
+    to the MCU grid, crop and color-convert — the shared tail of
+    progressive decoding."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, c in enumerate(comps):
+        zz = coeffs[ci].astype(np.float64)
+        qt = qts[c["tq"]].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz * qt[ZIGZAG]
+        by, bx = nat.shape[:2]
+        f = nat.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ux,abuv,vy->abxy", _C, f, _C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if c["h"] < hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"{len(full)}-component JPEG")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, h, w, comps, scan_map, qts, huff,

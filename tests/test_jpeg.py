@@ -161,14 +161,67 @@ def test_non_multiple_of_8_dims():
     assert dec.shape == (13, 21, 3)
 
 
-def test_rejects_progressive_and_non_jpeg():
+def test_rejects_arithmetic_and_non_jpeg():
     with pytest.raises(ValueError):
         jpeg.decode(b"BM not a jpeg")
-    # minimal stream whose first real marker is SOF2 (progressive)
-    prog = b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) \
+    # minimal stream whose first real marker is SOF9 (arithmetic coding)
+    arith = b"\xff\xd8\xff\xc9" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) \
         + bytes([1, 0x11, 0])
     with pytest.raises(NotImplementedError):
-        jpeg.decode(prog)
+        jpeg.decode(arith)
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """decode(encode_progressive(px)) must be BIT-IDENTICAL to
+    decode(encode(px)): both encoders emit the same quantized
+    coefficients, so any difference is a progressive scan-ladder bug
+    (DC/AC successive approximation, EOB runs, refinement correction
+    bits). Random sweep per the codec-testing lesson: targeted vectors
+    alone can pass on consistently-wrong pipelines."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        if trial % 3 == 0:
+            shape = (int(rng.integers(9, 70)), int(rng.integers(9, 70)))
+        else:
+            shape = (int(rng.integers(9, 70)), int(rng.integers(9, 70)), 3)
+        if trial % 3 == 2:  # smooth content (long EOB runs)
+            yy, xx = np.mgrid[0: shape[0], 0: shape[1]]
+            px = np.stack(
+                [(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+        else:  # noise (dense refinement corrections)
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+        q = int(rng.choice([35, 60, 85, 95]))
+        base = jpeg.decode(jpeg.encode(px, q))
+        prog = jpeg.decode(jpeg.encode_progressive(px, q))
+        assert np.array_equal(base, prog), (trial, shape, q)
+
+
+def test_progressive_flat_image_exercises_long_eob_runs():
+    """A flat 128×128 RGB image leaves every AC band empty — the EOB run
+    spans all 256 blocks per scan, forcing EOBn symbols with extension
+    bits (run > 2^7) through both encoder and decoder."""
+    px = np.full((128, 128, 3), 137, dtype=np.uint8)
+    assert np.array_equal(
+        jpeg.decode(jpeg.encode(px, 85)),
+        jpeg.decode(jpeg.encode_progressive(px, 85)),
+    )
+
+
+def test_progressive_sparse_impulses_exercise_zrl_refinement():
+    """Isolated bright pixels on a flat field create blocks whose only
+    AC energy sits deep in the band — long zero runs before significant
+    coefficients drive the ZRL path in both the first-pass and the
+    refinement scans."""
+    rng = np.random.default_rng(3)
+    px = np.full((96, 96), 128, dtype=np.uint8)
+    ys, xs = rng.integers(0, 96, 40), rng.integers(0, 96, 40)
+    px[ys, xs] = 255
+    assert np.array_equal(
+        jpeg.decode(jpeg.encode(px, 95)),
+        jpeg.decode(jpeg.encode_progressive(px, 95)),
+    )
 
 
 def test_decode_real_dispatches_jpeg():
