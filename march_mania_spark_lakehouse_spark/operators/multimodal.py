@@ -244,11 +244,13 @@ def decode_real(payload: bytes) -> tuple[str, int, int, np.ndarray]:
 
         fmt, px = "png", png.decode(payload)
     if px is not None:
+        # 16-bit PNGs decode to uint16 — normalize by the dtype's range
+        denom = 65535.0 if px.dtype == np.uint16 else 255.0
         if px.ndim == 2:  # greyscale: profile over rows directly
             h, w = px.shape
-            return fmt, w, h, _profile8(px.mean(axis=1) / 255.0)
+            return fmt, w, h, _profile8(px.mean(axis=1) / denom)
         h, w, _ = px.shape
-        feat = _profile8(px.reshape(h, -1).mean(axis=1) / 255.0)
+        feat = _profile8(px.reshape(h, -1).mean(axis=1) / denom)
         return fmt, w, h, feat
     raise NotImplementedError(
         "video/audio codecs (MP4/Opus) need external libraries; "

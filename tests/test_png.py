@@ -121,15 +121,75 @@ def test_crc_corruption_detected():
         png.decode(bytes(enc))
 
 
-def test_rejects_unsupported_and_non_png():
+def test_rejects_illegal_and_non_png():
     with pytest.raises(ValueError):
         png.decode(b"not a png at all....")
-    sixteen = _wrap(struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0), [], b"")
-    with pytest.raises(NotImplementedError):
-        png.decode(sixteen)
-    interlaced = _wrap(struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1), [], b"")
-    with pytest.raises(NotImplementedError):
-        png.decode(interlaced)
+    # 16-bit palette is illegal per spec Table 11.1 (depth gates are
+    # now capability-complete, so only truly-illegal combos reject)
+    bad = _wrap(struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0), [], b"")
+    with pytest.raises(ValueError):
+        png.decode(bad)
+    # 2-bit RGB likewise
+    bad = _wrap(struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0), [], b"")
+    with pytest.raises(ValueError):
+        png.decode(bad)
+
+
+def test_16bit_roundtrip_grey_rgb_rgba():
+    """uint16 input → 16-bit PNG → uint16 back, bit-exact, plain and
+    Adam7-interlaced, including dims that make partial/empty passes."""
+    rng = np.random.default_rng(11)
+    for shape in ((1, 1), (3, 5), (9, 10), (23, 17, 3), (16, 16, 4)):
+        px = rng.integers(0, 65536, shape).astype(np.uint16)
+        for inter in (False, True):
+            dec = png.decode(png.encode(px, interlace=inter))
+            assert dec.dtype == np.uint16
+            assert np.array_equal(dec, px), (shape, inter)
+
+
+def test_adam7_interlaced_8bit_roundtrip():
+    rng = np.random.default_rng(5)
+    for shape in ((1, 1), (2, 2), (7, 1), (1, 9, 3), (8, 8), (13, 21, 3),
+                  (9, 10, 4)):
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        dec = png.decode(png.encode(px, interlace=True))
+        assert np.array_equal(dec, px), shape
+
+
+def _pack_rows(rows: list[bytes]) -> bytes:
+    out = bytearray()
+    for r in rows:
+        out.append(0)  # filter None
+        out += r
+    return bytes(out)
+
+
+def test_4bit_greyscale_exact_expansion():
+    """4-bit grey samples expand to 8-bit by exactly ×17 (255/15)."""
+    vals = np.arange(9).reshape(3, 3)
+    rows = [bytes([(r[0] << 4) | r[1], r[2] << 4]) for r in vals]
+    stream = _wrap(struct.pack(">IIBBBBB", 3, 3, 4, 0, 0, 0, 0), [],
+                   _pack_rows(rows))
+    assert np.array_equal(png.decode(stream), (vals * 17).astype(np.uint8))
+
+
+def test_1bit_greyscale_stripes():
+    bits = np.array([[1, 0] * 5, [0, 1] * 5], dtype=np.uint8)
+    rows = [np.packbits(r).tobytes() for r in bits]
+    stream = _wrap(struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0), [],
+                   _pack_rows(rows))
+    assert np.array_equal(png.decode(stream), bits * 255)
+
+
+def test_2bit_palette_lookup():
+    """Sub-byte palette indices select PLTE entries without scaling."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    rows = [bytes([(r[0] << 6) | (r[1] << 4) | (r[2] << 2)]) for r in idx]
+    stream = _wrap(struct.pack(">IIBBBBB", 3, 2, 2, 3, 0, 0, 0),
+                   [(b"PLTE", plte)], _pack_rows(rows))
+    exp = np.frombuffer(plte, np.uint8).reshape(4, 3)[idx]
+    assert np.array_equal(png.decode(stream), exp)
 
 
 def test_decode_real_dispatches_png():
