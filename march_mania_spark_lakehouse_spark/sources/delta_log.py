@@ -568,22 +568,74 @@ def _scan_with_positions(
     DV-free tables skip the `_metadata` projection entirely."""
     schema = table_schema(table, version)
     live = _replay(table, version)
-    dv_rows = []
+    dv_entries = []
     for f in files:
         desc = (live.get(f) or {}).get("deletionVector")
         if desc:
-            from march_mania_spark_lakehouse_spark.sources import deletion_vectors
-
             fp = os.path.abspath(os.path.join(table, f))
-            dv_rows.extend((fp, p) for p in deletion_vectors.read_dv(table, desc))
+            dv_entries.append((fp, desc, None))
     df = _read_files_raw(
         spark, table, files, version,
-        with_positions=bool(dv_rows) or force_positions,
+        with_positions=bool(dv_entries) or force_positions,
     )
-    if dv_rows:
-        dels = spark.createDataFrame(dv_rows, "__fp string, __pos long")
-        df = df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
+    if dv_entries:
+        dels = _dv_tombstones(spark, table, dv_entries)
+        df = df.join(dels, ["__fp", "__pos"], "left_anti")
     return df
+
+
+#: Above this many total tombstoned positions (known from descriptor
+#: cardinalities WITHOUT decoding any bitmap) the tombstone table stops
+#: being broadcast and joins via shuffle instead: an 8-byte-per-position
+#: broadcast is ~80 MB at 10M rows, the practical executor-memory line.
+DV_BROADCAST_LIMIT = 10_000_000
+
+
+def _dv_tombstones(
+    spark: SparkSession,
+    table: str,
+    entries: Sequence[tuple[str, dict, dict | None]],
+) -> DataFrame:
+    """(abs file path, DV descriptor, optional predecessor descriptor)
+    → distributed (__fp, __pos) tombstone table. Only the compact
+    descriptors (KBs each) leave the driver; the roaring bitmaps are
+    decoded and their positions exploded ON EXECUTORS via mapInPandas,
+    so driver memory never scales with deleted-row count — the property
+    that keeps merge-on-read reads alive when a 100 TB table carries
+    billions of tombstones. With a predecessor descriptor the emitted
+    positions are the diff (new − old), the CDC delete-row recovery.
+
+    Join-side strategy is decided from descriptor ``cardinality`` sums
+    alone: small DV sets broadcast (map-side anti-join, the common
+    case — deletes are a fraction of a table), huge ones fall back to a
+    shuffle join rather than an oversized broadcast."""
+    import pandas as pd
+
+    rows = [
+        (fp, json.dumps(new), json.dumps(old) if old else None)
+        for fp, new, old in entries
+    ]
+    src = spark.createDataFrame(rows, "__fp string, __new string, __old string")
+    if len(rows) > 1:  # one bitmap decode per task when files allow
+        src = src.repartition(len(rows))
+
+    def _explode(batches):
+        from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
+        for pdf in batches:
+            for fp, nj, oj in pdf.itertuples(index=False):
+                new = deletion_vectors.read_dv(table, json.loads(nj))
+                if oj:
+                    old = set(deletion_vectors.read_dv(table, json.loads(oj)))
+                    new = [p for p in new if p not in old]
+                if new:
+                    yield pd.DataFrame(
+                        {"__fp": fp, "__pos": pd.array(new, dtype="int64")}
+                    )
+
+    dels = src.mapInPandas(_explode, "__fp string, __pos long")
+    total = sum(e[1].get("cardinality", 0) for e in entries)
+    return F.broadcast(dels) if total <= DV_BROADCAST_LIMIT else dels
 
 
 def _read_files_raw(
@@ -1122,8 +1174,6 @@ def table_changes(
     hi = latest_version(table) if to_version is None else to_version
     if hi is None:
         raise FileNotFoundError(f"{table} has no Delta log")
-    from march_mania_spark_lakehouse_spark.sources import deletion_vectors
-
     # DV state (descriptor per live file) as of the range start —
     # needed to diff a DELETE commit's bitmap against its predecessor
     dv_state: dict[str, dict | None] = {}
@@ -1133,7 +1183,10 @@ def table_changes(
             for p, a in _replay(table, from_version).items()
         }
     added: list[str] = []
-    deleted_pos: list[tuple[str, int]] = []  # (path, position)
+    #: (abs path, new descriptor, predecessor descriptor) per DV commit
+    #: touch — descriptors only; positions are recovered on executors
+    #: (`_dv_tombstones`), so the driver cost is O(files), not O(rows)
+    deleted_desc: list[tuple[str, dict, dict | None]] = []
     for v in range(from_version + 1, hi + 1):
         p = _commit_path(table, v)
         if not os.path.exists(p):
@@ -1166,15 +1219,10 @@ def table_changes(
                 "cannot represent it as row-level changes"
             )
         for path, a in readd.items():
-            new_pos = set(deletion_vectors.read_dv(table, a["deletionVector"]))
-            old_desc = dv_state.get(path)
-            old_pos = (
-                set(deletion_vectors.read_dv(table, old_desc))
-                if old_desc
-                else set()
-            )
             abs_path = os.path.abspath(os.path.join(table, path))
-            deleted_pos.extend((abs_path, q) for q in sorted(new_pos - old_pos))
+            deleted_desc.append(
+                (abs_path, a["deletionVector"], dv_state.get(path))
+            )
             dv_state[path] = a["deletionVector"]
     if not include_deletes:
         if not added:
@@ -1189,13 +1237,16 @@ def table_changes(
         pieces.append(
             ins.select(*names).withColumn("_change_type", F.lit("insert"))
         )
-    if deleted_pos:
+    if deleted_desc:
         ref_files = sorted(
-            {os.path.relpath(fp, os.path.abspath(table)) for fp, _ in deleted_pos}
+            {
+                os.path.relpath(fp, os.path.abspath(table))
+                for fp, _, _ in deleted_desc
+            }
         )
         raw = _read_files_raw(spark, table, ref_files, hi, with_positions=True)
-        tomb = spark.createDataFrame(deleted_pos, "__fp string, __pos long")
-        dead = raw.join(F.broadcast(tomb), ["__fp", "__pos"])
+        tomb = _dv_tombstones(spark, table, deleted_desc)
+        dead = raw.join(tomb, ["__fp", "__pos"])
         pieces.append(
             dead.select(*names).withColumn("_change_type", F.lit("delete"))
         )
