@@ -80,21 +80,14 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a PCM WAV: (n_channels, sample_rate, float32 samples in
-    [-1, 1], interleaved channels flattened)."""
-    import io
-    import wave
+    """Decode a WAV of any supported format tag — PCM 8/16/24/32,
+    IEEE float, G.711 µ-law/A-law, IMA ADPCM, and the EXTENSIBLE
+    wrapper — via the full RIFF codec in `operators/audio.py`:
+    (n_channels, sample_rate, float32 samples in [-1, 1],
+    interleaved)."""
+    from march_mania_spark_lakehouse_spark.operators import audio
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
-        raw = w.readframes(w.getnframes())
-    if width == 2:
-        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 1:  # 8-bit WAV is unsigned
-        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    else:
-        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
-    return n_ch, rate, samples
+    return audio.decode_wav(payload)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:

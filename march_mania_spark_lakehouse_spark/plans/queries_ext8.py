@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
 from march_mania_spark_lakehouse_spark.operators import dedup, similarity
@@ -1097,4 +1098,76 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_metadata(media).select(
         F.col("media_id").alias("doc_id"), "width", "height",
         "duration_ms", "n_tracks",
+    )
+
+
+# --------------------------------------------------------------------------
+# q187 — the lossy-codec family under one exact SQL oracle, extending
+# the q176 trick: a sine placed exactly on an FFT bin center keeps its
+# dominant bin through G.711 µ-law (~38 dB SNR), A-law (~38 dB) and IMA
+# ADPCM (~24 dB) compression, so the closed-form bin arithmetic remains
+# a value oracle for three genuinely lossy round trips through the
+# from-scratch RIFF codec (`operators/audio.py`).
+# --------------------------------------------------------------------------
+
+# doc_id % 17 subset: ADPCM's adaptive quantizer is genuinely
+# sample-sequential (a ~2k-step Python loop per doc), so the oracled
+# sample keeps the bench entry at sub-second scale while still
+# round-tripping hundreds of documents; cost is embarrassingly
+# parallel per doc either way.
+_Q187_SQL = """
+SELECT doc_id,
+       CAST(64 + (doc_id % 32) * 16 AS INT) AS peak_ulaw,
+       CAST(64 + (doc_id % 32) * 16 AS INT) AS peak_alaw,
+       CAST(64 + (doc_id % 32) * 16 AS INT) AS peak_adpcm
+FROM documents
+WHERE doc_id % 17 = 0
+"""
+
+
+@query("q187_audio_codec_family", oracle=_Q187_SQL, tags=("multimodal",))
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sine → encode/decode through µ-law, A-law and IMA ADPCM
+    (`audio.encode_wav`/`decode_wav`) → rfft dominant bin per codec,
+    all hash-matched against the closed-form bin. Map-only Arrow
+    batches; companding tables and ADPCM expansion run in numpy."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from march_mania_spark_lakehouse_spark.operators import audio
+    from march_mania_spark_lakehouse_spark.operators.multimodal import (
+        spectral_peak_bin,
+    )
+    from march_mania_spark_lakehouse_spark.operators.text import rebalance_scan
+
+    rate, n = 16000, 2048
+
+    def _pipeline(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        t = np.arange(n) / rate
+        for pdf in batches:
+            cols = {"ulaw": [], "alaw": [], "adpcm": []}
+            for doc_id in pdf["doc_id"]:
+                target = 64 + int(doc_id) % 32 * 16
+                f = target * rate / n  # exactly on a bin center
+                sig = 0.5 * np.sin(2 * np.pi * f * t)
+                for fmt, key in (("ulaw", "ulaw"), ("alaw", "alaw"),
+                                 ("ima_adpcm", "adpcm")):
+                    wav = audio.encode_wav(sig, rate, 1, fmt)
+                    _ch, _r, samples = audio.decode_wav(wav)
+                    cols[key].append(spectral_peak_bin(samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "peak_ulaw": cols["ulaw"],
+                 "peak_alaw": cols["alaw"], "peak_adpcm": cols["adpcm"]}
+            )
+
+    docs = (
+        catalog.load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+    return rebalance_scan(docs).mapInPandas(
+        _pipeline,
+        schema="doc_id long, peak_ulaw int, peak_alaw int, peak_adpcm int",
     )
