@@ -1,0 +1,393 @@
+"""Round-6 lake-layer query batch: bin-pack compaction, null-count
+data skipping, TIMESTAMP-AS-OF time travel on both lake formats, and
+governed publishing (tags / write-audit-publish).
+
+Every query is oracle-checked. The lake operations under test are all
+semantically invisible (compaction, pruning, ref resolution change the
+PLAN, never the answer), so each oracle is the plain relational
+reconstruction over the source table — if the metadata machinery
+drops, duplicates, or resurrects a single row, the value hash breaks.
+
+Fixtures follow the queries_lake.py scheme: fingerprint-cached publish
+into tmp so repeated runs (bench, driver, pytest) reuse the published
+table, while a regenerated source fixture forces a fresh publish.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark import catalog
+from march_mania_spark_lakehouse_spark.functions.numeric import dsum, sql_dsum
+from march_mania_spark_lakehouse_spark.plans.registry import query
+
+
+def _cached_root(sf_dir: str, kind: str, src_table: str = "orders") -> str:
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{kind}|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_iceberg", fp)
+
+
+# --------------------------------------------------------------------------
+# q188 — bin-pack compaction (iceberg.optimize): a drip of small files
+# plus a merge-on-read DELETE, then OPTIMIZE packs the small tail and
+# materializes the tombstones it touches. Compaction must be
+# semantically invisible, so the oracle is the plain filtered
+# aggregate over the logical rows.
+# --------------------------------------------------------------------------
+
+_Q188_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_optimized(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _cached_root(sf_dir, "iceberg-optimize")
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartition(6), table
+        )
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 3 == 1).repartition(6), table
+        )
+        iceberg.delete_where(spark, table, "o_orderkey % 9 = 0")
+        iceberg.optimize(spark, table)  # 12 small files + tombstones → 1
+    return table
+
+
+@query("q188_iceberg_optimize_scan", oracle=_Q188_SQL, tags=("lake", "agg"))
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the post-OPTIMIZE snapshot: the small-file drip
+    was bin-packed (files already at target size would carry as
+    EXISTING entries untouched — compaction cost tracks the small
+    TAIL, never the table, which is the shape that matters when a
+    streaming sink drips thousands of files into a 100 TB table) and
+    the rewritten rows carry the new sequence number, so older
+    tombstones correctly no longer apply. Old snapshots stay
+    time-travelable until expiry."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_optimized(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q189 — null-count data skipping (iceberg.scan_null): the table is
+# published in two appends split by the null flag, so the manifests'
+# null_value_counts (spec field-id 110) let an IS NULL scan prune the
+# null-free files from metadata alone. Pruning is invisible; the
+# oracle filters the same derived column.
+# --------------------------------------------------------------------------
+
+_Q189_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+WHERE o_orderkey % 7 = 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_nullstats(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _cached_root(sf_dir, "iceberg-nullstats")
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 != 0, F.col("o_orderkey") % 7
+            ).alias("mod7"),  # null exactly when o_orderkey % 7 = 0
+        )
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 7 == 0).coalesce(1),
+            table,
+            stat_cols=("o_orderkey", "mod7"),
+        )
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 7 != 0).repartition(4),
+            table,
+            stat_cols=("o_orderkey", "mod7"),
+        )
+    return table
+
+
+@query("q189_iceberg_null_pruned_scan", oracle=_Q189_SQL, tags=("lake", "agg"))
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL audit query planned from null_value_counts: the four
+    null-free files are skipped without opening a footer — at 100 TB a
+    sparse-null data-quality sweep plans a handful of files instead of
+    scanning the table. The residual IS NULL predicate keeps the
+    answer exact whatever the stats say."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_nullstats(spark, sf_dir)
+    return (
+        iceberg.scan_null(spark, table, "mod7", is_null=True)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q190 — Delta TIMESTAMP AS OF: v0 and a later append, read back as of
+# v0's commit timestamp. Timestamp resolution must pick exactly v0, so
+# the oracle reconstructs v0's rows.
+# --------------------------------------------------------------------------
+
+_Q190_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_delta_ts_table(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-ts|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        time.sleep(0.05)  # distinct commit timestamps
+        delta_log.append(orders.filter(F.col("o_orderkey") % 3 == 1), table)
+    return table
+
+
+def _v0_commit_ts(table: str) -> int:
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    for a in delta_log._read_actions(delta_log._commit_path(table, 0)):
+        if "commitInfo" in a:
+            return a["commitInfo"]["timestamp"]
+    raise AssertionError("v0 has no commitInfo")
+
+
+@query("q190_delta_timestamp_travel", oracle=_Q190_SQL, tags=("lake", "agg"))
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-AS-OF read resolved by `delta_log.version_at_timestamp`
+    (newest commit at or before the timestamp, from the log's bounded
+    JSON tail): asking for v0's own commit time must return exactly v0
+    — one version too far either way breaks the hash."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_ts_table(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table, as_of_ms=_v0_commit_ts(table))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q191 — Iceberg TIMESTAMP AS OF via the snapshot log (the q190 shape
+# on the second lake format).
+# --------------------------------------------------------------------------
+
+_Q191_SQL = _Q190_SQL
+
+
+def _orders_iceberg_ts_table(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _cached_root(sf_dir, "iceberg-ts")
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        time.sleep(0.05)
+        iceberg.append(orders.filter(F.col("o_orderkey") % 3 == 1), table)
+    return table
+
+
+@query("q191_iceberg_timestamp_travel", oracle=_Q191_SQL, tags=("lake", "agg"))
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-AS-OF resolved from the Iceberg snapshot log (newest
+    snapshot-log entry at or before the timestamp — 'the table as the
+    reader saw it then'); asking for the first snapshot's own commit
+    time must plan exactly its manifest list."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_ts_table(spark, sf_dir)
+    ts1 = iceberg.current_metadata(table)["snapshot-log"][0]["timestamp-ms"]
+    return (
+        iceberg.read_iceberg(spark, table, as_of_ms=ts1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q192 — write-audit-publish on the Iceberg layer: a good batch staged
+# on a branch, audited, and fast-forwarded into main; then a BAD batch
+# whose audit fails and must leave main untouched. The head aggregate
+# must equal base+good — if the failed publish leaked a row or the
+# good one was double-published, the hash breaks.
+# --------------------------------------------------------------------------
+
+_Q192_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 4 IN (0, 1)
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_wap_table(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _cached_root(sf_dir, "iceberg-wap")
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(orders.filter(F.col("o_orderkey") % 4 == 0), table)
+        n_base = orders.filter(F.col("o_orderkey") % 4 == 0).count()
+        iceberg.write_audit_publish(
+            orders.filter(F.col("o_orderkey") % 4 == 1),
+            table,
+            lambda staged: staged.count() > n_base
+            and staged.filter(F.col("o_orderkey").isNull()).count() == 0,
+        )
+        try:
+            iceberg.write_audit_publish(
+                orders.filter(F.col("o_orderkey") % 4 == 2),
+                table,
+                lambda staged: False,  # audit rejects: must not publish
+            )
+        except iceberg.IcebergAuditError:
+            pass
+    return table
+
+
+@query("q192_iceberg_wap_publish", oracle=_Q192_SQL, tags=("lake", "agg"))
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the WAP-governed head: the audited batch is in,
+    the rejected batch is not — its staged files are unreferenced
+    debris main never pointed at (the isolation WAP exists for: bad
+    data is auditable on the branch but unreachable from production
+    reads)."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_wap_table(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q193 — tag-pinned diff: a tag names the pre-append snapshot, and the
+# per-status diff between the tag and main reproduces exactly what the
+# append added (the q177 time-travel diff, now by NAME instead of id —
+# the release-audit idiom: "what changed since v1.0?").
+# --------------------------------------------------------------------------
+
+_Q193_SQL = f"""
+WITH tagged AS (
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+),
+head AS (
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum("o_totalprice", "total_price")}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY o_orderstatus
+)
+SELECT head.o_orderstatus,
+       CAST(COALESCE(tagged.n, 0) AS BIGINT) AS n_tagged,
+       CAST(head.n AS BIGINT) AS n_head,
+       CAST(head.n - COALESCE(tagged.n, 0) AS BIGINT) AS n_added,
+       head.total_price
+FROM head LEFT JOIN tagged USING (o_orderstatus)
+"""
+
+
+def _orders_iceberg_tagged_table(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _cached_root(sf_dir, "iceberg-tag")
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        iceberg.create_tag(table, "v1.0")
+        iceberg.append(orders.filter(F.col("o_orderkey") % 3 == 1), table)
+    return table
+
+
+@query("q193_iceberg_tag_diff", oracle=_Q193_SQL, tags=("lake", "agg"))
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status diff between the tag 'v1.0' and main, both resolved
+    by ref name from table metadata. Tags also pin retention:
+    `expire_snapshots` keeps tagged snapshots alive, so the release
+    audit keeps working after history trimming."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_tagged_table(spark, sf_dir)
+    tagged = (
+        iceberg.read_iceberg(spark, table, ref="v1.0")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_tagged"))
+    )
+    head = (
+        iceberg.read_iceberg(spark, table, ref="main")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_head"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+    return head.join(tagged, "o_orderstatus", "left").select(
+        "o_orderstatus",
+        F.coalesce(F.col("n_tagged"), F.lit(0).cast("long")).alias("n_tagged"),
+        "n_head",
+        (F.col("n_head") - F.coalesce(F.col("n_tagged"), F.lit(0))).alias(
+            "n_added"
+        ),
+        "total_price",
+    )

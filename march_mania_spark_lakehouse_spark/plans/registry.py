@@ -17,6 +17,8 @@ _QUERY_MODULES = (
     "march_mania_spark_lakehouse_spark.plans.queries_core6",
     "march_mania_spark_lakehouse_spark.plans.queries_core7",
     "march_mania_spark_lakehouse_spark.plans.queries_lake",
+    "march_mania_spark_lakehouse_spark.plans.queries_lake2",
+    "march_mania_spark_lakehouse_spark.plans.queries_media",
     "march_mania_spark_lakehouse_spark.plans.queries_ext",
     "march_mania_spark_lakehouse_spark.plans.queries_ext2",
     "march_mania_spark_lakehouse_spark.plans.queries_ext3",

@@ -536,14 +536,51 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
     return sorted(_replay(table, v))
 
 
+def version_at_timestamp(table: str, ts_ms: int) -> int:
+    """Version current AS OF ``ts_ms`` (epoch millis): the highest
+    version whose commitInfo timestamp is at or before it — the Delta
+    TIMESTAMP-AS-OF resolution rule. Reads only the bounded JSON tail
+    of the log (one small file per commit, newest-first, stopping at
+    the first commit old enough); raises if the timestamp predates the
+    table. Commits without commitInfo (foreign writers may omit it —
+    it's optional in the protocol) fall back to the commit file's
+    mtime."""
+    latest = latest_version(table)
+    if latest is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    for v in range(latest, -1, -1):
+        path = _commit_path(table, v)
+        ts = None
+        for a in _read_actions(path):
+            if "commitInfo" in a:
+                ts = a["commitInfo"].get("timestamp")
+                break
+        if ts is None:
+            ts = int(os.path.getmtime(path) * 1000)
+        if ts <= ts_ms:
+            return v
+    raise ValueError(
+        f"no commit at or before {ts_ms}; table history starts later"
+    )
+
+
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    *,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Time-travel reader: the table as of ``version`` (default latest),
     planned from the log's live file set — never a directory listing, so
     staged/tombstoned/future files are invisible, exactly the isolation
     the pointer-file snapshot layer guarantees, now in the interoperable
-    format."""
+    format. ``as_of_ms`` resolves a TIMESTAMP-AS-OF read instead (pass
+    at most one selector)."""
+    if version is not None and as_of_ms is not None:
+        raise ValueError("pass at most one of version / as_of_ms")
+    if as_of_ms is not None:
+        version = version_at_timestamp(table, as_of_ms)
     files = snapshot_files(table, version)
     if not files:
         raise FileNotFoundError(f"{table} snapshot has no data files")

@@ -45,8 +45,12 @@ hidden ``_metadata.row_index`` column — apply them as one broadcast
 anti-join, so deleting rows never rewrites data); `delete_by_equality`
 writes content=2 equality deletes (the streaming-CDC primitive: key
 tombstones with no write-time scan, applied under the spec's
-strictly-lower-sequence rule). Limitations kept honest: identity
-transforms only.
+strictly-lower-sequence rule). Partition specs support the full
+transform set (identity, year/month/day/hour, bucket[N] via the spec's
+murmur3_x86_32, truncate[W]) with hidden partitioning: writers derive
+the transform values, manifests carry typed partition tuples, and
+`scan_partition`/`scan_range`/`scan_eq` prune from them planner-side
+while queries keep filtering the SOURCE columns.
 """
 
 from __future__ import annotations
@@ -465,6 +469,27 @@ def _kv_bounds_schema(name: str, kid: int, vid: int) -> dict:
     ]
 
 
+#: map<int, long> column counts (spec Appendix C: null_value_counts is
+#: field-id 110 with key/value ids 121/122) — same array-as-map shape as
+#: the bounds maps but with long values.
+def _kv_counts_schema(name: str, kid: int, vid: int) -> dict:
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": kid},
+                    {"name": "value", "type": "long", "field-id": vid},
+                ],
+            },
+        },
+    ]
+
+
 def _manifest_entry_schema(partition_schema: dict) -> dict:
     data_file = {
         "type": "record",
@@ -476,6 +501,9 @@ def _manifest_entry_schema(partition_schema: dict) -> dict:
             {"name": "partition", "type": partition_schema, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "null_value_counts",
+             "type": _kv_counts_schema("k121_v122", 121, 122),
+             "default": None, "field-id": 110},
             {"name": "lower_bounds", "type": _kv_bounds_schema("k126_v127", 126, 127),
              "default": None, "field-id": 125},
             {"name": "upper_bounds", "type": _kv_bounds_schema("k129_v130", 129, 130),
@@ -762,35 +790,46 @@ def single_value_read(data: bytes, iceberg_type: str):
 
 
 def _file_bounds(path: str, schema: dict, stat_cols: Sequence[str]) -> tuple:
-    """(lower_bounds, upper_bounds) as [{key: field-id, value: bytes}]
-    from the parquet footer's row-group statistics — KB reads, the same
-    planner input real writers record."""
+    """(lower_bounds, upper_bounds, null_value_counts) — bounds as
+    [{key: field-id, value: bytes}] and null counts as
+    [{key: field-id, value: long}], from the parquet footer's row-group
+    statistics — KB reads, the same planner input real writers record.
+    Bounds skip columns with any stats-less row group; null counts sum
+    independently (a column can have countable nulls but no min/max,
+    e.g. all-null)."""
     if not stat_cols:
-        return None, None
+        return None, None, None
     import pyarrow.parquet as pq
 
     by_name = {f["name"]: f for f in schema["fields"]}
     md = pq.ParquetFile(path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    lowers, uppers = [], []
+    lowers, uppers, nulls = [], [], []
     for c in stat_cols:
         if c not in idx or c not in by_name:
             continue
+        fid = by_name[c]["id"]
         mins, maxs = [], []
+        nv, nv_ok = 0, True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or st.null_count is None:
+                nv_ok = False
+            else:
+                nv += st.null_count
             if st is None or not st.has_min_max:
                 mins = []
-                break
+                continue
             mins.append(st.min)
             maxs.append(st.max)
-        if not mins:
+        if nv_ok:
+            nulls.append({"key": fid, "value": nv})
+        if len(mins) != md.num_row_groups or not mins:
             continue
         t = by_name[c]["type"]
-        fid = by_name[c]["id"]
         lowers.append({"key": fid, "value": _single_value_bytes(min(mins), t)})
         uppers.append({"key": fid, "value": _single_value_bytes(max(maxs), t)})
-    return lowers or None, uppers or None
+    return lowers or None, uppers or None, nulls or None
 
 
 def _write_manifest(
@@ -809,7 +848,7 @@ def _write_manifest(
     entry_schema = _manifest_entry_schema(part_schema)
     records = []
     for rel, pvals, n_rows, size in files:
-        lo, hi = _file_bounds(os.path.join(table, rel), schema, stat_cols)
+        lo, hi, nulls = _file_bounds(os.path.join(table, rel), schema, stat_cols)
         records.append(
             {
                 "status": 1,  # ADDED
@@ -823,6 +862,7 @@ def _write_manifest(
                     "partition": _typed_partition(pvals, meta),
                     "record_count": n_rows,
                     "file_size_in_bytes": size,
+                    "null_value_counts": nulls,
                     "lower_bounds": lo,
                     "upper_bounds": hi,
                 },
@@ -1040,6 +1080,9 @@ def _commit_snapshot(
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
     ]
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
     _write_metadata(table, meta)
     return snapshot_id
 
@@ -1181,11 +1224,25 @@ def _read_data_files(
 
 
 def read_iceberg(
-    spark: SparkSession, table: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    *,
+    as_of_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Time-travel reader: the table as of ``snapshot_id`` (default
     current), under the declared schema; hive-layout identity-partition
-    columns restored via basePath discovery and cast to declared types."""
+    columns restored via basePath discovery and cast to declared types.
+    ``as_of_ms`` resolves a TIMESTAMP-AS-OF read via the snapshot log;
+    ``ref`` resolves a named tag or branch. At most one of the three
+    selectors may be given."""
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    if as_of_ms is not None:
+        snapshot_id = snapshot_as_of(table, as_of_ms)
+    elif ref is not None:
+        snapshot_id = resolve_ref(table, ref)
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     files = snapshot_files(table, sid)
@@ -1403,17 +1460,443 @@ def scan_eq(
     return pruned.filter(F.col(col) == F.lit(value))
 
 
+def scan_null(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    is_null: bool = True,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """IS NULL / IS NOT NULL scan pruned from the manifests'
+    null_value_counts (spec field-id 110): for IS NULL a file with a
+    recorded null count of ZERO is skipped; for IS NOT NULL a file
+    whose null count equals its record_count (all-null) is skipped.
+    Files without recorded counts are conservatively kept; the exact
+    residual predicate runs after. At 100 TB a sparse-null column's
+    IS NULL audit query plans a handful of files from metadata alone."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    fid = next(f["id"] for f in schema["fields"] if f["name"] == col)
+    keep = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] not in (0, 1):
+                continue
+            df_rec = entry["data_file"]
+            if df_rec.get("content", 0) != 0:
+                continue
+            nvc = {
+                b["key"]: b["value"]
+                for b in (df_rec.get("null_value_counts") or [])
+            }
+            if fid in nvc:
+                if is_null and nvc[fid] == 0:
+                    continue  # no nulls in this file: skip
+                if not is_null and nvc[fid] == df_rec["record_count"]:
+                    continue  # all-null file: skip
+            keep.append(
+                os.path.relpath(df_rec["file_path"], os.path.abspath(table))
+            )
+    pred = F.col(col).isNull() if is_null else F.col(col).isNotNull()
+    if not keep:
+        return read_iceberg(spark, table, sid).filter(F.lit(False))
+    return _read_data_files(spark, table, meta, sid, keep).filter(pred)
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """Bin-pack compaction (the selective cousin of `compact`): rewrite
+    ONLY data files smaller than ``small_file_bytes`` (default
+    target/2) into ~target-sized files; files already at a healthy size
+    carry into the new snapshot as EXISTING manifest entries with their
+    ORIGINAL sequence numbers — zero bytes of theirs move. This is the
+    shape that matters at 100 TB: a streaming sink drips thousands of
+    KB-sized files per hour, and compaction cost must track the SMALL
+    tail, never the table (`compact` rewrites everything).
+
+    Tombstones referencing rewritten files are materialized (the small
+    subset is read with deletes applied); delete manifests carry
+    forward, still governing the untouched files. Rewritten rows get
+    the NEW sequence number, so older equality tombstones — correctly —
+    no longer apply to them (spec strictly-lower-sequence rule).
+    Committed as operation='replace': the change feed refuses to
+    decompose it (a layout rewrite has no row-level delta), and old
+    snapshots stay time-travelable until `expire_snapshots`.
+
+    Returns the new snapshot id (the current one when there is nothing
+    to pack: fewer than two small files)."""
+    import math
+
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"]
+    snap = _snapshot(meta, sid)
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    ml = avro_ocf.read_ocf(snap["manifest-list"])
+    delete_ml = [m for m in ml if m.get("content", 0) == 1]
+    small_entries, big_entries = [], []
+    for m in ml:
+        if m.get("content", 0) == 1:
+            continue
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] not in (0, 1):
+                continue
+            if e["data_file"].get("content", 0) != 0:
+                continue
+            if e["data_file"]["file_size_in_bytes"] < small_file_bytes:
+                small_entries.append(e)
+            else:
+                big_entries.append(e)
+    if len(small_entries) < 2:
+        return sid
+    rel_small = [
+        os.path.relpath(e["data_file"]["file_path"], os.path.abspath(table))
+        for e in small_entries
+    ]
+    # read ONLY the small subset, deletes applied (tombstones on these
+    # files are materialized by the rewrite)
+    df = _read_data_files(spark, table, meta, sid, sorted(rel_small))
+    total = sum(e["data_file"]["file_size_in_bytes"] for e in small_entries)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    staged = _stage_data_files(df.coalesce(n_out), table, _spec_info(meta))
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    schema = meta["schemas"][meta["current-schema-id"]]
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    part_schema = _partition_record_schema(spec, schema)
+    entry_schema = _manifest_entry_schema(part_schema)
+    records = []
+    for rel, pvals, n_rows, size in staged:
+        lo, hi, nulls = _file_bounds(os.path.join(table, rel), schema, stat_cols)
+        records.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.join(os.path.abspath(table), rel),
+                    "file_format": "PARQUET",
+                    "partition": _typed_partition(pvals, meta),
+                    "record_count": n_rows,
+                    "file_size_in_bytes": size,
+                    "null_value_counts": nulls,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                },
+            }
+        )
+    for e in big_entries:
+        records.append(
+            {
+                "status": 0,  # EXISTING — original sequence preserved
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            }
+        )
+    m_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
+    avro_ocf.write_ocf(m_path, entry_schema, records)
+    new_entry = {
+        "manifest_path": m_path,
+        "manifest_length": os.path.getsize(m_path),
+        "partition_spec_id": meta["default-spec-id"],
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": min(
+            [seq] + [e["sequence_number"] for e in big_entries]
+        ),
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(staged),
+        "existing_files_count": len(big_entries),
+        "deleted_files_count": 0,
+        "added_rows_count": sum(n for _, _, n, _ in staged),
+        "existing_rows_count": sum(
+            e["data_file"]["record_count"] for e in big_entries
+        ),
+        "deleted_rows_count": 0,
+    }
+    manifests = [new_entry] + delete_ml
+    ml_path = _write_manifest_list(table, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "replace",
+            "packed-files": str(len(small_entries)),
+            "packed-into": str(len(staged)),
+        },
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": sid,
+    }
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    _write_metadata(table, meta)
+    return snapshot_id
+
+
+# --------------------------------------------------------------------------
+# Time travel by timestamp, and named refs (tags / branches / WAP)
+# --------------------------------------------------------------------------
+
+
+def snapshot_as_of(table: str, ts_ms: int) -> int:
+    """Snapshot id current AS OF ``ts_ms`` (epoch millis): the newest
+    snapshot-log entry at or before the timestamp — the log tracks the
+    main lineage's head over time, which is what 'the table as the
+    reader saw it then' means. Raises if the timestamp predates the
+    table (or the history was expired past it)."""
+    meta = current_metadata(table)
+    best = None
+    for e in meta.get("snapshot-log", []):
+        if e["timestamp-ms"] <= ts_ms:
+            best = e["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before {ts_ms}; table history starts later "
+            "(or was expired past it)"
+        )
+    return best
+
+
+class IcebergRefError(ValueError):
+    """Unknown ref name, or a ref operation that violates ref rules."""
+
+
+def create_tag(table: str, name: str, snapshot_id: int | None = None) -> None:
+    """Name a snapshot with an immutable TAG ref (audit pins, release
+    marks). Metadata-only commit; `expire_snapshots` keeps tagged
+    snapshots alive."""
+    _set_ref(table, name, snapshot_id, "tag")
+
+
+def create_branch(table: str, name: str, snapshot_id: int | None = None) -> None:
+    """Create a BRANCH ref (an independently-appendable head) at
+    ``snapshot_id`` (default: current). `append_to_branch` advances it;
+    `fast_forward` publishes it into main."""
+    _set_ref(table, name, snapshot_id, "branch")
+
+
+def _set_ref(table: str, name: str, snapshot_id: int | None, kind: str) -> None:
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    _snapshot(meta, sid)  # must exist
+    refs = dict(meta.get("refs", {}))
+    if name in refs:
+        raise IcebergRefError(f"ref {name!r} already exists")
+    if name == "main":
+        raise IcebergRefError("'main' is reserved for the current head")
+    refs[name] = {"snapshot-id": sid, "type": kind}
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = _now_ms()
+    _write_metadata(table, meta)
+
+
+def drop_ref(table: str, name: str) -> None:
+    meta = current_metadata(table)
+    refs = dict(meta.get("refs", {}))
+    if name not in refs:
+        raise IcebergRefError(f"ref {name!r} does not exist")
+    del refs[name]
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = _now_ms()
+    _write_metadata(table, meta)
+
+
+def resolve_ref(table: str, ref: str) -> int:
+    """Snapshot id a ref points at ('main' = current head)."""
+    meta = current_metadata(table)
+    if ref == "main":
+        return meta["current-snapshot-id"]
+    refs = meta.get("refs", {})
+    if ref not in refs:
+        raise IcebergRefError(
+            f"ref {ref!r} not found (have: {sorted(refs) + ['main']})"
+        )
+    return refs[ref]["snapshot-id"]
+
+
+def append_to_branch(
+    df: DataFrame, table: str, branch: str, stat_cols: Sequence[str] = ()
+) -> int:
+    """Append ON A BRANCH: the commit parents the branch head, carries
+    the branch head's manifests, and advances ONLY the branch ref —
+    main (current-snapshot-id) and the snapshot-log are untouched, so
+    readers of the table see nothing until `fast_forward` publishes.
+    This is the staging half of write-audit-publish."""
+    meta = current_metadata(table)
+    refs = meta.get("refs", {})
+    if branch not in refs or refs[branch]["type"] != "branch":
+        raise IcebergRefError(f"{branch!r} is not a branch")
+    head = refs[branch]["snapshot-id"]
+    head_snap = _snapshot(meta, head)
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    files = _stage_data_files(df, table, _spec_info(meta))
+    m_path, m_len, n_files, n_rows = _write_manifest(
+        table, meta, files, snapshot_id, seq, stat_cols
+    )
+    new_entry = {
+        "manifest_path": m_path,
+        "manifest_length": m_len,
+        "partition_spec_id": meta["default-spec-id"],
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": n_files,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = avro_ocf.read_ocf(head_snap["manifest-list"]) + [new_entry]
+    ml_path = _write_manifest_list(table, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {"operation": "append", "branch": branch},
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": head,
+    }
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    refs = dict(refs)
+    refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    # current-snapshot-id and snapshot-log deliberately unchanged
+    _write_metadata(table, meta)
+    return snapshot_id
+
+
+def fast_forward(table: str, branch: str) -> int:
+    """Publish: fast-forward main to the branch head. Requires main's
+    current head to be an ANCESTOR of the branch head (walked via
+    parent-snapshot-id) — if main moved since the branch forked, the
+    publish must be rebuilt, not forced. Returns the new head id."""
+    meta = current_metadata(table)
+    refs = meta.get("refs", {})
+    if branch not in refs or refs[branch]["type"] != "branch":
+        raise IcebergRefError(f"{branch!r} is not a branch")
+    target = refs[branch]["snapshot-id"]
+    cur = meta["current-snapshot-id"]
+    node, ancestors = target, set()
+    while node is not None:
+        ancestors.add(node)
+        try:
+            node = _snapshot(meta, node).get("parent-snapshot-id")
+        except KeyError:
+            break  # chain expired past this point — walked far enough
+    if cur != -1 and cur not in ancestors:
+        raise IcebergRefError(
+            f"main head {cur} is not an ancestor of {branch!r} head "
+            f"{target}; cannot fast-forward"
+        )
+    meta = dict(meta)
+    meta["current-snapshot-id"] = target
+    ts = _now_ms()
+    meta["last-updated-ms"] = ts
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": ts, "snapshot-id": target}
+    ]
+    refs = dict(refs)
+    refs["main"] = {"snapshot-id": target, "type": "branch"}
+    meta["refs"] = refs
+    _write_metadata(table, meta)
+    return target
+
+
+class IcebergAuditError(RuntimeError):
+    """The audit callback rejected the staged snapshot."""
+
+
+def write_audit_publish(
+    df: DataFrame,
+    table: str,
+    audit_fn,
+    branch: str = "wap_audit",
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """Write-audit-publish on the Iceberg layer (the
+    `delta_log.write_audit_publish` analogue, shaped like Iceberg's own
+    WAP): stage the append on an ephemeral branch, run
+    ``audit_fn(staged_df)`` against the BRANCH head (main still serves
+    the old table), and only on audit pass fast-forward main. On audit
+    failure the branch is dropped and main never moved — the staged
+    files become unreferenced debris for `expire_snapshots`. Returns
+    the published snapshot id."""
+    spark = df.sparkSession
+    create_branch(table, branch)
+    try:
+        staged_id = append_to_branch(df, table, branch, stat_cols)
+        staged = read_iceberg(spark, table, staged_id)
+        if not audit_fn(staged):
+            raise IcebergAuditError(
+                f"audit rejected staged snapshot {staged_id}"
+            )
+        return fast_forward(table, branch)
+    finally:
+        drop_ref(table, branch)
+
+
 def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
     """Retire all but the newest ``keep_last`` snapshots: rewrite the
     metadata without them (a new metadata version — history of the
     metadata itself is preserved in older vN files) and delete data
     files, manifests and manifest lists referenced ONLY by the expired
-    snapshots. Returns the deleted paths (table-relative)."""
+    snapshots. Snapshots named by a ref (tag or branch head) are always
+    retained — expiring a tagged release mark out from under its name
+    is never what retention means; intermediate branch ancestry MAY
+    expire (each snapshot's manifest list is self-contained, so the
+    head stays readable). Returns the deleted paths (table-relative)."""
     meta = current_metadata(table)
     snaps = meta["snapshots"]
     if len(snaps) <= keep_last:
         return []
-    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    ref_ids = {
+        r["snapshot-id"]
+        for name, r in meta.get("refs", {}).items()
+        if name != "main"
+    }
+    kept = snaps[-keep_last:] + [
+        s
+        for s in snaps[:-keep_last]
+        if s["snapshot-id"] in ref_ids
+    ]
+    kept_ids_now = {s["snapshot-id"] for s in kept}
+    expired = [s for s in snaps if s["snapshot-id"] not in kept_ids_now]
+    kept = [s for s in snaps if s["snapshot-id"] in kept_ids_now]  # in order
+    if not expired:
+        return []
 
     def _refs(snapshots):
         mls, manifests, files = set(), set(), set()
@@ -1786,6 +2269,9 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
     ]
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
     _write_metadata(table, meta)
     return snapshot_id
 
@@ -1953,6 +2439,9 @@ def delete_by_equality(
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
     ]
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
     _write_metadata(table, meta)
     return snapshot_id
 

@@ -616,10 +616,10 @@ def test_upsert_replaces_and_inserts(spark, table):
 def test_random_history_sweep_both_readers_agree(spark, tmp_path):
     """Generative interop: random operation sequences (append /
     overwrite / position delete / equality delete / upsert / compact /
-    schema-evolving append) must keep the engine reader and the
-    independent clean-room reader in exact agreement at EVERY surviving
-    snapshot — compositions are where metadata layers break, not single
-    operations."""
+    bin-pack optimize / schema-evolving append) must keep the engine
+    reader and the independent clean-room reader in exact agreement at
+    EVERY surviving snapshot — compositions are where metadata layers
+    break, not single operations."""
     import random
 
     rng = random.Random(20260814)
@@ -636,7 +636,7 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "pos_delete", "eq_delete", "upsert",
-                 "compact"]
+                 "compact", "optimize"]
             )
             if op == "append":
                 iceberg.append(_df(spark, fresh_rows(rng.randrange(1, 5))), table)
@@ -662,6 +662,9 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
                     spark, table,
                     _df(spark, changed + fresh_rows(1, "ins")), ["id"],
                 )
+            elif op == "optimize":
+                if indep.read_rows(table):
+                    iceberg.optimize(spark, table, small_file_bytes=1 << 30)
             else:
                 live = indep.read_rows(table)
                 if live:

@@ -1,0 +1,291 @@
+"""Round-6 lake-layer features: Iceberg bin-pack `optimize` (EXISTING
+manifest entries, delete-manifest carry-forward, sequence-rule
+correctness), null_value_counts metadata + `scan_null` pruning,
+TIMESTAMP-AS-OF time travel on both lake layers, and named refs
+(tags / branches / fast-forward / write-audit-publish).
+
+File-pruning assertions observe `DataFrame.inputFiles()` — the planned
+file set — so they check the METADATA plan, not just the answer."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+from tests import iceberg_reader_independent as indep
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _ids_df(spark, lo, hi, parts=1):
+    df = spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id").cast("double") * 1.5).alias("v"),
+    )
+    return df.repartition(parts) if parts > 1 else df.coalesce(1)
+
+
+def _rows(spark, table, **kw):
+    return sorted(iceberg.read_iceberg(spark, table, **kw).collect())
+
+
+# --------------------------------------------------------------------------
+# optimize: bin-pack compaction
+# --------------------------------------------------------------------------
+
+
+def test_optimize_packs_small_keeps_big(spark, table):
+    # one big-ish file, then two appends of 4 small files each
+    iceberg.create(_ids_df(spark, 0, 20000), table)
+    big = set(iceberg.snapshot_files(table))
+    assert len(big) == 1
+    iceberg.append(_ids_df(spark, 20000, 20400, parts=4), table)
+    iceberg.append(_ids_df(spark, 20400, 20800, parts=4), table)
+    before = _rows(spark, table)
+    assert len(iceberg.snapshot_files(table)) == 9
+
+    import os
+
+    sizes = {
+        f: os.path.getsize(os.path.join(table, f))
+        for f in iceberg.snapshot_files(table)
+    }
+    big_size = max(sizes.values())
+    sid = iceberg.optimize(
+        spark, table, target_file_bytes=1 << 30, small_file_bytes=big_size
+    )
+    after_files = set(iceberg.snapshot_files(table))
+    # the 8 small files packed into 1; the big file carried as EXISTING
+    assert len(after_files) == 2
+    assert big <= after_files
+    assert _rows(spark, table) == before
+    # old snapshot still time-travelable
+    first = iceberg.snapshot_ids(table)[0]
+    assert len(_rows(spark, table, snapshot_id=first)) == 20000
+    # independent clean-room reader agrees post-optimize
+    assert sorted(indep.read_rows(table)) == [tuple(r) for r in before]
+    # a rewrite does not decompose into row-level changes
+    with pytest.raises(iceberg.IcebergNonAppendChangeError):
+        iceberg.table_changes(spark, table, 0)
+    assert sid == iceberg.snapshot_ids(table)[-1]
+
+
+def test_optimize_noop_when_nothing_to_pack(spark, table):
+    iceberg.create(_ids_df(spark, 0, 100), table)
+    sid = iceberg.current_metadata(table)["current-snapshot-id"]
+    assert iceberg.optimize(spark, table, small_file_bytes=1) == sid
+
+
+def test_optimize_materializes_position_deletes(spark, table):
+    iceberg.create(_ids_df(spark, 0, 1000, parts=4), table)
+    iceberg.delete_where(spark, table, "id % 10 = 0")
+    before = _rows(spark, table)
+    assert len(before) == 900
+    iceberg.optimize(spark, table, small_file_bytes=1 << 30)
+    assert _rows(spark, table) == before
+    assert sorted(indep.read_rows(table)) == [tuple(r) for r in before]
+    # tombstones for the rewritten files are dangling but harmless;
+    # the new data file set carries no live rows they can match
+    assert len(iceberg.snapshot_files(table)) == 1
+
+
+def test_optimize_respects_equality_sequence_rule(spark, table):
+    """Rewritten rows take the NEW sequence number, so an older
+    equality tombstone must NOT re-kill them after compaction."""
+    iceberg.create(_ids_df(spark, 0, 100, parts=4), table)
+    keys = spark.createDataFrame([(5,), (6,)], "id long")
+    iceberg.delete_by_equality(spark, table, keys)
+    before = _rows(spark, table)
+    assert len(before) == 98
+    iceberg.optimize(spark, table, small_file_bytes=1 << 30)
+    assert _rows(spark, table) == before
+    assert sorted(indep.read_rows(table)) == [tuple(r) for r in before]
+
+
+def test_optimize_partitioned_table(spark, table):
+    df = _ids_df(spark, 0, 600).withColumn("p", (F.col("id") % 3).cast("long"))
+    iceberg.create(df.repartition(4), table, partition_by=["p"])
+    before = _rows(spark, table)
+    iceberg.optimize(spark, table, small_file_bytes=1 << 30)
+    assert _rows(spark, table) == before
+    # one packed file per partition dir
+    assert len(iceberg.snapshot_files(table)) == 3
+    assert sorted(indep.read_rows(table)) == [tuple(r) for r in before]
+
+
+# --------------------------------------------------------------------------
+# null_value_counts + scan_null
+# --------------------------------------------------------------------------
+
+
+def _null_table(spark, table):
+    some_null = spark.range(0, 100).select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("v"),
+    )
+    no_null = spark.range(100, 200).select(
+        "id", F.col("id").cast("double").alias("v")
+    )
+    all_null = spark.range(200, 300).select(
+        "id", F.lit(None).cast("double").alias("v")
+    )
+    iceberg.create(some_null.coalesce(1), table, stat_cols=("id", "v"))
+    iceberg.append(no_null.coalesce(1), table, stat_cols=("id", "v"))
+    iceberg.append(all_null.coalesce(1), table, stat_cols=("id", "v"))
+
+
+def test_scan_null_prunes_and_answers(spark, table):
+    _null_table(spark, table)
+    nulls = iceberg.scan_null(spark, table, "v", is_null=True)
+    # the no-null file is pruned from metadata alone
+    assert len(nulls.inputFiles()) == 2
+    got = sorted(r.id for r in nulls.collect())
+    assert got == sorted(
+        list(range(1, 100, 2)) + list(range(200, 300))
+    )
+    notnull = iceberg.scan_null(spark, table, "v", is_null=False)
+    # the all-null file is pruned
+    assert len(notnull.inputFiles()) == 2
+    assert sorted(r.id for r in notnull.collect()) == sorted(
+        list(range(0, 100, 2)) + list(range(100, 200))
+    )
+
+
+def test_null_counts_recorded_in_manifests(table, spark):
+    _null_table(spark, table)
+    meta = iceberg.current_metadata(table)
+    snap = iceberg._snapshot(meta, meta["current-snapshot-id"])
+    from march_mania_spark_lakehouse_spark.sources import avro_ocf
+
+    counts = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            nvc = {
+                b["key"]: b["value"]
+                for b in (e["data_file"].get("null_value_counts") or [])
+            }
+            counts.append(nvc.get(2))  # field id 2 = column v
+    assert sorted(counts) == [0, 50, 100]
+
+
+# --------------------------------------------------------------------------
+# TIMESTAMP AS OF — both layers
+# --------------------------------------------------------------------------
+
+
+def test_iceberg_timestamp_travel(spark, table):
+    iceberg.create(_ids_df(spark, 0, 100), table)
+    meta = iceberg.current_metadata(table)
+    ts1 = meta["snapshot-log"][0]["timestamp-ms"]
+    time.sleep(0.05)
+    iceberg.append(_ids_df(spark, 100, 200), table)
+    old = iceberg.read_iceberg(spark, table, as_of_ms=ts1)
+    assert old.count() == 100
+    now = iceberg.read_iceberg(
+        spark, table, as_of_ms=iceberg._now_ms() + 1000
+    )
+    assert now.count() == 200
+    with pytest.raises(ValueError):
+        iceberg.snapshot_as_of(table, ts1 - 10_000)
+    with pytest.raises(ValueError):
+        iceberg.read_iceberg(spark, table, snapshot_id=1, as_of_ms=ts1)
+
+
+def test_delta_timestamp_travel(spark, table):
+    df = spark.range(0, 100).select("id", (F.col("id") % 5).alias("g"))
+    delta_log.create(df, table)
+    v0_ts = None
+    for a in delta_log._read_actions(delta_log._commit_path(table, 0)):
+        if "commitInfo" in a:
+            v0_ts = a["commitInfo"]["timestamp"]
+    time.sleep(0.05)
+    delta_log.append(
+        spark.range(100, 150).select("id", (F.col("id") % 5).alias("g")), table
+    )
+    assert delta_log.version_at_timestamp(table, v0_ts) == 0
+    assert delta_log.read_delta(spark, table, as_of_ms=v0_ts).count() == 100
+    assert (
+        delta_log.read_delta(
+            spark, table, as_of_ms=delta_log._now_ms() + 1000
+        ).count()
+        == 150
+    )
+    with pytest.raises(ValueError):
+        delta_log.version_at_timestamp(table, v0_ts - 10_000)
+
+
+# --------------------------------------------------------------------------
+# refs: tags, branches, fast-forward, WAP
+# --------------------------------------------------------------------------
+
+
+def test_tag_pins_snapshot_and_survives_expiry(spark, table):
+    iceberg.create(_ids_df(spark, 0, 50), table)
+    iceberg.create_tag(table, "v1.0")
+    iceberg.append(_ids_df(spark, 50, 100), table)
+    iceberg.append(_ids_df(spark, 100, 150), table)
+    assert iceberg.read_iceberg(spark, table, ref="v1.0").count() == 50
+    assert iceberg.read_iceberg(spark, table, ref="main").count() == 150
+    # expiry keeps the tagged snapshot alive
+    iceberg.expire_snapshots(table, keep_last=1)
+    assert iceberg.read_iceberg(spark, table, ref="v1.0").count() == 50
+    assert iceberg.read_iceberg(spark, table).count() == 150
+    iceberg.drop_ref(table, "v1.0")
+    with pytest.raises(iceberg.IcebergRefError):
+        iceberg.resolve_ref(table, "v1.0")
+
+
+def test_branch_append_and_fast_forward(spark, table):
+    iceberg.create(_ids_df(spark, 0, 50), table)
+    iceberg.create_branch(table, "audit")
+    staged = iceberg.append_to_branch(_ids_df(spark, 50, 80), table, "audit")
+    # main unmoved; branch sees the staged rows
+    assert iceberg.read_iceberg(spark, table).count() == 50
+    assert iceberg.read_iceberg(spark, table, ref="audit").count() == 80
+    new_head = iceberg.fast_forward(table, "audit")
+    assert new_head == staged
+    assert iceberg.read_iceberg(spark, table).count() == 80
+    # independent reader agrees with the published head
+    assert len(indep.read_rows(table)) == 80
+
+
+def test_fast_forward_refuses_diverged_main(spark, table):
+    iceberg.create(_ids_df(spark, 0, 50), table)
+    iceberg.create_branch(table, "b")
+    iceberg.append_to_branch(_ids_df(spark, 50, 60), table, "b")
+    iceberg.append(_ids_df(spark, 60, 70), table)  # main moves too
+    with pytest.raises(iceberg.IcebergRefError):
+        iceberg.fast_forward(table, "b")
+
+
+def test_write_audit_publish_pass_and_fail(spark, table):
+    iceberg.create(_ids_df(spark, 0, 50), table)
+    # the audit sees the STAGED TABLE (base + new rows), not the batch
+    published = iceberg.write_audit_publish(
+        _ids_df(spark, 50, 100), table, lambda df: df.count() == 100
+    )
+    assert iceberg.read_iceberg(spark, table).count() == 100
+    assert published == iceberg.current_metadata(table)["current-snapshot-id"]
+    # failing audit: main never moves, branch is dropped
+    with pytest.raises(iceberg.IcebergAuditError):
+        iceberg.write_audit_publish(
+            _ids_df(spark, 100, 120), table, lambda df: False
+        )
+    assert iceberg.read_iceberg(spark, table).count() == 100
+    assert "wap_audit" not in iceberg.current_metadata(table).get("refs", {})
+
+
+def test_ref_name_rules(spark, table):
+    iceberg.create(_ids_df(spark, 0, 10), table)
+    with pytest.raises(iceberg.IcebergRefError):
+        iceberg.create_tag(table, "main")
+    iceberg.create_tag(table, "t")
+    with pytest.raises(iceberg.IcebergRefError):
+        iceberg.create_branch(table, "t")
