@@ -216,8 +216,12 @@ def decode_real(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     - BMP / PPM / JPEG / PNG → real pixel dims, feature = 8-segment
       row-mean intensity profile (JPEG/PNG via the from-scratch codecs
       in `operators/jpeg.py` / `operators/png.py`)
-    - anything else (MP4/Opus… — video/audio codecs genuinely need
-      ffmpeg-class libraries) raises NotImplementedError.
+    - MP4 with an MJPEG video track → real frame decode (sample tables
+      walked by `operators/mp4.py`, each sample is an independent JPEG):
+      width/height from the first decoded frame, feature = 8-segment
+      profile over the per-frame mean-luma sequence
+    - anything else (H.264 MP4 / Opus… — inter-frame and audio codecs
+      genuinely need ffmpeg-class libraries) raises NotImplementedError.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         n_ch, _rate, samples = decode_wav(payload)
@@ -245,9 +249,26 @@ def decode_real(payload: bytes) -> tuple[str, int, int, np.ndarray]:
         h, w, _ = px.shape
         feat = _profile8(px.reshape(h, -1).mean(axis=1) / denom)
         return fmt, w, h, feat
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        from march_mania_spark_lakehouse_spark.operators import jpeg, mp4
+
+        try:
+            samples = mp4.extract_samples(payload)
+            frames = [jpeg.decode(s) for s in samples]
+        except (NotImplementedError, ValueError) as e:
+            raise NotImplementedError(
+                f"MP4 without a decodable MJPEG track ({e}); inter-frame "
+                "codecs (H.264...) need external decoders"
+            ) from None
+        h, w, _ = frames[0].shape
+        luma = np.array(
+            [f.astype(np.float64).mean() / 255.0 for f in frames]
+        )
+        return "mp4-mjpeg", w, h, _profile8(luma)
     raise NotImplementedError(
-        "video/audio codecs (MP4/Opus) need external libraries; "
-        "container-decodable formats are WAV/BMP/PPM/JPEG/PNG"
+        "audio codecs (Opus) and non-ISO-BMFF video need external "
+        "libraries; container-decodable formats are WAV/BMP/PPM/JPEG/"
+        "PNG/MJPEG-MP4"
     )
 
 
