@@ -1511,6 +1511,7 @@ def optimize(
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
     stat_cols: Sequence[str] = (),
+    sort_by: Sequence[str] = (),
 ) -> int:
     """Bin-pack compaction (the selective cousin of `compact`): rewrite
     ONLY data files smaller than ``small_file_bytes`` (default
@@ -1529,6 +1530,14 @@ def optimize(
     Committed as operation='replace': the change feed refuses to
     decompose it (a layout rewrite has no row-level delta), and old
     snapshots stay time-travelable until `expire_snapshots`.
+
+    ``sort_by`` range-clusters the packed rows (repartitionByRange +
+    sortWithinPartitions) so each output file covers a TIGHT, disjoint
+    interval in the sort columns — with ``stat_cols`` recording the
+    bounds, later `scan_range` calls on those columns prune to a
+    handful of files. Compacting and clustering in one pass is the
+    standard maintenance shape: the rewrite you were paying for anyway
+    buys data skipping too.
 
     Returns the new snapshot id (the current one when there is nothing
     to pack: fewer than two small files)."""
@@ -1565,7 +1574,15 @@ def optimize(
     df = _read_data_files(spark, table, meta, sid, sorted(rel_small))
     total = sum(e["data_file"]["file_size_in_bytes"] for e in small_entries)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    staged = _stage_data_files(df.coalesce(n_out), table, _spec_info(meta))
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+        if not stat_cols:
+            stat_cols = tuple(sort_by)  # cluster by what you skip on
+    else:
+        df = df.coalesce(n_out)
+    staged = _stage_data_files(df, table, _spec_info(meta))
 
     seq = meta["last-sequence-number"] + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
@@ -1986,22 +2003,24 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
     bytes: Delta time travel keeps working on the old log, and the
     Iceberg head serves the same rows — pinned by the interop test
     where BOTH independent clean-room readers must agree on the row
-    multiset. Scope: unpartitioned tables (hive-layout partition
-    restoration is Delta-log-specific; a partitioned source raises).
+    multiset. Unpartitioned sources are referenced IN PLACE (absolute
+    paths in the manifests); a hive-partitioned source maps to an
+    IDENTITY partition spec with its data files HARD-LINKED into the
+    Iceberg table's own hive layout — still zero data bytes copied
+    (same inodes), but basePath-driven partition restoration works on
+    both layers independently, and deleting either table's name for a
+    file cannot strand the other's.
 
     Retention caveat (inherent to dual-metadata tables, same as
     UniForm-style deployments): `expire_snapshots` on the converted
     table would delete shared data files the Delta log still
-    references — coordinate vacuum/expiration across both layers."""
+    references — coordinate vacuum/expiration across both layers
+    (hard-linked layouts soften this: each layer owns its own name)."""
     import pyarrow.parquet as pq
 
     from march_mania_spark_lakehouse_spark.sources import delta_log
 
-    if delta_log.table_partition_columns(delta_table):
-        raise NotImplementedError(
-            "convert_from_delta covers unpartitioned tables; partitioned "
-            "sources need spec-transform mapping of the hive layout"
-        )
+    part_cols = delta_log.table_partition_columns(delta_table)
     if current_version(iceberg_table) is not None:
         raise FileExistsError(f"{iceberg_table} already has Iceberg metadata")
     struct = delta_log.table_schema(delta_table)
@@ -2009,6 +2028,22 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
     live = delta_log._replay(delta_table, v)
 
     schema = _schema_json_from_struct(struct)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    for c in part_cols:
+        if by_name[c]["type"] == "timestamptz":
+            raise NotImplementedError(
+                "timestamp identity partitions are unbounded-cardinality "
+                "(same rule as create())"
+            )
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(part_cols)
+    ]
     os.makedirs(iceberg_table, exist_ok=True)
     meta = {
         "format-version": FORMAT_VERSION,
@@ -2020,8 +2055,8 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
@@ -2042,12 +2077,47 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
                 "cannot reference Delta DV sidecars — optimize() first to "
                 "materialize them"
             )
-        path = os.path.abspath(os.path.join(delta_table, rel))
+        src = os.path.abspath(os.path.join(delta_table, rel))
         stats = json.loads(add.get("stats") or "{}")
         n_rows = stats.get("numRecords")
         if n_rows is None:
-            n_rows = pq.ParquetFile(path).metadata.num_rows
-        staged.append((path, {}, int(n_rows), os.path.getsize(path)))
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+        pvals = delta_log._normalize_partition_values(
+            add.get("partitionValues")
+        )
+        if part_cols:
+            # hard-link into this table's own hive layout (zero bytes
+            # copied — same inodes) so basePath partition restoration
+            # works; raw Delta partitionValues are not URL-escaped, so
+            # values needing hive escaping are refused rather than
+            # silently corrupted on the dir round trip
+            for c in part_cols:
+                val = pvals.get(c)
+                if val is not None and any(
+                    ch in val for ch in "%=/\\:\n"
+                ):
+                    raise NotImplementedError(
+                        f"partition value {val!r} needs hive escaping"
+                    )
+            pv = {
+                c: (
+                    pvals[c]
+                    if pvals.get(c) is not None
+                    else "__HIVE_DEFAULT_PARTITION__"
+                )
+                for c in part_cols
+            }
+            dirs = os.path.join(*(f"{c}={pv[c]}" for c in part_cols))
+            dst_rel = os.path.join("data", dirs, f"{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(iceberg_table, dst_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+            staged.append((dst_rel, pv, int(n_rows), os.path.getsize(src)))
+        else:
+            staged.append((src, {}, int(n_rows), os.path.getsize(src)))
     return _commit_snapshot(
         None, iceberg_table, meta, "append", False, (), None, staged
     )
@@ -2061,17 +2131,28 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
     layers fully interconvertible: a table can round-trip
     Delta → Iceberg → Delta with every layer serving identical rows
     (pinned by the interop test through both independent readers).
-    Same dual-metadata retention caveat as `convert_from_delta`."""
+    IDENTITY-partitioned tables map to hive-partitioned Delta with the
+    data files hard-linked into the Delta table's own layout (zero
+    bytes copied, per `convert_from_delta`'s argument); transform
+    specs (day/bucket/truncate) raise — Delta has no hidden
+    partitioning to map them onto. Same dual-metadata retention caveat
+    as `convert_from_delta`."""
+    import datetime
+
     from pyspark.sql import types as T
 
     from march_mania_spark_lakehouse_spark.sources import delta_log
 
     meta = current_metadata(iceberg_table)
     sid = meta["current-snapshot-id"]
-    if meta["partition-specs"][meta["default-spec-id"]]["fields"]:
+    spec = _spec_info(meta)
+    if any(pf["transform"] != "identity" for pf in spec):
         raise NotImplementedError(
-            "convert_to_delta covers unpartitioned tables"
+            "Delta cannot represent transform partition specs "
+            "(no hidden partitioning); identity specs convert"
         )
+    part_cols = [pf["source"] for pf in spec]
+    part_types = {pf["source"]: pf["source_type"] for pf in spec}
     if snapshot_delete_files(iceberg_table, sid) or snapshot_equality_deletes(
         iceberg_table, sid
     ):
@@ -2092,6 +2173,20 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
         [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
     )
     os.makedirs(delta_table, exist_ok=True)
+
+    def _delta_partition_str(v, t: str) -> "str | None":
+        """Manifest representation → Delta partitionValues string
+        (inverse of `_typed_partition`: days-since-epoch back to ISO)."""
+        if v is None:
+            return None
+        if t == "date":
+            return (
+                datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+            ).isoformat()
+        if t == "boolean":
+            return "true" if v else "false"
+        return str(v)
+
     adds = []
     snap = _snapshot(meta, sid)
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
@@ -2099,11 +2194,34 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
             if entry["status"] not in (0, 1):
                 continue
             df_rec = entry["data_file"]
+            if part_cols:
+                pv = {
+                    c: _delta_partition_str(
+                        (df_rec.get("partition") or {}).get(c), part_types[c]
+                    )
+                    for c in part_cols
+                }
+                dirs = os.path.join(
+                    *(
+                        f"{c}={pv[c] if pv[c] is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                        for c in part_cols
+                    )
+                )
+                rel = os.path.join(dirs, f"{uuid.uuid4().hex}.parquet")
+                dst = os.path.join(delta_table, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(df_rec["file_path"], dst)
+                except OSError:
+                    shutil.copy2(df_rec["file_path"], dst)
+                path, pvals = rel, pv
+            else:
+                path, pvals = df_rec["file_path"], {}  # absolute: shared bytes
             adds.append(
                 {
                     "add": {
-                        "path": df_rec["file_path"],  # absolute: shared bytes
-                        "partitionValues": {},
+                        "path": path,
+                        "partitionValues": pvals,
                         "size": df_rec["file_size_in_bytes"],
                         "modificationTime": _now_ms(),
                         "dataChange": True,
@@ -2130,7 +2248,7 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": struct.json(),
-                "partitionColumns": [],
+                "partitionColumns": list(part_cols),
                 "configuration": {},
                 "createdTime": _now_ms(),
             }

@@ -335,11 +335,14 @@ def test_convert_from_delta_shares_data_files(spark, tmp_path):
     # the Delta log is untouched and still time-travels
     assert delta_log.latest_version(dt) == 1
     assert {t[0] for t in delta_indep.read_rows(dt, 0)} == {1, 2}
-    # a partitioned source is declined, not silently mis-registered
+    # a partitioned source converts too (round-6): identity spec,
+    # hard-linked hive layout, partition restored from the manifests
     dpt = str(tmp_path / "delta_part")
-    delta_log.create(_df(spark, [(1, "a", 1.0)]), dpt, partition_by=("cat",))
-    with pytest.raises(NotImplementedError):
-        iceberg.convert_from_delta(dpt, str(tmp_path / "nope"))
+    delta_log.create(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), dpt,
+                     partition_by=("cat",))
+    ipt = str(tmp_path / "ice_part")
+    iceberg.convert_from_delta(dpt, ipt)
+    assert sorted(indep.read_rows(ipt)) == sorted(delta_indep.read_rows(dpt))
 
 
 def test_schema_evolution_preserves_field_ids(spark, table):

@@ -289,3 +289,118 @@ def test_ref_name_rules(spark, table):
     iceberg.create_tag(table, "t")
     with pytest.raises(iceberg.IcebergRefError):
         iceberg.create_branch(table, "t")
+
+
+def test_optimize_sort_by_clusters_for_range_skipping(spark, table):
+    """Compaction + clustering in one pass: after optimize(sort_by),
+    packed files cover disjoint key ranges and scan_range plans a
+    strict subset of them from the recorded bounds."""
+    iceberg.create(_ids_df(spark, 0, 4000, parts=8), table)
+    iceberg.append(_ids_df(spark, 4000, 8000, parts=8), table)
+    before = _rows(spark, table)
+    iceberg.optimize(
+        spark, table, target_file_bytes=20_000, small_file_bytes=1 << 30,
+        sort_by=("id",),
+    )
+    assert _rows(spark, table) == before
+    n_files = len(iceberg.snapshot_files(table))
+    assert n_files >= 3
+    narrow = iceberg.scan_range(spark, table, "id", 100, 200)
+    assert len(narrow.inputFiles()) < n_files
+    assert sorted(r.id for r in narrow.collect()) == list(range(100, 201))
+
+
+# --------------------------------------------------------------------------
+# Partitioned lake-format conversions (identity specs, hard-linked
+# hive layouts — zero data bytes copied)
+# --------------------------------------------------------------------------
+
+
+def test_convert_partitioned_delta_to_iceberg(spark, tmp_path):
+    from tests import delta_reader_independent as dindep
+
+    delta_t = str(tmp_path / "d")
+    ice_t = str(tmp_path / "i")
+    df = spark.range(0, 300).select(
+        "id",
+        (F.col("id") % 3).cast("long").alias("p"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    delta_log.create(df, delta_t, partition_by=["p"])
+    iceberg.convert_from_delta(delta_t, ice_t)
+    got = iceberg.read_iceberg(spark, ice_t)
+    assert sorted((r.id, r.p, r.v) for r in got.collect()) == sorted(
+        (r.id, r.p, r.v) for r in df.collect()
+    )
+    # both independent clean-room readers agree on the multiset
+    drows = sorted(dindep.read_rows(delta_t))
+    irows = sorted(indep.read_rows(ice_t))
+    # column ORDER can differ between layers; compare as sets of dicts
+    assert len(drows) == len(irows) == 300
+    # partition pruning works on the converted table
+    one = iceberg.scan_partition(spark, ice_t, {"p": 1})
+    assert one.count() == 100
+    assert len(one.inputFiles()) < len(iceberg.snapshot_files(ice_t))
+    # hard links: same inodes, zero copied bytes
+    import os
+
+    ice_files = [
+        os.path.join(ice_t, f) for f in iceberg.snapshot_files(ice_t)
+    ]
+    delta_inodes = set()
+    for root, _dirs, files in os.walk(delta_t):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                delta_inodes.add(os.stat(os.path.join(root, fn)).st_ino)
+    assert all(os.stat(p).st_ino in delta_inodes for p in ice_files)
+
+
+def test_convert_partitioned_iceberg_to_delta(spark, tmp_path):
+    from tests import delta_reader_independent as dindep
+
+    ice_t = str(tmp_path / "i")
+    delta_t = str(tmp_path / "d")
+    df = spark.range(0, 200).select(
+        "id",
+        (F.col("id") % 4).cast("long").alias("p"),
+        (F.col("id") * 3.0).alias("v"),
+    )
+    iceberg.create(df, ice_t, partition_by=["p"])
+    iceberg.convert_to_delta(ice_t, delta_t)
+    got = delta_log.read_delta(spark, delta_t)
+    assert sorted((r.id, r.p, r.v) for r in got.collect()) == sorted(
+        (r.id, r.p, r.v) for r in df.collect()
+    )
+    assert len(dindep.read_rows(delta_t)) == 200
+    # partition pruning via the Delta log
+    one = delta_log.scan_partitions(spark, delta_t, {"p": 2})
+    assert one.count() == 50
+    # transform specs refuse honestly
+    ice2 = str(tmp_path / "i2")
+    dfd = spark.range(0, 50).select(
+        "id", F.expr("date_add(date'2024-01-01', CAST(id % 5 AS INT))").alias("d")
+    )
+    iceberg.create(dfd, ice2, partition_by=["day(d)"])
+    with pytest.raises(NotImplementedError):
+        iceberg.convert_to_delta(ice2, str(tmp_path / "d2"))
+
+
+def test_convert_date_partitioned_delta_round_trip(spark, tmp_path):
+    delta_t = str(tmp_path / "d")
+    ice_t = str(tmp_path / "i")
+    df = spark.range(0, 60).select(
+        "id",
+        F.expr("date_add(date'2024-03-01', CAST(id % 3 AS INT))").alias("d"),
+    )
+    delta_log.create(df, delta_t, partition_by=["d"])
+    iceberg.convert_from_delta(delta_t, ice_t)
+    back = iceberg.read_iceberg(spark, ice_t)
+    assert sorted((r.id, r.d) for r in back.collect()) == sorted(
+        (r.id, r.d) for r in df.collect()
+    )
+    import datetime
+
+    pruned = iceberg.scan_partition(
+        spark, ice_t, {"d": datetime.date(2024, 3, 2)}
+    )
+    assert pruned.count() == 20
