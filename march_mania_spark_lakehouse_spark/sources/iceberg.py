@@ -393,13 +393,19 @@ def _transform_expr(transform: str, source: str, src_type: str):
     raise NotImplementedError(f"transform {transform!r}")
 
 
-def _spec_info(meta: dict) -> list[dict]:
-    """The default partition spec resolved against its schema:
-    [{name, transform, source, source_type}]."""
+def _spec_info(meta: dict, spec_id: int | None = None) -> list[dict]:
+    """A partition spec (default: the default spec) resolved against
+    the current schema: [{name, transform, source, source_type}].
+    ``spec_id`` selects an older spec — the per-manifest planning input
+    once a table's spec has EVOLVED."""
     schema = meta["schemas"][meta["current-schema-id"]]
     by_id = {f["id"]: f for f in schema["fields"]}
+    sid = meta["default-spec-id"] if spec_id is None else spec_id
+    spec = next(
+        s for s in meta["partition-specs"] if s.get("spec-id", 0) == sid
+    )
     out = []
-    for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]:
+    for pf in spec["fields"]:
         src = by_id[pf["source-id"]]
         out.append(
             {
@@ -416,7 +422,9 @@ def _identity_part_cols(meta: dict) -> list[str]:
     """Schema columns physically ABSENT from data files (hive layout):
     identity-transform partition fields only. Transform fields
     (ts_day, key_bucket) are derived dir values — their SOURCE columns
-    stay in the data files, per the spec's hidden partitioning."""
+    stay in the data files, per the spec's hidden partitioning.
+    `evolve_partition_spec` pins the identity set to be IDENTICAL
+    across specs, so the default spec answers for every file."""
     return [pf["name"] for pf in _spec_info(meta) if pf["transform"] == "identity"]
 
 
