@@ -391,3 +391,64 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "total_price",
     )
+
+
+# --------------------------------------------------------------------------
+# q195 — partition evolution: events published day(ts)-partitioned,
+# the spec evolved to hour(ts), a second generation appended hourly —
+# then one time-range aggregate spanning BOTH generations, each pruned
+# under the spec it was written with. Evolution is metadata-only and
+# semantically invisible, so the oracle is the plain time-filtered
+# aggregate over all the rows.
+# --------------------------------------------------------------------------
+
+_Q195_SQL = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum("value", "sum_value")}
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-04 23:59:59'
+  AND event_id % 2 = 0
+GROUP BY event_type
+"""
+
+
+def _events_iceberg_evolved_table(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _cached_root(sf_dir, "iceberg-evolve", src_table="events")
+    if iceberg.current_version(table) is None:
+        events = catalog.load(spark, "events", sf_dir)
+        iceberg.create(
+            events.filter(F.col("event_id") % 4 == 0), table,
+            partition_by=["day(ts)"],
+        )
+        iceberg.evolve_partition_spec(table, ["hour(ts)"])
+        iceberg.append(events.filter(F.col("event_id") % 4 == 2), table)
+    return table
+
+
+@query("q195_iceberg_partition_evolution", oracle=_Q195_SQL, tags=("lake", "agg"))
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range aggregate across a partition-evolved table
+    (`iceberg.evolve_partition_spec`): the day-generation manifests
+    prune by day ordinals, the hour-generation by hour ordinals — each
+    under its own recorded spec_id — and no byte of history was
+    rewritten to change the layout. At 100 TB this is the feature that
+    lets a table's partitioning track its growth (day → hour) for the
+    cost of one metadata commit."""
+    import datetime
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _events_iceberg_evolved_table(spark, sf_dir)
+    scanned = iceberg.scan_range(
+        spark, table, "ts",
+        datetime.datetime(2024, 1, 3, 0, 0, 0),
+        datetime.datetime(2024, 1, 4, 23, 59, 59),
+    )
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )

@@ -1170,6 +1170,31 @@ def _spark_schema(schema: dict):
     )
 
 
+def _identity_values_by_file(meta: dict, sid: int, id_cols: list) -> dict:
+    """abs file path -> {identity col: manifest partition value} for a
+    snapshot's data files — the spec's identity-column projection
+    input, read from manifests (KBs)."""
+    import datetime
+
+    schema = meta["schemas"][meta["current-schema-id"]]
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    snap = _snapshot(meta, sid)
+    out: dict = {}
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] not in (0, 1) or e["data_file"].get("content", 0):
+                continue
+            part = e["data_file"].get("partition") or {}
+            vals = {}
+            for c in id_cols:
+                v = part.get(c)
+                if v is not None and types.get(c) == "date":
+                    v = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+                vals[c] = v
+            out[e["data_file"]["file_path"]] = vals
+    return out
+
+
 def _read_raw(
     spark: SparkSession,
     table: str,
@@ -1184,7 +1209,14 @@ def _read_raw(
     column names). Transform partition fields need no restoration —
     their source columns live in the data files (hidden partitioning).
     The raw form is the CDC input: a change feed must see physically
-    added rows even when later tombstoned."""
+    added rows even when later tombstoned.
+
+    Identity columns restore via basePath dir discovery on single-spec
+    tables; an EVOLVED table's generations have different dir depths
+    (Spark's discovery refuses mixed layouts), so multi-spec tables
+    restore identity values from the MANIFEST tuples instead — the
+    spec's identity-column projection — with a broadcast
+    (file → values) join, file-count-sized."""
     from pyspark.sql import types as T
 
     # the snapshot's own schema-id (spec rule): time travel to a
@@ -1194,17 +1226,21 @@ def _read_raw(
     )
     spark_schema = _spark_schema(meta["schemas"][snap_schema_id])
     id_cols = _identity_part_cols(meta)
+    evolved = len(meta.get("partition-specs", [])) > 1
     has_spec = bool(_spec_info(meta))
     paths = [os.path.join(table, f) for f in sorted(rel_files)]
     if not id_cols:
         # transform dirs (if any) are derived values, not schema
         # columns; basePath only when there ARE partition dirs — a
-        # converted table's data files can live outside the table root
+        # converted table's data files can live outside the table root.
+        # Evolved tables skip basePath entirely: explicit file lists
+        # need no discovery, and mixed-generation dir depths would
+        # make Spark refuse.
         r = spark.read.schema(spark_schema)
-        if has_spec:
+        if has_spec and not evolved:
             r = r.option("basePath", table)
         df = r.parquet(*paths)
-    else:
+    elif not evolved:
         data_schema = T.StructType(
             [f for f in spark_schema.fields if f.name not in id_cols]
         )
@@ -1212,6 +1248,29 @@ def _read_raw(
         for f in spark_schema.fields:
             if f.name in id_cols:
                 df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    else:
+        data_schema = T.StructType(
+            [f for f in spark_schema.fields if f.name not in id_cols]
+        )
+        df = spark.read.schema(data_schema).parquet(*paths)
+        by_file = _identity_values_by_file(meta, sid, id_cols)
+        want = {os.path.abspath(os.path.join(table, f)) for f in rel_files}
+        rows = [
+            tuple([fp] + [vals[c] for c in id_cols])
+            for fp, vals in sorted(by_file.items())
+            if fp in want
+        ]
+        by_name = {f.name: f for f in spark_schema.fields}
+        map_schema = T.StructType(
+            [T.StructField("__fp", T.StringType(), False)]
+            + [by_name[c] for c in id_cols]
+        )
+        pmap = spark.createDataFrame(rows, map_schema)
+        df = (
+            df.withColumn("__fp", _norm_file_path())
+            .join(F.broadcast(pmap), "__fp", "left")
+            .drop("__fp")
+        )
     return df, [f.name for f in spark_schema.fields]
 
 
@@ -1324,15 +1383,24 @@ def _apply_delete_files(
     return df.select(*out_cols)
 
 
-def _resolve_partition_predicates(meta: dict, values: dict) -> dict:
+def _resolve_partition_predicates(
+    meta: dict, values: dict, spec_id: int | None = None
+) -> dict:
     """Normalize a user ``values`` dict to {partition field name:
-    manifest representation}. A key naming a partition FIELD compares
-    its value raw (identity values get the date/ts → int conversion); a
-    key naming a SOURCE column of transform fields applies each such
-    field's transform — hidden partitioning's contract: callers filter
-    on source columns, pruning happens on transform values."""
-    spec = _spec_info(meta)
+    manifest representation} UNDER ONE SPEC. A key naming a partition
+    FIELD compares its value raw (identity values get the date/ts → int
+    conversion); a key naming a SOURCE column of transform fields
+    applies each such field's transform — hidden partitioning's
+    contract: callers filter on source columns, pruning happens on
+    transform values. A source-column key with no field in THIS spec
+    contributes no constraint (its files are kept; the residual filter
+    restores exactness) — that is what makes pruning correct across an
+    EVOLVED spec history."""
+    spec = _spec_info(meta, spec_id)
     by_field = {pf["name"]: pf for pf in spec}
+    schema_cols = {
+        f["name"] for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
     want: dict = {}
     for k, v in values.items():
         if k in by_field:
@@ -1345,7 +1413,11 @@ def _resolve_partition_predicates(meta: dict, values: dict) -> dict:
                 want[pf["name"]] = v  # raw transform value
             continue
         hits = [pf for pf in spec if pf["source"] == k]
-        if not hits:
+        if not hits and k not in schema_cols and not any(
+            pf["name"] == k
+            for s in meta["partition-specs"]
+            for pf in _spec_info(meta, s.get("spec-id", 0))
+        ):
             raise ValueError(
                 f"{k!r} is neither a partition field nor a partition source "
                 f"column (spec fields: {sorted(by_field)})"
@@ -1357,6 +1429,34 @@ def _resolve_partition_predicates(meta: dict, values: dict) -> dict:
     return want
 
 
+def _partition_residual(meta: dict, values: dict):
+    """Exact residual predicate for ``values``: source-column keys
+    compare the column itself; field-name keys recompute the transform
+    expression. Semantically a no-op on files kept by tuple equality
+    under a matching spec — it exists for manifests written under
+    OLDER specs that could not prune the key."""
+    all_fields = {}
+    for s in meta["partition-specs"]:
+        for pf in _spec_info(meta, s.get("spec-id", 0)):
+            all_fields.setdefault(pf["name"], pf)
+    schema_cols = {
+        f["name"] for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    pred = F.lit(True)
+    for k, v in values.items():
+        if k in schema_cols:
+            pred = pred & (
+                F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+            )
+        elif k in all_fields:
+            pf = all_fields[k]
+            expr = _transform_expr(pf["transform"], pf["source"], pf["source_type"])
+            pred = pred & (
+                expr.isNull() if v is None else (expr == F.lit(v))
+            )
+    return pred
+
+
 def scan_partition(
     spark: SparkSession, table: str, values: dict, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -1365,13 +1465,22 @@ def scan_partition(
     ``values`` keys may be partition field names (raw transform values)
     or source column names (source values; the transform is applied
     here, planner-side — e.g. ``{"ts": date(2024, 1, 1)}`` against a
-    ``day(ts)`` spec prunes to that day's files)."""
+    ``day(ts)`` spec prunes to that day's files). Each manifest is
+    pruned under ITS OWN spec (`partition_spec_id`), so evolved tables
+    plan correctly: old-spec manifests that cannot prune a key keep
+    their files, and the exact residual predicate restores semantics."""
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = _snapshot(meta, sid)
-    want = _resolve_partition_predicates(meta, values)
+    want_by_spec: dict = {}
     keep = []
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        m_spec = m.get("partition_spec_id", 0)
+        if m_spec not in want_by_spec:
+            want_by_spec[m_spec] = _resolve_partition_predicates(
+                meta, values, m_spec
+            )
+        want = want_by_spec[m_spec]
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
             if entry["status"] not in (0, 1):
                 continue
@@ -1386,7 +1495,10 @@ def scan_partition(
                 )
     if not keep:
         return read_iceberg(spark, table, sid).filter(F.lit(False))
-    return _read_data_files(spark, table, meta, sid, keep)
+    out = _read_data_files(spark, table, meta, sid, keep)
+    if len(meta["partition-specs"]) > 1:
+        out = out.filter(_partition_residual(meta, values))
+    return out
 
 
 def scan_range(
@@ -1412,17 +1524,25 @@ def scan_range(
     schema = meta["schemas"][meta["current-schema-id"]]
     field = next(f for f in schema["fields"] if f["name"] == col)
     fid, ftype = field["id"], field["type"]
-    range_fields = [
-        (
-            pf["name"],
-            apply_transform(pf["transform"], lo, pf["source_type"]),
-            apply_transform(pf["transform"], hi, pf["source_type"]),
-        )
-        for pf in _spec_info(meta)
-        if pf["source"] == col and _is_order_preserving(pf["transform"])
-    ]
+
+    def _range_fields(spec_id: int) -> list:
+        return [
+            (
+                pf["name"],
+                apply_transform(pf["transform"], lo, pf["source_type"]),
+                apply_transform(pf["transform"], hi, pf["source_type"]),
+            )
+            for pf in _spec_info(meta, spec_id)
+            if pf["source"] == col and _is_order_preserving(pf["transform"])
+        ]
+
+    rf_by_spec: dict = {}
     keep = []
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        m_spec = m.get("partition_spec_id", 0)
+        if m_spec not in rf_by_spec:
+            rf_by_spec[m_spec] = _range_fields(m_spec)
+        range_fields = rf_by_spec[m_spec]
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
             if entry["status"] not in (0, 1):
                 continue
@@ -1466,6 +1586,75 @@ def scan_eq(
     holds other keys too)."""
     pruned = scan_partition(spark, table, {col: value}, snapshot_id)
     return pruned.filter(F.col(col) == F.lit(value))
+
+
+def evolve_partition_spec(table: str, partition_by: Sequence[str]) -> int:
+    """PARTITION EVOLUTION (the spec's headline maintenance feature):
+    register a new default partition spec — a metadata-only commit, no
+    data rewritten. Files already written keep their old spec (each
+    manifest-list entry records its ``partition_spec_id``); new writes
+    land under the new spec; and every scan prunes each manifest under
+    the spec it was written with, with exact residual predicates
+    covering what an old spec couldn't prune. The canonical use: a
+    table outgrows ``day(ts)`` and moves to ``hour(ts)`` (or gains a
+    ``bucket(N, key)``) without touching a byte of history.
+
+    Scope kept honest: the IDENTITY-column set must be unchanged across
+    specs — identity partitioning physically removes columns from data
+    files (hive layout), so evolving it would fork the file schema;
+    transform fields (temporal/bucket/truncate) evolve freely because
+    their source columns stay IN the files (hidden partitioning).
+    Fields identical to a prior spec's (same source, same transform)
+    keep their field-id, per the spec. Returns the new spec id."""
+    meta = current_metadata(table)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema["fields"]}
+    parsed = [_parse_partition_field(s, by_name) for s in partition_by]
+    if len({p["name"] for p in parsed}) != len(parsed):
+        raise ValueError("duplicate partition field names")
+    old_identity = set(_identity_part_cols(meta))
+    new_identity = {p["source"] for p in parsed if p["transform"] == "identity"}
+    if old_identity != new_identity:
+        raise NotImplementedError(
+            f"evolving the identity-column set ({sorted(old_identity)} -> "
+            f"{sorted(new_identity)}) would change the physical file "
+            "schema; only transform fields may evolve"
+        )
+    # reuse field-ids for (source, transform) pairs seen in ANY prior
+    # spec; new pairs continue from last-partition-id
+    prior: dict = {}
+    for s in meta["partition-specs"]:
+        for pf in s["fields"]:
+            prior[(pf["source-id"], pf.get("transform", "identity"))] = pf[
+                "field-id"
+            ]
+    next_id = meta.get("last-partition-id", 999)
+    spec_fields = []
+    for p in parsed:
+        key = (by_name[p["source"]]["id"], p["transform"])
+        if key in prior:
+            fid = prior[key]
+        else:
+            next_id += 1
+            fid = next_id
+        spec_fields.append(
+            {
+                "name": p["name"],
+                "transform": p["transform"],
+                "source-id": by_name[p["source"]]["id"],
+                "field-id": fid,
+            }
+        )
+    new_spec_id = max(s.get("spec-id", 0) for s in meta["partition-specs"]) + 1
+    meta = dict(meta)
+    meta["partition-specs"] = list(meta["partition-specs"]) + [
+        {"spec-id": new_spec_id, "fields": spec_fields}
+    ]
+    meta["default-spec-id"] = new_spec_id
+    meta["last-partition-id"] = next_id
+    meta["last-updated-ms"] = _now_ms()
+    _write_metadata(table, meta)
+    return new_spec_id
 
 
 def scan_null(
@@ -1562,6 +1751,7 @@ def optimize(
     for m in ml:
         if m.get("content", 0) == 1:
             continue
+        m_spec = m.get("partition_spec_id", 0)
         for e in avro_ocf.read_ocf(m["manifest_path"]):
             if e["status"] not in (0, 1):
                 continue
@@ -1570,7 +1760,7 @@ def optimize(
             if e["data_file"]["file_size_in_bytes"] < small_file_bytes:
                 small_entries.append(e)
             else:
-                big_entries.append(e)
+                big_entries.append((m_spec, e))
     if len(small_entries) < 2:
         return sid
     rel_small = [
@@ -1620,7 +1810,12 @@ def optimize(
                 },
             }
         )
-    for e in big_entries:
+    # EXISTING entries keep their original sequence numbers AND their
+    # original spec: entries are grouped per source spec and written
+    # into one manifest per spec (an evolved table's old-spec partition
+    # tuples have a different Avro record shape)
+    default_spec = meta["default-spec-id"]
+    for e in [e for s, e in big_entries if s == default_spec]:
         records.append(
             {
                 "status": 0,  # EXISTING — original sequence preserved
@@ -1632,26 +1827,73 @@ def optimize(
         )
     m_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
     avro_ocf.write_ocf(m_path, entry_schema, records)
+    n_def_existing = sum(1 for s, _ in big_entries if s == default_spec)
     new_entry = {
         "manifest_path": m_path,
         "manifest_length": os.path.getsize(m_path),
-        "partition_spec_id": meta["default-spec-id"],
+        "partition_spec_id": default_spec,
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": min(
-            [seq] + [e["sequence_number"] for e in big_entries]
+            [seq] + [e["sequence_number"] for s, e in big_entries
+                     if s == default_spec]
         ),
         "added_snapshot_id": snapshot_id,
         "added_files_count": len(staged),
-        "existing_files_count": len(big_entries),
+        "existing_files_count": n_def_existing,
         "deleted_files_count": 0,
         "added_rows_count": sum(n for _, _, n, _ in staged),
         "existing_rows_count": sum(
-            e["data_file"]["record_count"] for e in big_entries
+            e["data_file"]["record_count"] for s, e in big_entries
+            if s == default_spec
         ),
         "deleted_rows_count": 0,
     }
-    manifests = [new_entry] + delete_ml
+    manifests = [new_entry]
+    other_specs = sorted({s for s, _ in big_entries if s != default_spec})
+    for spec_id in other_specs:
+        entries = [e for s, e in big_entries if s == spec_id]
+        spec_fields = next(
+            s["fields"] for s in meta["partition-specs"]
+            if s.get("spec-id", 0) == spec_id
+        )
+        o_schema = _manifest_entry_schema(
+            _partition_record_schema(spec_fields, schema)
+        )
+        o_records = [
+            {
+                "status": 0,
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            }
+            for e in entries
+        ]
+        o_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
+        avro_ocf.write_ocf(o_path, o_schema, o_records)
+        manifests.append(
+            {
+                "manifest_path": o_path,
+                "manifest_length": os.path.getsize(o_path),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in entries
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(entries),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "deleted_rows_count": 0,
+            }
+        )
+    manifests = manifests + delete_ml
     ml_path = _write_manifest_list(table, snapshot_id, manifests)
     snapshot = {
         "snapshot-id": snapshot_id,
@@ -2284,24 +2526,7 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
     sid = meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
     schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
-    id_cols = _identity_part_cols(meta)
-    from pyspark.sql import types as T
-
-    spark_schema = _spark_schema(schema)
-    paths = [os.path.join(table, f) for f in snapshot_files(table, sid)]
-    if id_cols:
-        data_schema = T.StructType(
-            [f for f in spark_schema.fields if f.name not in id_cols]
-        )
-        df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
-        for f in spark_schema.fields:
-            if f.name in id_cols:
-                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    else:
-        r = spark.read.schema(spark_schema)
-        if _spec_info(meta):  # transform dirs present but no identity cols
-            r = r.option("basePath", table)
-        df = r.parquet(*paths)
+    df, _names = _read_raw(spark, table, meta, sid, snapshot_files(table, sid))
     # scan through ALL existing deletes (position AND equality) so new
     # tombstones can only target live rows — double-tombstoning would
     # break the CDC decomposition of delete commits

@@ -639,7 +639,7 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "pos_delete", "eq_delete", "upsert",
-                 "compact", "optimize"]
+                 "compact", "optimize", "evolve"]
             )
             if op == "append":
                 iceberg.append(_df(spark, fresh_rows(rng.randrange(1, 5))), table)
@@ -668,6 +668,13 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
             elif op == "optimize":
                 if indep.read_rows(table):
                     iceberg.optimize(spark, table, small_file_bytes=1 << 30)
+            elif op == "evolve":
+                n_specs = len(
+                    iceberg.current_metadata(table)["partition-specs"]
+                )
+                iceberg.evolve_partition_spec(
+                    table, ["bucket(2, id)"] if n_specs % 2 else []
+                )
             else:
                 live = indep.read_rows(table)
                 if live:

@@ -404,3 +404,94 @@ def test_convert_date_partitioned_delta_round_trip(spark, tmp_path):
         spark, ice_t, {"d": datetime.date(2024, 3, 2)}
     )
     assert pruned.count() == 20
+
+
+# --------------------------------------------------------------------------
+# Partition evolution
+# --------------------------------------------------------------------------
+
+
+def _ts_df(spark, lo, hi, parts=1):
+    df = spark.range(lo, hi).select(
+        "id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*997)"
+        ).alias("ts"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id").cast("double")).alias("v"),
+    )
+    return df.repartition(parts) if parts > 1 else df.coalesce(1)
+
+
+def test_evolve_day_to_hour_spec(spark, table):
+    """The canonical evolution: day(ts) → hour(ts). Old files keep the
+    day spec, new files land hourly; scans prune each manifest under
+    its own spec and answers stay exact."""
+    import datetime
+
+    iceberg.create(_ts_df(spark, 0, 500), table, partition_by=["day(ts)"])
+    new_spec = iceberg.evolve_partition_spec(table, ["hour(ts)"])
+    assert new_spec == 1
+    iceberg.append(_ts_df(spark, 500, 1000), table)
+    got = iceberg.read_iceberg(spark, table)
+    assert got.count() == 1000
+    assert sorted(r.id for r in got.collect()) == list(range(1000))
+    # range scan prunes BOTH generations from their own tuples
+    lo = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 5, 0, 0, 0)
+    scanned = iceberg.scan_range(spark, table, "ts", lo, hi)
+    want = [
+        r.id
+        for r in _ts_df(spark, 0, 1000).collect()
+        if lo <= r.ts <= hi
+    ]
+    assert sorted(r.id for r in scanned.collect()) == sorted(want)
+    n_all = len(iceberg.snapshot_files(table))
+    assert len(scanned.inputFiles()) < n_all
+    # independent clean-room reader still agrees on the full multiset
+    assert len(indep.read_rows(table)) == 1000
+
+
+def test_evolve_add_bucket_and_point_lookup(spark, table):
+    """Unpartitioned → bucket(4, g): point lookups prune the NEW
+    generation to one bucket; old-generation files are kept (their spec
+    can't prune g) and the residual keeps the answer exact."""
+    iceberg.create(_ids_df(spark, 0, 400, parts=2), table)
+    iceberg.evolve_partition_spec(table, ["bucket(4, grp)"])
+    iceberg.append(_ids_df(spark, 400, 800, parts=2), table)
+    got = iceberg.scan_eq(spark, table, "grp", 3)
+    want = [i for i in range(800) if i % 7 == 3]
+    assert sorted(r.id for r in got.collect()) == want
+    # planned files: all old-gen files + ~1/4 of new-gen files
+    n_all = len(iceberg.snapshot_files(table))
+    assert len(got.inputFiles()) < n_all
+    assert len(indep.read_rows(table)) == 800
+
+
+def test_evolve_identity_set_refuses(spark, table):
+    df = _ids_df(spark, 0, 100).withColumn("p", (F.col("id") % 2).cast("long"))
+    iceberg.create(df, table, partition_by=["p"])
+    with pytest.raises(NotImplementedError):
+        iceberg.evolve_partition_spec(table, ["bucket(4, id)"])  # drops p
+    # keeping the identity column while evolving transforms is fine
+    iceberg.evolve_partition_spec(table, ["p", "bucket(4, id)"])
+    iceberg.append(df.withColumn("id", F.col("id") + 100), table)
+    assert iceberg.read_iceberg(spark, table).count() == 200
+    assert len(indep.read_rows(table)) == 200
+    one = iceberg.scan_partition(spark, table, {"p": 1})
+    assert one.count() == 100
+
+
+def test_optimize_on_evolved_table_groups_manifests_by_spec(spark, table):
+    """optimize packs small files into the DEFAULT spec; healthy
+    old-spec files carry as EXISTING entries in a manifest of THEIR
+    spec (partition tuple shapes differ per spec)."""
+    iceberg.create(_ts_df(spark, 0, 300, parts=3), table,
+                   partition_by=["day(ts)"])
+    iceberg.evolve_partition_spec(table, ["hour(ts)"])
+    iceberg.append(_ts_df(spark, 300, 600, parts=3), table)
+    before = sorted(r.id for r in iceberg.read_iceberg(spark, table).collect())
+    iceberg.optimize(spark, table, small_file_bytes=1 << 30)
+    after = sorted(r.id for r in iceberg.read_iceberg(spark, table).collect())
+    assert after == before
+    assert len(indep.read_rows(table)) == 600
