@@ -452,3 +452,137 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q196 — partition inspection (iceberg.inspect_partitions): the
+# per-day record rollup of the day(ts)-partitioned events table,
+# computed FROM MANIFESTS ALONE (no data file opened). Manifest
+# record_count totals must equal the real per-day row counts, so the
+# oracle recomputes them from the raw rows — a lie anywhere in the
+# write path's counting breaks the hash.
+# --------------------------------------------------------------------------
+
+_Q196_SQL = """
+SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+           AS ts_day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+WHERE event_id % 4 IN (0, 2)
+GROUP BY 1
+"""
+
+
+@query("q196_iceberg_partition_inspection", oracle=_Q196_SQL, tags=("lake", "agg"))
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition record counts from `inspect_partitions` — the
+    small-file/skew dashboard every table-maintenance loop watches. At
+    100 TB this aggregates manifest entries (KBs of metadata), not the
+    table; the oracle proves the metadata actually tells the truth
+    about the data."""
+    from march_mania_spark_lakehouse_spark.plans.queries_lake import (
+        _events_iceberg_day_table,
+    )
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _events_iceberg_day_table(spark, sf_dir)
+    parts = iceberg.inspect_partitions(spark, table)
+    return parts.select(
+        F.get_json_object(F.col("partition"), "$.ts_day").cast("int").alias(
+            "ts_day"
+        ),
+        "record_count",
+    ).groupBy("ts_day").agg(F.sum("record_count").alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# q197 — DESCRIBE HISTORY audit (delta_log.describe_history): the
+# commit ledger of the q185 CDC table. History content is fully
+# determined by the fixture's publish sequence, so the oracle is a
+# VALUES literal — if an operation is mislabeled, misordered, or a
+# commit goes missing, the hash breaks.
+# --------------------------------------------------------------------------
+
+_Q197_SQL = """
+SELECT * FROM (VALUES
+    (CAST(0 AS BIGINT), 'CREATE TABLE AS SELECT'),
+    (CAST(1 AS BIGINT), 'WRITE'),
+    (CAST(2 AS BIGINT), 'DELETE')
+) AS t(version, operation)
+"""
+
+
+@query("q197_delta_history_audit", oracle=_Q197_SQL, tags=("lake",))
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit ledger (version, operation) — read from commitInfo
+    actions in the bounded JSON log tail, cost independent of table
+    size. The governed-lakehouse audit primitive: who wrote what,
+    when, in which order."""
+    from march_mania_spark_lakehouse_spark.plans.queries_lake import (
+        _orders_delta_cdc_table,
+    )
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_cdc_table(spark, sf_dir)
+    return delta_log.describe_history(spark, table).select(
+        "version", "operation"
+    )
+
+
+# --------------------------------------------------------------------------
+# q198 — Delta null-count data skipping (delta_log.scan_null): the
+# q189 shape on the Delta layer, planned from add-action stats
+# nullCount instead of Iceberg manifests.
+# --------------------------------------------------------------------------
+
+_Q198_SQL = _Q189_SQL
+
+
+def _orders_delta_nullstats(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-nullstats|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 != 0, F.col("o_orderkey") % 7
+            ).alias("mod7"),
+        )
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 7 == 0).coalesce(1),
+            table,
+            stat_cols=["o_orderkey", "mod7"],
+        )
+        delta_log.append(
+            orders.filter(F.col("o_orderkey") % 7 != 0).repartition(4),
+            table,
+            stat_cols=["o_orderkey", "mod7"],
+        )
+    return table
+
+
+@query("q198_delta_null_pruned_scan", oracle=_Q198_SQL, tags=("lake", "agg"))
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL audit over the Delta table, pruning null-free files from
+    the log's nullCount stats — the second lake format's answer to the
+    same 100 TB sparse-null sweep; the residual predicate keeps it
+    exact whatever the stats say."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_nullstats(spark, sf_dir)
+    return (
+        delta_log.scan_null(spark, table, "mod7", is_null=True)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -754,6 +754,102 @@ def scan_partitions(
     return _read_files(spark, table, sorted(keep), v)
 
 
+def scan_null(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    is_null: bool = True,
+    version: int | None = None,
+) -> DataFrame:
+    """IS NULL / IS NOT NULL scan pruned from the add-action stats'
+    nullCount (the `iceberg.scan_null` analogue): for IS NULL skip
+    files recording zero nulls in ``col``; for IS NOT NULL skip
+    all-null files (nullCount == numRecords). Files without the stat
+    are conservatively kept; the exact residual predicate runs after."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    keep: list[str] = []
+    for path, add in _replay(table, v).items():
+        stats = json.loads(add.get("stats") or "{}")
+        nc = (stats.get("nullCount") or {}).get(col)
+        n = stats.get("numRecords")
+        if nc is not None:
+            if is_null and nc == 0:
+                continue
+            if not is_null and n is not None and nc == n:
+                continue
+        keep.append(path)
+    pred = F.col(col).isNull() if is_null else F.col(col).isNotNull()
+    if not keep:
+        return read_delta(spark, table, v).filter(F.lit(False))
+    return _read_files(spark, table, sorted(keep), v).filter(pred)
+
+
+def describe_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit — (version, timestamp_ms,
+    operation, operation_parameters JSON) from the commitInfo actions,
+    read newest-last from the bounded JSON log (commits without
+    commitInfo surface with null operation; it is optional in the
+    protocol)."""
+    latest = latest_version(table)
+    if latest is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    rows = []
+    for v in range(latest + 1):
+        p = _commit_path(table, v)
+        if not os.path.exists(p):
+            continue
+        ci = next(
+            (a["commitInfo"] for a in _read_actions(p) if "commitInfo" in a),
+            {},
+        )
+        rows.append(
+            (
+                v,
+                ci.get("timestamp"),
+                ci.get("operation"),
+                json.dumps(ci.get("operationParameters") or {}, sort_keys=True),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp_ms long, operation string, "
+        "operation_parameters string",
+    )
+
+
+def inspect_files(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """One row per live add action at a version: (file_path,
+    partition_values JSON, size_bytes, record_count, has_deletion_vector)
+    — the log-planned file audit, no storage touched."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    rows = []
+    for path, add in sorted(_replay(table, v).items()):
+        stats = json.loads(add.get("stats") or "{}")
+        rows.append(
+            (
+                path,
+                json.dumps(
+                    _normalize_partition_values(add.get("partitionValues")),
+                    sort_keys=True,
+                ),
+                add.get("size"),
+                stats.get("numRecords"),
+                add.get("deletionVector") is not None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, partition_values string, size_bytes long, "
+        "record_count long, has_deletion_vector boolean",
+    )
+
+
 def scan_pruned(
     spark: SparkSession, table: str, col: str, lo, hi, version: int | None = None
 ) -> DataFrame:

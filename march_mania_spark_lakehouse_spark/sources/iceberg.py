@@ -2197,6 +2197,138 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
     return deleted
 
 
+def remove_orphan_files(
+    table: str, older_than_ms: int = 3 * 24 * 3600 * 1000
+) -> list[str]:
+    """Delete files under ``data/`` referenced by NO retained snapshot
+    — the debris of crashed writes and losing concurrent commits
+    (staged parquet whose metadata commit never landed). The
+    modification-time guard (default 3 days, the maintenance-tool
+    convention) keeps in-flight commits safe: a writer that staged
+    files but hasn't committed yet is younger than the cutoff. Returns
+    the deleted paths (table-relative). Note rejected WAP snapshots are
+    NOT orphans — their snapshot entries stay in metadata until
+    `expire_snapshots` retires them, after which their files are
+    deleted there."""
+    meta = current_metadata(table)
+    referenced = set()
+    for s in meta["snapshots"]:
+        for m in avro_ocf.read_ocf(s["manifest-list"]):
+            for e in avro_ocf.read_ocf(m["manifest_path"]):
+                referenced.add(os.path.realpath(e["data_file"]["file_path"]))
+    cutoff = (_now_ms() - older_than_ms) / 1000.0
+    deleted = []
+    data_root = os.path.join(table, "data")
+    for root, _dirs, files in os.walk(data_root):
+        for fn in files:
+            p = os.path.join(root, fn)
+            if os.path.realpath(p) in referenced:
+                continue
+            if os.path.getmtime(p) > cutoff:
+                continue  # possibly an in-flight commit's staging
+            os.unlink(p)
+            deleted.append(os.path.relpath(p, os.path.abspath(table)))
+    return sorted(deleted)
+
+
+# --------------------------------------------------------------------------
+# Inspection surface (the `table.snapshots` / `table.files` /
+# `table.partitions` metadata tables real engines expose) — all planned
+# purely from table metadata, returned as small DataFrames.
+# --------------------------------------------------------------------------
+
+
+def inspect_snapshots(spark: SparkSession, table: str) -> DataFrame:
+    """One row per retained snapshot: (snapshot_id, parent_id,
+    sequence_number, timestamp_ms, operation, schema_id, is_current)."""
+    meta = current_metadata(table)
+    cur = meta["current-snapshot-id"]
+    rows = [
+        (
+            s["snapshot-id"],
+            s.get("parent-snapshot-id"),
+            s["sequence-number"],
+            s["timestamp-ms"],
+            s.get("summary", {}).get("operation"),
+            s.get("schema-id"),
+            s["snapshot-id"] == cur,
+        )
+        for s in meta["snapshots"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, sequence_number long, "
+        "timestamp_ms long, operation string, schema_id int, "
+        "is_current boolean",
+    )
+
+
+def inspect_refs(spark: SparkSession, table: str) -> DataFrame:
+    """(name, type, snapshot_id) for every named ref, including main."""
+    meta = current_metadata(table)
+    refs = dict(meta.get("refs", {}))
+    refs.setdefault(
+        "main", {"snapshot-id": meta["current-snapshot-id"], "type": "branch"}
+    )
+    rows = [
+        (name, r["type"], r["snapshot-id"]) for name, r in sorted(refs.items())
+    ]
+    return spark.createDataFrame(rows, "name string, type string, snapshot_id long")
+
+
+def inspect_files(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """One row per manifest entry at a snapshot: (file_path, content,
+    status, spec_id, sequence_number, record_count, file_size_bytes,
+    partition as a canonical JSON string). The audit answer to 'what
+    files does this snapshot actually plan?' without touching storage."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    rows = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] not in (0, 1):
+                continue
+            d = e["data_file"]
+            rows.append(
+                (
+                    os.path.relpath(d["file_path"], os.path.abspath(table)),
+                    int(d.get("content", 0)),
+                    int(e["status"]),
+                    int(m.get("partition_spec_id", 0)),
+                    e["sequence_number"],
+                    d["record_count"],
+                    d["file_size_in_bytes"],
+                    json.dumps(d.get("partition") or {}, sort_keys=True),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, content int, status int, spec_id int, "
+        "sequence_number long, record_count long, file_size_bytes long, "
+        "partition string",
+    )
+
+
+def inspect_partitions(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Per-partition-tuple rollup of the DATA files at a snapshot:
+    (spec_id, partition JSON, file_count, record_count) — the skew /
+    small-file dashboard input, computed from manifests alone."""
+    files = inspect_files(spark, table, snapshot_id)
+    return (
+        files.filter(F.col("content") == 0)
+        .groupBy("spec_id", "partition")
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+        )
+    )
+
+
 def last_streamed_batch(table: str, app_id: str) -> int:
     """Highest streaming batch id committed for ``app_id`` (-1 if none),
     read from snapshot summary properties — the Iceberg-side half of the

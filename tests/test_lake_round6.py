@@ -495,3 +495,88 @@ def test_optimize_on_evolved_table_groups_manifests_by_spec(spark, table):
     after = sorted(r.id for r in iceberg.read_iceberg(spark, table).collect())
     assert after == before
     assert len(indep.read_rows(table)) == 600
+
+
+# --------------------------------------------------------------------------
+# Inspection surface + orphan cleanup + Delta null skipping
+# --------------------------------------------------------------------------
+
+
+def test_iceberg_inspection_tables(spark, table):
+    df = _ids_df(spark, 0, 300).withColumn("p", (F.col("id") % 3).cast("long"))
+    iceberg.create(df, table, partition_by=["p"])
+    iceberg.append(df.withColumn("id", F.col("id") + 300), table)
+    iceberg.delete_where(spark, table, "id % 50 = 0")
+    iceberg.create_tag(table, "pinned")
+
+    snaps = iceberg.inspect_snapshots(spark, table).collect()
+    assert [s.operation for s in snaps] == ["append", "append", "delete"]
+    assert [s.is_current for s in snaps] == [False, False, True]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+
+    refs = {r.name: r for r in iceberg.inspect_refs(spark, table).collect()}
+    assert refs["pinned"].type == "tag"
+    assert refs["main"].snapshot_id == snaps[-1].snapshot_id
+
+    files = iceberg.inspect_files(spark, table).collect()
+    data = [f for f in files if f.content == 0]
+    dels = [f for f in files if f.content == 1]
+    assert sum(f.record_count for f in data) == 600
+    assert sum(f.record_count for f in dels) == 12  # 600/50
+    # delete files carry an all-null partition tuple under this spec
+    assert all(f.partition == '{"p": null}' for f in dels)
+
+    parts = iceberg.inspect_partitions(spark, table).collect()
+    assert len(parts) == 3
+    assert sum(p.record_count for p in parts) == 600
+    assert {p.partition for p in parts} == {
+        '{"p": 0}', '{"p": 1}', '{"p": 2}'
+    }
+
+
+def test_remove_orphan_files(spark, table):
+    import os
+
+    iceberg.create(_ids_df(spark, 0, 100), table)
+    live = set(iceberg.snapshot_files(table))
+    old_orphan = os.path.join(table, "data", "orphan-old.parquet")
+    new_orphan = os.path.join(table, "data", "orphan-new.parquet")
+    for p in (old_orphan, new_orphan):
+        with open(p, "wb") as f:
+            f.write(b"debris")
+    os.utime(old_orphan, (1, 1))  # ancient mtime
+    deleted = iceberg.remove_orphan_files(table)
+    assert deleted == [os.path.join("data", "orphan-old.parquet")]
+    assert os.path.exists(new_orphan)  # young: possibly in-flight
+    assert set(iceberg.snapshot_files(table)) == live
+    assert iceberg.read_iceberg(spark, table).count() == 100
+
+
+def test_delta_scan_null_prunes(spark, table):
+    some = spark.range(0, 100).select(
+        "id", F.when(F.col("id") % 2 == 0, F.col("id")).alias("v")
+    )
+    none = spark.range(100, 200).select("id", F.col("id").alias("v"))
+    delta_log.create(some.coalesce(1), table, stat_cols=["id", "v"])
+    delta_log.append(none.coalesce(1), table, stat_cols=["id", "v"])
+    nulls = delta_log.scan_null(spark, table, "v", is_null=True)
+    assert len(nulls.inputFiles()) == 1
+    assert sorted(r.id for r in nulls.collect()) == list(range(1, 100, 2))
+    notnull = delta_log.scan_null(spark, table, "v", is_null=False)
+    assert notnull.count() == 150
+
+
+def test_delta_history_and_files(spark, table):
+    df = spark.range(0, 60).select("id", (F.col("id") % 3).alias("g"))
+    delta_log.create(df, table, stat_cols=["id"])
+    delta_log.append(df.withColumn("id", F.col("id") + 60), table)
+    delta_log.delete_where(spark, table, "id % 10 = 0")
+    hist = delta_log.describe_history(spark, table).collect()
+    assert [(h.version, h.operation) for h in hist] == [
+        (0, "CREATE TABLE AS SELECT"),
+        (1, "WRITE"),
+        (2, "DELETE"),
+    ]
+    files = delta_log.inspect_files(spark, table).collect()
+    assert sum(f.record_count for f in files) == 120
+    assert any(f.has_deletion_vector for f in files)
