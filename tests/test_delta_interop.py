@@ -333,7 +333,7 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "dv_delete", "dv_delete", "optimize",
-                 "checkpoint"]
+                 "checkpoint", "merge", "restore"]
             )
             if op == "append":
                 dlog.append(_df(spark, fresh(rng.randrange(1, 5))), table)
@@ -343,6 +343,16 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
                 dlog.delete_where(spark, table, f"id % 3 = {rng.randrange(3)}")
             elif op == "optimize":
                 dlog.optimize(spark, table)
+            elif op == "merge":
+                live = [t[0] for t in indep.read_rows(table)]
+                upd = [(i, "mg", -2.0) for i in
+                       rng.sample(live, k=min(2, len(live)))] if live else []
+                dlog.merge(
+                    _df(spark, upd + fresh(1, "mi")), table, keys=["id"]
+                )
+            elif op == "restore":
+                v = rng.randrange(dlog.latest_version(table) + 1)
+                dlog.restore(table, v)
             else:
                 dlog.checkpoint(table)
         v_hi = dlog.latest_version(table)
