@@ -1367,11 +1367,23 @@ def _apply_delete_files(
         ]
         seq_df = spark.createDataFrame(seq_rows, "__fp string, __dseq long")
         df = df.join(F.broadcast(seq_df), "__fp", "left")
+        # CONSOLIDATE tombstone files sharing an equality-column set
+        # into ONE anti-join (each key row tagged with its file's
+        # sequence number): a CDC-heavy table accumulates one eq-delete
+        # file per upsert batch, and a join per FILE would grow the
+        # plan linearly with history — a join per COLUMN-SET stays O(1)
+        by_cols: dict = {}
         for path, del_seq, cols in eq_dels:
-            keys = spark.read.parquet(path).select(
-                *[F.col(c).alias(f"__k_{c}") for c in cols]
-            )
-            cond = F.col("__dseq") < F.lit(del_seq)
+            by_cols.setdefault(tuple(cols), []).append((path, del_seq))
+        for cols, files in sorted(by_cols.items()):
+            keys = None
+            for path, del_seq in files:
+                k = spark.read.parquet(path).select(
+                    *[F.col(c).alias(f"__k_{c}") for c in cols],
+                    F.lit(del_seq).alias("__k_seq"),
+                )
+                keys = k if keys is None else keys.unionByName(k)
+            cond = F.col("__dseq") < F.col("__k_seq")
             for c in cols:
                 # null-safe: an equality delete whose key value is NULL
                 # matches rows with NULL in that column (spec; plain ==

@@ -635,3 +635,22 @@ def test_streaming_iceberg_upsert_sink(spark, tmp_path):
     assert got[2] in (("B", 20.0), ("b", 2.0))
     rows = indep.read_rows(table)
     assert len(rows) == 5
+
+
+def test_equality_delete_joins_consolidate_per_column_set(spark, table):
+    """CDC-heavy read plans must stay O(column-sets), not O(tombstone
+    files): 6 upsert batches leave 6 eq-delete files but the read plan
+    carries exactly ONE anti-join for the shared key set."""
+    iceberg.create(_ids_df(spark, 0, 60), table)
+    for b in range(6):
+        batch = _ids_df(spark, b * 10, b * 10 + 10).withColumn(
+            "v", F.col("v") + 1000.0
+        )
+        iceberg.upsert(spark, table, batch, ["id"])
+    assert len(iceberg.snapshot_equality_deletes(table)) == 6
+    df = iceberg.read_iceberg(spark, table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1
+    got = {r.id: r.v for r in df.collect()}
+    assert len(got) == 60
+    assert all(got[i] == i * 1.5 + 1000.0 for i in range(60))
