@@ -786,6 +786,66 @@ def scan_null(
     return _read_files(spark, table, sorted(keep), v).filter(pred)
 
 
+def shallow_clone(table: str, target: str, version: int | None = None) -> int:
+    """SHALLOW CLONE: a new Delta table whose v0 references the
+    source's live files at ``version`` IN PLACE (absolute paths in the
+    add actions — spec-legal) — O(metadata) at any table size, the
+    sandbox/experimentation primitive. Writes to the clone never touch
+    the source. Refuses sources with live deletion vectors (their
+    descriptors resolve relative to the source root; `optimize` first)
+    and partitioned sources (shared hive dirs across roots; convert
+    via hard links instead). Same shared-file retention caveat as the
+    lake conversions: vacuum on either side must not assume sole
+    ownership."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    if table_partition_columns(table, v):
+        raise NotImplementedError("shallow_clone covers unpartitioned tables")
+    if latest_version(target) is not None:
+        raise FileExistsError(f"{target} already has a Delta log")
+    live = _replay(table, v)
+    if any(a.get("deletionVector") for a in live.values()):
+        raise NotImplementedError(
+            "live deletion vectors resolve against the source root; "
+            "optimize() the source first"
+        )
+    schema = table_schema(table, v)
+    os.makedirs(target, exist_ok=True)
+    adds = [
+        {
+            "add": {
+                "path": os.path.abspath(os.path.join(table, rel)),
+                "partitionValues": {},
+                "size": a.get("size"),
+                "modificationTime": _now_ms(),
+                "dataChange": True,
+                **({"stats": a["stats"]} if a.get("stats") else {}),
+            }
+        }
+        for rel, a in sorted(live.items())
+    ]
+    actions = [
+        _commit_info(
+            "CLONE", {"source": os.path.abspath(table), "sourceVersion": v}
+        ),
+        {"protocol": dict(PROTOCOL)},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": _now_ms(),
+            }
+        },
+        *adds,
+    ]
+    _write_commit(target, 0, actions)
+    return 0
+
+
 def describe_history(spark: SparkSession, table: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per commit — (version, timestamp_ms,
     operation, operation_parameters JSON) from the commitInfo actions,
@@ -1235,9 +1295,20 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
     if not packed:
         return cur
     base = os.path.abspath(table)
+    # map scanned physical paths back to their REPLAY keys: normally
+    # table-relative, but shallow-cloned adds carry absolute paths to
+    # shared files outside the clone root
+    by_real = {
+        os.path.realpath(
+            k if os.path.isabs(k) else os.path.join(base, k)
+        ): k
+        for k in live
+    }
     dvs: dict[str, list[int]] = {}
     for r in packed:
-        rel = os.path.relpath(r["fp"], base)
+        rel = by_real.get(os.path.realpath(r["fp"]))
+        if rel is None:
+            rel = os.path.relpath(r["fp"], base)
         positions = list(r["positions"])
         old_desc = (live.get(rel) or {}).get("deletionVector")
         if old_desc:

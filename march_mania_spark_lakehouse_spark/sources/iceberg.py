@@ -2209,6 +2209,178 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
     return deleted
 
 
+def add_files(
+    table: str, paths: Sequence[str], stat_cols: Sequence[str] = ()
+) -> int:
+    """Register EXISTING parquet files into the table without copying
+    or rewriting a byte (the `add_files` migration procedure): one
+    append snapshot whose manifest points at the files in place,
+    record counts and optional column bounds read from the footers
+    (KBs). The in-place escape hatch for onboarding a directory of
+    parquet into table management; unpartitioned specs only (hive
+    partition mapping is `convert_from_delta`'s job)."""
+    import pyarrow.parquet as pq
+
+    meta = current_metadata(table)
+    if _spec_info(meta):
+        raise NotImplementedError(
+            "add_files targets unpartitioned tables; partitioned "
+            "onboarding needs an explicit layout mapping"
+        )
+    staged = []
+    for p in paths:
+        ap = os.path.abspath(p)
+        n_rows = pq.ParquetFile(ap).metadata.num_rows
+        staged.append((ap, {}, n_rows, os.path.getsize(ap)))
+    return _commit_snapshot(
+        None, table, meta, "append", False, stat_cols, None, staged
+    )
+
+
+def clone(table: str, target: str) -> int:
+    """ZERO-COPY shallow clone: a new Iceberg table whose single
+    snapshot references the source's CURRENT data files in place —
+    metadata is rewritten (fresh uuid/location/history), data is
+    shared. The dev/test-sandbox primitive: clone production, run
+    experiments, throw the clone away — O(metadata) cost at any table
+    size. Writes to the clone never touch the source (appends make new
+    files, merge-on-read deletes are tombstone sidecars in the CLONE's
+    metadata only). Same retention caveat as converted tables:
+    `expire_snapshots` on either side must not assume sole ownership
+    of shared files. Unpartitioned sources only (a partitioned clone
+    would share hive dirs across roots; convert via hard links
+    instead). Live POSITION deletes carry into the clone (they target
+    (file, pos) identities, exact under any renumbering); live
+    EQUALITY deletes refuse — their strictly-lower-sequence semantics
+    cannot survive the clone's sequence renumbering (all cloned data
+    files share one sequence number, which would re-kill rows that
+    outlived the tombstone in the source) — `compact` first."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"]
+    if _spec_info(meta):
+        raise NotImplementedError("clone covers unpartitioned tables")
+    if snapshot_equality_deletes(table, sid):
+        raise NotImplementedError(
+            "live equality deletes cannot survive clone renumbering; "
+            "compact() the source first"
+        )
+    if current_version(target) is not None:
+        raise FileExistsError(f"{target} already has Iceberg metadata")
+    schema = meta["schemas"][meta["current-schema-id"]]
+    os.makedirs(target, exist_ok=True)
+    new_meta = {
+        "format-version": FORMAT_VERSION,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(target),
+        "last-sequence-number": 0,
+        "last-updated-ms": _now_ms(),
+        "last-column-id": meta["last-column-id"],
+        "current-schema-id": 0,
+        "schemas": [dict(schema, **{"schema-id": 0})],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "write.format.default": "parquet",
+            "cloned-from": os.path.abspath(table),
+            "cloned-snapshot-id": str(sid),
+        },
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    snap = _snapshot(meta, sid)
+    staged, delete_records = [], []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] not in (0, 1):
+                continue
+            d = e["data_file"]
+            if d.get("content", 0) == 0:
+                staged.append(
+                    (
+                        d["file_path"],
+                        {},
+                        d["record_count"],
+                        d["file_size_in_bytes"],
+                    )
+                )
+            else:
+                delete_records.append((e, d))
+    new_sid = _commit_snapshot(
+        None, target, new_meta, "append", False, (), None, staged
+    )
+    if not delete_records:
+        return new_sid
+    # carry the source's live POSITION-delete files so the clone serves
+    # the same rows ((file, pos) identities are renumbering-proof)
+    new_meta = current_metadata(target)
+    seq = new_meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    schema0 = new_meta["schemas"][0]
+    entry_schema = _manifest_entry_schema(
+        _partition_record_schema([], schema0)
+    )
+    records = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": dict(d, partition={}),
+        }
+        for _e, d in delete_records
+    ]
+    m_path = os.path.join(_meta_dir(target), f"{uuid.uuid4().hex}-m0.avro")
+    avro_ocf.write_ocf(m_path, entry_schema, records)
+    cur_snap = _snapshot(new_meta, new_sid)
+    manifests = avro_ocf.read_ocf(cur_snap["manifest-list"]) + [
+        {
+            "manifest_path": m_path,
+            "manifest_length": os.path.getsize(m_path),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(records),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                d["record_count"] for _e, d in delete_records
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    ml_path = _write_manifest_list(target, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+        "parent-snapshot-id": new_sid,
+    }
+    new_meta = dict(new_meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = list(new_meta["snapshots"]) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshot-log"] = list(new_meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    refs = dict(new_meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    new_meta["refs"] = refs
+    _write_metadata(target, new_meta)
+    return snapshot_id
+
+
 def remove_orphan_files(
     table: str, older_than_ms: int = 3 * 24 * 3600 * 1000
 ) -> list[str]:

@@ -654,3 +654,84 @@ def test_equality_delete_joins_consolidate_per_column_set(spark, table):
     got = {r.id: r.v for r in df.collect()}
     assert len(got) == 60
     assert all(got[i] == i * 1.5 + 1000.0 for i in range(60))
+
+
+# --------------------------------------------------------------------------
+# add_files + zero-copy clones
+# --------------------------------------------------------------------------
+
+
+def test_iceberg_add_files_in_place(spark, table, tmp_path):
+    import os
+
+    ext = str(tmp_path / "external")
+    _ids_df(spark, 0, 120, parts=2).write.parquet(ext)
+    parts = sorted(
+        os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")
+    )
+    iceberg.create(_ids_df(spark, 120, 150), table, stat_cols=("id",))
+    iceberg.add_files(table, parts, stat_cols=("id",))
+    got = iceberg.read_iceberg(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(150))
+    # the external bytes were registered, not copied
+    assert all(
+        os.path.realpath(p) in {
+            os.path.realpath(os.path.join(table, f))
+            if not os.path.isabs(f) else os.path.realpath(f)
+            for f in iceberg.snapshot_files(table)
+        }
+        for p in parts
+    )
+    # bounds landed: range scan prunes
+    narrow = iceberg.scan_range(spark, table, "id", 130, 140)
+    assert sorted(r.id for r in narrow.collect()) == list(range(130, 141))
+
+
+def test_iceberg_clone_zero_copy(spark, table, tmp_path):
+    import os
+
+    clone_t = str(tmp_path / "clone")
+    iceberg.create(_ids_df(spark, 0, 200), table)
+    iceberg.append(_ids_df(spark, 200, 300), table)
+    iceberg.delete_where(spark, table, "id % 10 = 0")
+    iceberg.clone(table, clone_t)
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, clone_t).collect())
+    assert got == [i for i in range(300) if i % 10 != 0]
+    # writes to the clone don't touch the source
+    iceberg.append(_ids_df(spark, 1000, 1010), clone_t)
+    iceberg.delete_where(spark, clone_t, "id = 5")
+    assert iceberg.read_iceberg(spark, table).count() == 270
+    assert iceberg.read_iceberg(spark, clone_t).count() == 279
+    # equality tombstones refuse (sequence renumbering hazard)
+    iceberg.delete_by_equality(
+        spark, table, spark.createDataFrame([(7,)], "id long")
+    )
+    with pytest.raises(NotImplementedError):
+        iceberg.clone(table, str(tmp_path / "clone2"))
+    # independent reader agrees with the clone
+    assert len(indep.read_rows(clone_t)) == 279
+
+
+def test_delta_shallow_clone(spark, table, tmp_path):
+    clone_t = str(tmp_path / "dclone")
+    df = spark.range(0, 150).select("id", (F.col("id") % 3).alias("g"))
+    delta_log.create(df, table, stat_cols=["id"])
+    delta_log.append(
+        spark.range(150, 200).select("id", (F.col("id") % 3).alias("g")), table
+    )
+    delta_log.shallow_clone(table, clone_t)
+    assert delta_log.read_delta(spark, clone_t).count() == 200
+    # divergent writes stay isolated
+    delta_log.delete_where(spark, clone_t, "id < 50")
+    assert delta_log.read_delta(spark, clone_t).count() == 150
+    assert delta_log.read_delta(spark, table).count() == 200
+    # stats carried: pruning works on the clone
+    pruned = delta_log.scan_pruned(spark, clone_t, "id", 160, 170)
+    assert pruned.count() == 11
+    # DV-carrying sources refuse
+    delta_log.delete_where(spark, table, "id = 7")
+    with pytest.raises(NotImplementedError):
+        delta_log.shallow_clone(table, str(tmp_path / "dclone2"))
+    from tests import delta_reader_independent as dindep
+
+    assert len(dindep.read_rows(clone_t)) == 150
