@@ -423,6 +423,23 @@ def minhash_candidates_portable(
     check the banding *math* end-to-end, same role q125's portable
     signatures play for q28's murmur3 ones.
     """
+    buckets = minhash_band_index(df, id_col, text_col, n, num_hashes, bands)
+    return _bucket_pairs(buckets, id_col, max_bucket)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The PERSISTED-INDEX form of portable MinHash banding:
+    (id, band, bh) — bands × docs rows of pure int64, the state an
+    incremental dedup pipeline keeps between batches. Write it as a
+    lake table partitioned/bucketed on (band, bh) and the
+    batch-vs-corpus probe becomes a co-located equi-join."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_portable_relational(
         df, id_col, text_col, n, num_hashes
@@ -435,10 +452,63 @@ def minhash_candidates_portable(
                 PORTABLE_MOD
             )
         band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
-    buckets = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    return _bucket_pairs(buckets, id_col, max_bucket)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> "tuple[DataFrame, DataFrame]":
+    """Dedup an incoming batch against an EXISTING corpus without ever
+    re-comparing corpus × corpus — the production shape at 100 TB,
+    where each day's crawl dedups against all history:
+
+    - a new doc DROPS if any of its band buckets collides with the
+      persisted ``index`` (:func:`minhash_band_index` rows of the
+      corpus so far), or with a SMALLER-id doc of its own batch
+      (deterministic within-batch survivor rule);
+    - returns ``(survivors, index_delta)`` — append ``index_delta``
+      (the survivors' band rows) to the index table and the loop is
+      closed: per-batch cost is O(batch × corpus-collisions), the
+      corpus text is never touched again, and the index grows by
+      O(survivors).
+
+    Both joins are equi-joins on (band, bh): the corpus side ships
+    only (band, hash, id) tuples — never documents — and a bucketed
+    index table makes the probe co-located (zero corpus shuffle).
+    Entirely portable int64 arithmetic → DuckDB-oracled end-to-end
+    (q199)."""
+    new_idx = minhash_band_index(
+        new_docs, id_col, text_col, n, num_hashes, bands
+    )
+    hit_corpus = (
+        new_idx.join(index, ["band", "bh"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    a, b = new_idx.alias("a"), new_idx.alias("b")
+    hit_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+            "left_semi",
+        )
+        .select(f"a.{id_col}")
+        .distinct()
+    )
+    dropped = hit_corpus.unionByName(hit_batch).distinct()
+    survivors = new_docs.join(dropped, id_col, "left_anti")
+    index_delta = new_idx.join(dropped, id_col, "left_anti")
+    return survivors, index_delta
 
 
 def simhash_candidates(

@@ -436,3 +436,51 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load(spark, "documents", sf_dir)
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
     return multimodal.extract_media_features(payloads)
+
+
+# --------------------------------------------------------------------------
+# q199 — INCREMENTAL dedup against a persisted index: corpus =
+# doc_id % 3 != 0 (its band index is the persisted state), batch =
+# doc_id % 3 == 0. A batch doc drops on any band-bucket collision with
+# the corpus index or with a smaller-id batch doc; survivors and the
+# index delta close the loop. The oracle recomputes the same portable
+# banding for both sides and applies the same drop rule — one
+# mis-hashed band or wrong survivor rule breaks the hash.
+# --------------------------------------------------------------------------
+
+_Q199_SQL = f"""WITH {_Q28_SIG_CTE}, buckets AS ({_Q28_BUCKETS}),
+corpus_b AS (SELECT * FROM buckets WHERE doc_id % 3 <> 0),
+batch_b  AS (SELECT * FROM buckets WHERE doc_id % 3 = 0),
+dropped AS (
+    SELECT DISTINCT a.doc_id
+    FROM batch_b a JOIN corpus_b c ON a.band = c.band AND a.bh = c.bh
+    UNION
+    SELECT DISTINCT a.doc_id
+    FROM batch_b a JOIN batch_b b
+      ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id
+)
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@query("q199_incremental_dedup", oracle=_Q199_SQL, tags=("dedup", "text"))
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup
+    (`dedup.incremental_minhash_dedup`): the daily-crawl production
+    shape — the corpus text is NEVER re-read, only its persisted
+    (band, hash, id) index joins against the new batch's bands, and
+    the index grows by the survivors' rows. At 100 TB this turns
+    corpus² dedup into O(batch) work per batch against a co-locatable
+    equi-join index."""
+    from march_mania_spark_lakehouse_spark.operators import dedup as _dedup
+
+    docs = catalog.load(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = _dedup.minhash_band_index(corpus, "doc_id", "text", 3, _Q28_K, 4)
+    survivors, _delta = _dedup.incremental_minhash_dedup(
+        batch, index, "doc_id", "text", 3, _Q28_K, 4
+    )
+    return survivors.select("doc_id", "source", "n_chars")

@@ -735,3 +735,34 @@ def test_delta_shallow_clone(spark, table, tmp_path):
     from tests import delta_reader_independent as dindep
 
     assert len(dindep.read_rows(clone_t)) == 150
+
+
+def test_incremental_dedup_loop_closes(spark):
+    """Two batches through the incremental loop: a batch-2 copy of a
+    batch-1 SURVIVOR must drop via the appended index delta — the
+    property the single-shot oracle (q199) cannot see."""
+    from march_mania_spark_lakehouse_spark.operators import dedup
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = docs([(1, "alpha beta gamma delta epsilon zeta"),
+                   (2, "one two three four five six")])
+    index = dedup.minhash_band_index(corpus, "doc_id").localCheckpoint()
+
+    b1 = docs([
+        (10, "alpha beta gamma delta epsilon zeta"),   # dup of corpus 1
+        (11, "seven eight nine ten eleven twelve"),    # fresh
+        (12, "seven eight nine ten eleven twelve"),    # within-batch dup of 11
+    ])
+    s1, d1 = dedup.incremental_minhash_dedup(b1, index, "doc_id")
+    assert sorted(r.doc_id for r in s1.collect()) == [11]
+    index = index.unionByName(d1).localCheckpoint()
+
+    b2 = docs([
+        (20, "seven eight nine ten eleven twelve"),    # dup of b1 survivor
+        (21, "completely different words here now yes"),
+    ])
+    s2, d2 = dedup.incremental_minhash_dedup(b2, index, "doc_id")
+    assert sorted(r.doc_id for r in s2.collect()) == [21]
+    assert sorted(r.doc_id for r in d2.select("doc_id").distinct().collect()) == [21]
