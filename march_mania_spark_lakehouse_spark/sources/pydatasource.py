@@ -326,3 +326,151 @@ class IcebergTableStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
         return _IcebergTableStreamReader(self.options)
+
+
+class _IcebergTableCdcStreamReader:
+    """Row-level CDC micro-batches from an Iceberg table: appended rows
+    as inserts, merge-on-read position-delete commits decomposed into
+    the tombstoned rows as deletes (`_change_type` column) — the
+    streaming twin of `iceberg.table_changes(include_deletes=True)`.
+    Equality-delete commits refuse: recovering their dead rows needs
+    the parent snapshot's full state, which a driver-side simple
+    reader should not materialize — use the batch change feed for
+    upsert-heavy tables. Same scope notes as the append-only reader
+    (unpartitioned tables; driver-side pyarrow materialization is the
+    documented SimpleDataSourceStreamReader trade)."""
+
+    def __init__(self, options: dict) -> None:
+        self.table = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _changes(self, lo: int, hi: int) -> list:
+        import pyarrow.parquet as pq
+
+        from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
+
+        meta = iceberg.current_metadata(self.table)
+        for s in meta["snapshots"]:
+            if lo < s["sequence-number"] <= hi and (
+                s.get("summary", {}).get("operation") not in ("append", "delete")
+            ):
+                raise ValueError(
+                    f"snapshot seq {s['sequence-number']} is "
+                    f"{s.get('summary', {}).get('operation')!r}; a CDC "
+                    "stream cannot represent file-level rewrites"
+                )
+        retained = {s["sequence-number"] for s in meta["snapshots"]}
+        expired = [s for s in range(lo + 1, hi + 1) if s not in retained]
+        if expired:
+            raise ValueError(
+                f"sequence numbers {expired} were expired by "
+                "expire_snapshots; cannot stream an expired range"
+            )
+        snap = iceberg._snapshot(meta, meta["current-snapshot-id"])
+        schema = meta["schemas"][meta["current-schema-id"]]
+        cols = [f["name"] for f in schema["fields"]]
+        added, pos_dels = [], []
+        for m in avro_ocf.read_ocf(snap["manifest-list"]):
+            if not (lo < m["sequence_number"] <= hi):
+                continue
+            for e in avro_ocf.read_ocf(m["manifest_path"]):
+                if e["status"] != 1:
+                    continue
+                if not (lo < e["sequence_number"] <= hi):
+                    continue
+                d = e["data_file"]
+                if d.get("partition"):
+                    raise NotImplementedError(
+                        "iceberg_table_cdc supports unpartitioned tables"
+                    )
+                content = d.get("content", 0)
+                if content == 0:
+                    added.append(d["file_path"])
+                elif content == 1:
+                    pos_dels.append(d["file_path"])
+                else:
+                    raise NotImplementedError(
+                        "equality-delete commits need parent-state "
+                        "recovery; use iceberg.table_changes for "
+                        "upsert CDC"
+                    )
+        rows = []
+        for path in sorted(added):
+            t = pq.read_table(path)
+            names = set(t.column_names)
+            for rec in t.to_pylist():
+                rows.append(
+                    tuple(rec.get(c) if c in names else None for c in cols)
+                    + ("insert",)
+                )
+        tomb: dict = {}
+        for path in sorted(pos_dels):
+            t = pq.read_table(path)
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                tomb.setdefault(fp, set()).add(pos)
+        for fp in sorted(tomb):
+            t = pq.read_table(fp)
+            names = set(t.column_names)
+            recs = t.to_pylist()
+            for pos in sorted(tomb[fp]):
+                rec = recs[pos]
+                rows.append(
+                    tuple(rec.get(c) if c in names else None for c in cols)
+                    + ("delete",)
+                )
+        return rows
+
+    def read(self, start: dict):
+        from march_mania_spark_lakehouse_spark.sources import iceberg
+
+        lo = int(start["seq"])
+        if iceberg.current_version(self.table) is None:
+            return (iter(()), {"seq": lo})
+        hi = iceberg.current_metadata(self.table)["last-sequence-number"]
+        if hi <= lo:
+            return (iter(()), {"seq": lo})
+        return (self._changes(lo, hi), {"seq": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._changes(int(start["seq"]), int(end["seq"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergTableCdcStreamDataSource(DataSource):
+    """``spark.readStream.format("iceberg_table_cdc").option("path", t)``
+    after registering: micro-batches carry the table's row-level
+    changes (insert/delete in `_change_type`) since the checkpointed
+    sequence number — feed them to `ivm.signed_state` and a streaming
+    materialized view refreshes through merge-on-read DELETEs."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_table_cdc"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        from march_mania_spark_lakehouse_spark.sources import iceberg
+
+        meta = iceberg.current_metadata(self.options["path"])
+        schema = meta["schemas"][meta["current-schema-id"]]
+        back = {
+            "long": T.LongType(), "int": T.IntegerType(),
+            "string": T.StringType(), "double": T.DoubleType(),
+            "float": T.FloatType(), "boolean": T.BooleanType(),
+            "date": T.DateType(), "timestamptz": T.TimestampType(),
+        }
+        return T.StructType(
+            [T.StructField(f["name"], back[f["type"]], True)
+             for f in schema["fields"]]
+            + [T.StructField("_change_type", T.StringType(), False)]
+        )
+
+    def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
+        return _IcebergTableCdcStreamReader(self.options)

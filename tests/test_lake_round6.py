@@ -766,3 +766,73 @@ def test_incremental_dedup_loop_closes(spark):
     s2, d2 = dedup.incremental_minhash_dedup(b2, index, "doc_id")
     assert sorted(r.doc_id for r in s2.collect()) == [21]
     assert sorted(r.doc_id for r in d2.select("doc_id").distinct().collect()) == [21]
+
+
+def test_iceberg_cdc_stream_source_with_deletes(spark, table, tmp_path):
+    """Streaming row-level CDC: drain 1 sees the base as inserts; an
+    append + merge-on-read DELETE then drain 2 (same checkpoint)
+    delivers the new rows as inserts AND the tombstoned rows as
+    deletes; folding the signed stream reproduces the head snapshot."""
+    from collections import Counter
+
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+        _IcebergTableCdcStreamReader,
+    )
+
+    df0 = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(10)], "id long, cat string, val double"
+    )
+    iceberg.create(df0, table)
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink = str(tmp_path / "cdc_sink")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("iceberg_table_cdc")
+            .option("path", table).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 10
+    assert got.filter("_change_type = 'insert'").count() == 10
+
+    iceberg.append(
+        spark.createDataFrame(
+            [(i, "b", float(i)) for i in range(10, 14)],
+            "id long, cat string, val double",
+        ),
+        table,
+    )
+    iceberg.delete_where(spark, table, "id % 3 = 0")
+    drain()
+    got = spark.read.parquet(sink).collect()
+    # fold: + inserts, - deletes == head snapshot
+    state = Counter()
+    for r in got:
+        t = (r.id, r.cat, r.val)
+        state[t] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        (r.id, r.cat, r.val)
+        for r in iceberg.read_iceberg(spark, table).collect()
+    )
+    assert +state == head
+    dels = sorted(r.id for r in got if r._change_type == "delete")
+    assert dels == [i for i in range(14) if i % 3 == 0]
+    # equality-delete commits refuse (parent-state recovery needed)
+    iceberg.delete_by_equality(
+        spark, table, spark.createDataFrame([(1,)], "id long")
+    )
+    reader = _IcebergTableCdcStreamReader({"path": table})
+    meta = iceberg.current_metadata(table)
+    with pytest.raises(NotImplementedError):
+        reader._changes(3, meta["last-sequence-number"])
