@@ -93,6 +93,9 @@ def generate(spark) -> None:
     # Load through catalog.load, not vanilla spark.read.parquet: the
     # catalog normalizes the events `ts` physical unit (ns-vintage
     # fixtures would otherwise crash or load 1000x-skewed here).
+    # Write timestamps as INT64 micros — Spark's INT96 default would
+    # make the replica unreadable by the catalog's unit sniffer.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     os.makedirs(BIG, exist_ok=True)
     for t in SINGLE_COPY:
         catalog.load(spark, t, SMALL).write.mode(
