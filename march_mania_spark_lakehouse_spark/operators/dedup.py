@@ -485,9 +485,12 @@ def incremental_minhash_dedup(
     index table makes the probe co-located (zero corpus shuffle).
     Entirely portable int64 arithmetic → DuckDB-oracled end-to-end
     (q199)."""
+    # the batch's band table feeds FOUR consumers (corpus probe, both
+    # sides of the intra-batch probe, the index delta); lazily
+    # checkpoint so the shingle hashing runs once, not four times
     new_idx = minhash_band_index(
         new_docs, id_col, text_col, n, num_hashes, bands
-    )
+    ).localCheckpoint(eager=False)
     hit_corpus = (
         new_idx.join(index, ["band", "bh"], "left_semi")
         .select(id_col)
