@@ -193,8 +193,12 @@ class _Reader:
 
 
 def read_ocf(path: str) -> list[dict]:
-    """Read an Avro OCF written with any null-codec writer, using the
-    schema embedded in the file header."""
+    """Read an Avro OCF using the schema embedded in the file header.
+    Codecs: ``null`` and ``deflate`` (raw DEFLATE block payloads per
+    the Avro spec — what real Iceberg writers emit by default, so
+    tables produced by other engines read without recompression)."""
+    import zlib
+
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"Obj\x01":
@@ -203,7 +207,7 @@ def read_ocf(path: str) -> list[dict]:
     r.pos = 4
     meta = r.read_datum({"type": "map", "values": "bytes"})
     codec = meta.get("avro.codec", b"null").decode()
-    if codec != "null":
+    if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
     sync = data[r.pos: r.pos + 16]
@@ -213,28 +217,48 @@ def read_ocf(path: str) -> list[dict]:
         count = r.read_long()
         size = r.read_long()
         end = r.pos + size
-        for _ in range(count):
-            out.append(r.read_datum(schema))
-        if r.pos != end:
-            raise ValueError("avro block size mismatch")
+        if codec == "deflate":
+            # raw DEFLATE (no zlib header), per spec
+            block = zlib.decompress(data[r.pos: end], wbits=-15)
+            br = _Reader(block)
+            for _ in range(count):
+                out.append(br.read_datum(schema))
+            if br.pos != len(block):
+                raise ValueError("avro block size mismatch")
+            r.pos = end
+        else:
+            for _ in range(count):
+                out.append(r.read_datum(schema))
+            if r.pos != end:
+                raise ValueError("avro block size mismatch")
         if data[r.pos: r.pos + 16] != sync:
             raise ValueError("avro sync marker mismatch")
         r.pos += 16
     return out
 
 
-def write_ocf(path: str, schema: dict, records: list[dict]) -> None:
-    """Write records as a single-block, null-codec Avro OCF. The sync
-    marker is derived deterministically from the path (no RNG — repo
-    policy), which the spec allows: it only needs to be consistent
-    within the file."""
+def write_ocf(
+    path: str, schema: dict, records: list[dict], codec: str = "null"
+) -> None:
+    """Write records as a single-block Avro OCF (codec ``null`` —
+    simplest to verify, the default for this repo's own tables — or
+    ``deflate``, raw-DEFLATE block payloads for interop fixtures). The
+    sync marker is derived deterministically from the path (no RNG —
+    repo policy), which the spec allows: it only needs to be
+    consistent within the file."""
     import hashlib
+    import zlib
 
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}")
     sync = hashlib.md5(path.encode("utf-8")).digest()  # 16 bytes
     body = io.BytesIO()
     for rec in records:
         write_datum(body, schema, rec)
     payload = body.getvalue()
+    if codec == "deflate":
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        payload = co.compress(payload) + co.flush()
     with open(path, "wb") as f:
         f.write(b"Obj\x01")
         meta = io.BytesIO()
@@ -242,7 +266,7 @@ def write_ocf(path: str, schema: dict, records: list[dict]) -> None:
         write_string(meta, "avro.schema")
         write_bytes(meta, json.dumps(schema).encode("utf-8"))
         write_string(meta, "avro.codec")
-        write_bytes(meta, b"null")
+        write_bytes(meta, codec.encode())
         write_long(meta, 0)
         f.write(meta.getvalue())
         f.write(sync)

@@ -90,6 +90,8 @@ class _Avro:
 
 
 def read_avro(path: str) -> list[dict]:
+    import zlib
+
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"Obj\x01":
@@ -97,16 +99,23 @@ def read_avro(path: str) -> list[dict]:
     a = _Avro(data)
     a.i = 4
     meta = a.datum({"type": "map", "values": "bytes"})
-    if meta.get("avro.codec", b"null") not in (b"null",):
-        raise NotImplementedError("compressed avro")
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
     sync = a.raw(16)
     out = []
     while a.i < len(data):
         n = a.vlong()
-        a.vlong()  # block byte size
-        for _ in range(n):
-            out.append(a.datum(schema))
+        size = a.vlong()
+        if codec == b"deflate":
+            # raw DEFLATE block payload per the Avro spec
+            b = _Avro(zlib.decompress(a.raw(size), wbits=-15))
+            for _ in range(n):
+                out.append(b.datum(schema))
+        else:
+            for _ in range(n):
+                out.append(a.datum(schema))
         if a.raw(16) != sync:
             raise ValueError("bad sync marker")
     return out

@@ -836,3 +836,37 @@ def test_iceberg_cdc_stream_source_with_deletes(spark, table, tmp_path):
     meta = iceberg.current_metadata(table)
     with pytest.raises(NotImplementedError):
         reader._changes(3, meta["last-sequence-number"])
+
+
+def test_avro_deflate_codec_both_readers(tmp_path):
+    """Real Iceberg writers default their manifests to the deflate
+    codec; both the engine reader and the clean-room reader must
+    consume it (and the writer can emit it for interop fixtures)."""
+    import os
+
+    from march_mania_spark_lakehouse_spark.sources import avro_ocf
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long", "field-id": 1},
+            {"name": "s", "type": ["null", "string"], "default": None,
+             "field-id": 2},
+            {"name": "v", "type": "double", "field-id": 3},
+        ],
+    }
+    recs = [
+        {"id": i, "s": None if i % 5 == 0 else f"x{i}" * (i % 7), "v": i / 3.0}
+        for i in range(200)
+    ]
+    p_null = str(tmp_path / "a_null.avro")
+    p_defl = str(tmp_path / "a_defl.avro")
+    avro_ocf.write_ocf(p_null, schema, recs)
+    avro_ocf.write_ocf(p_defl, schema, recs, codec="deflate")
+    assert os.path.getsize(p_defl) < os.path.getsize(p_null)
+    assert avro_ocf.read_ocf(p_defl) == recs
+    assert indep.read_avro(p_defl) == recs
+    assert indep.read_avro(p_null) == recs
+    with pytest.raises(NotImplementedError):
+        avro_ocf.write_ocf(str(tmp_path / "n.avro"), schema, recs, codec="snappy")
