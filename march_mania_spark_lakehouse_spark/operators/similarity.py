@@ -639,3 +639,104 @@ def semantic_dedup(
         e.join(F.broadcast(drops), on="id", how="left_anti")
         .select(F.col("id").alias(id_col), "cell")
     )
+
+
+def portable_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes: int = 3,
+) -> DataFrame:
+    """Sign-LSH band buckets from PORTABLE ±1 hyperplanes: plane
+    (band b, bit p) has component i = ±1 by the parity of an integer
+    hash of (i, b·planes+p) — pure arithmetic any SQL engine
+    reproduces, and the signed dot folds float32→double in index
+    order, so bucket assignment is BIT-IDENTICAL across engines
+    (`cosine_topk_lsh_portable`'s oracle leans on this). Output:
+    (id, band, bits) — one row per band, bits = the planes-wide sign
+    word. The Gaussian-plane murmur-free variant (`lsh_bucket_id`,
+    codegen literal arrays) stays the production path; this family
+    exists to make an APPROXIMATE ANN path value-verifiable
+    end-to-end, the role the portable MinHash family plays for q28."""
+    def _signed_factory(idx: int):
+        # closure factory, not default args: pyspark derives lambda
+        # arity from the signature, so a bound default would read as a
+        # 3-arg lambda and fail analysis
+        def _signed(x, i):
+            h = (
+                (i + 1).cast("long") * F.lit((2 * idx + 3) * 7919)
+                + F.lit(101 * idx + 13)
+            ) % F.lit(1_000_000_007)
+            return x.cast("double") * F.when(
+                h % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+
+        return _signed
+
+    band_cols = []
+    for b in range(bands):
+        bits = F.lit(0)
+        for p in range(planes):
+            dotp = F.aggregate(
+                F.transform(F.col(vec_col), _signed_factory(b * planes + p)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            bits = bits + F.when(dotp > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bits.cast("long").alias("bits"))
+        )
+    return (
+        rebalance_scan(df)
+        .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    )
+
+
+def cosine_topk_lsh_portable(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k through portable sign-LSH buckets: candidates limited
+    to vectors sharing ≥1 band bucket with the query (equi-join on
+    (band, bits) — Σ bucket², the corpus never cross-joins), then
+    exact double cosine on the candidates and the shared
+    (cosine desc, id) ranking tail. Because buckets, dots, and ranks
+    are all bit-reproducible, the FULL approximate pipeline
+    hash-matches a DuckDB oracle (q200) — the one ANN path whose
+    candidate set itself is value-verified, complementing the
+    recall-tested murmur/Gaussian paths."""
+    qb = portable_lsh_buckets(queries, id_col, vec_col, bands, planes)
+    cb = portable_lsh_buckets(candidates, id_col, vec_col, bands, planes)
+    pairs = (
+        qb.alias("q")
+        .join(
+            cb.alias("c"),
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.bits") == F.col("c.bits"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("q_id"),
+            F.col(f"c.{id_col}").alias("c_id"),
+        )
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        pairs.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .withColumn(
+            "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+        )
+        .select("q_id", "c_id", "cosine")
+    )
+    return _topk_per_query(scored, k)

@@ -484,3 +484,86 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, index, "doc_id", "text", 3, _Q28_K, 4
     )
     return survivors.select("doc_id", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# q200 — ANN through portable sign-LSH, value-oracled END TO END: ±1
+# hyperplanes from integer parity hashes, signed dots folded
+# float32→double in index order (bit-identical both engines), band
+# buckets, candidate equi-join, exact cosine re-rank. The one
+# approximate-ANN path whose CANDIDATE SET itself is hash-verified —
+# the murmur3/Gaussian production paths stay recall-tested instead.
+# --------------------------------------------------------------------------
+
+_Q200_BANDS, _Q200_PLANES = 8, 3
+
+
+def _q200_dot_sql(idx: int) -> str:
+    # DuckDB list lambdas index 1-based == the Spark side's (i + 1)
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(emb, (x, i) -> x * "
+        f"(CASE WHEN (CAST(i AS BIGINT) * {(2 * idx + 3) * 7919} + "
+        f"{101 * idx + 13}) % 1000000007 % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)"
+    )
+
+
+_Q200_BUCKETS = "\nUNION ALL\n".join(
+    "SELECT vec_id, {b} AS band, ({bits}) AS bits FROM e".format(
+        b=b,
+        bits=" + ".join(
+            f"(CASE WHEN {_q200_dot_sql(b * _Q200_PLANES + p)} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(_Q200_PLANES)
+        ),
+    )
+    for b in range(_Q200_BANDS)
+)
+
+_Q200_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+buckets AS ({_Q200_BUCKETS}),
+cand AS (
+    SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+    FROM buckets qb
+    JOIN buckets cb ON qb.band = cb.band AND qb.bits = cb.bits
+    WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+),
+scored AS (
+    SELECT q_id, c_id,
+           ROUND(
+               list_dot_product(qe.emb, ce.emb)
+               / (sqrt(list_dot_product(qe.emb, qe.emb))
+                  * sqrt(list_dot_product(ce.emb, ce.emb))),
+               4
+           ) AS cosine
+    FROM cand
+    JOIN e qe ON q_id = qe.vec_id
+    JOIN e ce ON c_id = ce.vec_id
+)
+SELECT q_id, c_id, cosine
+FROM (
+    SELECT q_id, c_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@query("q200_ann_lsh_portable", oracle=_Q200_SQL, tags=("similarity",))
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with the portable plane family
+    (`similarity.cosine_topk_lsh_portable`): candidates bounded to
+    band-bucket collisions (Σ bucket² equi-join — the corpus never
+    cross-joins), exact double cosine re-rank on the survivors. At
+    100 TB the bucket join IS the ANN index probe; here every stage —
+    plane signs, bucket words, candidate pairs, rounded ranks — is
+    bit-reproducible, so the DuckDB oracle hash-checks the whole
+    approximate pipeline, not just its recall."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk_lsh_portable(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        bands=_Q200_BANDS, planes=_Q200_PLANES,
+    )
