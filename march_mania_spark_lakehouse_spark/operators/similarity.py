@@ -645,53 +645,61 @@ def portable_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 8,
-    planes: int = 3,
+    bands: int = 4,
+    planes: int = 8,
 ) -> DataFrame:
     """Sign-LSH band buckets from PORTABLE ±1 hyperplanes: plane
     (band b, bit p) has component i = ±1 by the parity of an integer
     hash of (i, b·planes+p) — pure arithmetic any SQL engine
-    reproduces, and the signed dot folds float32→double in index
-    order, so bucket assignment is BIT-IDENTICAL across engines
-    (`cosine_topk_lsh_portable`'s oracle leans on this). Output:
-    (id, band, bits) — one row per band, bits = the planes-wide sign
-    word. The Gaussian-plane murmur-free variant (`lsh_bucket_id`,
-    codegen literal arrays) stays the production path; this family
-    exists to make an APPROXIMATE ANN path value-verifiable
-    end-to-end, the role the portable MinHash family plays for q28."""
-    def _signed_factory(idx: int):
-        # closure factory, not default args: pyspark derives lambda
-        # arity from the signature, so a bound default would read as a
-        # 3-arg lambda and fail analysis
-        def _signed(x, i):
-            h = (
-                (i + 1).cast("long") * F.lit((2 * idx + 3) * 7919)
-                + F.lit(101 * idx + 13)
-            ) % F.lit(1_000_000_007)
-            return x.cast("double") * F.when(
-                h % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
+    reproduces. Each signed dot sums FIXED-POINT INT64 components
+    (round(x·1e9) — the q164 policy): integer addition is exact and
+    associative, so the sum — and therefore the sign bit — is
+    identical under any partitioning and in any engine (`cosine_topk_lsh_portable`'s oracle leans on
+    this). Output: (id, band, bits) — one row per band, bits = the
+    planes-wide sign word.
 
-        return _signed
-
+    Physical shape per the q132/q125 lesson: posexplode the vector
+    ONCE → all bands·planes signed sums in a single codegen hash
+    aggregate (one shuffle on the id). The map-only form (one
+    interpreted array fold per plane) re-inlines the fold per plane —
+    measured 6× slower at sf0.1. The Gaussian-plane variant
+    (`lsh_bucket_id`, codegen literal arrays) stays the production
+    path; this family exists to make an APPROXIMATE ANN path
+    value-verifiable end-to-end, the role the portable MinHash family
+    plays for q28."""
+    ex = rebalance_scan(df).select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select(
+        id_col,
+        "i",
+        # fixed-point int64 component: exact+associative sums make the
+        # sign bit partitioning- and engine-independent, and integer
+        # lanes are far cheaper than decimal in the wide aggregate
+        F.round(F.col("x").cast("double") * F.lit(1e9)).cast("long").alias("xq"),
+    )
+    lanes = []
+    for idx in range(bands * planes):
+        h = (
+            (F.col("i") + 1).cast("long") * F.lit((2 * idx + 3) * 7919)
+            + F.lit(101 * idx + 13)
+        ) % F.lit(1_000_000_007)
+        signed = F.col("xq") * F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        lanes.append(F.sum(signed).alias(f"d{idx}"))
+    dots = ex.groupBy(id_col).agg(*lanes)
     band_cols = []
     for b in range(bands):
         bits = F.lit(0)
         for p in range(planes):
-            dotp = F.aggregate(
-                F.transform(F.col(vec_col), _signed_factory(b * planes + p)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            bits = bits + F.when(dotp > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bits = bits + F.when(
+                F.col(f"d{b * planes + p}") > 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
         band_cols.append(
             F.struct(F.lit(b).alias("band"), bits.cast("long").alias("bits"))
         )
-    return (
-        rebalance_scan(df)
-        .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
-    )
+    return dots.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
 
 
 def cosine_topk_lsh_portable(
@@ -700,8 +708,8 @@ def cosine_topk_lsh_portable(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 8,
-    planes: int = 3,
+    bands: int = 4,
+    planes: int = 8,
     round_digits: int = 4,
 ) -> DataFrame:
     """ANN top-k through portable sign-LSH buckets: candidates limited

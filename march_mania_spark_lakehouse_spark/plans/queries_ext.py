@@ -495,26 +495,29 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the murmur3/Gaussian production paths stay recall-tested instead.
 # --------------------------------------------------------------------------
 
-_Q200_BANDS, _Q200_PLANES = 8, 3
+_Q200_BANDS, _Q200_PLANES = 4, 8
 
 
-def _q200_dot_sql(idx: int) -> str:
-    # DuckDB list lambdas index 1-based == the Spark side's (i + 1)
+def _q200_lane_sql(idx: int) -> str:
+    # fixed-point int64 signed sum per plane (exact + associative);
+    # i is 1-based from the ordinality unnest == the Spark (i + 1)
     return (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(emb, (x, i) -> x * "
-        f"(CASE WHEN (CAST(i AS BIGINT) * {(2 * idx + 3) * 7919} + "
-        f"{101 * idx + 13}) % 1000000007 % 2 = 0 "
-        "THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)"
+        f"SUM(CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)"
+        f" * (CASE WHEN (CAST(i AS BIGINT) * {(2 * idx + 3) * 7919}"
+        f" + {101 * idx + 13}) % 1000000007 % 2 = 0 THEN 1 ELSE -1 END))"
+        f" AS d{idx}"
     )
 
 
+_Q200_DOTS = ",\n       ".join(
+    _q200_lane_sql(idx) for idx in range(_Q200_BANDS * _Q200_PLANES)
+)
+
 _Q200_BUCKETS = "\nUNION ALL\n".join(
-    "SELECT vec_id, {b} AS band, ({bits}) AS bits FROM e".format(
+    "SELECT vec_id, {b} AS band, ({bits}) AS bits FROM dots".format(
         b=b,
         bits=" + ".join(
-            f"(CASE WHEN {_q200_dot_sql(b * _Q200_PLANES + p)} > 0 "
-            f"THEN {1 << p} ELSE 0 END)"
+            f"(CASE WHEN d{b * _Q200_PLANES + p} > 0 THEN {1 << p} ELSE 0 END)"
             for p in range(_Q200_PLANES)
         ),
     )
@@ -523,6 +526,11 @@ _Q200_BUCKETS = "\nUNION ALL\n".join(
 
 _Q200_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ex AS (
+    SELECT vec_id, u.x AS x, u.i AS i
+    FROM e, UNNEST(list_transform(emb, (x, i) -> {{'x': x, 'i': i}})) AS t(u)
+),
+dots AS (SELECT vec_id, {_Q200_DOTS} FROM ex GROUP BY vec_id),
 buckets AS ({_Q200_BUCKETS}),
 cand AS (
     SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
