@@ -240,6 +240,10 @@ def decode_real(payload: bytes) -> tuple[str, int, int, np.ndarray]:
         from march_mania_spark_lakehouse_spark.operators import png
 
         fmt, px = "png", png.decode(payload)
+    elif payload[:4] == b"GIF8":
+        from march_mania_spark_lakehouse_spark.operators import gif
+
+        fmt, px = "gif", gif.decode(payload)
     if px is not None:
         # 16-bit PNGs decode to uint16 — normalize by the dtype's range
         denom = 65535.0 if px.dtype == np.uint16 else 255.0

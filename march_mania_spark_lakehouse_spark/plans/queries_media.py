@@ -101,3 +101,68 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pipeline,
         schema="doc_id long, n_frames int, width int, height int, sum_grey long",
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — REAL GIF decode under an exact SQL oracle: per-doc textured
+# grey pattern → palette-indexed GIF89a (from-scratch LZW,
+# operators/gif.py) → decode. GIF is lossless, so the round trip is
+# bit-exact on TEXTURED content (the q175 PNG contract, now through a
+# dictionary coder); the oracle recomputes dims and the pixel-sum
+# closed form with two lateral range expansions.
+# --------------------------------------------------------------------------
+
+_Q201_SQL = """
+SELECT d.doc_id,
+       CAST(8 + d.doc_id % 16 AS INT) AS width,
+       CAST(8 + (d.doc_id * 3) % 16 AS INT) AS height,
+       CAST(SUM((d.doc_id + 7 * y.y + 13 * x.x) % 256) AS BIGINT) AS sum_px
+FROM documents d,
+     LATERAL UNNEST(range(0, 8 + (d.doc_id * 3) % 16)) AS y(y),
+     LATERAL UNNEST(range(0, 8 + d.doc_id % 16)) AS x(x)
+GROUP BY d.doc_id
+"""
+
+
+@query("q201_gif_roundtrip", oracle=_Q201_SQL, tags=("multimodal",))
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode real GIFs in Arrow-batched workers and surface
+    (decoded width, height, pixel sum) against the closed-form oracle.
+    Interlace alternates by doc parity so both row orders stay pinned.
+    Map-only at any scale — the LZW dictionary is per-image state."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from march_mania_spark_lakehouse_spark.operators import gif
+    from march_mania_spark_lakehouse_spark.operators.text import rebalance_scan
+
+    def _roundtrip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for doc_id in pdf["doc_id"]:
+                w = int(8 + doc_id % 16)
+                h = int(8 + (doc_id * 3) % 16)
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = ((int(doc_id) + 7 * yy + 13 * xx) % 256).astype(np.uint8)
+                decoded = gif.decode(
+                    gif.encode(px, interlace=bool(doc_id % 2))
+                )
+                if decoded.shape != (h, w, 3) or not (
+                    decoded[..., 0] == px
+                ).all() or not (decoded[..., 2] == px).all():
+                    raise ValueError(f"GIF round trip broke for doc {doc_id}")
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs,
+                 "sum_px": sums}
+            )
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
+    return rebalance_scan(docs).mapInPandas(
+        _roundtrip,
+        schema="doc_id long, width int, height int, sum_px long",
+    )
