@@ -586,3 +586,84 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — portable KMV NDV sketch (the value-oracled twin of the Puffin
+# statistics path, sources/puffin.py + iceberg.write_statistics).
+#
+# The production NDV sketch hashes with murmur3-x64-128/seed 9001 (the
+# DataSketches item convention — not reproducible in SQL), so its
+# accuracy is bound-tested in tests/test_puffin.py. This query runs the
+# SAME bottom-k estimator over the portable affine hash family
+# h = (a·key + b) mod p (a bijection on [0, p) for key < p, p prime),
+# which ANY engine reproduces exactly: the k smallest distinct hashes,
+# the k-th value, and the estimator (k-1)·p // h_k are all integers —
+# a full value oracle for the KMV math itself.
+#
+# Scale shape: one column projection → map-side-partial distinct →
+# TakeOrdered(k) per column; nothing wider than k rows ever reaches a
+# single point. Saturation is handled engine-identically: below k
+# distinct values the sketch IS the exact count (n < k ⇒ estimate = n).
+# --------------------------------------------------------------------------
+
+_KMV_A = 2654435761
+_KMV_B = 104729
+_KMV_P = 1_000_000_007
+_KMV_K = 200
+
+
+def _kmv_sql_block(table: str, col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_retained,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       CAST(
+         CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+              ELSE ({_KMV_K} - 1) * CAST({_KMV_P} AS BIGINT) // MAX(h)
+         END AS BIGINT) AS ndv_est
+FROM (
+  SELECT h FROM (
+    SELECT DISTINCT ({col} * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h
+    FROM {table}
+  ) ORDER BY h LIMIT {_KMV_K}
+)"""
+
+
+_Q202_SQL = (
+    _kmv_sql_block("orders", "o_custkey")
+    + "\nUNION ALL\n"
+    + _kmv_sql_block("lineitem", "l_partkey")
+    + "\nUNION ALL\n"
+    + _kmv_sql_block("lineitem", "l_suppkey")
+)
+
+
+@query("q202_ndv_kmv_portable", oracle=_Q202_SQL, tags=("sketch", "lake"))
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) NDV sketch state + estimate per key column, over
+    the portable affine hash — the value-verifiable form of the Puffin
+    ``apache-datasketches-theta-v1`` NDV statistics the Iceberg layer
+    writes (iceberg.write_statistics). Columns: the retained count, the
+    k-th smallest hash (= theta), and the integer estimator."""
+
+    def one(table: str, col: str) -> DataFrame:
+        df = catalog.load(spark, table, sf_dir)
+        h = ((F.col(col) * _KMV_A + _KMV_B) % _KMV_P).alias("h")
+        top = df.select(h).distinct().orderBy("h").limit(_KMV_K)
+        n, kth = F.count(F.lit(1)), F.max("h")
+        return top.agg(
+            F.lit(col).alias("column_name"),
+            n.cast("long").alias("n_retained"),
+            kth.cast("long").alias("kth_hash"),
+            F.when(n < _KMV_K, n)
+            .otherwise(F.expr(f"({_KMV_K} - 1) * CAST({_KMV_P} AS BIGINT) div max(h)"))
+            .cast("long")
+            .alias("ndv_est"),
+        )
+
+    return (
+        one("orders", "o_custkey")
+        .unionByName(one("lineitem", "l_partkey"))
+        .unionByName(one("lineitem", "l_suppkey"))
+    )

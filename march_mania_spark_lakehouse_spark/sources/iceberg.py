@@ -3300,3 +3300,232 @@ def table_changes(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.select(*names, "_change_type")
+
+
+# --------------------------------------------------------------------------
+# Table statistics: Puffin NDV sketch files (spec `statistics` field)
+# --------------------------------------------------------------------------
+
+
+def _field_id(meta: dict, col: str) -> int:
+    schema = meta["schemas"][meta["current-schema-id"]]
+    for f in schema["fields"]:
+        if f["name"] == col:
+            return f["id"]
+    raise KeyError(f"{col} not in table schema")
+
+
+def _column_kmv_state(df: DataFrame, col: str, k: int) -> list[int]:
+    """Distributed bottom-k (KMV) sketch state for one column: the k
+    smallest distinct 63-bit DataSketches item hashes.
+
+    Shape at scale: `.distinct()` on the single projected column does
+    map-side partial aggregation, so the exchange carries per-partition
+    distincts only; `mapInPandas` then hashes each partition's distinct
+    values and emits its LOCAL bottom-k (a mergeable partial sketch —
+    at most k rows per partition leave Python); the global TakeOrdered
+    k merges the partials. Driver memory is k longs; no stage ever
+    materializes more than k rows per partition. Hashing is Python-side
+    by necessity (murmur3-x64-128 with the DataSketches seed is not a
+    JVM builtin) — a stats job runs once per snapshot, off the query
+    path.
+    """
+    import pandas as pd
+
+    from march_mania_spark_lakehouse_spark.sources.puffin import (
+        datasketches_hash63,
+        item_bytes,
+    )
+
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("int", "smallint", "tinyint"):
+        proj, conv = F.col(col).cast("long"), int
+    elif dtype == "bigint":
+        proj, conv = F.col(col), int
+    elif dtype == "string":
+        proj, conv = F.col(col), str
+    else:
+        raise NotImplementedError(
+            f"NDV sketch over {dtype} column {col!r}: only integral and "
+            "string columns carry a canonical DataSketches item "
+            "serialization here"
+        )
+
+    def _partial(batches):
+        state: set[int] = set()
+        for pdf in batches:
+            for v in pdf["__v"].dropna():
+                h = datasketches_hash63(item_bytes(conv(v)))
+                if h:
+                    state.add(h)
+            if len(state) > 8 * k:  # keep the partial bounded
+                state = set(sorted(state)[:k])
+        yield pd.DataFrame({"h": sorted(state)[:k] or []}).astype("int64")
+
+    partials = (
+        df.select(proj.alias("__v"))
+        .distinct()
+        .mapInPandas(_partial, "h long")
+    )
+    return [r.h for r in partials.orderBy("h").limit(k).collect()]
+
+
+def write_statistics(
+    spark: SparkSession,
+    table: str,
+    cols: Sequence[str],
+    k: int = 1024,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Compute per-column NDV theta sketches for a snapshot and attach
+    them as a Puffin statistics file (table-metadata ``statistics``
+    list, one entry per snapshot — replaced if recomputed). The blob is
+    the spec's standard ``apache-datasketches-theta-v1`` with the
+    ``ndv`` blob property carrying the estimate, which is what engines
+    read for CBO inputs without decoding the sketch. Metadata-only
+    commit; returns the statistics entry written."""
+    from march_mania_spark_lakehouse_spark.sources import puffin
+
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    seq = _snapshot(meta, sid)["sequence-number"]
+    df = read_iceberg(spark, table, sid)
+    blobs = []
+    for c in cols:
+        state = _column_kmv_state(df, c, k)
+        est, _theta = puffin.kmv_estimate(state, k)
+        blobs.append(
+            {
+                "type": "apache-datasketches-theta-v1",
+                "fields": [_field_id(meta, c)],
+                "snapshot-id": sid,
+                "sequence-number": seq,
+                "payload": puffin.theta_sketch_bytes(state, k),
+                "properties": {"ndv": str(int(round(est)))},
+            }
+        )
+    path = os.path.join(_meta_dir(table), f"{sid}-{uuid.uuid4().hex}.stats")
+    info = puffin.write_puffin(
+        path, blobs, {"created-by": "march_mania_spark_lakehouse_spark"}
+    )
+    entry = {
+        "snapshot-id": sid,
+        "statistics-path": path,
+        "file-size-in-bytes": info["file-size-in-bytes"],
+        "file-footer-size-in-bytes": info["file-footer-size-in-bytes"],
+        "blob-metadata": info["blob-metadata"],
+    }
+    meta = dict(meta)
+    meta["statistics"] = [
+        s for s in meta.get("statistics", []) if s["snapshot-id"] != sid
+    ] + [entry]
+    meta["last-updated-ms"] = _now_ms()
+    _write_metadata(table, meta)
+    return entry
+
+
+def table_ndv(table: str, col: str, snapshot_id: int | None = None) -> int:
+    """NDV estimate for ``col`` from the snapshot's Puffin statistics
+    (the ``ndv`` blob property). Raises KeyError when no statistics
+    file covers the snapshot/column — callers must treat missing stats
+    as "unknown", never as zero."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    fid = _field_id(meta, col)
+    for entry in meta.get("statistics", []):
+        if entry["snapshot-id"] != sid:
+            continue
+        for bm in entry["blob-metadata"]:
+            if bm["fields"] == [fid] and "ndv" in bm.get("properties", {}):
+                return int(bm["properties"]["ndv"])
+    raise KeyError(f"no NDV statistics for {col} at snapshot {sid}")
+
+
+def inspect_statistics(spark: SparkSession, table: str) -> DataFrame:
+    """The statistics audit surface: one row per (stats entry, blob),
+    with the recorded NDV property AND the estimate re-derived from the
+    sketch payload itself — a reader that distrusts the property can
+    check the blob. Columns: snapshot_id, column, blob_type, ndv,
+    sketch_ndv, payload_bytes."""
+    from march_mania_spark_lakehouse_spark.sources import puffin
+
+    meta = current_metadata(table)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    rows = []
+    for entry in meta.get("statistics", []):
+        _props, blobs = puffin.read_puffin(entry["statistics-path"])
+        for bm, payload in blobs:
+            rows.append(
+                (
+                    entry["snapshot-id"],
+                    by_id.get(bm["fields"][0], str(bm["fields"][0])),
+                    bm["type"],
+                    int(bm.get("properties", {}).get("ndv", -1)),
+                    int(round(puffin.theta_estimate_from_bytes(payload))),
+                    bm["length"],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, column string, blob_type string, "
+        "ndv long, sketch_ndv long, payload_bytes long",
+    )
+
+
+def snapshot_row_count(table: str, snapshot_id: int | None = None) -> int:
+    """Total live data-file rows at a snapshot, from manifest
+    record_counts alone (no data read) — the other CBO input."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    total = 0
+    for mf in avro_ocf.read_ocf(snap["manifest-list"]):
+        for e in avro_ocf.read_ocf(mf["manifest_path"]):
+            if e["status"] == 2:  # DELETED
+                continue
+            if e["data_file"].get("content", 0) != 0:
+                continue  # delete files carry no live rows
+            total += e["data_file"]["record_count"]
+    return total
+
+
+def stats_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str] | str,
+    broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Statistics-driven join of two Iceberg tables: the smaller side
+    (by manifest-recorded row count — table stats, not Spark's
+    scan-size guesses, which under-estimate badly on compressed
+    columnar data) gets an explicit broadcast hint when it is under
+    ``broadcast_rows``. Falls back to a plain shuffle join when
+    neither side qualifies. Pair with :func:`estimate_join_rows` for
+    the NDV-based output-cardinality estimate."""
+    keys = [on] if isinstance(on, str) else list(on)
+    left, right = read_iceberg(spark, left_table), read_iceberg(spark, right_table)
+    nl, nr = snapshot_row_count(left_table), snapshot_row_count(right_table)
+    if min(nl, nr) <= broadcast_rows:
+        if nl <= nr:
+            return F.broadcast(left).join(right, on=keys)
+        return left.join(F.broadcast(right), on=keys)
+    return left.join(right, on=keys)
+
+
+def estimate_join_rows(
+    left_table: str, right_table: str, key: str
+) -> int:
+    """System-R equi-join cardinality estimate from table statistics:
+    ``|L|·|R| / max(ndv_L(key), ndv_R(key))`` — row counts from the
+    manifests, NDVs from the Puffin sketches (KeyError when either
+    table lacks statistics for ``key``; unknown stats must surface,
+    not default). This is the number a cost-based planner compares
+    against both inputs to pick join order and to spot many-to-many
+    explosions before running them."""
+    nl, nr = snapshot_row_count(left_table), snapshot_row_count(right_table)
+    ndv = max(table_ndv(left_table, key), table_ndv(right_table, key))
+    if ndv == 0:
+        return 0
+    return (nl * nr) // ndv

@@ -1,0 +1,264 @@
+"""Puffin statistics files: container round-trip, theta-sketch image
+round-trip, KMV estimator accuracy, and the Iceberg `statistics`
+surface end-to-end (write_statistics / table_ndv / inspect_statistics /
+stats_join / estimate_join_rows).
+
+The container checks include an INDEPENDENT reader written inline with
+only struct+json (mirroring the clean-room interop readers): the writer
+must produce a file a from-spec reader can parse without sharing any
+code with it."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import iceberg, puffin
+
+
+# --------------------------------------------------------------------------
+# murmur3 x64 128: structural properties (no trusted external vectors in
+# this container — determinism, tail handling, seed sensitivity)
+# --------------------------------------------------------------------------
+
+
+def test_murmur128_empty_seed0_is_zero():
+    assert puffin.murmur3_x64_128(b"", 0) == (0, 0)
+
+
+def test_murmur128_tail_lengths_all_distinct():
+    outs = {puffin.murmur3_x64_128(b"a" * n, 0) for n in range(0, 48)}
+    assert len(outs) == 48  # every block/tail length hashes differently
+
+
+def test_murmur128_seed_and_input_sensitivity():
+    a = puffin.murmur3_x64_128(b"hello world", 0)
+    assert puffin.murmur3_x64_128(b"hello world", 0) == a
+    assert puffin.murmur3_x64_128(b"hello world", 1) != a
+    assert puffin.murmur3_x64_128(b"hello worle", 0) != a
+    h1, h2 = a
+    assert 0 <= h1 < 2**64 and 0 <= h2 < 2**64
+
+
+# --------------------------------------------------------------------------
+# theta sketch image: empty / exact / estimation round-trips
+# --------------------------------------------------------------------------
+
+
+def test_theta_bytes_empty_roundtrip():
+    img = puffin.theta_sketch_bytes([], 16)
+    assert len(img) == 8  # one preamble long
+    hashes, theta = puffin.theta_sketch_read(img)
+    assert hashes == [] and theta == 2**63
+    assert puffin.theta_estimate_from_bytes(img) == 0.0
+
+
+def test_theta_bytes_exact_mode_roundtrip():
+    state = sorted({puffin.datasketches_hash63(puffin.item_bytes(i)) for i in range(9)})
+    img = puffin.theta_sketch_bytes(state, k=16)
+    hashes, theta = puffin.theta_sketch_read(img)
+    assert hashes == state and theta == 2**63
+    assert puffin.theta_estimate_from_bytes(img) == float(len(state))
+    assert img[0] == 2 and img[1] == 3 and img[2] == 3  # preLongs/serVer/family
+
+
+def test_theta_bytes_estimation_mode_roundtrip():
+    k = 32
+    all_h = sorted(
+        puffin.datasketches_hash63(puffin.item_bytes(i)) for i in range(500)
+    )
+    state = all_h[:k]
+    img = puffin.theta_sketch_bytes(state, k)
+    hashes, theta = puffin.theta_sketch_read(img)
+    assert theta == state[-1] and hashes == state[:-1]
+    est = puffin.theta_estimate_from_bytes(img)
+    assert est == (k - 1) * 2**63 / theta
+    assert img[0] == 3  # three preamble longs in estimation mode
+
+
+def test_kmv_estimator_within_three_sigma():
+    k = 256
+    n = 20_000
+    hashes = [puffin.datasketches_hash63(puffin.item_bytes(f"doc-{i}")) for i in range(n)]
+    state = puffin.kmv_merge(hashes, k)
+    est, _ = puffin.kmv_estimate(state, k)
+    se = n / (k - 2) ** 0.5
+    assert abs(est - n) < 3 * se
+
+
+def test_kmv_exact_below_k():
+    k = 64
+    hashes = [puffin.datasketches_hash63(puffin.item_bytes(i)) for i in range(40)]
+    state = puffin.kmv_merge(hashes + hashes, k)  # dupes collapse
+    est, theta = puffin.kmv_estimate(state, k)
+    assert est == 40.0 and theta == 2**63
+
+
+# --------------------------------------------------------------------------
+# Puffin container
+# --------------------------------------------------------------------------
+
+
+def _independent_read(path):
+    """From-spec Puffin reader sharing no code with the writer."""
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"PFA1" and raw[-4:] == b"PFA1"
+    (size,) = struct.unpack_from("<i", raw, len(raw) - 12)
+    assert raw[len(raw) - 8] & 1 == 0  # uncompressed footer
+    start = len(raw) - 12 - size
+    assert raw[start - 4 : start] == b"PFA1"
+    meta = json.loads(raw[start : start + size].decode("utf-8"))
+    return meta, [
+        raw[b["offset"] : b["offset"] + b["length"]] for b in meta["blobs"]
+    ]
+
+
+def test_puffin_container_roundtrip(tmp_path):
+    p = str(tmp_path / "stats.puffin")
+    blobs = [
+        {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [7],
+            "snapshot-id": 123,
+            "sequence-number": 4,
+            "payload": b"\x01\x02\x03\x04\x05",
+            "properties": {"ndv": "42"},
+        },
+        {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [9],
+            "snapshot-id": 123,
+            "sequence-number": 4,
+            "payload": b"",
+        },
+    ]
+    info = puffin.write_puffin(p, blobs, {"created-by": "test"})
+    props, out = puffin.read_puffin(p)
+    assert props == {"created-by": "test"}
+    assert [b["fields"] for b, _ in out] == [[7], [9]]
+    assert out[0][1] == b"\x01\x02\x03\x04\x05" and out[1][1] == b""
+    assert out[0][0]["properties"]["ndv"] == "42"
+    assert info["file-size-in-bytes"] == os.path.getsize(p)
+    # independent from-spec reader agrees
+    meta, payloads = _independent_read(p)
+    assert payloads[0] == b"\x01\x02\x03\x04\x05"
+    assert meta["blobs"][0]["snapshot-id"] == 123
+    assert meta["blobs"][0]["sequence-number"] == 4
+    # footer size as recorded covers magic..trailing magic
+    assert info["file-footer-size-in-bytes"] == os.path.getsize(p) - (
+        4 + sum(len(b["payload"]) for b in blobs)
+    )
+
+
+def test_puffin_bad_magic_rejected(tmp_path):
+    p = str(tmp_path / "bad.puffin")
+    with open(p, "wb") as f:
+        f.write(b"NOPE" + b"\x00" * 32 + b"PFA1")
+    with pytest.raises(ValueError):
+        puffin.read_puffin(p)
+
+
+# --------------------------------------------------------------------------
+# Iceberg statistics surface end-to-end
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def stats_tables(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("puffin_stats")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    ot, ct = str(root / "orders_ice"), str(root / "cust_ice")
+    iceberg.create(orders, ot)
+    iceberg.create(cust, ct)
+    iceberg.write_statistics(spark, ot, ["o_custkey", "o_orderstatus"], k=256)
+    iceberg.write_statistics(spark, ct, ["c_custkey"], k=256)
+    return ot, ct, orders, cust
+
+
+def test_write_statistics_ndv_accuracy(spark, stats_tables):
+    ot, _ct, orders, _ = stats_tables
+    exact = orders.select("o_custkey").distinct().count()
+    est = iceberg.table_ndv(ot, "o_custkey")
+    se = max(1.0, exact / (256 - 2) ** 0.5)
+    assert abs(est - exact) < 4 * se
+    # low-cardinality column is EXACT (sketch never saturates)
+    exact_status = orders.select("o_orderstatus").distinct().count()
+    assert iceberg.table_ndv(ot, "o_orderstatus") == exact_status
+
+
+def test_inspect_statistics_property_matches_sketch(spark, stats_tables):
+    ot, _ct, _, _ = stats_tables
+    rows = {r.column: r for r in iceberg.inspect_statistics(spark, ot).collect()}
+    assert set(rows) == {"o_custkey", "o_orderstatus"}
+    for r in rows.values():
+        assert r.blob_type == "apache-datasketches-theta-v1"
+        assert r.ndv == r.sketch_ndv  # property vs payload re-derivation
+        assert r.payload_bytes > 0
+
+
+def test_statistics_survive_and_rebind_across_snapshots(spark, stats_tables):
+    ot, _ct, orders, _ = stats_tables
+    meta = iceberg.current_metadata(ot)
+    assert len(meta["statistics"]) >= 1
+    entry = meta["statistics"][0]
+    assert os.path.exists(entry["statistics-path"])
+    # recomputing for the same snapshot REPLACES, never duplicates
+    iceberg.write_statistics(spark, ot, ["o_custkey"], k=128)
+    metas = iceberg.current_metadata(ot)["statistics"]
+    sids = [e["snapshot-id"] for e in metas]
+    assert len(sids) == len(set(sids))
+
+
+def test_missing_stats_raise_not_default(stats_tables):
+    ot, _ct, _, _ = stats_tables
+    with pytest.raises(KeyError):
+        iceberg.table_ndv(ot, "o_totalprice")
+
+
+def test_snapshot_row_count_matches_data(stats_tables):
+    ot, ct, orders, cust = stats_tables
+    assert iceberg.snapshot_row_count(ot) == orders.count()
+    assert iceberg.snapshot_row_count(ct) == cust.count()
+
+
+def test_stats_join_broadcasts_small_side_and_matches(spark, stats_tables):
+    ot, ct, orders, cust = stats_tables
+    # kill Spark's own size heuristic so only OUR stats hint can broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # shared join key: republish customer with its key renamed
+        renamed = cust.withColumnRenamed("c_custkey", "o_custkey")
+        ct2 = ct + "_renamed"
+        if iceberg.current_version(ct2) is None:
+            iceberg.create(renamed, ct2)
+        out = iceberg.stats_join(spark, ot, ct2, on="o_custkey")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        expect = orders.join(renamed, on="o_custkey").count()
+        assert out.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_estimate_join_rows_within_sketch_error(spark, stats_tables):
+    ot, ct, orders, cust = stats_tables
+    renamed = cust.withColumnRenamed("c_custkey", "o_custkey")
+    ct2 = ct + "_renamed"
+    if iceberg.current_version(ct2) is None:
+        iceberg.create(renamed, ct2)
+    try:
+        iceberg.table_ndv(ct2, "o_custkey")
+    except KeyError:
+        iceberg.write_statistics(spark, ct2, ["o_custkey"], k=256)
+    est = iceberg.estimate_join_rows(ot, ct2, "o_custkey")
+    true = orders.join(renamed, on="o_custkey").count()
+    assert true > 0
+    assert 0.5 * true < est < 2.0 * true  # System-R estimate, sketch-bounded
