@@ -1000,7 +1000,16 @@ def append(
             )
         next_id = meta["last-column-id"]
         new_fields = list(declared["fields"])
+        hist_names = {
+            n for names in _field_name_history(meta).values() for n in names
+        }
         for f in extra:
+            if f.name in hist_names:
+                raise IcebergSchemaMismatchError(
+                    f"column name {f.name!r} was carried by a dropped or "
+                    "renamed field; physical file names must resolve to "
+                    "exactly one field-id — pick a fresh name"
+                )
             next_id += 1
             new_fields.append(
                 {
@@ -1020,6 +1029,142 @@ def append(
         meta["current-schema-id"] = new_schema["schema-id"]
         meta["last-column-id"] = next_id
     return _commit_snapshot(df, table, meta, "append", False, stat_cols, summary)
+
+
+def _live_equality_ids(meta: dict) -> set:
+    """Field-ids keyed by any equality-delete file live at the current
+    snapshot: those tombstone parquet files store the key columns under
+    their WRITE-TIME names, so the schema surgery below refuses to
+    touch them (the honest gate — resolving tombstones through renames
+    would need field-ids inside the delete files, which Spark-written
+    parquet doesn't carry)."""
+    sid = meta.get("current-snapshot-id", -1)
+    if sid == -1:
+        return set()
+    ids: set = set()
+    snap = _snapshot(meta, sid)
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            if entry["status"] in (0, 1) and (
+                entry["data_file"].get("content", 0) == 2
+            ):
+                ids.update(entry["data_file"].get("equality_ids") or [])
+    return ids
+
+
+def _write_name_mapping(meta: dict) -> None:
+    """Record the spec's ``schema.name-mapping.default`` property (the
+    mechanism external readers use to resolve files written without
+    parquet field-id annotations — exactly our files): one entry per
+    field-id listing every physical name it has carried."""
+    mapping = [
+        {"field-id": fid, "names": names}
+        for fid, names in sorted(_field_name_history(meta).items())
+    ]
+    props = dict(meta.get("properties", {}))
+    props["schema.name-mapping.default"] = json.dumps(mapping)
+    meta["properties"] = props
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """RENAME COLUMN — metadata-only (zero data files touched): a new
+    schema generation keeps every field-id and changes one name; data
+    files written before the rename keep their physical name and the
+    reader resolves them per generation (see `_read_renamed_groups`),
+    while the spec's ``schema.name-mapping.default`` property carries
+    the same resolution for external readers. Time travel to an older
+    snapshot still reads under the name of its day.
+
+    Honest gates (each would silently corrupt a read path otherwise):
+    identity-partitioned tables (hive dirs and manifest tuples are
+    keyed by physical column names), columns keyed by a LIVE
+    equality-delete file (tombstone parquet stores write-time names),
+    and reusing ANY historical name of another field (physical names
+    must resolve to exactly one field-id). Returns the new schema id."""
+    meta = current_metadata(table)
+    declared = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in declared["fields"]}
+    if old not in by_name:
+        raise KeyError(f"{old!r} not in table schema")
+    hist = _field_name_history(meta)
+    fid = by_name[old]["id"]
+    for other_fid, names in hist.items():
+        if other_fid != fid and new in names:
+            raise ValueError(
+                f"{new!r} is (or was) the name of another column; physical "
+                "file names must resolve to exactly one field-id"
+            )
+    if new in by_name:
+        raise ValueError(f"{new!r} already in table schema")
+    if _identity_part_cols(meta):
+        raise NotImplementedError(
+            "rename on an identity-partitioned table: hive directory "
+            "names and manifest tuples are keyed by the physical column "
+            "name"
+        )
+    if fid in _live_equality_ids(meta):
+        raise NotImplementedError(
+            f"{old!r} keys a live equality-delete file whose parquet "
+            "stores write-time column names; compact the deletes first "
+            "(optimize) and retry"
+        )
+    new_fields = [
+        {**f, "name": new} if f["id"] == fid else dict(f)
+        for f in declared["fields"]
+    ]
+    new_schema = {
+        "type": "struct",
+        "schema-id": len(meta["schemas"]),
+        "fields": new_fields,
+    }
+    meta = dict(meta)
+    meta["schemas"] = list(meta["schemas"]) + [new_schema]
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["last-updated-ms"] = _now_ms()
+    _write_name_mapping(meta)
+    _write_metadata(table, meta)
+    return new_schema["schema-id"]
+
+
+def drop_column(table: str, col: str) -> int:
+    """DROP COLUMN — metadata-only: a new schema generation without the
+    field. Data files keep the bytes (time travel to older snapshots
+    still surfaces them); current reads simply never select the column.
+    The field-id is retired, never reused (``last-column-id`` is
+    monotone). Gates: partition-spec SOURCE columns of any spec
+    generation (manifest tuples/planning key on them) and live
+    equality-delete key columns. Returns the new schema id."""
+    meta = current_metadata(table)
+    declared = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in declared["fields"]}
+    if col not in by_name:
+        raise KeyError(f"{col!r} not in table schema")
+    fid = by_name[col]["id"]
+    for spec in meta.get("partition-specs", []):
+        if any(pf["source-id"] == fid for pf in spec["fields"]):
+            raise ValueError(
+                f"{col!r} is a partition source column (spec-id "
+                f"{spec.get('spec-id', 0)}); drop the partition field first"
+            )
+    if fid in _live_equality_ids(meta):
+        raise NotImplementedError(
+            f"{col!r} keys a live equality-delete file; compact the "
+            "deletes first (optimize) and retry"
+        )
+    new_schema = {
+        "type": "struct",
+        "schema-id": len(meta["schemas"]),
+        "fields": [dict(f) for f in declared["fields"] if f["id"] != fid],
+    }
+    if not new_schema["fields"]:
+        raise ValueError("cannot drop the last column")
+    meta = dict(meta)
+    meta["schemas"] = list(meta["schemas"]) + [new_schema]
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["last-updated-ms"] = _now_ms()
+    _write_name_mapping(meta)
+    _write_metadata(table, meta)
+    return new_schema["schema-id"]
 
 
 def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
@@ -1195,12 +1340,89 @@ def _identity_values_by_file(meta: dict, sid: int, id_cols: list) -> dict:
     return out
 
 
+def _field_name_history(meta: dict) -> "dict[int, list[str]]":
+    """Every name each field-id has carried, across ALL schema
+    generations, oldest first — the reader's rename-resolution input
+    (equivalent to the spec's ``schema.name-mapping.default`` property,
+    which :func:`rename_column` also writes for external readers)."""
+    hist: dict[int, list[str]] = {}
+    for s in meta["schemas"]:
+        for f in s["fields"]:
+            names = hist.setdefault(f["id"], [])
+            if f["name"] not in names:
+                names.append(f["name"])
+    return hist
+
+
+def _has_renames(meta: dict) -> bool:
+    return any(len(v) > 1 for v in _field_name_history(meta).values())
+
+
+def _read_renamed_groups(
+    spark: SparkSession,
+    meta: dict,
+    schema_json: dict,
+    paths: "list[str]",
+    base_path: "str | None",
+) -> DataFrame:
+    """Per-generation read for tables with renamed columns: data files
+    physically carry the column names current WHEN THEY WERE WRITTEN,
+    so a single by-name scan would null out every renamed column in
+    old files. Group files by their footer's physical name tuple
+    (KB-sized footer reads, the same planner cost class as the bounds
+    stats), read each group under its physical names with the DECLARED
+    types (resolved physical-name → field-id → declared field), alias
+    to declared names, and union. `_metadata` is materialized as a real
+    column so merge-on-read delete application still works after the
+    union."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    spark_decl = _spark_schema(schema_json)
+    decl_by_id = {
+        f["id"]: (f["name"], sf.dataType)
+        for f, sf in zip(schema_json["fields"], spark_decl.fields)
+    }
+    name_to_id: dict[str, int] = {}
+    for fid, names in _field_name_history(meta).items():
+        for n in names:
+            name_to_id[n] = fid  # unique: rename_column refuses reuse
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        phys = tuple(pq.read_schema(p).names)
+        groups.setdefault(phys, []).append(p)
+    out = None
+    for phys, ps in sorted(groups.items()):
+        read_fields, alias_of = [], {}
+        for pn in phys:
+            fid = name_to_id.get(pn)
+            if fid is None or fid not in decl_by_id:
+                continue  # dropped or never-declared column: ignore
+            dn, dt = decl_by_id[fid]
+            read_fields.append(T.StructField(pn, dt))
+            alias_of[dn] = pn
+        r = spark.read.schema(T.StructType(read_fields))
+        if base_path:
+            r = r.option("basePath", base_path)
+        d = r.parquet(*ps)
+        cols = []
+        for f in spark_decl.fields:
+            if f.name in alias_of:
+                cols.append(F.col(alias_of[f.name]).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        d = d.select(*cols, F.col("_metadata"))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def _read_raw(
     spark: SparkSession,
     table: str,
     meta: dict,
     sid: int,
     rel_files: Sequence[str],
+    schema_id: int | None = None,
 ) -> "tuple[DataFrame, list[str]]":
     """Read data files under the snapshot's DECLARED schema with
     hive-layout identity-partition columns restored — but WITHOUT
@@ -1220,15 +1442,27 @@ def _read_raw(
     from pyspark.sql import types as T
 
     # the snapshot's own schema-id (spec rule): time travel to a
-    # pre-evolution snapshot reads under the schema it was written with
-    snap_schema_id = _snapshot(meta, sid).get(
-        "schema-id", meta["current-schema-id"]
+    # pre-evolution snapshot reads under the schema it was written
+    # with. Callers reading the CURRENT table state pass schema_id
+    # explicitly (a rename/drop is a metadata-only change — no snapshot
+    # restamps, but current reads must see the current names).
+    snap_schema_id = (
+        _snapshot(meta, sid).get("schema-id", meta["current-schema-id"])
+        if schema_id is None
+        else schema_id
     )
-    spark_schema = _spark_schema(meta["schemas"][snap_schema_id])
+    schema_json = meta["schemas"][snap_schema_id]
+    spark_schema = _spark_schema(schema_json)
     id_cols = _identity_part_cols(meta)
     evolved = len(meta.get("partition-specs", [])) > 1
     has_spec = bool(_spec_info(meta))
     paths = [os.path.join(table, f) for f in sorted(rel_files)]
+    if _has_renames(meta):
+        # rename_column gates identity-partitioned tables, so the
+        # grouped path never needs identity restoration
+        base = table if (has_spec and not evolved) else None
+        df = _read_renamed_groups(spark, meta, schema_json, paths, base)
+        return df, [f.name for f in spark_schema.fields]
     if not id_cols:
         # transform dirs (if any) are derived values, not schema
         # columns; basePath only when there ARE partition dirs — a
@@ -1280,12 +1514,13 @@ def _read_data_files(
     meta: dict,
     sid: int,
     rel_files: Sequence[str],
+    schema_id: int | None = None,
 ) -> DataFrame:
     """`_read_raw` + the snapshot's delete files (merge-on-read:
     position tombstones anti-join on (_metadata.file_path, row_index);
     equality tombstones anti-join on key columns under the sequence
     ordering rule) + the declared-column-order projection."""
-    df, names = _read_raw(spark, table, meta, sid, rel_files)
+    df, names = _read_raw(spark, table, meta, sid, rel_files, schema_id)
     df = _apply_delete_files(spark, table, sid, df)
     return df.select(*names)
 
@@ -1306,6 +1541,7 @@ def read_iceberg(
     selectors may be given."""
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    current_read = snapshot_id is None and as_of_ms is None and ref is None
     if as_of_ms is not None:
         snapshot_id = snapshot_as_of(table, as_of_ms)
     elif ref is not None:
@@ -1315,7 +1551,11 @@ def read_iceberg(
     files = snapshot_files(table, sid)
     if not files:
         raise FileNotFoundError(f"{table} snapshot has no data files")
-    return _read_data_files(spark, table, meta, sid, files)
+    # a current read sees the CURRENT schema even when the latest
+    # schema change (rename/drop) was metadata-only and no snapshot
+    # restamped; explicit time travel keeps the snapshot's own schema
+    schema_id = meta["current-schema-id"] if current_read else None
+    return _read_data_files(spark, table, meta, sid, files, schema_id)
 
 
 def _apply_delete_files(
@@ -1505,9 +1745,10 @@ def scan_partition(
                         entry["data_file"]["file_path"], os.path.abspath(table)
                     )
                 )
+    schema_id = meta["current-schema-id"] if snapshot_id is None else None
     if not keep:
         return read_iceberg(spark, table, sid).filter(F.lit(False))
-    out = _read_data_files(spark, table, meta, sid, keep)
+    out = _read_data_files(spark, table, meta, sid, keep, schema_id)
     if len(meta["partition-specs"]) > 1:
         out = out.filter(_partition_residual(meta, values))
     return out
@@ -1583,9 +1824,10 @@ def scan_range(
                 os.path.relpath(df_rec["file_path"], os.path.abspath(table))
             )
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    schema_id = meta["current-schema-id"] if snapshot_id is None else None
     if not keep:
         return read_iceberg(spark, table, sid).filter(F.lit(False))
-    return _read_data_files(spark, table, meta, sid, keep).filter(pred)
+    return _read_data_files(spark, table, meta, sid, keep, schema_id).filter(pred)
 
 
 def scan_eq(
@@ -1709,9 +1951,10 @@ def scan_null(
                 os.path.relpath(df_rec["file_path"], os.path.abspath(table))
             )
     pred = F.col(col).isNull() if is_null else F.col(col).isNotNull()
+    schema_id = meta["current-schema-id"] if snapshot_id is None else None
     if not keep:
         return read_iceberg(spark, table, sid).filter(F.lit(False))
-    return _read_data_files(spark, table, meta, sid, keep).filter(pred)
+    return _read_data_files(spark, table, meta, sid, keep, schema_id).filter(pred)
 
 
 def optimize(
@@ -1780,8 +2023,11 @@ def optimize(
         for e in small_entries
     ]
     # read ONLY the small subset, deletes applied (tombstones on these
-    # files are materialized by the rewrite)
-    df = _read_data_files(spark, table, meta, sid, sorted(rel_small))
+    # files are materialized by the rewrite), under the CURRENT schema
+    # so the packed replacement files physically carry current names
+    df = _read_data_files(
+        spark, table, meta, sid, sorted(rel_small), meta["current-schema-id"]
+    )
     total = sum(e["data_file"]["file_size_in_bytes"] for e in small_entries)
     n_out = max(1, math.ceil(total / target_file_bytes))
     if sort_by:

@@ -177,8 +177,29 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
     meta = table_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
-    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
+    # current reads use the CURRENT schema (renames/drops are
+    # metadata-only and don't restamp snapshots); explicit time travel
+    # reads under the snapshot's own schema-id
+    schema_id = (
+        meta["current-schema-id"]
+        if snapshot_id is None
+        else snap.get("schema-id", meta["current-schema-id"])
+    )
+    schema = meta["schemas"][schema_id]
     names = [f["name"] for f in schema["fields"]]
+    # spec name mapping (`schema.name-mapping.default`): data files
+    # written without parquet field-id annotations resolve physical
+    # column names -> field-ids through this property, which the writer
+    # maintains across renames. Candidates per declared field = every
+    # physical name its field-id has carried.
+    mapping = json.loads(
+        meta.get("properties", {}).get("schema.name-mapping.default", "[]")
+    )
+    names_by_fid = {m["field-id"]: m["names"] for m in mapping}
+    candidates = {
+        f["name"]: names_by_fid.get(f["id"], [f["name"]])
+        for f in schema["fields"]
+    }
     spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
     # only IDENTITY-transform fields are absent from the data files and
     # restored from the manifest tuple (spec identity-column
@@ -219,10 +240,15 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
                             microseconds=v
                         )
                     cols[name] = [v] * n
-                elif name in t.column_names:
-                    cols[name] = t.column(name).to_pylist()
                 else:
-                    cols[name] = [None] * n
+                    phys = next(
+                        (c for c in candidates[name] if c in t.column_names),
+                        None,
+                    )
+                    if phys is not None:
+                        cols[name] = t.column(phys).to_pylist()
+                    else:
+                        cols[name] = [None] * n
             fp = df["file_path"]
             idx = {name: i for i, name in enumerate(names)}
             for pos, row in enumerate(zip(*[cols[name] for name in names])):

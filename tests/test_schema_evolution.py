@@ -1,0 +1,211 @@
+"""Column-level schema evolution on the Iceberg layer: RENAME and DROP
+as metadata-only commits, with per-generation physical-name resolution
+on the read path (and the spec's ``schema.name-mapping.default``
+property for external readers — exercised through the independent
+clean-room reader).
+
+The invariants each test pins:
+- rename/drop move ZERO data bytes (the live file set is unchanged);
+- current reads see current names over ALL generations (a failed
+  resolution would surface as nulls in old-generation rows);
+- time travel to a pre-rename snapshot reads under the old name;
+- the honest gates refuse the cases that would silently corrupt a
+  read path (identity partitioning, live equality-delete keys, name
+  reuse across field-ids).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import iceberg
+
+from tests import iceberg_reader_independent as indie
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@pytest.fixture()
+def evolved_table(spark, sf_dir, tmp_path):
+    """Create → append gen-A → rename o_orderstatus→status → append
+    gen-B under the new name. Returns (table, full expected df)."""
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "orders_evolved")
+    gen_a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    gen_b = orders.filter(F.col("o_orderkey") % 3 != 0)
+    iceberg.create(gen_a, t, stat_cols=["o_orderkey"])
+    iceberg.rename_column(t, "o_orderstatus", "status")
+    iceberg.append(
+        gen_b.withColumnRenamed("o_orderstatus", "status"),
+        t,
+        stat_cols=["o_orderkey"],
+    )
+    return t, orders
+
+
+def test_rename_is_metadata_only(evolved_table, spark):
+    t, _ = evolved_table
+    sids = iceberg.snapshot_ids(t)
+    files_gen_a = set(iceberg.snapshot_files(t, sids[0]))
+    assert files_gen_a <= set(iceberg.snapshot_files(t, sids[1]))
+    # gen-A files physically still carry the OLD column name
+    import pyarrow.parquet as pq
+
+    phys = {n for f in files_gen_a for n in pq.read_schema(os.path.join(t, f)).names}
+    assert "o_orderstatus" in phys and "status" not in phys
+
+
+def test_current_read_resolves_all_generations(evolved_table, spark):
+    t, orders = evolved_table
+    got = iceberg.read_iceberg(spark, t)
+    assert got.columns == ["o_orderkey", "o_custkey", "status", "o_totalprice"]
+    # no nulls leaked from a failed old-generation resolution
+    assert got.filter(F.col("status").isNull()).count() == 0
+    exp = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+        .collect()
+    )
+    act = {
+        (r["status"]): (r["n"], r["s"])
+        for r in got.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+        .collect()
+    }
+    assert {r["o_orderstatus"]: (r["n"], r["s"]) for r in exp} == act
+
+
+def test_time_travel_reads_old_name(evolved_table, spark):
+    t, orders = evolved_table
+    first = iceberg.snapshot_ids(t)[0]
+    old = iceberg.read_iceberg(spark, t, first)
+    assert "o_orderstatus" in old.columns and "status" not in old.columns
+    assert old.count() == orders.filter(F.col("o_orderkey") % 3 == 0).count()
+
+
+def test_independent_reader_resolves_renames(evolved_table, spark):
+    t, orders = evolved_table
+    rows = indie.read_rows(t)
+    assert len(rows) == orders.count()
+    # status is column index 2 in declared order; count per status value
+    from collections import Counter
+
+    got = Counter(r[2] for r in rows)
+    exp = Counter(
+        r["o_orderstatus"]
+        for r in orders.select("o_orderstatus").collect()
+    )
+    assert got == exp
+    # name-mapping property is present and covers the renamed field
+    meta = iceberg.current_metadata(t)
+    assert "schema.name-mapping.default" in meta["properties"]
+    import json
+
+    mp = json.loads(meta["properties"]["schema.name-mapping.default"])
+    hist = {m["field-id"]: m["names"] for m in mp}
+    assert any(set(v) >= {"o_orderstatus", "status"} for v in hist.values())
+
+
+def test_rename_then_scan_range_prunes_and_answers(evolved_table, spark):
+    t, orders = evolved_table
+    out = iceberg.scan_range(spark, t, "o_orderkey", 100, 5000)
+    exp = orders.filter(F.col("o_orderkey").between(100, 5000))
+    assert out.count() == exp.count()
+    assert "status" in out.columns
+
+
+def test_drop_column_metadata_only_and_hidden(evolved_table, spark):
+    t, orders = evolved_table
+    before = set(iceberg.snapshot_files(t))
+    iceberg.drop_column(t, "o_totalprice")
+    assert set(iceberg.snapshot_files(t)) == before
+    got = iceberg.read_iceberg(spark, t)
+    assert got.columns == ["o_orderkey", "o_custkey", "status"]
+    assert got.count() == orders.count()
+    # time travel still shows the dropped column (old schema generation)
+    first = iceberg.snapshot_ids(t)[0]
+    assert "o_totalprice" in iceberg.read_iceberg(spark, t, first).columns
+
+
+def test_rename_after_drop_and_append_roundtrip(evolved_table, spark):
+    t, orders = evolved_table
+    iceberg.drop_column(t, "o_totalprice")
+    iceberg.rename_column(t, "o_custkey", "customer_id")
+    got = iceberg.read_iceberg(spark, t)
+    assert got.columns == ["o_orderkey", "customer_id", "status"]
+    assert got.filter(F.col("customer_id").isNull()).count() == 0
+
+
+def test_rename_gate_identity_partitioned(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).withColumn(
+        "bucket3", (F.col("o_orderkey") % 3).cast("long")
+    )
+    t = str(tmp_path / "orders_idpart")
+    iceberg.create(orders, t, partition_by=["bucket3"])
+    with pytest.raises(NotImplementedError, match="identity-partitioned"):
+        iceberg.rename_column(t, "o_orderstatus", "status")
+
+
+def test_rename_gate_name_reuse(evolved_table):
+    t, _ = evolved_table
+    # the renamed field's OLD name cannot be claimed by another field
+    with pytest.raises(ValueError, match="another column"):
+        iceberg.rename_column(t, "o_totalprice", "o_orderstatus")
+    # nor can a current name
+    with pytest.raises(ValueError):
+        iceberg.rename_column(t, "o_totalprice", "status")
+
+
+def test_rename_gate_live_equality_delete_key(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "orders_eqdel")
+    iceberg.create(orders, t)
+    iceberg.delete_by_equality(spark, t, orders.select("o_orderkey").limit(5))
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        iceberg.rename_column(t, "o_orderkey", "okey")
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        iceberg.drop_column(t, "o_orderkey")
+
+
+def test_drop_gate_partition_source(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    t = str(tmp_path / "orders_daypart")
+    iceberg.create(orders, t, partition_by=["day(o_orderdate)"])
+    with pytest.raises(ValueError, match="partition source"):
+        iceberg.drop_column(t, "o_orderdate")
+
+
+def test_readd_dropped_name_refused(evolved_table, spark):
+    t, orders = evolved_table
+    iceberg.drop_column(t, "o_totalprice")
+    new_rows = (
+        iceberg.read_iceberg(spark, t)
+        .limit(1)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    with pytest.raises(iceberg.IcebergSchemaMismatchError, match="fresh name"):
+        iceberg.append(new_rows, t, merge_schema=True)
+
+
+def test_rename_on_transform_partitioned_source(spark, sf_dir, tmp_path):
+    """Hidden partitioning: the day() source column lives IN the files,
+    so renaming it is allowed and scans under the new name still work."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    t = str(tmp_path / "orders_day_renamed")
+    iceberg.create(orders, t, partition_by=["day(o_orderdate)"])
+    iceberg.rename_column(t, "o_orderstatus", "status")
+    got = iceberg.read_iceberg(spark, t)
+    assert "status" in got.columns
+    assert got.count() == orders.count()
+    assert got.filter(F.col("status").isNull()).count() == 0
