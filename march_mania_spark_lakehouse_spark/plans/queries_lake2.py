@@ -667,3 +667,78 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem", "l_partkey"))
         .unionByName(one("lineitem", "l_suppkey"))
     )
+
+
+# --------------------------------------------------------------------------
+# q203 — schema evolution read-through: a table whose history spans a
+# column RENAME (old files physically carry the old name) and a column
+# DROP, aggregated under the CURRENT schema. Rename and drop are
+# semantically invisible to the data (a rename is just an alias; a
+# drop only hides), so the oracle is the plain aggregate over the
+# source fixture — if per-generation name resolution fails, the
+# renamed column reads as NULL for one generation and the group-by
+# hash breaks.
+# --------------------------------------------------------------------------
+
+_Q203_SQL = f"""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_evolved(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = os.path.join(_cached_root(sf_dir, "evolved203"), "orders_ice")
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        # gen A under the original schema
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            table,
+            stat_cols=["o_orderkey"],
+        )
+        # metadata-only surgery: rename + drop, zero files rewritten
+        iceberg.rename_column(table, "o_orderstatus", "status")
+        iceberg.drop_column(table, "o_orderpriority")
+        # gen B written under the CURRENT schema (new name, no dropped col)
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 3 != 0)
+            .withColumnRenamed("o_orderstatus", "status")
+            .drop("o_orderpriority"),
+            table,
+            stat_cols=["o_orderkey"],
+        )
+    return table
+
+
+@query("q203_schema_evolution_read", oracle=_Q203_SQL, tags=("lake", "agg"))
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate an Iceberg table across a rename + drop boundary:
+    generation-A files physically store ``o_orderstatus`` (and the
+    dropped ``o_orderpriority`` bytes), generation-B files store
+    ``status`` — the reader's per-generation name resolution
+    (`iceberg._read_renamed_groups`, spec name mapping) must stitch
+    them into one logical column or the hash breaks."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_evolved(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -629,23 +629,28 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
     for trial in range(3):
         table = str(tmp_path / f"rand_{trial}")
         next_id = [0]
+        cat_name = ["cat"]  # logical name of the 2nd column, may rename
 
         def fresh_rows(n, cat="r", nid=next_id):
             rows = [(nid[0] + i, cat, float(nid[0] + i)) for i in range(n)]
             nid[0] += n
             return rows
 
+        def batch(rows):
+            # writes must use the CURRENT logical column names
+            return _df(spark, rows).withColumnRenamed("cat", cat_name[0])
+
         iceberg.create(_df(spark, fresh_rows(rng.randrange(3, 8))), table)
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "pos_delete", "eq_delete", "upsert",
-                 "compact", "optimize", "evolve"]
+                 "compact", "optimize", "evolve", "rename"]
             )
             if op == "append":
-                iceberg.append(_df(spark, fresh_rows(rng.randrange(1, 5))), table)
+                iceberg.append(batch(fresh_rows(rng.randrange(1, 5))), table)
             elif op == "overwrite":
                 iceberg.overwrite(
-                    _df(spark, fresh_rows(rng.randrange(2, 6), "ow")), table
+                    batch(fresh_rows(rng.randrange(2, 6), "ow")), table
                 )
             elif op == "pos_delete":
                 iceberg.delete_where(spark, table, f"id % 3 = {rng.randrange(3)}")
@@ -663,8 +668,14 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
                            rng.sample(live, k=min(2, len(live)))] if live else []
                 iceberg.upsert(
                     spark, table,
-                    _df(spark, changed + fresh_rows(1, "ins")), ["id"],
+                    batch(changed + fresh_rows(1, "ins")), ["id"],
                 )
+            elif op == "rename":
+                # metadata-only rename, flipping between the two names;
+                # renaming BACK re-claims the field's own prior name
+                new = "category" if cat_name[0] == "cat" else "cat"
+                iceberg.rename_column(table, cat_name[0], new)
+                cat_name[0] = new
             elif op == "optimize":
                 if indep.read_rows(table):
                     iceberg.optimize(spark, table, small_file_bytes=1 << 30)
