@@ -742,3 +742,66 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q204 — the Delta-side twin of q203: column mapping (protocol
+# `delta.columnMapping.mode = name`) carries a RENAME + DROP across two
+# write generations; the aggregate under current logical names must be
+# indistinguishable from no evolution at all.
+# --------------------------------------------------------------------------
+
+_Q204_SQL = _Q203_SQL  # the evolution is semantically invisible
+
+
+def _orders_delta_mapped(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    root = _cached_root(sf_dir, "mapped204").replace(
+        "spark_graft_iceberg", "spark_graft_delta"
+    )
+    table = os.path.join(root, "orders_delta")
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            table,
+            stat_cols=["o_orderkey"],
+        )
+        delta_log.rename_column(table, "o_orderstatus", "status")
+        delta_log.drop_column(table, "o_orderpriority")
+        delta_log.append(
+            orders.filter(F.col("o_orderkey") % 3 != 0)
+            .withColumnRenamed("o_orderstatus", "status")
+            .drop("o_orderpriority"),
+            table,
+            stat_cols=["o_orderkey"],
+        )
+    return table
+
+
+@query("q204_delta_column_mapping_read", oracle=_Q204_SQL, tags=("lake", "agg"))
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate a Delta table across a column-mapping rename + drop:
+    all generations scan under ONE physical schema (physical names are
+    pinned per field), one alias pass restores the logical view — the
+    cheapest possible schema-evolution read path, and the oracle hash
+    breaks if any file resolves wrong."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_mapped(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

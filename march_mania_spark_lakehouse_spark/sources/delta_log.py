@@ -36,8 +36,10 @@ so a range scan plans from the log (KBs) instead of opening footers of
 millions of files. Hive-partitioned tables are supported: add actions
 carry partitionValues, `scan_partitions` prunes from the log, and
 readers restore partition columns via basePath discovery + declared-
-type casts. Limitations kept honest: no deletion vectors, no column
-mapping, minReader/Writer 1/2.
+type casts. Merge-on-read DELETE via deletion vectors and column
+mapping (rename/drop without rewrite, `delta.columnMapping.mode=name`)
+are supported; column mapping is gated to unpartitioned tables
+(partitionValues/hive dirs key on physical names).
 
 Local-FS commit atomicity: each commit is written to a temp file then
 ``os.link``-ed to its final ``%020d.json`` name — link fails with EEXIST
@@ -164,7 +166,10 @@ def _write_commit(table: str, version: int, actions: list[dict]) -> None:
 
 
 def _stage_data_files(
-    df: DataFrame, table: str, partition_by: Sequence[str] = ()
+    df: DataFrame,
+    table: str,
+    partition_by: Sequence[str] = (),
+    mapping: "dict[str, str] | None" = None,
 ) -> list[tuple[str, dict]]:
     """Write df as parquet into a staging dir, then move the part files
     into the table root under fresh UUID names (Delta requires file
@@ -173,6 +178,15 @@ def _stage_data_files(
     their partition values. Returns [(relative path, partitionValues)].
     """
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    if mapping is None:
+        mapping = column_mapping(table)
+    if mapping:
+        # column-mapping tables store PHYSICAL names in the files;
+        # enable_column_mapping gates partitioned tables, so no
+        # partitionValues remap is ever needed here
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -199,8 +213,17 @@ def _stage_data_files(
 
 
 def _add_actions(
-    table: str, files: Sequence[tuple[str, dict]], stat_cols: Sequence[str]
+    table: str,
+    files: Sequence[tuple[str, dict]],
+    stat_cols: Sequence[str],
+    mapping: "dict[str, str] | None" = None,
 ) -> list[dict]:
+    if mapping is None:
+        mapping = column_mapping(table)
+    if mapping:
+        # stats are read from the written files, which store physical
+        # names — translate; the scan planners translate back
+        stat_cols = [mapping.get(c, c) for c in stat_cols]
     out = []
     for name, pvals in files:
         p = os.path.join(table, name)
@@ -363,16 +386,57 @@ def append(
             )
         from pyspark.sql import types as T
 
-        merged = T.StructType(list(current.fields) + list(extra))
         old_meta = _latest_metadata(table, cur) or {}
-        meta_actions.append(
-            {
-                "metaData": {
-                    **old_meta,
-                    "schemaString": merged.json(),
+        mapping = column_mapping(table, cur)
+        if mapping is None:
+            merged = T.StructType(list(current.fields) + list(extra))
+            meta_actions.append(
+                {
+                    "metaData": {
+                        **old_meta,
+                        "schemaString": merged.json(),
+                    }
                 }
-            }
-        )
+            )
+        else:
+            # column-mapping table: every NEW field gets a fresh
+            # col-<uuid> physical name + id (protocol rule) — a
+            # re-added logical name can then never resurrect the
+            # physical bytes of a previously dropped column
+            conf = dict(old_meta.get("configuration") or {})
+            max_id = int(conf.get("delta.columnMapping.maxColumnId", "0"))
+            schema_json = json.loads(old_meta["schemaString"])
+            for f in extra:
+                max_id += 1
+                phys = f"col-{uuid.uuid4().hex[:16]}"
+                fj = f.jsonValue()
+                fj["metadata"] = {
+                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.physicalName": phys,
+                }
+                schema_json["fields"].append(fj)
+                mapping[f.name] = phys
+            conf["delta.columnMapping.maxColumnId"] = str(max_id)
+            meta_actions.append(
+                {
+                    "metaData": {
+                        **old_meta,
+                        "schemaString": json.dumps(schema_json),
+                        "configuration": conf,
+                    }
+                }
+            )
+            files = _stage_data_files(
+                df, table, (), mapping=mapping
+            )
+            actions = [
+                _commit_info("WRITE", {"mode": "Append"}),
+                *meta_actions,
+                *_txn_action(txn),
+                *_add_actions(table, files, stat_cols, mapping=mapping),
+            ]
+            _write_commit(table, cur + 1, actions)
+            return cur + 1
     files = _stage_data_files(df, table, table_partition_columns(table, cur))
     actions = [
         _commit_info("WRITE", {"mode": "Append"}),
@@ -689,6 +753,32 @@ def _read_files_raw(
     schema = table_schema(table, version)
     part_cols = table_partition_columns(table, version)
     paths = [os.path.join(table, f) for f in files]
+    mapping = column_mapping(table, version)
+    if mapping:
+        # column-mapping read: scan under the PHYSICAL names (identical
+        # in every file regardless of rename history), then one alias
+        # pass back to the version's logical names. Partitioned tables
+        # are gated at enable time, so this is always the flat branch.
+        from pyspark.sql import types as T
+
+        phys_schema = T.StructType(
+            [
+                T.StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(phys_schema).parquet(*paths)
+        keep = [
+            F.col(mapping[f.name]).alias(f.name) for f in schema.fields
+        ]
+        if with_positions:
+            keep += [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+        return df.select(*keep)
     if not part_cols:
         df = spark.read.schema(schema).parquet(*paths)
     else:
@@ -769,10 +859,12 @@ def scan_null(
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table} has no Delta log")
+    mapping = column_mapping(table, v)
+    stat_key = (mapping or {}).get(col, col)
     keep: list[str] = []
     for path, add in _replay(table, v).items():
         stats = json.loads(add.get("stats") or "{}")
-        nc = (stats.get("nullCount") or {}).get(col)
+        nc = (stats.get("nullCount") or {}).get(stat_key)
         n = stats.get("numRecords")
         if nc is not None:
             if is_null and nc == 0:
@@ -920,11 +1012,13 @@ def scan_pruned(
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table} has no Delta log")
+    mapping = column_mapping(table, v)
+    stat_key = (mapping or {}).get(col, col)
     keep: list[str] = []
     for path, add in _replay(table, v).items():
         stats = json.loads(add.get("stats") or "{}")
-        f_lo = (stats.get("minValues") or {}).get(col)
-        f_hi = (stats.get("maxValues") or {}).get(col)
+        f_lo = (stats.get("minValues") or {}).get(stat_key)
+        f_hi = (stats.get("maxValues") or {}).get(stat_key)
         if f_lo is None or f_hi is None or (f_lo <= hi and f_hi >= lo):
             keep.append(path)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
@@ -1462,3 +1556,133 @@ def table_changes(
     for piece in pieces[1:]:
         out = out.unionByName(piece)
     return out
+
+
+# --------------------------------------------------------------------------
+# Column mapping (protocol `delta.columnMapping.mode = name`): rename /
+# drop columns without rewriting a byte. Logical names live in the
+# schemaString; each field's metadata pins a PHYSICAL name
+# (`delta.columnMapping.physicalName`) + id that never change, so every
+# data file — before or after any rename — stores the same physical
+# columns and one alias pass restores the logical view. (Contrast the
+# Iceberg layer, where files written without field-ids need
+# per-generation name resolution; Delta's fixed physical names make
+# the read path one select.)
+# --------------------------------------------------------------------------
+
+
+class DeltaColumnMappingError(ValueError):
+    """A schema-surgery request the mapping cannot express safely."""
+
+
+def column_mapping(table: str, version: int | None = None) -> "dict[str, str] | None":
+    """logical name → physical name at ``version``; None when the table
+    has no column mapping (mode absent)."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        return None  # staging the very first commit: no log yet
+    meta = _latest_metadata(table, v)
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") != "name":
+        return None
+    fields = json.loads(meta["schemaString"])["fields"]
+    return {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in fields
+    }
+
+
+def enable_column_mapping(table: str) -> int:
+    """Upgrade commit: flip ``delta.columnMapping.mode`` to ``name`` and
+    pin every existing field's physical name to its CURRENT logical
+    name (existing data files already store exactly those columns, so
+    the upgrade is metadata-only and instantly consistent). Gated on
+    unpartitioned tables — add-action partitionValues and hive dirs are
+    keyed by physical column names, a remapping this layer doesn't do."""
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    if table_partition_columns(table, cur):
+        raise NotImplementedError(
+            "column mapping on a partitioned table: partitionValues and "
+            "hive directory names are keyed by physical column names"
+        )
+    meta = _latest_metadata(table, cur)
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
+        return cur  # already enabled
+    schema = json.loads(meta["schemaString"])
+    for i, f in enumerate(schema["fields"], start=1):
+        md = dict(f.get("metadata") or {})
+        md["delta.columnMapping.id"] = i
+        md["delta.columnMapping.physicalName"] = f["name"]
+        f["metadata"] = md
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(schema["fields"]))
+    new_meta = {**meta, "schemaString": json.dumps(schema), "configuration": conf}
+    _write_commit(
+        table,
+        cur + 1,
+        [
+            _commit_info("UPGRADE COLUMN MAPPING", {"mode": "name"}),
+            {"metaData": new_meta},
+        ],
+    )
+    return cur + 1
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """RENAME COLUMN — metadata-only: the logical name changes, the
+    physical name (and id) stay, zero files rewritten. Auto-upgrades
+    the table to column mapping on first use. Time travel to an older
+    version reads under that version's schemaString, i.e. the old name."""
+    cur = latest_version(table)
+    if column_mapping(table, cur) is None:
+        cur = enable_column_mapping(table)
+    meta = _latest_metadata(table, cur)
+    schema = json.loads(meta["schemaString"])
+    names = {f["name"] for f in schema["fields"]}
+    if old not in names:
+        raise KeyError(f"{old!r} not in table schema")
+    if new in names:
+        raise DeltaColumnMappingError(f"{new!r} already in table schema")
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    _write_commit(
+        table,
+        cur + 1,
+        [
+            _commit_info("RENAME COLUMN", {"old": old, "new": new}),
+            {"metaData": {**meta, "schemaString": json.dumps(schema)}},
+        ],
+    )
+    return cur + 1
+
+
+def drop_column(table: str, col: str) -> int:
+    """DROP COLUMN — metadata-only: the field leaves the schemaString,
+    the physical bytes stay (time travel still surfaces them). The
+    physical name is retired with it: a column later re-added under the
+    same LOGICAL name gets a fresh ``col-<uuid>`` physical name (see
+    `append(merge_schema=True)`), so it can never resurrect the dropped
+    bytes. Auto-upgrades to column mapping (dropping without mapping
+    would break on a future re-add)."""
+    cur = latest_version(table)
+    if column_mapping(table, cur) is None:
+        cur = enable_column_mapping(table)
+    meta = _latest_metadata(table, cur)
+    schema = json.loads(meta["schemaString"])
+    if col not in {f["name"] for f in schema["fields"]}:
+        raise KeyError(f"{col!r} not in table schema")
+    if len(schema["fields"]) == 1:
+        raise DeltaColumnMappingError("cannot drop the last column")
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
+    _write_commit(
+        table,
+        cur + 1,
+        [
+            _commit_info("DROP COLUMN", {"column": col}),
+            {"metaData": {**meta, "schemaString": json.dumps(schema)}},
+        ],
+    )
+    return cur + 1

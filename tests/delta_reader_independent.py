@@ -212,6 +212,7 @@ def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True
         "adds": live,
         "schema": json.loads(meta["schemaString"]),
         "partition_columns": list(meta.get("partitionColumns") or []),
+        "configuration": dict(meta.get("configuration") or {}),
         "protocol": protocol,
     }
 
@@ -241,6 +242,20 @@ def read_rows(
     fields = snap["schema"]["fields"]
     part_cols = set(snap["partition_columns"])
     types = {f["name"]: f["type"] for f in fields}
+    # column mapping (protocol `delta.columnMapping.mode = name`): files
+    # store PHYSICAL names pinned in each field's metadata; the logical
+    # name is display-only. Resolution is one lookup per field.
+    mapped = snap["configuration"].get("delta.columnMapping.mode") == "name"
+    phys = {
+        f["name"]: (
+            f.get("metadata", {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            if mapped
+            else f["name"]
+        )
+        for f in fields
+    }
     out: list[tuple] = []
     for path in snap["files"]:
         t = pq.read_table(os.path.join(table, path))
@@ -252,8 +267,8 @@ def read_rows(
             if name in part_cols:
                 val = _cast_partition_value(pv.get(name), types[name])
                 cols[name] = [val] * n
-            elif name in t.column_names:
-                cols[name] = t.column(name).to_pylist()
+            elif phys[name] in t.column_names:
+                cols[name] = t.column(phys[name]).to_pylist()
             else:
                 cols[name] = [None] * n
         rows = list(zip(*[cols[f["name"]] for f in fields])) if fields else []

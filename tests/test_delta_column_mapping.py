@@ -1,0 +1,162 @@
+"""Delta column mapping (`delta.columnMapping.mode = name`): RENAME and
+DROP as metadata-only commits. Physical names are pinned per field at
+upgrade time and never change, so every file — any generation — scans
+under one physical schema and a single alias pass restores the logical
+view (contrast the Iceberg layer's per-generation resolution).
+
+Pinned invariants: zero files rewritten; current reads stitch all
+generations under current names; time travel reads each version's own
+schemaString; stats-based pruning still prunes (stat keys are physical);
+deletion vectors compose with renames; re-added logical names get fresh
+col-<uuid> physical names and never resurrect dropped bytes; the
+independent clean-room reader agrees throughout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import delta_log
+
+from tests import delta_reader_independent as indie
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@pytest.fixture()
+def mapped_table(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "orders_delta_mapped")
+    gen_a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    gen_b = orders.filter(F.col("o_orderkey") % 3 != 0)
+    delta_log.create(gen_a, t, stat_cols=["o_orderkey"])
+    delta_log.rename_column(t, "o_orderstatus", "status")
+    delta_log.append(
+        gen_b.withColumnRenamed("o_orderstatus", "status"),
+        t,
+        stat_cols=["o_orderkey"],
+    )
+    return t, orders
+
+
+def test_rename_is_metadata_only_and_physical_names_fixed(mapped_table, spark):
+    t, _ = mapped_table
+    v1_files = set(delta_log.snapshot_files(t, 0))
+    assert v1_files <= set(delta_log.snapshot_files(t))
+    # EVERY file (old and new generation) stores the SAME physical name
+    import pyarrow.parquet as pq
+
+    for f in delta_log.snapshot_files(t):
+        assert "o_orderstatus" in pq.read_schema(os.path.join(t, f)).names
+
+
+def test_current_read_under_logical_names(mapped_table, spark):
+    t, orders = mapped_table
+    got = delta_log.read_delta(spark, t)
+    assert got.columns == ["o_orderkey", "o_custkey", "status", "o_totalprice"]
+    assert got.filter(F.col("status").isNull()).count() == 0
+    exp = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    act = {
+        r["status"]: r["n"]
+        for r in got.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert exp == act
+
+
+def test_time_travel_reads_old_name(mapped_table, spark):
+    t, orders = mapped_table
+    old = delta_log.read_delta(spark, t, 0)
+    assert "o_orderstatus" in old.columns and "status" not in old.columns
+    assert old.count() == orders.filter(F.col("o_orderkey") % 3 == 0).count()
+
+
+def test_independent_reader_resolves_mapping(mapped_table, spark):
+    t, orders = mapped_table
+    rows = indie.read_rows(t)
+    assert len(rows) == orders.count()
+    from collections import Counter
+
+    got = Counter(r[2] for r in rows)  # status at declared index 2
+    exp = Counter(r[0] for r in orders.select("o_orderstatus").collect())
+    assert got == exp
+
+
+def test_stats_pruning_survives_rename(mapped_table, spark):
+    t, orders = mapped_table
+    out = delta_log.scan_pruned(spark, t, "o_orderkey", 100, 5000)
+    exp = orders.filter(F.col("o_orderkey").between(100, 5000))
+    assert out.count() == exp.count()
+    assert "status" in out.columns
+
+
+def test_drop_column_hides_but_time_travel_shows(mapped_table, spark):
+    t, orders = mapped_table
+    v_before = delta_log.latest_version(t)
+    before = set(delta_log.snapshot_files(t))
+    delta_log.drop_column(t, "o_totalprice")
+    assert set(delta_log.snapshot_files(t)) == before
+    got = delta_log.read_delta(spark, t)
+    assert got.columns == ["o_orderkey", "o_custkey", "status"]
+    assert got.count() == orders.count()
+    assert "o_totalprice" in delta_log.read_delta(spark, t, v_before).columns
+
+
+def test_readded_name_gets_fresh_physical_and_reads_null_for_old(
+    mapped_table, spark
+):
+    t, orders = mapped_table
+    delta_log.drop_column(t, "o_totalprice")
+    one = (
+        delta_log.read_delta(spark, t)
+        .limit(1)
+        .withColumn("o_totalprice", F.lit(123.5))
+    )
+    delta_log.append(one, t, merge_schema=True)
+    meta = delta_log._latest_metadata(t, delta_log.latest_version(t))
+    fields = {
+        f["name"]: f for f in json.loads(meta["schemaString"])["fields"]
+    }
+    phys = fields["o_totalprice"]["metadata"]["delta.columnMapping.physicalName"]
+    assert phys.startswith("col-")  # fresh physical name, protocol rule
+    got = delta_log.read_delta(spark, t)
+    # old rows must NOT resurrect the dropped column's bytes
+    assert got.filter(F.col("o_totalprice").isNotNull()).count() == 1
+    assert indie.read_rows(t) and len(indie.read_rows(t)) == got.count()
+
+
+def test_rename_composes_with_deletion_vectors(mapped_table, spark):
+    t, orders = mapped_table
+    n_before = delta_log.read_delta(spark, t).count()
+    ndel = delta_log.read_delta(spark, t).filter("o_orderkey % 10 = 0").count()
+    delta_log.delete_where(spark, t, "o_orderkey % 10 = 0")
+    got = delta_log.read_delta(spark, t)
+    assert got.count() == n_before - ndel
+    assert got.filter(F.col("status").isNull()).count() == 0
+    assert len(indie.read_rows(t)) == n_before - ndel
+
+
+def test_enable_gate_partitioned_table(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).withColumn(
+        "mod3", (F.col("o_orderkey") % 3).cast("string")
+    )
+    t = str(tmp_path / "orders_part_delta")
+    delta_log.create(orders, t, partition_by=["mod3"])
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        delta_log.rename_column(t, "o_orderstatus", "status")
+
+
+def test_rename_gate_existing_name(mapped_table):
+    t, _ = mapped_table
+    with pytest.raises(delta_log.DeltaColumnMappingError):
+        delta_log.rename_column(t, "o_totalprice", "status")

@@ -329,16 +329,24 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
             nid[0] += n
             return rows
 
+        def cur_cat():
+            # the 2nd column's CURRENT logical name (renames flip it;
+            # restore can flip it back)
+            return dlog.table_schema(table).fields[1].name
+
+        def batch(rows):
+            return _df(spark, rows).withColumnRenamed("cat", cur_cat())
+
         dlog.create(_df(spark, fresh(rng.randrange(3, 8))), table)
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "dv_delete", "dv_delete", "optimize",
-                 "checkpoint", "merge", "restore"]
+                 "checkpoint", "merge", "restore", "rename"]
             )
             if op == "append":
-                dlog.append(_df(spark, fresh(rng.randrange(1, 5))), table)
+                dlog.append(batch(fresh(rng.randrange(1, 5))), table)
             elif op == "overwrite":
-                dlog.overwrite(_df(spark, fresh(rng.randrange(2, 6), "ow")), table)
+                dlog.overwrite(batch(fresh(rng.randrange(2, 6), "ow")), table)
             elif op == "dv_delete":
                 dlog.delete_where(spark, table, f"id % 3 = {rng.randrange(3)}")
             elif op == "optimize":
@@ -348,11 +356,17 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
                 upd = [(i, "mg", -2.0) for i in
                        rng.sample(live, k=min(2, len(live)))] if live else []
                 dlog.merge(
-                    _df(spark, upd + fresh(1, "mi")), table, keys=["id"]
+                    batch(upd + fresh(1, "mi")), table, keys=["id"]
                 )
             elif op == "restore":
                 v = rng.randrange(dlog.latest_version(table) + 1)
                 dlog.restore(table, v)
+            elif op == "rename":
+                dlog.rename_column(
+                    table,
+                    cur_cat(),
+                    "category" if cur_cat() == "cat" else "cat",
+                )
             else:
                 dlog.checkpoint(table)
         v_hi = dlog.latest_version(table)
