@@ -535,3 +535,49 @@ def apply_bpe_merges(
     for pair in merges:
         sym = apply_one(sym, fuse(pair))
     return df.withColumn(out_col, F.flatten(sym))
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data hygiene): emails / NANP-style phone
+# numbers / IPv4 literals → typed placeholder tokens. Pure codegen
+# regexp ops (no Python in the hot path) — the map-only scrub pass a
+# 100 TB corpus runs before anything else sees the text. Patterns stay
+# inside the regex subset Java regex and RE2 share (no lookaround, no
+# backrefs), so a SQL oracle can reproduce the scrub exactly.
+# Reference: the reference engine has no PII pass; extension surface
+# alongside quality/lang-id (SURVEY §2 E4 family).
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: applied in THIS order — the email pattern must run before the ipv4
+#: pattern can see (and mangle) dotted hostname remnants
+PII_RULES = (
+    (PII_EMAIL, "[EMAIL]"),
+    (PII_PHONE, "[PHONE]"),
+    (PII_IPV4, "[IP]"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """The scrubbed text: every rule applied in order, all occurrences
+    (Spark regexp_replace is global; the SQL oracle needs the 'g'
+    flag in DuckDB)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> "list[Column]":
+    """Per-kind occurrence counts on the RAW text (audit trail — the
+    redaction report a pipeline logs per shard), as columns named
+    n_email / n_phone / n_ip."""
+    c = F.col(text) if isinstance(text, str) else text
+    names = ("n_email", "n_phone", "n_ip")
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long").alias(name)
+        for (pat, _), name in zip(PII_RULES, names)
+    ]

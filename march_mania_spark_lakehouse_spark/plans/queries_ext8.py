@@ -1171,3 +1171,74 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pipeline,
         schema="doc_id long, peak_ulaw int, peak_alaw int, peak_adpcm int",
     )
+
+
+# --------------------------------------------------------------------------
+# q205 — PII redaction (training-data hygiene). The fixture corpus
+# carries no real PII, so the query SYNTHESIZES a deterministic
+# contact blurb per customer (email + NANP phone + IPv4, all derived
+# from c_custkey) and then scrubs it with the production rules
+# (operators/text.py PII_RULES) — nonzero hits by construction, and
+# the oracle rebuilds the same blurb and the same scrub in SQL, so a
+# single divergent replacement or count breaks the hash. Map-only
+# codegen regex; patterns stay in the Java-regex ∩ RE2 subset.
+# DuckDB dialect notes: regexp_replace needs the 'g' flag (Spark is
+# global by default); ints must be CAST before ||.
+# --------------------------------------------------------------------------
+
+_Q205_SQL = r"""
+WITH blurbs AS (
+  SELECT c_custkey AS doc_id,
+         'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+           || '@example.com or 555-'
+           || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+           || CAST(c_custkey % 100 AS VARCHAR) || ' segment '
+           || c_mktsegment AS text
+  FROM customer
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+FROM blurbs
+"""
+
+
+@query("q205_pii_redaction", oracle=_Q205_SQL, tags=("text",))
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 literals to typed
+    placeholders and report per-document hit counts — the map-only
+    hygiene pass a corpus runs first at 100 TB (pure codegen regex,
+    no shuffle, no Python)."""
+    from march_mania_spark_lakehouse_spark.operators import text as T
+
+    cust = catalog.load(spark, "customer", sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    blurb = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at user"),
+        s(F.col("c_custkey")), F.lit("@example.com or 555-"),
+        F.lpad(s(F.col("c_custkey") % 1000), 3, "0"), F.lit("-"),
+        F.lpad(s(F.col("c_custkey") % 10000), 4, "0"),
+        F.lit(" ip 10.0."), s(F.col("c_custkey") % 256), F.lit("."),
+        s(F.col("c_custkey") % 100), F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    base = cust.select(
+        F.col("c_custkey").alias("doc_id"), blurb.alias("text")
+    )
+    return base.select(
+        "doc_id",
+        T.redact_pii("text").alias("redacted"),
+        *T.pii_counts("text"),
+    )
