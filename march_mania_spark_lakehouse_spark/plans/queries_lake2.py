@@ -805,3 +805,93 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q206/q207 — merge-on-read UPDATE on both lake formats: every 7th
+# order gets its price scaled and its status rewritten, via position
+# tombstones + appended images (Iceberg) / deletion vectors + appended
+# images (Delta) — O(matched) bytes, zero copy-on-write. UPDATE is
+# semantically a row function, so the oracle is CASE WHEN over the
+# source fixture; a row lost, duplicated, or updated twice breaks the
+# hash.
+# --------------------------------------------------------------------------
+
+_UPDATE_SQL = f"""
+WITH updated AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN o_totalprice * CAST(1.5 AS DOUBLE)
+              ELSE o_totalprice END AS price,
+         o_orderkey
+  FROM orders
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       {sql_dsum("price", "sum_price")}
+FROM updated
+GROUP BY status
+"""
+
+
+def _orders_updated(spark: SparkSession, sf_dir: str, layer: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    root = _cached_root(sf_dir, f"updated206_{layer}")
+    if layer == "delta":
+        root = root.replace("spark_graft_iceberg", "spark_graft_delta")
+    table = os.path.join(root, f"orders_{layer}")
+    mod = iceberg if layer == "iceberg" else delta_log
+    exists = (
+        iceberg.current_version(table)
+        if layer == "iceberg"
+        else delta_log.latest_version(table)
+    )
+    if exists is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        mod.create(orders, table, stat_cols=["o_orderkey"])
+        mod.update_where(
+            spark,
+            table,
+            "o_orderkey % 7 = 0",
+            {
+                "o_orderstatus": F.lit("U"),
+                "o_totalprice": F.col("o_totalprice") * F.lit(1.5),
+            },
+        )
+    return table
+
+
+def _updated_agg(spark: SparkSession, df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+@query("q206_iceberg_update_where", oracle=_UPDATE_SQL, tags=("lake", "agg"))
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Iceberg): position-delete + append images;
+    the post-update aggregate must equal the row-function oracle."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_updated(spark, sf_dir, "iceberg")
+    return _updated_agg(spark, iceberg.read_iceberg(spark, table))
+
+
+@query("q207_delta_update_where", oracle=_UPDATE_SQL, tags=("lake", "agg"))
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Delta): deletion vectors + append images —
+    same row-function oracle as q206, so the two formats' UPDATE paths
+    are pinned to identical semantics."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_updated(spark, sf_dir, "delta")
+    return _updated_agg(spark, delta_log.read_delta(spark, table))

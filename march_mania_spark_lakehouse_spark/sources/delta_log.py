@@ -1686,3 +1686,37 @@ def drop_column(table: str, col: str) -> int:
         ],
     )
     return cur + 1
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    condition,
+    assignments: dict,
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """Merge-on-read UPDATE (the Delta twin of `iceberg.update_where`):
+    deletion-vector the matched live rows, append their updated images.
+    ``assignments`` maps column → Column/SQL expression over the
+    PRE-update row. Two commits (DELETE then WRITE); the updated images
+    are materialized against the pre-update version before the DV
+    commit lands. Returns the final version (unchanged on no match)."""
+    pred = F.expr(condition) if isinstance(condition, str) else condition
+    v = latest_version(table)
+    schema = table_schema(table, v)
+    names = [f.name for f in schema.fields]
+    live = read_delta(spark, table, v).filter(pred)
+    exprs = [
+        (
+            (F.expr(assignments[n]) if isinstance(assignments[n], str)
+             else assignments[n]).alias(n)
+            if n in assignments
+            else F.col(n)
+        )
+        for n in names
+    ]
+    updated = live.select(*exprs).localCheckpoint()
+    if not updated.head(1):
+        return v
+    delete_where(spark, table, pred)
+    return append(updated, table, stat_cols=stat_cols)

@@ -3775,3 +3775,53 @@ def estimate_join_rows(
     if ndv == 0:
         return 0
     return (nl * nr) // ndv
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    condition,
+    assignments: dict,
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """Merge-on-read UPDATE: position-tombstone every live row matching
+    ``condition`` and append the updated row images — O(matched rows)
+    bytes, no copy-on-write rewrite of touched files. ``assignments``
+    maps column name → Column/SQL-string expression evaluated against
+    the PRE-update row (standard UPDATE semantics; assignments never
+    see each other's results). Two snapshots (delete, then append) —
+    the exact decomposition the CDC feed emits for an update; stage on
+    a branch (write_audit_publish) when readers must see it atomically.
+    Returns the final snapshot id (unchanged when nothing matched).
+
+    The updated images are materialized (localCheckpoint) BEFORE the
+    delete commit: both plans resolve against the pre-update snapshot's
+    explicit file list, and materializing first makes that independence
+    obvious rather than an artifact of lazy evaluation."""
+    from pyspark.sql import Column
+
+    pred = F.expr(condition) if isinstance(condition, str) else condition
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"]
+    schema_id = meta["current-schema-id"]
+    names = [
+        f["name"] for f in meta["schemas"][schema_id]["fields"]
+    ]
+    df, _ = _read_raw(
+        spark, table, meta, sid, snapshot_files(table, sid), schema_id
+    )
+    live = _apply_delete_files(spark, table, sid, df).filter(pred)
+    exprs = []
+    for n in names:
+        if n in assignments:
+            a = assignments[n]
+            exprs.append(
+                (F.expr(a) if isinstance(a, str) else a).alias(n)
+            )
+        else:
+            exprs.append(F.col(n))
+    updated = live.select(*exprs).localCheckpoint()
+    if not updated.head(1):
+        return sid  # nothing matched: no commits
+    delete_where(spark, table, pred)
+    return append(updated, table, stat_cols=stat_cols)

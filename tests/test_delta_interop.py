@@ -341,7 +341,7 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "dv_delete", "dv_delete", "optimize",
-                 "checkpoint", "merge", "restore", "rename"]
+                 "checkpoint", "merge", "restore", "rename", "update"]
             )
             if op == "append":
                 dlog.append(batch(fresh(rng.randrange(1, 5))), table)
@@ -366,6 +366,13 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
                     table,
                     cur_cat(),
                     "category" if cur_cat() == "cat" else "cat",
+                )
+            elif op == "update":
+                from pyspark.sql import functions as F
+
+                dlog.update_where(
+                    spark, table, f"id % 4 = {rng.randrange(4)}",
+                    {"val": F.col("val") + 1000.0},
                 )
             else:
                 dlog.checkpoint(table)

@@ -644,7 +644,7 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "pos_delete", "eq_delete", "upsert",
-                 "compact", "optimize", "evolve", "rename"]
+                 "compact", "optimize", "evolve", "rename", "update"]
             )
             if op == "append":
                 iceberg.append(batch(fresh_rows(rng.randrange(1, 5))), table)
@@ -676,6 +676,13 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
                 new = "category" if cat_name[0] == "cat" else "cat"
                 iceberg.rename_column(table, cat_name[0], new)
                 cat_name[0] = new
+            elif op == "update":
+                from pyspark.sql import functions as F
+
+                iceberg.update_where(
+                    spark, table, f"id % 4 = {rng.randrange(4)}",
+                    {"val": F.col("val") + 1000.0},
+                )
             elif op == "optimize":
                 if indep.read_rows(table):
                     iceberg.optimize(spark, table, small_file_bytes=1 << 30)
