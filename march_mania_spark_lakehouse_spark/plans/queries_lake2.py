@@ -895,3 +895,81 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = _orders_updated(spark, sf_dir, "delta")
     return _updated_agg(spark, delta_log.read_delta(spark, table))
+
+
+# --------------------------------------------------------------------------
+# q208 — type widening (spec type promotion): generation A written with
+# int keys / float prices, the columns widened to long / double, then
+# generation B appended wide. The aggregate must see gen-A values
+# upcast EXACTLY (int→long and float→double are value-preserving), so
+# the oracle reproduces the narrow-then-widen chain with CAST(...AS
+# REAL) for the float generation. A single mis-typed read (e.g. 4-byte
+# payload decoded as long) would shift sums and break the hash.
+# --------------------------------------------------------------------------
+
+_Q208_SQL = """
+WITH widened AS (
+  SELECT o_orderstatus,
+         o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+              ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(FLOOR(price * 32) AS BIGINT)) AS BIGINT) AS sum_price32
+FROM widened
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_widened(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = os.path.join(_cached_root(sf_dir, "widened208"), "orders_ice")
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        gen_a = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        )
+        iceberg.create(gen_a, table, stat_cols=["o_orderkey"])
+        iceberg.widen_column(table, "o_orderkey", "long")
+        iceberg.widen_column(table, "o_totalprice", "double")
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 3 != 0),
+            table,
+            stat_cols=["o_orderkey"],
+        )
+    return table
+
+
+@query("q208_iceberg_type_widening", oracle=_Q208_SQL, tags=("lake", "agg"))
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate across a type-promotion boundary: int→long and
+    float→double generations under one widened schema (zero files
+    rewritten; old manifest bounds decode by payload width)."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_widened(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            # float-promoted values at 1e5 magnitude are multiples of
+            # 2^-5, so a decimal cast hits exact rounding TIES (Spark
+            # HALF_UP vs DuckDB HALF_EVEN diverge). floor(x*32) is the
+            # tie-free exact form: *32 is a power-of-two scale (exact
+            # in IEEE), floor has no ties, and the int64 sum is exact.
+            F.sum(F.floor(F.col("o_totalprice") * 32).cast("long"))
+            .cast("long")
+            .alias("sum_price32"),
+        )
+    )

@@ -769,15 +769,20 @@ def _single_value_bytes(value, iceberg_type: str) -> bytes:
 
 
 def single_value_read(data: bytes, iceberg_type: str):
-    """Inverse of the Appendix-D encoding (the pruning-side reader)."""
+    """Inverse of the Appendix-D encoding (the pruning-side reader).
+
+    Type-promotion rule: bounds are encoded with the field's type AT
+    WRITE TIME, so after `widen_column` a long/double field's old
+    manifests still carry 4-byte int/float payloads — decode by payload
+    width (the promoted value compares identically)."""
     import struct as _struct
 
     if iceberg_type == "long":
-        return _struct.unpack("<q", data)[0]
+        return _struct.unpack("<i" if len(data) == 4 else "<q", data)[0]
     if iceberg_type == "int":
         return _struct.unpack("<i", data)[0]
     if iceberg_type == "double":
-        return _struct.unpack("<d", data)[0]
+        return _struct.unpack("<f" if len(data) == 4 else "<d", data)[0]
     if iceberg_type == "float":
         return _struct.unpack("<f", data)[0]
     if iceberg_type == "string":
@@ -1122,6 +1127,59 @@ def rename_column(table: str, old: str, new: str) -> int:
     meta["current-schema-id"] = new_schema["schema-id"]
     meta["last-updated-ms"] = _now_ms()
     _write_name_mapping(meta)
+    _write_metadata(table, meta)
+    return new_schema["schema-id"]
+
+
+#: sanctioned type promotions (spec §Schema Evolution): widening only,
+#: value-preserving, so old files read correctly under the new type
+_WIDEN_OK = {("int", "long"), ("float", "double")}
+
+
+def widen_column(table: str, col: str, new_type: str) -> int:
+    """WIDEN COLUMN TYPE — metadata-only (spec type promotion:
+    int → long, float → double): a new schema generation keeps the
+    field-id and widens the type; zero files rewritten. Old files'
+    narrower physical values upcast exactly on read (parquet scan under
+    the declared wider schema), and their manifest BOUNDS — encoded
+    with the write-time type per Appendix D — decode by payload width
+    in `single_value_read`, so scan_range pruning keeps working across
+    the promotion boundary. Gated: partition SOURCE columns refuse
+    (old manifests' partition tuples carry the narrow type — planning
+    them under a widened transform is a compatibility surface this
+    layer doesn't cover). Returns the new schema id."""
+    meta = current_metadata(table)
+    declared = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in declared["fields"]}
+    if col not in by_name:
+        raise KeyError(f"{col!r} not in table schema")
+    old_type = by_name[col]["type"]
+    if old_type == new_type:
+        return meta["current-schema-id"]
+    if (old_type, new_type) not in _WIDEN_OK:
+        raise ValueError(
+            f"{old_type} -> {new_type} is not a sanctioned promotion "
+            f"(allowed: {sorted(_WIDEN_OK)})"
+        )
+    fid = by_name[col]["id"]
+    for spec in meta.get("partition-specs", []):
+        if any(pf["source-id"] == fid for pf in spec["fields"]):
+            raise NotImplementedError(
+                f"{col!r} is a partition source column; widening it would "
+                "change the manifest partition-tuple type mid-history"
+            )
+    new_schema = {
+        "type": "struct",
+        "schema-id": len(meta["schemas"]),
+        "fields": [
+            {**f, "type": new_type} if f["id"] == fid else dict(f)
+            for f in declared["fields"]
+        ],
+    }
+    meta = dict(meta)
+    meta["schemas"] = list(meta["schemas"]) + [new_schema]
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["last-updated-ms"] = _now_ms()
     _write_metadata(table, meta)
     return new_schema["schema-id"]
 

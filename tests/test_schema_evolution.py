@@ -209,3 +209,92 @@ def test_rename_on_transform_partitioned_source(spark, sf_dir, tmp_path):
     assert "status" in got.columns
     assert got.count() == orders.count()
     assert got.filter(F.col("status").isNull()).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Type widening (spec type promotion): int→long / float→double
+# --------------------------------------------------------------------------
+
+
+def _mixed(spark):
+    return spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5), (3, 30, 3.5)],
+        "id long, small int, ratio float",
+    )
+
+
+def test_widen_metadata_only_reads_both_generations(spark, tmp_path):
+    t = str(tmp_path / "widen")
+    iceberg.create(_mixed(spark), t, stat_cols=["small"])
+    before = set(iceberg.snapshot_files(t))
+    iceberg.widen_column(t, "small", "long")
+    iceberg.widen_column(t, "ratio", "double")
+    assert set(iceberg.snapshot_files(t)) == before  # zero files touched
+    wide = spark.createDataFrame(
+        [(4, 2**40, 4.5)], "id long, small long, ratio double"
+    )
+    iceberg.append(wide, t, stat_cols=["small"])
+    got = iceberg.read_iceberg(spark, t)
+    assert dict(got.dtypes)["small"] == "bigint"
+    assert dict(got.dtypes)["ratio"] == "double"
+    vals = sorted((r.id, r.small, r.ratio) for r in got.collect())
+    assert vals == [(1, 10, 1.5), (2, 20, 2.5), (3, 30, 3.5), (4, 2**40, 4.5)]
+
+
+def test_widen_time_travel_keeps_narrow_type(spark, tmp_path):
+    t = str(tmp_path / "widen_tt")
+    iceberg.create(_mixed(spark), t)
+    first = iceberg.snapshot_ids(t)[0]
+    iceberg.widen_column(t, "small", "long")
+    old = iceberg.read_iceberg(spark, t, first)
+    assert dict(old.dtypes)["small"] == "int"
+
+
+def test_widen_bounds_pruning_across_promotion(spark, tmp_path):
+    """scan_range over a widened column must decode OLD manifests'
+    4-byte int bounds (write-time encoding, Appendix D) AND new 8-byte
+    long bounds, pruning correctly from both."""
+    t = str(tmp_path / "widen_bounds")
+    iceberg.create(_mixed(spark).coalesce(1), t, stat_cols=["small"])
+    iceberg.widen_column(t, "small", "long")
+    big = spark.createDataFrame(
+        [(5, 1_000_000, 5.5)], "id long, small long, ratio float"
+    ).coalesce(1)
+    iceberg.append(
+        big.withColumn("ratio", big.ratio.cast("float")), t, stat_cols=["small"]
+    )
+    hit = iceberg.scan_range(spark, t, "small", 900_000, 2_000_000)
+    assert [r.small for r in hit.collect()] == [1_000_000]
+    # the narrow-range scan plans ONLY the old file (metadata pruning)
+    lo = iceberg.scan_range(spark, t, "small", 5, 25)
+    assert sorted(r.small for r in lo.collect()) == [10, 20]
+
+
+def test_widen_gates(spark, tmp_path):
+    t = str(tmp_path / "widen_gates")
+    iceberg.create(_mixed(spark), t)
+    with pytest.raises(ValueError, match="not a sanctioned promotion"):
+        iceberg.widen_column(t, "small", "double")
+    with pytest.raises(ValueError, match="not a sanctioned promotion"):
+        iceberg.widen_column(t, "id", "int")  # narrowing refused
+    t2 = str(tmp_path / "widen_part")
+    iceberg.create(_mixed(spark), t2, partition_by=["bucket(2, small)"])
+    with pytest.raises(NotImplementedError, match="partition source"):
+        iceberg.widen_column(t2, "small", "long")
+
+
+def test_widen_composes_with_rename(spark, tmp_path):
+    t = str(tmp_path / "widen_rename")
+    iceberg.create(_mixed(spark), t)
+    iceberg.widen_column(t, "small", "long")
+    iceberg.rename_column(t, "small", "counter")
+    wide = spark.createDataFrame(
+        [(9, 2**35, 9.5)], "id long, counter long, ratio float"
+    )
+    iceberg.append(wide, t)
+    got = iceberg.read_iceberg(spark, t)
+    assert dict(got.dtypes)["counter"] == "bigint"
+    assert got.filter(F.col("counter").isNull()).count() == 0
+    assert got.count() == 4
+    rows = indie.read_rows(t)
+    assert sorted(r[1] for r in rows) == [10, 20, 30, 2**35]
