@@ -1720,3 +1720,53 @@ def update_where(
         return v
     delete_where(spark, table, pred)
     return append(updated, table, stat_cols=stat_cols)
+
+
+_WIDEN_OK = {("integer", "long"), ("float", "double")}
+
+
+def widen_column(table: str, col: str, new_type: str) -> int:
+    """WIDEN COLUMN TYPE — metadata-only (the protocol's typeWidening
+    table feature, value-preserving promotions only: int → long,
+    float → double): a new metaData action re-declares the field wider;
+    zero files rewritten, old files' narrower physical values upcast
+    exactly on the declared-schema scan. Add-action stats are JSON
+    numbers, so min/max pruning is type-agnostic across the boundary.
+    Gated: partition columns refuse (their values are restored from
+    hive-layout strings cast to the DECLARED type — widening is safe
+    there, but the narrow-typed partitionValues of old adds would stop
+    matching scan_partitions' string equality; keep it honest).
+    Returns the new version."""
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    meta = _latest_metadata(table, cur)
+    schema = json.loads(meta["schemaString"])
+    by_name = {f["name"]: f for f in schema["fields"]}
+    if col not in by_name:
+        raise KeyError(f"{col!r} not in table schema")
+    old_type = by_name[col]["type"]
+    if old_type == new_type:
+        return cur
+    if (old_type, new_type) not in _WIDEN_OK:
+        raise ValueError(
+            f"{old_type} -> {new_type} is not a sanctioned promotion "
+            f"(allowed: {sorted(_WIDEN_OK)})"
+        )
+    if col in (meta.get("partitionColumns") or []):
+        raise NotImplementedError(
+            f"{col!r} is a partition column; widening it would desync "
+            "old adds' narrow-typed partitionValues from pruning"
+        )
+    for f in schema["fields"]:
+        if f["name"] == col:
+            f["type"] = new_type
+    _write_commit(
+        table,
+        cur + 1,
+        [
+            _commit_info("WIDEN COLUMN", {"column": col, "to": new_type}),
+            {"metaData": {**meta, "schemaString": json.dumps(schema)}},
+        ],
+    )
+    return cur + 1

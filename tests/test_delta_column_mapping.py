@@ -160,3 +160,73 @@ def test_rename_gate_existing_name(mapped_table):
     t, _ = mapped_table
     with pytest.raises(delta_log.DeltaColumnMappingError):
         delta_log.rename_column(t, "o_totalprice", "status")
+
+
+# --------------------------------------------------------------------------
+# Type widening (protocol typeWidening): int→long / float→double
+# --------------------------------------------------------------------------
+
+
+def _mixed(spark):
+    return spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "id long, small int, ratio float"
+    )
+
+
+def test_delta_widen_metadata_only_and_reads_wide(spark, tmp_path):
+    t = str(tmp_path / "delta_widen")
+    delta_log.create(_mixed(spark), t, stat_cols=["small"])
+    before = set(delta_log.snapshot_files(t, 0))
+    delta_log.widen_column(t, "small", "long")
+    delta_log.widen_column(t, "ratio", "double")
+    assert set(delta_log.snapshot_files(t)) == before
+    wide = spark.createDataFrame(
+        [(3, 2**40, 3.5)], "id long, small long, ratio double"
+    )
+    delta_log.append(wide, t, stat_cols=["small"])
+    got = delta_log.read_delta(spark, t)
+    assert dict(got.dtypes)["small"] == "bigint"
+    assert dict(got.dtypes)["ratio"] == "double"
+    assert sorted((r.id, r.small, r.ratio) for r in got.collect()) == [
+        (1, 10, 1.5), (2, 20, 2.5), (3, 2**40, 3.5)
+    ]
+    # stats pruning across the promotion boundary (JSON stats are
+    # type-agnostic): the narrow range plans only the old file
+    lo = delta_log.scan_pruned(spark, t, "small", 5, 25)
+    assert sorted(r.small for r in lo.collect()) == [10, 20]
+    hit = delta_log.scan_pruned(spark, t, "small", 2**39, 2**41)
+    assert [r.small for r in hit.collect()] == [2**40]
+    # time travel keeps the narrow type
+    assert dict(delta_log.read_delta(spark, t, 0).dtypes)["small"] == "int"
+    # independent reader agrees
+    assert sorted(r[1] for r in indie.read_rows(t)) == [10, 20, 2**40]
+
+
+def test_delta_widen_gates(spark, tmp_path):
+    t = str(tmp_path / "delta_widen_gate")
+    delta_log.create(_mixed(spark), t)
+    with pytest.raises(ValueError, match="not a sanctioned promotion"):
+        delta_log.widen_column(t, "small", "double")
+    t2 = str(tmp_path / "delta_widen_part")
+    delta_log.create(
+        _mixed(spark).withColumn("p", (F.col("id") % 2).cast("int")),
+        t2,
+        partition_by=["p"],
+    )
+    with pytest.raises(NotImplementedError, match="partition column"):
+        delta_log.widen_column(t2, "p", "long")
+
+
+def test_delta_widen_composes_with_column_mapping(spark, tmp_path):
+    t = str(tmp_path / "delta_widen_map")
+    delta_log.create(_mixed(spark), t)
+    delta_log.widen_column(t, "small", "long")
+    delta_log.rename_column(t, "small", "counter")
+    wide = spark.createDataFrame(
+        [(9, 2**35, 9.5)], "id long, counter long, ratio float"
+    )
+    delta_log.append(wide, t)
+    got = delta_log.read_delta(spark, t)
+    assert dict(got.dtypes)["counter"] == "bigint"
+    assert sorted(r.counter for r in got.collect()) == [10, 20, 2**35]
+    assert sorted(r[1] for r in indie.read_rows(t)) == [10, 20, 2**35]
