@@ -540,3 +540,131 @@ def extract_media_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_process, schema=MEDIA_METADATA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (pHash) + hamming-banded near-dup pairs:
+# image-side dedup for a multimodal training corpus, the visual twin
+# of the MinHash/SimHash ladder in operators/dedup.py. The hash is the
+# classic DCT pHash (public algorithm): grayscale → 32×32 resample →
+# 2-D DCT-II → 8×8 low-frequency block → bit per coefficient vs the
+# block median. Near-dups are found by the pigeonhole banding trick:
+# split the 64 bits into (max_distance+1) bands — two hashes within
+# hamming distance d MUST agree exactly on at least one band, so
+# candidates come from a (band, value) equi-join (Σ bucket², never
+# all-pairs) and the exact bit_count verify runs only on candidates.
+# --------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (from the textbook formula)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit pHash of an (H, W) or (H, W, C) uint8 image."""
+    g = px.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = g[np.ix_(ys, xs)]
+    d = _DCT32 @ small @ _DCT32.T
+    block = d[:8, :8].ravel()
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # keep the sign bit clear so the hash rides in a Spark LongType
+    return out & ((1 << 63) - 1)
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """(media_id, payload) → (media_id, phash long). Arrow-batched
+    map-only stage: at 100 TB hashes stream out of the image scan; the
+    64-bit hash is the only thing that ever shuffles."""
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                if raw[:2] == b"BM":
+                    px = decode_bmp(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    from march_mania_spark_lakehouse_spark.operators import jpeg
+
+                    px = jpeg.decode(raw)
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    from march_mania_spark_lakehouse_spark.operators import png
+
+                    px = png.decode(raw)
+                else:
+                    px = decode_ppm(raw)
+                hashes.append(phash64(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            ).astype({"phash": "int64"})
+
+    return df.mapInPandas(_process, schema="media_id long, phash long")
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_distance: int = 6
+) -> DataFrame:
+    """(media_id, phash) → near-dup pairs (id_a < id_b, distance ≤
+    max_distance). Pigeonhole banding: (max_distance+1) bands over the
+    63 stored bits guarantee every qualifying pair collides on ≥1 band;
+    the band join is the only exchange and the hamming verify is pure
+    codegen (xor + bit_count). Deduped across bands via distinct."""
+    from pyspark.sql import functions as F
+
+    n_bands = max_distance + 1
+    width = 63 // n_bands + 1
+    bands = []
+    for b in range(n_bands):
+        lo = b * width
+        w = min(width, 63 - lo)
+        if w <= 0:
+            break
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("phash"), lo).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                ).alias("val"),
+            )
+        )
+    tagged = hashes.select(
+        "media_id", "phash", F.explode(F.array(*bands)).alias("bv")
+    ).select("media_id", "phash", "bv.band", "bv.val")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+    return pairs

@@ -13,6 +13,7 @@ expansion.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
 from march_mania_spark_lakehouse_spark.plans.registry import query
@@ -165,4 +166,72 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_scan(docs).mapInPandas(
         _roundtrip,
         schema="doc_id long, width int, height int, sum_px long",
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — perceptual image dedup (pHash + hamming banding): the visual
+# member of the dedup ladder. Deterministic per-doc test images
+# (frequency-varying gradients — measured min pairwise distance 14 on
+# the fixture generator, far above the threshold 6) with a planted
+# near-duplicate (+2 brightness, distance 0) for every 10th doc. The
+# operator must find EXACTLY the planted pairs — perfect precision AND
+# recall — so the oracle is the plain planted-pair enumeration: one
+# false positive or miss breaks the hash. (The pHash VALUES are
+# implementation detail and stay out of the result.)
+# --------------------------------------------------------------------------
+
+_Q209_SQL = """
+SELECT doc_id AS id_a,
+       CAST(doc_id + 1000000 AS BIGINT) AS id_b
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+
+@query("q209_image_phash_dedup", oracle=_Q209_SQL, tags=("multimodal", "dedup"))
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via 64-bit DCT pHash + pigeonhole hamming
+    banding (operators/multimodal.py): map-only hashing out of the
+    image scan, a (band, value) equi-join for candidates — Σ bucket²,
+    never all-pairs — and a codegen xor+bit_count verify."""
+    import numpy as np
+    import pandas as pd
+
+    from march_mania_spark_lakehouse_spark.operators import multimodal as M
+    from march_mania_spark_lakehouse_spark.operators.dedup import rebalance_scan
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
+
+    def _images(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc in pdf["doc_id"]:
+                doc = int(doc)
+                h, w = 16 + doc % 9, 16 + (doc * 3) % 9
+                y, x = np.mgrid[0:h, 0:w]
+                v = (
+                    x * (7 + doc % 50)
+                    + y * (13 + (doc * 3) % 50)
+                    + x * y * (3 + doc % 11)
+                    + doc
+                ) * 40503 % 65536
+                px = (v * 200 // 65536).astype(np.uint8)
+                px3 = np.stack([px] * 3, axis=-1)
+                ids.append(doc)
+                payloads.append(M.encode_bmp(px3))
+                if doc % 10 == 0:  # planted near-dup: +2 brightness
+                    ids.append(doc + 1_000_000)
+                    payloads.append(
+                        M.encode_bmp((px3.astype(np.int64) + 2).astype(np.uint8))
+                    )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = rebalance_scan(docs).mapInPandas(
+        _images, schema="media_id long, payload binary"
+    )
+    hashes = M.image_phash(media)
+    pairs = M.phash_near_dup_pairs(hashes, max_distance=6)
+    return pairs.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )

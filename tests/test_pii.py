@@ -42,3 +42,65 @@ def test_global_not_first_match_only(spark):
     red, counts = _one(spark, "a@b.io c@d.io e@f.io")
     assert red == "[EMAIL] [EMAIL] [EMAIL]"
     assert counts == (3, 0, 0)
+
+
+# --------------------------------------------------------------------------
+# pHash image near-dup (operators/multimodal.py): hash invariances and
+# the pigeonhole banding guarantee
+# --------------------------------------------------------------------------
+
+
+def test_phash_brightness_invariant_and_content_sensitive():
+    import numpy as np
+
+    from march_mania_spark_lakehouse_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 200, (24, 40, 3), dtype=np.uint8)
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    # uniform brightness shift only moves the DC coefficient
+    assert ham(M.phash64(img), M.phash64(img + 20)) <= 1
+    # grayscale of itself hashes identically (channel mean)
+    assert M.phash64(img.mean(axis=2).astype(np.uint8)) == M.phash64(img)
+    # unrelated content is far
+    other = rng.integers(0, 200, (24, 40, 3), dtype=np.uint8)
+    assert ham(M.phash64(img), M.phash64(other)) > 16
+    # resolution change (same content resampled) stays near
+    big = img.repeat(2, axis=0).repeat(2, axis=1)
+    assert ham(M.phash64(img), M.phash64(big)) <= 2
+
+
+def test_phash_banding_finds_all_pairs_within_distance(spark):
+    """Pigeonhole: every pair within max_distance MUST surface —
+    verified against brute force on a small corpus with borderline
+    distances planted."""
+    import numpy as np
+
+    from march_mania_spark_lakehouse_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 200, (32, 32), dtype=np.uint8)
+    hashes = []
+    for i in range(30):
+        img = rng.integers(0, 200, (32, 32), dtype=np.uint8)
+        hashes.append((i, M.phash64(img)))
+    # planted: flip exactly k bits of base's hash for k = 0..8
+    h0 = M.phash64(base)
+    for k in range(9):
+        h = h0
+        for bit in range(k):
+            h ^= 1 << (bit * 7)
+        hashes.append((100 + k, h))
+    df = spark.createDataFrame(hashes, "media_id long, phash long")
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in M.phash_near_dup_pairs(df, max_distance=6).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    want = {
+        (a, b, ham(ha, hb))
+        for (a, ha) in hashes
+        for (b, hb) in hashes
+        if a < b and ham(ha, hb) <= 6
+    }
+    assert got == want and len(want) >= 10
