@@ -374,6 +374,7 @@ def append(
     cur = latest_version(table)
     if cur is None:
         return create(df, table, stat_cols, txn)
+    _enforce_constraints(df, table, cur)
     current = table_schema(table, cur)
     known = {f.name for f in current.fields}
     extra = [f for f in df.schema.fields if f.name not in known]
@@ -473,6 +474,7 @@ def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
     cur = latest_version(table)
     if cur is None:
         return create(df, table, stat_cols)
+    _enforce_constraints(df, table, cur)
     live = snapshot_files(table, cur)
     files = _stage_data_files(df, table, table_partition_columns(table, cur))
     ts = _now_ms()
@@ -512,6 +514,7 @@ def merge(
     merged = merge_upsert(
         read_delta(spark, table, cur), changes, list(keys), delete_col
     )
+    _enforce_constraints(merged, table, cur)
     live = snapshot_files(table, cur)
     files = _stage_data_files(merged, table, table_partition_columns(table, cur))
     ts = _now_ms()
@@ -1718,6 +1721,9 @@ def update_where(
     updated = live.select(*exprs).localCheckpoint()
     if not updated.head(1):
         return v
+    # constraints must reject BEFORE the delete commit lands, or a
+    # violating UPDATE would half-apply (rows deleted, images refused)
+    _enforce_constraints(updated, table, v)
     delete_where(spark, table, pred)
     return append(updated, table, stat_cols=stat_cols)
 
@@ -1770,3 +1776,139 @@ def widen_column(table: str, col: str, new_type: str) -> int:
         ],
     )
     return cur + 1
+
+
+# --------------------------------------------------------------------------
+# CHECK constraints + NOT NULL invariants (protocol `delta.constraints.*`
+# configuration + schema nullability): declarative write-time data
+# quality. Enforcement costs ONE extra scan of the BATCH (all active
+# constraints folded into a single filter probe), never of the table —
+# the contract that keeps it viable on a 100 TB table taking small
+# appends.
+# --------------------------------------------------------------------------
+
+
+class DeltaConstraintViolationError(ValueError):
+    """A write batch violated an active CHECK / NOT NULL constraint."""
+
+
+def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int:
+    """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>) — stored as
+    `delta.constraints.<name>` in the table configuration (protocol),
+    enforced against every subsequent write batch. The EXISTING rows
+    are validated first (one scan of the table — the same semantics as
+    Delta's ADD CONSTRAINT, which fails if current data violates)."""
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    existing = read_delta(spark, table, cur).filter(f"NOT ({expr})")
+    if existing.head(1):
+        raise DeltaConstraintViolationError(
+            f"existing rows violate CHECK ({expr}); constraint not added"
+        )
+    meta = _latest_metadata(table, cur)
+    conf = dict(meta.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    _write_commit(
+        table,
+        cur + 1,
+        [
+            _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}),
+            {"metaData": {**meta, "configuration": conf}},
+        ],
+    )
+    return cur + 1
+
+
+def drop_constraint(table: str, name: str) -> int:
+    cur = latest_version(table)
+    meta = _latest_metadata(table, cur)
+    conf = dict(meta.get("configuration") or {})
+    if conf.pop(f"delta.constraints.{name}", None) is None:
+        raise KeyError(f"no constraint named {name!r}")
+    _write_commit(
+        table,
+        cur + 1,
+        [
+            _commit_info("DROP CONSTRAINT", {"name": name}),
+            {"metaData": {**meta, "configuration": conf}},
+        ],
+    )
+    return cur + 1
+
+
+def set_not_null(spark: SparkSession, table: str, col: str) -> int:
+    """Declare ``col`` non-nullable (schema invariant). Existing rows
+    are validated first; subsequent writes enforce it with the CHECK
+    machinery (a NOT NULL is the constraint `col IS NOT NULL`)."""
+    cur = latest_version(table)
+    if read_delta(spark, table, cur).filter(F.col(col).isNull()).head(1):
+        raise DeltaConstraintViolationError(
+            f"existing rows have NULL {col}; invariant not added"
+        )
+    meta = _latest_metadata(table, cur)
+    schema = json.loads(meta["schemaString"])
+    if col not in {f["name"] for f in schema["fields"]}:
+        raise KeyError(f"{col!r} not in table schema")
+    for f in schema["fields"]:
+        if f["name"] == col:
+            f["nullable"] = False
+    conf = dict(meta.get("configuration") or {})
+    conf[f"delta.constraints.not_null_{col}"] = f"{col} IS NOT NULL"
+    _write_commit(
+        table,
+        cur + 1,
+        [
+            _commit_info("SET NOT NULL", {"column": col}),
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": json.dumps(schema),
+                    "configuration": conf,
+                }
+            },
+        ],
+    )
+    return cur + 1
+
+
+def _active_constraints(table: str, version: int) -> list[str]:
+    """Only EXPLICIT constraints (the `delta.constraints.*` config keys)
+    are enforced — `set_not_null` registers one alongside the nullable
+    flag. Schemas inherited from source DataFrames carry incidental
+    nullable=false flags (literals, parquet required fields) that were
+    never a declared contract; enforcing those retroactively broke
+    legitimate appends."""
+    meta = _latest_metadata(table, version)
+    if meta is None:
+        return []
+    return [
+        expr
+        for key, expr in sorted((meta.get("configuration") or {}).items())
+        if key.startswith("delta.constraints.")
+    ]
+
+
+def _enforce_constraints(df: DataFrame, table: str, version: int) -> None:
+    """One combined filter probe over the write batch; raises with the
+    first violated predicate. Runs BEFORE staging so a violating write
+    leaves zero trace (no files, no commit)."""
+    exprs = _active_constraints(table, version)
+    if not exprs:
+        return
+    # a column the batch omits entirely reads back as NULL — evaluate
+    # each constraint against the batch WITH missing columns nulled,
+    # so "x IS NOT NULL" correctly rejects a batch that dropped x
+    have = set(df.columns)
+    probe = df
+    schema = table_schema(table, version)
+    for f in schema.fields:
+        if f.name not in have:
+            probe = probe.withColumn(f.name, F.lit(None).cast(f.dataType))
+    combined = " AND ".join(f"({e})" for e in exprs)
+    if probe.filter(f"NOT ({combined})").head(1):
+        for e in exprs:  # find the specific one for the error message
+            if probe.filter(f"NOT ({e})").head(1):
+                raise DeltaConstraintViolationError(
+                    f"write batch violates CHECK ({e}); nothing committed"
+                )
