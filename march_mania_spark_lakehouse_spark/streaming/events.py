@@ -161,15 +161,26 @@ def stream_stream_interval_join(
     lower_s: int = -3600,
     upper_s: int = 0,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream–stream inner join on key equality + an event-time range
-    (right_ts in [left_ts+lower_s, left_ts+upper_s)).
+    """Stream–stream join on key equality + an event-time range
+    (right_ts in [left_ts+lower_s, left_ts+upper_s)); ``how`` may be
+    "inner" or "leftOuter" (unmatched left rows emit with nulls once
+    the watermark passes their match window).
 
     Watermarks on BOTH sides bound the join state: a buffered left row
     can be evicted once the right watermark passes its upper bound and
     vice versa — without them the state store grows with the stream.
     This is the streaming twin of ``operators/temporal.range_join``
     (batch proves correctness; this proves the plan runs incrementally).
+
+    Outer-emission caveats a consumer must know (both empirically
+    pinned in tests/test_streaming.py): the eviction watermark is the
+    MIN over both inputs — a left row's unmatched form can only emit
+    after BOTH sides' event time passes its match window; and
+    availableNow's final no-data batch flushes with the watermark of
+    the last DATA batch (one-batch lag), so a drained stream flushes
+    exactly the rows whose windows closed before that batch's maximum.
     """
     l = left_stream.withWatermark(left_ts, watermark)
     r = right_stream.withWatermark(right_ts, watermark)
@@ -177,7 +188,7 @@ def stream_stream_interval_join(
         f"{key} = __rkey AND {right_ts} >= {left_ts} + INTERVAL {lower_s} SECOND "
         f"AND {right_ts} < {left_ts} + INTERVAL {upper_s} SECOND"
     )
-    return l.join(r.withColumnRenamed(key, "__rkey"), cond, "inner").drop("__rkey")
+    return l.join(r.withColumnRenamed(key, "__rkey"), cond, how).drop("__rkey")
 
 
 def stream_static_enrich(

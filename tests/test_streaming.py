@@ -578,3 +578,48 @@ def test_tws_event_time_sessions_close_by_watermark(spark, sf_dir, tmp_path):
             assert emitted[u]["last_event_ms"] == m
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched(spark, tmp_path):
+    """leftOuter stream–stream interval join: matched rows emit like the
+    inner join, unmatched left rows emit with nulls once the GLOBAL
+    watermark (the MIN over both inputs) passes their match window.
+    Late sentinels on BOTH sides advance the global watermark past
+    every real row's window, so availableNow's final no-data batch
+    deterministically flushes all unmatched rows."""
+    from pyspark.sql import functions as F
+
+    lrows = [(i, f"2024-01-01 00:0{i}:00") for i in range(6)]
+    rrows = [(i, f"2024-01-01 00:0{i}:30") for i in range(0, 6, 2)]
+    l_sent = [(98, "2024-01-01 06:00:00")]   # advances LEFT watermark
+    r_sent = [(99, "2024-01-01 06:00:00")]   # advances RIGHT watermark
+    ldf = spark.createDataFrame(lrows + l_sent, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    rdf = spark.createDataFrame(rrows + r_sent, "user_id long, r_ts string").withColumn(
+        "r_ts", F.col("r_ts").cast("timestamp")
+    )
+    l_src, r_src = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    ldf.write.parquet(l_src)
+    rdf.write.parquet(r_src)
+
+    joined = ev_ops.stream_stream_interval_join(
+        spark.readStream.schema(ldf.schema).parquet(l_src),
+        spark.readStream.schema(rdf.schema).parquet(r_src),
+        key="user_id", left_ts="ts", right_ts="r_ts",
+        lower_s=0, upper_s=120, watermark="1 minute", how="leftOuter",
+    )
+    sink = f"ssoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.r_ts is None)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        if r.user_id < 90  # sentinels' own windows never close — excluded
+    }
+    # evens matched inside [ts, ts+2min); odds flush as unmatched
+    want = {(i, i % 2 == 1) for i in range(6)}
+    assert got == want
