@@ -748,3 +748,58 @@ def cosine_topk_lsh_portable(
         .select("q_id", "c_id", "cosine")
     )
     return _topk_per_query(scored, k)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    keep: bool = True,
+) -> DataFrame:
+    """Embedding-space decontamination: drop every corpus row whose
+    cosine against ANY eval-set embedding reaches ``threshold`` — the
+    semantic twin of the n-gram/substring decontamination in
+    operators/dedup.py (paraphrased eval leakage has no shared n-grams
+    but lands next to the eval point in embedding space).
+
+    Shape at 100 TB: the eval set is bounded (benchmarks are small) and
+    BROADCASTS; the corpus never shuffles — cost is |corpus|·|eval|
+    map-side work, embarrassingly parallel. Corpus norms are computed
+    once before the join. ``keep=True`` returns survivors (the cleaned
+    corpus); ``keep=False`` returns the contamination report
+    (id, max_eval_cosine) for audit. Cosines are rounded to
+    ``round_digits`` BEFORE thresholding (the engine-portable contract
+    q51 established: index-ordered double folds round identically)."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    e = F.broadcast(
+        eval_df.select(
+            F.col(vec_col).alias("__ev"),
+            l2_norm(F.col(vec_col)).alias("__en"),
+        )
+    )
+    scored = (
+        rebalance_scan(c)
+        .join(e)
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col(vec_col), F.col("__ev"))
+                / (F.col("__cn") * F.col("__en")),
+                round_digits,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__cos").alias("max_eval_cosine"))
+    )
+    if keep:
+        survivors = scored.filter(F.col("max_eval_cosine") < threshold)
+        return corpus.join(
+            survivors.select(id_col), on=id_col, how="left_semi"
+        )
+    return scored.filter(F.col("max_eval_cosine") >= threshold)

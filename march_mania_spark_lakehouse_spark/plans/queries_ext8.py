@@ -1242,3 +1242,50 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.redact_pii("text").alias("redacted"),
         *T.pii_counts("text"),
     )
+
+
+# --------------------------------------------------------------------------
+# q211 — semantic decontamination: the embedding-space member of the
+# decontamination family (q87 n-gram overlap, q117 exact substring).
+# Eval set = every 37th vector; a corpus row is contaminated when its
+# rounded cosine against ANY eval vector reaches the threshold. The
+# uniform random fixture makes hits sparse but nonzero at τ=0.35, so
+# both branches (drop + survive) carry weight in the hash. Eval
+# broadcasts; the corpus never shuffles.
+# --------------------------------------------------------------------------
+
+_Q211_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ev AS (SELECT * FROM e WHERE vec_id % 37 = 0),
+corpus AS (SELECT * FROM e WHERE vec_id % 37 <> 0),
+scored AS (
+    SELECT c.vec_id,
+           MAX(ROUND(
+               list_dot_product(c.emb, v.emb)
+               / (sqrt(list_dot_product(c.emb, c.emb))
+                  * sqrt(list_dot_product(v.emb, v.emb))),
+               4
+           )) AS max_eval_cosine
+    FROM corpus c, ev v
+    GROUP BY c.vec_id
+)
+SELECT vec_id, max_eval_cosine FROM scored WHERE max_eval_cosine >= 0.35
+"""
+
+
+@query(
+    "q211_semantic_decontamination",
+    oracle=_Q211_SQL,
+    tags=("dedup", "similarity", "text"),
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: corpus vectors semantically too close to
+    the (broadcast) eval set — `similarity.semantic_decontaminate`
+    with keep=False; the keep=True survivor path is the same plan with
+    the filter flipped (pinned equivalent by construction)."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    ev = emb.filter(F.col("vec_id") % 37 == 0)
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+    return similarity.semantic_decontaminate(
+        corpus, ev, threshold=0.35, keep=False
+    )

@@ -973,3 +973,61 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price32"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q210 — statistics-driven join: two Iceberg tables joined through
+# `iceberg.stats_join`, which picks the broadcast side from MANIFEST
+# row counts (table statistics, not Spark's scan-size guesses) — with
+# Puffin NDV sketches attached so `estimate_join_rows` has its CBO
+# inputs. The planning layer must be semantically invisible: the
+# oracle is the plain SQL join + aggregate.
+# --------------------------------------------------------------------------
+
+_Q210_SQL = f"""
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_key,
+       {sql_dsum("o.o_totalprice", "sum_price")}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def _stats_join_tables(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    root = _cached_root(sf_dir, "statsjoin210", src_table="customer")
+    ot = os.path.join(root, "orders_ice")
+    ct = os.path.join(root, "cust_ice")
+    if iceberg.current_version(ot) is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = catalog.load(spark, "customer", sf_dir).select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        iceberg.create(orders, ot, stat_cols=["o_custkey"])
+        iceberg.create(cust, ct, stat_cols=["o_custkey"])
+        iceberg.write_statistics(spark, ot, ["o_custkey"], k=256)
+        iceberg.write_statistics(spark, ct, ["o_custkey"], k=256)
+    return ot, ct
+
+
+@query("q210_stats_driven_join", oracle=_Q210_SQL, tags=("lake", "join", "agg"))
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two Iceberg tables via the stats-driven planner (manifest
+    row counts choose the broadcast side — the customer dim — with
+    Spark's own size heuristic irrelevant); Puffin NDVs accompany the
+    tables for cardinality estimation (accuracy pinned in
+    tests/test_puffin.py). Values must equal the plain relational join."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    ot, ct = _stats_join_tables(spark, sf_dir)
+    joined = iceberg.stats_join(spark, ot, ct, on="o_custkey")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        dsum("o_totalprice", "sum_price"),
+    )
