@@ -1164,6 +1164,32 @@ def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
             if os.path.exists(fp):
                 os.unlink(fp)
             deleted.append(name)
+    # real VACUUM semantics: the directory walk also reclaims UNTRACKED
+    # parquet (never in any add action — the debris of crashed writers
+    # and losing concurrent commits), mtime-guarded by the same
+    # retention so an in-flight commit's staged files survive
+    tracked: set[str] = set(removed_at) | live
+    for vv in range(v + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        for a in _read_actions(p):
+            if "add" in a:
+                tracked.add(a["add"]["path"])
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [
+            d for d in dirs if not d.startswith(("_", "."))
+        ]  # never touch _delta_log / staging
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), table)
+            fp = os.path.join(table, rel)
+            if rel not in tracked and os.path.getmtime(fp) * 1000 <= (
+                _now_ms() - retention_ms
+            ):
+                os.unlink(fp)
+                deleted.append(rel)
     return sorted(deleted)
 
 

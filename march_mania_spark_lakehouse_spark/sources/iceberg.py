@@ -3883,3 +3883,35 @@ def update_where(
         return sid  # nothing matched: no commits
     delete_where(spark, table, pred)
     return append(updated, table, stat_cols=stat_cols)
+
+
+def inspect_manifests(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """One row per manifest in a snapshot's manifest list (the
+    table.manifests audit surface): path, length, spec id, and the
+    added/existing/deleted file and row counts the list records —
+    planned from the manifest LIST alone, no manifest opened."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    rows = [
+        (
+            m["manifest_path"],
+            m["manifest_length"],
+            m.get("partition_spec_id", 0),
+            m.get("content", 0),
+            m["added_files_count"],
+            m["existing_files_count"],
+            m["deleted_files_count"],
+            m["added_rows_count"],
+            m["existing_rows_count"],
+        )
+        for m in avro_ocf.read_ocf(snap["manifest-list"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, length long, partition_spec_id int, content int, "
+        "added_files int, existing_files int, deleted_files int, "
+        "added_rows long, existing_rows long",
+    )

@@ -1,0 +1,107 @@
+"""Crash-consistency fault injection for both lake layers: a writer
+that dies BEFORE its commit point must leave the table unreadable-ly
+unchanged — stray data files, staging leftovers, and unlinked .tmp
+commit files are invisible to readers (log/metadata-planned scans never
+list directories) and reclaimable by the maintenance ops."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+from tests import delta_reader_independent as d_indie
+from tests import iceberg_reader_independent as i_indie
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, cat string, val double")
+
+
+ROWS = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+
+
+def _plant_stray_parquet(spark, target_dir):
+    """A data file a crashed writer staged but never committed."""
+    stray_src = target_dir + "_straybuild"
+    _df(spark, [(999, "stray", 9.9)]).coalesce(1).write.mode("overwrite").parquet(
+        stray_src
+    )
+    part = next(
+        f for f in os.listdir(stray_src) if f.endswith(".parquet")
+    )
+    os.makedirs(target_dir, exist_ok=True)
+    dst = os.path.join(target_dir, "part-deadbeef-crashed.snappy.parquet")
+    os.rename(os.path.join(stray_src, part), dst)
+    return dst
+
+
+def test_iceberg_stray_data_file_invisible_then_reclaimed(spark, tmp_path):
+    t = str(tmp_path / "ice_crash")
+    iceberg.create(_df(spark, ROWS), t)
+    stray = _plant_stray_parquet(spark, os.path.join(t, "data"))
+    # both readers plan from manifests — the stray file never surfaces
+    assert sorted(tuple(r) for r in iceberg.read_iceberg(spark, t).collect()) == ROWS
+    assert sorted(i_indie.read_rows(t)) == ROWS
+    removed = iceberg.remove_orphan_files(t, older_than_ms=0)
+    assert os.path.relpath(stray, t) in removed
+    assert not os.path.exists(stray)
+    assert sorted(i_indie.read_rows(t)) == ROWS
+
+
+def test_iceberg_unlinked_tmp_metadata_ignored(spark, tmp_path):
+    t = str(tmp_path / "ice_tmpmeta")
+    iceberg.create(_df(spark, ROWS), t)
+    v = iceberg.current_version(t)
+    # a crashed commit leaves its temp file but never linked the
+    # canonical vN name — version resolution and reads ignore it
+    meta_dir = os.path.join(t, "metadata")
+    with open(os.path.join(meta_dir, f"v{v + 1}.metadata.json.tmpdead"), "w") as f:
+        f.write("{garbage")
+    assert iceberg.current_version(t) == v
+    assert sorted(tuple(r) for r in iceberg.read_iceberg(spark, t).collect()) == ROWS
+    # and the NEXT commit still claims v+1 normally
+    iceberg.append(_df(spark, [(4, "d", 4.0)]), t)
+    assert iceberg.current_version(t) == v + 1
+
+
+def test_delta_stray_data_file_invisible_then_vacuumed(spark, tmp_path):
+    t = str(tmp_path / "delta_crash")
+    delta_log.create(_df(spark, ROWS), t)
+    stray = _plant_stray_parquet(spark, t)
+    assert sorted(tuple(r) for r in delta_log.read_delta(spark, t).collect()) == ROWS
+    assert sorted(d_indie.read_rows(t)) == ROWS
+    removed = delta_log.vacuum(t, retention_ms=0)
+    assert os.path.relpath(stray, t) in removed
+    assert not os.path.exists(stray)
+    assert sorted(d_indie.read_rows(t)) == ROWS
+
+
+def test_delta_unlinked_tmp_commit_ignored(spark, tmp_path):
+    t = str(tmp_path / "delta_tmpcommit")
+    delta_log.create(_df(spark, ROWS), t)
+    v = delta_log.latest_version(t)
+    log = os.path.join(t, "_delta_log")
+    with open(os.path.join(log, f"{v + 1:020d}.json.deadtmp"), "w") as f:
+        f.write('{"add": {"path": "phantom.parquet"}}')
+    assert delta_log.latest_version(t) == v
+    assert sorted(tuple(r) for r in delta_log.read_delta(spark, t).collect()) == ROWS
+    delta_log.append(_df(spark, [(4, "d", 4.0)]), t)
+    assert delta_log.latest_version(t) == v + 1
+    assert len(d_indie.read_rows(t)) == 4
+
+
+def test_iceberg_staging_leftover_from_crashed_optimize(spark, tmp_path):
+    """A compaction that died mid-staging leaves a _staging_* dir; reads
+    and later commits are unaffected and orphan cleanup reclaims it."""
+    t = str(tmp_path / "ice_staging")
+    iceberg.create(_df(spark, ROWS), t)
+    staging = os.path.join(t, "_staging_deadbeef")
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-000.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    assert sorted(tuple(r) for r in iceberg.read_iceberg(spark, t).collect()) == ROWS
+    iceberg.append(_df(spark, [(4, "d", 4.0)]), t)
+    assert len(i_indie.read_rows(t)) == 4

@@ -262,3 +262,17 @@ def test_estimate_join_rows_within_sketch_error(spark, stats_tables):
     true = orders.join(renamed, on="o_custkey").count()
     assert true > 0
     assert 0.5 * true < est < 2.0 * true  # System-R estimate, sketch-bounded
+
+
+def test_inspect_manifests_counts_match_manifest_contents(spark, stats_tables):
+    from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
+
+    ot, _ct, orders, _ = stats_tables
+    rows = iceberg.inspect_manifests(spark, ot).collect()
+    assert len(rows) >= 1
+    total_added = sum(r.added_rows for r in rows)
+    assert total_added == orders.count()
+    for r in rows:
+        assert os.path.getsize(r.path) == r.length
+        entries = avro_ocf.read_ocf(r.path)
+        assert r.added_files == sum(1 for e in entries if e["status"] == 1)
