@@ -2092,6 +2092,7 @@ def optimize(
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
             *sort_by
         )
+        _apply_sort_order(meta, sort_by)  # recorded in THIS commit
         if not stat_cols:
             stat_cols = tuple(sort_by)  # cluster by what you skip on
     else:
@@ -3915,3 +3916,63 @@ def inspect_manifests(
         "added_files int, existing_files int, deleted_files int, "
         "added_rows long, existing_rows long",
     )
+
+
+def _apply_sort_order(meta: dict, cols: Sequence[str]) -> int:
+    """Mutate ``meta`` to make ``cols`` (identity asc, nulls-first) the
+    default sort order, reusing an existing order-id when the field
+    list matches. Returns the order id. Callers commit the metadata."""
+    schema = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema["fields"]}
+    fields = []
+    for c in cols:
+        if c not in by_name:
+            raise KeyError(f"{c!r} not in table schema")
+        fields.append(
+            {
+                "transform": "identity",
+                "source-id": by_name[c]["id"],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        )
+    orders = list(meta.get("sort-orders", []))
+    for o in orders:
+        if o["fields"] == fields:
+            meta["default-sort-order-id"] = o["order-id"]
+            return o["order-id"]
+    new_id = max((o["order-id"] for o in orders), default=0) + 1
+    meta["sort-orders"] = orders + [{"order-id": new_id, "fields": fields}]
+    meta["default-sort-order-id"] = new_id
+    return new_id
+
+
+def set_sort_order(table: str, cols: Sequence[str]) -> int:
+    """Register a sort order (spec `sort-orders` + `default-sort-order-id`)
+    — metadata-only: identity-transform ascending/nulls-first fields.
+    Declares WRITE-TIME clustering intent; `optimize(sort_by=...)`
+    records it in ITS commit so readers (and future writers) can see
+    the table is range-clustered, the spec's contract for why
+    scan_range skipping works post-compaction. Returns the order id."""
+    meta = dict(current_metadata(table))
+    before = (meta.get("default-sort-order-id"), meta.get("sort-orders"))
+    oid = _apply_sort_order(meta, cols)
+    if (meta.get("default-sort-order-id"), meta.get("sort-orders")) != before:
+        meta["last-updated-ms"] = _now_ms()
+        _write_metadata(table, meta)
+    return oid
+
+
+def table_sort_order(table: str) -> "list[str]":
+    """Column names of the default sort order ([] when unsorted)."""
+    meta = current_metadata(table)
+    oid = meta.get("default-sort-order-id", 0)
+    order = next(
+        (o for o in meta.get("sort-orders", []) if o["order-id"] == oid),
+        None,
+    )
+    if not order:
+        return []
+    schema = meta["schemas"][meta["current-schema-id"]]
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    return [by_id[f["source-id"]] for f in order["fields"]]

@@ -276,3 +276,26 @@ def test_inspect_manifests_counts_match_manifest_contents(spark, stats_tables):
         assert os.path.getsize(r.path) == r.length
         entries = avro_ocf.read_ocf(r.path)
         assert r.added_files == sum(1 for e in entries if e["status"] == 1)
+
+
+def test_sort_order_registered_by_clustered_optimize(spark, sf_dir, tmp_path):
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = str(tmp_path / "sorted_ice")
+    iceberg.create(orders.filter("o_orderkey % 2 = 0").repartition(4), t)
+    iceberg.append(orders.filter("o_orderkey % 2 = 1").repartition(4), t)
+    assert iceberg.table_sort_order(t) == []
+    iceberg.optimize(spark, t, small_file_bytes=1 << 30, sort_by=["o_orderkey"])
+    assert iceberg.table_sort_order(t) == ["o_orderkey"]
+    meta = iceberg.current_metadata(t)
+    oid = meta["default-sort-order-id"]
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == oid)
+    assert order["fields"][0]["direction"] == "asc"
+    assert order["fields"][0]["null-order"] == "nulls-first"
+    # re-registering the same order is a no-op id-wise
+    assert iceberg.set_sort_order(t, ["o_orderkey"]) == oid
+    # rows unchanged by all of it
+    assert iceberg.read_iceberg(spark, t).count() == orders.count()
