@@ -104,3 +104,75 @@ def test_phash_banding_finds_all_pairs_within_distance(spark):
         if a < b and ham(ha, hb) <= 6
     }
     assert got == want and len(want) >= 10
+
+
+# --------------------------------------------------------------------------
+# Property-based checks (hypothesis) for the Puffin/KMV layer
+# --------------------------------------------------------------------------
+
+
+def test_theta_image_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from march_mania_spark_lakehouse_spark.sources import puffin
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.sets(st.integers(min_value=1, max_value=2**63 - 1), max_size=40),
+        st.integers(min_value=1, max_value=32),
+    )
+    def check(hashes, k):
+        state = sorted(hashes)[:k]
+        img = puffin.theta_sketch_bytes(state, k)
+        back, theta = puffin.theta_sketch_read(img)
+        if len(state) < k:
+            assert back == state and theta == 2**63
+        else:
+            assert theta == state[-1] and back == state[:-1]
+
+    check()
+
+
+def test_kmv_merge_is_commutative_idempotent_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from march_mania_spark_lakehouse_spark.sources import puffin
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=60),
+        st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=60),
+        st.integers(min_value=1, max_value=16),
+    )
+    def check(a, b, k):
+        m1 = puffin.kmv_merge(a + b, k)
+        m2 = puffin.kmv_merge(b + a, k)
+        assert m1 == m2  # merge order never matters
+        # merging partial sketches == merging raw streams
+        pa, pb = puffin.kmv_merge(a, k), puffin.kmv_merge(b, k)
+        assert puffin.kmv_merge(pa + pb, k) == m1
+        # idempotent
+        assert puffin.kmv_merge(m1 + m1, k) == m1
+
+    check()
+
+
+def test_murmur128_byte_prefix_property():
+    """Hashes of distinct random byte strings never collide in 60
+    samples, and the function is a pure function of its input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from march_mania_spark_lakehouse_spark.sources import puffin
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=64), st.binary(max_size=64))
+    def check(a, b):
+        ha, hb = puffin.murmur3_x64_128(a, 9001), puffin.murmur3_x64_128(b, 9001)
+        assert ha == puffin.murmur3_x64_128(a, 9001)
+        if a != b:
+            assert ha != hb  # 128-bit collision would be astronomical
+
+    check()

@@ -623,3 +623,50 @@ def test_stream_stream_left_outer_join_flushes_unmatched(spark, tmp_path):
     # evens matched inside [ts, ts+2min); odds flush as unmatched
     want = {(i, i % 2 == 1) for i in range(6)}
     assert got == want
+
+
+def test_stream_stream_full_outer_join_flushes_both_sides(spark, tmp_path):
+    """fullOuter stream–stream interval join: unmatched rows from BOTH
+    sides flush with nulls once the global watermark passes their
+    windows (same sentinel construction as the leftOuter test)."""
+    from pyspark.sql import functions as F
+
+    lrows = [(i, f"2024-01-01 00:0{i}:00") for i in range(4)]       # 0..3
+    rrows = [(i, f"2024-01-01 00:0{i}:30") for i in (0, 2)]         # match 0,2
+    rrows += [(7, "2024-01-01 00:03:30")]                           # right-only
+    l_sent = [(98, "2024-01-01 06:00:00")]
+    r_sent = [(99, "2024-01-01 06:00:00")]
+    ldf = spark.createDataFrame(lrows + l_sent, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    rdf = spark.createDataFrame(rrows + r_sent, "r_user long, r_ts string").withColumn(
+        "r_ts", F.col("r_ts").cast("timestamp")
+    )
+    l_src, r_src = str(tmp_path / "fo_l"), str(tmp_path / "fo_r")
+    ldf.write.parquet(l_src)
+    rdf.write.parquet(r_src)
+
+    ls = spark.readStream.schema(ldf.schema).parquet(l_src).withWatermark("ts", "1 minute")
+    rs = spark.readStream.schema(rdf.schema).parquet(r_src).withWatermark("r_ts", "1 minute")
+    cond = F.expr(
+        "user_id = r_user AND r_ts >= ts AND r_ts < ts + INTERVAL 2 MINUTE"
+    )
+    joined = ls.join(rs, cond, "fullOuter")
+    sink = f"ssfo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.r_user)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        if (r.user_id is None or r.user_id < 90)
+        and (r.r_user is None or r.r_user < 90)
+    }
+    want = {
+        (0, 0), (2, 2),            # matched
+        (1, None), (3, None),      # left-only flushes
+        (None, 7),                 # right-only flush
+    }
+    assert got == want
