@@ -3976,3 +3976,175 @@ def table_sort_order(table: str) -> "list[str]":
     schema = meta["schemas"][meta["current-schema-id"]]
     by_id = {f["id"]: f["name"] for f in schema["fields"]}
     return [by_id[f["source-id"]] for f in order["fields"]]
+
+
+def rewrite_position_deletes(spark: SparkSession, table: str) -> int:
+    """DELETE-FILE COMPACTION (the maintenance twin of `optimize` for
+    the merge-on-read side): every DELETE commits one small
+    position-delete file, so a delete-heavy table accumulates tombstone
+    files that each add a branch to every reader's anti-join input.
+    This rewrite unions all live position-delete files into ONE
+    consolidated file (dropping tombstones whose target data file is no
+    longer live) and commits a snapshot whose manifest list carries:
+
+    - every data manifest unchanged (zero data bytes moved),
+    - equality-delete entries carried over as EXISTING with their
+      ORIGINAL sequence numbers (the strictly-lower rule must keep
+      applying exactly as before),
+    - one new delete manifest for the consolidated file.
+
+    Position deletes target (file_path, pos) directly — sequence
+    numbers don't gate them — so re-sequencing the consolidated file is
+    semantics-free. Old delete files stay on disk for time travel and
+    are reclaimed by `remove_orphan_files` after `expire_snapshots`.
+    Returns the new snapshot id (current one when ≤ 1 live file)."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"]
+    snap = _snapshot(meta, sid)
+    pos_files = snapshot_delete_files(table, sid)
+    if len(pos_files) <= 1:
+        return sid
+    import pyarrow.parquet as pq
+
+    live_df = spark.createDataFrame(
+        [(os.path.abspath(os.path.join(table, f)),) for f in snapshot_files(table, sid)],
+        "file_path string",
+    )
+    merged = (
+        spark.read.parquet(*pos_files)
+        .distinct()
+        # keep only tombstones whose target data file is still live —
+        # broadcast semi-join (file-count-sized), not a giant IN-list
+        .join(F.broadcast(live_df), "file_path", "left_semi")
+        .coalesce(1)
+    )
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").parquet(staging)
+    out_path = None
+    for root, dirs, fs in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in sorted(fs):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.parquet")
+                dst = os.path.join(table, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, fn), dst)
+                out_path = dst
+    shutil.rmtree(staging)
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    part_schema = _partition_record_schema(spec, schema)
+    entry_schema = _manifest_entry_schema(part_schema)
+
+    manifests = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        if m.get("content", 0) != 1:
+            manifests.append(m)  # data manifests: untouched
+            continue
+        entries = avro_ocf.read_ocf(m["manifest_path"])
+        keep = [
+            e
+            for e in entries
+            if e["status"] in (0, 1)
+            and e["data_file"].get("content", 0) == 2  # equality deletes
+        ]
+        if not keep:
+            continue  # manifest held only position deletes: dropped
+        for e in keep:
+            e["status"] = 0  # EXISTING, original sequence numbers kept
+        # equality entries carry equality_ids (spec field-id 135) — the
+        # re-encoded manifest needs the same augmented schema or the
+        # column list silently drops and the sequence rule would apply
+        # to EVERY column-free row (pinned by test)
+        import copy
+
+        eq_schema = copy.deepcopy(entry_schema)
+        eq_schema["fields"][-1]["type"]["fields"].append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
+            }
+        )
+        m2_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
+        avro_ocf.write_ocf(m2_path, eq_schema, keep)
+        manifests.append(
+            {
+                **m,
+                "manifest_path": m2_path,
+                "manifest_length": os.path.getsize(m2_path),
+                "added_files_count": 0,
+                "existing_files_count": len(keep),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in keep
+                ),
+            }
+        )
+    if out_path is not None:
+        n_rows = pq.ParquetFile(out_path).metadata.num_rows
+        records = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": os.path.abspath(out_path),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(out_path),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ]
+        m_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
+        avro_ocf.write_ocf(m_path, entry_schema, records)
+        manifests.append(
+            {
+                "manifest_path": m_path,
+                "manifest_length": os.path.getsize(m_path),
+                "partition_spec_id": meta["default-spec-id"],
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    ml_path = _write_manifest_list(table, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {"operation": "replace", "rewritten-delete-files": str(len(pos_files))},
+        "schema-id": snap.get("schema-id", meta["current-schema-id"]),
+        "parent-snapshot-id": sid,
+    }
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    _write_metadata(table, meta)
+    return snapshot_id

@@ -105,3 +105,41 @@ def test_iceberg_staging_leftover_from_crashed_optimize(spark, tmp_path):
     assert sorted(tuple(r) for r in iceberg.read_iceberg(spark, t).collect()) == ROWS
     iceberg.append(_df(spark, [(4, "d", 4.0)]), t)
     assert len(i_indie.read_rows(t)) == 4
+
+
+def test_rewrite_position_deletes_consolidates_and_preserves(spark, tmp_path):
+    """Three DELETE commits accumulate three tombstone files; the
+    rewrite consolidates them into ONE, drops tombstones of dead data
+    files, keeps equality deletes applying with their original sequence
+    numbers, and changes no visible row — both readers agree, and time
+    travel to the pre-rewrite snapshot still serves the same rows."""
+    t = str(tmp_path / "ice_rewrite_dels")
+    rows = [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(12)]
+    iceberg.create(_df(spark, rows), t)
+    iceberg.delete_where(spark, t, "id = 0")
+    iceberg.delete_where(spark, t, "id = 3")
+    # an equality delete in the mix (must survive with its sequence rule)
+    iceberg.delete_by_equality(
+        spark, t, spark.createDataFrame([(6,)], "id long")
+    )
+    # a row re-appended AFTER the equality delete must keep living
+    iceberg.append(_df(spark, [(6, "z", 66.0)]), t)
+    iceberg.delete_where(spark, t, "id = 9")
+    pre = iceberg.current_metadata(t)["current-snapshot-id"]
+    expected = sorted(tuple(r) for r in iceberg.read_iceberg(spark, t).collect())
+    assert len(iceberg.snapshot_delete_files(t)) == 3
+
+    sid = iceberg.rewrite_position_deletes(spark, t)
+    assert sid != pre
+    assert len(iceberg.snapshot_delete_files(t)) == 1  # consolidated
+    got = sorted(tuple(r) for r in iceberg.read_iceberg(spark, t).collect())
+    assert got == expected
+    assert sorted(i_indie.read_rows(t)) == expected
+    # the re-appended id=6 row survived the carried-over equality delete
+    assert (6, "z", 66.0) in got and (6, "a", 6.0) not in got
+    # time travel to the pre-rewrite snapshot unchanged
+    assert sorted(
+        tuple(r) for r in iceberg.read_iceberg(spark, t, pre).collect()
+    ) == expected
+    # idempotent: a second rewrite is a no-op
+    assert iceberg.rewrite_position_deletes(spark, t) == sid

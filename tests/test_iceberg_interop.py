@@ -644,7 +644,8 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "pos_delete", "eq_delete", "upsert",
-                 "compact", "optimize", "evolve", "rename", "update"]
+                 "compact", "optimize", "evolve", "rename", "update",
+                 "rewrite_deletes"]
             )
             if op == "append":
                 iceberg.append(batch(fresh_rows(rng.randrange(1, 5))), table)
@@ -683,6 +684,8 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
                     spark, table, f"id % 4 = {rng.randrange(4)}",
                     {"val": F.col("val") + 1000.0},
                 )
+            elif op == "rewrite_deletes":
+                iceberg.rewrite_position_deletes(spark, table)
             elif op == "optimize":
                 if indep.read_rows(table):
                     iceberg.optimize(spark, table, small_file_bytes=1 << 30)
