@@ -6,14 +6,32 @@ Scale design:
   at 100 TB the shuffle carries 32-byte keys instead of documents.
 - MinHash/LSH: shingle → K minhashes → B bands; candidate pairs come from
   an equi-join on (band, band-hash), so cost is Σ bucket² not n².
-- SimHash: one 32-bit signature per document from token hashes; near-dups
+- SimHash: one 64-bit signature per document from token hashes; near-dups
   share signatures (or differ in few bits).
+
+Band-width sizing rule (applies to EVERY banded family here): the number
+of distinct bucket keys must satisfy ``keys ≥ n² / target_pairs``, because
+with n docs spread over k keys the candidate self-join generates
+Σ bucket² ≈ n²/k pairs per band even under a uniform hash. A 32-bit
+SimHash split into 4 bands has only 4·2⁸ = 1,024 keys — quadratic the
+moment the corpus outgrows thousands of documents — whereas 64 bits /
+4×16-bit bands gives 4·65,536 keys, the same sizing the image-pHash dedup
+(q209) uses. MinHash band hashes take values mod a ~10⁹ prime, so their
+key space is corpus-bounded, not width-bounded.
+
+On top of the width rule, every candidate-pair operator defaults
+``max_bucket`` to a size-derived cap (:func:`_auto_max_bucket`) so no
+caller silently inherits unguarded Σ bucket² when real data has a
+degenerate hot bucket (boilerplate corpora). Oracle-exact callers pass
+``max_bucket=None`` explicitly.
 
 All signatures use ``F.hash``/``F.xxhash64`` (JVM Murmur3/XXH64 —
 deterministic, seedable, codegen'd); no Python in the hot path.
 """
 
 from __future__ import annotations
+
+import math
 
 from collections.abc import Sequence
 
@@ -344,7 +362,7 @@ def minhash_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; docs colliding in any
     band are candidate near-duplicates. Output: (id_a, id_b) distinct,
@@ -357,7 +375,10 @@ def minhash_candidates(
     dropped — their members still pair through their other (bands−1)
     buckets, which is the standard banded-LSH degradation. The over-cap
     bucket list is tiny by construction, so the guard broadcasts.
+    Defaults to ``"auto"`` (size-derived, :func:`_auto_max_bucket`);
+    pass ``None`` for the exact unguarded candidate set.
     """
+    max_bucket = _resolve_max_bucket(df, max_bucket)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = []
@@ -370,6 +391,34 @@ def minhash_candidates(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     return _bucket_pairs(buckets, id_col, max_bucket)
+
+
+#: floor for the size-derived bucket cap — generous at test scale (no
+#: fixture bucket comes near it), tight enough to stop a mega-bucket.
+MAX_BUCKET_FLOOR = 256
+
+
+def _auto_max_bucket(n_docs: int) -> int:
+    """Size-derived bucket cap: ``max(256, 4·⌈√n⌉)``. With cap c the
+    banded self-join emits at most ``bands · n · c / 2`` pairs (each of
+    the ≤ n·bands bucket rows pairs with at most c−1 bucket-mates), so
+    the default bounds candidate generation at O(n^1.5) instead of the
+    unguarded worst-case O(n²). Recall caveat: a pair is lost only if
+    EVERY band it collides in is over-cap — genuine near-dup clusters are
+    tiny next to √n, so planted-dup recall is unaffected; what the cap
+    drops is boilerplate mega-buckets whose pairings are noise anyway."""
+    return max(MAX_BUCKET_FLOOR, 4 * math.isqrt(max(n_docs, 0)))
+
+
+def _resolve_max_bucket(df: DataFrame, max_bucket: int | str | None) -> int | None:
+    """Resolve the ``max_bucket`` argument: ``"auto"`` (the default
+    everywhere) derives the cap from the corpus size via
+    :func:`_auto_max_bucket` — one column-pruned count over ``df``;
+    ``None`` means exact/unguarded (oracle-parity callers); an int is
+    used as-is."""
+    if max_bucket == "auto":
+        return _auto_max_bucket(df.count())
+    return max_bucket  # type: ignore[return-value]
 
 
 def _bucket_pairs(
@@ -408,7 +457,7 @@ def minhash_candidates_portable(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """LSH banding over the *portable* MinHash family
     (:func:`minhash_signatures_portable`) — same Σ bucket² candidate
@@ -423,6 +472,7 @@ def minhash_candidates_portable(
     check the banding *math* end-to-end, same role q125's portable
     signatures play for q28's murmur3 ones.
     """
+    max_bucket = _resolve_max_bucket(df, max_bucket)
     buckets = minhash_band_index(df, id_col, text_col, n, num_hashes, bands)
     return _bucket_pairs(buckets, id_col, max_bucket)
 
@@ -518,10 +568,10 @@ def simhash_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """SimHash near-duplicate *pairs*: banded candidate generation +
     exact Hamming verification — the operator a SimHash dedup actually
@@ -538,11 +588,22 @@ def simhash_candidates(
     3. verify — Hamming distance via ``bit_count(sig_a XOR sig_b)``
        (one codegen'd expression per candidate), keep ≤ ``max_hamming``.
 
+    Band-width sizing (module docstring rule, ``keys ≥ n²/target_pairs``):
+    the bucket-key space is ``bands · 2^(bits/bands)``, so ``bits`` must
+    be wide enough that even a uniform corpus doesn't flood the buckets.
+    The default 64 bits / 4×16-bit bands = 262,144 keys (the q209 pHash
+    sizing); 32/4 would give 1,024 keys — Σ bucket² ≈ n²/256, quadratic
+    the moment the corpus outgrows thousands of docs. Bit 63 lands in the
+    long's sign bit; band extraction uses an unsigned shift and the
+    Hamming XOR is bit-pattern arithmetic, so the signed representation
+    is harmless (and matches the DuckDB oracle's two's-complement BIGINT).
+
     Output: (id_a, id_b, hamming), id_a < id_b. Entirely portable int64
     arithmetic → DuckDB-oracled end-to-end (q29).
     """
     if bits % bands:
         raise ValueError("bits must be divisible by bands")
+    max_bucket = _resolve_max_bucket(df, max_bucket)
     width = bits // bands
     mask = (1 << width) - 1
     sig = simhash_portable(df, id_col, text_col, bits)
@@ -753,13 +814,22 @@ def _slice_join_lambda(j: int):
     return lambda i: F.array_join(F.slice(F.col("__toks"), i, j), " ")
 
 
+def _sim_token_hash(col: Column, bits: int) -> Column:
+    """Token hash for the murmur3/xxhash SimHash family: 32-bit murmur3
+    (``F.hash``) provides only 32 usable bits — sign-extension makes bits
+    32–63 copies of bit 31 — so signatures wider than 32 bits switch to
+    ``F.xxhash64``. Both are JVM built-ins, codegen'd."""
+    return F.xxhash64(col) if bits > 32 else F.hash(col).cast("long")
+
+
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash signature: bit b = sign(Σ_tokens (2·bit_b(h(tok)) − 1)).
 
     Built entirely from array expressions over the token list — stays in
-    codegen, no shuffle, no UDF.
+    codegen, no shuffle, no UDF. Token hash: murmur3 for bits ≤ 32,
+    xxhash64 beyond (:func:`_sim_token_hash`).
     """
-    hashes = F.transform(tokens(text), lambda x: F.hash(x).cast("long"))
+    hashes = F.transform(tokens(text), lambda x: _sim_token_hash(x, bits))
 
     def _bit_merge(bit: int):
         # NB: the merge lambda must take exactly (acc, h) — PySpark counts
@@ -796,7 +866,9 @@ def simhash_relational(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("__tok")
     ).withColumn(
         "__h",
-        F.when(F.col("__tok").isNotNull(), F.hash("__tok").cast("long")),
+        F.when(
+            F.col("__tok").isNotNull(), _sim_token_hash(F.col("__tok"), bits)
+        ),
     )
     bit_sums = [
         F.sum(
@@ -819,7 +891,7 @@ def near_dup_dedup(
     threshold: float = 0.6,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
     family: str = "murmur3",
 ) -> DataFrame:
     """The complete near-duplicate removal pipeline in one operator —

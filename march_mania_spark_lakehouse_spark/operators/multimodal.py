@@ -629,13 +629,20 @@ def phash_near_dup_pairs(
     from pyspark.sql import functions as F
 
     n_bands = max_distance + 1
-    width = 63 // n_bands + 1
+    if n_bands > 63:
+        raise ValueError(
+            f"max_distance={max_distance} needs {n_bands} bands over 63 "
+            "stored bits — the pigeonhole guarantee cannot hold"
+        )
+    # balanced partition of the 63 bits into EXACTLY n_bands non-empty
+    # contiguous bands (sizes ⌊63/n⌋ or ⌈63/n⌉): band b = bits
+    # [63·b/n, 63·(b+1)/n). A fixed uniform width under-produces bands
+    # for several n (e.g. 9 bands of 8 bits overrun bit 63 and the 9th
+    # vanished), silently voiding the pigeonhole recall guarantee.
     bands = []
     for b in range(n_bands):
-        lo = b * width
-        w = min(width, 63 - lo)
-        if w <= 0:
-            break
+        lo = 63 * b // n_bands
+        w = 63 * (b + 1) // n_bands - lo
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),
@@ -667,4 +674,5 @@ def phash_near_dup_pairs(
         .filter(F.col("distance") <= max_distance)
         .distinct()
     )
+    assert len(bands) == n_bands  # pigeonhole needs every band present
     return pairs

@@ -364,24 +364,37 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-dup + recall tested in `tests/test_corpus.py`."""
     docs = catalog.load(spark, "documents", sf_dir)
     return dedup.minhash_candidates_portable(
-        docs, "doc_id", "text", n=3, num_hashes=_Q28_K, bands=4
+        # max_bucket=None: the oracle checks the EXACT candidate set, so
+        # the size-derived default cap is explicitly disabled here.
+        docs, "doc_id", "text", n=3, num_hashes=_Q28_K, bands=4, max_bucket=None
     )
 
 
-# SimHash candidate-pair oracle: portable char-polynomial signatures
-# (the q132 fragment, queries_ext7) → 4×8-bit band split → bucket join →
-# exact Hamming verify via bit_count(xor). Pigeonhole: Hamming < 4 ⇒
-# exact agreement on ≥1 band, so recall is 100% for distance ≤ 3.
-_Q29_BITS = " + ".join(
+# SimHash candidate-pair oracle: portable char-polynomial signatures →
+# 4×16-bit band split → bucket join → exact Hamming verify via
+# bit_count(xor). Pigeonhole: Hamming < 4 ⇒ exact agreement on ≥1 band,
+# so recall is 100% for distance ≤ 3. 64-bit signatures (4·2¹⁶ = 262k
+# bucket keys — the dedup.py module-docstring sizing rule; 32/4 gave
+# only 1,024 keys, Σ bucket² quadratic at corpus scale). Bit 63 is the
+# BIGINT sign bit in both engines: the oracle packs it as the exact
+# two's-complement min-value term, and bands/Hamming are computed from
+# the 0/1 bit columns / bit-pattern xor, so signedness never leaks.
+_Q29_BIT_COLS = ",\n           ".join(
     f"CASE WHEN list_sum(list_transform(hv, h -> "
     f"((h * {2 * b + 3} + {101 * b + 29}) % {_MH_P}) % 2 * 2 - 1)) > 0 "
-    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
-    for b in range(32)
+    f"THEN 1 ELSE 0 END AS bit{b}"
+    for b in range(64)
+)
+
+_Q29_SIG = " + ".join(
+    [f"bit{b} * CAST({1 << b} AS BIGINT)" for b in range(63)]
+    + ["bit63 * (CAST(-9223372036854775807 AS BIGINT) - 1)"]
 )
 
 _Q29_BUCKETS = "\nUNION ALL\n".join(
     f"SELECT doc_id, simhash, {b} AS band, "
-    f"(simhash >> {8 * b}) & 255 AS bh FROM s2"
+    + " + ".join(f"bit{16 * b + j} * CAST({1 << j} AS BIGINT)" for j in range(16))
+    + " AS bh FROM s2"
     for b in range(4)
 )
 
@@ -394,7 +407,12 @@ _Q29_SQL = f"""WITH hs AS (
                (h, x) -> (h * 131 + x) % {_MH_P})) AS hv
     FROM documents
 ),
-s2 AS (SELECT doc_id, CAST({_Q29_BITS} AS BIGINT) AS simhash FROM hs),
+b2 AS (
+    SELECT doc_id,
+           {_Q29_BIT_COLS}
+    FROM hs
+),
+s2 AS (SELECT *, CAST({_Q29_SIG} AS BIGINT) AS simhash FROM b2),
 buckets AS ({_Q29_BUCKETS}),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -409,17 +427,21 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 
 @query("q29_simhash", oracle=_Q29_SQL, tags=("dedup",))
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs (E2): portable 32-bit signature →
-    4 contiguous 8-bit bands → bucket equi-join → exact Hamming verify
+    """SimHash near-dup candidate pairs (E2): portable 64-bit signature →
+    4 contiguous 16-bit bands → bucket equi-join → exact Hamming verify
     (`bit_count(sig_a XOR sig_b) ≤ 3`) — `dedup.simhash_candidates`,
     value-oracled end-to-end. The banded join is Σ bucket² with 100%
-    recall for Hamming ≤ bands−1 (pigeonhole); the verify is one codegen
-    expression per candidate. The murmur3 signature form
+    recall for Hamming ≤ bands−1 (pigeonhole); 64/4 puts 262k keys under
+    the join (the dedup.py sizing rule keys ≥ n²/target_pairs — 32-bit
+    signatures had 1,024 keys, quadratic at corpus scale). The verify is
+    one codegen expression per candidate. max_bucket=None: the oracle
+    checks the EXACT candidate set, so the size-derived default cap is
+    explicitly disabled here. The murmur3 signature form
     (`dedup.simhash_relational`, map-side-combined per-bit sums) remains
     the production fingerprint path, bit-equality-tested in unit tests."""
     docs = catalog.load(spark, "documents", sf_dir)
     return dedup.simhash_candidates(
-        docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        docs, "doc_id", "text", bits=64, bands=4, max_hamming=3, max_bucket=None
     )
 
 

@@ -384,8 +384,10 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 1000
     )
     kept = dedup.near_dup_dedup(
+        # max_bucket=None: oracle checks the exact candidate set (the
+        # size-derived default cap would be invisible to the SQL oracle).
         docs, "doc_id", "text", threshold=0.5,
-        num_hashes=8, bands=4, family="portable",
+        num_hashes=8, bands=4, family="portable", max_bucket=None,
     )
     return kept.select("doc_id", "source", "n_chars")
 

@@ -1031,3 +1031,67 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         dsum("o_totalprice", "sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q212 — the partitioned-composition stack in one oracled query:
+# partitioned Delta table → RENAME (a data column AND the partition
+# column) → SHALLOW CLONE → DV DELETE on the clone → scan. The clone's
+# add actions reference the source's files by absolute path, so
+# partition values must restore from the log (not hive dirs) under the
+# column mapping; the delete writes the clone's own DV sidecars over
+# shared files. One wrong partition value, resurrected row, or leaked
+# delete breaks the hash.
+# --------------------------------------------------------------------------
+
+_Q212_SQL = f"""
+SELECT CAST(o_orderkey % 5 AS VARCHAR) AS bucket5,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 4
+GROUP BY 1, 2
+"""
+
+
+def _partitioned_clone_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: partitioned source (bucket-of-5 hive
+    layout) → rename o_totalprice→price and mod5→bucket5 → shallow
+    clone → DELETE partition '4' on the CLONE only. Returns the clone
+    path."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    root = _cached_root(sf_dir, "delta_part_clone")
+    src, clone = os.path.join(root, "src"), os.path.join(root, "clone")
+    if delta_log.latest_version(clone) is None:
+        orders = catalog.load(spark, "orders", sf_dir).filter(
+            F.col("o_orderkey") % 3 == 0
+        ).withColumn("mod5", (F.col("o_orderkey") % 5).cast("string"))
+        delta_log.create(
+            orders, src, partition_by=["mod5"], stat_cols=["o_orderkey"]
+        )
+        delta_log.rename_column(src, "o_totalprice", "price")
+        delta_log.rename_column(src, "mod5", "bucket5")
+        delta_log.shallow_clone(src, clone)
+        delta_log.delete_where(spark, clone, "bucket5 = '4'")
+    return clone
+
+
+@query("q212_delta_partitioned_clone", oracle=_Q212_SQL, tags=("lake", "agg"))
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of a shallow clone of a PARTITIONED, column-mapped Delta
+    source with a post-clone DV delete (`delta_log.shallow_clone` —
+    absolute-path adds + partitionValues-driven partition restoration +
+    re-addressed "p" DV descriptors). O(metadata) clone at any table
+    size; the delete costs O(matched) bitmap bytes written executor-
+    side. Values must equal the plain relational reconstruction."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    clone = _partitioned_clone_table(spark, sf_dir)
+    return delta_log.read_delta(spark, clone).groupBy(
+        "bucket5", "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("price", "total_price"),
+    )

@@ -172,33 +172,54 @@ def deserialize_roaring64(data: bytes) -> "list[int]":
 # --------------------------------------------------------------------------
 
 
-def write_dv_file(table: str, dvs: "dict[str, list[int]]") -> "dict[str, dict]":
-    """Write ONE deletion-vector file holding a DV per entry of
-    ``dvs`` (data-file relative path -> deleted positions); returns
-    {data-file path: descriptor dict} ready to ride in add actions.
-    One file for the whole commit is the spec's intended layout — a
-    DELETE touching 10k data files costs one new object, not 10k."""
+def encode_dv(positions: "list[int]") -> bytes:
+    """One DV's serialized data: u32 LE magic + portable 64-bit roaring
+    bitmap. This is the per-file unit of work the DELETE path runs ON
+    EXECUTORS — the driver never sees raw position lists, only these
+    compact blobs' descriptors."""
+    return struct.pack("<I", MAGIC) + serialize_roaring64(positions)
+
+
+def write_dv_blobs(
+    table: str, items: "list[tuple[str, bytes, int]]"
+) -> "dict[str, dict]":
+    """Write ONE deletion-vector sidecar holding the given pre-encoded
+    blobs (``(key, encode_dv bytes, cardinality)``); returns {key:
+    descriptor dict} ready to ride in add actions. Called per TASK by
+    the distributed DELETE path (each task sidecars its own files — a
+    DELETE touching 10k data files costs O(tasks) new objects, not
+    10k) and once by the driver-side :func:`write_dv_file` wrapper."""
     u = _uuid.uuid4()
     name = f"deletion_vector_{u}.bin"
     descriptors: dict[str, dict] = {}
     with open(os.path.join(table, name), "wb") as f:
         f.write(b"\x01")  # format version
         pos = 1
-        for path in sorted(dvs):
-            positions = dvs[path]
-            data = struct.pack("<I", MAGIC) + serialize_roaring64(positions)
+        for key, data, cardinality in items:
             f.write(struct.pack(">I", len(data)))
             f.write(data)
             f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
-            descriptors[path] = {
+            descriptors[key] = {
                 "storageType": "u",
                 "pathOrInlineDv": z85_encode(u.bytes),
                 "offset": pos,
                 "sizeInBytes": len(data),
-                "cardinality": len(positions),
+                "cardinality": cardinality,
             }
             pos += 4 + len(data) + 4
     return descriptors
+
+
+def write_dv_file(table: str, dvs: "dict[str, list[int]]") -> "dict[str, dict]":
+    """Driver-side convenience wrapper over :func:`write_dv_blobs`:
+    encode + write a DV per entry of ``dvs`` (data-file relative path ->
+    deleted positions) into one sidecar. Kept for small metadata-scale
+    callers and tests; the DELETE/UPDATE hot path encodes executor-side
+    (see `delta_log.delete_where`) and never builds this dict."""
+    return write_dv_blobs(
+        table,
+        [(p, encode_dv(dvs[p]), len(set(dvs[p]))) for p in sorted(dvs)],
+    )
 
 
 def dv_file_path(table: str, descriptor: dict) -> str:

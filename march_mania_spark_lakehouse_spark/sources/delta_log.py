@@ -181,12 +181,14 @@ def _stage_data_files(
     if mapping is None:
         mapping = column_mapping(table)
     if mapping:
-        # column-mapping tables store PHYSICAL names in the files;
-        # enable_column_mapping gates partitioned tables, so no
-        # partitionValues remap is ever needed here
+        # column-mapping tables store PHYSICAL names in the files; the
+        # hive layout and each add's partitionValues are keyed by
+        # physical names too (rename-stable — the layer the scan's
+        # log-planned restoration translates back from)
         df = df.select(
             *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
         )
+        partition_by = [mapping.get(c, c) for c in partition_by]
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -428,7 +430,8 @@ def append(
                 }
             )
             files = _stage_data_files(
-                df, table, (), mapping=mapping
+                df, table, table_partition_columns(table, cur),
+                mapping=mapping,
             )
             actions = [
                 _commit_info("WRITE", {"mode": "Append"}),
@@ -753,57 +756,93 @@ def _read_files_raw(
     restored but NO deletion-vector application (the CDC input — a
     change feed must see physically added rows even when later
     tombstoned). ``with_positions`` adds ``__fp``/``__pos``."""
+    from pyspark.sql import types as T
+
     schema = table_schema(table, version)
     part_cols = table_partition_columns(table, version)
     paths = [os.path.join(table, f) for f in files]
     mapping = column_mapping(table, version)
-    if mapping:
-        # column-mapping read: scan under the PHYSICAL names (identical
-        # in every file regardless of rename history), then one alias
-        # pass back to the version's logical names. Partitioned tables
-        # are gated at enable time, so this is always the flat branch.
-        from pyspark.sql import types as T
-
-        phys_schema = T.StructType(
-            [
-                T.StructField(mapping[f.name], f.dataType, f.nullable)
-                for f in schema.fields
-            ]
-        )
-        df = spark.read.schema(phys_schema).parquet(*paths)
-        keep = [
-            F.col(mapping[f.name]).alias(f.name) for f in schema.fields
-        ]
+    absolute = any(os.path.isabs(f) for f in files)
+    if not mapping and not absolute:
+        # vanilla layouts: flat declared-schema scan, or hive basePath
+        # discovery for partitioned tables (keeps Spark's partition
+        # pruning on ad-hoc filters)
+        if not part_cols:
+            df = spark.read.schema(schema).parquet(*paths)
+        else:
+            data_schema = T.StructType(
+                [f for f in schema.fields if f.name not in part_cols]
+            )
+            df = spark.read.schema(data_schema).option(
+                "basePath", table
+            ).parquet(*paths)
         if with_positions:
-            keep += [
+            df = df.select(
+                "*",
                 F.regexp_replace(
                     F.col("_metadata.file_path"), "^file:(//)?", ""
                 ).alias("__fp"),
                 F.col("_metadata.row_index").alias("__pos"),
-            ]
-        return df.select(*keep)
-    if not part_cols:
-        df = spark.read.schema(schema).parquet(*paths)
-    else:
-        from pyspark.sql import types as T
-
-        data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols]
-        )
-        df = spark.read.schema(data_schema).option("basePath", table).parquet(*paths)
-    if with_positions:
-        df = df.select(
-            "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:(//)?", ""
-            ).alias("__fp"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
+            )
+        if part_cols:
+            for f in schema.fields:
+                if f.name in part_cols:
+                    df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        return df
+    # physical-name-aware branch (column mapping, and/or shallow-clone
+    # adds whose absolute paths defeat basePath discovery): scan data
+    # fields under their PHYSICAL names (identical in every file
+    # regardless of rename history), alias back to the version's
+    # logical names, and restore partition columns from the ADD
+    # ACTIONS' partitionValues — the log is authoritative, so shared
+    # hive dirs under a foreign root don't matter. The restoration is a
+    # broadcast (file → values) join, file-count-sized. Ad-hoc filters
+    # on partition columns lose Spark-side dir pruning here; the
+    # log-planned pruned scans (`scan_partitions`/`scan_pruned`) are
+    # the scale path either way.
+    phys = {f.name: (mapping or {}).get(f.name, f.name) for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    read_schema = T.StructType(
+        [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+    )
+    df = spark.read.schema(read_schema).parquet(*paths)
+    keep = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+    keep += [
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:(//)?", ""
+        ).alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ]
+    df = df.select(*keep)
     if part_cols:
-        for f in schema.fields:
-            if f.name in part_cols:
-                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    return df
+        live = _replay(table, version)
+        rows = []
+        for rel in files:
+            pv = _normalize_partition_values(
+                (live.get(rel) or {}).get("partitionValues")
+            )
+            fp = rel if os.path.isabs(rel) else os.path.abspath(
+                os.path.join(table, rel)
+            )
+            rows.append((fp, *[pv.get(phys[c]) for c in part_cols]))
+        pv_schema = ", ".join(
+            ["__fp string"] + [f"__pv{i} string" for i in range(len(part_cols))]
+        )
+        pmap = spark.createDataFrame(rows, pv_schema)
+        df = df.join(F.broadcast(pmap), "__fp", "left")
+        by_name = {f.name: f for f in schema.fields}
+        for i, c in enumerate(part_cols):
+            raw = F.col(f"__pv{i}")
+            df = df.withColumn(
+                c,
+                F.when(
+                    raw != "__HIVE_DEFAULT_PARTITION__", raw
+                ).cast(by_name[c].dataType),
+            ).drop(f"__pv{i}")
+    order = [f.name for f in schema.fields]
+    if with_positions:
+        order += ["__fp", "__pos"]
+    return df.select(*order)
 
 
 def _read_files(
@@ -836,7 +875,9 @@ def scan_partitions(
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table} has no Delta log")
-    want = {k: str(val) for k, val in values.items()}
+    # partitionValues are keyed by PHYSICAL names on mapped tables
+    mapping = column_mapping(table, v) or {}
+    want = {mapping.get(k, k): str(val) for k, val in values.items()}
     keep = [
         path
         for path, add in _replay(table, v).items()
@@ -886,52 +927,72 @@ def shallow_clone(table: str, target: str, version: int | None = None) -> int:
     source's live files at ``version`` IN PLACE (absolute paths in the
     add actions — spec-legal) — O(metadata) at any table size, the
     sandbox/experimentation primitive. Writes to the clone never touch
-    the source. Refuses sources with live deletion vectors (their
-    descriptors resolve relative to the source root; `optimize` first)
-    and partitioned sources (shared hive dirs across roots; convert
-    via hard links instead). Same shared-file retention caveat as the
-    lake conversions: vacuum on either side must not assume sole
-    ownership."""
+    the source. Composes with the whole feature surface:
+
+    - PARTITIONED sources: each add carries the source's
+      partitionValues, and the clone's reads restore partition columns
+      from those log values (`_read_files_raw`'s physical-name-aware
+      branch) — no dependence on hive dirs under a foreign root;
+    - COLUMN-MAPPING sources: the schemaString (with its physicalName
+      metadata) and configuration ride into the clone's metaData, so
+      the clone scans the shared files under the same physical names;
+    - LIVE DELETION VECTORS: "u" descriptors resolve relative to their
+      table root, so the clone re-addresses them as ABSOLUTE-path "p"
+      descriptors (spec storage type) pointing at the source's
+      sidecars — offset/size/cardinality unchanged.
+
+    Same shared-file retention caveat as the lake conversions: vacuum
+    on either side must not assume sole ownership."""
+    from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table} has no Delta log")
-    if table_partition_columns(table, v):
-        raise NotImplementedError("shallow_clone covers unpartitioned tables")
     if latest_version(target) is not None:
         raise FileExistsError(f"{target} already has a Delta log")
     live = _replay(table, v)
-    if any(a.get("deletionVector") for a in live.values()):
-        raise NotImplementedError(
-            "live deletion vectors resolve against the source root; "
-            "optimize() the source first"
-        )
-    schema = table_schema(table, v)
+    meta_src = _latest_metadata(table, v) or {}
+    has_dv = any(a.get("deletionVector") for a in live.values())
     os.makedirs(target, exist_ok=True)
-    adds = [
-        {
-            "add": {
-                "path": os.path.abspath(os.path.join(table, rel)),
-                "partitionValues": {},
-                "size": a.get("size"),
-                "modificationTime": _now_ms(),
-                "dataChange": True,
-                **({"stats": a["stats"]} if a.get("stats") else {}),
-            }
+    adds = []
+    for rel, a in sorted(live.items()):
+        add = {
+            "path": os.path.abspath(os.path.join(table, rel)),
+            "partitionValues": _normalize_partition_values(
+                a.get("partitionValues")
+            ),
+            "size": a.get("size"),
+            "modificationTime": _now_ms(),
+            "dataChange": True,
+            **({"stats": a["stats"]} if a.get("stats") else {}),
         }
-        for rel, a in sorted(live.items())
-    ]
+        dv = a.get("deletionVector")
+        if dv:
+            if dv.get("storageType") == "u":
+                add["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(
+                        deletion_vectors.dv_file_path(table, dv)
+                    ),
+                }
+            else:  # "p" (already absolute) and "i" (inline) carry over
+                add["deletionVector"] = dict(dv)
+        adds.append({"add": add})
     actions = [
         _commit_info(
             "CLONE", {"source": os.path.abspath(table), "sourceVersion": v}
         ),
-        {"protocol": dict(PROTOCOL)},
+        {"protocol": dict(DV_PROTOCOL if has_dv else PROTOCOL)},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema.json(),
-                "partitionColumns": [],
-                "configuration": {},
+                "schemaString": meta_src["schemaString"],
+                "partitionColumns": list(
+                    meta_src.get("partitionColumns") or []
+                ),
+                "configuration": dict(meta_src.get("configuration") or {}),
                 "createdTime": _now_ms(),
             }
         },
@@ -1176,15 +1237,39 @@ def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         for a in _read_actions(p):
             if "add" in a:
                 tracked.add(a["add"]["path"])
+    # deletion-vector sidecars referenced by ANY commit stay (old
+    # versions within retention may still read them); unreferenced ones
+    # are the debris of retried/crashed DELETE tasks, reclaimed under
+    # the same mtime retention guard
+    from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
+    dv_referenced: set[str] = set()
+    for vv in range(v + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        for a in _read_actions(p):
+            desc = a.get("add", {}).get("deletionVector")
+            if desc and desc.get("storageType") in ("u", "p"):
+                dv_referenced.add(
+                    os.path.realpath(deletion_vectors.dv_file_path(table, desc))
+                )
     for root, dirs, files in os.walk(table):
         dirs[:] = [
             d for d in dirs if not d.startswith(("_", "."))
         ]  # never touch _delta_log / staging
         for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
             rel = os.path.relpath(os.path.join(root, fn), table)
             fp = os.path.join(table, rel)
+            if fn.startswith("deletion_vector_") and fn.endswith(".bin"):
+                if os.path.realpath(fp) not in dv_referenced and (
+                    os.path.getmtime(fp) * 1000 <= _now_ms() - retention_ms
+                ):
+                    os.unlink(fp)
+                    deleted.append(rel)
+                continue
+            if not fn.endswith(".parquet"):
+                continue
             if rel not in tracked and os.path.getmtime(fp) * 1000 <= (
                 _now_ms() - retention_ms
             ):
@@ -1370,19 +1455,25 @@ DV_PROTOCOL = {
 
 def delete_where(spark: SparkSession, table: str, condition) -> int:
     """Merge-on-read DELETE via the protocol's DELETION VECTORS: the
-    matched rows' physical positions are written as per-file roaring
-    bitmaps into ONE ``deletion_vector_<uuid>.bin`` sidecar
-    (`sources/deletion_vectors.py` — Z85 descriptor, portable 64-bit
-    roaring, CRC-framed blobs), and each touched data file is
-    re-committed as remove+add with the DV descriptor attached. No
-    data file is rewritten: at 100 TB a DELETE costs O(matched rows)
-    bitmap bytes + one log commit, and readers pay one broadcast
-    anti-join. A second DELETE touching the same file merges with its
-    existing DV (the scan below reads through DVs, so already-deleted
-    rows can never re-match or double-tombstone). The commit also
-    upgrades the table protocol to the deletionVectors table feature,
-    per spec. Returns the committed version (current version when
-    nothing matched)."""
+    matched rows' physical positions are roaring-encoded ON EXECUTORS
+    (one task per group of touched files) and written as per-task
+    ``deletion_vector_<uuid>.bin`` sidecars (`sources/
+    deletion_vectors.py` — Z85 descriptor, portable 64-bit roaring,
+    CRC-framed blobs); each touched data file is re-committed as
+    remove+add with its DV descriptor attached. No data file is
+    rewritten, and — mirroring the read path's `_dv_tombstones` — the
+    driver only ever holds COMPACT DESCRIPTORS: a DELETE matching N
+    rows costs O(touched files) driver memory, never O(N), so a 10⁹-row
+    delete on a 100 TB table cannot OOM the driver. Readers pay one
+    broadcast anti-join. A second DELETE touching the same file merges
+    with its existing DV executor-side (the scan below reads through
+    DVs, so already-deleted rows can never re-match or
+    double-tombstone). The commit also upgrades the table protocol to
+    the deletionVectors table feature, per spec. A task retried by the
+    scheduler can leave an orphan (never-committed) sidecar, exactly
+    like Delta data-file writers; VACUUM's unreferenced-file sweep is
+    the standard cleanup. Returns the committed version (current
+    version when nothing matched)."""
     from pyspark.sql import Column
 
     from march_mania_spark_lakehouse_spark.sources import deletion_vectors
@@ -1398,26 +1489,85 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
     hits = scan.filter(pred).select(
         F.col("__fp").alias("fp"), F.col("__pos").alias("pos")
     )
-    import pandas as pd
+    base = os.path.abspath(table)
+    # files that already carry a DV: broadcast only the compact
+    # descriptors; executors merge old positions in when re-encoding
+    old_by_fp: dict[str, str] = {}
+    for k, add in live.items():
+        desc = (add or {}).get("deletionVector")
+        if desc:
+            fp = k if os.path.isabs(k) else os.path.abspath(
+                os.path.join(base, k)
+            )
+            old_by_fp[fp] = json.dumps(desc)
+            old_by_fp[os.path.realpath(fp)] = old_by_fp[fp]
 
-    def _pack(pdf):
-        return pd.DataFrame(
+    def _encode(batches):
+        """Executor-side DV construction (the mirror of the read path's
+        `_dv_tombstones`): stream the fp-clustered position rows, build
+        and roaring-encode each file's bitmap in the task, write ONE
+        sidecar per task via `write_dv_blobs`, and emit only the
+        compact descriptors. Driver memory is O(touched files), never
+        O(deleted rows) — a 1% delete of a 100 TB table is ~10⁹
+        positions, which must not transit the driver."""
+        import pandas as pd
+
+        from march_mania_spark_lakehouse_spark.sources import (
+            deletion_vectors as _dv,
+        )
+
+        groups: list[tuple[str, bytes, int]] = []
+        cur_fp: str | None = None
+        cur_pos: list[int] = []
+
+        def _flush() -> None:
+            nonlocal cur_fp, cur_pos
+            if cur_fp is None:
+                return
+            positions = cur_pos
+            oj = old_by_fp.get(cur_fp)
+            if oj:
+                positions = sorted(
+                    set(positions)
+                    | set(_dv.read_dv(table, json.loads(oj)))
+                )
+            groups.append((cur_fp, _dv.encode_dv(positions), len(positions)))
+            cur_fp, cur_pos = None, []
+
+        for pdf in batches:
+            for fp, pos in pdf.itertuples(index=False):
+                if fp != cur_fp:
+                    _flush()
+                    cur_fp = fp
+                cur_pos.append(int(pos))
+        _flush()
+        if not groups:
+            return
+        descs = _dv.write_dv_blobs(table, groups)
+        yield pd.DataFrame(
             {
-                "fp": [pdf["fp"].iloc[0]],
-                "positions": [sorted(pdf["pos"].astype("int64").tolist())],
+                "fp": [fp for fp, _, _ in groups],
+                "dv": [descs[fp]["pathOrInlineDv"] for fp, _, _ in groups],
+                "offset": [descs[fp]["offset"] for fp, _, _ in groups],
+                "size": [descs[fp]["sizeInBytes"] for fp, _, _ in groups],
+                "cardinality": [c for _, _, c in groups],
             }
         )
 
-    # per-file position sets built executor-side (Arrow-batched); the
-    # driver only sees one row per touched file
-    packed = (
-        hits.groupBy("fp")
-        .applyInPandas(_pack, "fp string, positions array<long>")
+    # repartition on fp so one task owns each file's positions, sorted so
+    # files arrive contiguously; the collect carries one descriptor row
+    # per touched file (compact), the bitmaps stay in the sidecars
+    desc_rows = (
+        hits.repartition("fp")
+        .sortWithinPartitions("fp", "pos")
+        .mapInPandas(
+            _encode,
+            "fp string, dv string, offset long, size long, cardinality long",
+        )
         .collect()
     )
-    if not packed:
+    if not desc_rows:
         return cur
-    base = os.path.abspath(table)
     # map scanned physical paths back to their REPLAY keys: normally
     # table-relative, but shallow-cloned adds carry absolute paths to
     # shared files outside the clone root
@@ -1427,25 +1577,18 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
         ): k
         for k in live
     }
-    dvs: dict[str, list[int]] = {}
-    for r in packed:
-        rel = by_real.get(os.path.realpath(r["fp"]))
-        if rel is None:
-            rel = os.path.relpath(r["fp"], base)
-        positions = list(r["positions"])
-        old_desc = (live.get(rel) or {}).get("deletionVector")
-        if old_desc:
-            positions = sorted(
-                set(positions) | set(deletion_vectors.read_dv(table, old_desc))
-            )
-        dvs[rel] = positions
-    descriptors = deletion_vectors.write_dv_file(table, dvs)
     ts = _now_ms()
     actions: list[dict] = [
         _commit_info("DELETE", {"predicate": str(condition)}),
         {"protocol": dict(DV_PROTOCOL)},
     ]
-    for rel in sorted(dvs):
+    rel_rows = []
+    for r in desc_rows:
+        rel = by_real.get(os.path.realpath(r["fp"]))
+        if rel is None:
+            rel = os.path.relpath(r["fp"], base)
+        rel_rows.append((rel, r))
+    for rel, r in sorted(rel_rows, key=lambda t: t[0]):
         old = live[rel]
         actions.append(
             {
@@ -1457,7 +1600,13 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
             }
         )
         new_add = {k: v for k, v in old.items()}
-        new_add["deletionVector"] = descriptors[rel]
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": r["dv"],
+            "offset": int(r["offset"]),
+            "sizeInBytes": int(r["size"]),
+            "cardinality": int(r["cardinality"]),
+        }
         new_add["dataChange"] = True
         new_add["modificationTime"] = ts
         actions.append({"add": new_add})
@@ -1624,17 +1773,15 @@ def enable_column_mapping(table: str) -> int:
     """Upgrade commit: flip ``delta.columnMapping.mode`` to ``name`` and
     pin every existing field's physical name to its CURRENT logical
     name (existing data files already store exactly those columns, so
-    the upgrade is metadata-only and instantly consistent). Gated on
-    unpartitioned tables — add-action partitionValues and hive dirs are
-    keyed by physical column names, a remapping this layer doesn't do."""
+    the upgrade is metadata-only and instantly consistent). Partitioned
+    tables compose: add-action partitionValues and hive dirs are keyed
+    by PHYSICAL names — identical to the logical ones at enable time,
+    so existing adds need no rewrite, and post-enable writes/reads
+    translate through the mapping (`_stage_data_files` /
+    `_read_files_raw` / `scan_partitions`)."""
     cur = latest_version(table)
     if cur is None:
         raise FileNotFoundError(f"{table} has no Delta log")
-    if table_partition_columns(table, cur):
-        raise NotImplementedError(
-            "column mapping on a partitioned table: partitionValues and "
-            "hive directory names are keyed by physical column names"
-        )
     meta = _latest_metadata(table, cur)
     if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
         return cur  # already enabled
@@ -1677,12 +1824,23 @@ def rename_column(table: str, old: str, new: str) -> int:
     for f in schema["fields"]:
         if f["name"] == old:
             f["name"] = new
+    # partitionColumns is the LOGICAL view (physical names live in the
+    # field metadata / partitionValues keys) — keep it in sync
+    part_cols = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
     _write_commit(
         table,
         cur + 1,
         [
             _commit_info("RENAME COLUMN", {"old": old, "new": new}),
-            {"metaData": {**meta, "schemaString": json.dumps(schema)}},
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": part_cols,
+                }
+            },
         ],
     )
     return cur + 1
@@ -1705,6 +1863,11 @@ def drop_column(table: str, col: str) -> int:
         raise KeyError(f"{col!r} not in table schema")
     if len(schema["fields"]) == 1:
         raise DeltaColumnMappingError("cannot drop the last column")
+    if col in (meta.get("partitionColumns") or []):
+        raise DeltaColumnMappingError(
+            f"{col!r} is a partition column; repartition the table "
+            "(overwrite) before dropping it"
+        )
     schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
     _write_commit(
         table,
@@ -1734,6 +1897,13 @@ def update_where(
     v = latest_version(table)
     schema = table_schema(table, v)
     names = [f.name for f in schema.fields]
+    unknown = set(assignments) - set(names)
+    if unknown:
+        # a typo'd assignment name must be an error, not a silent no-op
+        raise KeyError(
+            f"UPDATE assignments reference non-columns: {sorted(unknown)} "
+            f"(table columns: {names})"
+        )
     live = read_delta(spark, table, v).filter(pred)
     exprs = [
         (

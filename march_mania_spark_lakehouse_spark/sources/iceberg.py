@@ -3146,8 +3146,16 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
-    schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
-    df, _names = _read_raw(spark, table, meta, sid, snapshot_files(table, sid))
+    # a DELETE is a CURRENT-state operation: read under the CURRENT
+    # schema-id (the same rule read_iceberg and update_where apply), not
+    # the snapshot's stamped one — rename/drop are metadata-only (no new
+    # snapshot), so a predicate naming a just-renamed column must still
+    # resolve (and one naming a dropped column must fail analysis)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    df, _names = _read_raw(
+        spark, table, meta, sid, snapshot_files(table, sid),
+        meta["current-schema-id"],
+    )
     # scan through ALL existing deletes (position AND equality) so new
     # tombstones can only target live rows — double-tombstoning would
     # break the CDC decomposition of delete commits
@@ -3694,15 +3702,36 @@ def write_statistics(
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     seq = _snapshot(meta, sid)["sequence-number"]
-    df = read_iceberg(spark, table, sid)
+    df = read_iceberg(
+        spark, table, None if snapshot_id is None else snapshot_id
+    )
+    # resolve the sketch columns and their field-ids from the SAME
+    # schema generation the read used: current schema for a current-
+    # snapshot call, the snapshot's stamped schema for explicit time
+    # travel — otherwise a post-rename stats run against an old
+    # snapshot would look the column up under the wrong name
+    stats_schema_id = (
+        meta["current-schema-id"]
+        if snapshot_id is None
+        else _snapshot(meta, sid).get("schema-id", meta["current-schema-id"])
+    )
+    ids_by_name = {
+        f["name"]: f["id"]
+        for f in meta["schemas"][stats_schema_id]["fields"]
+    }
     blobs = []
     for c in cols:
+        if c not in ids_by_name:
+            raise KeyError(
+                f"{c!r} not in schema generation {stats_schema_id} "
+                f"(columns: {sorted(ids_by_name)})"
+            )
         state = _column_kmv_state(df, c, k)
         est, _theta = puffin.kmv_estimate(state, k)
         blobs.append(
             {
                 "type": "apache-datasketches-theta-v1",
-                "fields": [_field_id(meta, c)],
+                "fields": [ids_by_name[c]],
                 "snapshot-id": sid,
                 "sequence-number": seq,
                 "payload": puffin.theta_sketch_bytes(state, k),
@@ -3866,6 +3895,13 @@ def update_where(
     names = [
         f["name"] for f in meta["schemas"][schema_id]["fields"]
     ]
+    unknown = set(assignments) - set(names)
+    if unknown:
+        # a typo'd assignment name must be an error, not a silent no-op
+        raise KeyError(
+            f"UPDATE assignments reference non-columns: {sorted(unknown)} "
+            f"(table columns: {names})"
+        )
     df, _ = _read_raw(
         spark, table, meta, sid, snapshot_files(table, sid), schema_id
     )

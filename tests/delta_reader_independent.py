@@ -265,7 +265,9 @@ def read_rows(
         for f in fields:
             name = f["name"]
             if name in part_cols:
-                val = _cast_partition_value(pv.get(name), types[name])
+                # partitionValues are keyed by PHYSICAL names (rename-
+                # stable), like the file columns themselves
+                val = _cast_partition_value(pv.get(phys[name]), types[name])
                 cols[name] = [val] * n
             elif phys[name] in t.column_names:
                 cols[name] = t.column(phys[name]).to_pylist()

@@ -146,14 +146,48 @@ def test_rename_composes_with_deletion_vectors(mapped_table, spark):
     assert len(indie.read_rows(t)) == n_before - ndel
 
 
-def test_enable_gate_partitioned_table(spark, sf_dir, tmp_path):
+def test_mapping_composes_with_partitioned_table(spark, sf_dir, tmp_path):
+    """Column mapping on a PARTITIONED table (the round-6 gate, now a
+    feature): renames — of data columns AND of the partition column —
+    are metadata-only; reads restore partition values from the log
+    under the mapping; post-rename writes land under physical names;
+    log-planned partition pruning still prunes."""
     orders = _orders(spark, sf_dir).withColumn(
         "mod3", (F.col("o_orderkey") % 3).cast("string")
     )
     t = str(tmp_path / "orders_part_delta")
-    delta_log.create(orders, t, partition_by=["mod3"])
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        delta_log.rename_column(t, "o_orderstatus", "status")
+    delta_log.create(orders, t, partition_by=["mod3"], stat_cols=["o_orderkey"])
+    n = orders.count()
+    delta_log.rename_column(t, "o_orderstatus", "status")
+    delta_log.rename_column(t, "mod3", "bucket3")  # the partition column
+    assert delta_log.table_partition_columns(t) == ["bucket3"]
+    got = delta_log.read_delta(spark, t)
+    assert got.count() == n
+    assert {"status", "bucket3"} <= set(got.columns)
+    # partition values restored from the log, grouped counts match
+    want = {
+        str(r["mod3"]): r["n"]
+        for r in orders.groupBy("mod3").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {
+        r["bucket3"]: r["n"]
+        for r in got.groupBy("bucket3").agg(F.count(F.lit(1)).alias("n")).collect()
+    } == want
+    # post-rename append under the NEW logical names writes physical
+    # dirs and partitionValues that old and new files share
+    extra = spark.createDataFrame(
+        [(10_000_001, 1, "F", 1.0, "9")],
+        "o_orderkey long, o_custkey long, status string, "
+        "o_totalprice double, bucket3 string",
+    )
+    delta_log.append(extra, t, stat_cols=["o_orderkey"])
+    # log-planned pruning under the CURRENT logical name
+    nine = delta_log.scan_partitions(spark, t, {"bucket3": "9"})
+    assert [r.o_orderkey for r in nine.collect()] == [10_000_001]
+    one = delta_log.scan_partitions(spark, t, {"bucket3": "1"})
+    assert one.count() == want["1"]
+    # independent clean-room reader agrees end-to-end
+    assert len(indie.read_rows(t)) == n + 1
 
 
 def test_rename_gate_existing_name(mapped_table):

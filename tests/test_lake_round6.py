@@ -728,13 +728,23 @@ def test_delta_shallow_clone(spark, table, tmp_path):
     # stats carried: pruning works on the clone
     pruned = delta_log.scan_pruned(spark, clone_t, "id", 160, 170)
     assert pruned.count() == 11
-    # DV-carrying sources refuse
+    # DV-carrying sources clone too: the clone re-addresses the live
+    # "u" descriptors as absolute-path "p" descriptors
     delta_log.delete_where(spark, table, "id = 7")
-    with pytest.raises(NotImplementedError):
-        delta_log.shallow_clone(table, str(tmp_path / "dclone2"))
+    clone2 = str(tmp_path / "dclone2")
+    delta_log.shallow_clone(table, clone2)
+    got2 = delta_log.read_delta(spark, clone2)
+    assert got2.count() == 199
+    assert got2.filter(F.col("id") == 7).count() == 0
     from tests import delta_reader_independent as dindep
 
     assert len(dindep.read_rows(clone_t)) == 150
+    assert len(dindep.read_rows(clone2)) == 199
+    # further deletes on the DV clone merge with the re-addressed DVs
+    # without touching the source
+    delta_log.delete_where(spark, clone2, "id = 8")
+    assert delta_log.read_delta(spark, clone2).count() == 198
+    assert delta_log.read_delta(spark, table).count() == 199
 
 
 def test_incremental_dedup_loop_closes(spark):

@@ -225,6 +225,73 @@ def test_simhash_deterministic_and_close_for_near_dups(spark):
     assert hamming(a[1], a[2]) < hamming(a[1], a[3])
 
 
+def test_simhash_portable_64bit_matches_python_reference(spark):
+    """Pin the 64-bit sign-pack (bit 63 lands in the long's SIGN bit —
+    the q29 default after the 32→64 band-width fix): simhash_portable at
+    bits=64 must equal a character-level pure-Python reimplementation,
+    interpreted as two's-complement int64."""
+    p = dedup.PORTABLE_MOD
+
+    def py_simhash(text: str, bits: int = 64) -> int:
+        votes = [0] * bits
+        for tok in text.split(" "):
+            h = 0
+            for c in tok:
+                h = (h * 131 + ord(c)) % p
+            for b in range(bits):
+                g = (h * (2 * b + 3) + (101 * b + 29)) % p
+                votes[b] += 1 if g % 2 else -1
+        sig = sum(1 << b for b in range(bits) if votes[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "sphinx of black quartz judge my vow"),
+        (4, "zz zy zx zw zv zu zt zs zr zq zp zo"),  # many short tokens
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_portable(df, "doc_id", bits=64).collect()
+    }
+    assert got == {i: py_simhash(t) for i, t in rows}
+    # the corpus must actually exercise the sign bit, or this test pins
+    # nothing new over the 32-bit one
+    assert any(v < 0 for v in got.values())
+
+
+def test_simhash_candidates_64bit_default_and_bands(spark):
+    """The 64-bit default (4×16-bit bands): planted near-dups still
+    surface, and emitted hammings are true bit_count(xor) of the 64-bit
+    signatures — including pairs whose signatures differ in sign."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} tail{i} extra{i}") for i in range(10)]
+    rows += [(100, base + " shared suffix here"), (101, base + " shared suffix here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_portable(df, "doc_id", bits=64).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(df, "doc_id", max_hamming=8).collect()
+    }
+    assert (100, 101) in got and got[(100, 101)] == 0
+    for (a, b), h in got.items():
+        assert h == bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        assert h <= 8
+
+
+def test_auto_max_bucket_sizing():
+    """The size-derived cap: floor of 256 at test scale, 4·√n beyond."""
+    assert dedup._auto_max_bucket(0) == 256
+    assert dedup._auto_max_bucket(4096) == 256
+    assert dedup._auto_max_bucket(10**9) == 4 * 31622
+    assert dedup._auto_max_bucket(10**12) == 4 * 10**6
+
+
 def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
     emb = catalog.load(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 5)
@@ -341,6 +408,25 @@ def test_simhash_relational_matches_column_version(spark, sf_dir):
     }
     assert col_ver == rel_ver
     assert len(rel_ver) == 203  # NULL-text row survives explode_outer
+
+    # 64-bit family (xxhash64 token hash): same bit-identity, and the
+    # upper 32 bits must actually carry signal (not a sign-extension of
+    # bit 31, the failure mode _sim_token_hash exists to prevent)
+    col64 = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", dedup.simhash("text", bits=64).alias("s")
+        ).collect()
+    }
+    rel64 = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_relational(docs, "doc_id", bits=64).collect()
+    }
+    assert col64 == rel64
+    uppers = {
+        (v >> 32) & 0xFFFFFFFF for v in rel64.values() if v is not None
+    }
+    assert len(uppers) > 100  # degenerate sign-extension would give ≤2
 
 
 def test_hash_split_deterministic_disjoint_exhaustive(spark, sf_dir):

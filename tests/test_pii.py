@@ -106,6 +106,44 @@ def test_phash_banding_finds_all_pairs_within_distance(spark):
     assert got == want and len(want) >= 10
 
 
+def test_phash_banding_recall_at_awkward_max_distances(spark):
+    """The band layout must produce EXACTLY max_distance+1 non-empty
+    bands for every max_distance — a fixed uniform width under-produced
+    bands for 8, 9, 11, 13, 14 (the 9th of 9 8-bit bands overran bit
+    63), silently losing qualifying pairs. Brute-force cross-check at
+    each previously-broken value, with planted pairs at exactly
+    max_distance (the hardest case: they may agree on only one band)."""
+    import numpy as np
+
+    from march_mania_spark_lakehouse_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for max_distance in (8, 9, 11, 13, 14):
+        hashes = [(i, int(rng.integers(0, 2**63))) for i in range(12)]
+        h0 = hashes[0][1]
+        # flip exactly max_distance bits, spread across the word so the
+        # pair straddles as many bands as possible
+        step = 63 // max_distance
+        h = h0
+        for j in range(max_distance):
+            h ^= 1 << (j * step)
+        hashes.append((500, h))
+        df = spark.createDataFrame(hashes, "media_id long, phash long")
+        got = {
+            (r.id_a, r.id_b, r.distance)
+            for r in M.phash_near_dup_pairs(df, max_distance=max_distance).collect()
+        }
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        want = {
+            (a, b, ham(ha, hb))
+            for (a, ha) in hashes
+            for (b, hb) in hashes
+            if a < b and ham(ha, hb) <= max_distance
+        }
+        assert got == want, (max_distance, want - got)
+        assert (0, 500, max_distance) in got  # the planted borderline pair
+
+
 # --------------------------------------------------------------------------
 # Property-based checks (hypothesis) for the Puffin/KMV layer
 # --------------------------------------------------------------------------

@@ -298,3 +298,61 @@ def test_widen_composes_with_rename(spark, tmp_path):
     assert got.count() == 4
     rows = indie.read_rows(t)
     assert sorted(r[1] for r in rows) == [10, 20, 30, 2**35]
+
+
+def test_delete_and_update_immediately_after_rename(evolved_table, spark):
+    """rename_column is metadata-only (no snapshot restamps), but DELETE
+    and UPDATE are current-state operations: their predicates must
+    resolve the CURRENT (renamed) column names even before any other
+    snapshot commits — the read under a stale stamped schema-id used to
+    raise AnalysisException here."""
+    t, orders = evolved_table
+    iceberg.rename_column(t, "o_totalprice", "price")
+    # no snapshot between the rename and the DML
+    iceberg.delete_where(spark, t, "price > 100000.0")
+    got = iceberg.read_iceberg(spark, t)
+    assert got.filter(F.col("price") > 100000.0).count() == 0
+    expected = orders.filter(F.col("o_totalprice") <= 100000.0).count()
+    assert got.count() == expected
+
+    iceberg.rename_column(t, "price", "total")
+    iceberg.update_where(
+        spark, t, "total < 1000.0", {"status": F.lit("X")}
+    )
+    after = iceberg.read_iceberg(spark, t)
+    assert after.filter(
+        (F.col("total") < 1000.0) & (F.col("status") != "X")
+    ).count() == 0
+    assert after.count() == expected  # UPDATE preserves row count
+
+
+def test_update_where_rejects_unknown_assignment_column(evolved_table, spark):
+    t, _ = evolved_table
+    with pytest.raises(KeyError, match="non-columns.*o_statuss"):
+        iceberg.update_where(
+            spark, t, "o_orderkey = 3", {"o_statuss": F.lit("T")}
+        )
+
+
+def test_write_statistics_resolves_snapshot_schema_after_rename(
+    evolved_table, spark
+):
+    """An explicit-snapshot stats run after a rename must resolve the
+    column under THAT snapshot's schema (old name) and record the
+    stable field-id, so current-name NDV lookups still find it."""
+    t, _ = evolved_table
+    sids = iceberg.snapshot_ids(t)
+    # snapshot 0 predates the rename: its schema calls the column
+    # o_orderstatus; the current schema calls it status
+    entry = iceberg.write_statistics(
+        spark, t, ["o_orderstatus"], snapshot_id=sids[0]
+    )
+    assert entry["snapshot-id"] == sids[0]
+    # field-ids are rename-stable, so the CURRENT name resolves the blob
+    assert iceberg.table_ndv(t, "status", snapshot_id=sids[0]) >= 1
+    # and the current name is NOT in the old generation
+    with pytest.raises(KeyError, match="not in schema generation"):
+        iceberg.write_statistics(spark, t, ["status"], snapshot_id=sids[0])
+    # current-snapshot run uses the current name
+    cur = iceberg.write_statistics(spark, t, ["status"])
+    assert cur["snapshot-id"] == sids[-1]

@@ -90,3 +90,18 @@ def test_update_then_second_update_composes(spark, tmp_path):
     assert got[2] == ("BIG", 100.0)
     assert got[1] == ("a", 1.0)
     assert len(got) == 4
+
+
+def test_update_where_unknown_assignment_rejected_both_layers(spark, tmp_path):
+    """A typo in an assignment name must raise, not silently no-op."""
+    ti = str(tmp_path / "ice_upd_typo")
+    iceberg.create(_df(spark, ROWS), ti)
+    with pytest.raises(KeyError, match="non-columns.*vall"):
+        iceberg.update_where(spark, ti, "id = 1", {"vall": F.lit(9.0)})
+    td = str(tmp_path / "delta_upd_typo")
+    delta_log.create(_df(spark, ROWS), td)
+    with pytest.raises(KeyError, match="non-columns.*vall"):
+        delta_log.update_where(spark, td, "id = 1", {"vall": F.lit(9.0)})
+    # both tables unchanged
+    assert sorted(tuple(r) for r in iceberg.read_iceberg(spark, ti).collect()) == sorted(ROWS)
+    assert sorted(tuple(r) for r in delta_log.read_delta(spark, td).collect()) == sorted(ROWS)

@@ -315,6 +315,63 @@ def main() -> None:
         "wedges_oriented": int(wedges_oriented),
     }
 
+    # ---- 6. SimHash banding width: 32-bit/4-band vs 64-bit/4-band ----
+    # The geometry behind the q29 32→64 fix: 4×8-bit bands give only
+    # 1,024 distinct bucket keys, so even a perfectly uniform corpus
+    # generates Σ C(bucket,2) ≈ n²/2048 candidate pairs; 4×16-bit bands
+    # (262k keys) keep the bucket population sparse until n ~ 10⁵ per
+    # key. The probe measures the GENERATED-pair count (Σ C(bucket,2)
+    # over the band-bucket table — the exact rows the candidate
+    # self-join must emit) on synthetic distinct documents at 1×/10×/
+    # 100×, signatures via the codegen murmur3/xxhash family.
+    def synth_docs(n: int):
+        words = [
+            F.format_string(
+                "w%d",
+                F.pmod(F.xxhash64(F.col("id") + F.lit(j * 1_000_003)), F.lit(50_000)),
+            )
+            for j in range(12)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+        )
+
+    def generated_pairs(docs, bits: int) -> int:
+        sig = dedup.simhash_relational(docs, "doc_id", bits=bits)
+        width = bits // 4
+        mask = (1 << width) - 1
+        bandcols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bh"),
+            )
+            for b in range(4)
+        ]
+        buckets = sig.select(F.explode(F.array(*bandcols)).alias("bk")).select(
+            "bk.band", "bk.bh"
+        )
+        total = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) div 2")))
+            .first()[0]
+        )
+        return int(total or 0)
+
+    band_probe: dict[str, dict] = {}
+    base_n = 2_000
+    for bits in (32, 64):
+        row = {}
+        for mult in (1, 10, 100):
+            n = base_n * mult
+            row[f"pairs_{mult}x"] = generated_pairs(synth_docs(n), bits)
+        row["ratio_10x"] = round(row["pairs_10x"] / max(row["pairs_1x"], 1), 1)
+        row["ratio_100x"] = round(row["pairs_100x"] / max(row["pairs_1x"], 1), 1)
+        band_probe[f"bits{bits}"] = row
+    out["simhash_band_width"] = {"n_base": base_n, **band_probe}
+
     print(json.dumps({"hot_frac": HOT_FRAC, "probes": out},
                      separators=(",", ":")))
     spark.stop()
