@@ -9,9 +9,14 @@ yet: variable-width LZW over palette indices. Implemented per spec:
   order) and optional local color table;
 - LZW with growing code width (min_code_size+1 … 12 bits), CLEAR and
   EOI codes, 255-byte sub-block framing, little-endian bit packing;
-- extensions (graphic control etc.) parsed and skipped; only the
-  FIRST image of an animation is decoded (frame features for training
-  pipelines sample frames anyway).
+- GIF89a ANIMATION, both directions: `encode_animation` writes one
+  graphic-control extension (disposal / delay / transparency) per
+  frame plus the NETSCAPE2.0 looping application extension;
+  `decode_frames` composites every image descriptor onto the logical
+  canvas per the spec's disposal semantics (1 = leave, 2 = restore
+  background, 3 = restore previous) honoring sub-rectangle frames and
+  transparent-index pixels — the common web-GIF cases. `decode` keeps
+  its first-frame contract for single-image feature extraction.
 
 GIF is lossless over its palette, so round trips are BIT-EXACT — the
 test contract is exact equality on random content (the codec-sweep
@@ -251,3 +256,162 @@ def decode(payload: bytes) -> "np.ndarray":
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x} at {pos}")
     raise ValueError("GIF has no image data")
+
+
+# --------------------------------------------------------------------------
+# GIF89a animation: multiple image descriptors + graphic-control
+# extensions (+ NETSCAPE looping). Spec block layout per the public
+# GIF89a specification §23 (GCE) and the NETSCAPE2.0 app extension.
+# --------------------------------------------------------------------------
+
+
+def encode_animation(
+    frames: "list",
+    palette: "np.ndarray | None" = None,
+    delays_cs: "list[int] | None" = None,
+    loop: int = 0,
+    disposal: "int | list[int]" = 1,
+) -> bytes:
+    """Encode an animated GIF89a. ``frames`` is a list of either
+    (h, w) uint8 index arrays (full-canvas frames) or tuples
+    ``(pixels, left, top, transparent_idx|None)`` for sub-rectangle
+    frames with optional transparency — the forms real web GIFs use.
+    One global color table (grey ramp by default); per-frame
+    graphic-control extensions carry ``delays_cs`` (centiseconds,
+    default 4) and ``disposal`` (int for all frames or a per-frame
+    list: 1 = leave in place, 2 = restore background, 3 = restore
+    previous); ``loop`` rides the NETSCAPE2.0 application extension
+    (0 = forever)."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    norm = []
+    for fr in frames:
+        if isinstance(fr, tuple):
+            px, left, top, trans = fr
+        else:
+            px, left, top, trans = fr, 0, 0, None
+        if px.ndim != 2:
+            raise ValueError("frames are palette-indexed (h, w) arrays")
+        norm.append((px, int(left), int(top), trans))
+    if palette is None:
+        palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    n = len(palette)
+    depth = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    gct = np.zeros((1 << depth, 3), dtype=np.uint8)
+    gct[:n] = palette
+    sw = max(px.shape[1] + left for px, left, _t, _x in norm)
+    sh = max(px.shape[0] + top for px, _l, top, _x in norm)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack(
+        "<HHBBB", sw, sh, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0
+    )
+    out += gct.tobytes()
+    out += (
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        + struct.pack("<H", loop)
+        + b"\x00"
+    )
+    min_code = max(2, depth)
+    for i, (px, left, top, trans) in enumerate(norm):
+        delay = 4 if delays_cs is None else int(delays_cs[i])
+        disp = disposal[i] if isinstance(disposal, (list, tuple)) else disposal
+        packed = (disp & 0x7) << 2 | (1 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", packed, delay, trans if trans is not None else 0
+        ) + b"\x00"
+        h, w = px.shape
+        out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        out += bytes([min_code])
+        out += _sub_blocks(lzw_encode(px.reshape(-1), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_frames(payload: bytes) -> "list[tuple[np.ndarray, int]]":
+    """Decode EVERY frame of a (possibly animated) GIF, composited onto
+    the logical canvas per disposal semantics. Returns a frame table:
+    ``[(full-canvas (h, w, 3) uint8 RGB, delay_cs), ...]`` — the GIF
+    analogue of `mp4.extract_samples`. Sub-rectangle frames paint only
+    their region; transparent-index pixels leave the canvas unchanged;
+    disposal 2 restores the painted region to the background color and
+    3 restores the pre-frame canvas."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[tuple[np.ndarray, int]] = []
+    delay, disposal, trans = 0, 0, None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            blocks = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                blocks.extend(payload[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and len(blocks) >= 4:
+                packed, delay = struct.unpack_from("<BH", bytes(blocks), 0)
+                disposal = (packed >> 2) & 0x7
+                trans = blocks[3] if packed & 0x1 else None
+        elif b == 0x2C:
+            _, left, top, w, h, iflags = struct.unpack_from(
+                "<BHHHHB", payload, pos
+            )
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    payload, dtype=np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("no color table for image")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data.extend(payload[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
+            if iflags & 0x40:
+                deinter = np.empty_like(idx)
+                deinter[_interlace_order(h)] = idx
+                idx = deinter
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top: top + h, left: left + w]
+            if trans is not None:
+                mask = idx != trans
+                region[mask] = table[idx[mask]]
+            else:
+                region[...] = table[idx]
+            frames.append((canvas.copy(), delay))
+            if disposal == 2:
+                canvas[top: top + h, left: left + w] = bg_rgb
+            elif disposal == 3:
+                canvas = before
+            delay, disposal, trans = 0, 0, None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at {pos}")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames

@@ -117,8 +117,11 @@ _Q201_SQL = """
 SELECT d.doc_id,
        CAST(8 + d.doc_id % 16 AS INT) AS width,
        CAST(8 + (d.doc_id * 3) % 16 AS INT) AS height,
-       CAST(SUM((d.doc_id + 7 * y.y + 13 * x.x) % 256) AS BIGINT) AS sum_px
+       CAST(2 + d.doc_id % 3 AS INT) AS n_frames,
+       CAST(SUM((d.doc_id + 7 * y.y + 13 * x.x + 17 * f.f) % 256) AS BIGINT)
+           AS sum_px
 FROM documents d,
+     LATERAL UNNEST(range(0, 2 + d.doc_id % 3)) AS f(f),
      LATERAL UNNEST(range(0, 8 + (d.doc_id * 3) % 16)) AS y(y),
      LATERAL UNNEST(range(0, 8 + d.doc_id % 16)) AS x(x)
 GROUP BY d.doc_id
@@ -127,10 +130,14 @@ GROUP BY d.doc_id
 
 @query("q201_gif_roundtrip", oracle=_Q201_SQL, tags=("multimodal",))
 def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode→decode real GIFs in Arrow-batched workers and surface
-    (decoded width, height, pixel sum) against the closed-form oracle.
-    Interlace alternates by doc parity so both row orders stay pinned.
-    Map-only at any scale — the LZW dictionary is per-image state."""
+    """Encode→decode real ANIMATED GIFs in Arrow-batched workers and
+    surface (decoded width, height, frame count, all-frame pixel sum)
+    against the closed-form oracle. Per doc: 2–4 textured frames →
+    `gif.encode_animation` (graphic-control extensions + NETSCAPE
+    looping block) → `gif.decode_frames` (full disposal-aware
+    compositor); GIF is lossless so every frame must match bit-exactly
+    and per-frame delays round-trip too. Map-only at any scale — the
+    LZW dictionary and canvas are per-image worker state."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -141,31 +148,49 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _roundtrip(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            ws, hs, sums = [], [], []
+            ws, hs, nf, sums = [], [], [], []
             for doc_id in pdf["doc_id"]:
                 w = int(8 + doc_id % 16)
                 h = int(8 + (doc_id * 3) % 16)
+                k = int(2 + doc_id % 3)
                 yy, xx = np.mgrid[0:h, 0:w]
-                px = ((int(doc_id) + 7 * yy + 13 * xx) % 256).astype(np.uint8)
-                decoded = gif.decode(
-                    gif.encode(px, interlace=bool(doc_id % 2))
+                frames = [
+                    ((int(doc_id) + 7 * yy + 13 * xx + 17 * f) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(k)
+                ]
+                payload = gif.encode_animation(
+                    frames, delays_cs=[4 + f for f in range(k)]
                 )
-                if decoded.shape != (h, w, 3) or not (
-                    decoded[..., 0] == px
-                ).all() or not (decoded[..., 2] == px).all():
-                    raise ValueError(f"GIF round trip broke for doc {doc_id}")
+                decoded = gif.decode_frames(payload)
+                if len(decoded) != k:
+                    raise ValueError(f"frame count broke for doc {doc_id}")
+                total = 0
+                for f, (rgb, delay) in enumerate(decoded):
+                    if (
+                        rgb.shape != (h, w, 3)
+                        or delay != 4 + f
+                        or not (rgb[..., 0] == frames[f]).all()
+                        or not (rgb[..., 2] == frames[f]).all()
+                    ):
+                        raise ValueError(
+                            f"GIF animation broke for doc {doc_id} frame {f}"
+                        )
+                    total += int(frames[f].astype(np.int64).sum())
                 ws.append(w)
                 hs.append(h)
-                sums.append(int(px.astype(np.int64).sum()))
+                nf.append(k)
+                sums.append(total)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "width": ws, "height": hs,
-                 "sum_px": sums}
+                 "n_frames": nf, "sum_px": sums}
             )
 
     docs = catalog.load(spark, "documents", sf_dir).select("doc_id")
     return rebalance_scan(docs).mapInPandas(
         _roundtrip,
-        schema="doc_id long, width int, height int, sum_px long",
+        schema="doc_id long, width int, height int, n_frames int, sum_px long",
     )
 
 

@@ -1353,6 +1353,7 @@ def optimize(
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_by: Sequence[str] = (),
     stat_cols: Sequence[str] = (),
+    target_files: int | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the live file set into ~target-sized files
     (bin-packing compaction), optionally clustering rows by a z-order
@@ -1369,10 +1370,18 @@ def optimize(
     cur = latest_version(table)
     if cur is None:
         raise FileNotFoundError(f"{table} has no Delta log")
+    from march_mania_spark_lakehouse_spark.sources.iceberg import (
+        _compaction_file_count,
+    )
+
     df = read_delta(spark, table, cur)
     live = snapshot_files(table, cur)
     total_bytes = sum(os.path.getsize(os.path.join(table, f)) for f in live)
-    n_out = max(1, -(-total_bytes // target_file_bytes))
+    # auto-sized like iceberg.optimize: pack to target, floored at the
+    # cluster's parallelism so the compacted table still scans wide
+    n_out = _compaction_file_count(
+        spark, total_bytes, target_file_bytes, target_files
+    )
     if zorder_by:
         from march_mania_spark_lakehouse_spark.operators.sketch import zorder_key
 

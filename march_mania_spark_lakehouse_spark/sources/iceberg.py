@@ -2015,6 +2015,35 @@ def scan_null(
     return _read_data_files(spark, table, meta, sid, keep, schema_id).filter(pred)
 
 
+#: auto-sizing floor: never shatter a compaction into files smaller
+#: than this just to hit the parallelism target
+MIN_COMPACTION_FILE_BYTES = 8 * 1024 * 1024
+
+
+def _compaction_file_count(
+    spark: SparkSession,
+    total_bytes: int,
+    target_file_bytes: int,
+    target_files: int | None,
+) -> int:
+    """Output file count for a compaction: ``target_files`` wins when
+    given; otherwise bin-pack to ``target_file_bytes`` but never below
+    the cluster's parallelism (bounded by an 8 MB per-file floor) — a
+    compaction that packs everything into ONE 128 MB file turns the
+    next scan into one task, which is exactly the serialization the
+    q188 100× probe measured. At real scale the size target dominates
+    (100 TB / 128 MB ≫ any cluster's cores); the parallelism floor only
+    engages for small-to-medium tables, where re-scanning in parallel
+    is worth slightly under-target files."""
+    import math
+
+    if target_files is not None:
+        return max(1, target_files)
+    packed = max(1, math.ceil(total_bytes / target_file_bytes))
+    par_cap = max(1, total_bytes // MIN_COMPACTION_FILE_BYTES)
+    return max(packed, min(spark.sparkContext.defaultParallelism, par_cap))
+
+
 def optimize(
     spark: SparkSession,
     table: str,
@@ -2022,6 +2051,7 @@ def optimize(
     small_file_bytes: int | None = None,
     stat_cols: Sequence[str] = (),
     sort_by: Sequence[str] = (),
+    target_files: int | None = None,
 ) -> int:
     """Bin-pack compaction (the selective cousin of `compact`): rewrite
     ONLY data files smaller than ``small_file_bytes`` (default
@@ -2087,7 +2117,9 @@ def optimize(
         spark, table, meta, sid, sorted(rel_small), meta["current-schema-id"]
     )
     total = sum(e["data_file"]["file_size_in_bytes"] for e in small_entries)
-    n_out = max(1, math.ceil(total / target_file_bytes))
+    n_out = _compaction_file_count(
+        spark, total, target_file_bytes, target_files
+    )
     if sort_by:
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
             *sort_by

@@ -208,6 +208,155 @@ class DeltaTableStreamDataSource(DataSource):
         return _DeltaTableStreamReader(self.options)
 
 
+class _DeltaTableCdcStreamReader:
+    """Row-level CDC micro-batches from a Delta table: appended rows as
+    inserts, DELETION-VECTOR delete commits decomposed into the
+    tombstoned rows as deletes (`_change_type` column) — the streaming
+    twin of `delta_log.table_changes(include_deletes=True)` and the
+    Delta mirror of `_IcebergTableCdcStreamReader`. A DV commit re-adds
+    each touched file with a grown bitmap, so its deleted rows are the
+    (new DV − predecessor DV) positions, recovered by reading ONLY the
+    touched files. True rewrites (overwrite/MERGE/RESTORE) raise;
+    OPTIMIZE commits (dataChange=false) are correctly invisible. Same
+    scope notes as the append-only reader (unpartitioned, unmapped
+    tables; driver-side pyarrow materialization is the documented
+    SimpleDataSourceStreamReader trade)."""
+
+    def __init__(self, options: dict) -> None:
+        self.table = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _changes(self, lo: int, hi: int) -> list:
+        import pyarrow.parquet as pq
+
+        from march_mania_spark_lakehouse_spark.sources import (
+            deletion_vectors,
+            delta_log,
+        )
+
+        if delta_log.column_mapping(self.table, hi):
+            raise NotImplementedError(
+                "delta_table_cdc reads files by logical column name; "
+                "use delta_log.table_changes for column-mapped tables"
+            )
+        cols = [f.name for f in delta_log.table_schema(self.table, hi).fields]
+        dv_state: dict = (
+            {
+                p: a.get("deletionVector")
+                for p, a in delta_log._replay(self.table, lo).items()
+            }
+            if lo >= 0
+            else {}
+        )
+        added: list[str] = []
+        deleted: list[tuple[str, dict, dict | None]] = []
+        for v in range(lo + 1, hi + 1):
+            p = delta_log._commit_path(self.table, v)
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"missing commit {v} for {self.table}")
+            actions = delta_log._read_actions(p)
+            removes = {
+                a["remove"]["path"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            }
+            adds = [
+                a["add"] for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            for a in adds:
+                if a.get("partitionValues"):
+                    raise NotImplementedError(
+                        "delta_table_cdc supports unpartitioned tables"
+                    )
+            if not removes:
+                added.extend(a["path"] for a in adds)
+                for a in adds:
+                    dv_state[a["path"]] = a.get("deletionVector")
+                continue
+            readd = {a["path"]: a for a in adds}
+            if set(readd) != removes or not all(
+                a.get("deletionVector") for a in readd.values()
+            ):
+                raise delta_log.DeltaNonAppendChangeError(
+                    f"commit {v} rewrites data files; a CDC stream "
+                    "cannot represent it as row-level changes"
+                )
+            for path, a in readd.items():
+                deleted.append((path, a["deletionVector"], dv_state.get(path)))
+                dv_state[path] = a["deletionVector"]
+        rows: list[tuple] = []
+        for rel in sorted(added):
+            t = pq.read_table(os.path.join(self.table, rel))
+            names = set(t.column_names)
+            for rec in t.to_pylist():
+                rows.append(
+                    tuple(rec.get(c) if c in names else None for c in cols)
+                    + ("insert",)
+                )
+        for rel, new_desc, old_desc in sorted(deleted, key=lambda x: x[0]):
+            new_pos = set(deletion_vectors.read_dv(self.table, new_desc))
+            old_pos = (
+                set(deletion_vectors.read_dv(self.table, old_desc))
+                if old_desc
+                else set()
+            )
+            t = pq.read_table(os.path.join(self.table, rel))
+            names = set(t.column_names)
+            recs = t.to_pylist()
+            for pos in sorted(new_pos - old_pos):
+                rec = recs[pos]
+                rows.append(
+                    tuple(rec.get(c) if c in names else None for c in cols)
+                    + ("delete",)
+                )
+        return rows
+
+    def read(self, start: dict):
+        from march_mania_spark_lakehouse_spark.sources import delta_log
+
+        lo = int(start["version"])
+        hi = delta_log.latest_version(self.table)
+        if hi is None or hi <= lo:
+            return (iter(()), {"version": lo})
+        return (self._changes(lo, hi), {"version": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._changes(int(start["version"]), int(end["version"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # committed versions are immutable — the log IS the ack
+
+
+class DeltaTableCdcStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_table_cdc").option("path", t)``
+    after registering: micro-batches carry the table's row-level
+    changes (insert/delete in `_change_type`) since the checkpointed
+    version — DV DELETE commits flow as signed delete rows, so
+    `ivm.signed_state` materialized views refresh through merge-on-read
+    deletes exactly once, the same loop the Iceberg CDC source drives."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_table_cdc"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        from march_mania_spark_lakehouse_spark.sources import delta_log
+
+        base = delta_log.table_schema(self.options["path"])
+        return T.StructType(
+            list(base.fields)
+            + [T.StructField("_change_type", T.StringType(), False)]
+        )
+
+    def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
+        return _DeltaTableCdcStreamReader(self.options)
+
+
 # --------------------------------------------------------------------------
 # Streaming FROM an Iceberg-format table — the `delta_table_stream`
 # pattern on the second lake format: offsets are table SEQUENCE NUMBERS

@@ -880,3 +880,82 @@ def test_avro_deflate_codec_both_readers(tmp_path):
     assert indep.read_avro(p_null) == recs
     with pytest.raises(NotImplementedError):
         avro_ocf.write_ocf(str(tmp_path / "n.avro"), schema, recs, codec="snappy")
+
+
+def test_delta_cdc_stream_source_with_dv_deletes(spark, table, tmp_path):
+    """The Delta mirror of the Iceberg CDC streaming test: drain 1 sees
+    the base as inserts; an append + two DV DELETEs (the second extends
+    an existing DV — the predecessor-diff path) then drain 2 (same
+    checkpoint) delivers inserts AND the tombstoned rows as deletes
+    exactly once; folding the signed stream reproduces the head
+    snapshot."""
+    from collections import Counter
+
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+        _DeltaTableCdcStreamReader,
+    )
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(10)],
+            "id long, cat string, val double",
+        ),
+        table,
+    )
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    sink = str(tmp_path / "dcdc_sink")
+    ckpt = str(tmp_path / "dcdc_ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("delta_table_cdc")
+            .option("path", table).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 10
+    assert got.filter("_change_type = 'insert'").count() == 10
+
+    delta_log.append(
+        spark.createDataFrame(
+            [(i, "b", float(i)) for i in range(10, 14)],
+            "id long, cat string, val double",
+        ),
+        table,
+    )
+    delta_log.delete_where(spark, table, "id % 3 = 0")
+    delta_log.delete_where(spark, table, "id = 1")  # extends existing DVs
+    drain()
+    got = spark.read.parquet(sink).collect()
+    state = Counter()
+    for r in got:
+        t = (r.id, r.cat, r.val)
+        state[t] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        (r.id, r.cat, r.val)
+        for r in delta_log.read_delta(spark, table).collect()
+    )
+    assert +state == head
+    dels = sorted(r.id for r in got if r._change_type == "delete")
+    assert dels == sorted(
+        [i for i in range(14) if i % 3 == 0] + [1]
+    )
+    # a true rewrite (OPTIMIZE is invisible, overwrite refuses)
+    delta_log.optimize(spark, table)
+    reader = _DeltaTableCdcStreamReader({"path": table})
+    assert reader._changes(3, delta_log.latest_version(table)) == []
+    delta_log.overwrite(
+        spark.createDataFrame([(99, "z", 9.0)], "id long, cat string, val double"),
+        table,
+    )
+    with pytest.raises(delta_log.DeltaNonAppendChangeError):
+        reader._changes(3, delta_log.latest_version(table))

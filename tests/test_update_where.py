@@ -105,3 +105,23 @@ def test_update_where_unknown_assignment_rejected_both_layers(spark, tmp_path):
     # both tables unchanged
     assert sorted(tuple(r) for r in iceberg.read_iceberg(spark, ti).collect()) == sorted(ROWS)
     assert sorted(tuple(r) for r in delta_log.read_delta(spark, td).collect()) == sorted(ROWS)
+
+
+def test_compaction_auto_sizing(spark):
+    """OPTIMIZE output count: explicit target_files wins; size target
+    dominates at scale; the parallelism floor stops one-big-file
+    compactions; tiny tables never shatter below the 8 MB floor."""
+    from march_mania_spark_lakehouse_spark.sources.iceberg import (
+        _compaction_file_count,
+    )
+
+    mb = 1024 * 1024
+    par = spark.sparkContext.defaultParallelism
+    assert _compaction_file_count(spark, 10**12, 128 * mb, 7) == 7
+    # 1 TB at 128 MB target: packing dominates (far above parallelism)
+    assert _compaction_file_count(spark, 10**12, 128 * mb, None) == -(-10**12 // (128 * mb))
+    # 128 MB total would pack to ONE file; floor lifts it to parallelism
+    got = _compaction_file_count(spark, 128 * mb, 128 * mb, None)
+    assert got == min(par, 16)  # 16 = 128MB / 8MB floor
+    # tiny table: no shattering
+    assert _compaction_file_count(spark, 3 * mb, 128 * mb, None) == 1
