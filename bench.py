@@ -40,14 +40,22 @@ def main() -> None:
         # query's generated classes; then take the best of two steady-state
         # runs (the number that scales with data, not with JVM warmup or
         # transient host noise — this box shows 2-5× run-to-run variance
-        # from noisy neighbors).
+        # from noisy neighbors). When the two steady-state samples
+        # DISAGREE by more than 50% the noise clearly won, so keep
+        # sampling (up to two extra runs) until two samples land within
+        # that band — round-over-round artifact comparisons should track
+        # the plan, not a neighbor's compile job.
         _force(spec.fn(spark, sf_dir))
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(4):
             t0 = time.perf_counter()
             _force(spec.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+            if len(samples) >= 2:
+                lo, lo2 = sorted(samples)[:2]
+                if lo2 <= 1.5 * lo:
+                    break
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -122,9 +122,25 @@ class SyntheticDocsStreamDataSource(DataSource):
 # `delta_log.table_changes`), and replay is deterministic because
 # committed versions are immutable. Data files are read driver-side
 # with pyarrow (the simple-reader contract; no SparkSession needed) —
-# the documented fit for control-plane-rate streams. Unpartitioned
-# tables only (partition columns live outside the data files).
+# the documented fit for control-plane-rate streams. Partitioned and
+# column-mapped tables compose: partition columns restore from each
+# add's partitionValues, data columns read under physical names.
 # --------------------------------------------------------------------------
+
+
+def _cast_pv(s: "str | None", spark_type_name: str):
+    """Hive partition values are strings in the Delta log; cast per the
+    declared Spark type (the subset the fixtures use). The streaming
+    readers' counterpart of the batch scan's partition-cast pass."""
+    if s is None or s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if spark_type_name in ("bigint", "int", "smallint", "tinyint"):
+        return int(s)
+    if spark_type_name in ("double", "float"):
+        return float(s)
+    if spark_type_name == "boolean":
+        return s == "true"
+    return s
 
 
 class _DeltaTableStreamReader:
@@ -148,11 +164,9 @@ class _DeltaTableStreamReader:
                         f"commit {v} rewrites files; cannot stream it as appends"
                     )
                 if "add" in a and a["add"].get("dataChange", True):
-                    if a["add"].get("partitionValues"):
-                        raise NotImplementedError(
-                            "delta_table_stream supports unpartitioned tables"
-                        )
-                    files.append(a["add"]["path"])
+                    files.append(
+                        (a["add"]["path"], a["add"].get("partitionValues") or {})
+                    )
         return files
 
     def _rows(self, files: list):
@@ -160,12 +174,28 @@ class _DeltaTableStreamReader:
 
         from march_mania_spark_lakehouse_spark.sources import delta_log
 
-        cols = [f.name for f in delta_log.table_schema(self.table).fields]
-        for rel in files:
+        schema = delta_log.table_schema(self.table)
+        part_cols = set(delta_log.table_partition_columns(self.table))
+        mapping = delta_log.column_mapping(self.table) or {}
+        cols = [f.name for f in schema.fields]
+        # column-mapped tables store PHYSICAL names in files and key
+        # partitionValues by them; one lookup per field translates
+        phys = {c: mapping.get(c, c) for c in cols}
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        for rel, pv in files:
             t = pq.read_table(os.path.join(self.table, rel))
             names = set(t.column_names)
+            fills = {
+                c: _cast_pv(pv.get(phys[c]), types[c])
+                for c in cols
+                if c in part_cols
+            }
             for batch in t.to_pylist():
-                yield tuple(batch.get(c) if c in names else None for c in cols)
+                yield tuple(
+                    fills[c] if c in fills
+                    else (batch.get(phys[c]) if phys[c] in names else None)
+                    for c in cols
+                )
 
     def read(self, start: dict):
         from march_mania_spark_lakehouse_spark.sources import delta_log
@@ -200,9 +230,17 @@ class DeltaTableStreamDataSource(DataSource):
         return "delta_table_stream"
 
     def schema(self):
+        from pyspark.sql import types as T
+
         from march_mania_spark_lakehouse_spark.sources import delta_log
 
-        return delta_log.table_schema(self.options["path"])
+        base = delta_log.table_schema(self.options["path"])
+        # strip columnMapping field metadata: physical names are a
+        # reader-side concern, and metadata-bearing fields trip the
+        # streaming sink's schema assertions
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable) for f in base.fields]
+        )
 
     def simpleStreamReader(self, schema):  # noqa: ARG002 (API signature)
         return _DeltaTableStreamReader(self.options)
@@ -217,10 +255,12 @@ class _DeltaTableCdcStreamReader:
     each touched file with a grown bitmap, so its deleted rows are the
     (new DV − predecessor DV) positions, recovered by reading ONLY the
     touched files. True rewrites (overwrite/MERGE/RESTORE) raise;
-    OPTIMIZE commits (dataChange=false) are correctly invisible. Same
-    scope notes as the append-only reader (unpartitioned, unmapped
-    tables; driver-side pyarrow materialization is the documented
-    SimpleDataSourceStreamReader trade)."""
+    OPTIMIZE commits (dataChange=false) are correctly invisible.
+    Partitioned and column-mapped tables compose: partition columns
+    restore from each add's partitionValues and files are read under
+    their physical names — the streaming mirror of the batch scan's
+    log-planned restoration. Driver-side pyarrow materialization is
+    the documented SimpleDataSourceStreamReader trade."""
 
     def __init__(self, options: dict) -> None:
         self.table = options["path"]
@@ -236,12 +276,12 @@ class _DeltaTableCdcStreamReader:
             delta_log,
         )
 
-        if delta_log.column_mapping(self.table, hi):
-            raise NotImplementedError(
-                "delta_table_cdc reads files by logical column name; "
-                "use delta_log.table_changes for column-mapped tables"
-            )
-        cols = [f.name for f in delta_log.table_schema(self.table, hi).fields]
+        schema = delta_log.table_schema(self.table, hi)
+        part_cols = set(delta_log.table_partition_columns(self.table, hi))
+        mapping = delta_log.column_mapping(self.table, hi) or {}
+        cols = [f.name for f in schema.fields]
+        phys = {c: mapping.get(c, c) for c in cols}
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
         dv_state: dict = (
             {
                 p: a.get("deletionVector")
@@ -250,8 +290,8 @@ class _DeltaTableCdcStreamReader:
             if lo >= 0
             else {}
         )
-        added: list[str] = []
-        deleted: list[tuple[str, dict, dict | None]] = []
+        added: list[tuple[str, dict]] = []
+        deleted: list[tuple[str, dict, dict, dict | None]] = []
         for v in range(lo + 1, hi + 1):
             p = delta_log._commit_path(self.table, v)
             if not os.path.exists(p):
@@ -266,13 +306,10 @@ class _DeltaTableCdcStreamReader:
                 a["add"] for a in actions
                 if "add" in a and a["add"].get("dataChange", True)
             ]
-            for a in adds:
-                if a.get("partitionValues"):
-                    raise NotImplementedError(
-                        "delta_table_cdc supports unpartitioned tables"
-                    )
             if not removes:
-                added.extend(a["path"] for a in adds)
+                added.extend(
+                    (a["path"], a.get("partitionValues") or {}) for a in adds
+                )
                 for a in adds:
                     dv_state[a["path"]] = a.get("deletionVector")
                 continue
@@ -285,18 +322,34 @@ class _DeltaTableCdcStreamReader:
                     "cannot represent it as row-level changes"
                 )
             for path, a in readd.items():
-                deleted.append((path, a["deletionVector"], dv_state.get(path)))
+                deleted.append(
+                    (path, a.get("partitionValues") or {},
+                     a["deletionVector"], dv_state.get(path))
+                )
                 dv_state[path] = a["deletionVector"]
+
+        def _tuple(rec: dict, names: set, fills: dict) -> tuple:
+            return tuple(
+                fills[c] if c in fills
+                else (rec.get(phys[c]) if phys[c] in names else None)
+                for c in cols
+            )
+
+        def _fills(pv: dict) -> dict:
+            return {
+                c: _cast_pv(pv.get(phys[c]), types[c])
+                for c in cols
+                if c in part_cols
+            }
+
         rows: list[tuple] = []
-        for rel in sorted(added):
+        for rel, pv in sorted(added, key=lambda x: x[0]):
             t = pq.read_table(os.path.join(self.table, rel))
             names = set(t.column_names)
+            fills = _fills(pv)
             for rec in t.to_pylist():
-                rows.append(
-                    tuple(rec.get(c) if c in names else None for c in cols)
-                    + ("insert",)
-                )
-        for rel, new_desc, old_desc in sorted(deleted, key=lambda x: x[0]):
+                rows.append(_tuple(rec, names, fills) + ("insert",))
+        for rel, pv, new_desc, old_desc in sorted(deleted, key=lambda x: x[0]):
             new_pos = set(deletion_vectors.read_dv(self.table, new_desc))
             old_pos = (
                 set(deletion_vectors.read_dv(self.table, old_desc))
@@ -305,13 +358,10 @@ class _DeltaTableCdcStreamReader:
             )
             t = pq.read_table(os.path.join(self.table, rel))
             names = set(t.column_names)
+            fills = _fills(pv)
             recs = t.to_pylist()
             for pos in sorted(new_pos - old_pos):
-                rec = recs[pos]
-                rows.append(
-                    tuple(rec.get(c) if c in names else None for c in cols)
-                    + ("delete",)
-                )
+                rows.append(_tuple(recs[pos], names, fills) + ("delete",))
         return rows
 
     def read(self, start: dict):
@@ -348,8 +398,9 @@ class DeltaTableCdcStreamDataSource(DataSource):
         from march_mania_spark_lakehouse_spark.sources import delta_log
 
         base = delta_log.table_schema(self.options["path"])
+        # metadata stripped for the same reason as the append source
         return T.StructType(
-            list(base.fields)
+            [T.StructField(f.name, f.dataType, f.nullable) for f in base.fields]
             + [T.StructField("_change_type", T.StringType(), False)]
         )
 
@@ -364,8 +415,28 @@ class DeltaTableCdcStreamDataSource(DataSource):
 # entries carry sequence numbers in (checkpointed, latest], and replay
 # is deterministic because committed snapshots are immutable. Append-
 # only contract: a rewrite snapshot (overwrite/MERGE) in the range
-# raises rather than double-counting. Unpartitioned tables only.
+# raises rather than double-counting. Partitioned tables compose:
+# identity partition columns restore from the manifest entries' TYPED
+# partition tuples (transform fields need nothing — hidden
+# partitioning keeps their source columns in the files).
 # --------------------------------------------------------------------------
+
+
+def _iceberg_partition_value(v, type_name: str):
+    """Manifest partition tuples carry TYPED Avro values; convert the
+    spec's surrogate encodings (date = days-since-epoch int,
+    timestamptz = micros-since-epoch long) back to Python values."""
+    import datetime
+
+    if v is None:
+        return None
+    if type_name == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+    if type_name == "timestamptz":
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=int(v)
+        )
+    return v
 
 
 class _IcebergTableStreamReader:
@@ -407,11 +478,10 @@ class _IcebergTableStreamReader:
             for e in avro_ocf.read_ocf(m["manifest_path"]):
                 if e["status"] != 1:
                     continue
-                if e["data_file"].get("partition"):
-                    raise NotImplementedError(
-                        "iceberg_table_stream supports unpartitioned tables"
-                    )
-                files.append(e["data_file"]["file_path"])
+                files.append(
+                    (e["data_file"]["file_path"],
+                     e["data_file"].get("partition") or {})
+                )
         return sorted(files)
 
     def _rows(self, files: list):
@@ -422,11 +492,28 @@ class _IcebergTableStreamReader:
         meta = iceberg.current_metadata(self.table)
         schema = meta["schemas"][meta["current-schema-id"]]
         cols = [f["name"] for f in schema["fields"]]
-        for path in files:
+        # identity-transform partition columns are physically absent
+        # from data files (hive layout); their TYPED values ride in the
+        # manifest entry's partition tuple — restore from there.
+        # Transform fields (ts_day / key_bucket) need nothing: their
+        # source columns stay in the files (hidden partitioning).
+        identity = set(iceberg._identity_part_cols(meta))
+        for path, part in files:
             t = pq.read_table(path)
             names = set(t.column_names)
+            fills = {
+                c: _iceberg_partition_value(part.get(c), ty)
+                for c, ty in (
+                    (f["name"], f["type"]) for f in schema["fields"]
+                )
+                if c in identity
+            }
             for rec in t.to_pylist():
-                yield tuple(rec.get(c) if c in names else None for c in cols)
+                yield tuple(
+                    fills[c] if c in fills
+                    else (rec.get(c) if c in names else None)
+                    for c in cols
+                )
 
     def read(self, start: dict):
         from march_mania_spark_lakehouse_spark.sources import iceberg
@@ -485,9 +572,10 @@ class _IcebergTableCdcStreamReader:
     Equality-delete commits refuse: recovering their dead rows needs
     the parent snapshot's full state, which a driver-side simple
     reader should not materialize — use the batch change feed for
-    upsert-heavy tables. Same scope notes as the append-only reader
-    (unpartitioned tables; driver-side pyarrow materialization is the
-    documented SimpleDataSourceStreamReader trade)."""
+    upsert-heavy tables. Identity partition columns restore from the
+    manifest partition tuples (the append-only reader's rule);
+    driver-side pyarrow materialization is the documented
+    SimpleDataSourceStreamReader trade."""
 
     def __init__(self, options: dict) -> None:
         self.table = options["path"]
@@ -520,20 +608,24 @@ class _IcebergTableCdcStreamReader:
         snap = iceberg._snapshot(meta, meta["current-snapshot-id"])
         schema = meta["schemas"][meta["current-schema-id"]]
         cols = [f["name"] for f in schema["fields"]]
+        identity = set(iceberg._identity_part_cols(meta))
+        types = {f["name"]: f["type"] for f in schema["fields"]}
         added, pos_dels = [], []
+        part_of: dict = {}  # data file path -> partition tuple
         for m in avro_ocf.read_ocf(snap["manifest-list"]):
-            if not (lo < m["sequence_number"] <= hi):
-                continue
             for e in avro_ocf.read_ocf(m["manifest_path"]):
+                d = e["data_file"]
+                if d.get("content", 0) == 0:
+                    # remember EVERY live data file's partition tuple —
+                    # a delete in range can tombstone rows of a file
+                    # added before the range
+                    part_of[d["file_path"]] = d.get("partition") or {}
+                if not (lo < m["sequence_number"] <= hi):
+                    continue
                 if e["status"] != 1:
                     continue
                 if not (lo < e["sequence_number"] <= hi):
                     continue
-                d = e["data_file"]
-                if d.get("partition"):
-                    raise NotImplementedError(
-                        "iceberg_table_cdc supports unpartitioned tables"
-                    )
                 content = d.get("content", 0)
                 if content == 0:
                     added.append(d["file_path"])
@@ -545,13 +637,27 @@ class _IcebergTableCdcStreamReader:
                         "recovery; use iceberg.table_changes for "
                         "upsert CDC"
                     )
+
+        def _fills(path: str) -> dict:
+            part = part_of.get(path) or {}
+            return {
+                c: _iceberg_partition_value(part.get(c), types[c])
+                for c in cols
+                if c in identity
+            }
+
         rows = []
         for path in sorted(added):
             t = pq.read_table(path)
             names = set(t.column_names)
+            fills = _fills(path)
             for rec in t.to_pylist():
                 rows.append(
-                    tuple(rec.get(c) if c in names else None for c in cols)
+                    tuple(
+                        fills[c] if c in fills
+                        else (rec.get(c) if c in names else None)
+                        for c in cols
+                    )
                     + ("insert",)
                 )
         tomb: dict = {}
@@ -564,11 +670,16 @@ class _IcebergTableCdcStreamReader:
         for fp in sorted(tomb):
             t = pq.read_table(fp)
             names = set(t.column_names)
+            fills = _fills(fp)
             recs = t.to_pylist()
             for pos in sorted(tomb[fp]):
                 rec = recs[pos]
                 rows.append(
-                    tuple(rec.get(c) if c in names else None for c in cols)
+                    tuple(
+                        fills[c] if c in fills
+                        else (rec.get(c) if c in names else None)
+                        for c in cols
+                    )
                     + ("delete",)
                 )
         return rows

@@ -143,3 +143,46 @@ def test_rewrite_position_deletes_consolidates_and_preserves(spark, tmp_path):
     ) == expected
     # idempotent: a second rewrite is a no-op
     assert iceberg.rewrite_position_deletes(spark, t) == sid
+
+
+def test_vacuum_dv_sidecars_live_kept_orphans_swept(spark, tmp_path):
+    """The executor-side DELETE writes per-task DV sidecars; a retried
+    task can orphan one. VACUUM must sweep unreferenced
+    deletion_vector_*.bin (mtime past retention) while every sidecar
+    referenced by ANY commit — current or time-travelable — survives."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    t = str(tmp_path / "dv_vac")
+    delta_log.create(
+        spark.range(0, 100).select(
+            "id", (F.col("id") % 5).alias("g")
+        ).repartition(4),
+        t,
+    )
+    delta_log.delete_where(spark, t, "id % 10 = 0")
+    live_sidecars = set(glob.glob(os.path.join(t, "deletion_vector_*.bin")))
+    assert live_sidecars  # the delete produced at least one
+    # plant an orphan (a crashed/retried task's debris), aged past
+    # retention
+    orphan = os.path.join(t, "deletion_vector_00000000000000000000000000000000.bin")
+    with open(orphan, "wb") as f:
+        f.write(b"\x01junkjunkjunk")
+    old = 10_000
+    os.utime(orphan, (old, old))
+    for p in live_sidecars:  # age the LIVE ones too: retention alone
+        os.utime(p, (old, old))  # must not justify deleting them
+    deleted = delta_log.vacuum(t, retention_ms=0)
+    assert os.path.basename(orphan) in deleted
+    assert not os.path.exists(orphan)
+    for p in live_sidecars:
+        assert os.path.exists(p), f"live DV sidecar {p} was vacuumed"
+    # table still reads through its DVs, both readers
+    assert delta_log.read_delta(spark, t).count() == 90
+    from tests import delta_reader_independent as indie
+
+    assert len(indie.read_rows(t)) == 90

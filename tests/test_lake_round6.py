@@ -959,3 +959,133 @@ def test_delta_cdc_stream_source_with_dv_deletes(spark, table, tmp_path):
     )
     with pytest.raises(delta_log.DeltaNonAppendChangeError):
         reader._changes(3, delta_log.latest_version(table))
+
+
+def test_delta_cdc_stream_partitioned_mapped_table(spark, table, tmp_path):
+    """The Delta CDC stream on a PARTITIONED, column-MAPPED table:
+    partition columns restore from the log's physical-keyed
+    partitionValues, data columns read under physical names, and DV
+    deletes still fold exactly."""
+    from collections import Counter
+
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+    )
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, str(i % 3), float(i)) for i in range(12)],
+            "id long, g string, val double",
+        ),
+        table,
+        partition_by=["g"],
+    )
+    delta_log.rename_column(table, "val", "score")  # upgrades to mapping
+    delta_log.rename_column(table, "g", "grp")      # partition column rename
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    sink = str(tmp_path / "pmcdc_sink")
+    ckpt = str(tmp_path / "pmcdc_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_table_cdc")
+            .option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 12
+    assert set(got.columns) == {"id", "grp", "score", "_change_type"}
+    # partition values restored, not null
+    assert got.filter(F.col("grp").isNull()).count() == 0
+
+    delta_log.append(
+        spark.createDataFrame(
+            [(12, "0", 12.0), (13, "1", 13.0)],
+            "id long, grp string, score double",
+        ),
+        table,
+    )
+    delta_log.delete_where(spark, table, "grp = '2'")
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    state = Counter()
+    for r in rows:
+        state[(r.id, r.grp, r.score)] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        (r.id, r.grp, r.score)
+        for r in delta_log.read_delta(spark, table).collect()
+    )
+    assert +state == head
+    dels = sorted(r.id for r in rows if r._change_type == "delete")
+    assert dels == [i for i in range(12) if i % 3 == 2]
+
+
+def test_iceberg_cdc_stream_partitioned_table(spark, table, tmp_path):
+    """The Iceberg CDC stream on an identity-PARTITIONED table:
+    partition columns restore from the manifest entries' typed
+    partition tuples — including for delete rows whose data file was
+    added before the streamed range."""
+    from collections import Counter
+
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    iceberg.create(
+        spark.createDataFrame(
+            [(i, str(i % 3), float(i)) for i in range(12)],
+            "id long, g string, val double",
+        ),
+        table,
+        partition_by=["g"],
+    )
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink = str(tmp_path / "icdc_sink")
+    ckpt = str(tmp_path / "icdc_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_table_cdc")
+            .option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 12
+    assert got.filter(F.col("g").isNull()).count() == 0
+
+    iceberg.append(
+        spark.createDataFrame(
+            [(12, "0", 12.0), (13, "2", 13.0)],
+            "id long, g string, val double",
+        ),
+        table,
+    )
+    iceberg.delete_where(spark, table, "g = '1'")
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    state = Counter()
+    for r in rows:
+        state[(r.id, r.g, r.val)] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        (r.id, r.g, r.val)
+        for r in iceberg.read_iceberg(spark, table).collect()
+    )
+    assert +state == head
+    dels = sorted(r.id for r in rows if r._change_type == "delete")
+    assert dels == [i for i in range(12) if i % 3 == 1]
+    # delete rows carry the restored partition value, not null
+    assert all(
+        r.g == "1" for r in rows if r._change_type == "delete"
+    )
