@@ -678,24 +678,27 @@ def portable_lsh_buckets(
         # lanes are far cheaper than decimal in the wide aggregate
         F.round(F.col("x").cast("double") * F.lit(1e9)).cast("long").alias("xq"),
     )
-    lanes = []
-    for idx in range(bands * planes):
-        h = (
-            (F.col("i") + 1).cast("long") * F.lit((2 * idx + 3) * 7919)
-            + F.lit(101 * idx + 13)
-        ) % F.lit(1_000_000_007)
-        signed = F.col("xq") * F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
-        lanes.append(F.sum(signed).alias(f"d{idx}"))
+    # SQL-string expressions (the simhash_portable lesson): building
+    # bands·planes lane aggregates operator-by-operator spends driver
+    # time on py4j round trips every plan construction; one F.expr per
+    # lane parses the identical tree
+    lanes = [
+        F.expr(
+            f"sum(xq * (CASE WHEN (CAST(i + 1 AS LONG) * "
+            f"{(2 * idx + 3) * 7919} + {101 * idx + 13}) % 1000000007 "
+            f"% 2 = 0 THEN 1 ELSE -1 END))"
+        ).alias(f"d{idx}")
+        for idx in range(bands * planes)
+    ]
     dots = ex.groupBy(id_col).agg(*lanes)
     band_cols = []
     for b in range(bands):
-        bits = F.lit(0)
-        for p in range(planes):
-            bits = bits + F.when(
-                F.col(f"d{b * planes + p}") > 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
+        bits = " + ".join(
+            f"(CASE WHEN d{b * planes + p} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes)
+        )
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), bits.cast("long").alias("bits"))
+            F.expr(f"struct({b} AS band, CAST({bits} AS LONG) AS bits)")
         )
     return dots.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
