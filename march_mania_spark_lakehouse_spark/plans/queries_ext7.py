@@ -592,21 +592,82 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_pq(emb, q, k=5)
 
 
+# q150's oracle: the FULL iterative BPE induction, unrolled in SQL —
+# one (pair-count → argmax → list-fold rewrite) CTE block per merge
+# round over the word-frequency table. The fold is the exact DuckDB
+# analogue of the Spark-side leftmost-nonoverlap fuse (acc-list
+# list_reduce; the list_prepend-init trick from the q29 oracle); the
+# argmax tie-breaks (cnt DESC, l, r) like the operator, and an
+# impossible sentinel pair (chr(1)) models the min_count early-stop as
+# a no-op round. CTEs are MATERIALIZED: each w{k} is referenced by both
+# p{k+1} and w{k+1}, and inlining would re-evaluate the whole chain
+# 2^rounds times.
+_Q150_MERGES, _Q150_MIN_COUNT = 8, 2
+
+
+def _q150_fold(sym: str, l: str, r: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        f"list_transform({sym}, q -> [q])), "
+        f"(acc, y) -> CASE WHEN len(acc) > 0 AND acc[-1] = {l} AND y[1] = {r} "
+        f"THEN list_append(acc[1:len(acc)-1], acc[-1] || y[1]) "
+        f"ELSE list_append(acc, y[1]) END)"
+    )
+
+
+def _q150_sql() -> str:
+    parts = ["""w0 AS MATERIALIZED (
+  SELECT word, string_split(word, '') AS s, CAST(cnt AS BIGINT) AS freq
+  FROM (SELECT u.tok AS word, COUNT(*) AS cnt
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(tok)
+        WHERE u.tok <> '' GROUP BY u.tok))"""]
+    for k in range(1, _Q150_MERGES + 1):
+        top = (
+            f"SELECT {{c}} FROM p{k} WHERE cnt >= {_Q150_MIN_COUNT} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1"
+        )
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i+1] AS r, SUM(freq) AS cnt
+  FROM w{k - 1}, UNNEST(range(1, len(s))) AS t(i)
+  GROUP BY 1, 2)""")
+        parts.append(f"""m{k} AS MATERIALIZED (SELECT
+  COALESCE(({top.format(c="l")}), chr(1)) AS l,
+  COALESCE(({top.format(c="r")}), chr(1)) AS r)""")
+        parts.append(f"""w{k} AS MATERIALIZED (
+  SELECT word, {_q150_fold("s", f"m{k}.l", f"m{k}.r")} AS s, freq
+  FROM w{k - 1}, m{k})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+applied AS (
+  SELECT d.doc_id, w.s
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(tok)
+  JOIN w{_Q150_MERGES} w ON u.tok = w.word),
+ex AS (SELECT a.doc_id, v.s2 FROM applied a, UNNEST(a.s) AS v(s2))
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bpe_tokens,
+       CAST(COUNT(DISTINCT s2) AS INT) AS n_distinct_tokens
+FROM ex GROUP BY doc_id"""
+    )
+
+
 # bench=False: 8 driver-loop rounds ≈ 13 s at sf0.1 — all fixed
 # per-round overhead (vocab table is tiny); benching it would only
 # re-measure scheduler latency 8×. Correctness runs in the driver sim.
-@query("q150_bpe_vocab_induction", oracle=None, bench=False, tags=("text",))
+@query("q150_bpe_vocab_induction", oracle=_q150_sql(), bench=False, tags=("text",))
 def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-BPE tokenization of the documents corpus: induce 8 merges
     from the corpus itself (`text.learn_bpe_merges` — iterative
     distributed pair-counting over the vocabulary-bounded word table,
     same bounded-driver-loop shape as connected components), then apply
-    them map-only and report per-doc token counts. Iterative vocab
-    induction is non-SQL-expressible (sanctioned rows-only family, like
-    Elo); the algorithm carries a textbook golden test instead
-    (`tests/test_ext4.py`)."""
+    them map-only and report per-doc token counts. FULLY VALUE-ORACLED
+    (formerly rows-only): the DuckDB oracle unrolls all 8 induction
+    rounds — pair argmax and leftmost-nonoverlap fuse included — so a
+    wrong merge choice, tie-break, or fuse rule anywhere in the loop
+    breaks the hash; the textbook golden test (`tests/test_ext4.py`)
+    stays as the unit-level pin."""
     docs = catalog.load(spark, "documents", sf_dir)
-    merges = text.learn_bpe_merges(docs, n_merges=8)
+    merges = text.learn_bpe_merges(docs, n_merges=_Q150_MERGES)
     out = text.apply_bpe_merges(docs, merges)
     return out.select(
         "doc_id",

@@ -416,3 +416,79 @@ def test_table_changes_with_deletes_decomposes_dv_commits(spark, table):
     dlog.overwrite(_df(spark, [(999, "z", 9.0)]), table)
     with pytest.raises(dlog.DeltaNonAppendChangeError):
         dlog.table_changes(spark, table, 0, include_deletes=True).count()
+
+
+def test_random_partitioned_delta_sweep_with_clones(spark, tmp_path):
+    """The partitioned-composition torture test: random append /
+    dv-delete / update / optimize / checkpoint / rename (data AND
+    partition column) / restore / SHALLOW CLONE sequences on a
+    PARTITIONED table — a clone switches the history onto the clone
+    (absolute-path adds over shared files) and keeps mutating. Both
+    readers must agree at every surviving version of the final chain."""
+    import random
+
+    rng = random.Random(20260815)
+
+    def _pdf(spark_, rows):
+        return spark_.createDataFrame(rows, "id long, g string, val double")
+
+    for trial in range(3):
+        table = str(tmp_path / f"prand_{trial}")
+        nid = [0]
+
+        def fresh(n, nid=nid):
+            rows = [
+                (nid[0] + i, str((nid[0] + i) % 3), float(nid[0] + i))
+                for i in range(n)
+            ]
+            nid[0] += n
+            return rows
+
+        def names():
+            return [f.name for f in dlog.table_schema(table).fields]
+
+        def batch(rows):
+            df = _pdf(spark, rows)
+            return df.toDF(*names())
+
+        dlog.create(
+            _pdf(spark, fresh(rng.randrange(3, 8))), table, partition_by=["g"]
+        )
+        clone_n = [0]
+        for _ in range(6):
+            op = rng.choice(
+                ["append", "dv_delete", "optimize", "checkpoint",
+                 "rename_val", "rename_part", "update", "restore", "clone"]
+            )
+            if op == "append":
+                dlog.append(batch(fresh(rng.randrange(1, 5))), table)
+            elif op == "dv_delete":
+                dlog.delete_where(spark, table, f"id % 3 = {rng.randrange(3)}")
+            elif op == "optimize":
+                dlog.optimize(spark, table)
+            elif op == "checkpoint":
+                dlog.checkpoint(table)
+            elif op == "rename_val":
+                cur = names()[2]
+                dlog.rename_column(
+                    table, cur, "score" if cur == "val" else "val"
+                )
+            elif op == "rename_part":
+                cur = names()[1]
+                dlog.rename_column(table, cur, "grp" if cur == "g" else "g")
+            elif op == "update":
+                dlog.update_where(
+                    spark, table, f"id % 4 = {rng.randrange(4)}",
+                    {names()[2]: F.col(names()[2]) + 1000.0},
+                )
+            elif op == "restore":
+                dlog.restore(table, rng.randrange(dlog.latest_version(table) + 1))
+            else:  # clone, then continue the random history ON the clone
+                clone_n[0] += 1
+                tgt = str(tmp_path / f"prand_{trial}_clone{clone_n[0]}")
+                dlog.shallow_clone(table, tgt)
+                table = tgt
+        for v in range(dlog.latest_version(table) + 1):
+            assert sorted(indep.read_rows(table, v)) == _spark_rows(
+                spark, table, v
+            ), f"trial {trial} version {v} diverged"
