@@ -1062,9 +1062,16 @@ def _partitioned_clone_table(spark: SparkSession, sf_dir: str) -> str:
     path."""
     from march_mania_spark_lakehouse_spark.sources import delta_log
 
+    import shutil
+
     root = _cached_root(sf_dir, "delta_part_clone")
     src, clone = os.path.join(root, "src"), os.path.join(root, "clone")
     if delta_log.latest_version(clone) is None:
+        # the publish below is multi-step: a crash after create(src)
+        # would otherwise poison the cache (create refuses an existing
+        # log) — rebuild from scratch when the terminal artifact (the
+        # clone) is missing
+        shutil.rmtree(root, ignore_errors=True)
         orders = catalog.load(spark, "orders", sf_dir).filter(
             F.col("o_orderkey") % 3 == 0
         ).withColumn("mod5", (F.col("o_orderkey") % 5).cast("string"))

@@ -202,9 +202,15 @@ def _stage_data_files(
             rel_dir = os.path.relpath(root, staging)
             pvals: dict = {}
             if rel_dir != ".":
+                import urllib.parse
+
                 for seg in rel_dir.split(os.sep):
                     k, _, v = seg.partition("=")
-                    pvals[k] = v
+                    # hive dir names percent-escape special chars
+                    # (':' → '%3A'); the spec's partitionValues carry
+                    # the RAW value — unescape (the iceberg layer's
+                    # _typed_partition rule)
+                    pvals[k] = urllib.parse.unquote(v)
             new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel = os.path.join(rel_dir, new_name) if rel_dir != "." else new_name
             os.makedirs(os.path.dirname(os.path.join(table, rel)) or table, exist_ok=True)
@@ -745,6 +751,20 @@ def _dv_tombstones(
     return F.broadcast(dels) if total <= DV_BROADCAST_LIMIT else dels
 
 
+def _fp_norm() -> "Column":
+    """``_metadata.file_path`` → the ON-DISK path. Spark reports a
+    Hadoop-encoded URI (space → %20, '%' → %25 — so a hive-escaped
+    partition dir like ``g=x%3Ay`` arrives double-encoded as
+    ``g=x%253Ay``): strip the ``file:`` scheme and percent-DECODE, or
+    every path-keyed broadcast join (DV tombstones, partition-value
+    restoration) silently misses files under special-char partition
+    dirs. '+' is protected as %2B first because ``url_decode`` is
+    form-decoding ('+' → space); the composition is exact RFC
+    percent-decoding."""
+    raw = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+
+
 def _read_files_raw(
     spark: SparkSession,
     table: str,
@@ -779,9 +799,7 @@ def _read_files_raw(
         if with_positions:
             df = df.select(
                 "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""
-                ).alias("__fp"),
+                _fp_norm().alias("__fp"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
         if part_cols:
@@ -808,9 +826,7 @@ def _read_files_raw(
     df = spark.read.schema(read_schema).parquet(*paths)
     keep = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
     keep += [
-        F.regexp_replace(
-            F.col("_metadata.file_path"), "^file:(//)?", ""
-        ).alias("__fp"),
+        _fp_norm().alias("__fp"),
         F.col("_metadata.row_index").alias("__pos"),
     ]
     df = df.select(*keep)
@@ -1229,27 +1245,23 @@ def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
     # parquet (never in any add action — the debris of crashed writers
     # and losing concurrent commits), mtime-guarded by the same
     # retention so an in-flight commit's staged files survive
-    tracked: set[str] = set(removed_at) | live
-    for vv in range(v + 1):
-        p = _commit_path(table, vv)
-        if not os.path.exists(p):
-            continue
-        for a in _read_actions(p):
-            if "add" in a:
-                tracked.add(a["add"]["path"])
-    # deletion-vector sidecars referenced by ANY commit stay (old
-    # versions within retention may still read them); unreferenced ones
-    # are the debris of retried/crashed DELETE tasks, reclaimed under
-    # the same mtime retention guard
+    # one pass over the log collects BOTH the tracked data files and
+    # the referenced deletion-vector sidecars (which stay: old versions
+    # within retention may still read them; unreferenced sidecars are
+    # the debris of retried/crashed DELETE tasks)
     from march_mania_spark_lakehouse_spark.sources import deletion_vectors
 
+    tracked: set[str] = set(removed_at) | live
     dv_referenced: set[str] = set()
     for vv in range(v + 1):
         p = _commit_path(table, vv)
         if not os.path.exists(p):
             continue
         for a in _read_actions(p):
-            desc = a.get("add", {}).get("deletionVector")
+            if "add" not in a:
+                continue
+            tracked.add(a["add"]["path"])
+            desc = a["add"].get("deletionVector")
             if desc and desc.get("storageType") in ("u", "p"):
                 dv_referenced.add(
                     os.path.realpath(deletion_vectors.dv_file_path(table, desc))
@@ -1667,11 +1679,12 @@ def table_changes(
             p: a.get("deletionVector")
             for p, a in _replay(table, from_version).items()
         }
-    added: list[str] = []
+    added: list[tuple[str, dict | None]] = []
     #: (abs path, new descriptor, predecessor descriptor) per DV commit
     #: touch — descriptors only; positions are recovered on executors
     #: (`_dv_tombstones`), so the driver cost is O(files), not O(rows)
     deleted_desc: list[tuple[str, dict, dict | None]] = []
+    deleted_keys: set[str] = set()
     for v in range(from_version + 1, hi + 1):
         p = _commit_path(table, v)
         if not os.path.exists(p):
@@ -1687,7 +1700,11 @@ def table_changes(
             if "add" in a and a["add"].get("dataChange", True)
         ]
         if not removes:
-            added.extend(a["path"] for a in adds)
+            # an add can CARRY a deletion vector (shallow-clone v0 /
+            # RESTORE re-add): those positions were dead before the file
+            # entered the feed, so they are NOT inserts — track the
+            # descriptor to subtract them from the insert rows
+            added.extend((a["path"], a.get("deletionVector")) for a in adds)
             if include_deletes:
                 for a in adds:
                     dv_state[a["path"]] = a.get("deletionVector")
@@ -1708,28 +1725,50 @@ def table_changes(
             deleted_desc.append(
                 (abs_path, a["deletionVector"], dv_state.get(path))
             )
+            # keep the LOG key: shallow-clone adds are absolute, and
+            # relpath-ing them back under a foreign root breaks the
+            # scan's path handling
+            deleted_keys.add(path)
             dv_state[path] = a["deletionVector"]
     if not include_deletes:
         if not added:
             return read_delta(spark, table, hi).filter(F.lit(False))
-        return _read_files(spark, table, sorted(added), hi)
+        # _read_files applies the snapshot's live DVs, so add-time
+        # tombstones (clone v0) are correctly excluded here
+        return _read_files(spark, table, sorted(p for p, _ in added), hi)
 
     schema = table_schema(table, hi)
     names = [f.name for f in schema.fields]
     pieces: list[DataFrame] = []
     if added:
-        ins = _read_files_raw(spark, table, sorted(added), hi)
+        add_dvs = [
+            (
+                p if os.path.isabs(p) else os.path.abspath(
+                    os.path.join(table, p)
+                ),
+                d,
+                None,
+            )
+            for p, d in added
+            if d
+        ]
+        ins = _read_files_raw(
+            spark, table, sorted(p for p, _ in added), hi,
+            with_positions=bool(add_dvs),
+        )
+        if add_dvs:
+            ins = ins.join(
+                _dv_tombstones(spark, table, add_dvs),
+                ["__fp", "__pos"],
+                "left_anti",
+            )
         pieces.append(
             ins.select(*names).withColumn("_change_type", F.lit("insert"))
         )
     if deleted_desc:
-        ref_files = sorted(
-            {
-                os.path.relpath(fp, os.path.abspath(table))
-                for fp, _, _ in deleted_desc
-            }
+        raw = _read_files_raw(
+            spark, table, sorted(deleted_keys), hi, with_positions=True
         )
-        raw = _read_files_raw(spark, table, ref_files, hi, with_positions=True)
         tomb = _dv_tombstones(spark, table, deleted_desc)
         dead = raw.join(tomb, ["__fp", "__pos"])
         pieces.append(

@@ -1355,7 +1355,14 @@ def snapshot_delete_files(table: str, snapshot_id: int | None = None) -> list[st
 #: normalize Spark's _metadata.file_path URI ("file:///abs") to the
 #: plain absolute path manifests and delete files carry
 def _norm_file_path():
-    return F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    """``_metadata.file_path`` → the ON-DISK path: strip the ``file:``
+    scheme and percent-DECODE the Hadoop-encoded URI (space → %20,
+    '%' → %25), so path-keyed joins (position-delete application,
+    manifest identity restoration) match the manifests' plain absolute
+    paths even under special-char hive partition dirs. '+' is protected
+    as %2B first because url_decode is form-decoding ('+' → space)."""
+    raw = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
 
 
 def _spark_schema(schema: dict):
@@ -3733,10 +3740,9 @@ def write_statistics(
 
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
-    seq = _snapshot(meta, sid)["sequence-number"]
-    df = read_iceberg(
-        spark, table, None if snapshot_id is None else snapshot_id
-    )
+    snap = _snapshot(meta, sid)
+    seq = snap["sequence-number"]
+    df = read_iceberg(spark, table, snapshot_id)
     # resolve the sketch columns and their field-ids from the SAME
     # schema generation the read used: current schema for a current-
     # snapshot call, the snapshot's stamped schema for explicit time
@@ -3745,7 +3751,7 @@ def write_statistics(
     stats_schema_id = (
         meta["current-schema-id"]
         if snapshot_id is None
-        else _snapshot(meta, sid).get("schema-id", meta["current-schema-id"])
+        else snap.get("schema-id", meta["current-schema-id"])
     )
     ids_by_name = {
         f["name"]: f["id"]

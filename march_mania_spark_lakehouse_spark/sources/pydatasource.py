@@ -130,8 +130,8 @@ class SyntheticDocsStreamDataSource(DataSource):
 
 def _cast_pv(s: "str | None", spark_type_name: str):
     """Hive partition values are strings in the Delta log; cast per the
-    declared Spark type (the subset the fixtures use). The streaming
-    readers' counterpart of the batch scan's partition-cast pass."""
+    declared Spark type. The streaming readers' counterpart of the
+    batch scan's partition-cast pass."""
     if s is None or s == "__HIVE_DEFAULT_PARTITION__":
         return None
     if spark_type_name in ("bigint", "int", "smallint", "tinyint"):
@@ -140,7 +140,19 @@ def _cast_pv(s: "str | None", spark_type_name: str):
         return float(s)
     if spark_type_name == "boolean":
         return s == "true"
-    return s
+    if spark_type_name == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(s)
+    if spark_type_name.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+    if spark_type_name == "string":
+        return s
+    raise NotImplementedError(
+        f"partition type {spark_type_name!r} in a streaming source"
+    )
 
 
 class _DeltaTableStreamReader:
@@ -165,14 +177,21 @@ class _DeltaTableStreamReader:
                     )
                 if "add" in a and a["add"].get("dataChange", True):
                     files.append(
-                        (a["add"]["path"], a["add"].get("partitionValues") or {})
+                        (
+                            a["add"]["path"],
+                            a["add"].get("partitionValues") or {},
+                            a["add"].get("deletionVector"),
+                        )
                     )
         return files
 
     def _rows(self, files: list):
         import pyarrow.parquet as pq
 
-        from march_mania_spark_lakehouse_spark.sources import delta_log
+        from march_mania_spark_lakehouse_spark.sources import (
+            deletion_vectors,
+            delta_log,
+        )
 
         schema = delta_log.table_schema(self.table)
         part_cols = set(delta_log.table_partition_columns(self.table))
@@ -182,7 +201,7 @@ class _DeltaTableStreamReader:
         # partitionValues by them; one lookup per field translates
         phys = {c: mapping.get(c, c) for c in cols}
         types = {f.name: f.dataType.simpleString() for f in schema.fields}
-        for rel, pv in files:
+        for rel, pv, dv in files:
             t = pq.read_table(os.path.join(self.table, rel))
             names = set(t.column_names)
             fills = {
@@ -190,7 +209,14 @@ class _DeltaTableStreamReader:
                 for c in cols
                 if c in part_cols
             }
-            for batch in t.to_pylist():
+            # an add carrying a deletion vector (shallow-clone v0 /
+            # RESTORE re-add) enters the stream WITHOUT its dead rows
+            dead = (
+                set(deletion_vectors.read_dv(self.table, dv)) if dv else set()
+            )
+            for pos, batch in enumerate(t.to_pylist()):
+                if pos in dead:
+                    continue
                 yield tuple(
                     fills[c] if c in fills
                     else (batch.get(phys[c]) if phys[c] in names else None)
@@ -308,7 +334,12 @@ class _DeltaTableCdcStreamReader:
             ]
             if not removes:
                 added.extend(
-                    (a["path"], a.get("partitionValues") or {}) for a in adds
+                    (
+                        a["path"],
+                        a.get("partitionValues") or {},
+                        a.get("deletionVector"),
+                    )
+                    for a in adds
                 )
                 for a in adds:
                     dv_state[a["path"]] = a.get("deletionVector")
@@ -343,11 +374,20 @@ class _DeltaTableCdcStreamReader:
             }
 
         rows: list[tuple] = []
-        for rel, pv in sorted(added, key=lambda x: x[0]):
+        for rel, pv, add_dv in sorted(added, key=lambda x: x[0]):
             t = pq.read_table(os.path.join(self.table, rel))
             names = set(t.column_names)
             fills = _fills(pv)
-            for rec in t.to_pylist():
+            # add-time tombstones (shallow-clone v0 / RESTORE re-add)
+            # were dead before the file entered the feed: not inserts
+            dead = (
+                set(deletion_vectors.read_dv(self.table, add_dv))
+                if add_dv
+                else set()
+            )
+            for pos, rec in enumerate(t.to_pylist()):
+                if pos in dead:
+                    continue
                 rows.append(_tuple(rec, names, fills) + ("insert",))
         for rel, pv, new_desc, old_desc in sorted(deleted, key=lambda x: x[0]):
             new_pos = set(deletion_vectors.read_dv(self.table, new_desc))
@@ -432,7 +472,7 @@ def _iceberg_partition_value(v, type_name: str):
         return None
     if type_name == "date":
         return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
-    if type_name == "timestamptz":
+    if type_name in ("timestamp", "timestamptz"):
         return datetime.datetime(1970, 1, 1) + datetime.timedelta(
             microseconds=int(v)
         )

@@ -111,3 +111,92 @@ def test_partitioned_mapped_update_and_cdc_roundtrip(spark, tmp_path):
     assert got.filter((F.col("g") == "1") & (F.col("score") < 1000.0)).count() == 0
     assert got.filter((F.col("g") != "1") & (F.col("score") >= 1000.0)).count() == 0
     assert len(indie.read_rows(t)) == 80
+
+
+def test_cdc_on_partitioned_clone_and_dv_carrying_adds(spark, tmp_path):
+    """Two review-confirmed composition bugs, pinned:
+
+    1. table_changes(include_deletes=True) on a partitioned shallow
+       clone must not relpath the clone's absolute add paths (that
+       defeated the physical-name scan branch — basePath crash /
+       NULL partition columns);
+    2. an add CARRYING a deletion vector (clone v0) contributes only
+       its LIVE rows as inserts — emitting the tombstoned positions
+       with no compensating delete would resurrect them in any
+       downstream materialization."""
+    from collections import Counter
+
+    src = str(tmp_path / "cdc_src")
+    clone = str(tmp_path / "cdc_clone")
+    delta_log.create(_part_df(spark, 0, 40), src, partition_by=["g"])
+    delta_log.delete_where(spark, src, "id % 4 = 0")  # live DVs in source
+    delta_log.shallow_clone(src, clone)
+    delta_log.delete_where(spark, clone, "g = '1'")
+
+    ch = delta_log.table_changes(spark, clone, -1, include_deletes=True)
+    rows = ch.collect()
+    ins = [r for r in rows if r._change_type == "insert"]
+    dels = [r for r in rows if r._change_type == "delete"]
+    # inserts: the clone's v0 LIVE rows (40 minus the 10 source-dead)
+    assert sorted(r.id for r in ins) == [i for i in range(40) if i % 4]
+    # deletes: partition '1' (g = id % 4; disjoint from the source-dead
+    # id % 4 == 0 rows, so all of them are live at clone time)
+    assert sorted(r.id for r in dels) == [
+        i for i in range(40) if i % 4 == 1
+    ]
+    # partition column restored on BOTH change types
+    assert all(r.g is not None for r in rows)
+    # signed fold reproduces the head snapshot
+    state = Counter()
+    for r in rows:
+        state[(r.id, r.g, r.val)] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        tuple(r) for r in delta_log.read_delta(spark, clone).collect()
+    )
+    assert +state == head
+
+    # same contract through the STREAMING CDC source
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        _DeltaTableCdcStreamReader,
+    )
+
+    srows = _DeltaTableCdcStreamReader({"path": clone})._changes(
+        -1, delta_log.latest_version(clone)
+    )
+    sstate = Counter()
+    for t in srows:
+        sstate[t[:-1]] += 1 if t[-1] == "insert" else -1
+    assert +sstate == head
+
+
+def test_special_char_partition_values_roundtrip(spark, tmp_path):
+    """Hive-escaped partition dirs (':' → %3A, '%' → %25) compose with
+    the log-planned layers: partitionValues store the RAW value (spec),
+    the URI-encoded _metadata.file_path decodes back to the on-disk
+    path so DV tombstones and partition restoration join correctly —
+    under column mapping (log-join restore) AND after a DV delete."""
+    t = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "x:y", 1.0), (2, "plain", 2.0), (3, "a b%c", 3.0), (4, "x:y", 4.0)],
+        "id long, g string, val double",
+    )
+    delta_log.create(df, t, partition_by=["g"])
+    # raw values in the log
+    live = delta_log._replay(t, 0)
+    stored = {a["partitionValues"]["g"] for a in live.values()}
+    assert stored == {"x:y", "plain", "a b%c"}
+    assert sorted(tuple(r) for r in delta_log.read_delta(spark, t).collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # column mapping flips reads onto the log-join restoration path
+    delta_log.rename_column(t, "val", "score")
+    got = delta_log.read_delta(spark, t)
+    assert got.filter(F.col("g").isNull()).count() == 0
+    assert {r.g for r in got.collect()} == {"x:y", "plain", "a b%c"}
+    # DV delete inside an escaped partition dir: exactly those rows die
+    delta_log.delete_where(spark, t, "g = 'x:y'")
+    after = delta_log.read_delta(spark, t)
+    assert sorted(r.id for r in after.collect()) == [2, 3]
+    assert len(indie.read_rows(t)) == 2
+    # log-planned pruning by the raw value
+    assert delta_log.scan_partitions(spark, t, {"g": "a b%c"}).count() == 1

@@ -356,3 +356,24 @@ def test_write_statistics_resolves_snapshot_schema_after_rename(
     # current-snapshot run uses the current name
     cur = iceberg.write_statistics(spark, t, ["status"])
     assert cur["snapshot-id"] == sids[-1]
+
+
+def test_iceberg_special_char_partition_values(spark, tmp_path):
+    """Identity partition values with hive-escaped chars (':' → %3A,
+    '%' → %25): both readers agree, and a merge-on-read DELETE inside
+    the escaped partition dir kills exactly its rows — the position-
+    delete join runs on DECODED on-disk paths, so the URI-encoded
+    _metadata.file_path can't make tombstones miss."""
+    t = str(tmp_path / "ice_esc")
+    df = spark.createDataFrame(
+        [(1, "x:y", 1.0), (2, "plain", 2.0), (3, "a b%c", 3.0), (4, "x:y", 4.0)],
+        "id long, g string, val double",
+    )
+    iceberg.create(df, t, partition_by=["g"])
+    got = sorted(tuple(r) for r in iceberg.read_iceberg(spark, t).collect())
+    assert got == sorted(tuple(r) for r in df.collect())
+    assert sorted(indie.read_rows(t)) == got
+    iceberg.delete_where(spark, t, "g = 'x:y'")
+    after = iceberg.read_iceberg(spark, t)
+    assert sorted(r.id for r in after.collect()) == [2, 3]
+    assert len(indie.read_rows(t)) == 2
