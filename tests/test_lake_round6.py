@@ -1089,3 +1089,68 @@ def test_iceberg_cdc_stream_partitioned_table(spark, table, tmp_path):
     assert all(
         r.g == "1" for r in rows if r._change_type == "delete"
     )
+
+
+def test_delta_cdc_stream_drives_ivm_refresh_exactly_once(spark, table, tmp_path):
+    """The verdict's target loop, end to end: a materialized view
+    maintained through `ivm.signed_state` refreshes from the Delta CDC
+    STREAM across two availableNow drains (base load, then append + DV
+    DELETE), and the finalized view equals a direct aggregate of the
+    head snapshot — deletes retract exactly once."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+    )
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, str(i % 3), float(i)) for i in range(30)],
+            "id long, cat string, val double",
+        ),
+        table,
+    )
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    changes_sink = str(tmp_path / "ivm_changes")
+    ckpt = str(tmp_path / "ivm_ckpt")
+    state_dir = str(tmp_path / "ivm_state")
+
+    def refresh():
+        # drain the CDC stream, fold the signed batch state into the
+        # persisted view state (merge_states is associative, so the
+        # per-drain batching is irrelevant to the result)
+        q = (
+            spark.readStream.format("delta_table_cdc")
+            .option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", changes_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        changes = spark.read.parquet(changes_sink)
+        state = ivm.signed_state(changes, ["cat"], "val")
+        state.write.mode("overwrite").parquet(state_dir)
+
+    refresh()
+    delta_log.append(
+        spark.createDataFrame(
+            [(30, "0", 100.0), (31, "1", 200.0)],
+            "id long, cat string, val double",
+        ),
+        table,
+    )
+    delta_log.delete_where(spark, table, "id % 5 = 0")
+    refresh()
+
+    view = {
+        r["cat"]: (r["n_rows"], round(r["sum_m"], 6))
+        for r in ivm.finalize_counts(spark.read.parquet(state_dir)).collect()
+    }
+    direct = {
+        r["cat"]: (r["n"], round(r["s"], 6))
+        for r in delta_log.read_delta(spark, table)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert view == direct
