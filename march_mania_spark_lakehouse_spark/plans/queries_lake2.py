@@ -1066,11 +1066,12 @@ def _partitioned_clone_table(spark: SparkSession, sf_dir: str) -> str:
 
     root = _cached_root(sf_dir, "delta_part_clone")
     src, clone = os.path.join(root, "src"), os.path.join(root, "clone")
-    if delta_log.latest_version(clone) is None:
-        # the publish below is multi-step: a crash after create(src)
-        # would otherwise poison the cache (create refuses an existing
-        # log) — rebuild from scratch when the terminal artifact (the
-        # clone) is missing
+    # the publish below is multi-step: guard on the TERMINAL state
+    # (clone v1 = clone commit + delete commit) and rebuild from
+    # scratch otherwise — a crash anywhere mid-publish (after
+    # create(src), or between clone and delete) must not leave a
+    # half-built cache that create() refuses or the oracle mismatches
+    if delta_log.latest_version(clone) != 1:
         shutil.rmtree(root, ignore_errors=True)
         orders = catalog.load(spark, "orders", sf_dir).filter(
             F.col("o_orderkey") % 3 == 0

@@ -752,17 +752,17 @@ def _dv_tombstones(
 
 
 def _fp_norm() -> "Column":
-    """``_metadata.file_path`` → the ON-DISK path. Spark reports a
-    Hadoop-encoded URI (space → %20, '%' → %25 — so a hive-escaped
-    partition dir like ``g=x%3Ay`` arrives double-encoded as
-    ``g=x%253Ay``): strip the ``file:`` scheme and percent-DECODE, or
-    every path-keyed broadcast join (DV tombstones, partition-value
-    restoration) silently misses files under special-char partition
-    dirs. '+' is protected as %2B first because ``url_decode`` is
-    form-decoding ('+' → space); the composition is exact RFC
-    percent-decoding."""
-    raw = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
-    return F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+    """``_metadata.file_path`` → the ON-DISK path, or every path-keyed
+    broadcast join (DV tombstones, partition-value restoration)
+    silently misses files under special-char partition dirs. ONE shared
+    implementation with the Iceberg layer — this invariant must never
+    diverge between formats (see `iceberg._norm_file_path` for the
+    encoding details)."""
+    from march_mania_spark_lakehouse_spark.sources.iceberg import (
+        _norm_file_path,
+    )
+
+    return _norm_file_path()
 
 
 def _read_files_raw(

@@ -316,7 +316,7 @@ class _DeltaTableCdcStreamReader:
             if lo >= 0
             else {}
         )
-        added: list[tuple[str, dict]] = []
+        added: list[tuple[str, dict, dict | None]] = []
         deleted: list[tuple[str, dict, dict, dict | None]] = []
         for v in range(lo + 1, hi + 1):
             p = delta_log._commit_path(self.table, v)
@@ -594,6 +594,9 @@ class IcebergTableStreamDataSource(DataSource):
             "string": T.StringType(), "double": T.DoubleType(),
             "float": T.FloatType(), "boolean": T.BooleanType(),
             "date": T.DateType(), "timestamptz": T.TimestampType(),
+            # plain (ntz) timestamps must NOT map to TimestampType or
+            # naive values get session-timezone-shifted
+            "timestamp": T.TimestampNTZType(),
         }
         return T.StructType(
             [T.StructField(f["name"], back[f["type"]], True)
@@ -765,6 +768,9 @@ class IcebergTableCdcStreamDataSource(DataSource):
             "string": T.StringType(), "double": T.DoubleType(),
             "float": T.FloatType(), "boolean": T.BooleanType(),
             "date": T.DateType(), "timestamptz": T.TimestampType(),
+            # plain (ntz) timestamps must NOT map to TimestampType or
+            # naive values get session-timezone-shifted
+            "timestamp": T.TimestampNTZType(),
         }
         return T.StructType(
             [T.StructField(f["name"], back[f["type"]], True)
