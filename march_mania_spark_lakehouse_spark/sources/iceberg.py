@@ -1521,6 +1521,13 @@ def _read_raw(
     id_cols = _identity_part_cols(meta)
     evolved = len(meta.get("partition-specs", [])) > 1
     has_spec = bool(_spec_info(meta))
+    # clone tables reference the SOURCE's files in place: paths that
+    # escape the table root defeat basePath discovery, so identity
+    # restoration must come from the manifests instead (the evolved-
+    # table machinery, which never needs discovery)
+    foreign = any(
+        os.path.isabs(f) or f.split(os.sep, 1)[0] == ".." for f in rel_files
+    )
     paths = [os.path.join(table, f) for f in sorted(rel_files)]
     if _has_renames(meta):
         # rename_column gates identity-partitioned tables, so the
@@ -1536,10 +1543,10 @@ def _read_raw(
         # need no discovery, and mixed-generation dir depths would
         # make Spark refuse.
         r = spark.read.schema(spark_schema)
-        if has_spec and not evolved:
+        if has_spec and not evolved and not foreign:
             r = r.option("basePath", table)
         df = r.parquet(*paths)
-    elif not evolved:
+    elif not evolved and not foreign:
         data_schema = T.StructType(
             [f for f in spark_schema.fields if f.name not in id_cols]
         )
@@ -1565,10 +1572,14 @@ def _read_raw(
             + [by_name[c] for c in id_cols]
         )
         pmap = spark.createDataFrame(rows, map_schema)
+        # materialize __fp AND __pos BEFORE the identity join: the join
+        # severs `_metadata`, and downstream delete application
+        # (`_apply_delete_files`) needs both — it reuses these helpers
+        # when present
         df = (
             df.withColumn("__fp", _norm_file_path())
+            .withColumn("__pos", F.col("_metadata.row_index"))
             .join(F.broadcast(pmap), "__fp", "left")
-            .drop("__fp")
         )
     return df, [f.name for f in spark_schema.fields]
 
@@ -1647,20 +1658,26 @@ def _apply_delete_files(
     """
     pos_dels = snapshot_delete_files(table, sid)
     eq_dels = snapshot_equality_deletes(table, sid)
+    # the manifest-restore scan branch materializes __fp/__pos BEFORE
+    # its identity join (which severs _metadata); reuse them here
+    has_helpers = "__fp" in df.columns and "__pos" in df.columns
     if not pos_dels and not eq_dels:
         if not keep_positions:
+            return df.drop("__fp", "__pos") if has_helpers else df
+        if has_helpers:
             return df
         return df.select(
             "*",
             _norm_file_path().alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-    out_cols = df.columns
-    df = df.select(
-        "*",
-        _norm_file_path().alias("__fp"),
-        F.col("_metadata.row_index").alias("__pos"),
-    )
+    out_cols = [c for c in df.columns if c not in ("__fp", "__pos")]
+    if not has_helpers:
+        df = df.select(
+            "*",
+            _norm_file_path().alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
     if pos_dels:
         dels = spark.read.parquet(*pos_dels).select(
             F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
@@ -2591,18 +2608,21 @@ def clone(table: str, target: str) -> int:
     files, merge-on-read deletes are tombstone sidecars in the CLONE's
     metadata only). Same retention caveat as converted tables:
     `expire_snapshots` on either side must not assume sole ownership
-    of shared files. Unpartitioned sources only (a partitioned clone
-    would share hive dirs across roots; convert via hard links
-    instead). Live POSITION deletes carry into the clone (they target
-    (file, pos) identities, exact under any renumbering); live
-    EQUALITY deletes refuse — their strictly-lower-sequence semantics
-    cannot survive the clone's sequence renumbering (all cloned data
-    files share one sequence number, which would re-kill rows that
-    outlived the tombstone in the source) — `compact` first."""
+    of shared files. PARTITIONED sources compose (the Delta
+    shallow_clone rule): the source's partition specs ride into the
+    clone's metadata and every manifest entry keeps its partition
+    tuple verbatim — identity restoration then comes from the
+    manifests, never from hive dirs under a foreign root. Manifest
+    entries carry over with their bounds/null counts, so stats pruning
+    works on the clone unchanged. Live POSITION deletes carry into the
+    clone (they target (file, pos) identities, exact under any
+    renumbering); live EQUALITY deletes refuse — their
+    strictly-lower-sequence semantics cannot survive the clone's
+    sequence renumbering (all cloned data files share one sequence
+    number, which would re-kill rows that outlived the tombstone in
+    the source) — `compact` first."""
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"]
-    if _spec_info(meta):
-        raise NotImplementedError("clone covers unpartitioned tables")
     if snapshot_equality_deletes(table, sid):
         raise NotImplementedError(
             "live equality deletes cannot survive clone renumbering; "
@@ -2611,7 +2631,11 @@ def clone(table: str, target: str) -> int:
     if current_version(target) is not None:
         raise FileExistsError(f"{target} already has Iceberg metadata")
     schema = meta["schemas"][meta["current-schema-id"]]
-    os.makedirs(target, exist_ok=True)
+    os.makedirs(_meta_dir(target), exist_ok=True)
+    specs = [
+        dict(s)
+        for s in meta.get("partition-specs", [{"spec-id": 0, "fields": []}])
+    ]
     new_meta = {
         "format-version": FORMAT_VERSION,
         "table-uuid": str(uuid.uuid4()),
@@ -2621,9 +2645,9 @@ def clone(table: str, target: str) -> int:
         "last-column-id": meta["last-column-id"],
         "current-schema-id": 0,
         "schemas": [dict(schema, **{"schema-id": 0})],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "default-spec-id": meta.get("default-spec-id", 0),
+        "partition-specs": specs,
+        "last-partition-id": meta.get("last-partition-id", 999),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
@@ -2637,26 +2661,85 @@ def clone(table: str, target: str) -> int:
         "metadata-log": [],
     }
     snap = _snapshot(meta, sid)
-    staged, delete_records = [], []
+    #: live data / delete entries grouped per source SPEC (an evolved
+    #: table's generations have different partition-tuple shapes, so
+    #: each spec gets its own manifest in the clone too)
+    data_by_spec: dict[int, list[dict]] = {}
+    delete_records: list[tuple[int, dict]] = []
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        m_spec = m.get("partition_spec_id", 0)
         for e in avro_ocf.read_ocf(m["manifest_path"]):
             if e["status"] not in (0, 1):
                 continue
             d = e["data_file"]
             if d.get("content", 0) == 0:
-                staged.append(
-                    (
-                        d["file_path"],
-                        {},
-                        d["record_count"],
-                        d["file_size_in_bytes"],
-                    )
-                )
+                data_by_spec.setdefault(m_spec, []).append(d)
             else:
-                delete_records.append((e, d))
-    new_sid = _commit_snapshot(
-        None, target, new_meta, "append", False, (), None, staged
-    )
+                delete_records.append((m_spec, d))
+    # the clone's v1 data snapshot, written manifest-verbatim (entries
+    # keep their partition tuples, bounds and null counts — statistics
+    # survive the clone)
+    data_seq = 1
+    data_sid = int(uuid.uuid4().int % (1 << 62)) + 1
+    manifests = []
+    for spec_id in sorted(data_by_spec):
+        spec_fields = next(
+            s for s in specs if s.get("spec-id", 0) == spec_id
+        )["fields"]
+        entry_schema = _manifest_entry_schema(
+            _partition_record_schema(spec_fields, schema)
+        )
+        records = [
+            {
+                "status": 1,
+                "snapshot_id": data_sid,
+                "sequence_number": data_seq,
+                "file_sequence_number": data_seq,
+                "data_file": dict(d),
+            }
+            for d in data_by_spec[spec_id]
+        ]
+        m_path = os.path.join(
+            _meta_dir(target), f"{uuid.uuid4().hex}-m0.avro"
+        )
+        avro_ocf.write_ocf(m_path, entry_schema, records)
+        manifests.append(
+            {
+                "manifest_path": m_path,
+                "manifest_length": os.path.getsize(m_path),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": data_seq,
+                "min_sequence_number": data_seq,
+                "added_snapshot_id": data_sid,
+                "added_files_count": len(records),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    d["record_count"] for d in data_by_spec[spec_id]
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    ml_path = _write_manifest_list(target, data_sid, manifests)
+    data_snapshot = {
+        "snapshot-id": data_sid,
+        "sequence-number": data_seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    new_meta["last-sequence-number"] = data_seq
+    new_meta["snapshots"] = [data_snapshot]
+    new_meta["current-snapshot-id"] = data_sid
+    new_meta["snapshot-log"] = [
+        {"timestamp-ms": data_snapshot["timestamp-ms"], "snapshot-id": data_sid}
+    ]
+    new_meta["refs"] = {"main": {"snapshot-id": data_sid, "type": "branch"}}
+    _write_metadata(target, new_meta)
+    new_sid = data_sid
     if not delete_records:
         return new_sid
     # carry the source's live POSITION-delete files so the clone serves
@@ -2665,19 +2748,31 @@ def clone(table: str, target: str) -> int:
     seq = new_meta["last-sequence-number"] + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
     schema0 = new_meta["schemas"][0]
+    records = []
+    for m_spec, d in delete_records:
+        records.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": dict(d),
+            }
+        )
+    # one delete manifest per source spec shape (same rule as data)
+    del_specs = sorted({m_spec for m_spec, _ in delete_records})
+    if len(del_specs) > 1:
+        raise NotImplementedError(
+            "clone of multi-spec position-delete manifests"
+        )
     entry_schema = _manifest_entry_schema(
-        _partition_record_schema([], schema0)
+        _partition_record_schema(
+            next(
+                s for s in specs if s.get("spec-id", 0) == del_specs[0]
+            )["fields"],
+            schema0,
+        )
     )
-    records = [
-        {
-            "status": 1,
-            "snapshot_id": snapshot_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": dict(d, partition={}),
-        }
-        for _e, d in delete_records
-    ]
     m_path = os.path.join(_meta_dir(target), f"{uuid.uuid4().hex}-m0.avro")
     avro_ocf.write_ocf(m_path, entry_schema, records)
     cur_snap = _snapshot(new_meta, new_sid)
@@ -2685,7 +2780,7 @@ def clone(table: str, target: str) -> int:
         {
             "manifest_path": m_path,
             "manifest_length": os.path.getsize(m_path),
-            "partition_spec_id": 0,
+            "partition_spec_id": del_specs[0],
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,
