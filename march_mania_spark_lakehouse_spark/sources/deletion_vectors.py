@@ -8,13 +8,16 @@ extension), the on-disk bits a Delta DV carries:
   file UUID that rides in the descriptor's ``pathOrInlineDv``.
 - **64-bit portable RoaringBitmap** serialization: ``u64 LE`` count of
   32-bit buckets, then per bucket a ``u32 LE`` high-key and a standard
-  32-bit RoaringBitmap stream (cookie 12346 — no run containers —
-  container count, per-container u16 key / u16 cardinality-1
-  descriptive header, u32 offset header, then array containers
-  (sorted u16 values, cardinality ≤ 4096) or bitmap containers
-  (1024 × u64 LE words)). Both container kinds are written and read;
-  run containers (cookie 12347) are an honest
-  :class:`NotImplementedError` gate on the read side.
+  32-bit RoaringBitmap stream. All THREE container kinds are written
+  and read: array (sorted u16 values, cardinality ≤ 4096), bitmap
+  (1024 × u64 LE words), and run (u16 n_runs + (start, length-1) u16
+  pairs). The writer is size-optimal per container (the spec's
+  ``runOptimize``): runs win for dense deletes, bounding sidecar size;
+  a stream with ≥1 run container uses cookie 12347 (container count in
+  the cookie's high 16 bits, run-flag bitset, offset header omitted
+  under 4 containers), otherwise the plain 12346 layout. The reader
+  accepts both cookies, so externally produced DVs (delta-rs /
+  Databricks emit runs for dense deletes) decode correctly.
 - **DV file layout**: a 1-byte format version (1), then per DV a
   ``u32 BE`` data size, the data itself — ``u32 LE`` magic 1681511377
   followed by the portable bitmap — and a ``u32 BE`` CRC-32 of the
@@ -81,27 +84,68 @@ def z85_decode(s: str) -> bytes:
 # --------------------------------------------------------------------------
 
 
+def _runs_of(sorted_vals: "list[int]") -> "list[tuple[int, int]]":
+    """Maximal runs of consecutive values as (start, length-1) pairs —
+    exactly the 16-bit pair the run-container stream stores."""
+    runs: list[tuple[int, int]] = []
+    start = prev = sorted_vals[0]
+    for v in sorted_vals[1:]:
+        if v != prev + 1:
+            runs.append((start, prev - start))
+            start = v
+        prev = v
+    runs.append((start, prev - start))
+    return runs
+
+
 def _serialize_roaring32(values: "list[int]") -> bytes:
-    """Standard-format 32-bit RoaringBitmap of SORTED uint32 values."""
+    """Standard-format 32-bit RoaringBitmap of SORTED uint32 values.
+
+    Per-container encoding is size-optimal (the spec's ``runOptimize``
+    rule): a run container (2 + 4·n_runs bytes) is emitted when it is
+    strictly smaller than the array (2·card) / bitmap (8192) form —
+    dense deletes (the common DELETE shape) collapse to a few runs. If
+    any container is run-encoded the stream carries the run cookie
+    12347 with its per-container run-flag bitset; otherwise the plain
+    12346 layout is kept byte-for-byte as before."""
     containers: dict[int, list[int]] = {}
     for v in values:
         containers.setdefault(v >> 16, []).append(v & 0xFFFF)
     keys = sorted(containers)
     n = len(keys)
-    head = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
-    desc = b"".join(
-        struct.pack("<HH", k, len(containers[k]) - 1) for k in keys
-    )
+    run_flags = bytearray((n + 7) // 8)
     blobs = []
-    for k in keys:
+    for i, k in enumerate(keys):
         vals = containers[k]
-        if len(vals) <= 4096:
-            blobs.append(struct.pack(f"<{len(vals)}H", *vals))
+        card = len(vals)
+        runs = _runs_of(vals)
+        flat_size = 2 * card if card <= 4096 else 8192
+        if 2 + 4 * len(runs) < flat_size:
+            run_flags[i >> 3] |= 1 << (i & 7)
+            blobs.append(
+                struct.pack("<H", len(runs))
+                + b"".join(struct.pack("<HH", s, l) for s, l in runs)
+            )
+        elif card <= 4096:
+            blobs.append(struct.pack(f"<{card}H", *vals))
         else:
             words = [0] * 1024
             for lo in vals:
                 words[lo >> 6] |= 1 << (lo & 63)
             blobs.append(struct.pack("<1024Q", *words))
+    desc = b"".join(
+        struct.pack("<HH", k, len(containers[k]) - 1) for k in keys
+    )
+    if any(run_flags):
+        head = struct.pack("<I", _SERIAL_COOKIE_RUN | ((n - 1) << 16))
+        head += bytes(run_flags)
+        # offset header omitted below the spec's 4-container threshold
+        with_offsets = n >= 4
+    else:
+        head = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+        with_offsets = True
+    if not with_offsets:
+        return head + desc + b"".join(blobs)
     offsets = []
     pos = len(head) + len(desc) + 4 * n
     for b in blobs:
@@ -112,23 +156,45 @@ def _serialize_roaring32(values: "list[int]") -> bytes:
 
 
 def _deserialize_roaring32(data: bytes, start: int) -> "tuple[list[int], int]":
-    """Decode one 32-bit bitmap at ``start``; returns (values, end)."""
+    """Decode one 32-bit bitmap at ``start``; returns (values, end).
+    Handles both the no-run (12346) and run (12347) cookies, including
+    externally produced streams (delta-rs / Databricks emit run
+    containers for dense deletes)."""
     (cookie,) = struct.unpack_from("<I", data, start)
     if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
-        raise NotImplementedError("run-container roaring bitmaps")
-    if cookie != _SERIAL_COOKIE_NO_RUN:
+        n = (cookie >> 16) + 1
+        nflag = (n + 7) // 8
+        run_flags = data[start + 4: start + 4 + nflag]
+        pos = start + 4 + nflag
+        with_offsets = n >= 4
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", data, start + 4)
+        run_flags = b"\x00" * ((n + 7) // 8)
+        pos = start + 8
+        with_offsets = True
+    else:
         raise ValueError(f"bad roaring cookie {cookie}")
-    (n,) = struct.unpack_from("<I", data, start + 4)
-    desc = struct.unpack_from(f"<{2 * n}H", data, start + 8)
-    off_base = start + 8 + 4 * n
-    offsets = struct.unpack_from(f"<{n}I", data, off_base)
+    desc = struct.unpack_from(f"<{2 * n}H", data, pos)
+    pos += 4 * n
+    if with_offsets:
+        offsets = struct.unpack_from(f"<{n}I", data, pos)
+        pos += 4 * n
+    else:
+        offsets = None
     out: list[int] = []
-    end = off_base + 4 * n
+    end = pos
     for i in range(n):
         key, card_m1 = desc[2 * i], desc[2 * i + 1]
         card = card_m1 + 1
-        pos = start + offsets[i]
-        if card <= 4096:
+        pos = start + offsets[i] if offsets is not None else end
+        if run_flags[i >> 3] >> (i & 7) & 1:
+            (n_runs,) = struct.unpack_from("<H", data, pos)
+            pairs = struct.unpack_from(f"<{2 * n_runs}H", data, pos + 2)
+            for r in range(n_runs):
+                s, lm1 = pairs[2 * r], pairs[2 * r + 1]
+                out.extend((key << 16) | v for v in range(s, s + lm1 + 1))
+            end = max(end, pos + 2 + 4 * n_runs)
+        elif card <= 4096:
             vals = struct.unpack_from(f"<{card}H", data, pos)
             out.extend((key << 16) | v for v in vals)
             end = max(end, pos + 2 * card)

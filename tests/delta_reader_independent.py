@@ -57,17 +57,38 @@ def _z85_to_bytes(s: str) -> bytes:
 
 
 def _decode_roaring32(buf: bytes, at: int):
-    cookie, n = struct.unpack_from("<II", buf, at)
-    if cookie != 12346:
-        raise NotImplementedError(f"roaring cookie {cookie}")
-    header = struct.unpack_from(f"<{2 * n}H", buf, at + 8)
-    offsets = struct.unpack_from(f"<{n}I", buf, at + 8 + 4 * n)
+    (word,) = struct.unpack_from("<I", buf, at)
+    if word & 0xFFFF == 12347:  # run-capable stream
+        n = (word >> 16) + 1
+        flags = buf[at + 4: at + 4 + (n + 7) // 8]
+        cursor = at + 4 + len(flags)
+        offset_header = n >= 4
+    elif word == 12346:
+        (n,) = struct.unpack_from("<I", buf, at + 4)
+        flags = bytes((n + 7) // 8)
+        cursor = at + 8
+        offset_header = True
+    else:
+        raise NotImplementedError(f"roaring cookie {word}")
+    header = struct.unpack_from(f"<{2 * n}H", buf, cursor)
+    cursor += 4 * n
+    offsets = None
+    if offset_header:
+        offsets = struct.unpack_from(f"<{n}I", buf, cursor)
+        cursor += 4 * n
     vals: list[int] = []
-    end = at + 8 + 8 * n
+    end = cursor
     for i in range(n):
         key, card = header[2 * i], header[2 * i + 1] + 1
-        p = at + offsets[i]
-        if card <= 4096:
+        p = at + offsets[i] if offsets else end
+        if flags[i // 8] & (1 << (i % 8)):
+            (nruns,) = struct.unpack_from("<H", buf, p)
+            body = struct.unpack_from(f"<{2 * nruns}H", buf, p + 2)
+            for j in range(nruns):
+                for v in range(body[2 * j], body[2 * j] + body[2 * j + 1] + 1):
+                    vals.append((key << 16) | v)
+            end = max(end, p + 2 + 4 * nruns)
+        elif card <= 4096:
             vals.extend(
                 (key << 16) | v
                 for v in struct.unpack_from(f"<{card}H", buf, p)
