@@ -521,6 +521,7 @@ def incremental_minhash_dedup(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    new_idx: "DataFrame | None" = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Dedup an incoming batch against an EXISTING corpus without ever
     re-comparing corpus × corpus — the production shape at 100 TB,
@@ -543,10 +544,16 @@ def incremental_minhash_dedup(
     (q199)."""
     # the batch's band table feeds FOUR consumers (corpus probe, both
     # sides of the intra-batch probe, the index delta); lazily
-    # checkpoint so the shingle hashing runs once, not four times
-    new_idx = minhash_band_index(
-        new_docs, id_col, text_col, n, num_hashes, bands
-    ).localCheckpoint(eager=False)
+    # checkpoint so the shingle hashing runs once, not four times.
+    # Callers that already materialized it (the streaming loop, which
+    # also collects its touched partition keys to prune the corpus-index
+    # scan) pass it in as ``new_idx``.
+    if new_idx is None:
+        new_idx = minhash_band_index(
+            new_docs, id_col, text_col, n, num_hashes, bands
+        ).localCheckpoint(eager=False)
+    else:
+        new_idx = new_idx.select(id_col, "band", "bh")
     hit_corpus = (
         new_idx.join(index, ["band", "bh"], "left_semi")
         .select(id_col)

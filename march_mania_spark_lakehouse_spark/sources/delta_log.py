@@ -904,6 +904,41 @@ def scan_partitions(
     return _read_files(spark, table, sorted(keep), v)
 
 
+def scan_partitions_any(
+    spark: SparkSession,
+    table: str,
+    combos: "Sequence[dict]",
+    version: int | None = None,
+) -> DataFrame:
+    """Partition-pruned scan over MANY partition-value combinations in
+    ONE plan: keep files whose add-action partitionValues match ANY of
+    ``combos`` (each an equality dict as in :func:`scan_partitions`).
+    This is the point-probe shape an incremental index lookup plans —
+    a micro-batch touching k of N partitions reads k partitions' files,
+    not the table, in a single read (no per-combo plan/union). Driver
+    cost is O(files × distinct key-sets): each combo set becomes a hash
+    lookup over the add actions' partitionValues."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    mapping = column_mapping(table, v) or {}
+    by_keyset: dict[tuple, set] = {}
+    for c in combos:
+        want = {mapping.get(k, k): str(val) for k, val in c.items()}
+        ks = tuple(sorted(want))
+        by_keyset.setdefault(ks, set()).add(tuple(want[k] for k in ks))
+    keep = []
+    for path, add in _replay(table, v).items():
+        pv = add.get("partitionValues") or {}
+        for ks, vals in by_keyset.items():
+            if tuple(pv.get(k) for k in ks) in vals:
+                keep.append(path)
+                break
+    if not keep:
+        return read_delta(spark, table, v).filter(F.lit(False))
+    return _read_files(spark, table, sorted(keep), v)
+
+
 def scan_null(
     spark: SparkSession,
     table: str,

@@ -105,3 +105,56 @@ def test_replay_and_partial_commit_idempotence(spark, tmp_path):
     process_dedup_batch(spark, b2, 2, corpus, index)
     got = {r.doc_id for r in delta_log.read_delta(spark, corpus).collect()}
     assert 13 not in got and 14 in got
+
+
+def test_index_partitioned_and_probe_prunes(spark, tmp_path):
+    """Round 8: the persisted band index is partitioned by
+    (band, pb = bh % index_buckets) and the per-batch probe plans only
+    the touched partitions — `scan_partitions_any` must read strictly
+    fewer files than the full index once buckets diverge."""
+    corpus = str(tmp_path / "c3")
+    index = str(tmp_path / "i3")
+    rows = [
+        (i, f"totally distinct body number {i} with words "
+            + " ".join(f"tok{i}_{j}" for j in range(12)))
+        for i in range(40)
+    ]
+    process_dedup_batch(spark, _docs(spark, rows), 0, corpus, index)
+    assert delta_log.table_partition_columns(index) == ["band", "pb"]
+    full = delta_log.read_delta(spark, index)
+    n_all = len(full.inputFiles())
+    assert n_all > 1  # partitioned layout: one file per touched bucket
+    one = full.limit(1).collect()[0]
+    probe = delta_log.scan_partitions_any(
+        spark, index, [{"band": one["band"], "pb": one["pb"]}]
+    )
+    assert len(probe.inputFiles()) < n_all
+    got = probe.select("band", "pb").distinct().collect()
+    assert {(r["band"], r["pb"]) for r in got} == {(one["band"], one["pb"])}
+    # second batch dedups against history through the pruned probe
+    process_dedup_batch(
+        spark, _docs(spark, [(100, rows[5][1]), (101, OTHER)]), 1, corpus, index
+    )
+    got2 = {r.doc_id for r in delta_log.read_delta(spark, corpus).collect()}
+    assert 100 not in got2 and 101 in got2
+
+
+def test_legacy_unpartitioned_index_still_works(spark, tmp_path):
+    """A pre-round-8 index table (no pb column, unpartitioned) keeps
+    deduping correctly — read whole, appended under its own schema."""
+    from march_mania_spark_lakehouse_spark.operators import dedup as _d
+
+    corpus = str(tmp_path / "c4")
+    index = str(tmp_path / "i4")
+    seed = _docs(spark, [(1, BASE)])
+    delta_log.create(seed, corpus)
+    delta_log.create(
+        _d.minhash_band_index(seed, "doc_id", "text"), index
+    )
+    assert delta_log.table_partition_columns(index) == []
+    process_dedup_batch(
+        spark, _docs(spark, [(2, BASE + " ok"), (3, OTHER)]), 0, corpus, index
+    )
+    got = {r.doc_id for r in delta_log.read_delta(spark, corpus).collect()}
+    assert got == {1, 3}  # 2 near-dups the HISTORY doc via the legacy index
+    assert "pb" not in delta_log.read_delta(spark, index).columns
