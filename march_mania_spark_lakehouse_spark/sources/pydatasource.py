@@ -610,15 +610,19 @@ class IcebergTableStreamDataSource(DataSource):
 class _IcebergTableCdcStreamReader:
     """Row-level CDC micro-batches from an Iceberg table: appended rows
     as inserts, merge-on-read position-delete commits decomposed into
-    the tombstoned rows as deletes (`_change_type` column) — the
-    streaming twin of `iceberg.table_changes(include_deletes=True)`.
-    Equality-delete commits refuse: recovering their dead rows needs
-    the parent snapshot's full state, which a driver-side simple
-    reader should not materialize — use the batch change feed for
-    upsert-heavy tables. Identity partition columns restore from the
-    manifest partition tuples (the append-only reader's rule);
-    driver-side pyarrow materialization is the documented
-    SimpleDataSourceStreamReader trade."""
+    the tombstoned rows as deletes (`_change_type` column), and —
+    round 8 — EQUALITY-delete commits (the Flink-style upsert shape)
+    decomposed the way batch `iceberg.table_changes` does: each
+    commit's dead rows are the rows alive at its PARENT snapshot
+    matching the delete file's key tuples null-safe, recovered by
+    replanning the parent snapshot inside the batch planner (strictly-
+    lower-sequence rule holds for free: every parent-live data file
+    precedes the delete commit). An `upsert` history therefore streams
+    as delete(old) + insert(new) — the streaming twin of
+    `iceberg.table_changes(include_deletes=True)`. Identity partition
+    columns restore from the manifest partition tuples (the
+    append-only reader's rule); driver-side pyarrow materialization is
+    the documented SimpleDataSourceStreamReader trade."""
 
     def __init__(self, options: dict) -> None:
         self.table = options["path"]
@@ -653,7 +657,9 @@ class _IcebergTableCdcStreamReader:
         cols = [f["name"] for f in schema["fields"]]
         identity = set(iceberg._identity_part_cols(meta))
         types = {f["name"]: f["type"] for f in schema["fields"]}
+        by_fid = {f["id"]: f["name"] for f in schema["fields"]}
         added, pos_dels = [], []
+        eq_by_seq: dict = {}  # commit seq -> [(path, equality col names)]
         part_of: dict = {}  # data file path -> partition tuple
         for m in avro_ocf.read_ocf(snap["manifest-list"]):
             for e in avro_ocf.read_ocf(m["manifest_path"]):
@@ -674,11 +680,12 @@ class _IcebergTableCdcStreamReader:
                     added.append(d["file_path"])
                 elif content == 1:
                     pos_dels.append(d["file_path"])
-                else:
-                    raise NotImplementedError(
-                        "equality-delete commits need parent-state "
-                        "recovery; use iceberg.table_changes for "
-                        "upsert CDC"
+                else:  # content == 2: equality delete (upsert CDC)
+                    eq_by_seq.setdefault(e["sequence_number"], []).append(
+                        (
+                            d["file_path"],
+                            [by_fid[i] for i in d.get("equality_ids") or []],
+                        )
                     )
 
         def _fills(path: str) -> dict:
@@ -725,7 +732,120 @@ class _IcebergTableCdcStreamReader:
                     )
                     + ("delete",)
                 )
+        for s in sorted(eq_by_seq):
+            rows.extend(
+                self._eq_dead_rows(
+                    meta, s, eq_by_seq[s], cols, types, identity
+                )
+            )
         return rows
+
+    def _eq_dead_rows(
+        self, meta: dict, del_seq: int, files: list, cols: list,
+        types: dict, identity: set,
+    ) -> list:
+        """Rows an equality-delete commit killed: alive at the commit's
+        PARENT snapshot, matching any delete file's key tuples —
+        null-safe via Python tuple equality (None == None matches, the
+        spec rule). Every data file live at the parent has a sequence
+        number < del_seq, so the strictly-lower ordering rule holds by
+        construction. Mirrors the batch `iceberg.table_changes`
+        decomposition with this reader's driver-side pyarrow
+        materialization: the parent's OWN deletes (position and
+        earlier equality tombstones) are applied first, so rows already
+        dead before this commit are never re-emitted."""
+        import pyarrow.parquet as pq
+
+        from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
+
+        del_snap = next(
+            s for s in meta["snapshots"] if s["sequence-number"] == del_seq
+        )
+        parent_id = del_snap.get("parent-snapshot-id")
+        if parent_id is None:
+            return []  # delete against an empty table: nothing to kill
+        try:
+            psnap = iceberg._snapshot(meta, parent_id)
+        except KeyError:
+            raise ValueError(
+                f"parent snapshot {parent_id} of the equality-delete "
+                f"commit at seq {del_seq} was expired; its pre-image "
+                "rows are unrecoverable"
+            )
+        schema = meta["schemas"][
+            psnap.get("schema-id", meta["current-schema-id"])
+        ]
+        pby_fid = {f["id"]: f["name"] for f in schema["fields"]}
+        datafiles: dict = {}  # path -> (seq, partition tuple)
+        pos_files: list = []
+        parent_eq: list = []  # (seq, cols, path)
+        for m in avro_ocf.read_ocf(psnap["manifest-list"]):
+            for e in avro_ocf.read_ocf(m["manifest_path"]):
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                c = d.get("content", 0)
+                if c == 0:
+                    datafiles[d["file_path"]] = (
+                        e["sequence_number"], d.get("partition") or {}
+                    )
+                elif c == 1:
+                    pos_files.append(d["file_path"])
+                else:
+                    parent_eq.append(
+                        (
+                            e["sequence_number"],
+                            [pby_fid[i] for i in d.get("equality_ids") or []],
+                            d["file_path"],
+                        )
+                    )
+        tomb: dict = {}
+        for p in sorted(pos_files):
+            t = pq.read_table(p)
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                tomb.setdefault(fp, set()).add(pos)
+
+        def _keyset(path: str, kcols: list) -> set:
+            return {
+                tuple(r.get(c) for c in kcols)
+                for r in pq.read_table(path, columns=kcols).to_pylist()
+            }
+
+        kill = [(kcols, _keyset(p, kcols)) for p, kcols in files]
+        dead_before = [
+            (s, kcols, _keyset(p, kcols)) for s, kcols, p in parent_eq
+        ]
+        out = []
+        for fp in sorted(datafiles):
+            dseq, part = datafiles[fp]
+            t = pq.read_table(fp)
+            names = set(t.column_names)
+            fills = {
+                c: _iceberg_partition_value(part.get(c), types[c])
+                for c in cols
+                if c in identity
+            }
+            gone = tomb.get(fp, ())
+            for pos, rec in enumerate(t.to_pylist()):
+                if pos in gone:
+                    continue
+                vals = {
+                    c: fills[c] if c in fills
+                    else (rec.get(c) if c in names else None)
+                    for c in cols
+                }
+                if any(
+                    dseq < s and tuple(vals.get(c) for c in kc) in ks
+                    for s, kc, ks in dead_before
+                ):
+                    continue  # already dead before this commit
+                if any(
+                    tuple(vals.get(c) for c in kc) in ks for kc, ks in kill
+                ):
+                    out.append(tuple(vals[c] for c in cols) + ("delete",))
+        return out
 
     def read(self, start: dict):
         from march_mania_spark_lakehouse_spark.sources import iceberg

@@ -838,14 +838,16 @@ def test_iceberg_cdc_stream_source_with_deletes(spark, table, tmp_path):
     assert +state == head
     dels = sorted(r.id for r in got if r._change_type == "delete")
     assert dels == [i for i in range(14) if i % 3 == 0]
-    # equality-delete commits refuse (parent-state recovery needed)
+    # equality-delete commits decompose too (round 8): the dead row is
+    # the parent-alive row matching the key
     iceberg.delete_by_equality(
         spark, table, spark.createDataFrame([(1,)], "id long")
     )
     reader = _IcebergTableCdcStreamReader({"path": table})
     meta = iceberg.current_metadata(table)
-    with pytest.raises(NotImplementedError):
-        reader._changes(3, meta["last-sequence-number"])
+    assert reader._changes(3, meta["last-sequence-number"]) == [
+        (1, "a", 1.0, "delete")
+    ]
 
 
 def test_avro_deflate_codec_both_readers(tmp_path):

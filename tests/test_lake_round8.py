@@ -1,0 +1,185 @@
+"""Round-8 lake-layer features: equality-delete (upsert) commits
+through the STREAMING Iceberg CDC source — each commit's dead rows
+recovered against its own parent snapshot, matching the batch
+`iceberg.table_changes` feed row-for-row and driving the same
+exactly-once IVM refresh loop the position-delete histories do."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import iceberg
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_iceberg_cdc_stream_upsert_history(spark, table, tmp_path):
+    """Two chained upserts (equality delete + append each) stream as
+    delete(old) + insert(new); the second commit's recovery must see
+    the FIRST commit's effect (its parent state), never re-emit
+    already-dead rows, and the streamed feed must equal the batch
+    change feed row-for-row."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    iceberg.create(
+        spark.createDataFrame(
+            [(i, str(i % 3), float(i)) for i in range(12)],
+            "id long, cat string, val double",
+        ),
+        table,
+        partition_by=["cat"],  # identity fills must restore on deletes
+    )
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink = str(tmp_path / "up_sink")
+    ckpt = str(tmp_path / "up_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_table_cdc")
+            .option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 12
+
+    # upsert 1: rewrite ids 3 and 7, add id 100 (seq 2 = eq-delete,
+    # seq 3 = append)
+    iceberg.upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(3, "9", 33.0), (7, "9", 77.0), (100, "9", 1.0)],
+            "id long, cat string, val double",
+        ),
+        keys=["id"],
+    )
+    # upsert 2: rewrite id 3 AGAIN plus id 11 — its parent state must
+    # include upsert 1's effect (kills (3,'9',33.0), not (3,'0',3.0))
+    iceberg.upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(3, "8", 333.0), (11, "8", 111.0)],
+            "id long, cat string, val double",
+        ),
+        keys=["id"],
+    )
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    streamed = Counter(
+        (r.id, r.cat, r.val, r._change_type) for r in rows
+    ) - Counter(
+        # drain 1's base-load inserts: the upsert delta is the rest
+        (i, str(i % 3), float(i), "insert") for i in range(12)
+    )
+    batch = Counter(
+        (r.id, r.cat, r.val, r._change_type)
+        for r in iceberg.table_changes(
+            spark, table, 1, include_deletes=True
+        ).collect()
+    )
+    assert streamed == batch  # row-for-row parity with the batch feed
+
+    dels = Counter(
+        (r.id, r.cat, r.val) for r in rows if r._change_type == "delete"
+    )
+    assert dels == Counter(
+        {
+            (3, "0", 3.0): 1,     # killed by upsert 1
+            (7, "1", 7.0): 1,     # killed by upsert 1
+            (3, "9", 33.0): 1,    # upsert 1's row, killed by upsert 2
+            (11, "2", 11.0): 1,   # killed by upsert 2
+        }
+    )
+    # folding the signed stream reproduces the head snapshot
+    state = Counter()
+    for r in rows:
+        state[(r.id, r.cat, r.val)] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        (r.id, r.cat, r.val)
+        for r in iceberg.read_iceberg(spark, table).collect()
+    )
+    assert +state == head
+
+
+def test_iceberg_cdc_stream_upsert_drives_ivm_refresh_exactly_once(
+    spark, table, tmp_path
+):
+    """The exactly-once IVM loop through an UPSERT (equality-delete)
+    history on the streaming source: base load, then upsert + append,
+    each drained once; the finalized view equals a direct aggregate of
+    the head snapshot — old rows retract exactly once."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    iceberg.create(
+        spark.createDataFrame(
+            [(i, str(i % 3), float(i)) for i in range(30)],
+            "id long, cat string, val double",
+        ),
+        table,
+    )
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    changes_sink = str(tmp_path / "ivm_changes")
+    ckpt = str(tmp_path / "ivm_ckpt")
+    state_dir = str(tmp_path / "ivm_state")
+
+    def refresh():
+        q = (
+            spark.readStream.format("iceberg_table_cdc")
+            .option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", changes_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        changes = spark.read.parquet(changes_sink)
+        state = ivm.signed_state(changes, ["cat"], "val")
+        state.write.mode("overwrite").parquet(state_dir)
+
+    refresh()
+    iceberg.upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(5, "0", 500.0), (6, "1", 600.0), (99, "2", 999.0)],
+            "id long, cat string, val double",
+        ),
+        keys=["id"],
+    )
+    iceberg.append(
+        spark.createDataFrame(
+            [(40, "1", 40.0)], "id long, cat string, val double"
+        ),
+        table,
+    )
+    refresh()
+
+    view = {
+        r["cat"]: (r["n_rows"], round(r["sum_m"], 6))
+        for r in ivm.finalize_counts(spark.read.parquet(state_dir)).collect()
+    }
+    direct = {
+        r["cat"]: (r["n"], round(r["s"], 6))
+        for r in iceberg.read_iceberg(spark, table)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert view == direct
