@@ -1103,3 +1103,82 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         dsum("price", "total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q213 — standard Delta CDF of an UPDATE: `update_where` lands as a
+# DV-delete commit + append commit tagged with one updateId, and
+# `table_changes_cdf` reads the pair back as update_preimage /
+# update_postimage rows. The oracle is the relational before/after
+# reconstruction over the source fixture: preimages are EXACTLY the
+# matched rows with their original values, postimages the same rows
+# through the assignment expressions — a row mislabeled, dropped,
+# duplicated, or paired with the wrong version breaks the hash.
+# --------------------------------------------------------------------------
+
+_Q213_SQL = f"""
+WITH matched AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+cdf AS (
+  SELECT 'update_preimage' AS change_type, o_orderkey,
+         o_totalprice AS price
+  FROM matched
+  UNION ALL
+  SELECT 'update_postimage' AS change_type, o_orderkey,
+         o_totalprice * CAST(1.5 AS DOUBLE) AS price
+  FROM matched
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       {sql_dsum("price", "sum_price")}
+FROM cdf
+GROUP BY change_type
+"""
+
+
+def _cdf_updated_table(spark: SparkSession, sf_dir: str) -> str:
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    root = _cached_root(sf_dir, "cdf213").replace(
+        "spark_graft_iceberg", "spark_graft_delta"
+    )
+    table = os.path.join(root, "orders_cdf")
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        delta_log.create(orders, table, stat_cols=["o_orderkey"])
+        delta_log.update_where(
+            spark,
+            table,
+            "o_orderkey % 7 = 0",
+            {
+                "o_orderstatus": F.lit("U"),
+                "o_totalprice": F.col("o_totalprice") * F.lit(1.5),
+            },
+        )
+    return table
+
+
+@query("q213_delta_cdf_update_pairs", oracle=_Q213_SQL, tags=("lake", "agg"))
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard CDF read of an UPDATE history (`table_changes_cdf`):
+    the DV-delete + append pair reads back as update_preimage /
+    update_postimage rows stamped with the pair's final version. The
+    aggregate by change type must equal the relational before/after
+    reconstruction of the same assignment over the source fixture."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _cdf_updated_table(spark, sf_dir)
+    return (
+        delta_log.table_changes_cdf(spark, table, 0)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -368,6 +368,7 @@ def append(
     stat_cols: Sequence[str] = (),
     txn: "tuple[str, int] | None" = None,
     merge_schema: bool = False,
+    _op: "tuple[str, dict] | None" = None,
 ) -> int:
     """Append commit: adds only; prior files stay live. ``txn`` as in
     :func:`create`.
@@ -440,7 +441,7 @@ def append(
                 mapping=mapping,
             )
             actions = [
-                _commit_info("WRITE", {"mode": "Append"}),
+                _commit_info(*(_op or ("WRITE", {"mode": "Append"}))),
                 *meta_actions,
                 *_txn_action(txn),
                 *_add_actions(table, files, stat_cols, mapping=mapping),
@@ -449,7 +450,7 @@ def append(
             return cur + 1
     files = _stage_data_files(df, table, table_partition_columns(table, cur))
     actions = [
-        _commit_info("WRITE", {"mode": "Append"}),
+        _commit_info(*(_op or ("WRITE", {"mode": "Append"}))),
         *meta_actions,
         *_txn_action(txn),
         *_add_actions(table, files, stat_cols),
@@ -1509,7 +1510,12 @@ DV_PROTOCOL = {
 }
 
 
-def delete_where(spark: SparkSession, table: str, condition) -> int:
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    condition,
+    _op: "tuple[str, dict] | None" = None,
+) -> int:
     """Merge-on-read DELETE via the protocol's DELETION VECTORS: the
     matched rows' physical positions are roaring-encoded ON EXECUTORS
     (one task per group of touched files) and written as per-task
@@ -1634,8 +1640,9 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
         for k in live
     }
     ts = _now_ms()
+    op, op_params = _op or ("DELETE", {"predicate": str(condition)})
     actions: list[dict] = [
-        _commit_info("DELETE", {"predicate": str(condition)}),
+        _commit_info(op, op_params),
         {"protocol": dict(DV_PROTOCOL)},
     ]
     rel_rows = []
@@ -1819,6 +1826,86 @@ def table_changes(
     return out
 
 
+def _commit_operation(table: str, version: int) -> "tuple[str | None, dict]":
+    """(operation, operationParameters) of a commit's commitInfo —
+    (None, {}) when the commit carries none."""
+    for a in _read_actions(_commit_path(table, version)):
+        if "commitInfo" in a:
+            ci = a["commitInfo"]
+            return ci.get("operation"), ci.get("operationParameters") or {}
+    return None, {}
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Standard Delta CDF view of the change feed: ``_change_type`` ∈
+    insert / delete / update_preimage / update_postimage plus
+    ``_commit_version``.
+
+    `update_where` lands as a DV-delete commit and an append commit
+    tagged ``operation=UPDATE`` with a shared ``updateId``; this reader
+    pairs them back: the tombstoned rows re-emit as update_preimage
+    and the appended images as update_postimage, BOTH stamped with the
+    pair's final (append) version — the version `update_where`
+    returned, i.e. the version at which the update is complete. Every
+    other commit keeps :func:`table_changes`' insert/delete
+    decomposition, stamped with its own version. A delete half whose
+    write twin is missing (crash between the two commits) or beyond
+    ``to_version`` degrades to plain deletes — never mislabeled.
+
+    Cost: one per-commit change scan. CDF consumers read short ranges
+    (the delta since their last refresh) by construction; the
+    whole-range fast path stays `table_changes`."""
+    hi = latest_version(table) if to_version is None else to_version
+    if hi is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    pieces: list[DataFrame] = []
+    v = from_version + 1
+    while v <= hi:
+        op, params = _commit_operation(table, v)
+        if op == "UPDATE" and params.get("phase") == "delete" and v < hi:
+            nop, nparams = _commit_operation(table, v + 1)
+            if nop == "UPDATE" and nparams.get("updateId") == params.get(
+                "updateId"
+            ):
+                pre = table_changes(
+                    spark, table, v - 1, v, include_deletes=True
+                ).filter(F.col("_change_type") == "delete")
+                post = table_changes(
+                    spark, table, v, v + 1, include_deletes=True
+                )
+                pieces.append(
+                    pre.withColumn("_change_type", F.lit("update_preimage"))
+                    .withColumn("_commit_version", F.lit(v + 1).cast("long"))
+                )
+                pieces.append(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                    .withColumn("_commit_version", F.lit(v + 1).cast("long"))
+                )
+                v += 2
+                continue
+        d = table_changes(spark, table, v - 1, v, include_deletes=True)
+        pieces.append(
+            d.withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+        v += 1
+    if not pieces:
+        return (
+            read_delta(spark, table, hi)
+            .filter(F.lit(False))
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+        )
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Column mapping (protocol `delta.columnMapping.mode = name`): rename /
 # drop columns without rewriting a byte. Logical names live in the
@@ -1973,9 +2060,12 @@ def update_where(
     """Merge-on-read UPDATE (the Delta twin of `iceberg.update_where`):
     deletion-vector the matched live rows, append their updated images.
     ``assignments`` maps column → Column/SQL expression over the
-    PRE-update row. Two commits (DELETE then WRITE); the updated images
-    are materialized against the pre-update version before the DV
-    commit lands. Returns the final version (unchanged on no match)."""
+    PRE-update row. Two commits (DELETE then WRITE), both tagged
+    ``operation=UPDATE`` with a shared ``updateId`` so
+    :func:`table_changes_cdf` reads the pair back as standard CDF
+    update_preimage/update_postimage rows; the updated images are
+    materialized against the pre-update version before the DV commit
+    lands. Returns the final version (unchanged on no match)."""
     pred = F.expr(condition) if isinstance(condition, str) else condition
     v = latest_version(table)
     schema = table_schema(table, v)
@@ -2003,8 +2093,18 @@ def update_where(
     # constraints must reject BEFORE the delete commit lands, or a
     # violating UPDATE would half-apply (rows deleted, images refused)
     _enforce_constraints(updated, table, v)
-    delete_where(spark, table, pred)
-    return append(updated, table, stat_cols=stat_cols)
+    uid = uuid.uuid4().hex
+    delete_where(
+        spark, table, pred,
+        _op=("UPDATE", {
+            "updateId": uid, "phase": "delete",
+            "predicate": str(condition),
+        }),
+    )
+    return append(
+        updated, table, stat_cols=stat_cols,
+        _op=("UPDATE", {"updateId": uid, "phase": "write"}),
+    )
 
 
 _WIDEN_OK = {("integer", "long"), ("float", "double")}

@@ -183,3 +183,85 @@ def test_iceberg_cdc_stream_upsert_drives_ivm_refresh_exactly_once(
         .collect()
     }
     assert view == direct
+
+
+def test_delta_update_history_reads_as_cdf_pairs(spark, table):
+    """`table_changes_cdf`: an update_where history reads back as
+    update_preimage/update_postimage pairs stamped with the pair's
+    final version; plain appends/deletes keep insert/delete with their
+    own versions; and folding the CDF over the starting snapshot
+    reproduces the head."""
+    from collections import Counter
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(12)], "id long, val double"
+        ),
+        table,
+    )
+    delta_log.append(
+        spark.createDataFrame([(20, 20.0), (21, 21.0)], "id long, val double"),
+        table,
+    )  # v1
+    delta_log.update_where(
+        spark, table, "id % 4 = 0", {"val": F.col("val") * 10}
+    )  # v2 (delete) + v3 (write)
+    delta_log.delete_where(spark, table, "id = 1")  # v4
+    cdf = delta_log.table_changes_cdf(spark, table, 0).collect()
+
+    by_type = Counter(r._change_type for r in cdf)
+    upd_ids = sorted(i for i in list(range(12)) + [20, 21] if i % 4 == 0)
+    assert by_type == Counter(
+        insert=2,
+        update_preimage=len(upd_ids),
+        update_postimage=len(upd_ids),
+        delete=1,
+    )
+    pre = {(r.id, r.val) for r in cdf if r._change_type == "update_preimage"}
+    post = {(r.id, r.val) for r in cdf if r._change_type == "update_postimage"}
+    assert pre == {(i, float(i)) for i in upd_ids}
+    assert post == {(i, float(i) * 10) for i in upd_ids}
+    # pre AND post carry the pair's final (append) version
+    assert {
+        r._commit_version for r in cdf
+        if r._change_type.startswith("update_")
+    } == {3}
+    assert {r._commit_version for r in cdf if r._change_type == "insert"} == {1}
+    assert {r._commit_version for r in cdf if r._change_type == "delete"} == {4}
+    # fold: start snapshot + inserts + postimages - deletes - preimages
+    state = Counter(
+        (r.id, r.val)
+        for r in delta_log.read_delta(spark, table, 0).collect()
+    )
+    for r in cdf:
+        sign = 1 if r._change_type in ("insert", "update_postimage") else -1
+        state[(r.id, r.val)] += sign
+    head = Counter(
+        (r.id, r.val) for r in delta_log.read_delta(spark, table).collect()
+    )
+    assert +state == head
+
+
+def test_cdf_orphaned_update_delete_half_degrades_to_deletes(spark, table):
+    """A crash between update_where's two commits leaves a tagged
+    delete half with no write twin — the CDF reader must surface its
+    rows as plain deletes, never as unpaired preimages."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, val double"
+        ),
+        table,
+    )
+    # simulate the orphan: a tagged delete commit, twin never lands
+    delta_log.delete_where(
+        spark, table, "id >= 4",
+        _op=("UPDATE", {"updateId": "deadbeef", "phase": "delete",
+                        "predicate": "id >= 4"}),
+    )
+    cdf = delta_log.table_changes_cdf(spark, table, 0).collect()
+    assert {r._change_type for r in cdf} == {"delete"}
+    assert sorted(r.id for r in cdf) == [4, 5]
