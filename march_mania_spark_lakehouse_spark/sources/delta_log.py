@@ -784,7 +784,13 @@ def _read_files_raw(
     paths = [os.path.join(table, f) for f in files]
     mapping = column_mapping(table, version)
     absolute = any(os.path.isabs(f) for f in files)
-    if not mapping and not absolute:
+    # a float→double partition-column widening leaves hive dir strings
+    # in the NARROW rendering; the widen commit flips this flag so
+    # restoration reads the rewritten (exact-upcast) log values instead
+    pv_auth = (
+        (_latest_metadata(table, version) or {}).get("configuration") or {}
+    ).get("partitionValuesAuthoritative") == "true"
+    if not mapping and not absolute and not pv_auth:
         # vanilla layouts: flat declared-schema scan, or hive basePath
         # discovery for partitioned tables (keeps Spark's partition
         # pruning on ad-hoc filters)
@@ -2117,10 +2123,20 @@ def widen_column(table: str, col: str, new_type: str) -> int:
     zero files rewritten, old files' narrower physical values upcast
     exactly on the declared-schema scan. Add-action stats are JSON
     numbers, so min/max pruning is type-agnostic across the boundary.
-    Gated: partition columns refuse (their values are restored from
-    hive-layout strings cast to the DECLARED type — widening is safe
-    there, but the narrow-typed partitionValues of old adds would stop
-    matching scan_partitions' string equality; keep it honest).
+
+    PARTITION columns widen too (round 8): their values are log
+    metadata, not data bytes, so the same commit rewrites every live
+    add's partitionValues string under the widened type. int → long
+    strings are already canonical decimals (no rewrite needed);
+    float → double re-renders each value as the EXACT upcast double
+    (cast("0.1" as float) upcasts to 0.10000000149…, not the double
+    0.1) and flips the table to log-authoritative partition
+    restoration (`partitionValuesAuthoritative` configuration — hive
+    dir strings still carry the narrow rendering, so dir-discovery
+    restoration would re-interpret them under the wide type and
+    silently shift every float partition value). scan_partitions'
+    string equality stays consistent across the boundary: old
+    rewritten adds and new wide-typed writes render identically.
     Returns the new version."""
     cur = latest_version(table)
     if cur is None:
@@ -2138,20 +2154,45 @@ def widen_column(table: str, col: str, new_type: str) -> int:
             f"{old_type} -> {new_type} is not a sanctioned promotion "
             f"(allowed: {sorted(_WIDEN_OK)})"
         )
-    if col in (meta.get("partitionColumns") or []):
-        raise NotImplementedError(
-            f"{col!r} is a partition column; widening it would desync "
-            "old adds' narrow-typed partitionValues from pruning"
-        )
     for f in schema["fields"]:
         if f["name"] == col:
             f["type"] = new_type
+    new_meta = {**meta, "schemaString": json.dumps(schema)}
+    pv_actions: list[dict] = []
+    if col in (meta.get("partitionColumns") or []) and old_type == "float":
+        import struct as _struct
+
+        mapping = column_mapping(table, cur) or {}
+        pcol = mapping.get(col, col)
+        ts = _now_ms()
+        for rel, add in sorted(_replay(table, cur).items()):
+            pv = dict(_normalize_partition_values(add.get("partitionValues")))
+            s = pv.get(pcol)
+            if s in (None, "__HIVE_DEFAULT_PARTITION__"):
+                continue
+            # the exact double the narrow float upcasts to
+            wide = _struct.unpack("<f", _struct.pack("<f", float(s)))[0]
+            if repr(wide) == s:
+                continue
+            pv[pcol] = repr(wide)
+            pv_actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": ts,
+                            "dataChange": False}}
+            )
+            pv_actions.append(
+                {"add": {**add, "path": rel, "partitionValues": pv,
+                         "dataChange": False, "modificationTime": ts}}
+            )
+        conf = dict(new_meta.get("configuration") or {})
+        conf["partitionValuesAuthoritative"] = "true"
+        new_meta["configuration"] = conf
     _write_commit(
         table,
         cur + 1,
         [
             _commit_info("WIDEN COLUMN", {"column": col, "to": new_type}),
-            {"metaData": {**meta, "schemaString": json.dumps(schema)}},
+            {"metaData": new_meta},
+            *pv_actions,
         ],
     )
     return cur + 1

@@ -241,14 +241,19 @@ def test_delta_widen_gates(spark, tmp_path):
     delta_log.create(_mixed(spark), t)
     with pytest.raises(ValueError, match="not a sanctioned promotion"):
         delta_log.widen_column(t, "small", "double")
+    # partition columns widen too (round 8 — the old gate is lifted):
+    # int→long partitionValues strings are already canonical
     t2 = str(tmp_path / "delta_widen_part")
     delta_log.create(
         _mixed(spark).withColumn("p", (F.col("id") % 2).cast("int")),
         t2,
         partition_by=["p"],
     )
-    with pytest.raises(NotImplementedError, match="partition column"):
-        delta_log.widen_column(t2, "p", "long")
+    delta_log.widen_column(t2, "p", "long")
+    got = delta_log.read_delta(spark, t2)
+    assert dict(got.dtypes)["p"] == "bigint"
+    assert sorted(r.p for r in got.collect()) == [0, 1]
+    assert delta_log.scan_partitions(spark, t2, {"p": 1}).count() == 1
 
 
 def test_delta_widen_composes_with_column_mapping(spark, tmp_path):

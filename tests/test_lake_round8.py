@@ -265,3 +265,88 @@ def test_cdf_orphaned_update_delete_half_degrades_to_deletes(spark, table):
     cdf = delta_log.table_changes_cdf(spark, table, 0).collect()
     assert {r._change_type for r in cdf} == {"delete"}
     assert sorted(r.id for r in cdf) == [4, 5]
+
+
+def test_widen_int_partition_column_cross_boundary_pruning(spark, table):
+    """int → long widening on a PARTITION column (gate lifted, round
+    8): partitionValues strings are canonical decimals, so pruning
+    stays consistent across the boundary — generation A (narrow) and
+    generation B (wide, including a value beyond int range) both
+    resolve through one scan_partitions call and the full scan."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(12)],
+            "id long, k int, val double",
+        ),
+        table,
+        partition_by=["k"],
+    )
+    delta_log.widen_column(table, "k", "long")
+    assert dict(delta_log.read_delta(spark, table).dtypes)["k"] == "bigint"
+    delta_log.append(
+        spark.createDataFrame(
+            [(100, 1, 100.0), (101, 3_000_000_000, 101.0)],
+            "id long, k long, val double",
+        ),
+        table,
+    )
+    got = delta_log.scan_partitions(spark, table, {"k": 1})
+    assert sorted(r.id for r in got.collect()) == [1, 4, 7, 10, 100]
+    wide = delta_log.scan_partitions(spark, table, {"k": 3_000_000_000})
+    assert [r.id for r in wide.collect()] == [101]
+    full = delta_log.read_delta(spark, table)
+    assert full.filter(F.col("k") == 1).count() == 5
+    assert {r.k for r in full.collect()} == {0, 1, 2, 3_000_000_000}
+
+
+def test_widen_float_partition_column_rewrites_partition_values(
+    spark, table
+):
+    """float → double widening on a PARTITION column: the widen commit
+    rewrites each live add's partitionValues to the EXACT upcast
+    double rendering and flips restoration to the log values (hive dir
+    strings keep the narrow rendering). Values must equal the
+    value-preserving upcast — cast('0.1' as float) upcasts to
+    0.10000000149…, never the double 0.1 — and pruning must match both
+    old and new generations."""
+    import struct as _struct
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    up = lambda s: _struct.unpack("<f", _struct.pack("<f", float(s)))[0]
+    delta_log.create(
+        spark.createDataFrame(
+            [(1, 0.1, "a"), (2, 1.5, "b"), (3, 0.1, "c")],
+            "id long, p float, s string",
+        ),
+        table,
+        partition_by=["p"],
+    )
+    before = {(r.id, r.p) for r in delta_log.read_delta(spark, table).collect()}
+    delta_log.widen_column(table, "p", "double")
+    got = {(r.id, r.p) for r in delta_log.read_delta(spark, table).collect()}
+    # exact value-preserving upcast of every narrow value
+    assert got == {(i, up(p)) for i, p in before}
+    assert (1, 0.1) not in got  # the double 0.1 would be WRONG
+    # new wide-typed generation shares the partition grid
+    delta_log.append(
+        spark.createDataFrame(
+            [(4, up("0.1"), "d")], "id long, p double, s string"
+        ),
+        table,
+    )
+    pruned = delta_log.scan_partitions(spark, table, {"p": up("0.1")})
+    assert sorted(r.id for r in pruned.collect()) == [1, 3, 4]
+    # pruning really pruned: the 1.5 partition's file is not planned
+    assert len(pruned.inputFiles()) < len(
+        delta_log.read_delta(spark, table).inputFiles()
+    )
+    # the independent clean-room reader (log-values restoration by
+    # construction) agrees with the engine on every row
+    import tests.delta_reader_independent as indep
+
+    assert {
+        (t[0], t[1]) for t in indep.read_rows(table)
+    } == {(i, p) for i, p in got} | {(4, up("0.1"))}
