@@ -241,16 +241,42 @@ def theta_estimate_from_bytes(data: bytes) -> float:
 # --------------------------------------------------------------------------
 
 
+def _zstd_codec():
+    """(compress, decompress) from whichever zstd binding this runtime
+    has: Python 3.14's stdlib ``compression.zstd``, else the
+    ``zstandard`` package; None when neither imports — the honest
+    gate's input (spec: a flagged Puffin footer payload is always
+    zstd)."""
+    try:
+        from compression import zstd  # stdlib, Python 3.14+
+
+        return zstd.compress, zstd.decompress
+    except ImportError:
+        pass
+    try:
+        import zstandard
+
+        comp = zstandard.ZstdCompressor()
+        deco = zstandard.ZstdDecompressor()
+        return comp.compress, deco.decompress
+    except ImportError:
+        return None
+
+
 def write_puffin(
     path: str,
     blobs: list[dict],
     properties: dict | None = None,
+    compress_footer: bool = False,
 ) -> dict:
     """Write a Puffin file. Each blob dict: ``type`` (str), ``fields``
     (list[int] — Iceberg field ids), ``snapshot-id``, ``sequence-number``,
     ``payload`` (bytes), optional ``properties`` (str→str). Returns
     ``{"file-size-in-bytes", "file-footer-size-in-bytes", "blob-metadata"}``
-    — exactly the shape the table metadata ``statistics`` entry needs."""
+    — exactly the shape the table metadata ``statistics`` entry needs.
+    ``compress_footer=True`` zstd-compresses the footer payload and
+    sets the spec's flag bit (requires a zstd codec — see
+    :func:`_zstd_codec`)."""
     tmp = path + f".tmp{uuid.uuid4().hex}"
     blob_meta: list[dict] = []
     with open(tmp, "wb") as f:
@@ -274,10 +300,21 @@ def write_puffin(
         footer_payload = json.dumps(
             {"blobs": blob_meta, "properties": dict(properties or {})}
         ).encode("utf-8")
+        flags = b"\x00\x00\x00\x00"  # footer payload uncompressed
+        if compress_footer:
+            codec = _zstd_codec()
+            if codec is None:
+                raise NotImplementedError(
+                    "compress_footer needs a zstd codec: neither "
+                    "Python 3.14's compression.zstd nor the zstandard "
+                    "package is importable in this runtime"
+                )
+            footer_payload = codec[0](footer_payload)
+            flags = b"\x01\x00\x00\x00"  # bit 0: footer zstd-compressed
         f.write(MAGIC)
         f.write(footer_payload)
         f.write(struct.pack("<i", len(footer_payload)))
-        f.write(b"\x00\x00\x00\x00")  # flags: footer payload uncompressed
+        f.write(flags)
         f.write(MAGIC)
     os.replace(tmp, path)
     footer_size = 4 + len(footer_payload) + 4 + 4 + 4
@@ -298,12 +335,20 @@ def read_puffin(path: str) -> tuple[dict, list[tuple[dict, bytes]]]:
         raise ValueError(f"{path}: not a Puffin file (bad magic)")
     (payload_size,) = struct.unpack_from("<i", data, len(data) - 12)
     flags = data[len(data) - 8 : len(data) - 4]
-    if flags[0] & 1:
-        raise NotImplementedError("compressed Puffin footer payload")
     payload_start = len(data) - 12 - payload_size
     if data[payload_start - 4 : payload_start] != MAGIC:
         raise ValueError(f"{path}: footer-start magic missing")
-    meta = json.loads(data[payload_start : payload_start + payload_size])
+    raw = data[payload_start : payload_start + payload_size]
+    if flags[0] & 1:  # spec: flagged footer payload is zstd-compressed
+        codec = _zstd_codec()
+        if codec is None:
+            raise NotImplementedError(
+                f"{path}: footer payload is zstd-compressed; neither "
+                "Python 3.14's compression.zstd nor the zstandard "
+                "package is importable in this runtime"
+            )
+        raw = codec[1](raw)
+    meta = json.loads(raw)
     out = []
     for bm in meta.get("blobs", []):
         o, ln = bm["offset"], bm["length"]

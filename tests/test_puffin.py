@@ -299,3 +299,79 @@ def test_sort_order_registered_by_clustered_optimize(spark, sf_dir, tmp_path):
     assert iceberg.set_sort_order(t, ["o_orderkey"]) == oid
     # rows unchanged by all of it
     assert iceberg.read_iceberg(spark, t).count() == orders.count()
+
+
+def test_compressed_footer_round_trip_with_injected_codec(tmp_path, monkeypatch):
+    """Compressed Puffin footers (round 8): the read/write plumbing is
+    real — flag bit set, payload routed through the zstd codec — and
+    verified end-to-end with an injected codec module (this runtime
+    ships no zstd binding; the binding API is the zstandard package's)."""
+    import sys
+    import types
+    import zlib
+
+    class _C:
+        def compress(self, b):
+            return b"ZSTDFAKE" + zlib.compress(b)
+
+    class _D:
+        def decompress(self, b):
+            assert b[:8] == b"ZSTDFAKE"
+            return zlib.decompress(b[8:])
+
+    fake = types.SimpleNamespace(ZstdCompressor=_C, ZstdDecompressor=_D)
+    monkeypatch.setitem(sys.modules, "zstandard", fake)
+
+    path = str(tmp_path / "stats_c.puffin")
+    blob = {
+        "type": "apache-datasketches-theta-v1",
+        "fields": [1],
+        "snapshot-id": 7,
+        "sequence-number": 3,
+        "payload": b"\x01\x03\x03\x00\x00\x00\x00\x00",
+        "properties": {"ndv": "0"},
+    }
+    info = puffin.write_puffin(path, [blob], {"created-by": "t"},
+                               compress_footer=True)
+    # the flag bit is really set on disk
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[len(data) - 8] & 1
+    props, blobs = puffin.read_puffin(path)
+    assert props == {"created-by": "t"}
+    assert len(blobs) == 1 and blobs[0][1] == blob["payload"]
+    assert blobs[0][0]["properties"] == {"ndv": "0"}
+    assert info["blob-metadata"][0]["length"] == len(blob["payload"])
+
+
+def test_compressed_footer_without_codec_gates_narrowly(tmp_path, monkeypatch):
+    """Without any zstd binding the reader still parses the container
+    frame and raises a SPECIFIC gate naming the codec — and the writer
+    refuses compress_footer the same way."""
+    import builtins
+    import sys
+
+    real_import = builtins.__import__
+
+    def _no_zstd(name, *a, **k):
+        if name in ("zstandard", "compression", "compression.zstd"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", _no_zstd)
+    monkeypatch.delitem(sys.modules, "zstandard", raising=False)
+
+    path = str(tmp_path / "stats_u.puffin")
+    with pytest.raises(NotImplementedError, match="zstd"):
+        puffin.write_puffin(path, [], {}, compress_footer=True)
+    # hand-plant a flagged file: MAGIC + footer magic + payload + frame
+    payload = b"{\"blobs\": [], \"properties\": {}}"
+    frame = (
+        puffin.MAGIC + puffin.MAGIC + payload
+        + len(payload).to_bytes(4, "little")
+        + b"\x01\x00\x00\x00" + puffin.MAGIC
+    )
+    with open(path, "wb") as f:
+        f.write(frame)
+    with pytest.raises(NotImplementedError, match="zstd-compressed"):
+        puffin.read_puffin(path)
