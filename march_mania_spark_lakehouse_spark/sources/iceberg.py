@@ -1144,10 +1144,18 @@ def widen_column(table: str, col: str, new_type: str) -> int:
     the declared wider schema), and their manifest BOUNDS — encoded
     with the write-time type per Appendix D — decode by payload width
     in `single_value_read`, so scan_range pruning keeps working across
-    the promotion boundary. Gated: partition SOURCE columns refuse
-    (old manifests' partition tuples carry the narrow type — planning
-    them under a widened transform is a compatibility surface this
-    layer doesn't cover). Returns the new schema id."""
+    the promotion boundary.
+
+    Partition SOURCE columns widen too (round 8 — the spec allows it,
+    and the layer's machinery is promotion-stable by construction):
+    old manifests keep their narrow-typed partition tuples (Avro
+    int/float decode to Python values that compare equal to their
+    exact upcasts), new manifests write the widened record schema, and
+    every transform is value-compatible across the boundary — the
+    spec's bucket hash treats int as long and float as double by
+    design (`_bucket_udf` hashes 8-byte LE blocks), truncate is plain
+    integer math, identity restoration casts to the CURRENT declared
+    type. Returns the new schema id."""
     meta = current_metadata(table)
     declared = meta["schemas"][meta["current-schema-id"]]
     by_name = {f["name"]: f for f in declared["fields"]}
@@ -1162,12 +1170,6 @@ def widen_column(table: str, col: str, new_type: str) -> int:
             f"(allowed: {sorted(_WIDEN_OK)})"
         )
     fid = by_name[col]["id"]
-    for spec in meta.get("partition-specs", []):
-        if any(pf["source-id"] == fid for pf in spec["fields"]):
-            raise NotImplementedError(
-                f"{col!r} is a partition source column; widening it would "
-                "change the manifest partition-tuple type mid-history"
-            )
     new_schema = {
         "type": "struct",
         "schema-id": len(meta["schemas"]),
@@ -1180,6 +1182,18 @@ def widen_column(table: str, col: str, new_type: str) -> int:
     meta["schemas"] = list(meta["schemas"]) + [new_schema]
     meta["current-schema-id"] = new_schema["schema-id"]
     meta["last-updated-ms"] = _now_ms()
+    if old_type == "float" and any(
+        pf["source-id"] == fid and pf.get("transform", "identity") == "identity"
+        for spec in meta.get("partition-specs", [])
+        for pf in spec["fields"]
+    ):
+        # hive dir strings keep the narrow float rendering ("0.1");
+        # re-casting them under double would silently shift every
+        # value — flip reads to manifest-tuple identity restoration
+        # (Avro float tuples decode to the EXACT upcast double)
+        props = dict(meta.get("properties") or {})
+        props["partition-values-authoritative"] = "true"
+        meta["properties"] = props
     _write_metadata(table, meta)
     return new_schema["schema-id"]
 
@@ -1527,6 +1541,13 @@ def _read_raw(
     # table machinery, which never needs discovery)
     foreign = any(
         os.path.isabs(f) or f.split(os.sep, 1)[0] == ".." for f in rel_files
+    )
+    # float→double widening of an identity partition source leaves hive
+    # dirs in the narrow rendering; the widen commit sets this property
+    # so restoration uses the manifests' exact typed tuples instead
+    foreign = foreign or (
+        (meta.get("properties") or {}).get("partition-values-authoritative")
+        == "true"
     )
     paths = [os.path.join(table, f) for f in sorted(rel_files)]
     if _has_renames(meta):

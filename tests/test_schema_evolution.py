@@ -277,10 +277,81 @@ def test_widen_gates(spark, tmp_path):
         iceberg.widen_column(t, "small", "double")
     with pytest.raises(ValueError, match="not a sanctioned promotion"):
         iceberg.widen_column(t, "id", "int")  # narrowing refused
-    t2 = str(tmp_path / "widen_part")
-    iceberg.create(_mixed(spark), t2, partition_by=["bucket(2, small)"])
-    with pytest.raises(NotImplementedError, match="partition source"):
-        iceberg.widen_column(t2, "small", "long")
+    # (partition SOURCE columns widen since round 8 — see the
+    # dedicated tests below)
+
+
+def test_widen_partition_source_identity_int(spark, tmp_path):
+    """int → long widening of an IDENTITY partition source: old
+    manifests keep int partition tuples, new ones write long; both
+    restore under the widened type and both prune through one
+    scan_partition call (Python int equality unifies the encodings)."""
+    t = str(tmp_path / "widen_part_id")
+    iceberg.create(_mixed(spark), t, partition_by=["small"])
+    iceberg.widen_column(t, "small", "long")
+    iceberg.append(
+        spark.createDataFrame(
+            [(4, 2**40, 4.5), (5, 10, 5.5)],
+            "id long, small long, ratio float",
+        ).withColumn("ratio", F.col("ratio").cast("float")),
+        t,
+    )
+    got = iceberg.read_iceberg(spark, t)
+    assert dict(got.dtypes)["small"] == "bigint"
+    assert sorted((r.id, r.small) for r in got.collect()) == [
+        (1, 10), (2, 20), (3, 30), (4, 2**40), (5, 10),
+    ]
+    # pruning matches BOTH generations of the same partition value
+    hit = iceberg.scan_partition(spark, t, {"small": 10})
+    assert sorted(r.id for r in hit.collect()) == [1, 5]
+    assert [r.id for r in iceberg.scan_partition(
+        spark, t, {"small": 2**40}
+    ).collect()] == [4]
+    # the clean-room reader restores both generations identically
+    assert sorted(r[:2] for r in indie.read_rows(t)) == [
+        (1, 10), (2, 20), (3, 30), (4, 2**40), (5, 10),
+    ]
+
+
+def test_widen_partition_source_bucket_transform(spark, tmp_path):
+    """bucket(N, col) survives int → long widening BY SPEC DESIGN (int
+    is hashed as an 8-byte block, so bucket(int x) == bucket(long x)):
+    a point lookup after widening must find old-int and new-long rows
+    of the same key in the same bucket."""
+    t = str(tmp_path / "widen_part_bucket")
+    iceberg.create(_mixed(spark), t, partition_by=["bucket(2, small)"])
+    iceberg.widen_column(t, "small", "long")
+    iceberg.append(
+        spark.createDataFrame(
+            [(6, 10, 6.5)], "id long, small long, ratio float"
+        ).withColumn("ratio", F.col("ratio").cast("float")),
+        t,
+    )
+    hit = iceberg.scan_partition(spark, t, {"small": 10})
+    assert sorted(r.id for r in hit.collect()) == [1, 6]
+    # and the lookup really pruned: fewer files planned than the table
+    assert len(hit.inputFiles()) < len(
+        iceberg.read_iceberg(spark, t).inputFiles()
+    )
+
+
+def test_widen_partition_source_identity_float(spark, tmp_path):
+    """float → double widening of an identity partition source: Avro
+    float tuples decode to the EXACT upcast double, so restored values
+    and pruning agree across the boundary."""
+    import struct as _struct
+
+    up = lambda s: _struct.unpack("<f", _struct.pack("<f", float(s)))[0]
+    t = str(tmp_path / "widen_part_f")
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 1.5)], "id long, p double"
+    ).withColumn("p", F.col("p").cast("float"))
+    iceberg.create(df, t, partition_by=["p"])
+    iceberg.widen_column(t, "p", "double")
+    got = {(r.id, r.p) for r in iceberg.read_iceberg(spark, t).collect()}
+    assert got == {(1, up("0.1")), (2, 1.5)}
+    hit = iceberg.scan_partition(spark, t, {"p": up("0.1")})
+    assert [r.id for r in hit.collect()] == [1]
 
 
 def test_widen_composes_with_rename(spark, tmp_path):
