@@ -597,3 +597,89 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), k=5,
         bands=_Q200_BANDS, planes=_Q200_PLANES,
     )
+
+
+# --------------------------------------------------------------------------
+# q214 — the STREAMING incremental-dedup loop body end-to-end through
+# PERSISTED Delta tables with the round-8 bucket-PARTITIONED index:
+# the corpus' band index is seeded as a (band, pb = bh % 32)
+# partitioned Delta table, one `process_dedup_batch` call probes ONLY
+# the batch's touched partitions (`scan_partitions_any`), survivors
+# append to the Delta corpus, and the final corpus must equal the
+# relational reconstruction — corpus docs plus exactly q199's
+# survivor set. A wrong partition route, a pruned-away index row, or
+# a double/dropped append breaks the hash.
+# --------------------------------------------------------------------------
+
+_Q214_SQL = f"""WITH {_Q28_SIG_CTE}, buckets AS ({_Q28_BUCKETS}),
+corpus_b AS (SELECT * FROM buckets WHERE doc_id % 3 <> 0),
+batch_b  AS (SELECT * FROM buckets WHERE doc_id % 3 = 0),
+dropped AS (
+    SELECT DISTINCT a.doc_id
+    FROM batch_b a JOIN corpus_b c ON a.band = c.band AND a.bh = c.bh
+    UNION
+    SELECT DISTINCT a.doc_id
+    FROM batch_b a JOIN batch_b b
+      ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id
+)
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id % 3 <> 0
+   OR doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def _streaming_dedup_corpus(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+    from march_mania_spark_lakehouse_spark.streaming.dedup import (
+        process_dedup_batch,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"sdedup214|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        .encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
+    corpus_t = os.path.join(root, "corpus")
+    index_t = os.path.join(root, "index")
+    if delta_log.latest_version(corpus_t) is None:
+        docs = catalog.load(spark, "documents", sf_dir).select(
+            "doc_id", "text", "source", "n_chars"
+        )
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        delta_log.create(corpus, corpus_t)
+        index0 = dedup.minhash_band_index(
+            corpus, "doc_id", "text", 3, _Q28_K, 4
+        ).withColumn("pb", F.pmod("bh", F.lit(32)))
+        delta_log.create(
+            index0.repartition("band", "pb"), index_t,
+            stat_cols=["bh"], partition_by=["band", "pb"],
+        )
+        process_dedup_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == 0), 0,
+            corpus_t, index_t, n=3, num_hashes=_Q28_K, bands=4,
+        )
+    return corpus_t
+
+
+@query("q214_streaming_dedup_loop", oracle=_Q214_SQL, tags=("dedup", "lake"))
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl dedup loop's batch body against PERSISTED
+    state (`streaming/dedup.process_dedup_batch`): probe the
+    bucket-partitioned Delta band index with a partition-pruned scan,
+    drop batch docs colliding with history or smaller-id batchmates,
+    append survivors + index delta transactionally. The final corpus
+    table is fully value-oracled — q199 checks the operator's math;
+    this checks the PERSISTED, PRUNED loop around it."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    corpus_t = _streaming_dedup_corpus(spark, sf_dir)
+    return delta_log.read_delta(spark, corpus_t).select(
+        "doc_id", "source", "n_chars"
+    )
