@@ -1869,6 +1869,34 @@ def table_changes_cdf(
     hi = latest_version(table) if to_version is None else to_version
     if hi is None:
         raise FileNotFoundError(f"{table} has no Delta log")
+    # every per-commit piece reads under ITS version's schema; align
+    # all of them to the FINAL version's view the way real CDF readers
+    # do — renamed columns map through their stable physical names,
+    # later-added columns surface as nulls, later-dropped ones vanish
+    final_schema = table_schema(table, hi)
+    final_map = column_mapping(table, hi)
+    phys_to_final = (
+        {p: l for l, p in final_map.items()} if final_map else {}
+    )
+    out_names = [f.name for f in final_schema.fields]
+
+    def _align(df: DataFrame, v: int) -> DataFrame:
+        m = column_mapping(table, v) or {}
+        for logical, phys in m.items():
+            tgt = phys_to_final.get(phys)
+            if tgt is not None and tgt != logical and logical in df.columns:
+                df = df.withColumnRenamed(logical, tgt)
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in final_schema.fields
+            ],
+            "_change_type",
+            "_commit_version",
+        )
+
     pieces: list[DataFrame] = []
     v = from_version + 1
     while v <= hi:
@@ -1884,20 +1912,22 @@ def table_changes_cdf(
                 post = table_changes(
                     spark, table, v, v + 1, include_deletes=True
                 )
-                pieces.append(
+                pieces.append(_align(
                     pre.withColumn("_change_type", F.lit("update_preimage"))
-                    .withColumn("_commit_version", F.lit(v + 1).cast("long"))
-                )
-                pieces.append(
+                    .withColumn("_commit_version", F.lit(v + 1).cast("long")),
+                    v,
+                ))
+                pieces.append(_align(
                     post.withColumn("_change_type", F.lit("update_postimage"))
-                    .withColumn("_commit_version", F.lit(v + 1).cast("long"))
-                )
+                    .withColumn("_commit_version", F.lit(v + 1).cast("long")),
+                    v + 1,
+                ))
                 v += 2
                 continue
         d = table_changes(spark, table, v - 1, v, include_deletes=True)
-        pieces.append(
-            d.withColumn("_commit_version", F.lit(v).cast("long"))
-        )
+        pieces.append(_align(
+            d.withColumn("_commit_version", F.lit(v).cast("long")), v
+        ))
         v += 1
     if not pieces:
         return (

@@ -339,7 +339,12 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
 
         dlog.create(_df(spark, fresh(rng.randrange(3, 8))), table)
         for _ in range(5):
+            # trial 0 draws only row-level-decomposable ops so the
+            # CDF-fold check below is guaranteed to run at least once
             op = rng.choice(
+                ["append", "dv_delete", "dv_delete", "optimize",
+                 "checkpoint", "rename", "update", "update"]
+                if trial == 0 else
                 ["append", "overwrite", "dv_delete", "dv_delete", "optimize",
                  "checkpoint", "merge", "restore", "rename", "update"]
             )
@@ -381,6 +386,28 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
             assert sorted(indep.read_rows(table, v)) == _spark_rows(
                 spark, table, v
             ), f"trial {trial} version {v} diverged"
+        # CDF-fold parity over the whole random history whenever it is
+        # row-level decomposable (overwrite/restore/optimize histories
+        # legitimately refuse): v0 snapshot + inserts + postimages −
+        # deletes − preimages must reproduce the head exactly — the
+        # round-8 update-pair reader under arbitrary compositions
+        from collections import Counter
+
+        try:
+            cdf = dlog.table_changes_cdf(spark, table, 0).collect()
+        except dlog.DeltaNonAppendChangeError:
+            cdf = None
+        if cdf is not None:
+            state = Counter(
+                tuple(r) for r in dlog.read_delta(spark, table, 0).collect()
+            )
+            for r in cdf:
+                sign = 1 if r[-2] in ("insert", "update_postimage") else -1
+                state[tuple(r)[:-2]] += sign
+            head = Counter(
+                tuple(r) for r in dlog.read_delta(spark, table).collect()
+            )
+            assert +state == head, f"trial {trial} CDF fold diverged"
 
 
 def test_table_changes_with_deletes_decomposes_dv_commits(spark, table):
