@@ -2635,20 +2635,19 @@ def clone(table: str, target: str) -> int:
     tuple verbatim — identity restoration then comes from the
     manifests, never from hive dirs under a foreign root. Manifest
     entries carry over with their bounds/null counts, so stats pruning
-    works on the clone unchanged. Live POSITION deletes carry into the
-    clone (they target (file, pos) identities, exact under any
-    renumbering); live EQUALITY deletes refuse — their
-    strictly-lower-sequence semantics cannot survive the clone's
-    sequence renumbering (all cloned data files share one sequence
-    number, which would re-kill rows that outlived the tombstone in
-    the source) — `compact` first."""
+    works on the clone unchanged. ALL live delete files carry (round
+    8): every entry — data, position-delete, equality-delete — is
+    written as a spec "existing" (status 0) entry keeping its ORIGINAL
+    sequence number under one snapshot at the source's last sequence
+    number, so the strictly-lower-sequence rule that decides which
+    data files an equality tombstone kills is preserved verbatim (a
+    row appended after the tombstone in the source survives in the
+    clone too). One trade, stated: the clone's sequence numbers below
+    its single snapshot have no retained snapshots, so the change
+    feeds refuse to stream the PRE-clone range (the clone point is the
+    feed's epoch), exactly as they refuse expired history."""
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"]
-    if snapshot_equality_deletes(table, sid):
-        raise NotImplementedError(
-            "live equality deletes cannot survive clone renumbering; "
-            "compact() the source first"
-        )
     if current_version(target) is not None:
         raise FileExistsError(f"{target} already has Iceberg metadata")
     schema = meta["schemas"][meta["current-schema-id"]]
@@ -2682,163 +2681,105 @@ def clone(table: str, target: str) -> int:
         "metadata-log": [],
     }
     snap = _snapshot(meta, sid)
-    #: live data / delete entries grouped per source SPEC (an evolved
+    #: live entries grouped per source SPEC and kind (an evolved
     #: table's generations have different partition-tuple shapes, so
-    #: each spec gets its own manifest in the clone too)
+    #: each spec gets its own manifest in the clone too); every entry
+    #: keeps its ORIGINAL sequence numbers — the equality-delete
+    #: ordering rule depends on them
     data_by_spec: dict[int, list[dict]] = {}
-    delete_records: list[tuple[int, dict]] = []
+    dels_by_spec: dict[int, list[dict]] = {}
     for m in avro_ocf.read_ocf(snap["manifest-list"]):
         m_spec = m.get("partition_spec_id", 0)
         for e in avro_ocf.read_ocf(m["manifest_path"]):
             if e["status"] not in (0, 1):
                 continue
-            d = e["data_file"]
-            if d.get("content", 0) == 0:
-                data_by_spec.setdefault(m_spec, []).append(d)
-            else:
-                delete_records.append((m_spec, d))
-    # the clone's v1 data snapshot, written manifest-verbatim (entries
-    # keep their partition tuples, bounds and null counts — statistics
-    # survive the clone)
-    data_seq = 1
-    data_sid = int(uuid.uuid4().int % (1 << 62)) + 1
+            kind = data_by_spec if (
+                e["data_file"].get("content", 0) == 0
+            ) else dels_by_spec
+            kind.setdefault(m_spec, []).append(e)
+    clone_seq = max(meta["last-sequence-number"], 1)
+    clone_sid = int(uuid.uuid4().int % (1 << 62)) + 1
     manifests = []
-    for spec_id in sorted(data_by_spec):
-        spec_fields = next(
-            s for s in specs if s.get("spec-id", 0) == spec_id
-        )["fields"]
-        entry_schema = _manifest_entry_schema(
-            _partition_record_schema(spec_fields, schema)
-        )
-        records = [
-            {
-                "status": 1,
-                "snapshot_id": data_sid,
-                "sequence_number": data_seq,
-                "file_sequence_number": data_seq,
-                "data_file": dict(d),
-            }
-            for d in data_by_spec[spec_id]
-        ]
-        m_path = os.path.join(
-            _meta_dir(target), f"{uuid.uuid4().hex}-m0.avro"
-        )
-        avro_ocf.write_ocf(m_path, entry_schema, records)
-        manifests.append(
-            {
-                "manifest_path": m_path,
-                "manifest_length": os.path.getsize(m_path),
-                "partition_spec_id": spec_id,
-                "content": 0,
-                "sequence_number": data_seq,
-                "min_sequence_number": data_seq,
-                "added_snapshot_id": data_sid,
-                "added_files_count": len(records),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(
-                    d["record_count"] for d in data_by_spec[spec_id]
-                ),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        )
-    ml_path = _write_manifest_list(target, data_sid, manifests)
+    for content, by_spec in ((0, data_by_spec), (1, dels_by_spec)):
+        for spec_id in sorted(by_spec):
+            spec_fields = next(
+                s for s in specs if s.get("spec-id", 0) == spec_id
+            )["fields"]
+            entry_schema = _manifest_entry_schema(
+                _partition_record_schema(spec_fields, schema)
+            )
+            if content == 1:
+                # delete manifests can mix position and equality
+                # entries; the latter carry their key field-ids
+                entry_schema["fields"][-1]["type"]["fields"].append(
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                        "field-id": 135,
+                    }
+                )
+            records = [
+                {
+                    "status": 0,  # existing: carried, not re-added
+                    "snapshot_id": e.get("snapshot_id") or clone_sid,
+                    "sequence_number": e["sequence_number"],
+                    "file_sequence_number": e.get(
+                        "file_sequence_number", e["sequence_number"]
+                    ),
+                    "data_file": (
+                        {**e["data_file"],
+                         "equality_ids": e["data_file"].get("equality_ids")}
+                        if content == 1 else dict(e["data_file"])
+                    ),
+                }
+                for e in by_spec[spec_id]
+            ]
+            m_path = os.path.join(
+                _meta_dir(target), f"{uuid.uuid4().hex}-m0.avro"
+            )
+            avro_ocf.write_ocf(m_path, entry_schema, records)
+            manifests.append(
+                {
+                    "manifest_path": m_path,
+                    "manifest_length": os.path.getsize(m_path),
+                    "partition_spec_id": spec_id,
+                    "content": content,
+                    "sequence_number": clone_seq,
+                    "min_sequence_number": min(
+                        e["sequence_number"] for e in by_spec[spec_id]
+                    ),
+                    "added_snapshot_id": clone_sid,
+                    "added_files_count": 0,
+                    "existing_files_count": len(records),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in by_spec[spec_id]
+                    ),
+                    "deleted_rows_count": 0,
+                }
+            )
+    ml_path = _write_manifest_list(target, clone_sid, manifests)
     data_snapshot = {
-        "snapshot-id": data_sid,
-        "sequence-number": data_seq,
+        "snapshot-id": clone_sid,
+        "sequence-number": clone_seq,
         "timestamp-ms": _now_ms(),
         "manifest-list": ml_path,
         "summary": {"operation": "append"},
         "schema-id": 0,
     }
-    new_meta["last-sequence-number"] = data_seq
+    new_meta["last-sequence-number"] = clone_seq
     new_meta["snapshots"] = [data_snapshot]
-    new_meta["current-snapshot-id"] = data_sid
+    new_meta["current-snapshot-id"] = clone_sid
     new_meta["snapshot-log"] = [
-        {"timestamp-ms": data_snapshot["timestamp-ms"], "snapshot-id": data_sid}
+        {"timestamp-ms": data_snapshot["timestamp-ms"],
+         "snapshot-id": clone_sid}
     ]
-    new_meta["refs"] = {"main": {"snapshot-id": data_sid, "type": "branch"}}
+    new_meta["refs"] = {"main": {"snapshot-id": clone_sid, "type": "branch"}}
     _write_metadata(target, new_meta)
-    new_sid = data_sid
-    if not delete_records:
-        return new_sid
-    # carry the source's live POSITION-delete files so the clone serves
-    # the same rows ((file, pos) identities are renumbering-proof)
-    new_meta = current_metadata(target)
-    seq = new_meta["last-sequence-number"] + 1
-    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
-    schema0 = new_meta["schemas"][0]
-    records = []
-    for m_spec, d in delete_records:
-        records.append(
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": dict(d),
-            }
-        )
-    # one delete manifest per source spec shape (same rule as data)
-    del_specs = sorted({m_spec for m_spec, _ in delete_records})
-    if len(del_specs) > 1:
-        raise NotImplementedError(
-            "clone of multi-spec position-delete manifests"
-        )
-    entry_schema = _manifest_entry_schema(
-        _partition_record_schema(
-            next(
-                s for s in specs if s.get("spec-id", 0) == del_specs[0]
-            )["fields"],
-            schema0,
-        )
-    )
-    m_path = os.path.join(_meta_dir(target), f"{uuid.uuid4().hex}-m0.avro")
-    avro_ocf.write_ocf(m_path, entry_schema, records)
-    cur_snap = _snapshot(new_meta, new_sid)
-    manifests = avro_ocf.read_ocf(cur_snap["manifest-list"]) + [
-        {
-            "manifest_path": m_path,
-            "manifest_length": os.path.getsize(m_path),
-            "partition_spec_id": del_specs[0],
-            "content": 1,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(records),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": sum(
-                d["record_count"] for _e, d in delete_records
-            ),
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-    ]
-    ml_path = _write_manifest_list(target, snapshot_id, manifests)
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "sequence-number": seq,
-        "timestamp-ms": _now_ms(),
-        "manifest-list": ml_path,
-        "summary": {"operation": "delete"},
-        "schema-id": 0,
-        "parent-snapshot-id": new_sid,
-    }
-    new_meta = dict(new_meta)
-    new_meta["last-sequence-number"] = seq
-    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = list(new_meta["snapshots"]) + [snapshot]
-    new_meta["current-snapshot-id"] = snapshot_id
-    new_meta["snapshot-log"] = list(new_meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
-    ]
-    refs = dict(new_meta.get("refs", {}))
-    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
-    new_meta["refs"] = refs
-    _write_metadata(target, new_meta)
-    return snapshot_id
+    return clone_sid
 
 
 def remove_orphan_files(

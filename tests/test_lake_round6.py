@@ -702,14 +702,28 @@ def test_iceberg_clone_zero_copy(spark, table, tmp_path):
     iceberg.delete_where(spark, clone_t, "id = 5")
     assert iceberg.read_iceberg(spark, table).count() == 270
     assert iceberg.read_iceberg(spark, clone_t).count() == 279
-    # equality tombstones refuse (sequence renumbering hazard)
+    # independent reader agrees with the clone
+    assert len(indep.read_rows(clone_t)) == 279
+    # equality tombstones CARRY (round 8): entries keep their original
+    # sequence numbers in the clone, so the strictly-lower rule is
+    # preserved — including a key re-appended after the tombstone
     iceberg.delete_by_equality(
         spark, table, spark.createDataFrame([(7,)], "id long")
     )
-    with pytest.raises(NotImplementedError):
-        iceberg.clone(table, str(tmp_path / "clone2"))
-    # independent reader agrees with the clone
-    assert len(indep.read_rows(clone_t)) == 279
+    iceberg.append(_ids_df(spark, 7, 8), table)  # id 7 reborn post-tombstone
+    clone2 = str(tmp_path / "clone2")
+    iceberg.clone(table, clone2)
+    src_ids = sorted(r.id for r in iceberg.read_iceberg(spark, table).collect())
+    got2 = sorted(r.id for r in iceberg.read_iceberg(spark, clone2).collect())
+    assert got2 == src_ids
+    assert got2.count(7) == 1  # reborn row alive, pre-tombstone row dead
+    assert sorted(t[0] for t in indep.read_rows(clone2)) == src_ids
+    # further equality deletes on the clone stay isolated from the source
+    iceberg.delete_by_equality(
+        spark, clone2, spark.createDataFrame([(11,)], "id long")
+    )
+    assert iceberg.read_iceberg(spark, clone2).filter("id = 11").count() == 0
+    assert iceberg.read_iceberg(spark, table).filter("id = 11").count() == 1
 
 
 def test_delta_shallow_clone(spark, table, tmp_path):
