@@ -648,7 +648,14 @@ def _streaming_dedup_corpus(spark: SparkSession, sf_dir: str) -> str:
     root = os.path.join(tempfile.gettempdir(), "spark_graft_delta", fp)
     corpus_t = os.path.join(root, "corpus")
     index_t = os.path.join(root, "index")
-    if delta_log.latest_version(corpus_t) is None:
+    # the publish is three commits (corpus v0, index v0, batch body:
+    # corpus v1 + index v1); guard on the TERMINAL state or a crash
+    # mid-publish would poison the cache (the q212 lesson) — anything
+    # short of terminal is wiped and rebuilt
+    if delta_log.latest_version(corpus_t) != 1:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         docs = catalog.load(spark, "documents", sf_dir).select(
             "doc_id", "text", "source", "n_chars"
         )
@@ -660,6 +667,7 @@ def _streaming_dedup_corpus(spark: SparkSession, sf_dir: str) -> str:
         delta_log.create(
             index0.repartition("band", "pb"), index_t,
             stat_cols=["bh"], partition_by=["band", "pb"],
+            configuration={"streamingDedup.indexBuckets": "32"},
         )
         process_dedup_batch(
             spark, docs.filter(F.col("doc_id") % 3 == 0), 0,

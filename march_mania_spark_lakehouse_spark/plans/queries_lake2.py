@@ -1146,7 +1146,12 @@ def _cdf_updated_table(spark: SparkSession, sf_dir: str) -> str:
         "spark_graft_iceberg", "spark_graft_delta"
     )
     table = os.path.join(root, "orders_cdf")
-    if delta_log.latest_version(table) is None:
+    # terminal state is v2 (create + update_where's delete/write pair);
+    # a crash mid-publish must rebuild, not serve a half-updated cache
+    if delta_log.latest_version(table) != 2:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
         orders = catalog.load(spark, "orders", sf_dir).select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )

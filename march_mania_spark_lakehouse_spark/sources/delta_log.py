@@ -251,7 +251,10 @@ def _add_actions(
 
 
 def _metadata_action(
-    df: DataFrame, table_id: str, partition_by: Sequence[str] = ()
+    df: DataFrame,
+    table_id: str,
+    partition_by: Sequence[str] = (),
+    configuration: "dict | None" = None,
 ) -> dict:
     return {
         "metaData": {
@@ -259,7 +262,7 @@ def _metadata_action(
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
             "partitionColumns": list(partition_by),
-            "configuration": {},
+            "configuration": dict(configuration or {}),
             "createdTime": _now_ms(),
         }
     }
@@ -298,6 +301,7 @@ def create(
     stat_cols: Sequence[str] = (),
     txn: "tuple[str, int] | None" = None,
     partition_by: Sequence[str] = (),
+    configuration: "dict | None" = None,
 ) -> int:
     """Create a Delta table at ``table`` (version 0): data files +
     protocol/metaData/add actions. Fails if a log already exists.
@@ -314,7 +318,7 @@ def create(
     actions = [
         _commit_info("CREATE TABLE AS SELECT", {"mode": "ErrorIfExists"}),
         {"protocol": dict(PROTOCOL)},
-        _metadata_action(df, uuid.uuid4().hex, partition_by),
+        _metadata_action(df, uuid.uuid4().hex, partition_by, configuration),
         *_txn_action(txn),
         *_add_actions(table, files, stat_cols),
     ]
@@ -779,17 +783,28 @@ def _read_files_raw(
     tombstoned). ``with_positions`` adds ``__fp``/``__pos``."""
     from pyspark.sql import types as T
 
-    schema = table_schema(table, version)
-    part_cols = table_partition_columns(table, version)
+    # one log replay serves schema, partition columns, mapping AND the
+    # restoration flag (table_schema / table_partition_columns /
+    # column_mapping would each replay the log on their own)
+    meta_act = _latest_metadata(table, version)
+    if meta_act is None:
+        raise FileNotFoundError(f"{table} log has no metaData action")
+    schema = T.StructType.fromJson(json.loads(meta_act["schemaString"]))
+    part_cols = list(meta_act.get("partitionColumns") or [])
+    conf = meta_act.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode") == "name":
+        mapping = {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in json.loads(meta_act["schemaString"])["fields"]
+        }
+    else:
+        mapping = None
     paths = [os.path.join(table, f) for f in files]
-    mapping = column_mapping(table, version)
     absolute = any(os.path.isabs(f) for f in files)
     # a float→double partition-column widening leaves hive dir strings
     # in the NARROW rendering; the widen commit flips this flag so
     # restoration reads the rewritten (exact-upcast) log values instead
-    pv_auth = (
-        (_latest_metadata(table, version) or {}).get("configuration") or {}
-    ).get("partitionValuesAuthoritative") == "true"
+    pv_auth = conf.get("partitionValuesAuthoritative") == "true"
     if not mapping and not absolute and not pv_auth:
         # vanilla layouts: flat declared-schema scan, or hive basePath
         # discovery for partitioned tables (keeps Spark's partition
@@ -884,6 +899,44 @@ def _read_files(
     return df.select(*[f.name for f in schema.fields])
 
 
+def _pv_token(type_name: str, raw):
+    """Normalize ONE partition value — a log string or a caller value —
+    to a comparable token. float/double parse NUMERICALLY (the log's
+    strings come from the JVM's rendering, scientific below 1e-3,
+    while the widen rewrite uses Python repr; string equality would
+    match only one generation), with float additionally rounding
+    through float32 so callers may pass either the narrow or the
+    upcast value. Everything else compares as its canonical string.
+    None/__HIVE_DEFAULT_PARTITION__ → None (never matches a caller
+    value; NaN never matches anything, as in SQL)."""
+    import struct as _struct
+
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if type_name in ("float", "double"):
+        try:
+            x = float(raw)
+        except (TypeError, ValueError):
+            return None
+        if type_name == "float":
+            x = _struct.unpack("<f", _struct.pack("<f", x))[0]
+        return x
+    return str(raw)
+
+
+def _pv_want(table: str, v: int, values: dict) -> "dict[str, tuple]":
+    """{physical partition key: (type name, comparison token)} for a
+    caller's equality ``values`` dict."""
+    mapping = column_mapping(table, v) or {}
+    tname = {f.name: f.dataType.typeName() for f in table_schema(table, v).fields}
+    return {
+        mapping.get(k, k): (
+            tname.get(k, "string"), _pv_token(tname.get(k, "string"), val)
+        )
+        for k, val in values.items()
+    }
+
+
 def scan_partitions(
     spark: SparkSession,
     table: str,
@@ -891,20 +944,24 @@ def scan_partitions(
     version: int | None = None,
 ) -> DataFrame:
     """Partition-pruned scan planned FROM THE LOG: keep only files whose
-    add-action partitionValues match ``values`` (equality per column) —
-    the reader never lists directories, and non-matching partitions
+    add-action partitionValues match ``values`` (equality per column —
+    numeric for float/double columns, see :func:`_pv_token`) — the
+    reader never lists directories, and non-matching partitions
     contribute zero files, zero tasks. Semantically identical to
     ``read_delta(...).filter(...)`` (pinned by test)."""
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table} has no Delta log")
     # partitionValues are keyed by PHYSICAL names on mapped tables
-    mapping = column_mapping(table, v) or {}
-    want = {mapping.get(k, k): str(val) for k, val in values.items()}
+    want = _pv_want(table, v, values)
     keep = [
         path
         for path, add in _replay(table, v).items()
-        if all((add.get("partitionValues") or {}).get(k) == s for k, s in want.items())
+        if all(
+            tok is not None
+            and _pv_token(t, (add.get("partitionValues") or {}).get(pk)) == tok
+            for pk, (t, tok) in want.items()
+        )
     ]
     if not keep:
         return read_delta(spark, table, v).filter(F.lit(False))
@@ -924,21 +981,38 @@ def scan_partitions_any(
     a micro-batch touching k of N partitions reads k partitions' files,
     not the table, in a single read (no per-combo plan/union). Driver
     cost is O(files × distinct key-sets): each combo set becomes a hash
-    lookup over the add actions' partitionValues."""
+    lookup over the add actions' (tokenized — see :func:`_pv_token`)
+    partitionValues."""
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table} has no Delta log")
+    # resolve mapping/types ONCE — a probe can carry hundreds of combos
+    # and each _pv_want call would replay the log for the schema
     mapping = column_mapping(table, v) or {}
+    tname = {
+        f.name: f.dataType.typeName() for f in table_schema(table, v).fields
+    }
     by_keyset: dict[tuple, set] = {}
+    types_of: dict[tuple, tuple] = {}
     for c in combos:
-        want = {mapping.get(k, k): str(val) for k, val in c.items()}
+        want = {
+            mapping.get(k, k): (
+                tname.get(k, "string"),
+                _pv_token(tname.get(k, "string"), val),
+            )
+            for k, val in c.items()
+        }
         ks = tuple(sorted(want))
-        by_keyset.setdefault(ks, set()).add(tuple(want[k] for k in ks))
+        types_of[ks] = tuple(want[k][0] for k in ks)
+        by_keyset.setdefault(ks, set()).add(tuple(want[k][1] for k in ks))
     keep = []
     for path, add in _replay(table, v).items():
         pv = add.get("partitionValues") or {}
         for ks, vals in by_keyset.items():
-            if tuple(pv.get(k) for k in ks) in vals:
+            toks = tuple(
+                _pv_token(t, pv.get(k)) for k, t in zip(ks, types_of[ks])
+            )
+            if toks in vals:
                 keep.append(path)
                 break
     if not keep:
@@ -1688,6 +1762,123 @@ class DeltaNonAppendChangeError(RuntimeError):
     merge/restore), whose file-level actions are not row-level changes."""
 
 
+def _commit_row_changes(
+    table: str,
+    v: int,
+    dv_state: "dict[str, dict | None]",
+    include_deletes: bool,
+) -> "tuple[list, list, set]":
+    """One commit's row-level change plan against the carried DV state
+    (MUTATED in place): returns (added [(path, add-time dv)],
+    deleted_desc [(abs path, new dv, predecessor dv)], deleted_keys
+    {log keys}). Raises :class:`DeltaNonAppendChangeError` on commits
+    that rewrite data files. The shared walker under both
+    `table_changes` (range-aggregated) and `table_changes_cdf`
+    (per-commit): the DV state threads FORWARD, so an N-commit range
+    costs one log replay total, never one per commit."""
+    p = _commit_path(table, v)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"missing commit {v} for {table}")
+    actions = _read_actions(p)
+    removes = {
+        a["remove"]["path"]
+        for a in actions
+        if "remove" in a and a["remove"].get("dataChange", True)
+    }
+    adds = [
+        a["add"] for a in actions
+        if "add" in a and a["add"].get("dataChange", True)
+    ]
+    if not removes:
+        # an add can CARRY a deletion vector (shallow-clone v0 /
+        # RESTORE re-add): those positions were dead before the file
+        # entered the feed, so they are NOT inserts — track the
+        # descriptor to subtract them from the insert rows
+        if include_deletes:
+            for a in adds:
+                dv_state[a["path"]] = a.get("deletionVector")
+        return (
+            [(a["path"], a.get("deletionVector")) for a in adds], [], set()
+        )
+    readd = {a["path"]: a for a in adds}
+    is_dv_delete = (
+        include_deletes
+        and set(readd) == removes
+        and all(a.get("deletionVector") for a in readd.values())
+    )
+    if not is_dv_delete:
+        raise DeltaNonAppendChangeError(
+            f"commit {v} rewrites data files; this change feed "
+            "cannot represent it as row-level changes"
+        )
+    deleted_desc: list = []
+    deleted_keys: set = set()
+    for path, a in readd.items():
+        abs_path = os.path.abspath(os.path.join(table, path))
+        deleted_desc.append(
+            (abs_path, a["deletionVector"], dv_state.get(path))
+        )
+        # keep the LOG key: shallow-clone adds are absolute, and
+        # relpath-ing them back under a foreign root breaks the
+        # scan's path handling
+        deleted_keys.add(path)
+        dv_state[path] = a["deletionVector"]
+    return [], deleted_desc, deleted_keys
+
+
+def _change_pieces(
+    spark: SparkSession,
+    table: str,
+    hi: int,
+    names: "list[str]",
+    added: list,
+    deleted_desc: list,
+    deleted_keys: set,
+    ins_label: str,
+    del_label: str,
+) -> "list[DataFrame]":
+    """insert/delete DataFrame pieces for a change plan, every file
+    read under version ``hi``'s declared schema (the CDF contract: one
+    view — the final one; renamed columns resolve through their stable
+    physical names, later-added columns surface as null)."""
+    pieces: list[DataFrame] = []
+    if added:
+        add_dvs = [
+            (
+                p if os.path.isabs(p) else os.path.abspath(
+                    os.path.join(table, p)
+                ),
+                d,
+                None,
+            )
+            for p, d in added
+            if d
+        ]
+        ins = _read_files_raw(
+            spark, table, sorted(p for p, _ in added), hi,
+            with_positions=bool(add_dvs),
+        )
+        if add_dvs:
+            ins = ins.join(
+                _dv_tombstones(spark, table, add_dvs),
+                ["__fp", "__pos"],
+                "left_anti",
+            )
+        pieces.append(
+            ins.select(*names).withColumn("_change_type", F.lit(ins_label))
+        )
+    if deleted_desc:
+        raw = _read_files_raw(
+            spark, table, sorted(deleted_keys), hi, with_positions=True
+        )
+        tomb = _dv_tombstones(spark, table, deleted_desc)
+        dead = raw.join(tomb, ["__fp", "__pos"])
+        pieces.append(
+            dead.select(*names).withColumn("_change_type", F.lit(del_label))
+        )
+    return pieces
+
+
 def table_changes(
     spark: SparkSession,
     table: str,
@@ -1728,100 +1919,24 @@ def table_changes(
             for p, a in _replay(table, from_version).items()
         }
     added: list[tuple[str, dict | None]] = []
-    #: (abs path, new descriptor, predecessor descriptor) per DV commit
-    #: touch — descriptors only; positions are recovered on executors
-    #: (`_dv_tombstones`), so the driver cost is O(files), not O(rows)
     deleted_desc: list[tuple[str, dict, dict | None]] = []
     deleted_keys: set[str] = set()
     for v in range(from_version + 1, hi + 1):
-        p = _commit_path(table, v)
-        if not os.path.exists(p):
-            raise FileNotFoundError(f"missing commit {v} for {table}")
-        actions = _read_actions(p)
-        removes = {
-            a["remove"]["path"]
-            for a in actions
-            if "remove" in a and a["remove"].get("dataChange", True)
-        }
-        adds = [
-            a["add"] for a in actions
-            if "add" in a and a["add"].get("dataChange", True)
-        ]
-        if not removes:
-            # an add can CARRY a deletion vector (shallow-clone v0 /
-            # RESTORE re-add): those positions were dead before the file
-            # entered the feed, so they are NOT inserts — track the
-            # descriptor to subtract them from the insert rows
-            added.extend((a["path"], a.get("deletionVector")) for a in adds)
-            if include_deletes:
-                for a in adds:
-                    dv_state[a["path"]] = a.get("deletionVector")
-            continue
-        readd = {a["path"]: a for a in adds}
-        is_dv_delete = (
-            include_deletes
-            and set(readd) == removes
-            and all(a.get("deletionVector") for a in readd.values())
-        )
-        if not is_dv_delete:
-            raise DeltaNonAppendChangeError(
-                f"commit {v} rewrites data files; this change feed "
-                "cannot represent it as row-level changes"
-            )
-        for path, a in readd.items():
-            abs_path = os.path.abspath(os.path.join(table, path))
-            deleted_desc.append(
-                (abs_path, a["deletionVector"], dv_state.get(path))
-            )
-            # keep the LOG key: shallow-clone adds are absolute, and
-            # relpath-ing them back under a foreign root breaks the
-            # scan's path handling
-            deleted_keys.add(path)
-            dv_state[path] = a["deletionVector"]
+        a2, d2, k2 = _commit_row_changes(table, v, dv_state, include_deletes)
+        added.extend(a2)
+        deleted_desc.extend(d2)
+        deleted_keys |= k2
     if not include_deletes:
         if not added:
             return read_delta(spark, table, hi).filter(F.lit(False))
         # _read_files applies the snapshot's live DVs, so add-time
         # tombstones (clone v0) are correctly excluded here
         return _read_files(spark, table, sorted(p for p, _ in added), hi)
-
-    schema = table_schema(table, hi)
-    names = [f.name for f in schema.fields]
-    pieces: list[DataFrame] = []
-    if added:
-        add_dvs = [
-            (
-                p if os.path.isabs(p) else os.path.abspath(
-                    os.path.join(table, p)
-                ),
-                d,
-                None,
-            )
-            for p, d in added
-            if d
-        ]
-        ins = _read_files_raw(
-            spark, table, sorted(p for p, _ in added), hi,
-            with_positions=bool(add_dvs),
-        )
-        if add_dvs:
-            ins = ins.join(
-                _dv_tombstones(spark, table, add_dvs),
-                ["__fp", "__pos"],
-                "left_anti",
-            )
-        pieces.append(
-            ins.select(*names).withColumn("_change_type", F.lit("insert"))
-        )
-    if deleted_desc:
-        raw = _read_files_raw(
-            spark, table, sorted(deleted_keys), hi, with_positions=True
-        )
-        tomb = _dv_tombstones(spark, table, deleted_desc)
-        dead = raw.join(tomb, ["__fp", "__pos"])
-        pieces.append(
-            dead.select(*names).withColumn("_change_type", F.lit("delete"))
-        )
+    names = [f.name for f in table_schema(table, hi).fields]
+    pieces = _change_pieces(
+        spark, table, hi, names, added, deleted_desc, deleted_keys,
+        "insert", "delete",
+    )
     if not pieces:
         return read_delta(spark, table, hi).filter(F.lit(False)).withColumn(
             "_change_type", F.lit("insert")
@@ -1850,7 +1965,9 @@ def table_changes_cdf(
 ) -> DataFrame:
     """Standard Delta CDF view of the change feed: ``_change_type`` ∈
     insert / delete / update_preimage / update_postimage plus
-    ``_commit_version``.
+    ``_commit_version``, every piece read under the FINAL version's
+    schema (renames resolve through stable physical names,
+    later-added columns surface as null).
 
     `update_where` lands as a DV-delete commit and an append commit
     tagged ``operation=UPDATE`` with a shared ``updateId``; this reader
@@ -1863,39 +1980,24 @@ def table_changes_cdf(
     write twin is missing (crash between the two commits) or beyond
     ``to_version`` degrades to plain deletes — never mislabeled.
 
-    Cost: one per-commit change scan. CDF consumers read short ranges
-    (the delta since their last refresh) by construction; the
-    whole-range fast path stays `table_changes`."""
+    Cost: ONE forward walk — the DV state is replayed once at the
+    range start and threaded through every commit
+    (`_commit_row_changes`); plan size is O(commits with changes),
+    which per-version stamping inherently needs."""
     hi = latest_version(table) if to_version is None else to_version
     if hi is None:
         raise FileNotFoundError(f"{table} has no Delta log")
-    # every per-commit piece reads under ITS version's schema; align
-    # all of them to the FINAL version's view the way real CDF readers
-    # do — renamed columns map through their stable physical names,
-    # later-added columns surface as nulls, later-dropped ones vanish
-    final_schema = table_schema(table, hi)
-    final_map = column_mapping(table, hi)
-    phys_to_final = (
-        {p: l for l, p in final_map.items()} if final_map else {}
-    )
-    out_names = [f.name for f in final_schema.fields]
+    dv_state: dict[str, dict | None] = {
+        p: a.get("deletionVector")
+        for p, a in _replay(table, from_version).items()
+    }
+    names = [f.name for f in table_schema(table, hi).fields]
 
-    def _align(df: DataFrame, v: int) -> DataFrame:
-        m = column_mapping(table, v) or {}
-        for logical, phys in m.items():
-            tgt = phys_to_final.get(phys)
-            if tgt is not None and tgt != logical and logical in df.columns:
-                df = df.withColumnRenamed(logical, tgt)
-        have = set(df.columns)
-        return df.select(
-            *[
-                F.col(f.name) if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in final_schema.fields
-            ],
-            "_change_type",
-            "_commit_version",
-        )
+    def _stamp(ps: "list[DataFrame]", ver: int) -> "list[DataFrame]":
+        return [
+            p.withColumn("_commit_version", F.lit(ver).cast("long"))
+            for p in ps
+        ]
 
     pieces: list[DataFrame] = []
     v = from_version + 1
@@ -1906,28 +2008,32 @@ def table_changes_cdf(
             if nop == "UPDATE" and nparams.get("updateId") == params.get(
                 "updateId"
             ):
-                pre = table_changes(
-                    spark, table, v - 1, v, include_deletes=True
-                ).filter(F.col("_change_type") == "delete")
-                post = table_changes(
-                    spark, table, v, v + 1, include_deletes=True
+                _a, ddesc, dkeys = _commit_row_changes(
+                    table, v, dv_state, True
                 )
-                pieces.append(_align(
-                    pre.withColumn("_change_type", F.lit("update_preimage"))
-                    .withColumn("_commit_version", F.lit(v + 1).cast("long")),
-                    v,
-                ))
-                pieces.append(_align(
-                    post.withColumn("_change_type", F.lit("update_postimage"))
-                    .withColumn("_commit_version", F.lit(v + 1).cast("long")),
-                    v + 1,
-                ))
+                added2, d2, k2 = _commit_row_changes(
+                    table, v + 1, dv_state, True
+                )
+                pre = _change_pieces(
+                    spark, table, hi, names, [], ddesc, dkeys,
+                    "insert", "update_preimage",
+                )
+                post = _change_pieces(
+                    spark, table, hi, names, added2, d2, k2,
+                    "update_postimage", "delete",
+                )
+                pieces.extend(_stamp(pre + post, v + 1))
                 v += 2
                 continue
-        d = table_changes(spark, table, v - 1, v, include_deletes=True)
-        pieces.append(_align(
-            d.withColumn("_commit_version", F.lit(v).cast("long")), v
-        ))
+        a2, d2, k2 = _commit_row_changes(table, v, dv_state, True)
+        pieces.extend(
+            _stamp(
+                _change_pieces(
+                    spark, table, hi, names, a2, d2, k2, "insert", "delete"
+                ),
+                v,
+            )
+        )
         v += 1
     if not pieces:
         return (

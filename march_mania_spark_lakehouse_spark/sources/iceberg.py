@@ -498,6 +498,26 @@ def _kv_counts_schema(name: str, kid: int, vid: int) -> dict:
     ]
 
 
+def _with_equality_ids(entry_schema: dict) -> dict:
+    """A DEEP COPY of a manifest entry schema with the spec's
+    equality_ids field (field-id 135) appended to the data_file record
+    — the one augmentation every DELETE-manifest writer needs (null
+    for position-delete entries). Shared so the Avro layout of this
+    spec-critical field can never diverge between writers."""
+    import copy
+
+    es = copy.deepcopy(entry_schema)
+    es["fields"][-1]["type"]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "default": None,
+            "field-id": 135,
+        }
+    )
+    return es
+
+
 def _manifest_entry_schema(partition_schema: dict) -> dict:
     data_file = {
         "type": "record",
@@ -2711,14 +2731,7 @@ def clone(table: str, target: str) -> int:
             if content == 1:
                 # delete manifests can mix position and equality
                 # entries; the latter carry their key field-ids
-                entry_schema["fields"][-1]["type"]["fields"].append(
-                    {
-                        "name": "equality_ids",
-                        "type": ["null", {"type": "array", "items": "int"}],
-                        "default": None,
-                        "field-id": 135,
-                    }
-                )
+                entry_schema = _with_equality_ids(entry_schema)
             records = [
                 {
                     "status": 0,  # existing: carried, not re-added
@@ -3451,14 +3464,7 @@ def delete_by_equality(
     part_schema = _partition_record_schema(spec, schema)
     entry_schema = _manifest_entry_schema(part_schema)
     # equality_ids rides each entry (spec field-id 135)
-    entry_schema["fields"][-1]["type"]["fields"].append(
-        {
-            "name": "equality_ids",
-            "type": ["null", {"type": "array", "items": "int"}],
-            "default": None,
-            "field-id": 135,
-        }
-    )
+    entry_schema = _with_equality_ids(entry_schema)
     records = [
         {
             "status": 1,
@@ -3620,7 +3626,12 @@ def table_changes(
         if not (from_seq < m["sequence_number"] <= hi):
             continue
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
-            if entry["status"] != 1:
+            # status 0 ("existing") entries count too: a clone carries
+            # its source's files at their ORIGINAL sequence numbers as
+            # status-0 entries, and a range covering those seqs must
+            # emit them (the entry-seq filter below is authoritative);
+            # only status-2 (deleted) entries are dead
+            if entry["status"] == 2:
                 continue
             if not (from_seq < entry["sequence_number"] <= hi):
                 continue
@@ -4190,17 +4201,7 @@ def rewrite_position_deletes(spark: SparkSession, table: str) -> int:
         # re-encoded manifest needs the same augmented schema or the
         # column list silently drops and the sequence rule would apply
         # to EVERY column-free row (pinned by test)
-        import copy
-
-        eq_schema = copy.deepcopy(entry_schema)
-        eq_schema["fields"][-1]["type"]["fields"].append(
-            {
-                "name": "equality_ids",
-                "type": ["null", {"type": "array", "items": "int"}],
-                "default": None,
-                "field-id": 135,
-            }
-        )
+        eq_schema = _with_equality_ids(entry_schema)
         m2_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
         avro_ocf.write_ocf(m2_path, eq_schema, keep)
         manifests.append(

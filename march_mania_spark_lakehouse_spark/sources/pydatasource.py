@@ -516,7 +516,12 @@ class _IcebergTableStreamReader:
             if not (lo < m["sequence_number"] <= hi):
                 continue
             for e in avro_ocf.read_ocf(m["manifest_path"]):
-                if e["status"] != 1:
+                # carried (status 0) entries count when THEIR sequence
+                # number is in range — the clone-bootstrap case; only
+                # status-2 entries are dead
+                if e["status"] == 2:
+                    continue
+                if not (lo < e["sequence_number"] <= hi):
                     continue
                 files.append(
                     (e["data_file"]["file_path"],
@@ -671,7 +676,7 @@ class _IcebergTableCdcStreamReader:
                     part_of[d["file_path"]] = d.get("partition") or {}
                 if not (lo < m["sequence_number"] <= hi):
                     continue
-                if e["status"] != 1:
+                if e["status"] == 2:  # carried (0) entries count too
                     continue
                 if not (lo < e["sequence_number"] <= hi):
                     continue

@@ -66,7 +66,13 @@ def process_dedup_batch(
 
     The index table is partitioned by (band, pb = bh % index_buckets);
     the probe scans ONLY the partitions the batch's own band hashes
-    land in. A pre-round-8 unpartitioned index table is still read
+    land in. The bucket count is BAKED INTO the table's layout, so it
+    is recorded in the Delta configuration at create time and read
+    back on every later batch — ``index_buckets`` only sets the grid
+    for a table this call creates; a mismatched value against an
+    existing table is overridden by the recorded one (probing an
+    N-bucket grid with M-bucket keys would silently prune away real
+    collisions). A pre-round-8 unpartitioned index table is still read
     whole (legacy layout — correct, just unpruned).
     """
     from march_mania_spark_lakehouse_spark.operators import dedup
@@ -92,6 +98,15 @@ def process_dedup_batch(
     partitioned = index_exists and delta_log.table_partition_columns(
         index_table
     ) == ["band", "pb"]
+    if partitioned:
+        meta = delta_log._latest_metadata(
+            index_table, delta_log.latest_version(index_table)
+        )
+        recorded = (meta.get("configuration") or {}).get(
+            "streamingDedup.indexBuckets"
+        )
+        if recorded is not None:
+            index_buckets = int(recorded)
     if partitioned:
         # bounded driver boundary: ≤ batch_rows × bands distinct keys
         touched = (
@@ -130,6 +145,9 @@ def process_dedup_batch(
             delta_log.create(
                 index_delta, index_table, stat_cols=["bh"],
                 txn=(app_id, batch_id), partition_by=["band", "pb"],
+                configuration={
+                    "streamingDedup.indexBuckets": str(index_buckets)
+                },
             )
         elif partitioned:
             delta_log.append(

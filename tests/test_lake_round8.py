@@ -318,27 +318,36 @@ def test_widen_float_partition_column_rewrites_partition_values(
     up = lambda s: _struct.unpack("<f", _struct.pack("<f", float(s)))[0]
     delta_log.create(
         spark.createDataFrame(
-            [(1, 0.1, "a"), (2, 1.5, "b"), (3, 0.1, "c")],
+            # 0.0001 renders SCIENTIFICALLY in hive dirs ("1.0E-4") but
+            # as plain decimal in Python repr — partition matching must
+            # be numeric, not string (round-8 review finding)
+            [(1, 0.1, "a"), (2, 1.5, "b"), (3, 0.1, "c"), (5, 0.0001, "e")],
             "id long, p float, s string",
         ),
         table,
         partition_by=["p"],
     )
+    pre = delta_log.scan_partitions(spark, table, {"p": up("0.0001")})
+    assert [r.id for r in pre.collect()] == [5]
     before = {(r.id, r.p) for r in delta_log.read_delta(spark, table).collect()}
     delta_log.widen_column(table, "p", "double")
     got = {(r.id, r.p) for r in delta_log.read_delta(spark, table).collect()}
     # exact value-preserving upcast of every narrow value
     assert got == {(i, up(p)) for i, p in before}
     assert (1, 0.1) not in got  # the double 0.1 would be WRONG
-    # new wide-typed generation shares the partition grid
+    # new wide-typed generation shares the partition grid — including
+    # the value whose JVM dir rendering is scientific ("9.99…E-5")
     delta_log.append(
         spark.createDataFrame(
-            [(4, up("0.1"), "d")], "id long, p double, s string"
+            [(4, up("0.1"), "d"), (6, up("0.0001"), "f")],
+            "id long, p double, s string",
         ),
         table,
     )
     pruned = delta_log.scan_partitions(spark, table, {"p": up("0.1")})
     assert sorted(r.id for r in pruned.collect()) == [1, 3, 4]
+    sci = delta_log.scan_partitions(spark, table, {"p": up("0.0001")})
+    assert sorted(r.id for r in sci.collect()) == [5, 6]
     # pruning really pruned: the 1.5 partition's file is not planned
     assert len(pruned.inputFiles()) < len(
         delta_log.read_delta(spark, table).inputFiles()
@@ -349,4 +358,41 @@ def test_widen_float_partition_column_rewrites_partition_values(
 
     assert {
         (t[0], t[1]) for t in indep.read_rows(table)
-    } == {(i, p) for i, p in got} | {(4, up("0.1"))}
+    } == {(i, p) for i, p in got} | {(4, up("0.1")), (6, up("0.0001"))}
+
+
+def test_clone_single_commit_table_bootstraps_change_feed(spark, tmp_path):
+    """Finding from the round-8 review: a clone of a single-commit
+    table carries status-0 entries at seq 1, and the change feeds must
+    emit them (previously the status!=1 filter silently returned an
+    EMPTY feed for a populated clone). Multi-seq clones refuse the
+    pre-clone range with the expired-history error — the stated trade."""
+    src = str(tmp_path / "src")
+    iceberg.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        ),
+        src,
+    )
+    c1 = str(tmp_path / "c1")
+    iceberg.clone(src, c1)
+    feed = iceberg.table_changes(spark, c1, 0, include_deletes=True)
+    got = sorted(r.id for r in feed.collect())
+    assert got == list(range(8))
+    assert {r._change_type for r in feed.collect()} == {"insert"}
+    # multi-sequence source: pre-clone range refuses (epoch = clone)
+    iceberg.append(
+        spark.createDataFrame([(100, 1.0)], "id long, v double"), src
+    )
+    c2 = str(tmp_path / "c2")
+    iceberg.clone(src, c2)
+    with pytest.raises(iceberg.IcebergNonAppendChangeError, match="expired"):
+        iceberg.table_changes(spark, c2, 0).count()
+    # but post-clone commits stream fine from the clone point
+    iceberg.append(
+        spark.createDataFrame([(200, 2.0)], "id long, v double"), c2
+    )
+    tail = iceberg.table_changes(
+        spark, c2, iceberg.current_metadata(c2)["last-sequence-number"] - 1
+    )
+    assert [r.id for r in tail.collect()] == [200]

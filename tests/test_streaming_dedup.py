@@ -158,3 +158,27 @@ def test_legacy_unpartitioned_index_still_works(spark, tmp_path):
     got = {r.doc_id for r in delta_log.read_delta(spark, corpus).collect()}
     assert got == {1, 3}  # 2 near-dups the HISTORY doc via the legacy index
     assert "pb" not in delta_log.read_delta(spark, index).columns
+
+
+def test_index_bucket_grid_recorded_and_mismatch_overridden(spark, tmp_path):
+    """The bucket count is baked into the index table's layout, so it
+    is recorded in the Delta configuration at create and OVERRIDES a
+    mismatched caller value — probing a 16-bucket grid with mod-32
+    keys would silently prune away real collisions and re-admit
+    near-duplicates."""
+    corpus = str(tmp_path / "c5")
+    index = str(tmp_path / "i5")
+    process_dedup_batch(
+        spark, _docs(spark, [(1, BASE)]), 0, corpus, index, index_buckets=16
+    )
+    meta = delta_log._latest_metadata(index, delta_log.latest_version(index))
+    assert meta["configuration"]["streamingDedup.indexBuckets"] == "16"
+    # caller passes the (wrong) default 32; the recorded 16 wins and
+    # the historical near-dup is still caught through the pruned probe
+    process_dedup_batch(
+        spark, _docs(spark, [(2, BASE + " ok"), (3, OTHER)]), 1, corpus, index
+    )
+    got = {r.doc_id for r in delta_log.read_delta(spark, corpus).collect()}
+    assert got == {1, 3}
+    # and the index delta landed on the 16-bucket grid
+    assert delta_log.read_delta(spark, index).filter("pb >= 16").count() == 0

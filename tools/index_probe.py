@@ -81,7 +81,8 @@ def _publish_index(spark, k: int, path: str, buckets: int) -> None:
         ).repartition("band", "pb")
         if done == 0:
             delta_log.create(
-                copies, path, stat_cols=["bh"], partition_by=["band", "pb"]
+                copies, path, stat_cols=["bh"], partition_by=["band", "pb"],
+                configuration={"streamingDedup.indexBuckets": str(buckets)},
             )
         else:
             delta_log.append(copies, path, stat_cols=["bh"])
