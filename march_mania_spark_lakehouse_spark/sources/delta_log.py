@@ -573,6 +573,34 @@ def _normalize_partition_values(pv) -> dict:
     return dict(pv)
 
 
+def _checkpoint_files(table: str, cp: dict) -> "list[str]":
+    """The parquet file(s) of a ``_last_checkpoint`` pointer, covering
+    all three spec layouts: classic single, classic multi-part
+    (``parts`` in the pointer), and V2 (UUID-named top-level file —
+    its sidecars are resolved while reading)."""
+    log = _log_dir(table)
+    v = cp["version"]
+    parts = cp.get("parts")
+    if parts:
+        return [
+            os.path.join(
+                log, f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+            )
+            for i in range(1, parts + 1)
+        ]
+    classic = _checkpoint_path(table, v)
+    if os.path.exists(classic):
+        return [classic]
+    pre = f"{v:020d}.checkpoint."
+    named = sorted(
+        n for n in os.listdir(log)
+        if n.startswith(pre) and n.endswith(".parquet")
+    )
+    if not named:
+        raise FileNotFoundError(f"checkpoint {v} missing for {table}")
+    return [os.path.join(log, named[0])]
+
+
 def _replay(table: str, version: int) -> dict[str, dict]:
     """Reconstruct the live file set {path: add_action} at ``version``
     from the nearest checkpoint ≤ version plus the JSON tail — the
@@ -584,8 +612,7 @@ def _replay(table: str, version: int) -> dict[str, dict]:
     if cp is not None and cp["version"] <= version:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(_checkpoint_path(table, cp["version"]))
-        for row in t.to_pylist():
+        def _take(row: dict) -> None:
             add = row.get("add")
             if add and add.get("path"):
                 add["partitionValues"] = _normalize_partition_values(
@@ -596,6 +623,16 @@ def _replay(table: str, version: int) -> dict[str, dict]:
                 if dv is not None and dv.get("storageType") is None:
                     add["deletionVector"] = None
                 live[add["path"]] = add
+
+        side_dir = os.path.join(_log_dir(table), "_sidecars")
+        for path in _checkpoint_files(table, cp):
+            for row in pq.read_table(path).to_pylist():
+                _take(row)
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):  # V2: adds live in sidecars
+                    st = pq.read_table(os.path.join(side_dir, sc["path"]))
+                    for srow in st.to_pylist():
+                        _take(srow)
         start = cp["version"] + 1
     for v in range(start, version + 1):
         p = _commit_path(table, v)
@@ -1228,9 +1265,28 @@ def scan_pruned(
 # --------------------------------------------------------------------------
 
 
-def checkpoint(table: str, version: int | None = None) -> int:
+def checkpoint(
+    table: str,
+    version: int | None = None,
+    parts: int | None = None,
+    v2: bool = False,
+) -> int:
     """Write a parquet checkpoint of the snapshot at ``version`` and
-    flip ``_last_checkpoint``. Future replays read checkpoint + tail."""
+    flip ``_last_checkpoint``. Future replays read checkpoint + tail.
+
+    Three spec layouts, all readable by `_replay` AND the clean-room
+    reader:
+
+    - classic single-file (default): ``%020d.checkpoint.parquet``;
+    - classic MULTI-PART (``parts=N``): add actions split across
+      ``%020d.checkpoint.%010d.%010d.parquet`` files, ``parts``
+      recorded in ``_last_checkpoint`` — how large tables keep any one
+      checkpoint file bounded;
+    - V2 (``v2=True``, the v2Checkpoint table feature real writers
+      emit): a UUID-named top-level file carrying protocol/metaData, a
+      ``checkpointMetadata`` action, and ``sidecar`` actions pointing
+      at ``_delta_log/_sidecars/<uuid>.parquet`` files that hold the
+      add actions."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1278,6 +1334,11 @@ def checkpoint(table: str, version: int | None = None) -> int:
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            # configuration carries live semantics (column mapping,
+            # partitionValuesAuthoritative, …) and is part of the
+            # spec's checkpoint metaData — dropping it would desync
+            # checkpoint-seeded readers
+            ("configuration", pa.map_(pa.string(), pa.string())),
             ("createdTime", pa.int64()),
         ]
     )
@@ -1293,6 +1354,9 @@ def checkpoint(table: str, version: int | None = None) -> int:
             "format": {"provider": meta["format"]["provider"]},
             "schemaString": meta["schemaString"],
             "partitionColumns": meta["partitionColumns"],
+            "configuration": sorted(
+                (meta.get("configuration") or {}).items()
+            ),
             "createdTime": meta.get("createdTime"),
         }
     for add in (live[p] for p in sorted(live)):
@@ -1315,17 +1379,101 @@ def checkpoint(table: str, version: int | None = None) -> int:
         )
         rows_meta.append(None)
         rows_proto.append(None)
-    t = pa.table(
-        {
-            "protocol": pa.array(rows_proto, type=proto_type),
-            "metaData": pa.array(rows_meta, type=meta_type),
-            "add": pa.array(rows_add, type=add_type),
-        }
-    )
-    pq.write_table(t, _checkpoint_path(table, v))
+    n_rows = len(rows_add)
+    pointer: dict = {"version": v, "size": n_rows}
+    if v2:
+        # sidecars hold the add actions; the top-level file carries
+        # protocol/metaData, the checkpointMetadata marker, and one
+        # sidecar action per file
+        side_dir = os.path.join(_log_dir(table), "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        adds = [r for r in rows_add if r is not None]
+        n_side = max(1, parts or 1)
+        chunk = -(-len(adds) // n_side) if adds else 1
+        sidecars = []
+        for i in range(0, max(len(adds), 1), chunk):
+            name = f"{uuid.uuid4().hex}.parquet"
+            st = pa.table(
+                {"add": pa.array(adds[i: i + chunk], type=add_type)}
+            )
+            pq.write_table(st, os.path.join(side_dir, name))
+            sidecars.append(
+                {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(
+                        os.path.join(side_dir, name)
+                    ),
+                    "modificationTime": _now_ms(),
+                }
+            )
+        side_type = pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]
+        )
+        cpm_type = pa.struct([("version", pa.int64())])
+        k = 3 + len(sidecars)
+        top = pa.table(
+            {
+                "protocol": pa.array(
+                    [proto, None, None] + [None] * len(sidecars),
+                    type=proto_type,
+                ),
+                "metaData": pa.array(
+                    [None, rows_meta[1], None] + [None] * len(sidecars),
+                    type=meta_type,
+                ),
+                "checkpointMetadata": pa.array(
+                    [None, None, {"version": v}] + [None] * len(sidecars),
+                    type=cpm_type,
+                ),
+                "sidecar": pa.array(
+                    [None, None, None] + sidecars, type=side_type
+                ),
+            }
+        )
+        top_name = f"{v:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+        pq.write_table(top, os.path.join(_log_dir(table), top_name))
+        pointer["size"] = k
+    elif parts and parts > 1:
+        adds = [r for r in rows_add if r is not None]
+        chunk = -(-max(len(adds), 1) // parts)
+        for i in range(parts):
+            lo = i * chunk
+            part_adds = adds[lo: lo + chunk]
+            rows = {
+                "protocol": pa.array(
+                    ([proto] if i == 0 else [None]) + [None] * len(part_adds),
+                    type=proto_type,
+                ),
+                "metaData": pa.array(
+                    ([None] + [None] * len(part_adds)) if i != 0 else
+                    [rows_meta[1]] + [None] * len(part_adds),
+                    type=meta_type,
+                ),
+                "add": pa.array([None] + part_adds, type=add_type),
+            }
+            name = (
+                f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+            )
+            pq.write_table(
+                pa.table(rows), os.path.join(_log_dir(table), name)
+            )
+        pointer["parts"] = parts
+    else:
+        t = pa.table(
+            {
+                "protocol": pa.array(rows_proto, type=proto_type),
+                "metaData": pa.array(rows_meta, type=meta_type),
+                "add": pa.array(rows_add, type=add_type),
+            }
+        )
+        pq.write_table(t, _checkpoint_path(table, v))
     tmp = os.path.join(_log_dir(table), "_last_checkpoint.tmp")
     with open(tmp, "w") as f:
-        json.dump({"version": v, "size": t.num_rows}, f)
+        json.dump(pointer, f)
     os.replace(tmp, os.path.join(_log_dir(table), "_last_checkpoint"))
     return v
 

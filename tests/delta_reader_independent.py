@@ -184,10 +184,38 @@ def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True
         with open(cp_meta_path) as f:
             cp = json.load(f)
         if cp["version"] <= v:
-            cp_path = os.path.join(
-                table, "_delta_log", f"{cp['version']:020d}.checkpoint.parquet"
-            )
-            for row in pq.read_table(cp_path).to_pylist():
+            log = os.path.join(table, "_delta_log")
+            # spec checkpoint layouts: classic single file, classic
+            # multi-part (``parts`` in _last_checkpoint), or V2 — a
+            # UUID-named top file whose ``sidecar`` actions point at
+            # _sidecars/<uuid>.parquet files holding the adds
+            if cp.get("parts"):
+                n = cp["parts"]
+                cp_paths = [
+                    os.path.join(
+                        log,
+                        f"{cp['version']:020d}.checkpoint."
+                        f"{i:010d}.{n:010d}.parquet",
+                    )
+                    for i in range(1, n + 1)
+                ]
+            else:
+                classic = os.path.join(
+                    log, f"{cp['version']:020d}.checkpoint.parquet"
+                )
+                if os.path.exists(classic):
+                    cp_paths = [classic]
+                else:
+                    pre = f"{cp['version']:020d}.checkpoint."
+                    cp_paths = [
+                        os.path.join(log, sorted(
+                            nm for nm in os.listdir(log)
+                            if nm.startswith(pre) and nm.endswith(".parquet")
+                        )[0])
+                    ]
+
+            def _cp_row(row):
+                nonlocal meta, protocol
                 add = row.get("add")
                 if add and add.get("path"):
                     dv = add.get("deletionVector")
@@ -204,6 +232,16 @@ def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True
                 p = row.get("protocol")
                 if p and p.get("minReaderVersion") is not None:
                     protocol = p
+
+            for cp_path in cp_paths:
+                for row in pq.read_table(cp_path).to_pylist():
+                    _cp_row(row)
+                    sc = row.get("sidecar")
+                    if sc and sc.get("path"):
+                        for srow in pq.read_table(
+                            os.path.join(log, "_sidecars", sc["path"])
+                        ).to_pylist():
+                            _cp_row(srow)
             start = cp["version"] + 1
 
     for vv in range(start, v + 1):

@@ -380,7 +380,14 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
                     {"val": F.col("val") + 1000.0},
                 )
             else:
-                dlog.checkpoint(table)
+                # random checkpoint LAYOUT too: classic / multi-part /
+                # V2-with-sidecars all feed the same replay
+                layout = rng.choice(["classic", "parts", "v2"])
+                dlog.checkpoint(
+                    table,
+                    parts=3 if layout == "parts" else None,
+                    v2=layout == "v2",
+                )
         v_hi = dlog.latest_version(table)
         for v in range(v_hi + 1):
             assert sorted(indep.read_rows(table, v)) == _spark_rows(
@@ -494,7 +501,12 @@ def test_random_partitioned_delta_sweep_with_clones(spark, tmp_path):
             elif op == "optimize":
                 dlog.optimize(spark, table)
             elif op == "checkpoint":
-                dlog.checkpoint(table)
+                layout = rng.choice(["classic", "parts", "v2"])
+                dlog.checkpoint(
+                    table,
+                    parts=2 if layout == "parts" else None,
+                    v2=layout == "v2",
+                )
             elif op == "rename_val":
                 cur = names()[2]
                 dlog.rename_column(
@@ -519,3 +531,63 @@ def test_random_partitioned_delta_sweep_with_clones(spark, tmp_path):
             assert sorted(indep.read_rows(table, v)) == _spark_rows(
                 spark, table, v
             ), f"trial {trial} version {v} diverged"
+
+
+def test_multipart_checkpoint_both_readers(spark, table):
+    """Classic MULTI-PART checkpoints (parts recorded in
+    _last_checkpoint, %010d.%010d part naming): replays seeded from
+    the parts must equal the never-checkpointed replay in both
+    readers, DVs included."""
+    dlog.create(
+        _df(spark, [(i, "a", float(i)) for i in range(40)]).repartition(4),
+        table,
+    )
+    dlog.delete_where(spark, table, "id % 5 = 0")
+    dlog.checkpoint(table, parts=3)
+    import json
+
+    cp = json.loads(
+        open(os.path.join(table, "_delta_log", "_last_checkpoint")).read()
+    )
+    assert cp["parts"] == 3
+    names = os.listdir(os.path.join(table, "_delta_log"))
+    assert sum(1 for n in names if ".checkpoint.00000" in n) == 3
+    dlog.append(_df(spark, [(100, "z", 1.0)]), table)  # JSON tail
+    want = sorted(i for i in range(40) if i % 5) + [100]
+    assert sorted(r["id"] for r in dlog.read_delta(spark, table).collect()) == want
+    for use_cp in (True, False):
+        assert sorted(
+            t[0] for t in indep.read_rows(table, use_checkpoint=use_cp)
+        ) == want
+
+
+def test_v2_checkpoint_with_sidecars_both_readers(spark, table):
+    """V2 checkpoints (the v2Checkpoint table-feature layout real
+    writers emit): UUID-named top-level file with checkpointMetadata +
+    sidecar actions, adds in _delta_log/_sidecars/*.parquet. Both
+    readers must reconstruct the snapshot from it — including the
+    table configuration and deletion vectors riding the sidecar
+    entries."""
+    dlog.create(
+        _df(spark, [(i, "a", float(i)) for i in range(30)]).repartition(3),
+        table,
+    )
+    dlog.delete_where(spark, table, "id >= 25")
+    dlog.checkpoint(table, v2=True, parts=2)
+    log = os.path.join(table, "_delta_log")
+    tops = [n for n in os.listdir(log)
+            if n.endswith(".parquet") and ".checkpoint." in n]
+    assert len(tops) == 1 and not tops[0].endswith("checkpoint.parquet")
+    side = os.listdir(os.path.join(log, "_sidecars"))
+    assert len(side) == 2  # parts=2 sidecar files
+    dlog.append(_df(spark, [(200, "z", 2.0)]), table)
+    want = list(range(25)) + [200]
+    assert sorted(r["id"] for r in dlog.read_delta(spark, table).collect()) == want
+    for use_cp in (True, False):
+        assert sorted(
+            t[0] for t in indep.read_rows(table, use_checkpoint=use_cp)
+        ) == want
+    # the checkpointed metaData carries configuration (spec field) —
+    # mapped tables replayed from a checkpoint keep their mapping
+    snap = indep.snapshot(table)
+    assert "configuration" in snap
