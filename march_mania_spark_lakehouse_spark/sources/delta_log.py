@@ -340,9 +340,45 @@ class DeltaSchemaMismatchError(ValueError):
     ``merge_schema`` was not requested (Delta's schema enforcement)."""
 
 
+def _checkpoint_proto_meta(table: str, cp: dict) -> "tuple[dict | None, dict | None]":
+    """(protocol, metaData) recorded in a checkpoint — the seed for
+    logs whose pre-checkpoint commits were cleaned up
+    (:func:`cleanup_log`). V2 checkpoints keep both in the top-level
+    file per spec, so sidecars are never opened here."""
+    import pyarrow.parquet as pq
+
+    proto = meta = None
+    for path in _checkpoint_files(table, cp):
+        for row in pq.read_table(path).to_pylist():
+            m = row.get("metaData")
+            if m and m.get("schemaString"):
+                meta = {
+                    **m,
+                    "format": {
+                        "provider": (m.get("format") or {}).get(
+                            "provider", "parquet"
+                        ),
+                        "options": {},
+                    },
+                    "configuration": dict(m.get("configuration") or {}),
+                }
+            pr = row.get("protocol")
+            if pr and pr.get("minReaderVersion") is not None:
+                proto = dict(pr)
+    return proto, meta
+
+
 def _latest_metadata(table: str, version: int) -> dict | None:
     meta = None
-    for vv in range(version + 1):
+    start = 0
+    cp = _last_checkpoint(table)
+    if cp is not None and cp["version"] <= version:
+        # seed from the checkpoint: cleanup_log may have deleted the
+        # commit that carried the metaData action, and the JSON scan
+        # then only needs the tail
+        _, meta = _checkpoint_proto_meta(table, cp)
+        start = cp["version"] + 1
+    for vv in range(start, version + 1):
         p = _commit_path(table, vv)
         if not os.path.exists(p):
             continue
@@ -668,6 +704,8 @@ def version_at_timestamp(table: str, ts_ms: int) -> int:
         raise FileNotFoundError(f"{table} has no Delta log")
     for v in range(latest, -1, -1):
         path = _commit_path(table, v)
+        if not os.path.exists(path):
+            continue  # cleaned by cleanup_log: not a travel target
         ts = None
         for a in _read_actions(path):
             if "commitInfo" in a:
@@ -1294,10 +1332,17 @@ def checkpoint(
     if v is None:
         raise FileNotFoundError(f"{table} has no Delta log")
     live = _replay(table, v)
-    # Re-read protocol/metaData from the log so the checkpoint is
-    # self-contained, per spec.
+    # Re-read protocol/metaData so the checkpoint is self-contained,
+    # per spec — seeded from the PREVIOUS checkpoint when log cleanup
+    # removed the commits that carried them.
     proto, meta = dict(PROTOCOL), None
-    for vv in range(v + 1):
+    start = 0
+    prev_cp = _last_checkpoint(table)
+    if prev_cp is not None and prev_cp["version"] <= v:
+        p0, m0 = _checkpoint_proto_meta(table, prev_cp)
+        proto, meta = p0 or proto, m0
+        start = prev_cp["version"] + 1
+    for vv in range(start, v + 1):
         p = _commit_path(table, vv)
         if not os.path.exists(p):
             continue
@@ -1476,6 +1521,35 @@ def checkpoint(
         json.dump(pointer, f)
     os.replace(tmp, os.path.join(_log_dir(table), "_last_checkpoint"))
     return v
+
+
+def cleanup_log(
+    table: str, retention_ms: int = 30 * 24 * 3600 * 1000
+) -> "list[str]":
+    """Metadata log cleanup (``delta.logRetentionDuration`` semantics,
+    default 30 days): delete commit JSON files STRICTLY BELOW the
+    checkpointed version whose mtime passed the retention. The
+    checkpoint carries the complete snapshot state — adds with DVs,
+    protocol, metaData incl. configuration — and `_latest_metadata` /
+    `checkpoint` / `_replay` all seed from it, so current readers and
+    future checkpoints never need the cleaned commits. Time travel and
+    change feeds into the cleaned range honestly raise (missing
+    commit), exactly like real Delta after log cleanup. Run `vacuum`
+    BEFORE cleanup when exact tombstone timestamps matter — after
+    cleanup, pre-checkpoint tombstoned files are reclaimed by vacuum's
+    untracked-debris sweep (same retention guard). Returns deleted
+    file names."""
+    cp = _last_checkpoint(table)
+    if cp is None:
+        return []
+    cutoff_ms = _now_ms() - retention_ms
+    deleted = []
+    for v in range(cp["version"]):
+        p = _commit_path(table, v)
+        if os.path.exists(p) and os.path.getmtime(p) * 1000 <= cutoff_ms:
+            os.unlink(p)
+            deleted.append(os.path.basename(p))
+    return deleted
 
 
 def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:

@@ -591,3 +591,58 @@ def test_v2_checkpoint_with_sidecars_both_readers(spark, table):
     # mapped tables replayed from a checkpoint keep their mapping
     snap = indep.snapshot(table)
     assert "configuration" in snap
+
+
+def test_log_cleanup_checkpoint_seeded_readers(spark, table):
+    """delta.logRetentionDuration semantics: after checkpoint +
+    cleanup_log, the pre-checkpoint commit JSONs are GONE, and every
+    current-state consumer — schema, column mapping, DV reads, the
+    clean-room reader, even the NEXT checkpoint — must seed from the
+    checkpoint instead of the cleaned commits. Travel below the
+    horizon honestly raises."""
+    dlog.create(_df(spark, [(i, "a", float(i)) for i in range(20)]), table)
+    dlog.enable_column_mapping(table)
+    dlog.rename_column(table, "cat", "category")
+    dlog.delete_where(spark, table, "id % 4 = 0")
+    cp_v = dlog.checkpoint(table, v2=True)
+    dlog.append(
+        spark.createDataFrame(
+            [(50, "z", 5.0)], "id long, category string, val double"
+        ),
+        table,
+    )  # JSON tail above the checkpoint
+    cleaned = dlog.cleanup_log(table, retention_ms=0)
+    assert len(cleaned) == cp_v  # commits 0..cp_v-1 deleted
+    for v in range(cp_v):
+        assert not os.path.exists(
+            os.path.join(table, "_delta_log", f"{v:020d}.json")
+        )
+    want = sorted(i for i in range(20) if i % 4) + [50]
+    # engine: schema (renamed), mapping, DVs all seeded from the cp
+    got = dlog.read_delta(spark, table)
+    assert "category" in got.columns
+    assert sorted(r["id"] for r in got.collect()) == want
+    assert dlog.column_mapping(table)["category"] == "cat"
+    # clean-room reader through the checkpoint
+    assert sorted(t[0] for t in indep.read_rows(table)) == want
+    # a NEW checkpoint on the cleaned log keeps protocol + metaData
+    dlog.append(
+        spark.createDataFrame(
+            [(60, "y", 6.0)], "id long, category string, val double"
+        ),
+        table,
+    )
+    dlog.checkpoint(table)  # classic, seeded from the v2 predecessor
+    snap = indep.snapshot(table)
+    assert snap["protocol"] is not None
+    assert snap["configuration"].get("delta.columnMapping.mode") == "name"
+    assert sorted(t[0] for t in indep.read_rows(table)) == want + [60]
+    # below-horizon access refuses instead of misreporting
+    with pytest.raises(FileNotFoundError):
+        dlog.read_delta(spark, table, 0).collect()
+    # timestamp travel lands on surviving history only
+    import time as _time
+
+    assert dlog.version_at_timestamp(
+        table, int(_time.time() * 1000) + 10_000
+    ) == dlog.latest_version(table)
