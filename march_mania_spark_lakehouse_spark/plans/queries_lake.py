@@ -181,13 +181,9 @@ FROM reach GROUP BY node
 """
 
 
-@query("q83_dedup_components", oracle=_Q83_SQL, tags=("dedup", "graph"))
-def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pair graph → duplicate groups via alternating min-label
-    propagation with path shortening (`operators/graph.py` — the
-    relational star-contraction CC; O(log diameter) rounds, one shuffle
-    per round, state = (node,label) pairs only). Singleton documents
-    keep their own id as component."""
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) labels of the (source, size-bucket) chain
+    graph — q83's CC output, shared with the selection policy q215."""
     docs = catalog.load(spark, "documents", sf_dir)
     nodes = docs.select(
         "doc_id", "source", F.expr("n_chars div 200").alias("bkt")
@@ -208,6 +204,115 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+
+
+@query("q83_dedup_components", oracle=_Q83_SQL, tags=("dedup", "graph"))
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → duplicate groups via alternating min-label
+    propagation with path shortening (`operators/graph.py` — the
+    relational star-contraction CC; O(log diameter) rounds, one shuffle
+    per round, state = (node,label) pairs only). Singleton documents
+    keep their own id as component."""
+    return _component_labels(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q215 — duplicate-group representative selection, the curation policy
+# ON TOP of dedup groups: per component keep the HIGHEST-quality member
+# (min-doc_id tie-break) instead of the min-id one. The quality
+# surrogate is INTEGER-EXACT on purpose — length-saturating × lexical
+# diversity in int64 fixed point (least(n_tok,148)·n_distinct·10⁶ div
+# n_tok) — so the cross-engine ranking can never flip on a float ulp
+# (the decimal/double tie lessons in the verify skill). At 100 TB this
+# is one CC label exchange plus one per-component argmax shuffle.
+# --------------------------------------------------------------------------
+
+_Q215_SCORE = (
+    "(LEAST(len(string_split(text, ' ')), 148)"
+    " * len(list_distinct(string_split(text, ' ')))"
+    " * 1000000) // len(string_split(text, ' '))"
+)
+
+_Q215_SQL = f"""
+WITH RECURSIVE
+nodes AS (
+    SELECT doc_id, source, n_chars // 200 AS bkt FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, bkt,
+           ROW_NUMBER() OVER (PARTITION BY source, bkt ORDER BY doc_id) AS rn
+    FROM nodes
+),
+edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM ranked a
+    JOIN ranked b ON a.source = b.source AND a.bkt = b.bkt AND b.rn = a.rn + 1
+),
+sym AS (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges
+),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (
+    SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+),
+scored AS (
+    SELECT c.component, d.doc_id, {_Q215_SCORE} AS score
+    FROM comp c JOIN documents d USING (doc_id)
+),
+best AS (
+    SELECT component, doc_id, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY score DESC, doc_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY component) AS n_members
+    FROM scored
+)
+SELECT component, doc_id AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(score AS BIGINT) AS rep_score
+FROM best WHERE rn = 1
+"""
+
+
+@query(
+    "q215_dup_group_representatives",
+    oracle=_Q215_SQL,
+    tags=("dedup", "graph", "text"),
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-duplicate-group survivor selection: join q83's component
+    labels to an integer-exact quality surrogate and keep each group's
+    argmax (score DESC, doc_id ASC). Dedup emits GROUPS; a selection
+    policy emits the survivor set — the production curation shape."""
+    comp = _component_labels(spark, sf_dir)
+    docs = catalog.load(spark, "documents", sf_dir)
+    score = F.expr(
+        "least(size(split(text, ' ')), 148)"
+        " * size(array_distinct(split(text, ' ')))"
+        " * 1000000L div size(split(text, ' '))"
+    )
+    scored = docs.select("doc_id", score.alias("score")).join(comp, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("score").cast("long").alias("rep_score"),
         )
     )
 

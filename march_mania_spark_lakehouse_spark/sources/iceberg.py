@@ -2549,6 +2549,26 @@ def write_audit_publish(
         drop_ref(table, branch)
 
 
+def cleanup_metadata(table: str, keep_last: int = 5) -> "list[str]":
+    """Delete old ``vN.metadata.json`` generations beyond the newest
+    ``keep_last`` — the spec's ``write.metadata.previous-versions-max``
+    maintenance. Snapshots, manifests and data files are untouched
+    (they live in their own files, and every reader resolves the
+    CURRENT metadata via version-hint.text), so time travel BY
+    SNAPSHOT keeps working; only the removed metadata GENERATIONS
+    themselves stop being addressable. Returns deleted names."""
+    cur = current_version(table)
+    if cur is None:
+        return []
+    deleted = []
+    for v in range(1, cur - keep_last + 1):
+        p = os.path.join(_meta_dir(table), f"v{v}.metadata.json")
+        if os.path.exists(p):
+            os.unlink(p)
+            deleted.append(os.path.basename(p))
+    return deleted
+
+
 def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
     """Retire all but the newest ``keep_last`` snapshots: rewrite the
     metadata without them (a new metadata version — history of the

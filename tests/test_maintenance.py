@@ -195,3 +195,37 @@ def test_publish_after_rollback_branches_forward(spark, sf_dir, tmp_path):
     # v4's original content is untouched
     assert read_snapshot(spark, root, version=4).select("v").first().v == 4
     assert read_snapshot(spark, root).select("v").first().v == 99
+
+
+def test_cleanup_metadata_keeps_current_surface(spark, tmp_path):
+    """write.metadata.previous-versions-max maintenance: old
+    vN.metadata.json generations are deleted, the current pointer
+    (version-hint), snapshot time travel, scans and the clean-room
+    reader all keep working."""
+    import os
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+    from tests import iceberg_reader_independent as iindep
+
+    t = str(tmp_path / "meta_clean")
+    iceberg.create(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), t
+    )
+    for i in range(2, 7):
+        iceberg.append(
+            spark.createDataFrame([(i, float(i))], "id long, v double"), t
+        )
+    first_snap = iceberg.snapshot_ids(t)[0]
+    cur = iceberg.current_version(t)
+    deleted = iceberg.cleanup_metadata(t, keep_last=2)
+    assert deleted == [f"v{v}.metadata.json" for v in range(1, cur - 1)]
+    assert not os.path.exists(
+        os.path.join(t, "metadata", "v1.metadata.json")
+    )
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, t).collect())
+    assert got == [1, 2, 3, 4, 5, 6]
+    # snapshot time travel is metadata-internal: unaffected
+    assert sorted(
+        r.id for r in iceberg.read_iceberg(spark, t, first_snap).collect()
+    ) == [1]
+    assert len(iindep.read_rows(t)) == 6
