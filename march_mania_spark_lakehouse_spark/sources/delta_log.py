@@ -409,6 +409,7 @@ def append(
     txn: "tuple[str, int] | None" = None,
     merge_schema: bool = False,
     _op: "tuple[str, dict] | None" = None,
+    _cdc_label: "str | None" = None,
 ) -> int:
     """Append commit: adds only; prior files stay live. ``txn`` as in
     :func:`create`.
@@ -489,11 +490,17 @@ def append(
             _write_commit(table, cur + 1, actions)
             return cur + 1
     files = _stage_data_files(df, table, table_partition_columns(table, cur))
+    cdc_actions: list[dict] = []
+    if _cdc_label and _cdf_enabled(table, cur):
+        # only UPDATE's write half labels its rows explicitly (plain
+        # appends derive as inserts from their add actions, per spec)
+        cdc_actions = _stage_cdc_file(df, table, _cdc_label)
     actions = [
         _commit_info(*(_op or ("WRITE", {"mode": "Append"}))),
         *meta_actions,
         *_txn_action(txn),
         *_add_actions(table, files, stat_cols),
+        *cdc_actions,
     ]
     _write_commit(table, cur + 1, actions)
     return cur + 1
@@ -1941,11 +1948,25 @@ def delete_where(
         ): k
         for k in live
     }
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(table, cur):
+        # explicit change files (delta.enableChangeDataFeed): persist
+        # the matched rows BEFORE the commit lands; an UPDATE's delete
+        # half labels them update_preimage
+        label = (
+            "update_preimage"
+            if (_op or ("DELETE", {}))[0] == "UPDATE"
+            else "delete"
+        )
+        cdc_actions = _stage_cdc_file(
+            read_delta(spark, table, cur).filter(pred), table, label
+        )
     ts = _now_ms()
     op, op_params = _op or ("DELETE", {"predicate": str(condition)})
     actions: list[dict] = [
         _commit_info(op, op_params),
         {"protocol": dict(DV_PROTOCOL)},
+        *cdc_actions,
     ]
     rel_rows = []
     for r in desc_rows:
@@ -1982,6 +2003,95 @@ def delete_where(
 class DeltaNonAppendChangeError(RuntimeError):
     """The requested change range contains a rewrite commit (overwrite/
     merge/restore), whose file-level actions are not row-level changes."""
+
+
+def _cdf_enabled(table: str, version: int) -> bool:
+    meta = _latest_metadata(table, version)
+    return ((meta or {}).get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+
+
+def _stage_cdc_file(
+    df: DataFrame, table: str, change_type: str
+) -> "list[dict]":
+    """Persist change rows + ``_change_type`` under ``_change_data/``
+    and return their ``cdc`` actions (spec: dataChange=false — change
+    files never count as table data). Columns are stored under their
+    PHYSICAL names (like data files), so the feed reads them back
+    through the current mapping after any rename; partition columns
+    ride INLINE, so one flat layout serves every table shape."""
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    mapping = column_mapping(table)
+    if mapping:
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+    df.withColumn("_change_type", F.lit(change_type)).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    os.makedirs(os.path.join(table, "_change_data"), exist_ok=True)
+    out: list[dict] = []
+    for root, dirs, files in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in sorted(files):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            rel = os.path.join(
+                "_change_data", f"cdc-{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(os.path.join(root, fn), os.path.join(table, rel))
+            out.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(staging)
+    return out
+
+
+def _cdc_files_of(table: str, version: int) -> "list[str]":
+    return [
+        a["cdc"]["path"]
+        for a in _read_actions(_commit_path(table, version))
+        if "cdc" in a
+    ]
+
+
+def _cdc_pieces(
+    spark: SparkSession, table: str, hi: int, rels: "list[str]",
+) -> "list[DataFrame]":
+    """Read a commit's explicit change files verbatim (labels were
+    written by the producing operation), aliased back to version
+    ``hi``'s logical names through the stable physical names."""
+    from pyspark.sql import types as T
+
+    schema = table_schema(table, hi)
+    mapping = column_mapping(table, hi) or {}
+    read_schema = T.StructType(
+        [
+            T.StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields
+        ]
+        + [T.StructField("_change_type", T.StringType(), True)]
+    )
+    df = spark.read.schema(read_schema).parquet(
+        *[os.path.join(table, r) for r in sorted(rels)]
+    )
+    return [
+        df.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            "_change_type",
+        )
+    ]
 
 
 def _commit_row_changes(
@@ -2221,6 +2331,19 @@ def table_changes_cdf(
             for p in ps
         ]
 
+    def _commit_pieces(v: int, ins_label: str, del_label: str) -> list:
+        # DV state always threads forward; when the commit carries
+        # EXPLICIT change files (delta.enableChangeDataFeed), read them
+        # verbatim — labels were written by the producing operation —
+        # instead of deriving
+        a2, d2, k2 = _commit_row_changes(table, v, dv_state, True)
+        rels = _cdc_files_of(table, v)
+        if rels:
+            return _cdc_pieces(spark, table, hi, rels)
+        return _change_pieces(
+            spark, table, hi, names, a2, d2, k2, ins_label, del_label
+        )
+
     pieces: list[DataFrame] = []
     v = from_version + 1
     while v <= hi:
@@ -2230,32 +2353,12 @@ def table_changes_cdf(
             if nop == "UPDATE" and nparams.get("updateId") == params.get(
                 "updateId"
             ):
-                _a, ddesc, dkeys = _commit_row_changes(
-                    table, v, dv_state, True
-                )
-                added2, d2, k2 = _commit_row_changes(
-                    table, v + 1, dv_state, True
-                )
-                pre = _change_pieces(
-                    spark, table, hi, names, [], ddesc, dkeys,
-                    "insert", "update_preimage",
-                )
-                post = _change_pieces(
-                    spark, table, hi, names, added2, d2, k2,
-                    "update_postimage", "delete",
-                )
+                pre = _commit_pieces(v, "insert", "update_preimage")
+                post = _commit_pieces(v + 1, "update_postimage", "delete")
                 pieces.extend(_stamp(pre + post, v + 1))
                 v += 2
                 continue
-        a2, d2, k2 = _commit_row_changes(table, v, dv_state, True)
-        pieces.extend(
-            _stamp(
-                _change_pieces(
-                    spark, table, hi, names, a2, d2, k2, "insert", "delete"
-                ),
-                v,
-            )
-        )
+        pieces.extend(_stamp(_commit_pieces(v, "insert", "delete"), v))
         v += 1
     if not pieces:
         return (
@@ -2468,6 +2571,7 @@ def update_where(
     return append(
         updated, table, stat_cols=stat_cols,
         _op=("UPDATE", {"updateId": uid, "phase": "write"}),
+        _cdc_label="update_postimage",
     )
 
 

@@ -396,3 +396,75 @@ def test_clone_single_commit_table_bootstraps_change_feed(spark, tmp_path):
         spark, c2, iceberg.current_metadata(c2)["last-sequence-number"] - 1
     )
     assert [r.id for r in tail.collect()] == [200]
+
+
+def test_explicit_cdf_files_match_derived_feed(spark, table):
+    """delta.enableChangeDataFeed: DELETE persists its dead rows and
+    UPDATE its pre/post images as explicit _change_data files with cdc
+    actions; table_changes_cdf reads them verbatim and the result must
+    equal the DERIVED feed of an identical table without the flag —
+    same rows, same labels, same versions."""
+    from collections import Counter
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    def build(t, cdf):
+        conf = {"delta.enableChangeDataFeed": "true"} if cdf else None
+        delta_log.create(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(16)], "id long, val double"
+            ),
+            t,
+            configuration=conf,
+        )
+        delta_log.append(
+            spark.createDataFrame([(30, 30.0)], "id long, val double"), t
+        )
+        delta_log.update_where(
+            spark, t, "id % 5 = 0", {"val": F.col("val") * 100}
+        )
+        delta_log.delete_where(spark, t, "id = 3")
+        return Counter(
+            tuple(r)
+            for r in delta_log.table_changes_cdf(spark, t, 0).collect()
+        )
+
+    import os
+
+    explicit = build(table, cdf=True)
+    derived = build(table + "_plain", cdf=False)
+    assert explicit == derived
+    # the explicit table REALLY used change files
+    cdc_files = os.listdir(os.path.join(table, "_change_data"))
+    assert len(cdc_files) >= 3  # preimage + postimage + delete
+    log_actions = []
+    for v in range(delta_log.latest_version(table) + 1):
+        log_actions += delta_log._read_actions(
+            delta_log._commit_path(table, v)
+        )
+    assert sum(1 for a in log_actions if "cdc" in a) >= 3
+    # vacuum never reclaims _change_data (underscore dir rule)
+    delta_log.vacuum(table, retention_ms=0)
+    assert os.listdir(os.path.join(table, "_change_data"))
+
+
+def test_explicit_cdf_survives_rename(spark, table):
+    """Change files store PHYSICAL column names, so a rename between
+    the change and the read resolves through the mapping like data
+    files do."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, val double"
+        ),
+        table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_log.enable_column_mapping(table)
+    delta_log.update_where(spark, table, "id = 2", {"val": F.lit(999.0)})
+    delta_log.rename_column(table, "val", "metric")
+    cdf = delta_log.table_changes_cdf(spark, table, 0).collect()
+    assert "metric" in cdf[0].asDict()
+    post = [r for r in cdf if r._change_type == "update_postimage"]
+    assert [(r.id, r.metric) for r in post] == [(2, 999.0)]
