@@ -318,6 +318,7 @@ class _DeltaTableCdcStreamReader:
         )
         added: list[tuple[str, dict, dict | None]] = []
         deleted: list[tuple[str, dict, dict, dict | None]] = []
+        cdc_rels: list[str] = []
         for v in range(lo + 1, hi + 1):
             p = delta_log._commit_path(self.table, v)
             if not os.path.exists(p):
@@ -332,6 +333,17 @@ class _DeltaTableCdcStreamReader:
                 a["add"] for a in actions
                 if "add" in a and a["add"].get("dataChange", True)
             ]
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            if cdc:
+                # explicit change files (delta.enableChangeDataFeed):
+                # the spec rule — a commit WITH cdc actions feeds from
+                # them alone (labels incl. update_pre/postimage were
+                # written by the producing op); only the DV state
+                # threads forward for later derived commits
+                for a in adds:
+                    dv_state[a["path"]] = a.get("deletionVector")
+                cdc_rels.extend(c["path"] for c in cdc)
+                continue
             if not removes:
                 added.extend(
                     (
@@ -402,6 +414,19 @@ class _DeltaTableCdcStreamReader:
             recs = t.to_pylist()
             for pos in sorted(new_pos - old_pos):
                 rows.append(_tuple(recs[pos], names, fills) + ("delete",))
+        for rel in sorted(cdc_rels):
+            # change files carry ALL columns inline (partition columns
+            # included) under physical names, plus _change_type
+            t = pq.read_table(os.path.join(self.table, rel))
+            names = set(t.column_names)
+            for rec in t.to_pylist():
+                rows.append(
+                    tuple(
+                        rec.get(phys[c]) if phys[c] in names else None
+                        for c in cols
+                    )
+                    + (rec.get("_change_type"),)
+                )
         return rows
 
     def read(self, start: dict):

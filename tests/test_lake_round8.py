@@ -468,3 +468,66 @@ def test_explicit_cdf_survives_rename(spark, table):
     assert "metric" in cdf[0].asDict()
     post = [r for r in cdf if r._change_type == "update_postimage"]
     assert [(r.id, r.metric) for r in post] == [(2, 999.0)]
+
+
+def test_streaming_delta_cdc_reads_explicit_cdf_files(spark, table, tmp_path):
+    """The streaming Delta CDC source on a CDF-enabled table: commits
+    carrying cdc actions feed from the explicit change files alone
+    (update_preimage/update_postimage labels intact, no double-emit of
+    the postimage adds), and the signed fold still reproduces the
+    head."""
+    from collections import Counter
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+    )
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, str(i % 2), float(i)) for i in range(10)],
+            "id long, g string, val double",
+        ),
+        table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    sink = str(tmp_path / "cdf_sink")
+    ckpt = str(tmp_path / "cdf_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_table_cdc")
+            .option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    delta_log.update_where(spark, table, "id % 3 = 0", {"val": F.lit(-1.0)})
+    delta_log.delete_where(spark, table, "id = 1")
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    by_type = Counter(r._change_type for r in rows)
+    upd = [i for i in range(10) if i % 3 == 0]
+    assert by_type == Counter(
+        insert=10,
+        update_preimage=len(upd),
+        update_postimage=len(upd),
+        delete=1,
+    )
+    post = {(r.id, r.g, r.val) for r in rows
+            if r._change_type == "update_postimage"}
+    assert post == {(i, str(i % 2), -1.0) for i in upd}
+    state = Counter()
+    for r in rows:
+        sign = 1 if r._change_type in ("insert", "update_postimage") else -1
+        state[(r.id, r.g, r.val)] += sign
+    head = Counter(
+        (r.id, r.g, r.val)
+        for r in delta_log.read_delta(spark, table).collect()
+    )
+    assert +state == head
