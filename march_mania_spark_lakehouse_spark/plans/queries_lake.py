@@ -151,8 +151,9 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reachability CTE — an independent derivation of the same answer.
 # --------------------------------------------------------------------------
 
-_Q83_SQL = """
-WITH RECURSIVE
+#: the CC fixpoint derivation shared by the q83 and q215 oracles — one
+#: copy, so the two can never validate against divergent graphs
+_CC_CTES = """
 nodes AS (
     SELECT doc_id, source, n_chars // 200 AS bkt FROM documents
 ),
@@ -175,7 +176,10 @@ reach(node, lbl) AS (
     SELECT doc_id, doc_id FROM nodes
     UNION
     SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
-)
+)"""
+
+_Q83_SQL = f"""
+WITH RECURSIVE{_CC_CTES}
 SELECT node AS doc_id, MIN(lbl) AS component
 FROM reach GROUP BY node
 """
@@ -236,30 +240,7 @@ _Q215_SCORE = (
 )
 
 _Q215_SQL = f"""
-WITH RECURSIVE
-nodes AS (
-    SELECT doc_id, source, n_chars // 200 AS bkt FROM documents
-),
-ranked AS (
-    SELECT doc_id, source, bkt,
-           ROW_NUMBER() OVER (PARTITION BY source, bkt ORDER BY doc_id) AS rn
-    FROM nodes
-),
-edges AS (
-    SELECT a.doc_id AS src, b.doc_id AS dst
-    FROM ranked a
-    JOIN ranked b ON a.source = b.source AND a.bkt = b.bkt AND b.rn = a.rn + 1
-),
-sym AS (
-    SELECT src AS a, dst AS b FROM edges
-    UNION
-    SELECT dst AS a, src AS b FROM edges
-),
-reach(node, lbl) AS (
-    SELECT doc_id, doc_id FROM nodes
-    UNION
-    SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
-),
+WITH RECURSIVE{_CC_CTES},
 comp AS (
     SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
 ),

@@ -349,7 +349,8 @@ def _checkpoint_proto_meta(table: str, cp: dict) -> "tuple[dict | None, dict | N
 
     proto = meta = None
     for path in _checkpoint_files(table, cp):
-        for row in pq.read_table(path).to_pylist():
+        t = pq.read_table(path, columns=["protocol", "metaData"])
+        for row in t.to_pylist():
             m = row.get("metaData")
             if m and m.get("schemaString"):
                 meta = {
@@ -365,6 +366,10 @@ def _checkpoint_proto_meta(table: str, cp: dict) -> "tuple[dict | None, dict | N
             pr = row.get("protocol")
             if pr and pr.get("minReaderVersion") is not None:
                 proto = dict(pr)
+            if proto is not None and meta is not None:
+                break
+        if proto is not None and meta is not None:
+            break  # both live in the first rows/part — skip the rest
     return proto, meta
 
 
@@ -634,10 +639,16 @@ def _checkpoint_files(table: str, cp: dict) -> "list[str]":
     classic = _checkpoint_path(table, v)
     if os.path.exists(classic):
         return [classic]
+    import re as _re
+
     pre = f"{v:020d}.checkpoint."
     named = sorted(
         n for n in os.listdir(log)
         if n.startswith(pre) and n.endswith(".parquet")
+        # a SUPERSEDED multi-part checkpoint at the same version leaves
+        # %010d.%010d part files behind; picking one would silently
+        # truncate the snapshot — V2 top files are UUID-named
+        and not _re.fullmatch(r"\d{10}\.\d{10}\.parquet", n[len(pre):])
     )
     if not named:
         raise FileNotFoundError(f"checkpoint {v} missing for {table}")
@@ -1549,6 +1560,34 @@ def cleanup_log(
     cp = _last_checkpoint(table)
     if cp is None:
         return []
+    # refuse to destroy the only copy of the table metaData: the
+    # checkpoint must faithfully record the schema AND configuration
+    # still derivable from the surviving commit JSONs (a checkpoint
+    # written before the configuration column existed would otherwise
+    # silently drop column mapping / CDF flags after cleanup)
+    hi = latest_version(table)
+    _, meta_eff = _checkpoint_proto_meta(table, cp)
+    raw_meta = None
+    for vv in range(hi + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        for a in _read_actions(p):
+            if "metaData" in a:
+                raw_meta = a["metaData"]
+                if vv > cp["version"]:
+                    meta_eff = a["metaData"]  # tail override wins
+    if raw_meta is not None and (
+        meta_eff is None
+        or meta_eff.get("schemaString") != raw_meta.get("schemaString")
+        or dict(meta_eff.get("configuration") or {})
+        != dict(raw_meta.get("configuration") or {})
+    ):
+        raise ValueError(
+            f"checkpoint {cp['version']} does not faithfully record the "
+            "table metaData (schema/configuration); re-run checkpoint() "
+            "before cleanup_log"
+        )
     cutoff_ms = _now_ms() - retention_ms
     deleted = []
     for v in range(cp["version"]):
@@ -1567,7 +1606,8 @@ def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
     v = latest_version(table)
     if v is None:
         return []
-    live = set(_replay(table, v))
+    live_adds = _replay(table, v)
+    live = set(live_adds)
     cutoff = _now_ms() - retention_ms
     removed_at: dict[str, int] = {}
     for vv in range(v + 1):
@@ -1596,8 +1636,22 @@ def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
     # the debris of retried/crashed DELETE tasks)
     from march_mania_spark_lakehouse_spark.sources import deletion_vectors
 
-    tracked: set[str] = set(removed_at) | live
+    tracked: set[str] = set(removed_at) | set(live)
     dv_referenced: set[str] = set()
+
+    def _track_dv(add: dict) -> None:
+        desc = (add or {}).get("deletionVector")
+        if desc and desc.get("storageType") in ("u", "p"):
+            dv_referenced.add(
+                os.path.realpath(deletion_vectors.dv_file_path(table, desc))
+            )
+
+    # the LIVE snapshot may be checkpoint-seeded (cleanup_log can have
+    # deleted the commits that introduced its adds) — its DV sidecars
+    # must never be reclaimed, so collect from the replayed adds FIRST,
+    # then from whatever commit JSONs still exist
+    for add in live_adds.values():
+        _track_dv(add)
     for vv in range(v + 1):
         p = _commit_path(table, vv)
         if not os.path.exists(p):
@@ -1606,11 +1660,7 @@ def vacuum(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
             if "add" not in a:
                 continue
             tracked.add(a["add"]["path"])
-            desc = a["add"].get("deletionVector")
-            if desc and desc.get("storageType") in ("u", "p"):
-                dv_referenced.add(
-                    os.path.realpath(deletion_vectors.dv_file_path(table, desc))
-                )
+            _track_dv(a["add"])
     for root, dirs, files in os.walk(table):
         dirs[:] = [
             d for d in dirs if not d.startswith(("_", "."))
@@ -1857,7 +1907,14 @@ def delete_where(
     live = _replay(table, cur)
     files = sorted(live)
     scan = _scan_with_positions(spark, table, files, cur, force_positions=True)
-    hits = scan.filter(pred).select(
+    matched = scan.filter(pred)
+    cdf_on = _cdf_enabled(table, cur)
+    if cdf_on:
+        # one table scan serves BOTH the DV build and the change-file
+        # staging: the lazy checkpoint materializes on the first action
+        # (the descriptor collect) and the preimage write reuses it
+        matched = matched.localCheckpoint(eager=False)
+    hits = matched.select(
         F.col("__fp").alias("fp"), F.col("__pos").alias("pos")
     )
     base = os.path.abspath(table)
@@ -1949,18 +2006,18 @@ def delete_where(
         for k in live
     }
     cdc_actions: list[dict] = []
-    if _cdf_enabled(table, cur):
+    if cdf_on:
         # explicit change files (delta.enableChangeDataFeed): persist
-        # the matched rows BEFORE the commit lands; an UPDATE's delete
+        # the matched rows BEFORE the commit lands, from the SAME
+        # checkpointed scan the DV build consumed; an UPDATE's delete
         # half labels them update_preimage
         label = (
             "update_preimage"
             if (_op or ("DELETE", {}))[0] == "UPDATE"
             else "delete"
         )
-        cdc_actions = _stage_cdc_file(
-            read_delta(spark, table, cur).filter(pred), table, label
-        )
+        names = [f.name for f in table_schema(table, cur).fields]
+        cdc_actions = _stage_cdc_file(matched.select(*names), table, label)
     ts = _now_ms()
     op, op_params = _op or ("DELETE", {"predicate": str(condition)})
     actions: list[dict] = [

@@ -206,11 +206,18 @@ def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True
                 if os.path.exists(classic):
                     cp_paths = [classic]
                 else:
+                    import re as _re
+
                     pre = f"{cp['version']:020d}.checkpoint."
+                    # never pick a superseded multi-part PART file as
+                    # the V2 top file (it holds a fraction of the adds)
                     cp_paths = [
                         os.path.join(log, sorted(
                             nm for nm in os.listdir(log)
                             if nm.startswith(pre) and nm.endswith(".parquet")
+                            and not _re.fullmatch(
+                                r"\d{10}\.\d{10}\.parquet", nm[len(pre):]
+                            )
                         )[0])
                     ]
 

@@ -646,3 +646,39 @@ def test_log_cleanup_checkpoint_seeded_readers(spark, table):
     assert dlog.version_at_timestamp(
         table, int(_time.time() * 1000) + 10_000
     ) == dlog.latest_version(table)
+
+
+def test_v2_checkpoint_after_multipart_same_version_resolves_top_file(
+    spark, table
+):
+    """Review finding: a superseded multi-part checkpoint leaves
+    %010d.%010d part files at the same version; V2 resolution must
+    never pick one (it holds a fraction of the adds) — both readers."""
+    dlog.create(
+        _df(spark, [(i, "a", float(i)) for i in range(30)]).repartition(3),
+        table,
+    )
+    dlog.checkpoint(table, parts=3)       # leaves 3 part files behind
+    dlog.checkpoint(table, v2=True)       # same version, new layout
+    want = sorted(range(30))
+    assert sorted(r["id"] for r in dlog.read_delta(spark, table).collect()) == want
+    for use_cp in (True, False):
+        assert sorted(
+            t[0] for t in indep.read_rows(table, use_checkpoint=use_cp)
+        ) == want
+
+
+def test_vacuum_after_log_cleanup_keeps_live_dv_sidecars(spark, table):
+    """Review finding: after cleanup_log removes the commits that
+    introduced the live DVs, vacuum must still see them as referenced
+    (via the checkpoint-seeded replay) — reclaiming a live sidecar
+    silently resurrects deleted rows."""
+    dlog.create(_df(spark, [(i, "a", float(i)) for i in range(30)]), table)
+    dlog.delete_where(spark, table, "id % 3 = 0")
+    dlog.checkpoint(table)
+    assert dlog.cleanup_log(table, retention_ms=0)
+    deleted = dlog.vacuum(table, retention_ms=0)
+    assert not any(d.startswith("deletion_vector_") for d in deleted)
+    want = [i for i in range(30) if i % 3]
+    assert sorted(r["id"] for r in dlog.read_delta(spark, table).collect()) == want
+    assert sorted(t[0] for t in indep.read_rows(table)) == want
