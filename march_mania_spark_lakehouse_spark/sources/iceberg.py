@@ -3431,6 +3431,7 @@ def delete_by_equality(
     spark: SparkSession,
     table: str,
     keys: DataFrame,
+    summary: "dict | None" = None,
 ) -> int:
     """Equality DELETE (spec content=2): tombstone every row matching
     any key tuple in ``keys`` (a DataFrame whose columns name the
@@ -3529,7 +3530,7 @@ def delete_by_equality(
         "sequence-number": seq,
         "timestamp-ms": _now_ms(),
         "manifest-list": ml_path,
-        "summary": {"operation": "delete"},
+        "summary": {"operation": "delete", **(summary or {})},
         "schema-id": snap.get("schema-id", meta["current-schema-id"]),
         "parent-snapshot-id": sid,
     }
@@ -3568,9 +3569,15 @@ def upsert(
     new rows survive the tombstones that kill the old ones). No
     read-time lookup, no data-file rewrite: write cost is O(changes)
     whatever the table size — the reason CDC writers (Flink's upsert
-    sink) use exactly this shape."""
-    delete_by_equality(spark, table, changes.select(*keys).distinct())
-    return append(changes, table)
+    sink) use exactly this shape. Both commits carry a shared
+    ``upsert-id`` summary tag so :func:`table_changes_cdf` reads the
+    pair back as update_preimage/update_postimage rows."""
+    uid = uuid.uuid4().hex
+    delete_by_equality(
+        spark, table, changes.select(*keys).distinct(),
+        summary={"upsert-id": uid, "upsert-keys": ",".join(keys)},
+    )
+    return append(changes, table, summary={"upsert-id": uid})
 
 
 class IcebergNonAppendChangeError(RuntimeError):
@@ -3740,6 +3747,78 @@ def table_changes(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.select(*names, "_change_type")
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    table: str,
+    from_seq: int,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Changelog view with UPDATE pairs (the Delta
+    `table_changes_cdf` symmetry): ``_change_type`` ∈ insert / delete /
+    update_preimage / update_postimage plus ``_change_ordinal`` (the
+    commit's sequence number).
+
+    `upsert` lands as an equality-delete commit and an append commit
+    tagged with a shared ``upsert-id`` summary; this reader pairs them
+    back — the tombstoned rows re-emit as update_preimage and the
+    appended rows as update_postimage, BOTH stamped with the pair's
+    final (append) sequence number. Every other commit keeps
+    :func:`table_changes`' insert/delete decomposition, stamped with
+    its own sequence. A delete half whose append twin is missing or
+    beyond ``to_seq`` degrades to plain deletes — never mislabeled.
+
+    Cost: one per-commit change scan (manifest-list planned, like
+    every Iceberg read); whole-range consumers keep the one-plan
+    `table_changes` fast path."""
+    meta = current_metadata(table)
+    hi = meta["last-sequence-number"] if to_seq is None else to_seq
+    by_seq = {
+        s_["sequence-number"]: s_ for s_ in meta["snapshots"]
+    }
+    pieces: list[DataFrame] = []
+
+    def _stamp(df: DataFrame, label: "str | None", seq: int) -> DataFrame:
+        if label is not None:
+            df = df.withColumn("_change_type", F.lit(label))
+        return df.withColumn("_change_ordinal", F.lit(seq).cast("long"))
+
+    v = from_seq + 1
+    while v <= hi:
+        snap = by_seq.get(v)
+        summ = (snap or {}).get("summary") or {}
+        uid = summ.get("upsert-id")
+        if (
+            uid
+            and summ.get("operation") == "delete"
+            and v < hi
+            and ((by_seq.get(v + 1) or {}).get("summary") or {}).get(
+                "upsert-id"
+            ) == uid
+        ):
+            pre = table_changes(
+                spark, table, v - 1, v, include_deletes=True
+            ).filter(F.col("_change_type") == "delete")
+            post = table_changes(spark, table, v, v + 1, include_deletes=True)
+            pieces.append(_stamp(pre, "update_preimage", v + 1))
+            pieces.append(_stamp(post, "update_postimage", v + 1))
+            v += 2
+            continue
+        d = table_changes(spark, table, v - 1, v, include_deletes=True)
+        pieces.append(_stamp(d, None, v))
+        v += 1
+    if not pieces:
+        return (
+            read_iceberg(spark, table)
+            .filter(F.lit(False))
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_change_ordinal", F.lit(0).cast("long"))
+        )
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out
 
 
 # --------------------------------------------------------------------------

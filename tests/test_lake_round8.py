@@ -531,3 +531,75 @@ def test_streaming_delta_cdc_reads_explicit_cdf_files(spark, table, tmp_path):
         for r in delta_log.read_delta(spark, table).collect()
     )
     assert +state == head
+
+
+def test_iceberg_upsert_history_reads_as_cdf_pairs(spark, table):
+    """Iceberg `table_changes_cdf` (the Delta symmetry): an upsert
+    history reads back as update_preimage/update_postimage pairs
+    stamped with the pair's final sequence; appends and plain deletes
+    keep insert/delete with their own sequence; folding over the first
+    snapshot reproduces the head; an orphaned delete half degrades to
+    plain deletes."""
+    iceberg.create(
+        spark.createDataFrame(
+            [(i, str(i % 3), float(i)) for i in range(10)],
+            "id long, cat string, val double",
+        ),
+        table,
+    )
+    iceberg.append(
+        spark.createDataFrame(
+            [(20, "z", 20.0)], "id long, cat string, val double"
+        ),
+        table,
+    )  # seq 2
+    iceberg.upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(3, "9", 33.0), (50, "9", 50.0)],
+            "id long, cat string, val double",
+        ),
+        keys=["id"],
+    )  # seq 3 (eq-delete) + seq 4 (append)
+    iceberg.delete_where(spark, table, "id = 7")  # seq 5
+    cdf = iceberg.table_changes_cdf(spark, table, 1).collect()
+
+    by_type = Counter(r._change_type for r in cdf)
+    assert by_type == Counter(
+        insert=1, update_preimage=1, update_postimage=2, delete=1
+    )
+    assert {(r.id, r.cat, r.val) for r in cdf
+            if r._change_type == "update_preimage"} == {(3, "0", 3.0)}
+    assert {(r.id, r.val) for r in cdf
+            if r._change_type == "update_postimage"} == {(3, 33.0), (50, 50.0)}
+    assert {
+        r._change_ordinal for r in cdf
+        if r._change_type.startswith("update_")
+    } == {4}
+    assert [(r.id, r._change_ordinal) for r in cdf
+            if r._change_type == "insert"] == [(20, 2)]
+    assert [(r.id, r._change_ordinal) for r in cdf
+            if r._change_type == "delete"] == [(7, 5)]
+    # fold over the first snapshot reproduces the head
+    first = iceberg.snapshot_ids(table)[0]
+    state = Counter(
+        (r.id, r.cat, r.val)
+        for r in iceberg.read_iceberg(spark, table, first).collect()
+    )
+    for r in cdf:
+        sign = 1 if r._change_type in ("insert", "update_postimage") else -1
+        state[(r.id, r.cat, r.val)] += sign
+    head = Counter(
+        (r.id, r.cat, r.val)
+        for r in iceberg.read_iceberg(spark, table).collect()
+    )
+    assert +state == head
+    # orphaned delete half (no append twin): plain deletes
+    iceberg.delete_by_equality(
+        spark, table, spark.createDataFrame([(5,)], "id long"),
+        summary={"upsert-id": "deadbeef", "upsert-keys": "id"},
+    )
+    tail = iceberg.table_changes_cdf(spark, table, 5).collect()
+    assert {r._change_type for r in tail} == {"delete"}
+    assert [r.id for r in tail] == [5]
