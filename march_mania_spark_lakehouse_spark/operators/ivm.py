@@ -69,9 +69,16 @@ def signed_state(
     deletes, so the signed state carries them as null — a view needing
     min/max under deletes recomputes them, which is the standard IVM
     limitation, not an implementation one). The signed batch aggregate
-    sees only the delta — at 100 TB that is the whole point."""
+    sees only the delta — at 100 TB that is the whole point.
+
+    CDF label support (round 8): feeds carrying UPDATE pairs
+    (`table_changes_cdf` on either lake format) fold correctly —
+    update_preimage retracts like delete, update_postimage contributes
+    like insert."""
     m = F.col(measure) if isinstance(measure, str) else measure
-    sign = F.when(F.col(change_col) == "delete", F.lit(-1)).otherwise(F.lit(1))
+    sign = F.when(
+        F.col(change_col).isin("delete", "update_preimage"), F.lit(-1)
+    ).otherwise(F.lit(1))
     return changes.groupBy(*keys).agg(
         F.sum(sign).alias("n"),
         F.sum(sign * m.cast(dec)).alias("sum_dec"),

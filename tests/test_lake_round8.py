@@ -603,3 +603,36 @@ def test_iceberg_upsert_history_reads_as_cdf_pairs(spark, table):
     tail = iceberg.table_changes_cdf(spark, table, 5).collect()
     assert {r._change_type for r in tail} == {"delete"}
     assert [r.id for r in tail] == [5]
+
+
+def test_ivm_signed_state_folds_cdf_update_pairs(spark, table, tmp_path):
+    """`ivm.signed_state` over a CDF feed WITH update pairs: preimages
+    retract, postimages contribute — the finalized view equals a direct
+    aggregate of the head snapshot."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    delta_log.create(
+        spark.createDataFrame(
+            [(i, str(i % 3), float(i)) for i in range(18)],
+            "id long, cat string, val double",
+        ),
+        table,
+    )
+    delta_log.update_where(spark, table, "id % 4 = 0", {"val": F.lit(7.0)})
+    delta_log.delete_where(spark, table, "id = 5")
+    cdf = delta_log.table_changes_cdf(spark, table, -1)  # incl. v0 create
+    view = {
+        r["cat"]: (r["n_rows"], round(r["sum_m"], 6))
+        for r in ivm.finalize_counts(
+            ivm.signed_state(cdf, ["cat"], "val")
+        ).collect()
+    }
+    direct = {
+        r["cat"]: (r["n"], round(r["s"], 6))
+        for r in delta_log.read_delta(spark, table)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert view == direct
