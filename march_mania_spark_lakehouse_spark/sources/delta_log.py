@@ -38,8 +38,9 @@ carry partitionValues, `scan_partitions` prunes from the log, and
 readers restore partition columns via basePath discovery + declared-
 type casts. Merge-on-read DELETE via deletion vectors and column
 mapping (rename/drop without rewrite, `delta.columnMapping.mode=name`)
-are supported; column mapping is gated to unpartitioned tables
-(partitionValues/hive dirs key on physical names).
+are supported, and column mapping composes with partitioned tables
+(partitionValues/hive dirs key on PHYSICAL names; readers map them back
+to logical columns via the schema's columnMapping metadata).
 
 Local-FS commit atomicity: each commit is written to a temp file then
 ``os.link``-ed to its final ``%020d.json`` name — link fails with EEXIST
@@ -163,6 +164,117 @@ def _write_commit(table: str, version: int, actions: list[dict]) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+
+
+class DeltaConcurrentModificationError(RuntimeError):
+    """A concurrent transaction logically conflicts with this one (the
+    spec's conflict matrix): the losing writer's planned actions are no
+    longer valid against the table state the winner produced. The
+    caller must re-plan against the current version and retry — unlike
+    a rebased blind append, the engine cannot do it automatically."""
+
+
+def _effective_protocol(table: str, version: int) -> dict:
+    """The protocol action in force at ``version`` (checkpoint-seeded
+    like `_latest_metadata`, so log cleanup never hides it)."""
+    proto = dict(PROTOCOL)
+    start = 0
+    cp = _last_checkpoint(table)
+    if cp is not None and cp["version"] <= version:
+        p0, _ = _checkpoint_proto_meta(table, cp)
+        if p0 is not None:
+            proto = p0
+            start = cp["version"] + 1
+    for vv in range(start, version + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        for a in _read_actions(p):
+            if "protocol" in a:
+                proto = a["protocol"]
+    return _norm_protocol(proto)
+
+
+def _commit_blind_append(
+    table: str,
+    version: int,
+    actions: list[dict],
+    txn: "tuple[str, int] | None" = None,
+    max_retries: int = 50,
+) -> int:
+    """Optimistic-concurrency commit for a BLIND APPEND: on losing the
+    put-if-absent race, re-read the winning commit(s), check the spec's
+    conflict rules, and rebase — re-attempt the SAME actions at the
+    next version. A blind append (no read predicate) commutes with any
+    data-only winner (appends, DV deletes, overwrites: its files are
+    new, so AddFile/RemoveFile sets stay disjoint); it conflicts only
+    with a metadata change (the schema/configuration it validated
+    against moved) or a REAL protocol change. DV commits re-emit their
+    protocol action defensively, so the protocol check compares against
+    the protocol in force at the base version — a no-op re-emit never
+    fails a rebase. SetTransaction idempotency is re-checked against
+    each winner: if the same appId already committed at >= our version,
+    the replayed micro-batch returns the winner's version instead of
+    double-committing (the exactly-once contract survives races).
+    """
+    v = version
+    base_proto: "dict | None" = None
+    for _ in range(max_retries):
+        try:
+            _write_commit(table, v, actions)
+            return v
+        except DeltaConcurrentCommitError:
+            latest = latest_version(table)
+            for wv in range(v, latest + 1):
+                for a in _read_actions(_commit_path(table, wv)):
+                    if "metaData" in a:
+                        raise DeltaConcurrentModificationError(
+                            f"concurrent metadata change at version {wv} "
+                            f"of {table}; this append validated against "
+                            "an older schema/configuration — re-plan and "
+                            "retry"
+                        )
+                    if "protocol" in a:
+                        if base_proto is None:
+                            base_proto = _effective_protocol(
+                                table, version - 1
+                            )
+                        if _norm_protocol(a["protocol"]) != base_proto:
+                            raise DeltaConcurrentModificationError(
+                                f"concurrent protocol change at version "
+                                f"{wv} of {table}; re-plan and retry"
+                            )
+                    if (
+                        txn is not None
+                        and "txn" in a
+                        and a["txn"].get("appId") == txn[0]
+                        and a["txn"].get("version", -1) >= txn[1]
+                    ):
+                        return wv  # idempotent replay: already applied
+            v = latest + 1
+    raise DeltaConcurrentModificationError(
+        f"append to {table} lost the commit race {max_retries} times"
+    )
+
+
+def _commit_read_dependent(
+    table: str, version: int, actions: list[dict], op: str
+) -> None:
+    """Put-if-absent commit for a READ-DEPENDENT transaction (delete /
+    update / overwrite / merge / restore / optimize / metadata change):
+    losing the race means the snapshot it planned against is stale —
+    its removes may target files the winner already removed, its DVs
+    may miss rows the winner added, its metadata may clobber the
+    winner's. Per the spec conflict matrix these do not auto-rebase;
+    the caller re-runs against the current version."""
+    try:
+        _write_commit(table, version, actions)
+    except DeltaConcurrentCommitError as e:
+        raise DeltaConcurrentModificationError(
+            f"{op} planned against version {version - 1} of {table}, but "
+            f"version {version} was committed concurrently; re-run "
+            f"{op} against the current version"
+        ) from e
 
 
 def _stage_data_files(
@@ -340,19 +452,53 @@ class DeltaSchemaMismatchError(ValueError):
     ``merge_schema`` was not requested (Delta's schema enforcement)."""
 
 
+def _struct_field_names(dtype) -> set:
+    try:
+        return {dtype.field(i).name for i in range(dtype.num_fields)}
+    except (AttributeError, TypeError):
+        return set()
+
+
+def _norm_protocol(p: "dict | None") -> "dict | None":
+    """Canonical protocol action: drop null fields, sort feature lists
+    — so a checkpoint round-trip compares equal to the commit JSON."""
+    if p is None:
+        return None
+    out = {k: v for k, v in p.items() if v is not None}
+    for k in ("readerFeatures", "writerFeatures"):
+        if k in out:
+            out[k] = sorted(out[k])
+    return out
+
+
 def _checkpoint_proto_meta(table: str, cp: dict) -> "tuple[dict | None, dict | None]":
     """(protocol, metaData) recorded in a checkpoint — the seed for
     logs whose pre-checkpoint commits were cleaned up
     (:func:`cleanup_log`). V2 checkpoints keep both in the top-level
-    file per spec, so sidecars are never opened here."""
+    file per spec, so sidecars are never opened here.
+
+    Checkpoints written before a struct field existed cannot be
+    distinguished from ones that recorded it as empty, so stale layouts
+    are refused as seeds (return None): a metaData struct with no
+    ``configuration`` child would silently read column-mapped / CDF
+    tables as unconfigured, and a protocol struct with no
+    ``readerFeatures`` child cannot faithfully represent a
+    table-features protocol (minReaderVersion >= 3). Callers fall back
+    to scanning the commit JSONs from version 0."""
     import pyarrow.parquet as pq
 
     proto = meta = None
     for path in _checkpoint_files(table, cp):
         t = pq.read_table(path, columns=["protocol", "metaData"])
+        meta_seedable = "configuration" in _struct_field_names(
+            t.schema.field("metaData").type
+        )
+        proto_has_features = "readerFeatures" in _struct_field_names(
+            t.schema.field("protocol").type
+        )
         for row in t.to_pylist():
             m = row.get("metaData")
-            if m and m.get("schemaString"):
+            if m and m.get("schemaString") and meta_seedable:
                 meta = {
                     **m,
                     "format": {
@@ -365,7 +511,10 @@ def _checkpoint_proto_meta(table: str, cp: dict) -> "tuple[dict | None, dict | N
                 }
             pr = row.get("protocol")
             if pr and pr.get("minReaderVersion") is not None:
-                proto = dict(pr)
+                if pr["minReaderVersion"] >= 3 and not proto_has_features:
+                    proto = None  # feature lists were stripped — unseedable
+                else:
+                    proto = _norm_protocol(pr)
             if proto is not None and meta is not None:
                 break
         if proto is not None and meta is not None:
@@ -380,9 +529,12 @@ def _latest_metadata(table: str, version: int) -> dict | None:
     if cp is not None and cp["version"] <= version:
         # seed from the checkpoint: cleanup_log may have deleted the
         # commit that carried the metaData action, and the JSON scan
-        # then only needs the tail
+        # then only needs the tail. A pre-configuration-column
+        # checkpoint refuses to seed (meta is None) — fall back to the
+        # full commit-JSON scan rather than silently dropping the
+        # table configuration (column mapping, CDF flags).
         _, meta = _checkpoint_proto_meta(table, cp)
-        start = cp["version"] + 1
+        start = cp["version"] + 1 if meta is not None else 0
     for vv in range(start, version + 1):
         p = _commit_path(table, vv)
         if not os.path.exists(p):
@@ -492,7 +644,11 @@ def append(
                 *_txn_action(txn),
                 *_add_actions(table, files, stat_cols, mapping=mapping),
             ]
-            _write_commit(table, cur + 1, actions)
+            # schema evolution is a METADATA change: it conflicts with
+            # any concurrent commit (no auto-rebase)
+            _commit_read_dependent(
+                table, cur + 1, actions, "schema-evolving append"
+            )
             return cur + 1
     files = _stage_data_files(df, table, table_partition_columns(table, cur))
     cdc_actions: list[dict] = []
@@ -507,8 +663,13 @@ def append(
         *_add_actions(table, files, stat_cols),
         *cdc_actions,
     ]
-    _write_commit(table, cur + 1, actions)
-    return cur + 1
+    if _op is not None:
+        # operation-tagged appends (UPDATE write halves, WAP publishes)
+        # must land at exactly cur+1 to keep their pairing semantics —
+        # losing the race surfaces as a conflict, not a silent rebase
+        _commit_read_dependent(table, cur + 1, actions, _op[0])
+        return cur + 1
+    return _commit_blind_append(table, cur + 1, actions, txn=txn)
 
 
 def last_txn_version(table: str, app_id: str) -> int:
@@ -548,7 +709,7 @@ def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
         ),
         *_add_actions(table, files, stat_cols),
     ]
-    _write_commit(table, cur + 1, actions)
+    _commit_read_dependent(table, cur + 1, actions, "OVERWRITE")
     return cur + 1
 
 
@@ -588,7 +749,7 @@ def merge(
         ),
         *_add_actions(table, files, stat_cols),
     ]
-    _write_commit(table, cur + 1, actions)
+    _commit_read_dependent(table, cur + 1, actions, "MERGE")
     return cur + 1
 
 
@@ -1359,7 +1520,10 @@ def checkpoint(
     if prev_cp is not None and prev_cp["version"] <= v:
         p0, m0 = _checkpoint_proto_meta(table, prev_cp)
         proto, meta = p0 or proto, m0
-        start = prev_cp["version"] + 1
+        # a stale-layout checkpoint (no configuration / stripped
+        # feature lists) refuses to seed — rescan the commit JSONs
+        # from 0 so the NEW checkpoint records the full truth
+        start = prev_cp["version"] + 1 if (p0 and m0) else 0
     for vv in range(start, v + 1):
         p = _commit_path(table, vv)
         if not os.path.exists(p):
@@ -1369,6 +1533,12 @@ def checkpoint(
                 proto = a["protocol"]
             elif "metaData" in a:
                 meta = a["metaData"]
+    if meta is None:
+        raise ValueError(
+            f"cannot checkpoint {table}@{v}: no metaData action is "
+            "recoverable from the prior checkpoint or surviving commits"
+        )
+    proto = _norm_protocol(proto)
     dv_type = pa.struct(
         [
             ("storageType", pa.string()),
@@ -1406,7 +1576,15 @@ def checkpoint(
         ]
     )
     proto_type = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            # feature lists are part of the protocol action; a
+            # checkpoint that strips them leaves minReaderVersion 3
+            # with no readerFeatures after log cleanup — spec-invalid
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     rows_add: list = [None, None]
     rows_meta: list = [None, None]
@@ -1506,17 +1684,23 @@ def checkpoint(
         for i in range(parts):
             lo = i * chunk
             part_adds = adds[lo: lo + chunk]
+            # spec: each checkpoint row is ONE action — protocol and
+            # metaData get separate leading rows in part 1 (external
+            # readers unwrap a single action per row and would drop
+            # whichever shared a row)
+            head = 2 if i == 0 else 1
             rows = {
                 "protocol": pa.array(
-                    ([proto] if i == 0 else [None]) + [None] * len(part_adds),
+                    ([proto, None] if i == 0 else [None])
+                    + [None] * len(part_adds),
                     type=proto_type,
                 ),
                 "metaData": pa.array(
-                    ([None] + [None] * len(part_adds)) if i != 0 else
-                    [rows_meta[1]] + [None] * len(part_adds),
+                    ([None, rows_meta[1]] if i == 0 else [None])
+                    + [None] * len(part_adds),
                     type=meta_type,
                 ),
-                "add": pa.array([None] + part_adds, type=add_type),
+                "add": pa.array([None] * head + part_adds, type=add_type),
             }
             name = (
                 f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
@@ -1566,8 +1750,8 @@ def cleanup_log(
     # written before the configuration column existed would otherwise
     # silently drop column mapping / CDF flags after cleanup)
     hi = latest_version(table)
-    _, meta_eff = _checkpoint_proto_meta(table, cp)
-    raw_meta = None
+    proto_eff, meta_eff = _checkpoint_proto_meta(table, cp)
+    raw_meta = raw_proto = None
     for vv in range(hi + 1):
         p = _commit_path(table, vv)
         if not os.path.exists(p):
@@ -1577,6 +1761,10 @@ def cleanup_log(
                 raw_meta = a["metaData"]
                 if vv > cp["version"]:
                     meta_eff = a["metaData"]  # tail override wins
+            elif "protocol" in a:
+                raw_proto = a["protocol"]
+                if vv > cp["version"]:
+                    proto_eff = a["protocol"]
     if raw_meta is not None and (
         meta_eff is None
         or meta_eff.get("schemaString") != raw_meta.get("schemaString")
@@ -1586,6 +1774,18 @@ def cleanup_log(
         raise ValueError(
             f"checkpoint {cp['version']} does not faithfully record the "
             "table metaData (schema/configuration); re-run checkpoint() "
+            "before cleanup_log"
+        )
+    # same gate for the protocol: a checkpoint that stripped the
+    # reader/writer feature lists (pre-feature-column layout) must not
+    # become the only surviving record — minReaderVersion 3 with no
+    # readerFeatures is spec-invalid and external readers reject it
+    if raw_proto is not None and _norm_protocol(proto_eff) != _norm_protocol(
+        raw_proto
+    ):
+        raise ValueError(
+            f"checkpoint {cp['version']} does not faithfully record the "
+            "table protocol (reader/writer features); re-run checkpoint() "
             "before cleanup_log"
         )
     cutoff_ms = _now_ms() - retention_ms
@@ -1750,7 +1950,7 @@ def write_audit_publish(
         _commit_info("WRITE", {"mode": "Append", "audited": "true"}),
         *_add_actions(table, files, stat_cols),
     ]
-    _write_commit(table, cur + 1, actions)
+    _commit_read_dependent(table, cur + 1, actions, "WAP publish")
     return cur + 1
 
 
@@ -1818,7 +2018,7 @@ def optimize(
     for a in actions:
         if "add" in a:
             a["add"]["dataChange"] = False
-    _write_commit(table, cur + 1, actions)
+    _commit_read_dependent(table, cur + 1, actions, "OPTIMIZE")
     return cur + 1
 
 
@@ -1855,7 +2055,7 @@ def restore(table: str, version: int) -> int:
             for p in sorted(set(target) - set(head))
         ),
     ]
-    _write_commit(table, cur + 1, actions)
+    _commit_read_dependent(table, cur + 1, actions, "RESTORE")
     return cur + 1
 
 
@@ -2053,7 +2253,7 @@ def delete_where(
         new_add["dataChange"] = True
         new_add["modificationTime"] = ts
         actions.append({"add": new_add})
-    _write_commit(table, cur + 1, actions)
+    _commit_read_dependent(table, cur + 1, actions, "DELETE")
     return cur + 1
 
 
@@ -2388,15 +2588,39 @@ def table_changes_cdf(
             for p in ps
         ]
 
-    def _commit_pieces(v: int, ins_label: str, del_label: str) -> list:
+    def _commit_pieces(
+        v: int, ins_label: str, del_label: str, paired: bool = True
+    ) -> list:
         # DV state always threads forward; when the commit carries
         # EXPLICIT change files (delta.enableChangeDataFeed), read them
         # verbatim — labels were written by the producing operation —
-        # instead of deriving
+        # instead of deriving. When the update PAIRING failed (twin
+        # missing or beyond to_version), the staged labels degrade the
+        # same way the derived path does: an unpaired update_preimage
+        # IS a plain delete at this version, an unpaired
+        # update_postimage IS a plain insert (no commit stages both
+        # halves — update_where is two commits).
         a2, d2, k2 = _commit_row_changes(table, v, dv_state, True)
         rels = _cdc_files_of(table, v)
         if rels:
-            return _cdc_pieces(spark, table, hi, rels)
+            ps = _cdc_pieces(spark, table, hi, rels)
+            if not paired:
+                ps = [
+                    p.withColumn(
+                        "_change_type",
+                        F.when(
+                            F.col("_change_type") == "update_preimage",
+                            F.lit("delete"),
+                        )
+                        .when(
+                            F.col("_change_type") == "update_postimage",
+                            F.lit("insert"),
+                        )
+                        .otherwise(F.col("_change_type")),
+                    )
+                    for p in ps
+                ]
+            return ps
         return _change_pieces(
             spark, table, hi, names, a2, d2, k2, ins_label, del_label
         )
@@ -2415,7 +2639,9 @@ def table_changes_cdf(
                 pieces.extend(_stamp(pre + post, v + 1))
                 v += 2
                 continue
-        pieces.extend(_stamp(_commit_pieces(v, "insert", "delete"), v))
+        pieces.extend(
+            _stamp(_commit_pieces(v, "insert", "delete", paired=False), v)
+        )
         v += 1
     if not pieces:
         return (
@@ -2489,13 +2715,14 @@ def enable_column_mapping(table: str) -> int:
     conf["delta.columnMapping.mode"] = "name"
     conf["delta.columnMapping.maxColumnId"] = str(len(schema["fields"]))
     new_meta = {**meta, "schemaString": json.dumps(schema), "configuration": conf}
-    _write_commit(
+    _commit_read_dependent(
         table,
         cur + 1,
         [
             _commit_info("UPGRADE COLUMN MAPPING", {"mode": "name"}),
             {"metaData": new_meta},
         ],
+        "UPGRADE COLUMN MAPPING",
     )
     return cur + 1
 
@@ -2523,7 +2750,7 @@ def rename_column(table: str, old: str, new: str) -> int:
     part_cols = [
         new if c == old else c for c in (meta.get("partitionColumns") or [])
     ]
-    _write_commit(
+    _commit_read_dependent(
         table,
         cur + 1,
         [
@@ -2536,6 +2763,7 @@ def rename_column(table: str, old: str, new: str) -> int:
                 }
             },
         ],
+        "RENAME COLUMN",
     )
     return cur + 1
 
@@ -2563,13 +2791,14 @@ def drop_column(table: str, col: str) -> int:
             "(overwrite) before dropping it"
         )
     schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
-    _write_commit(
+    _commit_read_dependent(
         table,
         cur + 1,
         [
             _commit_info("DROP COLUMN", {"column": col}),
             {"metaData": {**meta, "schemaString": json.dumps(schema)}},
         ],
+        "DROP COLUMN",
     )
     return cur + 1
 
@@ -2705,7 +2934,7 @@ def widen_column(table: str, col: str, new_type: str) -> int:
         conf = dict(new_meta.get("configuration") or {})
         conf["partitionValuesAuthoritative"] = "true"
         new_meta["configuration"] = conf
-    _write_commit(
+    _commit_read_dependent(
         table,
         cur + 1,
         [
@@ -2713,6 +2942,7 @@ def widen_column(table: str, col: str, new_type: str) -> int:
             {"metaData": new_meta},
             *pv_actions,
         ],
+        "WIDEN COLUMN",
     )
     return cur + 1
 
@@ -2748,13 +2978,14 @@ def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int
     meta = _latest_metadata(table, cur)
     conf = dict(meta.get("configuration") or {})
     conf[f"delta.constraints.{name}"] = expr
-    _write_commit(
+    _commit_read_dependent(
         table,
         cur + 1,
         [
             _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}),
             {"metaData": {**meta, "configuration": conf}},
         ],
+        "ADD CONSTRAINT",
     )
     return cur + 1
 
@@ -2765,13 +2996,14 @@ def drop_constraint(table: str, name: str) -> int:
     conf = dict(meta.get("configuration") or {})
     if conf.pop(f"delta.constraints.{name}", None) is None:
         raise KeyError(f"no constraint named {name!r}")
-    _write_commit(
+    _commit_read_dependent(
         table,
         cur + 1,
         [
             _commit_info("DROP CONSTRAINT", {"name": name}),
             {"metaData": {**meta, "configuration": conf}},
         ],
+        "DROP CONSTRAINT",
     )
     return cur + 1
 
@@ -2794,7 +3026,7 @@ def set_not_null(spark: SparkSession, table: str, col: str) -> int:
             f["nullable"] = False
     conf = dict(meta.get("configuration") or {})
     conf[f"delta.constraints.not_null_{col}"] = f"{col} IS NOT NULL"
-    _write_commit(
+    _commit_read_dependent(
         table,
         cur + 1,
         [
@@ -2807,6 +3039,7 @@ def set_not_null(spark: SparkSession, table: str, col: str) -> int:
                 }
             },
         ],
+        "SET NOT NULL",
     )
     return cur + 1
 

@@ -536,6 +536,16 @@ def _manifest_entry_schema(partition_schema: dict) -> dict:
              "default": None, "field-id": 125},
             {"name": "upper_bounds", "type": _kv_bounds_schema("k129_v130", 129, 130),
              "default": None, "field-id": 128},
+            # v3 deletion vectors (spec field ids 143-145): a DV entry
+            # is content=1 with file_format PUFFIN, its blob located by
+            # [content_offset, content_offset+content_size_in_bytes)
+            # inside file_path, applying to exactly ONE data file
+            {"name": "referenced_data_file", "type": ["null", "string"],
+             "default": None, "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"],
+             "default": None, "field-id": 144},
+            {"name": "content_size_in_bytes", "type": ["null", "long"],
+             "default": None, "field-id": 145},
         ],
     }
     return {
@@ -935,6 +945,7 @@ def create(
     partition_by: Sequence[str] = (),
     stat_cols: Sequence[str] = (),
     summary: dict | None = None,
+    format_version: int = FORMAT_VERSION,
 ) -> int:
     """Create an Iceberg table (metadata v1, snapshot 1). Returns the
     snapshot id. ``stat_cols`` records per-file lower/upper bounds in
@@ -945,9 +956,16 @@ def create(
     ``"day(ts)"`` / ``"month(ts)"`` / ``"year(d)"`` / ``"hour(ts)"`` /
     ``"bucket(16, key)"`` / ``"truncate(4, name)"`` — hidden
     partitioning: queries filter the SOURCE column and pruning happens
-    against the transformed manifest tuples."""
+    against the transformed manifest tuples.
+
+    ``format_version=3`` opts into Iceberg v3 semantics: row-level
+    deletes are stored as DELETION VECTORS (Puffin ``deletion-vector-v1``
+    blobs) instead of position-delete parquet files — see
+    :func:`delete_where`."""
     if current_version(table) is not None:
         raise FileExistsError(f"{table} already has Iceberg metadata")
+    if format_version not in (2, 3):
+        raise ValueError(f"unsupported format-version {format_version}")
     os.makedirs(table, exist_ok=True)
     schema = _schema_json(df)
     by_name = {f["name"]: f for f in schema["fields"]}
@@ -969,7 +987,7 @@ def create(
         for i, p in enumerate(parsed)
     ]
     meta = {
-        "format-version": FORMAT_VERSION,
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid4()),
         "location": os.path.abspath(table),
         "last-sequence-number": 0,
@@ -1371,8 +1389,11 @@ def snapshot_files(table: str, snapshot_id: int | None = None) -> list[str]:
 
 
 def snapshot_delete_files(table: str, snapshot_id: int | None = None) -> list[str]:
-    """Absolute paths of the POSITION-DELETE files (content=1) live at a
-    snapshot — the merge-on-read inputs a reader must anti-join."""
+    """Absolute paths of the POSITION-DELETE parquet files (content=1)
+    live at a snapshot — the merge-on-read inputs a reader must
+    anti-join. V3 deletion-vector entries (content=1 but file_format
+    PUFFIN) are excluded: they are blobs, not parquet — see
+    :func:`snapshot_dv_entries`."""
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = _snapshot(meta, sid)
@@ -1381,9 +1402,97 @@ def snapshot_delete_files(table: str, snapshot_id: int | None = None) -> list[st
         for entry in avro_ocf.read_ocf(m["manifest_path"]):
             if entry["status"] in (0, 1) and (
                 entry["data_file"].get("content", 0) == 1
+            ) and (
+                (entry["data_file"].get("file_format") or "PARQUET").upper()
+                != "PUFFIN"
             ):
                 out.append(entry["data_file"]["file_path"])
     return sorted(out)
+
+
+def snapshot_dv_entries(
+    table: str, snapshot_id: int | None = None
+) -> "list[dict]":
+    """The v3 DELETION-VECTOR entries live at a snapshot: one dict per
+    DV — {"puffin_path", "offset", "length", "referenced_data_file",
+    "cardinality", "sequence_number"}. Per spec at most one DV exists
+    per data file in a snapshot."""
+    meta = current_metadata(table)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    out = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        for entry in avro_ocf.read_ocf(m["manifest_path"]):
+            d = entry["data_file"]
+            if entry["status"] in (0, 1) and d.get("content", 0) == 1 and (
+                (d.get("file_format") or "").upper() == "PUFFIN"
+            ):
+                out.append(
+                    {
+                        "puffin_path": d["file_path"],
+                        "offset": d["content_offset"],
+                        "length": d["content_size_in_bytes"],
+                        "referenced_data_file": d["referenced_data_file"],
+                        "cardinality": d["record_count"],
+                        "sequence_number": entry["sequence_number"],
+                    }
+                )
+    return sorted(out, key=lambda e: e["referenced_data_file"])
+
+
+def read_dv_blob(puffin_path: str, offset: int, length: int) -> "list[int]":
+    """Decode one ``deletion-vector-v1`` blob (Puffin spec): u32 BE
+    combined length of magic+vector, the 4 magic bytes D1 D3 39 64,
+    the portable 64-bit roaring bitmap, and a u32 BE CRC-32 of
+    magic+vector. The framing (and the bitmap serialization) is
+    byte-identical to the Delta DV sidecar record — deliberately, per
+    both specs — so the roaring codec in `sources/deletion_vectors.py`
+    is shared verbatim."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
+    with open(puffin_path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    (size,) = _struct.unpack_from(">I", blob, 0)
+    data = blob[4 : 4 + size]
+    (crc,) = _struct.unpack_from(">I", blob, 4 + size)
+    if crc != (_zlib.crc32(data) & 0xFFFFFFFF):
+        raise ValueError(f"{puffin_path}@{offset}: DV blob CRC mismatch")
+    (magic,) = _struct.unpack_from("<I", data, 0)
+    if magic != deletion_vectors.MAGIC:
+        raise ValueError(f"{puffin_path}@{offset}: bad DV magic {magic}")
+    return deletion_vectors.deserialize_roaring64(data[4:])
+
+
+def _dv_tombstones(spark: SparkSession, dv_entries: "list[dict]") -> DataFrame:
+    """(__fp, __pos) tombstones from DV entries, expanded ON EXECUTORS:
+    the driver ships O(DV count) descriptors; each task opens its
+    blobs' byte ranges and yields positions — a 10⁹-row DV table costs
+    the driver descriptor rows, never position lists (the same posture
+    as the Delta scan's `_dv_tombstones`)."""
+    import pandas as pd
+
+    rows = [
+        (e["puffin_path"], int(e["offset"]), int(e["length"]),
+         e["referenced_data_file"])
+        for e in dv_entries
+    ]
+    desc = spark.createDataFrame(
+        rows, "puffin string, off long, length long, fp string"
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            for p, o, ln, fp in zip(
+                pdf["puffin"], pdf["off"], pdf["length"], pdf["fp"]
+            ):
+                pos = read_dv_blob(p, int(o), int(ln))
+                yield pd.DataFrame({"__fp": [fp] * len(pos), "__pos": pos})
+
+    return desc.mapInPandas(expand, "__fp string, __pos long")
 
 
 #: normalize Spark's _metadata.file_path URI ("file:///abs") to the
@@ -1699,10 +1808,11 @@ def _apply_delete_files(
     """
     pos_dels = snapshot_delete_files(table, sid)
     eq_dels = snapshot_equality_deletes(table, sid)
+    dv_entries = snapshot_dv_entries(table, sid)
     # the manifest-restore scan branch materializes __fp/__pos BEFORE
     # its identity join (which severs _metadata); reuse them here
     has_helpers = "__fp" in df.columns and "__pos" in df.columns
-    if not pos_dels and not eq_dels:
+    if not pos_dels and not eq_dels and not dv_entries:
         if not keep_positions:
             return df.drop("__fp", "__pos") if has_helpers else df
         if has_helpers:
@@ -1719,10 +1829,15 @@ def _apply_delete_files(
             _norm_file_path().alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-    if pos_dels:
-        dels = spark.read.parquet(*pos_dels).select(
-            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
-        )
+    if pos_dels or dv_entries:
+        dels = None
+        if pos_dels:
+            dels = spark.read.parquet(*pos_dels).select(
+                F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+            )
+        if dv_entries:  # v3 deletion vectors: executor-side expansion
+            dv = _dv_tombstones(spark, dv_entries)
+            dels = dv if dels is None else dels.unionByName(dv)
         df = df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
     if eq_dels:
         seq_rows = [
@@ -2132,9 +2247,10 @@ def optimize(
     forward, still governing the untouched files. Rewritten rows get
     the NEW sequence number, so older equality tombstones — correctly —
     no longer apply to them (spec strictly-lower-sequence rule).
-    Committed as operation='replace': the change feed refuses to
-    decompose it (a layout rewrite has no row-level delta), and old
-    snapshots stay time-travelable until `expire_snapshots`.
+    Committed as operation='replace': the change feeds SKIP it (a
+    layout rewrite has no row-level delta — the Delta side's
+    dataChange=false invisibility; see :func:`change_feed_entries`),
+    and old snapshots stay time-travelable until `expire_snapshots`.
 
     ``sort_by`` range-clusters the packed rows (repartitionByRange +
     sortWithinPartitions) so each output file covers a TIGHT, disjoint
@@ -3275,6 +3391,7 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
+    v3 = int(meta.get("format-version", 2)) >= 3
     # a DELETE is a CURRENT-state operation: read under the CURRENT
     # schema-id (the same rule read_iceberg and update_where apply), not
     # the snapshot's stamped one — rename/drop are metadata-only (no new
@@ -3585,6 +3702,88 @@ class IcebergNonAppendChangeError(RuntimeError):
     whose file-level actions are not row-level inserts."""
 
 
+def change_feed_entries(
+    meta: dict,
+    lo: int,
+    hi: int,
+    ok_ops: "tuple[str, ...]",
+    err: type = IcebergNonAppendChangeError,
+) -> "list[dict]":
+    """Manifest entries for a change range ``(lo, hi]``, planned PER
+    SNAPSHOT against each in-range snapshot's OWN manifest list.
+
+    Two properties the naive current-snapshot scan lacks:
+
+    - ``operation='replace'`` snapshots (compaction / delete-file
+      rewrites) are SKIPPED: per the Iceberg spec a replace commit
+      changes zero logical rows, so it contributes nothing to a
+      row-level feed — routine OPTIMIZE maintenance no longer breaks
+      `table_changes` / `table_changes_cdf` / the streaming CDC source
+      (the Delta side's ``dataChange=false`` invisibility rule).
+    - a layout rewrite ANYWHERE at-or-after an in-range commit cannot
+      hide that commit's files: each commit is read from the manifest
+      list it created, where its files are still ADDED entries —
+      the current snapshot may have dropped them (packed away).
+
+    Every other non-``ok_ops`` operation still raises ``err``, as does
+    a range touching expired sequence numbers (their operations are
+    unknowable). Entries are deduped by per-snapshot WINDOWS: snapshot
+    s at seq q owns entries with seq in (prev_retained_seq, q] from its
+    own list — the first window is wide enough to cover carried
+    status-0 clone-bootstrap entries at original sequence numbers, and
+    later windows are exactly one commit wide. Manifests are pruned by
+    their [min_sequence_number, sequence_number] span before opening,
+    so each commit reads O(its own manifests), never O(table).
+
+    Returns raw manifest entries (status-2 excluded), each with its
+    ``sequence_number`` and ``data_file`` intact.
+    """
+    from march_mania_spark_lakehouse_spark.sources import avro_ocf
+
+    snaps = sorted(
+        (s for s in meta["snapshots"] if lo < s["sequence-number"] <= hi),
+        key=lambda s: s["sequence-number"],
+    )
+    for s in snaps:
+        op = s.get("summary", {}).get("operation")
+        if op != "replace" and op not in ok_ops:
+            raise err(
+                f"snapshot seq {s['sequence-number']} is {op!r}; this "
+                "change feed cannot represent it"
+            )
+    retained = {s["sequence-number"] for s in meta["snapshots"]}
+    expired = [q for q in range(lo + 1, hi + 1) if q not in retained]
+    if expired:
+        raise err(
+            f"sequence numbers {expired} in the requested range were "
+            "expired by expire_snapshots; their operations are unknowable"
+        )
+    replace_seqs = {
+        s["sequence-number"]
+        for s in snaps
+        if s.get("summary", {}).get("operation") == "replace"
+    }
+    out: list[dict] = []
+    prev = lo
+    for s in snaps:
+        seq = s["sequence-number"]
+        if seq not in replace_seqs:
+            for m in avro_ocf.read_ocf(s["manifest-list"]):
+                if (
+                    m["sequence_number"] <= prev
+                    or m.get("min_sequence_number", 0) > seq
+                ):
+                    continue  # no entry of this manifest is in-window
+                for e in avro_ocf.read_ocf(m["manifest_path"]):
+                    if e["status"] == 2:
+                        continue
+                    es = e["sequence_number"]
+                    if prev < es <= seq and es not in replace_seqs:
+                        out.append(e)
+        prev = seq
+    return out
+
+
 def table_changes(
     spark: SparkSession,
     table: str,
@@ -3617,31 +3816,16 @@ def table_changes(
       snapshot matching the key tuples (null-safe) — an `upsert`
       therefore feeds as delete(old) + insert(new).
 
-    Copy-on-write rewrites (overwrite/MERGE/compact) still raise: a
-    file-level rewrite does not decompose into row-level changes."""
+    ``operation='replace'`` snapshots (compaction / delete-file
+    rewrites) are SKIPPED — a layout rewrite changes zero logical
+    rows, so routine OPTIMIZE maintenance inside or after the range
+    never breaks the feed (each commit plans from its OWN manifest
+    list; see :func:`change_feed_entries`). Copy-on-write rewrites
+    that DO change rows (overwrite/MERGE) still raise: a file-level
+    rewrite does not decompose into row-level changes."""
     meta = current_metadata(table)
     hi = meta["last-sequence-number"] if to_seq is None else to_seq
     ok_ops = ("append", "delete") if include_deletes else ("append",)
-    for s in meta["snapshots"]:
-        if from_seq < s["sequence-number"] <= hi and (
-            s.get("summary", {}).get("operation") not in ok_ops
-        ):
-            raise IcebergNonAppendChangeError(
-                f"snapshot seq {s['sequence-number']} is "
-                f"{s.get('summary', {}).get('operation')!r}; this change "
-                "feed cannot represent it"
-            )
-    # every commit consumes exactly one sequence number, so any seq in
-    # the range with NO retained snapshot was expired — its operation
-    # (possibly a rewrite) is undetectable and the feed must refuse
-    # rather than silently misreport
-    retained = {s["sequence-number"] for s in meta["snapshots"]}
-    expired = [s for s in range(from_seq + 1, hi + 1) if s not in retained]
-    if expired:
-        raise IcebergNonAppendChangeError(
-            f"sequence numbers {expired} in the requested range were "
-            "expired by expire_snapshots; their operations are unknowable"
-        )
     snap = _snapshot(meta, meta["current-snapshot-id"])
     sid = meta["current-snapshot-id"]
     added: list[str] = []
@@ -3649,39 +3833,27 @@ def table_changes(
     eq_dels: list[tuple[str, int, list[str]]] = []
     schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
     by_fid = {f["id"]: f["name"] for f in schema["fields"]}
-    for m in avro_ocf.read_ocf(snap["manifest-list"]):
-        if not (from_seq < m["sequence_number"] <= hi):
-            continue
-        for entry in avro_ocf.read_ocf(m["manifest_path"]):
-            # status 0 ("existing") entries count too: a clone carries
-            # its source's files at their ORIGINAL sequence numbers as
-            # status-0 entries, and a range covering those seqs must
-            # emit them (the entry-seq filter below is authoritative);
-            # only status-2 (deleted) entries are dead
-            if entry["status"] == 2:
-                continue
-            if not (from_seq < entry["sequence_number"] <= hi):
-                continue
-            content = entry["data_file"].get("content", 0)
-            if content == 0:
-                added.append(
-                    os.path.relpath(
-                        entry["data_file"]["file_path"], os.path.abspath(table)
-                    )
+    for entry in change_feed_entries(meta, from_seq, hi, ok_ops):
+        content = entry["data_file"].get("content", 0)
+        if content == 0:
+            added.append(
+                os.path.relpath(
+                    entry["data_file"]["file_path"], os.path.abspath(table)
                 )
-            elif content == 1:
-                pos_del_paths.append(entry["data_file"]["file_path"])
-            elif content == 2:
-                eq_dels.append(
-                    (
-                        entry["data_file"]["file_path"],
-                        entry["sequence_number"],
-                        [
-                            by_fid[i]
-                            for i in entry["data_file"].get("equality_ids") or []
-                        ],
-                    )
+            )
+        elif content == 1:
+            pos_del_paths.append(entry["data_file"]["file_path"])
+        elif content == 2:
+            eq_dels.append(
+                (
+                    entry["data_file"]["file_path"],
+                    entry["sequence_number"],
+                    [
+                        by_fid[i]
+                        for i in entry["data_file"].get("equality_ids") or []
+                    ],
                 )
+            )
     names: list[str] = [f["name"] for f in schema["fields"]]
     base = read_iceberg(spark, table)  # declared-schema read machinery
 
@@ -3788,6 +3960,11 @@ def table_changes_cdf(
     while v <= hi:
         snap = by_seq.get(v)
         summ = (snap or {}).get("summary") or {}
+        if snap is not None and summ.get("operation") == "replace":
+            # compaction / delete-file rewrite: zero logical rows —
+            # skip it (same invisibility as Delta dataChange=false)
+            v += 1
+            continue
         uid = summ.get("upsert-id")
         if (
             uid

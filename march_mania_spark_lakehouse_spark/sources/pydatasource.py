@@ -512,47 +512,23 @@ class _IcebergTableStreamReader:
         return {"seq": 0}
 
     def _added_files(self, lo: int, hi: int) -> list:
-        from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
+        from march_mania_spark_lakehouse_spark.sources import iceberg
 
         meta = iceberg.current_metadata(self.table)
-        for s in meta["snapshots"]:
-            if lo < s["sequence-number"] <= hi and (
-                s.get("summary", {}).get("operation") != "append"
-            ):
-                raise ValueError(
-                    f"snapshot seq {s['sequence-number']} is "
-                    f"{s.get('summary', {}).get('operation')!r}; append-only "
-                    "streams cannot represent rewrites"
-                )
-        # expire_snapshots can drop snapshot entries whose seq is still
-        # in range — those commits' operations become unknowable, so
-        # refuse rather than silently misreport (same guard as
-        # iceberg.table_changes)
-        retained = {s["sequence-number"] for s in meta["snapshots"]}
-        expired = [s for s in range(lo + 1, hi + 1) if s not in retained]
-        if expired:
-            raise ValueError(
-                f"sequence numbers {expired} were expired by "
-                "expire_snapshots; cannot stream an expired range"
-            )
-        snap = iceberg._snapshot(meta, meta["current-snapshot-id"])
-        files = []
-        for m in avro_ocf.read_ocf(snap["manifest-list"]):
-            if not (lo < m["sequence_number"] <= hi):
-                continue
-            for e in avro_ocf.read_ocf(m["manifest_path"]):
-                # carried (status 0) entries count when THEIR sequence
-                # number is in range — the clone-bootstrap case; only
-                # status-2 entries are dead
-                if e["status"] == 2:
-                    continue
-                if not (lo < e["sequence_number"] <= hi):
-                    continue
-                files.append(
-                    (e["data_file"]["file_path"],
-                     e["data_file"].get("partition") or {})
-                )
-        return sorted(files)
+        # per-snapshot planning (iceberg.change_feed_entries): replace
+        # (compaction) snapshots are skipped — zero logical rows — and
+        # each commit's files come from its OWN manifest list, so a
+        # later OPTIMIZE can neither break the stream nor hide in-range
+        # appends; non-append row-changing commits and expired ranges
+        # raise as before
+        entries = iceberg.change_feed_entries(
+            meta, lo, hi, ("append",), err=ValueError
+        )
+        return sorted(
+            (e["data_file"]["file_path"], e["data_file"].get("partition") or {})
+            for e in entries
+            if e["data_file"].get("content", 0) == 0
+        )
 
     def _rows(self, files: list):
         import pyarrow.parquet as pq
@@ -666,22 +642,6 @@ class _IcebergTableCdcStreamReader:
         from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
 
         meta = iceberg.current_metadata(self.table)
-        for s in meta["snapshots"]:
-            if lo < s["sequence-number"] <= hi and (
-                s.get("summary", {}).get("operation") not in ("append", "delete")
-            ):
-                raise ValueError(
-                    f"snapshot seq {s['sequence-number']} is "
-                    f"{s.get('summary', {}).get('operation')!r}; a CDC "
-                    "stream cannot represent file-level rewrites"
-                )
-        retained = {s["sequence-number"] for s in meta["snapshots"]}
-        expired = [s for s in range(lo + 1, hi + 1) if s not in retained]
-        if expired:
-            raise ValueError(
-                f"sequence numbers {expired} were expired by "
-                "expire_snapshots; cannot stream an expired range"
-            )
         snap = iceberg._snapshot(meta, meta["current-snapshot-id"])
         schema = meta["schemas"][meta["current-schema-id"]]
         cols = [f["name"] for f in schema["fields"]]
@@ -699,24 +659,31 @@ class _IcebergTableCdcStreamReader:
                     # a delete in range can tombstone rows of a file
                     # added before the range
                     part_of[d["file_path"]] = d.get("partition") or {}
-                if not (lo < m["sequence_number"] <= hi):
-                    continue
-                if e["status"] == 2:  # carried (0) entries count too
-                    continue
-                if not (lo < e["sequence_number"] <= hi):
-                    continue
-                content = d.get("content", 0)
-                if content == 0:
-                    added.append(d["file_path"])
-                elif content == 1:
-                    pos_dels.append(d["file_path"])
-                else:  # content == 2: equality delete (upsert CDC)
-                    eq_by_seq.setdefault(e["sequence_number"], []).append(
-                        (
-                            d["file_path"],
-                            [by_fid[i] for i in d.get("equality_ids") or []],
-                        )
+        # per-snapshot planning (iceberg.change_feed_entries): replace
+        # (compaction) snapshots skip — zero logical rows — so routine
+        # OPTIMIZE never kills the CDC stream, and each commit's files
+        # come from its OWN manifest list (a later rewrite cannot hide
+        # them); row-changing rewrites and expired ranges still raise
+        for e in iceberg.change_feed_entries(
+            meta, lo, hi, ("append", "delete"), err=ValueError
+        ):
+            d = e["data_file"]
+            content = d.get("content", 0)
+            if content == 0:
+                added.append(d["file_path"])
+                # the file may have been compacted OUT of the current
+                # snapshot — its partition tuple still comes from the
+                # in-range entry itself
+                part_of.setdefault(d["file_path"], d.get("partition") or {})
+            elif content == 1:
+                pos_dels.append(d["file_path"])
+            else:  # content == 2: equality delete (upsert CDC)
+                eq_by_seq.setdefault(e["sequence_number"], []).append(
+                    (
+                        d["file_path"],
+                        [by_fid[i] for i in d.get("equality_ids") or []],
                     )
+                )
 
         def _fills(path: str) -> dict:
             part = part_of.get(path) or {}
@@ -789,8 +756,17 @@ class _IcebergTableCdcStreamReader:
         from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
 
         del_snap = next(
-            s for s in meta["snapshots"] if s["sequence-number"] == del_seq
+            (s for s in meta["snapshots"] if s["sequence-number"] == del_seq),
+            None,
         )
+        if del_snap is None:
+            # the delete commit's snapshot was expired while its
+            # manifest entry survives in the current manifest list —
+            # same recovery story as a missing parent snapshot
+            raise ValueError(
+                f"snapshot of the equality-delete commit at seq {del_seq} "
+                "was expired; its pre-image rows are unrecoverable"
+            )
         parent_id = del_snap.get("parent-snapshot-id")
         if parent_id is None:
             return []  # delete against an empty table: nothing to kill
