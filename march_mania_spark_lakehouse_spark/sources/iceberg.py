@@ -3375,6 +3375,238 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
     return 0
 
 
+def _commit_dv_delete(
+    spark: SparkSession, table: str, meta: dict, hits: DataFrame
+) -> int:
+    """V3 merge-on-read DELETE: encode the matched positions as Puffin
+    ``deletion-vector-v1`` blobs (spec: one DV per data file per
+    snapshot; a new DV MERGES and REPLACES the file's previous one —
+    readers apply exactly one bitmap per file, never a chain).
+
+    Scale shape, mirroring `delta_log.delete_where`: the hit rows
+    shuffle ONCE on file_path; each task roaring-encodes its files'
+    positions and writes ONE ``.puffin`` sidecar holding all its blobs
+    (a DELETE touching 10k files costs O(tasks) new objects), and the
+    driver only ever collects COMPACT DESCRIPTORS — (file, offset,
+    length, cardinality) — never position lists, so a 10⁹-row delete
+    cannot OOM the driver. Existing DVs are merged EXECUTOR-side too:
+    each hit row carries its file's old-DV descriptor via a broadcast
+    join, and the task reads that blob's byte range directly.
+
+    Commit: the previous delete manifests are consolidated into one
+    manifest that keeps every surviving entry (eq-deletes, DVs of
+    untouched files) as spec "existing" status-0 entries at their
+    ORIGINAL sequence numbers and adds the new DVs as status-1 entries;
+    replaced DV entries are dropped. Data manifests ride unchanged.
+    """
+    import pandas as pd
+
+    sid = meta["current-snapshot-id"]
+    snap = _snapshot(meta, sid)
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    abs_table = os.path.abspath(table)
+
+    existing = snapshot_dv_entries(table, sid)
+    if existing:
+        desc = spark.createDataFrame(
+            [
+                (
+                    e["referenced_data_file"],
+                    e["puffin_path"],
+                    int(e["offset"]),
+                    int(e["length"]),
+                )
+                for e in existing
+            ],
+            "file_path string, old_puffin string, old_off long, old_len long",
+        )
+        hits = hits.join(F.broadcast(desc), "file_path", "left")
+    else:
+        hits = hits.select(
+            "file_path",
+            "pos",
+            F.lit(None).cast("string").alias("old_puffin"),
+            F.lit(None).cast("long").alias("old_off"),
+            F.lit(None).cast("long").alias("old_len"),
+        )
+
+    def encode_task(batches):
+        import struct as _struct
+        import uuid as _uuid
+        import zlib as _zlib
+
+        from march_mania_spark_lakehouse_spark.sources import (
+            deletion_vectors,
+            puffin as _puffin,
+        )
+
+        acc: dict = {}  # fp -> [positions set, old blob triple | None]
+        for pdf in batches:
+            for fp, pos, op, oo, ol in zip(
+                pdf["file_path"], pdf["pos"], pdf["old_puffin"],
+                pdf["old_off"], pdf["old_len"],
+            ):
+                st = acc.setdefault(fp, [set(), None])
+                st[0].add(int(pos))
+                if isinstance(op, str):
+                    st[1] = (op, int(oo), int(ol))
+        if not acc:
+            return
+        blobs, cards = [], []
+        for fp in sorted(acc):
+            s, old = acc[fp]
+            if old is not None:
+                s |= set(read_dv_blob(*old))
+            data = deletion_vectors.encode_dv(sorted(s))
+            payload = (
+                _struct.pack(">I", len(data))
+                + data
+                + _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
+            )
+            blobs.append(
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "payload": payload,
+                    "properties": {
+                        "referenced-data-file": fp,
+                        "cardinality": str(len(s)),
+                    },
+                }
+            )
+            cards.append((fp, len(s)))
+        name = os.path.join(
+            abs_table, "data", f"dv-{_uuid.uuid4().hex}.puffin"
+        )
+        os.makedirs(os.path.dirname(name), exist_ok=True)
+        info = _puffin.write_puffin(name, blobs)
+        yield pd.DataFrame(
+            {
+                "file_path": [fp for fp, _ in cards],
+                "puffin": [name] * len(cards),
+                "off": [bm["offset"] for bm in info["blob-metadata"]],
+                "length": [bm["length"] for bm in info["blob-metadata"]],
+                "card": [c for _, c in cards],
+            }
+        )
+
+    desc_rows = (
+        hits.repartition("file_path")
+        .mapInPandas(
+            encode_task,
+            "file_path string, puffin string, off long, length long, "
+            "card long",
+        )
+        .collect()
+    )
+    if not desc_rows:
+        return sid  # nothing matched: no commit
+
+    touched = {r["file_path"] for r in desc_rows}
+    data_ml: list[dict] = []
+    old_entries: list[dict] = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        if m.get("content", 0) == 0:
+            data_ml.append(m)
+            continue
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] == 2:
+                continue
+            d = e["data_file"]
+            replaced = (
+                d.get("content", 0) == 1
+                and (d.get("file_format") or "").upper() == "PUFFIN"
+                and d.get("referenced_data_file") in touched
+            )
+            if not replaced:
+                old_entries.append(e)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    entry_schema = _manifest_entry_schema(
+        _partition_record_schema(spec, schema)
+    )
+    records = [
+        {
+            "status": 0,  # EXISTING — original sequence preserved
+            "snapshot_id": e.get("snapshot_id"),
+            "sequence_number": e["sequence_number"],
+            "file_sequence_number": e.get("file_sequence_number"),
+            "data_file": e["data_file"],
+        }
+        for e in old_entries
+    ]
+    for r in sorted(desc_rows, key=lambda r: r["file_path"]):
+        records.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": r["puffin"],
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": r["card"],
+                    "file_size_in_bytes": os.path.getsize(r["puffin"]),
+                    "referenced_data_file": r["file_path"],
+                    "content_offset": r["off"],
+                    "content_size_in_bytes": r["length"],
+                },
+            }
+        )
+    m_path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
+    avro_ocf.write_ocf(m_path, entry_schema, records)
+    new_entry = {
+        "manifest_path": m_path,
+        "manifest_length": os.path.getsize(m_path),
+        "partition_spec_id": meta["default-spec-id"],
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": min(
+            [seq] + [e["sequence_number"] for e in old_entries]
+        ),
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(desc_rows),
+        "existing_files_count": len(old_entries),
+        "deleted_files_count": 0,
+        "added_rows_count": sum(r["card"] for r in desc_rows),
+        "existing_rows_count": sum(
+            e["data_file"]["record_count"] for e in old_entries
+        ),
+        "deleted_rows_count": 0,
+    }
+    ml_path = _write_manifest_list(table, snapshot_id, data_ml + [new_entry])
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "delete",
+            "added-dvs": str(len(desc_rows)),
+        },
+        "schema-id": snap.get("schema-id", meta["current-schema-id"]),
+        "parent-snapshot-id": sid,
+    }
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    _write_metadata(table, meta)
+    return snapshot_id
+
+
 def delete_where(spark: SparkSession, table: str, condition) -> int:
     """Merge-on-read DELETE: write POSITION-DELETE files (spec content=1
     — parquet of (file_path, pos) tombstones) instead of rewriting any
@@ -3383,7 +3615,13 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
     of every touched file; readers pay one broadcast anti-join.
     ``condition`` is a Column or SQL string over the table's columns.
     Returns the new snapshot id (or the current one when nothing
-    matched — an empty delete commits nothing)."""
+    matched — an empty delete commits nothing).
+
+    On a ``format_version=3`` table the same positions are committed as
+    DELETION VECTORS instead — Puffin ``deletion-vector-v1`` blobs, one
+    per touched data file, merged with the file's previous DV
+    (:func:`_commit_dv_delete`); v3 forbids new position-delete
+    files."""
     from pyspark.sql import Column
 
     pred = F.expr(condition) if isinstance(condition, str) else condition
@@ -3410,6 +3648,8 @@ def delete_where(spark: SparkSession, table: str, condition) -> int:
         .filter(pred)
         .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
     )
+    if v3:
+        return _commit_dv_delete(spark, table, meta, hits)
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     hits.write.mode("overwrite").parquet(staging)
@@ -3833,6 +4073,7 @@ def table_changes(
     eq_dels: list[tuple[str, int, list[str]]] = []
     schema = meta["schemas"][snap.get("schema-id", meta["current-schema-id"])]
     by_fid = {f["id"]: f["name"] for f in schema["fields"]}
+    dv_dels: dict[int, list[dict]] = {}  # commit seq -> DV data_files
     for entry in change_feed_entries(meta, from_seq, hi, ok_ops):
         content = entry["data_file"].get("content", 0)
         if content == 0:
@@ -3842,7 +4083,11 @@ def table_changes(
                 )
             )
         elif content == 1:
-            pos_del_paths.append(entry["data_file"]["file_path"])
+            d = entry["data_file"]
+            if (d.get("file_format") or "").upper() == "PUFFIN":
+                dv_dels.setdefault(entry["sequence_number"], []).append(d)
+            else:
+                pos_del_paths.append(d["file_path"])
         elif content == 2:
             eq_dels.append(
                 (
@@ -3894,6 +4139,59 @@ def table_changes(
             ),
             ["__fp", "__pos"],
         ).select(*cols)
+        pieces.append(dead.withColumn("_change_type", F.lit("delete")))
+    for dseq in sorted(dv_dels):
+        # v3 deletion vectors: a DV REPLACES the file's previous DV, so
+        # the rows THIS commit killed are (new positions − the parent
+        # snapshot's positions for the same file) — both sides expanded
+        # executor-side from descriptors, rows recovered from ONLY the
+        # referenced data files
+        snap_s = next(
+            s for s in meta["snapshots"] if s["sequence-number"] == dseq
+        )
+        parent = snap_s.get("parent-snapshot-id")
+        parent_dvs = {
+            e["referenced_data_file"]: e
+            for e in (
+                snapshot_dv_entries(table, parent)
+                if parent is not None
+                else []
+            )
+        }
+        new_entries = [
+            {
+                "puffin_path": d["file_path"],
+                "offset": d["content_offset"],
+                "length": d["content_size_in_bytes"],
+                "referenced_data_file": d["referenced_data_file"],
+            }
+            for d in dv_dels[dseq]
+        ]
+        tomb = _dv_tombstones(spark, new_entries)
+        old = [
+            parent_dvs[d["referenced_data_file"]]
+            for d in dv_dels[dseq]
+            if d["referenced_data_file"] in parent_dvs
+        ]
+        if old:
+            tomb = tomb.join(
+                _dv_tombstones(spark, old), ["__fp", "__pos"], "left_anti"
+            )
+        ref_files = sorted(
+            {
+                os.path.relpath(
+                    d["referenced_data_file"], os.path.abspath(table)
+                )
+                for d in dv_dels[dseq]
+            }
+        )
+        raw, cols_dv = _read_raw(spark, table, meta, sid, ref_files)
+        raw = raw.select(
+            *cols_dv,
+            _norm_file_path().alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        dead = raw.join(F.broadcast(tomb), ["__fp", "__pos"]).select(*cols_dv)
         pieces.append(dead.withColumn("_change_type", F.lit("delete")))
     for path, del_seq, cols_eq in sorted(eq_dels):
         # rows alive at the delete commit's PARENT snapshot matching

@@ -664,6 +664,7 @@ class _IcebergTableCdcStreamReader:
         # OPTIMIZE never kills the CDC stream, and each commit's files
         # come from its OWN manifest list (a later rewrite cannot hide
         # them); row-changing rewrites and expired ranges still raise
+        dv_by_seq: dict = {}  # commit seq -> [DV data_file dicts] (v3)
         for e in iceberg.change_feed_entries(
             meta, lo, hi, ("append", "delete"), err=ValueError
         ):
@@ -676,7 +677,10 @@ class _IcebergTableCdcStreamReader:
                 # in-range entry itself
                 part_of.setdefault(d["file_path"], d.get("partition") or {})
             elif content == 1:
-                pos_dels.append(d["file_path"])
+                if (d.get("file_format") or "").upper() == "PUFFIN":
+                    dv_by_seq.setdefault(e["sequence_number"], []).append(d)
+                else:
+                    pos_dels.append(d["file_path"])
             else:  # content == 2: equality delete (upsert CDC)
                 eq_by_seq.setdefault(e["sequence_number"], []).append(
                     (
@@ -714,6 +718,41 @@ class _IcebergTableCdcStreamReader:
                 t.column("file_path").to_pylist(), t.column("pos").to_pylist()
             ):
                 tomb.setdefault(fp, set()).add(pos)
+        # v3 deletion vectors: this commit's kills are the new DV's
+        # positions MINUS the parent snapshot's DV positions for the
+        # same file (a DV replaces its predecessor, never chains)
+        for s in sorted(dv_by_seq):
+            snap_s = next(
+                (x for x in meta["snapshots"] if x["sequence-number"] == s),
+                None,
+            )
+            parent = snap_s.get("parent-snapshot-id") if snap_s else None
+            parent_dvs = {
+                e["referenced_data_file"]: e
+                for e in (
+                    iceberg.snapshot_dv_entries(self.table, parent)
+                    if parent is not None
+                    else []
+                )
+            }
+            for d in dv_by_seq[s]:
+                ref = d["referenced_data_file"]
+                pos = set(
+                    iceberg.read_dv_blob(
+                        d["file_path"],
+                        d["content_offset"],
+                        d["content_size_in_bytes"],
+                    )
+                )
+                old = parent_dvs.get(ref)
+                if old is not None:
+                    pos -= set(
+                        iceberg.read_dv_blob(
+                            old["puffin_path"], old["offset"], old["length"]
+                        )
+                    )
+                if pos:
+                    tomb.setdefault(ref, set()).update(pos)
         for fp in sorted(tomb):
             t = pq.read_table(fp)
             names = set(t.column_names)

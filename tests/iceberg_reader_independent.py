@@ -152,9 +152,44 @@ def snapshot_files(table: str, snapshot_id: int | None = None) -> list[str]:
     return sorted(files)
 
 
+def _dv_blob_positions(puffin_path: str, offset: int, length: int) -> list:
+    """Decode a v3 ``deletion-vector-v1`` Puffin blob from the spec
+    alone: u32 BE combined length, magic D1 D3 39 64, a portable
+    64-bit roaring bitmap (u64 LE bucket count, then per bucket a u32
+    LE high key + 32-bit roaring stream), and a u32 BE CRC-32 of
+    magic+vector. The 32-bit stream decoder is shared with the sibling
+    clean-room DELTA reader — per both specs the serialization is
+    byte-identical, and that module shares zero lines with the engine's
+    writer."""
+    import zlib
+
+    from tests.delta_reader_independent import _decode_roaring32
+
+    with open(puffin_path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    (size,) = struct.unpack_from(">I", blob, 0)
+    data = blob[4 : 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, 4 + size)
+    assert crc == (zlib.crc32(data) & 0xFFFFFFFF), "DV blob CRC mismatch"
+    assert data[:4] == b"\xd1\xd3\x39\x64", "bad DV magic"
+    (n_buckets,) = struct.unpack_from("<Q", data, 4)
+    at = 12
+    out: list[int] = []
+    for _ in range(n_buckets):
+        (hi,) = struct.unpack_from("<I", data, at)
+        vals, at = _decode_roaring32(data, at + 4)
+        out.extend((hi << 32) | v for v in vals)
+    return out
+
+
 def position_deletes(table: str, snapshot_id: int | None = None) -> set:
     """{(file_path, pos)} tombstones from the snapshot's content=1
-    delete files — the spec's merge-on-read application input."""
+    delete files — the spec's merge-on-read application input. Covers
+    both shapes: position-delete parquet (v2) and Puffin deletion
+    vectors (v3 — file_format PUFFIN, blob at
+    [content_offset, content_offset+content_size_in_bytes), applying
+    to referenced_data_file)."""
     meta = table_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
@@ -162,7 +197,17 @@ def position_deletes(table: str, snapshot_id: int | None = None) -> set:
     for m in read_avro(snap["manifest-list"]):
         for e in read_avro(m["manifest_path"]):
             if e["status"] in (0, 1) and e["data_file"].get("content", 0) == 1:
-                t = pq.read_table(e["data_file"]["file_path"])
+                d = e["data_file"]
+                if (d.get("file_format") or "").upper() == "PUFFIN":
+                    ref = d["referenced_data_file"]
+                    for pos in _dv_blob_positions(
+                        d["file_path"],
+                        d["content_offset"],
+                        d["content_size_in_bytes"],
+                    ):
+                        out.add((ref, pos))
+                    continue
+                t = pq.read_table(d["file_path"])
                 out.update(
                     zip(t.column("file_path").to_pylist(),
                         t.column("pos").to_pylist())
