@@ -1189,3 +1189,81 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderstatus", "n_rows", F.col("sum_m").alias("sum_price")
     )
+
+
+# --------------------------------------------------------------------------
+# q216 — Iceberg v3 DELETION VECTORS: the q180 shape on a
+# format_version=3 table. Two OVERLAPPING merge-on-read deletes land as
+# Puffin ``deletion-vector-v1`` blobs (one per touched data file; the
+# second delete's DV MERGES and REPLACES the first's — readers apply
+# exactly one bitmap per file, never a chain), and the per-status
+# aggregate over the survivors must hash-match the plain triple-filtered
+# relational aggregate. At 100 TB this is the v3 point: a delete costs
+# O(matched rows) roaring-bitmap bytes encoded executor-side, zero data
+# files rewritten, and the scan pays one broadcast anti-join on
+# (_metadata.file_path, _metadata.row_index).
+# --------------------------------------------------------------------------
+
+_Q216_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0 AND o_orderkey % 5 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_iceberg_v3_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: snapshot 1 = orders key%3=0 on a
+    format_version=3 table, snapshot 2 = DV delete of key%9=0,
+    snapshot 3 = DV delete of key%5=0 (overlaps snapshot 2 at %45=0 —
+    exercising the executor-side merge of the previous DV). Guarded on
+    the TERMINAL snapshot count, not mere existence: a crash
+    mid-publish must rebuild, never poison the cache."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-v3-dv|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_iceberg", fp)
+    if (
+        iceberg.current_version(table) is not None
+        and len(iceberg.snapshot_ids(table)) != 3
+    ):
+        shutil.rmtree(table)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            table,
+            format_version=3,
+        )
+        iceberg.delete_where(spark, table, "o_orderkey % 9 = 0")
+        iceberg.delete_where(spark, table, "o_orderkey % 5 = 0")
+    return table
+
+
+@query("q216_iceberg_v3_deletion_vectors", oracle=_Q216_SQL, tags=("lake", "agg"))
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an Iceberg v3 snapshot whose two overlapping
+    DELETEs were committed as deletion vectors — the merged bitmaps
+    must be semantically invisible, so the oracle is the plain
+    triple-filtered aggregate."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_iceberg_v3_dv_table(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
