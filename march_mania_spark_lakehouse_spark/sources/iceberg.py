@@ -599,12 +599,20 @@ def _now_ms() -> int:
 
 
 def current_version(table: str) -> int | None:
-    """Metadata version from version-hint.text (HadoopCatalog rule)."""
+    """Metadata version: version-hint.text, advanced past any newer
+    vN.metadata.json files (HadoopCatalog rule — the hint is an
+    optimization; concurrent winners update it last-write-wins, so a
+    reader must scan forward or it can serve a stale snapshot)."""
     try:
         with open(os.path.join(_meta_dir(table), "version-hint.text")) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
     except FileNotFoundError:
         return None
+    while os.path.exists(
+        os.path.join(_meta_dir(table), f"v{v + 1}.metadata.json")
+    ):
+        v += 1
+    return v
 
 
 def current_metadata(table: str, version: int | None = None) -> dict:
@@ -612,19 +620,33 @@ def current_metadata(table: str, version: int | None = None) -> dict:
     if v is None:
         raise FileNotFoundError(f"{table} has no Iceberg metadata")
     with open(os.path.join(_meta_dir(table), f"v{v}.metadata.json")) as f:
-        return json.load(f)
+        meta = json.load(f)
+    # stamp the version this state was READ at (stripped on write):
+    # a commit built from it must land at EXACTLY v+1 or lose loudly —
+    # recomputing the target version at write time would let a stale
+    # writer silently clobber a winner that committed in between
+    meta["__base-version__"] = v
+    return meta
 
 
 def _write_metadata(table: str, meta: dict) -> int:
-    cur = current_version(table)
-    v = 1 if cur is None else cur + 1
+    base = meta.get("__base-version__")
+    if base is None:
+        cur = current_version(table)
+        v = 1 if cur is None else cur + 1
+    else:
+        v = base + 1
     os.makedirs(_meta_dir(table), exist_ok=True)
     path = os.path.join(_meta_dir(table), f"v{v}.metadata.json")
     # put-if-absent commit: os.link fails with EEXIST if a concurrent
     # writer claimed the version (same primitive as the Delta layer)
     tmp = path + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
+        json.dump(
+            {k: x for k, x in meta.items() if not k.startswith("__")},
+            f,
+            indent=1,
+        )
     try:
         os.link(tmp, path)
     except FileExistsError:
@@ -642,6 +664,64 @@ def _write_metadata(table: str, meta: dict) -> int:
 
 class IcebergConcurrentCommitError(RuntimeError):
     """Another writer committed this metadata version first."""
+
+
+class IcebergConcurrentModificationError(IcebergConcurrentCommitError):
+    """A concurrent commit logically conflicts with this one (the
+    spec's commit-conflict rules): the losing writer's planned snapshot
+    is no longer valid against the table state the winner produced —
+    schema/spec/format changed, or the op is read-dependent. The caller
+    must re-plan against the current version and retry; unlike a blind
+    append, the engine cannot rebase it automatically."""
+
+
+def _rebase_append_metadata(table: str, base_meta: dict) -> dict:
+    """Refresh for a blind append that lost the commit race: re-read
+    the WINNING metadata and verify the append still commutes — same
+    schema (field ids/types), same default partition spec (the staged
+    hive layout depends on it), same format-version. Data-only winners
+    (appends, deletes, DV commits, overwrites, compactions) all pass:
+    the loser's files are new, so file sets stay disjoint and its
+    manifest simply re-attaches at the next sequence number. A
+    metadata-shaped winner raises — the append validated against state
+    that moved, and per the spec's conflict rules only the caller can
+    re-plan. Returns the winner's metadata to rebase onto."""
+    v = current_version(table)
+    new_meta = current_metadata(table, v)
+    try:
+        old_schema = base_meta["schemas"][base_meta["current-schema-id"]]
+        new_schema = new_meta["schemas"][new_meta["current-schema-id"]]
+        old_spec = base_meta["partition-specs"][
+            base_meta["default-spec-id"]
+        ]["fields"]
+        new_spec = new_meta["partition-specs"][
+            new_meta["default-spec-id"]
+        ]["fields"]
+        fmt_ok = new_meta.get("format-version") == base_meta.get(
+            "format-version"
+        )
+    except (KeyError, IndexError, TypeError) as e:
+        raise IcebergConcurrentModificationError(
+            f"metadata v{v} of {table} committed concurrently is not "
+            f"readable as an Iceberg table ({e!r}); cannot rebase"
+        ) from None
+    if new_schema != old_schema:
+        raise IcebergConcurrentModificationError(
+            f"concurrent schema change at metadata v{v} of {table}; this "
+            "append validated against an older schema — re-plan and retry"
+        )
+    if new_spec != old_spec:
+        raise IcebergConcurrentModificationError(
+            f"concurrent partition-spec change at metadata v{v} of "
+            f"{table}; the staged files use the older spec's layout — "
+            "re-plan and retry"
+        )
+    if not fmt_ok:
+        raise IcebergConcurrentModificationError(
+            f"concurrent format-version change at metadata v{v} of "
+            f"{table}; re-plan and retry"
+        )
+    return new_meta
 
 
 def _stage_data_files(
@@ -1071,7 +1151,60 @@ def append(
         meta["schemas"] = list(meta["schemas"]) + [new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
         meta["last-column-id"] = next_id
-    return _commit_snapshot(df, table, meta, "append", False, stat_cols, summary)
+    if extra:
+        # schema-evolving append: a metadata change per the conflict
+        # rules — it never auto-rebases, so commit once and surface any
+        # race to the caller for a re-plan
+        return _commit_snapshot(
+            df, table, meta, "append", False, stat_cols, summary
+        )
+    # blind append: optimistic concurrency with automatic rebase. Stage
+    # the data files ONCE, then on losing the put-if-absent race verify
+    # the winner left schema/spec/format untouched (a data-only winner
+    # always does — file sets are disjoint) and re-attach the same files
+    # at the winner's next sequence number. Each retry re-writes only a
+    # manifest + manifest list (KB of metadata); lost attempts' metadata
+    # files are orphans `remove_orphan_files` reclaims.
+    files = _stage_data_files(df, table, _spec_info(meta))
+    max_retries = 50
+    for _ in range(max_retries):
+        try:
+            return _commit_snapshot(
+                None, table, meta, "append", False, stat_cols, summary,
+                staged_files=files,
+            )
+        except IcebergConcurrentModificationError:
+            raise
+        except IcebergConcurrentCommitError:
+            meta = _rebase_append_metadata(table, meta)
+    raise IcebergConcurrentModificationError(
+        f"append to {table} lost the commit race {max_retries} times"
+    )
+
+
+def upgrade_format_version(table: str, to_version: int = 3) -> int:
+    """Metadata-only upgrade of a v2 table to Iceberg v3 (the cloned /
+    migrated-table path onto deletion vectors). Existing snapshots —
+    including their position-delete parquet files — stay valid and
+    readable exactly as written (the spec grandfathers v2 deletes);
+    what changes is the WRITE contract: new row-level deletes commit as
+    Puffin deletion vectors, and :func:`rewrite_position_deletes` will
+    consolidate the inherited parquet tombstones into DVs. Downgrades
+    raise — v3 metadata can reference DV blobs a v2 reader cannot
+    decode. Returns the new metadata version."""
+    meta = current_metadata(table)
+    cur = int(meta.get("format-version", 2))
+    if to_version != 3:
+        raise ValueError(f"can only upgrade to format-version 3, got {to_version}")
+    if cur > to_version:
+        raise ValueError(
+            f"cannot downgrade format-version {cur} -> {to_version}"
+        )
+    if cur == to_version:
+        return current_version(table)
+    meta = dict(meta)
+    meta["format-version"] = to_version
+    return _write_metadata(table, meta)
 
 
 def _live_equality_ids(meta: dict) -> set:
@@ -1510,6 +1643,8 @@ def _norm_file_path():
 
 def _spark_schema(schema: dict):
     """StructType for an Iceberg schema dict (the declared-read input)."""
+    import re
+
     from pyspark.sql import types as T
 
     back = {
@@ -1517,9 +1652,20 @@ def _spark_schema(schema: dict):
         "double": T.DoubleType(), "float": T.FloatType(),
         "boolean": T.BooleanType(), "date": T.DateType(),
         "timestamptz": T.TimestampType(),
+        # plain (ntz) timestamps must NOT map to TimestampType or naive
+        # values get session-timezone-shifted
+        "timestamp": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
     }
+
+    def one(tname: str):
+        if tname.startswith("decimal"):
+            p, s = re.findall(r"-?\d+", tname)
+            return T.DecimalType(int(p), int(s))
+        return back[tname]
+
     return T.StructType(
-        [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
+        [T.StructField(f["name"], one(f["type"]), True) for f in schema["fields"]]
     )
 
 
@@ -3376,7 +3522,12 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
 
 
 def _commit_dv_delete(
-    spark: SparkSession, table: str, meta: dict, hits: DataFrame
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    hits: DataFrame,
+    operation: str = "delete",
+    drop_position_deletes: bool = False,
 ) -> int:
     """V3 merge-on-read DELETE: encode the matched positions as Puffin
     ``deletion-vector-v1`` blobs (spec: one DV per data file per
@@ -3502,8 +3653,10 @@ def _commit_dv_delete(
         )
         .collect()
     )
-    if not desc_rows:
+    if not desc_rows and not drop_position_deletes:
         return sid  # nothing matched: no commit
+    # (a rewrite with zero live tombstones still commits: the stale
+    # position-delete parquet entries must drop from the new snapshot)
 
     touched = {r["file_path"] for r in desc_rows}
     data_ml: list[dict] = []
@@ -3516,17 +3669,27 @@ def _commit_dv_delete(
             if e["status"] == 2:
                 continue
             d = e["data_file"]
+            is_puffin = (d.get("file_format") or "").upper() == "PUFFIN"
             replaced = (
                 d.get("content", 0) == 1
-                and (d.get("file_format") or "").upper() == "PUFFIN"
+                and is_puffin
                 and d.get("referenced_data_file") in touched
             )
+            if drop_position_deletes and d.get("content", 0) == 1 and not is_puffin:
+                # the rewrite consolidates position-delete parquet INTO
+                # the new DVs: the parquet entries die with this commit
+                continue
             if not replaced:
                 old_entries.append(e)
     schema = meta["schemas"][meta["current-schema-id"]]
     spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    entry_schema = _manifest_entry_schema(
-        _partition_record_schema(spec, schema)
+    # equality-delete entries carried over as EXISTING keep their
+    # equality_ids (spec field-id 135) — re-encoding them with a plain
+    # entry schema would silently drop the key list and the sequence
+    # rule would apply to every column-free row (same trap the v2
+    # rewrite pins); null for DV entries is harmless
+    entry_schema = _with_equality_ids(
+        _manifest_entry_schema(_partition_record_schema(spec, schema))
     )
     records = [
         {
@@ -3534,7 +3697,10 @@ def _commit_dv_delete(
             "snapshot_id": e.get("snapshot_id"),
             "sequence_number": e["sequence_number"],
             "file_sequence_number": e.get("file_sequence_number"),
-            "data_file": e["data_file"],
+            "data_file": {
+                **e["data_file"],
+                "equality_ids": e["data_file"].get("equality_ids"),
+            },
         }
         for e in old_entries
     ]
@@ -3586,7 +3752,7 @@ def _commit_dv_delete(
         "timestamp-ms": _now_ms(),
         "manifest-list": ml_path,
         "summary": {
-            "operation": "delete",
+            "operation": operation,
             "added-dvs": str(len(desc_rows)),
         },
         "schema-id": snap.get("schema-id", meta["current-schema-id"]),
@@ -4713,12 +4879,24 @@ def rewrite_position_deletes(spark: SparkSession, table: str) -> int:
     numbers don't gate them — so re-sequencing the consolidated file is
     semantics-free. Old delete files stay on disk for time travel and
     are reclaimed by `remove_orphan_files` after `expire_snapshots`.
-    Returns the new snapshot id (current one when ≤ 1 live file)."""
+    Returns the new snapshot id (current one when ≤ 1 live file).
+
+    On a ``format_version=3`` table the rewrite CONVERTS instead: v3
+    forbids new position-delete files, so any pos-delete parquet still
+    live (inherited from a v2 history via
+    :func:`upgrade_format_version`) is consolidated into Puffin
+    DELETION VECTORS — one DV per referenced data file, merged with the
+    file's existing DV if it already has one — and the parquet
+    tombstone entries are dropped from the new snapshot. The commit is
+    ``operation='replace'`` (zero logical rows changed), so change
+    feeds and the streaming CDC source skip it, exactly like data-file
+    compaction."""
     meta = current_metadata(table)
     sid = meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
     pos_files = snapshot_delete_files(table, sid)
-    if len(pos_files) <= 1:
+    v3 = int(meta.get("format-version", 2)) >= 3
+    if len(pos_files) <= (0 if v3 else 1):
         return sid
     import pyarrow.parquet as pq
 
@@ -4726,6 +4904,17 @@ def rewrite_position_deletes(spark: SparkSession, table: str) -> int:
         [(os.path.abspath(os.path.join(table, f)),) for f in snapshot_files(table, sid)],
         "file_path string",
     )
+    if v3:
+        hits = (
+            spark.read.parquet(*pos_files)
+            .distinct()
+            .join(F.broadcast(live_df), "file_path", "left_semi")
+            .select("file_path", "pos")
+        )
+        return _commit_dv_delete(
+            spark, table, meta, hits,
+            operation="replace", drop_position_deletes=True,
+        )
     merged = (
         spark.read.parquet(*pos_files)
         .distinct()

@@ -150,9 +150,42 @@ def _cast_pv(s: "str | None", spark_type_name: str):
         return datetime.datetime.fromisoformat(s)
     if spark_type_name == "string":
         return s
+    if spark_type_name.startswith("decimal"):
+        import decimal
+        import re
+
+        # quantize to the DECLARED scale (the batch scan's rule: the
+        # log string is canonical but may drop trailing zeros)
+        m = re.match(r"decimal\((\d+),\s*(-?\d+)\)", spark_type_name)
+        d = decimal.Decimal(s)
+        if m:
+            d = d.quantize(decimal.Decimal(1).scaleb(-int(m.group(2))))
+        return d
     raise NotImplementedError(
         f"partition type {spark_type_name!r} in a streaming source"
     )
+
+
+def _iceberg_spark_type(type_name: str):
+    """Iceberg schema type name → Spark type for the streaming
+    DataSources' declared schemas (decimal parsed by precision/scale;
+    plain ntz timestamps must NOT map to TimestampType or naive values
+    get session-timezone-shifted)."""
+    import re
+
+    from pyspark.sql import types as T
+
+    if type_name.startswith("decimal"):
+        p, s = re.findall(r"-?\d+", type_name)
+        return T.DecimalType(int(p), int(s))
+    return {
+        "long": T.LongType(), "int": T.IntegerType(),
+        "string": T.StringType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "boolean": T.BooleanType(),
+        "date": T.DateType(), "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+    }[type_name]
 
 
 class _DeltaTableStreamReader:
@@ -238,8 +271,17 @@ class _DeltaTableStreamReader:
         )
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return list(
-            self._rows(self._added_files(int(start["version"]), int(end["version"])))
+        # restart replays bypass the prefetch cache and hand this value
+        # straight to the runner, which requires an ITERATOR (lists fail
+        # the DATA_SOURCE_INVALID_RETURN_TYPE check)
+        return iter(
+            list(
+                self._rows(
+                    self._added_files(
+                        int(start["version"]), int(end["version"])
+                    )
+                )
+            )
         )
 
     def commit(self, end: dict) -> None:
@@ -272,6 +314,27 @@ class DeltaTableStreamDataSource(DataSource):
         return _DeltaTableStreamReader(self.options)
 
 
+def _starting_mode(options: dict, key: str) -> str:
+    """The CDC sources' expired-history policy (option ``key``):
+    'earliest' (default) replays the full retained history and RAISES
+    on an expired range; 'latest' starts a fresh checkpoint at the
+    current high-water mark (no backfill); 'retained' re-bootstraps on
+    expiry — when the next range is no longer replayable (log cleanup /
+    expire_snapshots outran the checkpoint), the batch degrades to the
+    FULL CURRENT SNAPSHOT tagged ``_change_type='bootstrap_insert'``
+    and the stream continues from the head. Downstream state must treat
+    a bootstrap batch as a RESET (replace, not merge) — that is the
+    production recovery contract: rebuild from the snapshot, then
+    resume incremental."""
+    mode = (options.get(key) or "earliest").lower()
+    if mode not in ("earliest", "latest", "retained"):
+        raise ValueError(
+            f"option {key} must be 'earliest', 'latest' or 'retained'; "
+            f"got {mode!r}"
+        )
+    return mode
+
+
 class _DeltaTableCdcStreamReader:
     """Row-level CDC micro-batches from a Delta table: appended rows as
     inserts, DELETION-VECTOR delete commits decomposed into the
@@ -290,9 +353,59 @@ class _DeltaTableCdcStreamReader:
 
     def __init__(self, options: dict) -> None:
         self.table = options["path"]
+        self.starting = _starting_mode(options, "starting_version")
 
     def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            from march_mania_spark_lakehouse_spark.sources import delta_log
+
+            v = delta_log.latest_version(self.table)
+            return {"version": -1 if v is None else v}
         return {"version": -1}
+
+    def _bootstrap_rows(self, hi: int) -> list:
+        """The re-bootstrap batch: every row live at version ``hi``
+        (checkpoint-seeded replay + DV application), tagged
+        'bootstrap_insert' — a downstream state RESET, not a merge."""
+        import pyarrow.parquet as pq
+
+        from march_mania_spark_lakehouse_spark.sources import (
+            deletion_vectors,
+            delta_log,
+        )
+
+        schema = delta_log.table_schema(self.table, hi)
+        part_cols = set(delta_log.table_partition_columns(self.table, hi))
+        mapping = delta_log.column_mapping(self.table, hi) or {}
+        cols = [f.name for f in schema.fields]
+        phys = {c: mapping.get(c, c) for c in cols}
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        rows = []
+        for rel, add in sorted(delta_log._replay(self.table, hi).items()):
+            t = pq.read_table(os.path.join(self.table, rel))
+            names = set(t.column_names)
+            pv = add.get("partitionValues") or {}
+            fills = {
+                c: _cast_pv(pv.get(phys[c]), types[c])
+                for c in cols
+                if c in part_cols
+            }
+            dv = add.get("deletionVector")
+            dead = (
+                set(deletion_vectors.read_dv(self.table, dv)) if dv else set()
+            )
+            for pos, rec in enumerate(t.to_pylist()):
+                if pos in dead:
+                    continue
+                rows.append(
+                    tuple(
+                        fills[c] if c in fills
+                        else (rec.get(phys[c]) if phys[c] in names else None)
+                        for c in cols
+                    )
+                    + ("bootstrap_insert",)
+                )
+        return rows
 
     def _changes(self, lo: int, hi: int) -> list:
         import pyarrow.parquet as pq
@@ -436,10 +549,25 @@ class _DeltaTableCdcStreamReader:
         hi = delta_log.latest_version(self.table)
         if hi is None or hi <= lo:
             return (iter(()), {"version": lo})
-        return (self._changes(lo, hi), {"version": hi})
+        try:
+            return (self._changes(lo, hi), {"version": hi})
+        except FileNotFoundError:
+            # commits in (lo, hi] were cleaned up past the checkpoint
+            if self.starting != "retained":
+                raise
+            return (self._bootstrap_rows(hi), {"version": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._changes(int(start["version"]), int(end["version"]))
+        # iter(): restart replays hand this straight to the runner,
+        # which requires an ITERATOR
+        try:
+            return iter(
+                self._changes(int(start["version"]), int(end["version"]))
+            )
+        except FileNotFoundError:
+            if self.starting != "retained":
+                raise
+            return iter(self._bootstrap_rows(int(end["version"])))
 
     def commit(self, end: dict) -> None:
         pass  # committed versions are immutable — the log IS the ack
@@ -451,7 +579,12 @@ class DeltaTableCdcStreamDataSource(DataSource):
     changes (insert/delete in `_change_type`) since the checkpointed
     version — DV DELETE commits flow as signed delete rows, so
     `ivm.signed_state` materialized views refresh through merge-on-read
-    deletes exactly once, the same loop the Iceberg CDC source drives."""
+    deletes exactly once, the same loop the Iceberg CDC source drives.
+    Option ``starting_version``: 'earliest' (default — full retained
+    history, raises on expiry), 'latest' (fresh checkpoints start at
+    the head), or 'retained' (an expired range re-bootstraps as the
+    full current snapshot tagged 'bootstrap_insert' — a downstream
+    state reset; see `_starting_mode`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -501,6 +634,15 @@ def _iceberg_partition_value(v, type_name: str):
         return datetime.datetime(1970, 1, 1) + datetime.timedelta(
             microseconds=int(v)
         )
+    if type_name.startswith("decimal"):
+        import decimal
+        import re
+
+        m = re.match(r"decimal\((\d+),\s*(-?\d+)\)", type_name)
+        d = decimal.Decimal(v)
+        if m:
+            d = d.quantize(decimal.Decimal(1).scaleb(-int(m.group(2))))
+        return d
     return v
 
 
@@ -573,7 +715,11 @@ class _IcebergTableStreamReader:
         return (list(self._rows(self._added_files(lo, hi))), {"seq": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return list(self._rows(self._added_files(int(start["seq"]), int(end["seq"]))))
+        # iter(): restart replays hand this straight to the runner,
+        # which requires an ITERATOR
+        return iter(
+            list(self._rows(self._added_files(int(start["seq"]), int(end["seq"]))))
+        )
 
     def commit(self, end: dict) -> None:
         pass  # committed snapshots are immutable — the metadata IS the ack
@@ -595,17 +741,8 @@ class IcebergTableStreamDataSource(DataSource):
 
         meta = iceberg.current_metadata(self.options["path"])
         schema = meta["schemas"][meta["current-schema-id"]]
-        back = {
-            "long": T.LongType(), "int": T.IntegerType(),
-            "string": T.StringType(), "double": T.DoubleType(),
-            "float": T.FloatType(), "boolean": T.BooleanType(),
-            "date": T.DateType(), "timestamptz": T.TimestampType(),
-            # plain (ntz) timestamps must NOT map to TimestampType or
-            # naive values get session-timezone-shifted
-            "timestamp": T.TimestampNTZType(),
-        }
         return T.StructType(
-            [T.StructField(f["name"], back[f["type"]], True)
+            [T.StructField(f["name"], _iceberg_spark_type(f["type"]), True)
              for f in schema["fields"]]
         )
 
@@ -632,9 +769,109 @@ class _IcebergTableCdcStreamReader:
 
     def __init__(self, options: dict) -> None:
         self.table = options["path"]
+        self.starting = _starting_mode(options, "starting_sequence")
 
     def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            from march_mania_spark_lakehouse_spark.sources import iceberg
+
+            if iceberg.current_version(self.table) is None:
+                return {"seq": 0}
+            return {
+                "seq": iceberg.current_metadata(self.table)[
+                    "last-sequence-number"
+                ]
+            }
         return {"seq": 0}
+
+    def _bootstrap_rows(self, meta: dict) -> list:
+        """The re-bootstrap batch: every row live at the CURRENT
+        snapshot (position deletes, deletion vectors, and the
+        strictly-lower equality-delete rule applied driver-side),
+        tagged 'bootstrap_insert' — a downstream state RESET."""
+        import pyarrow.parquet as pq
+
+        from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
+
+        sid = meta["current-snapshot-id"]
+        if sid == -1:
+            return []
+        snap = iceberg._snapshot(meta, sid)
+        schema = meta["schemas"][meta["current-schema-id"]]
+        cols = [f["name"] for f in schema["fields"]]
+        identity = set(iceberg._identity_part_cols(meta))
+        types = {f["name"]: f["type"] for f in schema["fields"]}
+        by_fid = {f["id"]: f["name"] for f in schema["fields"]}
+        datafiles: dict = {}  # path -> (seq, partition tuple)
+        tomb: dict = {}  # path -> set(dead positions)
+        eq: list = []  # (seq, key cols, keyset)
+        pos_files: list = []
+        for m in avro_ocf.read_ocf(snap["manifest-list"]):
+            for e in avro_ocf.read_ocf(m["manifest_path"]):
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                c = d.get("content", 0)
+                if c == 0:
+                    datafiles[d["file_path"]] = (
+                        e["sequence_number"], d.get("partition") or {}
+                    )
+                elif c == 1:
+                    if (d.get("file_format") or "").upper() == "PUFFIN":
+                        tomb.setdefault(
+                            d["referenced_data_file"], set()
+                        ).update(
+                            iceberg.read_dv_blob(
+                                d["file_path"],
+                                d["content_offset"],
+                                d["content_size_in_bytes"],
+                            )
+                        )
+                    else:
+                        pos_files.append(d["file_path"])
+                else:
+                    kcols = [by_fid[i] for i in d.get("equality_ids") or []]
+                    keyset = {
+                        tuple(r.get(kc) for kc in kcols)
+                        for r in pq.read_table(
+                            d["file_path"], columns=kcols
+                        ).to_pylist()
+                    }
+                    eq.append((e["sequence_number"], kcols, keyset))
+        for p in sorted(pos_files):
+            t = pq.read_table(p)
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                tomb.setdefault(fp, set()).add(pos)
+        rows = []
+        for fp in sorted(datafiles):
+            dseq, part = datafiles[fp]
+            t = pq.read_table(fp)
+            names = set(t.column_names)
+            fills = {
+                c: _iceberg_partition_value(part.get(c), types[c])
+                for c in cols
+                if c in identity
+            }
+            gone = tomb.get(fp, ())
+            for pos, rec in enumerate(t.to_pylist()):
+                if pos in gone:
+                    continue
+                vals = {
+                    c: fills[c] if c in fills
+                    else (rec.get(c) if c in names else None)
+                    for c in cols
+                }
+                if any(
+                    dseq < s and tuple(vals.get(c) for c in kc) in ks
+                    for s, kc, ks in eq
+                ):
+                    continue
+                rows.append(
+                    tuple(vals[c] for c in cols) + ("bootstrap_insert",)
+                )
+        return rows
 
     def _changes(self, lo: int, hi: int) -> list:
         import pyarrow.parquet as pq
@@ -823,6 +1060,7 @@ class _IcebergTableCdcStreamReader:
         pby_fid = {f["id"]: f["name"] for f in schema["fields"]}
         datafiles: dict = {}  # path -> (seq, partition tuple)
         pos_files: list = []
+        dv_tomb: dict = {}  # path -> set(positions) from parent v3 DVs
         parent_eq: list = []  # (seq, cols, path)
         for m in avro_ocf.read_ocf(psnap["manifest-list"]):
             for e in avro_ocf.read_ocf(m["manifest_path"]):
@@ -835,7 +1073,20 @@ class _IcebergTableCdcStreamReader:
                         e["sequence_number"], d.get("partition") or {}
                     )
                 elif c == 1:
-                    pos_files.append(d["file_path"])
+                    if (d.get("file_format") or "").upper() == "PUFFIN":
+                        # parent carries v3 deletion vectors: decode
+                        # the blob, never pq.read_table a Puffin file
+                        dv_tomb.setdefault(
+                            d["referenced_data_file"], set()
+                        ).update(
+                            iceberg.read_dv_blob(
+                                d["file_path"],
+                                d["content_offset"],
+                                d["content_size_in_bytes"],
+                            )
+                        )
+                    else:
+                        pos_files.append(d["file_path"])
                 else:
                     parent_eq.append(
                         (
@@ -844,7 +1095,7 @@ class _IcebergTableCdcStreamReader:
                             d["file_path"],
                         )
                     )
-        tomb: dict = {}
+        tomb: dict = dv_tomb
         for p in sorted(pos_files):
             t = pq.read_table(p)
             for fp, pos in zip(
@@ -898,13 +1149,31 @@ class _IcebergTableCdcStreamReader:
         lo = int(start["seq"])
         if iceberg.current_version(self.table) is None:
             return (iter(()), {"seq": lo})
-        hi = iceberg.current_metadata(self.table)["last-sequence-number"]
+        meta = iceberg.current_metadata(self.table)
+        hi = meta["last-sequence-number"]
         if hi <= lo:
             return (iter(()), {"seq": lo})
-        return (self._changes(lo, hi), {"seq": hi})
+        try:
+            return (self._changes(lo, hi), {"seq": hi})
+        except ValueError:
+            # snapshots in (lo, hi] were expired past the checkpoint
+            if self.starting != "retained":
+                raise
+            return (self._bootstrap_rows(meta), {"seq": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._changes(int(start["seq"]), int(end["seq"]))
+        # iter(): restart replays hand this straight to the runner,
+        # which requires an ITERATOR
+        try:
+            return iter(self._changes(int(start["seq"]), int(end["seq"])))
+        except ValueError:
+            if self.starting != "retained":
+                raise
+            from march_mania_spark_lakehouse_spark.sources import iceberg
+
+            return iter(
+                self._bootstrap_rows(iceberg.current_metadata(self.table))
+            )
 
     def commit(self, end: dict) -> None:
         pass
@@ -915,7 +1184,12 @@ class IcebergTableCdcStreamDataSource(DataSource):
     after registering: micro-batches carry the table's row-level
     changes (insert/delete in `_change_type`) since the checkpointed
     sequence number — feed them to `ivm.signed_state` and a streaming
-    materialized view refreshes through merge-on-read DELETEs."""
+    materialized view refreshes through merge-on-read DELETEs.
+    Option ``starting_sequence``: 'earliest' (default — full retained
+    history, raises on expiry), 'latest' (fresh checkpoints start at
+    the head), or 'retained' (an expired range re-bootstraps as the
+    full current snapshot tagged 'bootstrap_insert' — a downstream
+    state reset; see `_starting_mode`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -928,17 +1202,8 @@ class IcebergTableCdcStreamDataSource(DataSource):
 
         meta = iceberg.current_metadata(self.options["path"])
         schema = meta["schemas"][meta["current-schema-id"]]
-        back = {
-            "long": T.LongType(), "int": T.IntegerType(),
-            "string": T.StringType(), "double": T.DoubleType(),
-            "float": T.FloatType(), "boolean": T.BooleanType(),
-            "date": T.DateType(), "timestamptz": T.TimestampType(),
-            # plain (ntz) timestamps must NOT map to TimestampType or
-            # naive values get session-timezone-shifted
-            "timestamp": T.TimestampNTZType(),
-        }
         return T.StructType(
-            [T.StructField(f["name"], back[f["type"]], True)
+            [T.StructField(f["name"], _iceberg_spark_type(f["type"]), True)
              for f in schema["fields"]]
             + [T.StructField("_change_type", T.StringType(), False)]
         )

@@ -145,17 +145,28 @@ def test_partitioned_table_identity_projection(spark, table):
     assert indep_b == engine_b
 
 
-def test_concurrent_commit_single_winner(spark, table):
-    """The version-file put-if-absent: manufacturing the next metadata
-    version externally makes the writer's commit lose loudly."""
+def test_concurrent_commit_single_winner(spark, table, monkeypatch):
+    """The version-file put-if-absent: a garbage file claiming the next
+    metadata version BETWEEN plan and link makes the writer's commit
+    lose loudly — the winner isn't readable as an Iceberg table, so the
+    blind-append rebase must refuse, not crash or clobber."""
     iceberg.create(_df(spark, [(1, "a", 1.0)]), table)
-    v = iceberg.current_version(table)
-    blocker = os.path.join(table, "metadata", f"v{v + 1}.metadata.json")
-    with open(blocker, "w") as f:
-        f.write("{}")
-    with pytest.raises(iceberg.IcebergConcurrentCommitError):
+    real = iceberg._write_metadata
+    state = {"armed": True}
+
+    def racy(t, meta):
+        if state["armed"]:
+            state["armed"] = False
+            v = iceberg.current_version(t)
+            with open(
+                os.path.join(t, "metadata", f"v{v + 1}.metadata.json"), "w"
+            ) as f:
+                f.write("{}")
+        return real(t, meta)
+
+    monkeypatch.setattr(iceberg, "_write_metadata", racy)
+    with pytest.raises(iceberg.IcebergConcurrentModificationError):
         iceberg.append(_df(spark, [(2, "b", 2.0)]), table)
-    os.unlink(blocker)
 
 
 def test_avro_ocf_roundtrip_vs_independent_decoder():
@@ -626,7 +637,12 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
     import random
 
     rng = random.Random(20260814)
-    for trial in range(3):
+    for trial in range(4):
+        # trial 3 runs the same operation mix on a format_version=3
+        # table: row-level deletes land as deletion vectors, rewrites
+        # consolidate tombstones into DVs, and every composition must
+        # keep both readers in agreement
+        fmt = 3 if trial == 3 else 2
         table = str(tmp_path / f"rand_{trial}")
         next_id = [0]
         cat_name = ["cat"]  # logical name of the 2nd column, may rename
@@ -640,7 +656,10 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
             # writes must use the CURRENT logical column names
             return _df(spark, rows).withColumnRenamed("cat", cat_name[0])
 
-        iceberg.create(_df(spark, fresh_rows(rng.randrange(3, 8))), table)
+        iceberg.create(
+            _df(spark, fresh_rows(rng.randrange(3, 8))), table,
+            format_version=fmt,
+        )
         for _ in range(5):
             op = rng.choice(
                 ["append", "overwrite", "pos_delete", "eq_delete", "upsert",
