@@ -1267,3 +1267,80 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q217 — CROSS-FORMAT DV INTEROP: a Delta table with live deletion
+# vectors round-trips Delta → Iceberg v3 → Delta over ONE set of data
+# files. Both formats frame DV blobs identically (u32 BE size + magic +
+# portable 64-bit roaring + u32 BE CRC, per both public specs), so the
+# converters move the framed bytes VERBATIM — a bitmap is never decoded,
+# a data file never rewritten; only sidecar + metadata objects are new.
+# The aggregate reads the ROUND-TRIPPED Delta layer, so a defect in
+# either conversion (or in either format's DV scan) hash-mismatches the
+# plain filtered oracle. At 100 TB this is the migration story: moving a
+# DV table between lake formats costs O(metadata + sidecars), zero data
+# movement.
+# --------------------------------------------------------------------------
+
+_Q217_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 3 = 1 AND o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _dv_interop_roundtrip_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: Delta table of orders key%3=1, a DV
+    delete of key%7=0, then convert_from_delta → Iceberg v3 →
+    convert_to_delta. Returns the round-tripped Delta table. Guarded on
+    the TERMINAL artifact (the round-tripped log exists); a crash
+    mid-publish rebuilds from scratch."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"dv-interop|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_dv_interop", fp)
+    d1 = os.path.join(root, "delta_src")
+    ice = os.path.join(root, "ice_mid")
+    d2 = os.path.join(root, "delta_back")
+    if os.path.exists(root) and delta_log.latest_version(d2) is None:
+        shutil.rmtree(root)  # partial publish: rebuild, never poison
+    if delta_log.latest_version(d2) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 3 == 1), d1
+        )
+        delta_log.delete_where(spark, d1, "o_orderkey % 7 = 0")
+        iceberg.convert_from_delta(d1, ice)
+        iceberg.convert_to_delta(ice, d2)
+    return d2
+
+
+@query("q217_cross_format_dv_interop", oracle=_Q217_SQL, tags=("lake", "agg"))
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the Delta → Iceberg v3 → Delta round-trip of a
+    deletion-vector table: the DV bitmaps crossed the format line twice
+    as verbatim bytes, so the survivors must hash-match the plain
+    double-filtered relational aggregate."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _dv_interop_roundtrip_table(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -288,6 +288,58 @@ def write_dv_file(table: str, dvs: "dict[str, list[int]]") -> "dict[str, dict]":
     )
 
 
+def framed_dv_bytes(table: str, descriptor: dict) -> bytes:
+    """One DV's FRAMED record — ``u32 BE size + data + u32 BE CRC-32``
+    — exactly as it sits in the sidecar, CRC-verified. This framing is
+    byte-identical to an Iceberg Puffin ``deletion-vector-v1`` blob
+    (deliberately, per both public specs), so cross-format conversion
+    (`iceberg.convert_from_delta`) moves these bytes VERBATIM into a
+    Puffin file: the bitmap is never decoded or re-encoded. Inline
+    ("i") descriptors carry unframed data and are framed here."""
+    if descriptor["storageType"] == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"])
+    else:
+        with open(dv_file_path(table, descriptor), "rb") as f:
+            f.seek(descriptor["offset"])
+            (size,) = struct.unpack(">I", f.read(4))
+            if size != descriptor["sizeInBytes"]:
+                raise ValueError(
+                    f"DV size {size} != descriptor sizeInBytes "
+                    f"{descriptor['sizeInBytes']}"
+                )
+            data = f.read(size)
+            (crc,) = struct.unpack(">I", f.read(4))
+            if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+                raise ValueError("DV checksum mismatch")
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad DV magic {magic}")
+    return (
+        struct.pack(">I", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+
+
+def unframe_dv(blob: bytes) -> bytes:
+    """Strip the ``size + CRC`` framing off one framed DV record (a
+    Delta sidecar record or — identically — an Iceberg Puffin
+    ``deletion-vector-v1`` blob), verifying the CRC and magic; returns
+    the raw data (magic + portable bitmap) ready for
+    :func:`write_dv_blobs`. The inverse of :func:`framed_dv_bytes` —
+    together they let `iceberg.convert_to_delta` move DV bitmaps
+    across formats without ever deserializing a position."""
+    (size,) = struct.unpack_from(">I", blob, 0)
+    data = blob[4: 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, 4 + size)
+    if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+        raise ValueError("DV checksum mismatch")
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad DV magic {magic}")
+    return data
+
+
 def dv_file_path(table: str, descriptor: dict) -> str:
     """Resolve a storageType "u"/"p" descriptor to its absolute path."""
     st = descriptor["storageType"]
