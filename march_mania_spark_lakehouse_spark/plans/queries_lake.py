@@ -1344,3 +1344,86 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q218 — UNIFORM-STYLE CONTINUOUS SYNC: after convert_from_delta, the
+# Delta table keeps committing (an append, then a DV delete) and
+# `sync_from_delta` replays each commit onto the Iceberg mirror — one
+# snapshot per Delta version, DV sidecar records moved verbatim into
+# Puffin blobs, zero data movement ever. The aggregate reads the MIRROR,
+# so a defect anywhere in the replay (append mapping, DV framing,
+# manifest carry-over) hash-mismatches the plain filtered oracle. At
+# 100 TB this is the dual-format production story: the mirror's sync
+# cost is O(changed manifests + sidecar bytes) per commit, and Iceberg
+# consumers (feeds, IVM, streams) follow the Delta writer at commit
+# granularity.
+# --------------------------------------------------------------------------
+
+_Q218_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2) AND o_orderkey % 5 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _delta_sync_mirror_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: Delta v0 = orders key%4=1 →
+    convert_from_delta → Delta v1 append of key%4=2 → Delta v2 DV
+    delete of key%5=0 → sync_from_delta. Returns the Iceberg mirror.
+    Guarded on the TERMINAL sync cursor (migrated-delta-version == 2);
+    a crash mid-publish rebuilds from scratch."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-sync|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_delta_sync", fp)
+    dt = os.path.join(root, "delta_src")
+    it = os.path.join(root, "ice_mirror")
+
+    def _cursor() -> "str | None":
+        if iceberg.current_version(it) is None:
+            return None
+        return iceberg.current_metadata(it)["properties"].get(
+            "migrated-delta-version"
+        )
+
+    if os.path.exists(root) and _cursor() != "2":
+        shutil.rmtree(root)  # partial publish: rebuild, never poison
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(orders.filter(F.col("o_orderkey") % 4 == 1), dt)
+        iceberg.convert_from_delta(dt, it)
+        delta_log.append(orders.filter(F.col("o_orderkey") % 4 == 2), dt)
+        delta_log.delete_where(spark, dt, "o_orderkey % 5 = 0")
+        iceberg.sync_from_delta(dt, it)
+    return it
+
+
+@query("q218_delta_to_iceberg_continuous_sync", oracle=_Q218_SQL, tags=("lake", "agg"))
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the Iceberg MIRROR of a Delta table that kept
+    committing after conversion (append + DV delete, replayed by
+    sync_from_delta): the mirror must serve exactly the Delta head, so
+    the oracle is the plain double-filtered aggregate."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _delta_sync_mirror_table(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -55,6 +55,7 @@ while queries keep filtering the SOURCE columns.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -3263,6 +3264,18 @@ def merge(
     )
 
 
+def _delta_linked_rel(part_cols, pv: dict, delta_rel: str) -> str:
+    """Deterministic hive-layout location for a hard-linked Delta data
+    file: the basename is a digest of the source's LOG-relative path,
+    so :func:`sync_from_delta` can map later remove / re-add actions
+    onto the linked file with NO stored state (distinct sources →
+    distinct digests), while either table's name for the inode can
+    still be deleted independently."""
+    dirs = os.path.join(*(f"{c}={pv[c]}" for c in part_cols))
+    name = hashlib.sha256(delta_rel.encode()).hexdigest()[:32] + ".parquet"
+    return os.path.join("data", dirs, name)
+
+
 def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
     """In-place metadata migration: register a Delta table's CURRENT
     snapshot as a new Iceberg table WITHOUT copying or rewriting any
@@ -3386,8 +3399,7 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
                 )
                 for c in part_cols
             }
-            dirs = os.path.join(*(f"{c}={pv[c]}" for c in part_cols))
-            dst_rel = os.path.join("data", dirs, f"{uuid.uuid4().hex}.parquet")
+            dst_rel = _delta_linked_rel(part_cols, pv, rel)
             dst = os.path.join(iceberg_table, dst_rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:
@@ -3689,6 +3701,488 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
     ]
     delta_log._write_commit(delta_table, 0, actions)
     return 0
+
+
+class DeltaSyncSchemaChangeError(NotImplementedError):
+    """A Delta commit in the sync range changed the schema or the
+    partition columns — the mirror cannot replay it (re-convert)."""
+
+
+def sync_from_delta(delta_table: str, iceberg_table: str) -> int:
+    """UniForm-style CONTINUOUS metadata sync: replay the Delta commits
+    made since :func:`convert_from_delta` (or the previous sync) onto
+    the Iceberg mirror — one Iceberg snapshot per Delta version, zero
+    data movement, ever. This is the production dual-format story: the
+    Delta table stays the single writer, and Iceberg readers follow it
+    at commit granularity (time travel, change feeds, and the streaming
+    CDC source all see the mirrored history).
+
+    Per-commit mapping (all actions read from the public Delta log):
+
+    - blind APPEND (adds only) → Iceberg ``append`` snapshot
+      referencing the new files in place (unpartitioned) or by hard
+      link (partitioned — same deterministic digest layout as the
+      initial conversion, so remove/re-add actions map statelessly).
+    - DV DELETE / UPDATE (``remove`` + re-``add`` of the same path
+      carrying a deletionVector) → ``delete`` snapshot whose Puffin
+      DVs are the Delta sidecar records' FRAMED BYTES moved verbatim
+      (both specs frame identically — the bitmap is never decoded);
+      Delta descriptors are complete per-file bitmaps, so the new blob
+      REPLACES the file's previous DV entry, exactly v3's
+      merge-and-replace rule. A v2 mirror auto-upgrades to
+      format-version 3 on its first synced DV. UPDATE's new files ride
+      the same snapshot as appends.
+    - re-add WITHOUT a DV of a file that had one (Delta DROPPED the
+      vector, e.g. restore) → the mirror drops the DV entry.
+    - OPTIMIZE (``dataChange=false``) → ``operation='replace'``
+      snapshot: change feeds skip it, per both specs.
+    - OVERWRITE / copy-on-write rewrites (removed files with
+      ``dataChange=true``) → ``operation='overwrite'``: reads stay
+      exact; row-level feeds honestly refuse the snapshot (a
+      file-level rewrite does not decompose).
+    - configuration-only ``metaData`` commits bump the sync cursor
+      with no snapshot; SCHEMA or partition-column changes raise
+      :class:`DeltaSyncSchemaChangeError` (honest gate — replaying
+      schema evolution needs field-id reconciliation).
+
+    The sync cursor is the mirror's ``migrated-delta-version``
+    property, so calls are incremental and idempotent (a no-op sync
+    writes nothing). Cost per sync is O(changed manifests + sidecar
+    bytes): untouched data manifests are CARRIED by reference in the
+    new manifest list, never rewritten — at 100 TB a daily delete
+    syncs in seconds because the mirror only rewrites the delete
+    manifest it consolidates.
+
+    Returns the new Iceberg metadata version (or the current one if
+    already up to date)."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    meta = current_metadata(iceberg_table)
+    props = meta.get("properties", {})
+    if "migrated-delta-version" not in props:
+        raise ValueError(
+            f"{iceberg_table} was not created by convert_from_delta; "
+            "nothing to sync"
+        )
+    recorded = props.get("migrated-from")
+    if recorded and os.path.realpath(recorded) != os.path.realpath(
+        delta_table
+    ):
+        raise ValueError(
+            f"mirror tracks {recorded}, not {os.path.abspath(delta_table)}"
+        )
+    last_synced = int(props["migrated-delta-version"])
+    latest = delta_log.latest_version(delta_table)
+    if latest is None:
+        raise FileNotFoundError(f"{delta_table} has no Delta log")
+    for v in range(last_synced + 1, latest + 1):
+        _sync_delta_commit(delta_table, iceberg_table, v)
+    return current_version(iceberg_table)
+
+
+def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
+    """Replay ONE Delta commit onto the mirror (see
+    :func:`sync_from_delta` for the mapping)."""
+    import pyarrow.parquet as pq
+
+    from march_mania_spark_lakehouse_spark.sources import (
+        delta_log,
+        deletion_vectors,
+        puffin as _puffin,
+    )
+
+    actions = delta_log._read_actions(delta_log._commit_path(delta_table, v))
+    meta = dict(current_metadata(iceberg_table))
+
+    def _bump_cursor_only() -> None:
+        props = dict(meta.get("properties", {}))
+        props["migrated-delta-version"] = str(v)
+        meta["properties"] = props
+        _write_metadata(iceberg_table, meta)
+
+    # ---- gates: schema / partition changes don't replay -------------
+    for a in actions:
+        md = a.get("metaData")
+        if md is None:
+            continue
+        prev_schema = delta_log.table_schema(delta_table, v - 1)
+        prev_parts = delta_log.table_partition_columns(delta_table, v - 1)
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        new_schema = T.StructType.fromJson(_json.loads(md["schemaString"]))
+        if [
+            (f.name, f.dataType.simpleString()) for f in new_schema.fields
+        ] != [
+            (f.name, f.dataType.simpleString()) for f in prev_schema.fields
+        ] or list(md.get("partitionColumns") or []) != list(prev_parts):
+            raise DeltaSyncSchemaChangeError(
+                f"delta version {v} changes the schema or partition "
+                "columns; the mirror cannot replay it — re-convert"
+            )
+    adds = {a["add"]["path"]: a["add"] for a in actions if "add" in a}
+    removes = {
+        a["remove"]["path"]: a["remove"] for a in actions if "remove" in a
+    }
+    if not adds and not removes:
+        _bump_cursor_only()  # config/protocol/txn-only commit
+        return
+
+    part_cols = delta_log.table_partition_columns(delta_table, v)
+    sid = meta["current-snapshot-id"]
+    snap = _snapshot(meta, sid)
+    prior_ml = avro_ocf.read_ocf(snap["manifest-list"])
+
+    # live data entries of the mirror, for stateless path mapping
+    live_by_fp: dict[str, dict] = {}
+    for m in prior_ml:
+        if m.get("content", 0) != 0:
+            continue
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] in (0, 1) and e["data_file"].get("content", 0) == 0:
+                live_by_fp[e["data_file"]["file_path"]] = e
+    by_digest = {os.path.basename(fp): fp for fp in live_by_fp}
+
+    def fp_of_existing(rel: str) -> str:
+        if not part_cols:
+            return rel if os.path.isabs(rel) else os.path.abspath(
+                os.path.join(delta_table, rel)
+            )
+        name = hashlib.sha256(rel.encode()).hexdigest()[:32] + ".parquet"
+        if name not in by_digest:
+            raise ValueError(
+                f"delta path {rel!r} has no linked mirror file — was the "
+                "mirror created by an older convert_from_delta? re-convert"
+            )
+        return by_digest[name]
+
+    # ---- classify the commit's actions ------------------------------
+    dv_updates: "list[tuple[str, bytes, int]]" = []  # (fp, framed, card)
+    dv_drops: set = set()
+    staged: "list[tuple[str, dict, int, int]]" = []
+    removed_fps: set = set()
+    data_change = any(
+        x.get("dataChange", True)
+        for x in list(adds.values()) + list(removes.values())
+    )
+    for rel in sorted(removes):
+        if rel not in adds:
+            removed_fps.add(fp_of_existing(rel))
+    dv_fps_prior = {
+        e["referenced_data_file"]
+        for e in snapshot_dv_entries(iceberg_table, sid)
+    }
+    for rel in sorted(adds):
+        add = adds[rel]
+        desc = add.get("deletionVector")
+        is_readd = rel in removes or (
+            not part_cols
+            and fp_of_existing(rel) in live_by_fp
+        )
+        if is_readd:
+            fp = fp_of_existing(rel)
+            if desc:
+                dv_updates.append(
+                    (
+                        fp,
+                        deletion_vectors.framed_dv_bytes(delta_table, desc),
+                        int(desc["cardinality"]),
+                    )
+                )
+            elif fp in dv_fps_prior:
+                dv_drops.add(fp)  # delta dropped the file's vector
+            continue
+        # genuinely new data file
+        src = (
+            rel
+            if os.path.isabs(rel)
+            else os.path.abspath(os.path.join(delta_table, rel))
+        )
+        stats = json.loads(add.get("stats") or "{}")
+        n_rows = stats.get("numRecords")
+        if n_rows is None:
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+        pvals = delta_log._normalize_partition_values(
+            add.get("partitionValues")
+        )
+        if part_cols:
+            for c in part_cols:
+                val = pvals.get(c)
+                if val is not None and any(ch in val for ch in "%=/\\:\n"):
+                    raise NotImplementedError(
+                        f"partition value {val!r} needs hive escaping"
+                    )
+            pv = {
+                c: (
+                    pvals[c]
+                    if pvals.get(c) is not None
+                    else "__HIVE_DEFAULT_PARTITION__"
+                )
+                for c in part_cols
+            }
+            dst_rel = _delta_linked_rel(part_cols, pv, rel)
+            dst = os.path.join(iceberg_table, dst_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+            staged.append((dst_rel, pv, int(n_rows), os.path.getsize(src)))
+            if desc:
+                dv_updates.append(
+                    (
+                        os.path.join(
+                            os.path.abspath(iceberg_table), dst_rel
+                        ),
+                        deletion_vectors.framed_dv_bytes(delta_table, desc),
+                        int(desc["cardinality"]),
+                    )
+                )
+        else:
+            staged.append((src, {}, int(n_rows), os.path.getsize(src)))
+            if desc:
+                dv_updates.append(
+                    (
+                        src,
+                        deletion_vectors.framed_dv_bytes(delta_table, desc),
+                        int(desc["cardinality"]),
+                    )
+                )
+
+    if not (staged or dv_updates or dv_drops or removed_fps):
+        _bump_cursor_only()  # stats-refresh re-adds: nothing to mirror
+        return
+
+    # ---- build the mirrored snapshot ---------------------------------
+    if not data_change:
+        operation = "replace"
+    elif removed_fps:
+        operation = "overwrite"
+    elif dv_updates or dv_drops:
+        operation = "delete"
+    else:
+        operation = "append"
+    if dv_updates and int(meta.get("format-version", 2)) < 3:
+        meta["format-version"] = 3  # first synced DV upgrades the mirror
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    schema = meta["schemas"][meta["current-schema-id"]]
+    spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    entry_schema = _with_equality_ids(
+        _manifest_entry_schema(_partition_record_schema(spec, schema))
+    )
+    manifests: list[dict] = []
+
+    # data manifests: carried by reference unless they lose a file
+    for m in prior_ml:
+        if m.get("content", 0) != 0:
+            continue
+        entries = avro_ocf.read_ocf(m["manifest_path"])
+        if not any(
+            e["status"] in (0, 1)
+            and e["data_file"]["file_path"] in removed_fps
+            for e in entries
+        ):
+            manifests.append(m)
+            continue
+        survivors = [
+            {
+                "status": 0,
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": {
+                    **e["data_file"],
+                    "equality_ids": e["data_file"].get("equality_ids"),
+                },
+            }
+            for e in entries
+            if e["status"] in (0, 1)
+            and e["data_file"]["file_path"] not in removed_fps
+        ]
+        if not survivors:
+            continue  # the whole manifest was removed
+        m_path = os.path.join(
+            _meta_dir(iceberg_table), f"{uuid.uuid4().hex}-m0.avro"
+        )
+        avro_ocf.write_ocf(m_path, entry_schema, survivors)
+        manifests.append(
+            {
+                "manifest_path": m_path,
+                "manifest_length": os.path.getsize(m_path),
+                "partition_spec_id": meta["default-spec-id"],
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in survivors
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(survivors),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in survivors
+                ),
+                "deleted_rows_count": 0,
+            }
+        )
+    if staged:
+        m_path, m_len, n_files, n_rows = _write_manifest(
+            iceberg_table, meta, staged, snapshot_id, seq
+        )
+        manifests.append(
+            {
+                "manifest_path": m_path,
+                "manifest_length": m_len,
+                "partition_spec_id": meta["default-spec-id"],
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": n_files,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    # delete manifests: consolidate (the _commit_dv_delete rule — new
+    # DV replaces the file's previous one; removed files shed theirs)
+    touched = {fp for fp, _, _ in dv_updates} | dv_drops | removed_fps
+    old_del_entries: list[dict] = []
+    for m in prior_ml:
+        if m.get("content", 0) != 1:
+            continue
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] == 2:
+                continue
+            d = e["data_file"]
+            is_dv = (d.get("file_format") or "").upper() == "PUFFIN"
+            if is_dv and d.get("referenced_data_file") in touched:
+                continue
+            old_del_entries.append(e)
+    if old_del_entries or dv_updates:
+        records = [
+            {
+                "status": 0,
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": {
+                    **e["data_file"],
+                    "equality_ids": e["data_file"].get("equality_ids"),
+                },
+            }
+            for e in old_del_entries
+        ]
+        if dv_updates:
+            name = os.path.join(
+                os.path.abspath(iceberg_table),
+                "data",
+                f"dv-{uuid.uuid4().hex}.puffin",
+            )
+            os.makedirs(os.path.dirname(name), exist_ok=True)
+            info = _puffin.write_puffin(
+                name,
+                [
+                    {
+                        "type": "deletion-vector-v1",
+                        "fields": [],
+                        "snapshot-id": snapshot_id,
+                        "sequence-number": seq,
+                        "payload": framed,
+                        "properties": {
+                            "referenced-data-file": fp,
+                            "cardinality": str(card),
+                        },
+                    }
+                    for fp, framed, card in dv_updates
+                ],
+            )
+            for (fp, framed, card), bm in zip(
+                dv_updates, info["blob-metadata"]
+            ):
+                records.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": name,
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": card,
+                            "file_size_in_bytes": os.path.getsize(name),
+                            "referenced_data_file": fp,
+                            "content_offset": bm["offset"],
+                            "content_size_in_bytes": bm["length"],
+                        },
+                    }
+                )
+        if records:
+            m_path = os.path.join(
+                _meta_dir(iceberg_table), f"{uuid.uuid4().hex}-m0.avro"
+            )
+            avro_ocf.write_ocf(m_path, entry_schema, records)
+            manifests.append(
+                {
+                    "manifest_path": m_path,
+                    "manifest_length": os.path.getsize(m_path),
+                    "partition_spec_id": meta["default-spec-id"],
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        [seq] + [e["sequence_number"] for e in old_del_entries]
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(dv_updates),
+                    "existing_files_count": len(old_del_entries),
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(c for _, _, c in dv_updates),
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in old_del_entries
+                    ),
+                    "deleted_rows_count": 0,
+                }
+            )
+
+    ml_path = _write_manifest_list(iceberg_table, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": operation,
+            "delta-version": str(v),
+            "added-dvs": str(len(dv_updates)),
+        },
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": sid,
+    }
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    props = dict(meta.get("properties", {}))
+    props["migrated-delta-version"] = str(v)
+    meta["properties"] = props
+    _write_metadata(iceberg_table, meta)
 
 
 def _commit_dv_delete(

@@ -726,6 +726,35 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
                 assert sorted(indep.read_rows(table, sid)) == _spark_rows(
                     spark, table, sid
                 ), f"trial {trial} snapshot {sid} diverged"
+        # cross-format conversion of whatever state the trial left
+        # behind: pos/eq delete files and transform partition specs
+        # refuse (sanctioned NotImplementedError); every convertible
+        # state — including v3 DV states — must round-trip through
+        # BOTH clean-room readers with the identical row multiset
+        from march_mania_spark_lakehouse_spark.sources import delta_log
+        from tests import delta_reader_independent as delta_indep
+
+        want = _spark_rows(spark, table)
+        d_out = str(tmp_path / f"rand_{trial}_delta")
+        try:
+            iceberg.convert_to_delta(table, d_out)
+        except NotImplementedError:
+            pass
+        else:
+            assert sorted(delta_indep.read_rows(d_out)) == want, (
+                f"trial {trial}: Delta conversion diverged"
+            )
+            ice_back = str(tmp_path / f"rand_{trial}_ice_back")
+            try:
+                iceberg.convert_from_delta(d_out, ice_back)
+            except NotImplementedError:
+                pass
+            else:
+                assert sorted(indep.read_rows(ice_back)) == want, (
+                    f"trial {trial}: round-trip conversion diverged"
+                )
+            # the source Iceberg layer is untouched by the conversion
+            assert _spark_rows(spark, table) == want
 
 
 def test_table_changes_append_only_feed(spark, table):
