@@ -1427,3 +1427,84 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q219 — REVERSE CONTINUOUS SYNC (Iceberg writer → Delta mirror): after
+# convert_to_delta, the Iceberg v3 table keeps committing (an append,
+# then a DV delete) and `sync_to_delta` replays each snapshot as one
+# Delta commit — state-diffed against the parent, DV Puffin blobs moved
+# verbatim into the mirror's sidecar, zero data movement. The aggregate
+# reads the DELTA mirror, so a defect in the snapshot diff, the DV
+# re-framing, or either format's scan hash-mismatches the plain filtered
+# oracle. Together with q218 this pins the full dual-format symmetry:
+# either format can be the single writer.
+# --------------------------------------------------------------------------
+
+_Q219_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 4 IN (0, 3) AND o_orderkey % 7 <> 0 AND o_orderkey > 0
+GROUP BY o_orderstatus
+"""
+
+
+def _iceberg_sync_mirror_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: Iceberg v3 snapshot 1 = orders
+    key%4=3 → convert_to_delta → snapshot 2 append of key%4=0 (key>0) →
+    snapshot 3 DV delete of key%7=0 → sync_to_delta. Returns the Delta
+    mirror. Guarded on the TERMINAL mirror version (one commit per
+    synced snapshot: CONVERT + 2 = version 2)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-sync|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_iceberg_sync", fp)
+    it = os.path.join(root, "ice_src")
+    dt = os.path.join(root, "delta_mirror")
+    if os.path.exists(root) and delta_log.latest_version(dt) != 2:
+        shutil.rmtree(root)  # partial publish: rebuild, never poison
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 4 == 3),
+            it,
+            format_version=3,
+        )
+        iceberg.convert_to_delta(it, dt)
+        iceberg.append(
+            orders.filter(
+                (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") > 0)
+            ),
+            it,
+        )
+        iceberg.delete_where(spark, it, "o_orderkey % 7 = 0")
+        iceberg.sync_to_delta(it, dt)
+    return dt
+
+
+@query("q219_iceberg_to_delta_continuous_sync", oracle=_Q219_SQL, tags=("lake", "agg"))
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the Delta MIRROR of an Iceberg v3 table that kept
+    committing after conversion (append + DV delete, replayed by
+    sync_to_delta): the mirror must serve exactly the Iceberg head."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _iceberg_sync_mirror_table(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -3597,19 +3597,6 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
     )
     os.makedirs(delta_table, exist_ok=True)
 
-    def _delta_partition_str(v, t: str) -> "str | None":
-        """Manifest representation → Delta partitionValues string
-        (inverse of `_typed_partition`: days-since-epoch back to ISO)."""
-        if v is None:
-            return None
-        if t == "date":
-            return (
-                datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
-            ).isoformat()
-        if t == "boolean":
-            return "true" if v else "false"
-        return str(v)
-
     adds = []
     dv_by_add_path: "dict[str, str]" = {}  # add-action path -> iceberg fp
     snap = _snapshot(meta, sid)
@@ -3622,7 +3609,7 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
                 continue  # delete manifests: DVs already gathered above
             if part_cols:
                 pv = {
-                    c: _delta_partition_str(
+                    c: _delta_pv_str(
                         (df_rec.get("partition") or {}).get(c), part_types[c]
                     )
                     for c in part_cols
@@ -3633,7 +3620,15 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
                         for c in part_cols
                     )
                 )
-                rel = os.path.join(dirs, f"{uuid.uuid4().hex}.parquet")
+                # basename = digest of the SOURCE manifest path, so
+                # sync_to_delta maps later snapshot diffs statelessly
+                name = (
+                    hashlib.sha256(
+                        df_rec["file_path"].encode()
+                    ).hexdigest()[:32]
+                    + ".parquet"
+                )
+                rel = os.path.join(dirs, name)
                 dst = os.path.join(delta_table, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 try:
@@ -3679,6 +3674,8 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
                 "operationParameters": {
                     "source": os.path.abspath(iceberg_table),
                     "sourceSnapshotId": str(sid),
+                    # the sync cursor sync_to_delta resumes from
+                    "sourceSequence": str(snap["sequence-number"]),
                 },
             }
         },
@@ -3701,6 +3698,23 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
     ]
     delta_log._write_commit(delta_table, 0, actions)
     return 0
+
+
+def _delta_pv_str(v, t: str) -> "str | None":
+    """Manifest representation → Delta partitionValues string (inverse
+    of `_typed_partition`: days-since-epoch back to ISO). Shared by
+    :func:`convert_to_delta` and :func:`sync_to_delta`."""
+    import datetime
+
+    if v is None:
+        return None
+    if t == "date":
+        return (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+        ).isoformat()
+    if t == "boolean":
+        return "true" if v else "false"
+    return str(v)
 
 
 class DeltaSyncSchemaChangeError(NotImplementedError):
@@ -4183,6 +4197,307 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
     props["migrated-delta-version"] = str(v)
     meta["properties"] = props
     _write_metadata(iceberg_table, meta)
+
+
+def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
+    """The REVERSE continuous sync: replay the Iceberg snapshots
+    committed since :func:`convert_to_delta` (or the previous sync)
+    onto the Delta mirror — one Delta commit per snapshot, zero data
+    movement. With :func:`sync_from_delta` this closes the symmetry:
+    either format can be the single writer while the other follows at
+    commit granularity.
+
+    Per-snapshot mapping, computed as a STATE DIFF against the parent
+    snapshot (so append / overwrite / compaction all reduce to the
+    same add/remove algebra):
+
+    - new data files → ``add`` actions (in place for unpartitioned
+      sources; hard-linked under the deterministic digest layout for
+      identity-partitioned ones);
+    - files gone from the snapshot → ``remove`` actions;
+    - a file whose DV changed → ``remove`` + re-``add`` with the new
+      ``deletionVector`` descriptor — the Puffin blob's framed bytes
+      moved verbatim into one fresh ``.bin`` sidecar per commit (the
+      protocol action upgrades the mirror to the deletionVectors
+      feature on the first synced DV); Delta's DV-delete feed shape
+      falls out exactly;
+    - ``operation='replace'`` (compaction / delete rewrites) →
+      ``dataChange=false`` on every action, so Delta change feeds skip
+      it, per both specs;
+    - position-delete parquet, equality deletes, schema changes, and
+      partition-spec changes raise (honest gates — Delta cannot
+      represent them; on a v3 table run `rewrite_position_deletes`
+      first).
+
+    The sync cursor is the ``sourceSequence`` recorded in each synced
+    commit's commitInfo (seeded by `convert_to_delta`); a foreign
+    commit on the mirror after the last sync raises — the mirror has
+    ONE writer, the sync. Calls are incremental and idempotent.
+    Returns the mirror's new latest version."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    meta = current_metadata(iceberg_table)
+    latest = delta_log.latest_version(delta_table)
+    if latest is None:
+        raise FileNotFoundError(f"{delta_table} has no Delta log")
+    cursor = None
+    for dv_ver in range(latest, -1, -1):
+        _op, params = delta_log._commit_operation(delta_table, dv_ver)
+        if "sourceSequence" in params:
+            src = params.get("source")
+            if src and os.path.realpath(src) != os.path.realpath(
+                iceberg_table
+            ):
+                raise ValueError(
+                    f"mirror tracks {src}, not "
+                    f"{os.path.abspath(iceberg_table)}"
+                )
+            if dv_ver != latest:
+                raise ValueError(
+                    f"{delta_table} has independent commits after its "
+                    f"last sync (version {dv_ver}); the mirror has "
+                    "diverged — re-convert"
+                )
+            cursor = int(params["sourceSequence"])
+            break
+    if cursor is None:
+        raise ValueError(
+            f"{delta_table} was not created by convert_to_delta; "
+            "nothing to sync"
+        )
+    # follow the MAIN lineage back from the head (meta["snapshots"]
+    # also holds staged/branch snapshots that never merged — those
+    # must not replay), stopping at the cursor
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    lineage: list[dict] = []
+    cur_id = meta["current-snapshot-id"]
+    while cur_id in by_id and by_id[cur_id]["sequence-number"] > cursor:
+        s = by_id[cur_id]
+        lineage.append(s)
+        if "parent-snapshot-id" not in s:
+            break
+        cur_id = s["parent-snapshot-id"]
+    if lineage and lineage[-1].get("parent-snapshot-id") is not None and (
+        lineage[-1]["parent-snapshot-id"] not in by_id
+    ):
+        raise ValueError(
+            "snapshots between the sync cursor and the head were "
+            "expired; the state diffs are unknowable — re-convert"
+        )
+    v = latest
+    for s in reversed(lineage):
+        v += 1
+        _sync_iceberg_snapshot(iceberg_table, delta_table, meta, s, v)
+    return v
+
+
+def _iceberg_data_entries(meta: dict, snapshot_id: int) -> "dict[str, dict]":
+    """file_path → data_file record of the LIVE data files at a
+    snapshot (content 0, status 0/1)."""
+    out: dict[str, dict] = {}
+    for m in avro_ocf.read_ocf(_snapshot(meta, snapshot_id)["manifest-list"]):
+        if m.get("content", 0) != 0:
+            continue
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] in (0, 1) and e["data_file"].get("content", 0) == 0:
+                out[e["data_file"]["file_path"]] = e["data_file"]
+    return out
+
+
+def _sync_iceberg_snapshot(
+    iceberg_table: str, delta_table: str, meta: dict, snap: dict, v: int
+) -> None:
+    """Replay ONE Iceberg snapshot onto the Delta mirror (see
+    :func:`sync_to_delta` for the mapping)."""
+    from march_mania_spark_lakehouse_spark.sources import (
+        delta_log,
+        deletion_vectors,
+    )
+
+    sid = snap["snapshot-id"]
+    parent = snap.get("parent-snapshot-id")
+    op = snap.get("summary", {}).get("operation")
+    if snapshot_delete_files(iceberg_table, sid):
+        raise NotImplementedError(
+            f"snapshot {sid} carries position-delete parquet; Delta "
+            "cannot represent it — rewrite_position_deletes on a v3 "
+            "table first"
+        )
+    if snapshot_equality_deletes(iceberg_table, sid):
+        raise NotImplementedError(
+            f"snapshot {sid} carries equality deletes; Delta cannot "
+            "represent them — compact first"
+        )
+    # schema / spec gates against the mirror's declared state
+    schema = meta["schemas"][
+        snap.get("schema-id", meta["current-schema-id"])
+    ]
+    _ICE_TO_SPARK = {
+        "long": "bigint", "int": "int", "string": "string",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "date": "date", "timestamptz": "timestamp",
+    }
+    mirror_schema = delta_log.table_schema(delta_table)
+    want = [(f["name"], _ICE_TO_SPARK.get(f["type"])) for f in schema["fields"]]
+    have = [
+        (f.name, f.dataType.simpleString()) for f in mirror_schema.fields
+    ]
+    if want != have:
+        raise DeltaSyncSchemaChangeError(
+            f"snapshot {sid}'s schema does not match the mirror's; "
+            "schema changes do not replay — re-convert"
+        )
+    spec = _spec_info(meta)
+    if any(pf["transform"] != "identity" for pf in spec):
+        raise NotImplementedError(
+            "Delta cannot represent transform partition specs"
+        )
+    part_cols = [pf["source"] for pf in spec]
+    part_types = {pf["source"]: pf["source_type"] for pf in spec}
+    if part_cols != delta_log.table_partition_columns(delta_table):
+        raise DeltaSyncSchemaChangeError(
+            f"snapshot {sid}'s partition spec does not match the "
+            "mirror's partition columns — re-convert"
+        )
+
+    cur = _iceberg_data_entries(meta, sid)
+    prev = _iceberg_data_entries(meta, parent) if parent is not None else {}
+    cur_dvs = {
+        e["referenced_data_file"]: e
+        for e in snapshot_dv_entries(iceberg_table, sid)
+    }
+    prev_dvs = (
+        {
+            e["referenced_data_file"]: e
+            for e in snapshot_dv_entries(iceberg_table, parent)
+        }
+        if parent is not None
+        else {}
+    )
+    added = sorted(set(cur) - set(prev))
+    removed = sorted(set(prev) - set(cur))
+
+    def _dv_key(e: dict) -> tuple:
+        return (e["puffin_path"], int(e["offset"]), int(e["length"]))
+
+    dv_changed = sorted(
+        fp
+        for fp, e in cur_dvs.items()
+        if fp in cur
+        and (fp not in prev_dvs or _dv_key(prev_dvs[fp]) != _dv_key(e))
+    )
+    dv_dropped = sorted(
+        fp
+        for fp in prev_dvs
+        if fp in cur and fp not in cur_dvs
+    )
+    data_change = op != "replace"
+
+    def delta_path(fp: str, df_rec: dict) -> "tuple[str, dict]":
+        """(add-action path, partitionValues) for an Iceberg data file
+        — in place when unpartitioned, digest-named hive layout when
+        partitioned (matching convert_to_delta's deterministic rule)."""
+        if not part_cols:
+            return fp, {}
+        pv = {
+            c: _delta_pv_str(
+                (df_rec.get("partition") or {}).get(c), part_types[c]
+            )
+            for c in part_cols
+        }
+        dirs = os.path.join(
+            *(
+                f"{c}={pv[c] if pv[c] is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                for c in part_cols
+            )
+        )
+        name = hashlib.sha256(fp.encode()).hexdigest()[:32] + ".parquet"
+        return os.path.join(dirs, name), pv
+
+    # one fresh sidecar per commit holding every changed DV's blob,
+    # the framed bytes moved verbatim out of the Puffin file
+    descriptors: dict[str, dict] = {}
+    if dv_changed:
+        items = []
+        for fp in dv_changed:
+            e = cur_dvs[fp]
+            with open(e["puffin_path"], "rb") as f:
+                f.seek(int(e["offset"]))
+                framed = f.read(int(e["length"]))
+            items.append(
+                (fp, deletion_vectors.unframe_dv(framed), int(e["cardinality"]))
+            )
+        descriptors = deletion_vectors.write_dv_blobs(delta_table, items)
+
+    ts = _now_ms()
+
+    def add_action(fp: str, with_dv: bool) -> dict:
+        df_rec = cur[fp]
+        path, pv = delta_path(fp, df_rec)
+        if part_cols:
+            dst = os.path.join(delta_table, path)
+            if not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(fp, dst)
+                except OSError:
+                    shutil.copy2(fp, dst)
+        add = {
+            "path": path,
+            "partitionValues": pv,
+            "size": df_rec["file_size_in_bytes"],
+            "modificationTime": ts,
+            "dataChange": data_change,
+            "stats": json.dumps({"numRecords": df_rec["record_count"]}),
+        }
+        if with_dv and fp in descriptors:
+            add["deletionVector"] = descriptors[fp]
+        return add
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "SYNC",
+                "operationParameters": {
+                    "source": os.path.abspath(iceberg_table),
+                    "sourceSnapshotId": str(sid),
+                    "sourceSequence": str(snap["sequence-number"]),
+                    "sourceOperation": str(op),
+                },
+            }
+        }
+    ]
+    if dv_changed:
+        actions.append({"protocol": dict(delta_log.DV_PROTOCOL)})
+    for fp in removed:
+        path, _ = delta_path(fp, prev[fp])
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": ts,
+                    "dataChange": data_change,
+                }
+            }
+        )
+    for fp in added:
+        actions.append({"add": add_action(fp, with_dv=True)})
+    for fp in dv_changed + dv_dropped:
+        if fp in added:
+            continue  # descriptor already rode the add
+        path, _ = delta_path(fp, cur[fp])
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": ts,
+                    "dataChange": data_change,
+                }
+            }
+        )
+        actions.append({"add": add_action(fp, with_dv=fp in dv_changed)})
+    delta_log._write_commit(delta_table, v, actions)
 
 
 def _commit_dv_delete(

@@ -1,0 +1,215 @@
+"""Reverse continuous sync (round-10): after `iceberg.convert_to_delta`,
+`iceberg.sync_to_delta` replays each new Iceberg snapshot onto the
+Delta mirror — one commit per snapshot, computed as a state diff
+against the parent, zero data movement. Symmetric counterpart of
+`tests/test_delta_sync.py`; every parity is pinned through the Delta
+clean-room independent reader."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+from tests import delta_reader_independent as delta_indep
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, k long, val double")
+
+
+def _rows(lo, hi):
+    return [(i, i % 5, float(i)) for i in range(lo, hi)]
+
+
+def _mirror_rows(spark, dt):
+    eng = sorted(
+        tuple(r) for r in delta_log.read_delta(spark, dt).collect()
+    )
+    assert sorted(delta_indep.read_rows(dt)) == eng
+    return eng
+
+
+def _ice_rows(spark, it):
+    return sorted(
+        tuple(r) for r in iceberg.read_iceberg(spark, it).collect()
+    )
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    it = str(tmp_path / "ice_src")
+    dt = str(tmp_path / "delta_mirror")
+    iceberg.create(
+        _df(spark, _rows(0, 40)).repartitionByRange(2, "id"),
+        it,
+        format_version=3,
+    )
+    iceberg.convert_to_delta(it, dt)
+    return it, dt
+
+
+def test_reverse_sync_appends_and_idempotency(spark, pair):
+    it, dt = pair
+    iceberg.append(_df(spark, _rows(40, 50)), it)
+    iceberg.append(_df(spark, _rows(50, 60)), it)
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    # one commit per snapshot, cursor-stamped
+    assert delta_log.latest_version(dt) == 2
+    _, params = delta_log._commit_operation(dt, 2)
+    assert params["sourceSequence"] == "3"
+    # the mirrored appends feed as plain inserts on the Delta side
+    got = sorted(
+        r["id"] for r in delta_log.table_changes(spark, dt, 0).collect()
+    )
+    assert got == list(range(40, 60))
+    # idempotent
+    assert iceberg.sync_to_delta(it, dt) == 2
+
+
+def test_reverse_sync_dv_delete_decomposes_in_delta_feed(spark, pair):
+    it, dt = pair
+    iceberg.delete_where(spark, it, "k = 3")          # v3 → Puffin DV
+    iceberg.delete_where(spark, it, "id < 10")        # merges + replaces
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    # the mirror's adds carry descriptors whose sidecar bytes equal the
+    # Puffin blobs (moved verbatim)
+    from march_mania_spark_lakehouse_spark.sources import deletion_vectors
+
+    live = delta_log._replay(dt, delta_log.latest_version(dt))
+    dv_entries = {
+        e["referenced_data_file"]: e
+        for e in iceberg.snapshot_dv_entries(it)
+    }
+    checked = 0
+    for rel, add in live.items():
+        desc = add.get("deletionVector")
+        if not desc:
+            continue
+        e = dv_entries[rel if os.path.isabs(rel) else None]
+        with open(e["puffin_path"], "rb") as f:
+            f.seek(int(e["offset"]))
+            assert f.read(int(e["length"])) == (
+                deletion_vectors.framed_dv_bytes(dt, desc)
+            )
+        checked += 1
+    assert checked == len(dv_entries) >= 1
+    # Delta's own change feed decomposes the synced DV commits and
+    # folds to the head
+    feed = delta_log.table_changes(
+        spark, dt, 0, include_deletes=True
+    ).collect()
+    state = Counter(delta_indep.read_rows(dt, 0))  # conversion baseline
+    for r in feed:
+        state[(r.id, r.k, r.val)] += (
+            1 if r._change_type == "insert" else -1
+        )
+    assert sorted((+state).elements()) == _mirror_rows(spark, dt)
+
+
+def test_reverse_sync_update_where(spark, pair):
+    it, dt = pair
+    iceberg.update_where(
+        spark, it, "id % 4 = 0", {"val": F.col("val") + 1000.0}
+    )
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+
+
+def test_reverse_sync_compaction_is_feed_invisible(spark, pair):
+    it, dt = pair
+    iceberg.append(_df(spark, _rows(40, 45)), it)
+    iceberg.optimize(spark, it, small_file_bytes=1 << 30)
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    # the compaction commit is dataChange=false on the mirror: the
+    # append-only feed over the whole range still works
+    got = sorted(
+        r["id"] for r in delta_log.table_changes(spark, dt, 0).collect()
+    )
+    assert got == list(range(40, 45))
+
+
+def test_reverse_sync_overwrite_reads_exact(spark, pair):
+    it, dt = pair
+    iceberg.overwrite(_df(spark, _rows(100, 110)), it)
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    with pytest.raises(delta_log.DeltaNonAppendChangeError):
+        delta_log.table_changes(spark, dt, 0, include_deletes=True).collect()
+
+
+def test_reverse_sync_partitioned_hard_links(spark, tmp_path):
+    it = str(tmp_path / "ice_part")
+    dt = str(tmp_path / "delta_part")
+    iceberg.create(
+        _df(spark, _rows(0, 30)), it, partition_by=("k",),
+        format_version=3,
+    )
+    iceberg.convert_to_delta(it, dt)
+    iceberg.append(_df(spark, _rows(30, 45)), it)
+    iceberg.delete_where(spark, it, "id % 3 = 0")
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    src_inodes = {
+        os.stat(os.path.join(d, f)).st_ino
+        for d, _, fs in os.walk(it)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    own = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(dt)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert own and all(os.stat(p).st_ino in src_inodes for p in own)
+
+
+def test_reverse_sync_gates(spark, pair, tmp_path):
+    it, dt = pair
+    # equality deletes cannot be represented
+    iceberg.delete_by_equality(
+        spark, it, spark.createDataFrame([(1,)], "id long")
+    )
+    with pytest.raises(NotImplementedError, match="equality"):
+        iceberg.sync_to_delta(it, dt)
+    # a foreign commit on the mirror means it diverged
+    it2 = str(tmp_path / "ice2")
+    dt2 = str(tmp_path / "delta2")
+    iceberg.create(_df(spark, _rows(0, 5)), it2, format_version=3)
+    iceberg.convert_to_delta(it2, dt2)
+    delta_log.append(_df(spark, _rows(5, 8)), dt2)
+    iceberg.append(_df(spark, _rows(5, 8)), it2)
+    with pytest.raises(ValueError, match="diverged"):
+        iceberg.sync_to_delta(it2, dt2)
+    # schema evolution on the source does not replay
+    it3 = str(tmp_path / "ice3")
+    dt3 = str(tmp_path / "delta3")
+    iceberg.create(_df(spark, _rows(0, 5)), it3, format_version=3)
+    iceberg.convert_to_delta(it3, dt3)
+    wide = spark.createDataFrame(
+        [(100, 0, 1.0, "x")], "id long, k long, val double, note string"
+    )
+    iceberg.append(wide, it3, merge_schema=True)
+    with pytest.raises(iceberg.DeltaSyncSchemaChangeError):
+        iceberg.sync_to_delta(it3, dt3)
+
+
+def test_reverse_sync_branch_snapshots_do_not_replay(spark, pair):
+    it, dt = pair
+    # a staged WAP/branch snapshot must NOT reach the mirror
+    iceberg.create_branch(it, "audit")
+    iceberg.append_to_branch(
+        _df(spark, [(999, 0, 9.0)]), it, "audit"
+    )
+    iceberg.append(_df(spark, _rows(40, 42)), it)  # main lineage
+    iceberg.sync_to_delta(it, dt)
+    rows = _mirror_rows(spark, dt)
+    assert (999, 0, 9.0) not in rows
+    assert rows == _ice_rows(spark, it)
