@@ -1508,3 +1508,91 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q220 — ICEBERG V3 ROW LINEAGE: every row carries a stable `_row_id`
+# (assigned once from the table's next-row-id, inherited from one
+# manifest long per file — zero data bytes at append time) and a
+# `_last_updated_sequence_number`. The fixture deletes (DV) then
+# UPDATEs rows; the update CARRIES each row's id through its
+# delete+append pair while the new entry's sequence bumps the lus. The
+# oracle checks the invariants relationally: per status, the distinct
+# _row_id count equals the row count (identity never duplicated or
+# lost), and exactly the updated predicate's rows sit at the head
+# sequence. At 100 TB this is the CDC-keying story: ids survive
+# deletes, updates, and compaction without a single data-file rewrite
+# at assignment time.
+# --------------------------------------------------------------------------
+
+_Q220_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_rid,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updated
+FROM orders
+WHERE o_orderkey % 3 = 2 AND o_orderkey % 5 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_lineage_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v3 snapshot 1 = orders key%3=2,
+    snapshot 2 = DV delete of key%5=0, snapshots 3+4 = update_where
+    (delete+append pair) bumping o_totalprice for key%7=0. Guarded on
+    the TERMINAL snapshot count (4)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-lineage|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_iceberg_lineage", fp
+    )
+    if (
+        iceberg.current_version(table) is not None
+        and len(iceberg.snapshot_ids(table)) != 4
+    ):
+        shutil.rmtree(table)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 3 == 2),
+            table,
+            format_version=3,
+        )
+        iceberg.delete_where(spark, table, "o_orderkey % 5 = 0")
+        iceberg.update_where(
+            spark, table, "o_orderkey % 7 = 0",
+            {"o_totalprice": F.col("o_totalprice") + 1.0},
+        )
+    return table
+
+
+@query("q220_iceberg_v3_row_lineage", oracle=_Q220_SQL, tags=("lake", "agg"))
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage invariants over a v3 table after DV delete + carried
+    UPDATE: distinct `_row_id` per status equals the row count (ids
+    survive, never duplicate), and exactly the updated rows carry the
+    head `_last_updated_sequence_number`."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_lineage_table(spark, sf_dir)
+    head_seq = iceberg.current_metadata(table)["last-sequence-number"]
+    lin = iceberg.read_lineage(spark, table)
+    return lin.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_rid"),
+        F.sum(
+            F.when(
+                F.col("_last_updated_sequence_number") == F.lit(head_seq), 1
+            ).otherwise(0)
+        ).alias("n_updated"),
+    )

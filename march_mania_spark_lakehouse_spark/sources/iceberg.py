@@ -547,6 +547,12 @@ def _manifest_entry_schema(partition_schema: dict) -> dict:
              "default": None, "field-id": 144},
             {"name": "content_size_in_bytes", "type": ["null", "long"],
              "default": None, "field-id": 145},
+            # v3 row lineage (spec field-id 142): the row id of the
+            # file's first row; null means the file either carries a
+            # MATERIALIZED _row_id column (compaction output) or
+            # predates the v3 upgrade (reads surface null lineage)
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None, "field-id": 142},
         ],
     }
     return {
@@ -963,14 +969,22 @@ def _write_manifest(
     snapshot_id: int,
     seq: int,
     stat_cols: Sequence[str] = (),
+    first_row_id: "int | None" = None,
 ) -> tuple[str, int, int, int]:
     """Write one manifest for ADDED files; returns (path, length,
-    n_files, n_rows)."""
+    n_files, n_rows). ``first_row_id``, when given (v3 row lineage),
+    assigns each file an explicit first_row_id: a running offset so
+    file k's rows own ids [offset, offset + record_count) — the
+    caller advances the table's ``next-row-id`` by the returned row
+    total. ``None`` keeps the files lineage-free: a file that
+    materializes its own ``_row_id`` column (compaction / UPDATE
+    carry) must NOT also inherit."""
     schema = meta["schemas"][meta["current-schema-id"]]
     spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
     part_schema = _partition_record_schema(spec, schema)
     entry_schema = _manifest_entry_schema(part_schema)
     records = []
+    next_rid = first_row_id
     for rel, pvals, n_rows, size in files:
         lo, hi, nulls = _file_bounds(os.path.join(table, rel), schema, stat_cols)
         records.append(
@@ -989,9 +1003,12 @@ def _write_manifest(
                     "null_value_counts": nulls,
                     "lower_bounds": lo,
                     "upper_bounds": hi,
+                    "first_row_id": next_rid,
                 },
             }
         )
+        if next_rid is not None:
+            next_rid += n_rows
     path = os.path.join(_meta_dir(table), f"{uuid.uuid4().hex}-m0.avro")
     os.makedirs(_meta_dir(table), exist_ok=True)
     avro_ocf.write_ocf(path, entry_schema, records)
@@ -1205,6 +1222,9 @@ def upgrade_format_version(table: str, to_version: int = 3) -> int:
         return current_version(table)
     meta = dict(meta)
     meta["format-version"] = to_version
+    # v3 row lineage: future commits assign row ids from here; files
+    # written while the table was v2 stay lineage-free (null _row_id)
+    meta.setdefault("next-row-id", 0)
     return _write_metadata(table, meta)
 
 
@@ -1429,8 +1449,14 @@ def _commit_snapshot(
     summary: dict | None = None,
     staged_files: "list[tuple[str, dict, int, int]] | None" = None,
     extra_manifests=None,
+    assign_row_ids: bool = True,
 ) -> int:
-    """``extra_manifests``, when given, is a callable
+    """``assign_row_ids=False`` (v3) skips row-id assignment for this
+    commit's files — the rewrite paths use it when the staged parquet
+    already MATERIALIZES ``_row_id`` (a file must inherit or
+    materialize, never both).
+
+    ``extra_manifests``, when given, is a callable
     ``(snapshot_id, seq) -> list[manifest-list entry]`` invoked after
     the data manifest is written — the hook `convert_from_delta` uses
     to land migrated deletion-vector manifests in the SAME snapshot as
@@ -1444,8 +1470,13 @@ def _commit_snapshot(
         if staged_files is not None
         else _stage_data_files(df, table, _spec_info(meta))
     )
+    v3 = int(meta.get("format-version", 2)) >= 3
+    first_rid = (
+        int(meta.get("next-row-id", 0)) if v3 and assign_row_ids else None
+    )
     m_path, m_len, n_files, n_rows = _write_manifest(
-        table, meta, files, snapshot_id, seq, stat_cols
+        table, meta, files, snapshot_id, seq, stat_cols,
+        first_row_id=first_rid,
     )
     new_entry = {
         "manifest_path": m_path,
@@ -1480,6 +1511,9 @@ def _commit_snapshot(
     if meta.get("current-snapshot-id", -1) != -1:
         snapshot["parent-snapshot-id"] = meta["current-snapshot-id"]
     meta = dict(meta)
+    if first_rid is not None:
+        snapshot["first-row-id"] = first_rid
+        meta["next-row-id"] = first_rid + n_rows
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = snapshot["timestamp-ms"]
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
@@ -1729,6 +1763,7 @@ def _read_renamed_groups(
     schema_json: dict,
     paths: "list[str]",
     base_path: "str | None",
+    extra_fields: "Sequence | None" = None,
 ) -> DataFrame:
     """Per-generation read for tables with renamed columns: data files
     physically carry the column names current WHEN THEY WERE WRITTEN,
@@ -1766,6 +1801,10 @@ def _read_renamed_groups(
             dn, dt = decl_by_id[fid]
             read_fields.append(T.StructField(pn, dt))
             alias_of[dn] = pn
+        # extra physical fields (v3 lineage columns) carry no field-id
+        # and are never renamed: read them by their own names, null
+        # where absent
+        read_fields.extend(extra_fields or [])
         r = spark.read.schema(T.StructType(read_fields))
         if base_path:
             r = r.option("basePath", base_path)
@@ -1776,6 +1815,7 @@ def _read_renamed_groups(
                 cols.append(F.col(alias_of[f.name]).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        cols.extend(F.col(f.name) for f in (extra_fields or []))
         d = d.select(*cols, F.col("_metadata"))
         out = d if out is None else out.unionByName(d)
     return out
@@ -1788,6 +1828,7 @@ def _read_raw(
     sid: int,
     rel_files: Sequence[str],
     schema_id: int | None = None,
+    extra_fields: "Sequence | None" = None,
 ) -> "tuple[DataFrame, list[str]]":
     """Read data files under the snapshot's DECLARED schema with
     hive-layout identity-partition columns restored — but WITHOUT
@@ -1797,6 +1838,13 @@ def _read_raw(
     their source columns live in the data files (hidden partitioning).
     The raw form is the CDC input: a change feed must see physically
     added rows even when later tombstoned.
+
+    ``extra_fields`` appends nullable StructFields to the read schema —
+    files lacking those physical columns surface null. The v3 row-
+    lineage reader uses this to pick up ``_row_id`` /
+    ``_last_updated_sequence_number`` columns materialized by
+    compaction (`read_lineage`); the returned name list never includes
+    them.
 
     Identity columns restore via basePath dir discovery on single-spec
     tables; an EVOLVED table's generations have different dir depths
@@ -1818,6 +1866,11 @@ def _read_raw(
     )
     schema_json = meta["schemas"][snap_schema_id]
     spark_schema = _spark_schema(schema_json)
+    declared = [f.name for f in spark_schema.fields]
+    if extra_fields:
+        spark_schema = T.StructType(
+            list(spark_schema.fields) + list(extra_fields)
+        )
     id_cols = _identity_part_cols(meta)
     evolved = len(meta.get("partition-specs", [])) > 1
     has_spec = bool(_spec_info(meta))
@@ -1840,8 +1893,10 @@ def _read_raw(
         # rename_column gates identity-partitioned tables, so the
         # grouped path never needs identity restoration
         base = table if (has_spec and not evolved) else None
-        df = _read_renamed_groups(spark, meta, schema_json, paths, base)
-        return df, [f.name for f in spark_schema.fields]
+        df = _read_renamed_groups(
+            spark, meta, schema_json, paths, base, extra_fields
+        )
+        return df, declared
     if not id_cols:
         # transform dirs (if any) are derived values, not schema
         # columns; basePath only when there ARE partition dirs — a
@@ -1888,7 +1943,7 @@ def _read_raw(
             .withColumn("__pos", F.col("_metadata.row_index"))
             .join(F.broadcast(pmap), "__fp", "left")
         )
-    return df, [f.name for f in spark_schema.fields]
+    return df, declared
 
 
 def _read_data_files(
@@ -1939,6 +1994,126 @@ def read_iceberg(
     # restamped; explicit time travel keeps the snapshot's own schema
     schema_id = meta["current-schema-id"] if current_read else None
     return _read_data_files(spark, table, meta, sid, files, schema_id)
+
+
+def read_lineage(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """V3 ROW LINEAGE read: the table's declared columns plus
+    ``_row_id`` and ``_last_updated_sequence_number`` (both nullable
+    long), per the v3 spec's metadata-column semantics:
+
+    - a data file with an entry-level ``first_row_id`` INHERITS:
+      ``_row_id = first_row_id + row position``,
+      ``_last_updated_sequence_number = the file's data sequence`` —
+      the zero-cost path every plain append takes (ids live in one
+      manifest long, never in data files);
+    - a file whose entry ``first_row_id`` is null but which carries a
+      MATERIALIZED ``_row_id`` column (compaction output / UPDATE
+      carry) reads the physical column, with a materialized
+      ``_last_updated_sequence_number`` column when present, else the
+      file's sequence — this is how lineage SURVIVES rewrites: row
+      position changes, the physical id column doesn't;
+    - a file with neither (written before `upgrade_format_version`)
+      surfaces null lineage — the honest answer; the upgrade does not
+      retro-assign.
+
+    Deletion vectors and other delete files are applied first, so ids
+    of dead rows never surface; a surviving row's ``_row_id`` is
+    STABLE across deletes, compactions, and (via `update_where`'s
+    carry) updates — the property CDC consumers key on.
+    """
+    from pyspark.sql import types as T
+
+    meta = current_metadata(table)
+    if int(meta.get("format-version", 2)) < 3:
+        raise ValueError(
+            "row lineage is an Iceberg v3 feature — "
+            "upgrade_format_version(table, 3) first"
+        )
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    schema_id = meta["current-schema-id"] if snapshot_id is None else None
+    df, names = _read_files_lineage(spark, table, meta, sid, None, schema_id)
+    return df.select(*names, "_row_id", "_last_updated_sequence_number")
+
+
+def _read_files_lineage(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    sid: int,
+    rel_files: "Sequence[str] | None",
+    schema_id: int | None = None,
+) -> "tuple[DataFrame, list[str]]":
+    """Lineage-aware scan of ``rel_files`` (None = every live data
+    file) at a snapshot: live rows (delete files applied) with
+    ``_row_id`` and ``_last_updated_sequence_number`` resolved per the
+    rules in :func:`read_lineage`. Returns (df, declared names) — the
+    df carries the two lineage columns after the declared ones. Shared
+    by the lineage reader and the rewrite paths that must MATERIALIZE
+    lineage into their output files (`optimize`/`compact`/
+    `update_where`)."""
+    from pyspark.sql import types as T
+
+    snap = _snapshot(meta, sid)
+    descs: "list[tuple[str, int | None, int]]" = []
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        if m.get("content", 0) != 0:
+            continue
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] in (0, 1) and e["data_file"].get("content", 0) == 0:
+                descs.append(
+                    (
+                        e["data_file"]["file_path"],
+                        e["data_file"].get("first_row_id"),
+                        e.get("file_sequence_number") or e["sequence_number"],
+                    )
+                )
+    if not descs:
+        raise FileNotFoundError(f"{table} snapshot has no data files")
+    abs_table = os.path.abspath(table)
+    if rel_files is None:
+        rel_files = sorted(
+            os.path.relpath(fp, abs_table) for fp, _, _ in descs
+        )
+    else:
+        want = {
+            os.path.abspath(os.path.join(table, f)) for f in rel_files
+        }
+        descs = [d for d in descs if d[0] in want]
+    extra = [
+        T.StructField("_row_id", T.LongType(), True),
+        T.StructField("_last_updated_sequence_number", T.LongType(), True),
+    ]
+    df, names = _read_raw(
+        spark, table, meta, sid, sorted(rel_files), schema_id,
+        extra_fields=extra,
+    )
+    live = _apply_delete_files(spark, table, sid, df, keep_positions=True)
+    lmap = spark.createDataFrame(
+        [(fp, first, int(seq)) for fp, first, seq in descs],
+        "__lfp string, __first long, __fseq long",
+    )
+    live = live.join(
+        F.broadcast(lmap), live["__fp"] == lmap["__lfp"], "left"
+    )
+    row_id = F.coalesce(
+        F.col("_row_id"), F.col("__first") + F.col("__pos")
+    )
+    lus = F.when(
+        row_id.isNotNull(),
+        F.coalesce(F.col("_last_updated_sequence_number"), F.col("__fseq")),
+    )
+    return (
+        live.select(
+            *names,
+            row_id.alias("_row_id"),
+            lus.alias("_last_updated_sequence_number"),
+        ),
+        names,
+    )
 
 
 def _apply_delete_files(
@@ -2450,10 +2625,21 @@ def optimize(
     ]
     # read ONLY the small subset, deletes applied (tombstones on these
     # files are materialized by the rewrite), under the CURRENT schema
-    # so the packed replacement files physically carry current names
-    df = _read_data_files(
-        spark, table, meta, sid, sorted(rel_small), meta["current-schema-id"]
-    )
+    # so the packed replacement files physically carry current names.
+    # v3: lineage rides along as MATERIALIZED _row_id /
+    # _last_updated_sequence_number columns in the packed files (row
+    # position changes under packing; the physical ids don't), and the
+    # new entries stay lineage-free per the inherit-or-materialize rule
+    if int(meta.get("format-version", 2)) >= 3:
+        df, _ = _read_files_lineage(
+            spark, table, meta, sid, sorted(rel_small),
+            meta["current-schema-id"],
+        )
+    else:
+        df = _read_data_files(
+            spark, table, meta, sid, sorted(rel_small),
+            meta["current-schema-id"],
+        )
     total = sum(e["data_file"]["file_size_in_bytes"] for e in small_entries)
     n_out = _compaction_file_count(
         spark, total, target_file_bytes, target_files
@@ -2711,8 +2897,11 @@ def append_to_branch(
     seq = meta["last-sequence-number"] + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
     files = _stage_data_files(df, table, _spec_info(meta))
+    v3 = int(meta.get("format-version", 2)) >= 3
+    first_rid = int(meta.get("next-row-id", 0)) if v3 else None
     m_path, m_len, n_files, n_rows = _write_manifest(
-        table, meta, files, snapshot_id, seq, stat_cols
+        table, meta, files, snapshot_id, seq, stat_cols,
+        first_row_id=first_rid,
     )
     new_entry = {
         "manifest_path": m_path,
@@ -2741,6 +2930,11 @@ def append_to_branch(
         "parent-snapshot-id": head,
     }
     meta = dict(meta)
+    if first_rid is not None:
+        # branch commits consume row ids too (spec: ids are assigned
+        # at commit, fast_forward publishes them unchanged)
+        snapshot["first-row-id"] = first_rid
+        meta["next-row-id"] = first_rid + n_rows
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = snapshot["timestamp-ms"]
     meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
@@ -4044,9 +4238,15 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
                 "deleted_rows_count": 0,
             }
         )
+    sync_first_rid = (
+        int(meta.get("next-row-id", 0))
+        if int(meta.get("format-version", 2)) >= 3
+        else None
+    )
     if staged:
         m_path, m_len, n_files, n_rows = _write_manifest(
-            iceberg_table, meta, staged, snapshot_id, seq
+            iceberg_table, meta, staged, snapshot_id, seq,
+            first_row_id=sync_first_rid,
         )
         manifests.append(
             {
@@ -4183,6 +4383,11 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
         "schema-id": meta["current-schema-id"],
         "parent-snapshot-id": sid,
     }
+    if sync_first_rid is not None and staged:
+        snapshot["first-row-id"] = sync_first_rid
+        meta["next-row-id"] = sync_first_rid + sum(
+            n for _, _, n, _ in staged
+        )
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = snapshot["timestamp-ms"]
     meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
@@ -5058,7 +5263,22 @@ def compact(spark: SparkSession, table: str) -> int:
     plain scan, and Delta conversion becomes possible again. This is
     what OPTIMIZE does on a merge-on-read table; history stays
     time-travelable (the tombstoned snapshots keep their delete files
-    until `expire_snapshots`)."""
+    until `expire_snapshots`). On a v3 table the rewrite MATERIALIZES
+    ``_row_id`` / ``_last_updated_sequence_number`` into the new
+    parquet (spec: lineage survives rewrites as physical columns —
+    row POSITION changes, ids don't) and the new entries stay
+    lineage-free (a file must inherit or materialize, never both)."""
+    meta = current_metadata(table)
+    if int(meta.get("format-version", 2)) >= 3:
+        sid = meta["current-snapshot-id"]
+        df, _ = _read_files_lineage(
+            spark, table, meta, sid, None, meta["current-schema-id"]
+        )
+        staged = _stage_data_files(df, table, _spec_info(meta))
+        return _commit_snapshot(
+            None, table, meta, "overwrite", True, (), None, staged,
+            assign_row_ids=False,
+        )
     return overwrite(read_iceberg(spark, table), table)
 
 
@@ -5727,10 +5947,21 @@ def update_where(
             f"UPDATE assignments reference non-columns: {sorted(unknown)} "
             f"(table columns: {names})"
         )
-    df, _ = _read_raw(
-        spark, table, meta, sid, snapshot_files(table, sid), schema_id
-    )
-    live = _apply_delete_files(spark, table, sid, df).filter(pred)
+    v3 = int(meta.get("format-version", 2)) >= 3
+    if v3:
+        # lineage-preserving UPDATE: the new row images CARRY their
+        # _row_id as a materialized column (same row, new version),
+        # and _last_updated_sequence_number falls out of the append
+        # entry's own sequence — exactly the v3 update contract
+        live, _ = _read_files_lineage(
+            spark, table, meta, sid, snapshot_files(table, sid), schema_id
+        )
+        live = live.filter(pred)
+    else:
+        df, _ = _read_raw(
+            spark, table, meta, sid, snapshot_files(table, sid), schema_id
+        )
+        live = _apply_delete_files(spark, table, sid, df).filter(pred)
     exprs = []
     for n in names:
         if n in assignments:
@@ -5740,10 +5971,19 @@ def update_where(
             )
         else:
             exprs.append(F.col(n))
+    if v3:
+        exprs.append(F.col("_row_id"))
     updated = live.select(*exprs).localCheckpoint()
     if not updated.head(1):
         return sid  # nothing matched: no commits
     delete_where(spark, table, pred)
+    if v3:
+        meta2 = current_metadata(table)
+        staged = _stage_data_files(updated, table, _spec_info(meta2))
+        return _commit_snapshot(
+            None, table, meta2, "append", False, stat_cols, None, staged,
+            assign_row_ids=False,
+        )
     return append(updated, table, stat_cols=stat_cols)
 
 

@@ -215,10 +215,18 @@ def position_deletes(table: str, snapshot_id: int | None = None) -> set:
     return out
 
 
-def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
+def read_rows(
+    table: str,
+    snapshot_id: int | None = None,
+    with_lineage: bool = False,
+) -> list[tuple]:
     """Materialize a snapshot as row tuples in declared-schema column
     order; identity-partition columns come from the manifests' typed
-    partition records, not from the files."""
+    partition records, not from the files. ``with_lineage=True``
+    appends (_row_id, _last_updated_sequence_number) per the v3 row-
+    lineage rules: entry ``first_row_id`` + position when inherited,
+    the file's materialized ``_row_id``/``_last_updated_sequence_number``
+    columns when present, else (None, None) for pre-upgrade files."""
     meta = table_metadata(table)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
@@ -296,6 +304,19 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
                         cols[name] = [None] * n
             fp = df["file_path"]
             idx = {name: i for i, name in enumerate(names)}
+            if with_lineage:
+                first = df.get("first_row_id")
+                file_seq = e.get("file_sequence_number") or data_seq
+                phys_rid = (
+                    t.column("_row_id").to_pylist()
+                    if "_row_id" in t.column_names
+                    else None
+                )
+                phys_lus = (
+                    t.column("_last_updated_sequence_number").to_pylist()
+                    if "_last_updated_sequence_number" in t.column_names
+                    else None
+                )
             for pos, row in enumerate(zip(*[cols[name] for name in names])):
                 if (fp, pos) in tombstones:
                     continue
@@ -306,8 +327,23 @@ def read_rows(table: str, snapshot_id: int | None = None) -> list[tuple]:
                     and tuple(row[idx[c]] for c in key_cols) in keyset
                     for del_seq, key_cols, keyset in eq_deletes
                 )
-                if not dead:
-                    out.append(row)
+                if dead:
+                    continue
+                if with_lineage:
+                    if phys_rid is not None:
+                        rid = phys_rid[pos]
+                    elif first is not None:
+                        rid = first + pos
+                    else:
+                        rid = None
+                    if rid is None:
+                        lus = None
+                    elif phys_lus is not None and phys_lus[pos] is not None:
+                        lus = phys_lus[pos]
+                    else:
+                        lus = file_seq
+                    row = row + (rid, lus)
+                out.append(row)
     return out
 
 
