@@ -1596,3 +1596,87 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_updated"),
     )
+
+
+# --------------------------------------------------------------------------
+# q221 — DELTA ROW TRACKING: the Delta protocol's rowTracking feature,
+# symmetric with q220's Iceberg v3 row lineage. Every add carries
+# baseRowId/defaultRowCommitVersion (two longs — zero per-row write
+# cost), the high-water mark rides a delta.rowTracking domainMetadata
+# action, DV deletes leave survivor ids untouched, and update_where
+# carries ids as a materialized column. The oracle checks the same
+# relational invariants as q220: distinct _row_id per status equals the
+# row count, and exactly the updated predicate's rows sit at the head
+# commit version.
+# --------------------------------------------------------------------------
+
+_Q221_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_rid,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updated
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_row_tracking_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: Delta v0 = orders key%3=0 with
+    row_tracking=True, v1 = DV delete of key%5=0, v2+v3 = update_where
+    (delete+write pair) bumping o_totalprice for key%7=0. Guarded on
+    the TERMINAL version (3)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-rowtracking|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_delta_rowtracking", fp
+    )
+    if (
+        delta_log.latest_version(table) is not None
+        and delta_log.latest_version(table) != 3
+    ):
+        shutil.rmtree(table)
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            table,
+            row_tracking=True,
+        )
+        delta_log.delete_where(spark, table, "o_orderkey % 5 = 0")
+        delta_log.update_where(
+            spark, table, "o_orderkey % 7 = 0",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+    return table
+
+
+@query("q221_delta_row_tracking", oracle=_Q221_SQL, tags=("lake", "agg"))
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-tracking invariants over a Delta table after DV delete +
+    carried UPDATE: distinct `_row_id` per status equals the row count,
+    and exactly the updated rows carry the head `_row_commit_version`."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_row_tracking_table(spark, sf_dir)
+    head = delta_log.latest_version(table)
+    lin = delta_log.read_delta_lineage(spark, table)
+    return lin.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_rid"),
+        F.sum(
+            F.when(
+                F.col("_row_commit_version") == F.lit(head), 1
+            ).otherwise(0)
+        ).alias("n_updated"),
+    )

@@ -251,6 +251,10 @@ def _commit_blind_append(
                         and a["txn"].get("version", -1) >= txn[1]
                     ):
                         return wv  # idempotent replay: already applied
+            # row tracking: a winner may have claimed overlapping row
+            # ids — shift this append's fresh baseRowIds above the
+            # winner's high-water mark and restamp the commit version
+            actions = _rebase_row_ids(table, actions, latest, latest + 1)
             v = latest + 1
     raise DeltaConcurrentModificationError(
         f"append to {table} lost the commit race {max_retries} times"
@@ -414,6 +418,7 @@ def create(
     txn: "tuple[str, int] | None" = None,
     partition_by: Sequence[str] = (),
     configuration: "dict | None" = None,
+    row_tracking: bool = False,
 ) -> int:
     """Create a Delta table at ``table`` (version 0): data files +
     protocol/metaData/add actions. Fails if a log already exists.
@@ -426,14 +431,29 @@ def create(
     if latest_version(table) is not None:
         raise FileExistsError(f"{table} already has a Delta log")
     os.makedirs(table, exist_ok=True)
+    proto = dict(PROTOCOL)
+    if row_tracking:
+        # rowTracking (+ its domainMetadata dependency, per spec) with
+        # the materialized-column names recorded in configuration
+        proto = _merge_protocol(proto, ROW_TRACKING_PROTOCOL)
+        configuration = {
+            **(configuration or {}),
+            "delta.enableRowTracking": "true",
+            "delta.rowTracking.materializedRowIdColumnName":
+                MATERIALIZED_ROW_ID_COL,
+            "delta.rowTracking.materializedRowCommitVersionColumnName":
+                MATERIALIZED_ROW_COMMIT_COL,
+        }
     files = _stage_data_files(df, table, partition_by)
     actions = [
         _commit_info("CREATE TABLE AS SELECT", {"mode": "ErrorIfExists"}),
-        {"protocol": dict(PROTOCOL)},
+        {"protocol": proto},
         _metadata_action(df, uuid.uuid4().hex, partition_by, configuration),
         *_txn_action(txn),
         *_add_actions(table, files, stat_cols),
     ]
+    if row_tracking:
+        actions = _assign_row_ids(table, None, actions, 0, enabled=True)
     _write_commit(table, 0, actions)
     return 0
 
@@ -584,6 +604,10 @@ def append(
     _enforce_constraints(df, table, cur)
     current = table_schema(table, cur)
     known = {f.name for f in current.fields}
+    if _row_tracking_enabled(table, cur):
+        # materialized lineage columns are physical pass-throughs, not
+        # schema columns (update_where's carry rides them)
+        known |= {MATERIALIZED_ROW_ID_COL, MATERIALIZED_ROW_COMMIT_COL}
     extra = [f for f in df.schema.fields if f.name not in known]
     meta_actions: list[dict] = []
     if extra:
@@ -644,6 +668,7 @@ def append(
                 *_txn_action(txn),
                 *_add_actions(table, files, stat_cols, mapping=mapping),
             ]
+            actions = _assign_row_ids(table, cur, actions, cur + 1)
             # schema evolution is a METADATA change: it conflicts with
             # any concurrent commit (no auto-rebase)
             _commit_read_dependent(
@@ -654,8 +679,18 @@ def append(
     cdc_actions: list[dict] = []
     if _cdc_label and _cdf_enabled(table, cur):
         # only UPDATE's write half labels its rows explicitly (plain
-        # appends derive as inserts from their add actions, per spec)
-        cdc_actions = _stage_cdc_file(df, table, _cdc_label)
+        # appends derive as inserts from their add actions, per spec).
+        # Materialized lineage pass-throughs stay out of change files —
+        # the CDF view's shape is the declared schema + _change_type.
+        cdc_df = df.select(
+            *[
+                c for c in df.columns
+                if c not in (
+                    MATERIALIZED_ROW_ID_COL, MATERIALIZED_ROW_COMMIT_COL
+                )
+            ]
+        )
+        cdc_actions = _stage_cdc_file(cdc_df, table, _cdc_label)
     actions = [
         _commit_info(*(_op or ("WRITE", {"mode": "Append"}))),
         *meta_actions,
@@ -663,6 +698,7 @@ def append(
         *_add_actions(table, files, stat_cols),
         *cdc_actions,
     ]
+    actions = _assign_row_ids(table, cur, actions, cur + 1)
     if _op is not None:
         # operation-tagged appends (UPDATE write halves, WAP publishes)
         # must land at exactly cur+1 to keep their pairing semantics —
@@ -709,6 +745,7 @@ def overwrite(df: DataFrame, table: str, stat_cols: Sequence[str] = ()) -> int:
         ),
         *_add_actions(table, files, stat_cols),
     ]
+    actions = _assign_row_ids(table, cur, actions, cur + 1)
     _commit_read_dependent(table, cur + 1, actions, "OVERWRITE")
     return cur + 1
 
@@ -749,6 +786,7 @@ def merge(
         ),
         *_add_actions(table, files, stat_cols),
     ]
+    actions = _assign_row_ids(table, cur, actions, cur + 1)
     _commit_read_dependent(table, cur + 1, actions, "MERGE")
     return cur + 1
 
@@ -1030,11 +1068,15 @@ def _read_files_raw(
     files: Sequence[str],
     version: int,
     with_positions: bool = False,
+    extra_fields: "Sequence | None" = None,
 ) -> DataFrame:
     """Declared-schema scan of a file list with hive partition columns
     restored but NO deletion-vector application (the CDC input — a
     change feed must see physically added rows even when later
-    tombstoned). ``with_positions`` adds ``__fp``/``__pos``."""
+    tombstoned). ``with_positions`` adds ``__fp``/``__pos``.
+    ``extra_fields`` appends nullable physical StructFields to the read
+    (null where a file lacks them) — the row-tracking lineage reader's
+    hook for MATERIALIZED id columns."""
     from pyspark.sql import types as T
 
     # one log replay serves schema, partition columns, mapping AND the
@@ -1064,10 +1106,14 @@ def _read_files_raw(
         # discovery for partitioned tables (keeps Spark's partition
         # pruning on ad-hoc filters)
         if not part_cols:
-            df = spark.read.schema(schema).parquet(*paths)
+            read_schema = T.StructType(
+                list(schema.fields) + list(extra_fields or [])
+            )
+            df = spark.read.schema(read_schema).parquet(*paths)
         else:
             data_schema = T.StructType(
                 [f for f in schema.fields if f.name not in part_cols]
+                + list(extra_fields or [])
             )
             df = spark.read.schema(data_schema).option(
                 "basePath", table
@@ -1098,9 +1144,11 @@ def _read_files_raw(
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     read_schema = T.StructType(
         [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+        + list(extra_fields or [])  # physical names, never mapped
     )
     df = spark.read.schema(read_schema).parquet(*paths)
     keep = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+    keep += [F.col(f.name) for f in (extra_fields or [])]
     keep += [
         _fp_norm().alias("__fp"),
         F.col("_metadata.row_index").alias("__pos"),
@@ -1132,6 +1180,7 @@ def _read_files_raw(
                 ).cast(by_name[c].dataType),
             ).drop(f"__pv{i}")
     order = [f.name for f in schema.fields]
+    order += [f.name for f in (extra_fields or [])]
     if with_positions:
         order += ["__fp", "__pos"]
     return df.select(*order)
@@ -1351,6 +1400,18 @@ def shallow_clone(table: str, target: str, version: int | None = None) -> int:
             "modificationTime": _now_ms(),
             "dataChange": True,
             **({"stats": a["stats"]} if a.get("stats") else {}),
+            # row tracking: ids are table-history-scoped, and the clone
+            # inherits the history — carry them (with the hwm below)
+            **(
+                {
+                    "baseRowId": a["baseRowId"],
+                    "defaultRowCommitVersion": a.get(
+                        "defaultRowCommitVersion"
+                    ),
+                }
+                if a.get("baseRowId") is not None
+                else {}
+            ),
         }
         dv = a.get("deletionVector")
         if dv:
@@ -1365,11 +1426,15 @@ def shallow_clone(table: str, target: str, version: int | None = None) -> int:
             else:  # "p" (already absolute) and "i" (inline) carry over
                 add["deletionVector"] = dict(dv)
         adds.append({"add": add})
+    proto = dict(DV_PROTOCOL if has_dv else PROTOCOL)
+    tracking = _row_tracking_enabled(table, v)
+    if tracking:
+        proto = _merge_protocol(proto, ROW_TRACKING_PROTOCOL)
     actions = [
         _commit_info(
             "CLONE", {"source": os.path.abspath(table), "sourceVersion": v}
         ),
-        {"protocol": dict(DV_PROTOCOL if has_dv else PROTOCOL)},
+        {"protocol": proto},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
@@ -1384,6 +1449,10 @@ def shallow_clone(table: str, target: str, version: int | None = None) -> int:
         },
         *adds,
     ]
+    if tracking:
+        # the clone's future appends must allocate ABOVE the source's
+        # mark or cloned and fresh rows would share ids
+        actions.append(_hwm_action(_row_id_high_water_mark(table, v)))
     _write_commit(target, 0, actions)
     return 0
 
@@ -1559,6 +1628,10 @@ def checkpoint(
             # deletion vectors must survive the checkpoint or replays
             # seeded from it silently resurrect deleted rows
             ("deletionVector", dv_type),
+            # row tracking: baseRowId/defaultRowCommitVersion must
+            # survive or post-cleanup lineage reads go null
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     meta_type = pa.struct(
@@ -1586,9 +1659,24 @@ def checkpoint(
             ("writerFeatures", pa.list_(pa.string())),
         ]
     )
-    rows_add: list = [None, None]
-    rows_meta: list = [None, None]
-    rows_proto: list = [proto, None]
+    # live domain metadata (row-tracking high-water mark, …) is part
+    # of the snapshot state per spec: a checkpoint that dropped it
+    # would let post-cleanup appends REUSE row ids
+    dm_rows = [
+        {"domain": d, "configuration": c, "removed": False}
+        for d, c in sorted(_collect_domain_metadata(table, v).items())
+    ]
+    dm_type = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
+    rows_add: list = [None, None] + [None] * len(dm_rows)
+    rows_meta: list = [None, None] + [None] * len(dm_rows)
+    rows_proto: list = [proto, None] + [None] * len(dm_rows)
+    rows_dm: list = [None, None] + dm_rows
     if meta is not None:
         rows_meta[1] = {
             "id": meta["id"],
@@ -1616,10 +1704,13 @@ def checkpoint(
                 "dataChange": False,
                 "stats": add.get("stats"),
                 "deletionVector": add.get("deletionVector"),
+                "baseRowId": add.get("baseRowId"),
+                "defaultRowCommitVersion": add.get("defaultRowCommitVersion"),
             }
         )
         rows_meta.append(None)
         rows_proto.append(None)
+        rows_dm.append(None)
     n_rows = len(rows_add)
     pointer: dict = {"version": v, "size": n_rows}
     if v2:
@@ -1981,7 +2072,15 @@ def optimize(
         _compaction_file_count,
     )
 
-    df = read_delta(spark, table, cur)
+    if _row_tracking_enabled(table, cur):
+        # lineage survives the rewrite as MATERIALIZED columns — the
+        # lineage read's output names ARE the configured materialized
+        # names, so staging writes them physically and the reader's
+        # coalesce prefers them over baseRowId + position (whose
+        # positions this rewrite scrambles)
+        df = read_delta_lineage(spark, table, cur)
+    else:
+        df = read_delta(spark, table, cur)
     live = snapshot_files(table, cur)
     total_bytes = sum(os.path.getsize(os.path.join(table, f)) for f in live)
     # auto-sized like iceberg.optimize: pack to target, floored at the
@@ -2018,6 +2117,7 @@ def optimize(
     for a in actions:
         if "add" in a:
             a["add"]["dataChange"] = False
+    actions = _assign_row_ids(table, cur, actions, cur + 1)
     _commit_read_dependent(table, cur + 1, actions, "OPTIMIZE")
     return cur + 1
 
@@ -2067,6 +2167,296 @@ DV_PROTOCOL = {
     "readerFeatures": ["deletionVectors"],
     "writerFeatures": ["deletionVectors"],
 }
+
+#: writer-features protocol for ROW TRACKING (Delta PROTOCOL.md "Row
+#: Tracking": writer feature rowTracking + its domainMetadata
+#: dependency; readers that ignore them still read correct rows)
+ROW_TRACKING_PROTOCOL = {
+    "minReaderVersion": 1,
+    "minWriterVersion": 7,
+    "writerFeatures": ["domainMetadata", "rowTracking"],
+}
+
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+#: physical column names for MATERIALIZED row ids (recorded in table
+#: configuration per spec; chosen to match the Iceberg layer's
+#: materialized lineage column so shared data files carry ONE id
+#: column both formats read)
+MATERIALIZED_ROW_ID_COL = "_row_id"
+MATERIALIZED_ROW_COMMIT_COL = "_row_commit_version"
+
+
+def _merge_protocol(base: "dict | None", extra: dict) -> dict:
+    """Feature-UNION of two protocol actions: re-emitting a protocol
+    (DV commits do it defensively) must never DROP features a prior
+    upgrade added — a rowTracking table that runs a DV delete keeps
+    rowTracking."""
+    base = dict(base or PROTOCOL)
+    out: dict = {
+        "minReaderVersion": max(
+            base.get("minReaderVersion", 1), extra.get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": max(
+            base.get("minWriterVersion", 2), extra.get("minWriterVersion", 2)
+        ),
+    }
+    for k in ("readerFeatures", "writerFeatures"):
+        fs = set(base.get(k) or []) | set(extra.get(k) or [])
+        if fs:
+            out[k] = sorted(fs)
+    return out
+
+
+def _row_tracking_enabled(table: str, version: int) -> bool:
+    meta = _latest_metadata(table, version)
+    return ((meta or {}).get("configuration") or {}).get(
+        "delta.enableRowTracking"
+    ) == "true"
+
+
+def _collect_domain_metadata(table: str, version: int) -> "dict[str, str]":
+    """Live {domain: configuration} at ``version`` — checkpoint-seeded
+    like `_latest_metadata`, so log cleanup never hides the row-id
+    high-water mark. A checkpoint written before domainMetadata support
+    (no such column) cannot seed; the scan then starts at 0 and raises
+    if cleanup removed commits it needs."""
+    domains: "dict[str, str]" = {}
+    start = 0
+    cp = _last_checkpoint(table)
+    if cp is not None and cp["version"] <= version:
+        seeded = _checkpoint_domain_metadata(table, cp)
+        if seeded is not None:
+            domains = dict(seeded)
+            start = cp["version"] + 1
+    for vv in range(start, version + 1):
+        p = _commit_path(table, vv)
+        if not os.path.exists(p):
+            if vv <= (cp["version"] if cp else -1):
+                continue  # cleaned-up tail below a seeding checkpoint
+            raise FileNotFoundError(
+                f"cannot recover domain metadata for {table}@{version}: "
+                f"commit {vv} is missing and no checkpoint records "
+                "domainMetadata"
+            )
+        for a in _read_actions(p):
+            dm = a.get("domainMetadata")
+            if not dm:
+                continue
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration") or "{}"
+    return domains
+
+
+def _checkpoint_domain_metadata(
+    table: str, cp: dict
+) -> "dict[str, str] | None":
+    """Live domains recorded in a checkpoint, or None when the
+    checkpoint predates the domainMetadata column (unseedable — same
+    refuse-to-seed rule as `_checkpoint_proto_meta`)."""
+    import pyarrow.parquet as pq
+
+    domains: "dict[str, str]" = {}
+    seen_col = False
+    for path in _checkpoint_files(table, cp):
+        t0 = pq.read_table(path)
+        if "domainMetadata" not in t0.column_names:
+            continue
+        seen_col = True
+        for row in t0.column("domainMetadata").to_pylist():
+            if row and row.get("domain") and not row.get("removed"):
+                domains[row["domain"]] = row.get("configuration") or "{}"
+    return domains if seen_col else None
+
+
+def _row_id_high_water_mark(table: str, version: int) -> int:
+    """Highest row id ever assigned (-1 when none): MONOTONIC per spec
+    — ids of removed files are never reused."""
+    conf = _collect_domain_metadata(table, version).get(ROW_TRACKING_DOMAIN)
+    if conf is None:
+        return -1
+    return int(json.loads(conf).get("rowIdHighWaterMark", -1))
+
+
+def _hwm_action(hwm: int) -> dict:
+    return {
+        "domainMetadata": {
+            "domain": ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }
+
+
+def _assign_row_ids(
+    table: str, cur_version: "int | None", actions: "list[dict]",
+    intended_version: int, enabled: "bool | None" = None,
+) -> "list[dict]":
+    """Stamp fresh adds with ``baseRowId`` (a running offset from the
+    table's high-water mark; one long per file — zero per-row work) and
+    ``defaultRowCommitVersion``; append the advanced high-water-mark
+    domainMetadata action. Adds that already carry a baseRowId (DV
+    re-adds) keep it AND their original commit version, per spec —
+    that is what makes row ids stable under deletes."""
+    if enabled is None:
+        enabled = cur_version is not None and _row_tracking_enabled(
+            table, cur_version
+        )
+    if not enabled:
+        return actions
+    hwm = (
+        _row_id_high_water_mark(table, cur_version)
+        if cur_version is not None
+        else -1
+    )
+    base = hwm + 1
+    out = []
+    for a in actions:
+        add = a.get("add")
+        if add is not None and add.get("baseRowId") is None:
+            add = dict(add)
+            add["baseRowId"] = base
+            stats = json.loads(add.get("stats") or "{}")
+            n = stats.get("numRecords")
+            if n is None:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(
+                    os.path.join(table, add["path"])
+                    if not os.path.isabs(add["path"])
+                    else add["path"]
+                ).metadata.num_rows
+            base += int(n)
+            add["defaultRowCommitVersion"] = intended_version
+            a = {"add": add}
+        out.append(a)
+    if base > hwm + 1 or hwm < 0:
+        out.append(_hwm_action(base - 1))
+    return out
+
+
+def read_delta_lineage(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """ROW-TRACKING read: the table's declared columns plus ``_row_id``
+    and ``_row_commit_version`` (nullable long), per the Delta spec's
+    model — symmetric with `iceberg.read_lineage`:
+
+    - an add with ``baseRowId`` INHERITS: ``_row_id = baseRowId +
+      physical row position``, ``_row_commit_version =
+      defaultRowCommitVersion`` — the zero-cost path every append
+      takes (two longs per add action, no data bytes);
+    - a file carrying the MATERIALIZED columns (OPTIMIZE output /
+      UPDATE carry; names recorded in table configuration) reads them
+      physically — how ids survive rewrites;
+    - an add with neither surfaces null lineage (pre-enable files).
+
+    Deletion vectors are applied first, so dead rows' ids never
+    surface; a surviving row's ``_row_id`` is STABLE across DV
+    deletes, OPTIMIZE, and `update_where`'s carry."""
+    from pyspark.sql import types as T
+
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    if not _row_tracking_enabled(table, v):
+        raise ValueError(
+            f"{table} does not have delta.enableRowTracking set — "
+            "create(..., row_tracking=True)"
+        )
+    live = _replay(table, v)
+    extra = [
+        T.StructField(MATERIALIZED_ROW_ID_COL, T.LongType(), True),
+        T.StructField(MATERIALIZED_ROW_COMMIT_COL, T.LongType(), True),
+    ]
+    df = _read_files_raw(
+        spark, table, sorted(live), v, with_positions=True,
+        extra_fields=extra,
+    )
+    dvs = [
+        (
+            p if os.path.isabs(p) else os.path.abspath(
+                os.path.join(table, p)
+            ),
+            a["deletionVector"],
+            None,
+        )
+        for p, a in live.items()
+        if a.get("deletionVector")
+    ]
+    if dvs:
+        df = df.join(
+            _dv_tombstones(spark, table, dvs), ["__fp", "__pos"], "left_anti"
+        )
+    rows = [
+        (
+            p if os.path.isabs(p) else os.path.abspath(
+                os.path.join(table, p)
+            ),
+            a.get("baseRowId"),
+            a.get("defaultRowCommitVersion"),
+        )
+        for p, a in live.items()
+    ]
+    lmap = spark.createDataFrame(
+        rows, "__lfp string, __base long, __dver long"
+    )
+    df = df.join(F.broadcast(lmap), df["__fp"] == lmap["__lfp"], "left")
+    rid = F.coalesce(
+        F.col(MATERIALIZED_ROW_ID_COL), F.col("__base") + F.col("__pos")
+    )
+    rcv = F.when(
+        rid.isNotNull(),
+        F.coalesce(F.col(MATERIALIZED_ROW_COMMIT_COL), F.col("__dver")),
+    )
+    names = [f.name for f in table_schema(table, v).fields]
+    return df.select(
+        *names,
+        rid.alias("_row_id"),
+        rcv.alias("_row_commit_version"),
+    )
+
+
+def _rebase_row_ids(
+    table: str, actions: "list[dict]", latest: int, new_version: int
+) -> "list[dict]":
+    """Blind-append rebase rule for row tracking: a concurrent winner
+    may have claimed overlapping row ids, so SHIFT this commit's fresh
+    baseRowIds above the winner's high-water mark, restamp
+    defaultRowCommitVersion to the retry version, and rewrite the
+    hwm action. (Only fresh adds move — a blind append carries no
+    re-adds.)"""
+    my = [
+        a["add"]
+        for a in actions
+        if "add" in a and a["add"].get("baseRowId") is not None
+    ]
+    if not my:
+        return actions
+    winner_hwm = _row_id_high_water_mark(table, latest)
+    first = min(add["baseRowId"] for add in my)
+    shift = max(0, winner_hwm + 1 - first)
+    new_hwm = -1
+    out = []
+    for a in actions:
+        add = a.get("add")
+        dm = a.get("domainMetadata")
+        if add is not None and add.get("baseRowId") is not None:
+            add = dict(add)
+            add["baseRowId"] += shift
+            add["defaultRowCommitVersion"] = new_version
+            stats = json.loads(add.get("stats") or "{}")
+            new_hwm = max(
+                new_hwm, add["baseRowId"] + int(stats.get("numRecords", 1)) - 1
+            )
+            out.append({"add": add})
+        elif dm is not None and dm.get("domain") == ROW_TRACKING_DOMAIN:
+            continue  # re-appended below with the shifted mark
+        else:
+            out.append(a)
+    out.append(_hwm_action(max(new_hwm, winner_hwm)))
+    return out
 
 
 def delete_where(
@@ -2222,7 +2612,13 @@ def delete_where(
     op, op_params = _op or ("DELETE", {"predicate": str(condition)})
     actions: list[dict] = [
         _commit_info(op, op_params),
-        {"protocol": dict(DV_PROTOCOL)},
+        # feature-UNION: upgrading to deletionVectors must not drop
+        # rowTracking (or any other) feature the table already carries
+        {
+            "protocol": _merge_protocol(
+                _effective_protocol(table, cur), DV_PROTOCOL
+            )
+        },
         *cdc_actions,
     ]
     rel_rows = []
@@ -2830,7 +3226,17 @@ def update_where(
             f"UPDATE assignments reference non-columns: {sorted(unknown)} "
             f"(table columns: {names})"
         )
-    live = read_delta(spark, table, v).filter(pred)
+    tracking = _row_tracking_enabled(table, v)
+    if tracking:
+        # lineage-preserving UPDATE: the new images CARRY their
+        # _row_id as a materialized column (same row, new version);
+        # the write commit's defaultRowCommitVersion becomes their
+        # _row_commit_version — exactly the spec's update contract
+        live = read_delta_lineage(spark, table, v).drop(
+            MATERIALIZED_ROW_COMMIT_COL
+        ).filter(pred)
+    else:
+        live = read_delta(spark, table, v).filter(pred)
     exprs = [
         (
             (F.expr(assignments[n]) if isinstance(assignments[n], str)
@@ -2840,6 +3246,8 @@ def update_where(
         )
         for n in names
     ]
+    if tracking:
+        exprs.append(F.col(MATERIALIZED_ROW_ID_COL))
     updated = live.select(*exprs).localCheckpoint()
     if not updated.head(1):
         return v

@@ -232,6 +232,10 @@ def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True
                         "partitionValues": _normalize_pv(add.get("partitionValues")),
                         "stats": json.loads(add["stats"]) if add.get("stats") else None,
                         "deletionVector": dv,
+                        "baseRowId": add.get("baseRowId"),
+                        "defaultRowCommitVersion": add.get(
+                            "defaultRowCommitVersion"
+                        ),
                     }
                 m = row.get("metaData")
                 if m and m.get("schemaString"):
@@ -259,6 +263,10 @@ def snapshot(table: str, version: int | None = None, use_checkpoint: bool = True
                     "partitionValues": _normalize_pv(add.get("partitionValues")),
                     "stats": json.loads(add["stats"]) if add.get("stats") else None,
                     "deletionVector": add.get("deletionVector"),
+                    "baseRowId": add.get("baseRowId"),
+                    "defaultRowCommitVersion": add.get(
+                        "defaultRowCommitVersion"
+                    ),
                 }
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
@@ -298,12 +306,19 @@ def _cast_partition_value(s: str | None, type_name: str):
 
 
 def read_rows(
-    table: str, version: int | None = None, use_checkpoint: bool = True
+    table: str,
+    version: int | None = None,
+    use_checkpoint: bool = True,
+    with_lineage: bool = False,
 ) -> list[tuple]:
     """Materialize the snapshot as a list of row tuples in DECLARED
     column order: data columns from the parquet files (missing ones —
     pre-schema-evolution files — as None), partition columns from the
-    add action's partitionValues."""
+    add action's partitionValues. ``with_lineage=True`` appends
+    (_row_id, _row_commit_version) per the rowTracking rules: the
+    file's MATERIALIZED columns (names from table configuration) when
+    present, else baseRowId + position / defaultRowCommitVersion, else
+    (None, None)."""
     snap = snapshot(table, version, use_checkpoint)
     fields = snap["schema"]["fields"]
     part_cols = set(snap["partition_columns"])
@@ -340,6 +355,43 @@ def read_rows(
             else:
                 cols[name] = [None] * n
         rows = list(zip(*[cols[f["name"]] for f in fields])) if fields else []
+        if with_lineage:
+            conf = snap["configuration"]
+            rid_col = conf.get(
+                "delta.rowTracking.materializedRowIdColumnName", "_row_id"
+            )
+            rcv_col = conf.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName",
+                "_row_commit_version",
+            )
+            base = snap["adds"][path].get("baseRowId")
+            dver = snap["adds"][path].get("defaultRowCommitVersion")
+            m_rid = (
+                t.column(rid_col).to_pylist()
+                if rid_col in t.column_names
+                else None
+            )
+            m_rcv = (
+                t.column(rcv_col).to_pylist()
+                if rcv_col in t.column_names
+                else None
+            )
+            lin_rows = []
+            for pos, r in enumerate(rows):
+                if m_rid is not None and m_rid[pos] is not None:
+                    rid = m_rid[pos]
+                elif base is not None:
+                    rid = base + pos
+                else:
+                    rid = None
+                if rid is None:
+                    rcv = None
+                elif m_rcv is not None and m_rcv[pos] is not None:
+                    rcv = m_rcv[pos]
+                else:
+                    rcv = dver
+                lin_rows.append(r + (rid, rcv))
+            rows = lin_rows
         dv = snap["adds"][path].get("deletionVector")
         if dv:
             dead = deleted_positions(table, dv)
