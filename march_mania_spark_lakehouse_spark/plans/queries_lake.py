@@ -1680,3 +1680,87 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_updated"),
     )
+
+
+# --------------------------------------------------------------------------
+# q222 — CROSS-FORMAT ROW-ID CARRY: a Delta row-tracking table (DV
+# delete + carried UPDATE) converts to Iceberg v3, and every row's
+# `_row_id` must be IDENTICAL on both sides — Delta baseRowId ⇄ Iceberg
+# first_row_id (same base+position model in both public specs),
+# materialized id columns share one physical name in the shared files.
+# The query unions BOTH engines' lineage reads: if any id differed, a
+# key would own two distinct ids and n_pairs would exceed n_keys —
+# hash-mismatching the plain relational oracle. At 100 TB this is what
+# makes _row_id a durable CDC key across a format migration: zero data
+# movement, zero identity loss.
+# --------------------------------------------------------------------------
+
+_Q222_SQL = """
+SELECT o_orderstatus,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM orders
+WHERE o_orderkey % 3 = 1 AND o_orderkey % 6 <> 2
+GROUP BY o_orderstatus
+"""
+
+
+def _lineage_interop_tables(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
+    """Fingerprint-cached publish: Delta row-tracking table of orders
+    key%3=1, DV delete of key%6=2, UPDATE of key%9=4 (carried ids),
+    then convert_from_delta. Returns (delta, iceberg). Guarded on the
+    TERMINAL artifact (the converted table's metadata exists)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"lineage-interop|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_lineage_interop", fp
+    )
+    dt = os.path.join(root, "delta_src")
+    it = os.path.join(root, "ice_dst")
+    if os.path.exists(root) and iceberg.current_version(it) is None:
+        shutil.rmtree(root)  # partial publish: rebuild, never poison
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 3 == 1),
+            dt,
+            row_tracking=True,
+        )
+        delta_log.delete_where(spark, dt, "o_orderkey % 6 = 2")
+        delta_log.update_where(
+            spark, dt, "o_orderkey % 9 = 4",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        iceberg.convert_from_delta(dt, it)
+    return dt, it
+
+
+@query("q222_cross_format_row_id_carry", oracle=_Q222_SQL, tags=("lake", "agg"))
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the Delta and Iceberg lineage reads over ONE set of
+    data files: per status, every order key must own exactly one
+    distinct _row_id across both engines (n_pairs == n_keys), and each
+    side contributes one copy of every surviving row."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    dt, it = _lineage_interop_tables(spark, sf_dir)
+    cols = ["o_orderstatus", "o_orderkey", "_row_id"]
+    both = (
+        delta_log.read_delta_lineage(spark, dt).select(*cols)
+        .unionByName(iceberg.read_lineage(spark, it).select(*cols))
+    )
+    return both.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey", "_row_id").alias("n_pairs"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )

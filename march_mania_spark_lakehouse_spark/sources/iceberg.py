@@ -970,6 +970,7 @@ def _write_manifest(
     seq: int,
     stat_cols: Sequence[str] = (),
     first_row_id: "int | None" = None,
+    explicit_row_ids: "Sequence[int | None] | None" = None,
 ) -> tuple[str, int, int, int]:
     """Write one manifest for ADDED files; returns (path, length,
     n_files, n_rows). ``first_row_id``, when given (v3 row lineage),
@@ -978,14 +979,17 @@ def _write_manifest(
     caller advances the table's ``next-row-id`` by the returned row
     total. ``None`` keeps the files lineage-free: a file that
     materializes its own ``_row_id`` column (compaction / UPDATE
-    carry) must NOT also inherit."""
+    carry) must NOT also inherit. ``explicit_row_ids`` (aligned with
+    ``files``) overrides the running assignment — the cross-format
+    carry path, where each file's first_row_id is the Delta add's
+    baseRowId."""
     schema = meta["schemas"][meta["current-schema-id"]]
     spec = meta["partition-specs"][meta["default-spec-id"]]["fields"]
     part_schema = _partition_record_schema(spec, schema)
     entry_schema = _manifest_entry_schema(part_schema)
     records = []
     next_rid = first_row_id
-    for rel, pvals, n_rows, size in files:
+    for i, (rel, pvals, n_rows, size) in enumerate(files):
         lo, hi, nulls = _file_bounds(os.path.join(table, rel), schema, stat_cols)
         records.append(
             {
@@ -1003,7 +1007,11 @@ def _write_manifest(
                     "null_value_counts": nulls,
                     "lower_bounds": lo,
                     "upper_bounds": hi,
-                    "first_row_id": next_rid,
+                    "first_row_id": (
+                        explicit_row_ids[i]
+                        if explicit_row_ids is not None
+                        else next_rid
+                    ),
                 },
             }
         )
@@ -1450,11 +1458,15 @@ def _commit_snapshot(
     staged_files: "list[tuple[str, dict, int, int]] | None" = None,
     extra_manifests=None,
     assign_row_ids: bool = True,
+    explicit_row_ids: "Sequence[int | None] | None" = None,
 ) -> int:
     """``assign_row_ids=False`` (v3) skips row-id assignment for this
     commit's files — the rewrite paths use it when the staged parquet
     already MATERIALIZES ``_row_id`` (a file must inherit or
-    materialize, never both).
+    materialize, never both). ``explicit_row_ids`` (aligned with
+    ``staged_files``) CARRIES foreign ids instead of assigning — the
+    cross-format conversion path; the caller is then responsible for
+    setting ``next-row-id`` in ``meta`` above the carried ids.
 
     ``extra_manifests``, when given, is a callable
     ``(snapshot_id, seq) -> list[manifest-list entry]`` invoked after
@@ -1472,11 +1484,13 @@ def _commit_snapshot(
     )
     v3 = int(meta.get("format-version", 2)) >= 3
     first_rid = (
-        int(meta.get("next-row-id", 0)) if v3 and assign_row_ids else None
+        int(meta.get("next-row-id", 0))
+        if v3 and assign_row_ids and explicit_row_ids is None
+        else None
     )
     m_path, m_len, n_files, n_rows = _write_manifest(
         table, meta, files, snapshot_id, seq, stat_cols,
-        first_row_id=first_rid,
+        first_row_id=first_rid, explicit_row_ids=explicit_row_ids,
     )
     new_entry = {
         "manifest_path": m_path,
@@ -3562,6 +3576,13 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
     }
     staged = []
     dv_items: "list[tuple[str, bytes, int]]" = []  # (data fp, framed, card)
+    # row-tracking sources: CARRY each add's baseRowId as the entry's
+    # first_row_id (same base+position model in both specs) and the
+    # high-water mark as next-row-id — _row_id is then IDENTICAL on
+    # both sides of the conversion; materialized id columns in shared
+    # files already use the same physical name on both layers
+    tracking = delta_log._row_tracking_enabled(delta_table, v)
+    carried_ids: "list[int | None]" = []
     for rel, add in sorted(live.items()):
         src = os.path.abspath(os.path.join(delta_table, rel))
         stats = json.loads(add.get("stats") or "{}")
@@ -3605,6 +3626,7 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
         else:
             staged.append((src, {}, int(n_rows), os.path.getsize(src)))
             manifest_fp = src
+        carried_ids.append(add.get("baseRowId") if tracking else None)
         dvdesc = add.get("deletionVector")
         if dvdesc:
             # Delta sidecar record framing == Puffin deletion-vector-v1
@@ -3708,9 +3730,15 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
                 }
             ]
 
+    if tracking:
+        meta["format-version"] = 3
+        meta["next-row-id"] = (
+            delta_log._row_id_high_water_mark(delta_table, v) + 1
+        )
     return _commit_snapshot(
         None, iceberg_table, meta, operation, False, (), None, staged,
         extra_manifests=extra,
+        explicit_row_ids=carried_ids if tracking else None,
     )
 
 
@@ -3779,6 +3807,10 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
         )
     if delta_log.latest_version(delta_table) is not None:
         raise FileExistsError(f"{delta_table} already has a Delta log")
+    # v3 row lineage → Delta row tracking: ids carry 1:1
+    lineage = (
+        int(meta.get("format-version", 2)) >= 3 and "next-row-id" in meta
+    )
     schema = meta["schemas"][meta["current-schema-id"]]
     back = {
         "long": T.LongType(), "int": T.IntegerType(), "string": T.StringType(),
@@ -3832,20 +3864,23 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
                 path, pvals = rel, pv
             else:
                 path, pvals = df_rec["file_path"], {}  # absolute: shared bytes
-            adds.append(
-                {
-                    "add": {
-                        "path": path,
-                        "partitionValues": pvals,
-                        "size": df_rec["file_size_in_bytes"],
-                        "modificationTime": _now_ms(),
-                        "dataChange": True,
-                        "stats": json.dumps(
-                            {"numRecords": df_rec["record_count"]}
-                        ),
-                    }
-                }
-            )
+            add_act = {
+                "path": path,
+                "partitionValues": pvals,
+                "size": df_rec["file_size_in_bytes"],
+                "modificationTime": _now_ms(),
+                "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": df_rec["record_count"]}
+                ),
+            }
+            # row-lineage carry: entry first_row_id → baseRowId (same
+            # base+position model in both specs); version clocks don't
+            # transfer, so the CONVERT commit (0) is the row version
+            if lineage and df_rec.get("first_row_id") is not None:
+                add_act["baseRowId"] = df_rec["first_row_id"]
+                add_act["defaultRowCommitVersion"] = 0
+            adds.append({"add": add_act})
             if df_rec["file_path"] in dv_blobs:
                 dv_by_add_path[path] = df_rec["file_path"]
     if dv_blobs:
@@ -3874,8 +3909,19 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
             }
         },
         {
-            "protocol": dict(
-                delta_log.DV_PROTOCOL if dv_blobs else delta_log.PROTOCOL
+            "protocol": (
+                delta_log._merge_protocol(
+                    dict(
+                        delta_log.DV_PROTOCOL
+                        if dv_blobs
+                        else delta_log.PROTOCOL
+                    ),
+                    delta_log.ROW_TRACKING_PROTOCOL,
+                )
+                if lineage
+                else dict(
+                    delta_log.DV_PROTOCOL if dv_blobs else delta_log.PROTOCOL
+                )
             )
         },
         {
@@ -3884,12 +3930,28 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": struct.json(),
                 "partitionColumns": list(part_cols),
-                "configuration": {},
+                "configuration": (
+                    {
+                        "delta.enableRowTracking": "true",
+                        "delta.rowTracking.materializedRowIdColumnName":
+                            delta_log.MATERIALIZED_ROW_ID_COL,
+                        "delta.rowTracking."
+                        "materializedRowCommitVersionColumnName":
+                            delta_log.MATERIALIZED_ROW_COMMIT_COL,
+                    }
+                    if lineage
+                    else {}
+                ),
                 "createdTime": _now_ms(),
             }
         },
         *sorted(adds, key=lambda a: a["add"]["path"]),
     ]
+    if lineage:
+        # the mirror's own appends must allocate above the source's ids
+        actions.append(
+            delta_log._hwm_action(int(meta["next-row-id"]) - 1)
+        )
     delta_log._write_commit(delta_table, 0, actions)
     return 0
 
@@ -4069,6 +4131,10 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
     dv_updates: "list[tuple[str, bytes, int]]" = []  # (fp, framed, card)
     dv_drops: set = set()
     staged: "list[tuple[str, dict, int, int]]" = []
+    # row-tracking sources: carry baseRowId → first_row_id per staged
+    # file so _row_id stays identical across the mirror
+    sync_tracking = delta_log._row_tracking_enabled(delta_table, v)
+    carried_ids: "list[int | None]" = []
     removed_fps: set = set()
     data_change = any(
         x.get("dataChange", True)
@@ -4158,6 +4224,9 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
                         int(desc["cardinality"]),
                     )
                 )
+        carried_ids.append(
+            add.get("baseRowId") if sync_tracking else None
+        )
 
     if not (staged or dv_updates or dv_drops or removed_fps):
         _bump_cursor_only()  # stats-refresh re-adds: nothing to mirror
@@ -4240,13 +4309,14 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
         )
     sync_first_rid = (
         int(meta.get("next-row-id", 0))
-        if int(meta.get("format-version", 2)) >= 3
+        if int(meta.get("format-version", 2)) >= 3 and not sync_tracking
         else None
     )
     if staged:
         m_path, m_len, n_files, n_rows = _write_manifest(
             iceberg_table, meta, staged, snapshot_id, seq,
             first_row_id=sync_first_rid,
+            explicit_row_ids=carried_ids if sync_tracking else None,
         )
         manifests.append(
             {
@@ -4387,6 +4457,12 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
         snapshot["first-row-id"] = sync_first_rid
         meta["next-row-id"] = sync_first_rid + sum(
             n for _, _, n, _ in staged
+        )
+    elif sync_tracking:
+        # carried ids: the mirror's counter follows the SOURCE's mark
+        meta["next-row-id"] = max(
+            int(meta.get("next-row-id", 0)),
+            delta_log._row_id_high_water_mark(delta_table, v) + 1,
         )
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = snapshot["timestamp-ms"]
@@ -4635,6 +4711,13 @@ def _sync_iceberg_snapshot(
         descriptors = deletion_vectors.write_dv_blobs(delta_table, items)
 
     ts = _now_ms()
+    # row-lineage carry: a row-tracking mirror keeps _row_id identical
+    # — re-adds copy the prior add's baseRowId/commit version (spec),
+    # new files take the Iceberg entry's first_row_id
+    mirror_tracking = delta_log._row_tracking_enabled(delta_table, v - 1)
+    prior_adds = (
+        delta_log._replay(delta_table, v - 1) if mirror_tracking else {}
+    )
 
     def add_action(fp: str, with_dv: bool) -> dict:
         df_rec = cur[fp]
@@ -4655,6 +4738,16 @@ def _sync_iceberg_snapshot(
             "dataChange": data_change,
             "stats": json.dumps({"numRecords": df_rec["record_count"]}),
         }
+        if mirror_tracking:
+            prior = prior_adds.get(path)
+            if prior is not None and prior.get("baseRowId") is not None:
+                add["baseRowId"] = prior["baseRowId"]
+                add["defaultRowCommitVersion"] = prior.get(
+                    "defaultRowCommitVersion"
+                )
+            elif df_rec.get("first_row_id") is not None:
+                add["baseRowId"] = df_rec["first_row_id"]
+                add["defaultRowCommitVersion"] = v
         if with_dv and fp in descriptors:
             add["deletionVector"] = descriptors[fp]
         return add
@@ -4702,6 +4795,10 @@ def _sync_iceberg_snapshot(
             }
         )
         actions.append({"add": add_action(fp, with_dv=fp in dv_changed)})
+    if mirror_tracking and "next-row-id" in meta:
+        new_hwm = int(meta["next-row-id"]) - 1
+        if new_hwm > delta_log._row_id_high_water_mark(delta_table, v - 1):
+            actions.append(delta_log._hwm_action(new_hwm))
     delta_log._write_commit(delta_table, v, actions)
 
 
