@@ -1764,3 +1764,87 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey", "_row_id").alias("n_pairs"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
+
+
+# --------------------------------------------------------------------------
+# q223 — ICEBERG V3 COLUMN DEFAULTS: add_column with an initial-default
+# is METADATA-ONLY (zero files touched), yet every pre-evolution row
+# reads back the default while post-evolution rows keep their written
+# values — the discriminator is physical footer absence, per spec. The
+# oracle reproduces the rule relationally with a CASE over the two
+# populations. At 100 TB this is the point: widening a trillion-row
+# table with a NOT-NULL-like default costs one metadata write, not a
+# rewrite.
+# --------------------------------------------------------------------------
+
+_Q223_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 4 = 2 THEN 7
+                     ELSE o_orderkey % 100 END) AS BIGINT) AS sum_score
+FROM orders
+WHERE o_orderkey % 4 IN (2, 3)
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_defaults_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v3 snapshot 1 = orders key%4=2
+    (3 columns), metadata-only add_column(score, default=7), snapshot 2
+    = orders key%4=3 WITH explicit score = key%100. Guarded on the
+    TERMINAL snapshot count (2)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"iceberg-defaults|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_iceberg_defaults", fp
+    )
+    if (
+        iceberg.current_version(table) is not None
+        and len(iceberg.snapshot_ids(table)) != 2
+    ):
+        shutil.rmtree(table)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 4 == 2).select(*base_cols),
+            table,
+            format_version=3,
+        )
+        iceberg.add_column(table, "score", "long", default=7)
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 4 == 3)
+            .select(
+                *base_cols,
+                (F.col("o_orderkey") % 100).cast("long").alias("score"),
+            ),
+            table,
+        )
+    return table
+
+
+@query("q223_iceberg_v3_column_defaults", oracle=_Q223_SQL, tags=("lake", "agg"))
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a defaulted column spanning pre-evolution rows
+    (initial-default 7) and post-evolution rows (explicit values): the
+    sum must hash-match the relational CASE."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _orders_defaults_table(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+    )

@@ -1140,6 +1140,16 @@ def append(
     meta = current_metadata(table)
     declared = meta["schemas"][meta["current-schema-id"]]
     known = {f["name"] for f in declared["fields"]}
+    # v3 write-defaults: a declared column the batch omits is FILLED at
+    # write time (add_column's write_default); columns without one keep
+    # the read-back-as-null contract
+    batch_cols = set(df.columns)
+    for fld in declared["fields"]:
+        if fld.get("write-default") is not None and fld["name"] not in batch_cols:
+            dt = _spark_schema({"fields": [fld]}).fields[0].dataType
+            df = df.withColumn(
+                fld["name"], F.lit(fld["write-default"]).cast(dt)
+            )
     extra = [f for f in df.schema.fields if f.name not in known]
     if extra:
         if not merge_schema:
@@ -1269,6 +1279,81 @@ def _write_name_mapping(meta: dict) -> None:
     props = dict(meta.get("properties", {}))
     props["schema.name-mapping.default"] = json.dumps(mapping)
     meta["properties"] = props
+
+
+def _has_defaults(schema_json: dict) -> bool:
+    return any(
+        f.get("initial-default") is not None for f in schema_json["fields"]
+    )
+
+
+def add_column(
+    table: str,
+    name: str,
+    type_str: str,
+    default=None,
+    write_default=None,
+) -> int:
+    """ADD COLUMN — metadata-only (one new schema entry; zero files
+    touched). ``default`` is the v3 spec's ``initial-default``: rows
+    written BEFORE the column existed read back as this value instead
+    of null — the discriminator is physical (a pre-evolution file
+    lacks the column in its footer; a post-evolution file always
+    carries it, explicit nulls included), exactly the spec's rule.
+    ``write_default`` fills the column at WRITE time when an appended
+    batch omits it (defaults to ``default``). Defaults require
+    format-version 3; a plain null-filling add works on v2 via
+    ``append(..., merge_schema=True)`` as before. Returns the new
+    metadata version."""
+    meta = current_metadata(table)
+    declared = meta["schemas"][meta["current-schema-id"]]
+    if any(f["name"] == name for f in declared["fields"]):
+        raise ValueError(f"{name!r} already in table schema")
+    hist_names = {
+        n for names in _field_name_history(meta).values() for n in names
+    }
+    if name in hist_names:
+        raise IcebergSchemaMismatchError(
+            f"column name {name!r} was carried by a dropped or renamed "
+            "field; physical file names must resolve to exactly one "
+            "field-id — pick a fresh name"
+        )
+    if default is not None or write_default is not None:
+        if int(meta.get("format-version", 2)) < 3:
+            raise ValueError(
+                "column defaults are an Iceberg v3 feature — "
+                "upgrade_format_version(table, 3) first"
+            )
+        if _identity_part_cols(meta):
+            raise NotImplementedError(
+                "defaults on an identity-partitioned table: the "
+                "footer-grouped default read cannot restore hive "
+                "partition columns on every layout"
+            )
+    fid = meta["last-column-id"] + 1
+    field = {
+        "id": fid,
+        "name": name,
+        "required": False,
+        "type": _iceberg_type(type_str),
+    }
+    if default is not None:
+        field["initial-default"] = default
+    if write_default is not None or default is not None:
+        field["write-default"] = (
+            write_default if write_default is not None else default
+        )
+    new_schema = {
+        "type": "struct",
+        "schema-id": len(meta["schemas"]),
+        "fields": list(declared["fields"]) + [field],
+    }
+    meta = dict(meta)
+    meta["schemas"] = list(meta["schemas"]) + [new_schema]
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["last-column-id"] = fid
+    _write_name_mapping(meta)
+    return _write_metadata(table, meta)
 
 
 def rename_column(table: str, old: str, new: str) -> int:
@@ -1823,12 +1908,22 @@ def _read_renamed_groups(
         if base_path:
             r = r.option("basePath", base_path)
         d = r.parquet(*ps)
+        default_of = {
+            f["name"]: f.get("initial-default")
+            for f in schema_json["fields"]
+        }
         cols = []
         for f in spark_decl.fields:
             if f.name in alias_of:
                 cols.append(F.col(alias_of[f.name]).alias(f.name))
             else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                # absent from this footer group: v3 initial-default
+                # when declared, else the usual null fill
+                cols.append(
+                    F.lit(default_of.get(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
         cols.extend(F.col(f.name) for f in (extra_fields or []))
         d = d.select(*cols, F.col("_metadata"))
         out = d if out is None else out.unionByName(d)
@@ -1903,9 +1998,12 @@ def _read_raw(
         == "true"
     )
     paths = [os.path.join(table, f) for f in sorted(rel_files)]
-    if _has_renames(meta):
-        # rename_column gates identity-partitioned tables, so the
-        # grouped path never needs identity restoration
+    if _has_renames(meta) or _has_defaults(schema_json):
+        # rename_column / defaulted add_column gate identity-partitioned
+        # tables, so the grouped path never needs identity restoration.
+        # Defaults need the per-footer grouping: only files physically
+        # LACKING the column take the initial-default (a post-evolution
+        # file's explicit null stays null, per spec).
         base = table if (has_spec and not evolved) else None
         df = _read_renamed_groups(
             spark, meta, schema_json, paths, base, extra_fields

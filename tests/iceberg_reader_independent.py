@@ -301,7 +301,13 @@ def read_rows(
                     if phys is not None:
                         cols[name] = t.column(phys).to_pylist()
                     else:
-                        cols[name] = [None] * n
+                        # absent from this file's footer: the v3
+                        # initial-default when the field declares one,
+                        # else null (pre-evolution files)
+                        fld = next(
+                            f for f in schema["fields"] if f["name"] == name
+                        )
+                        cols[name] = [fld.get("initial-default")] * n
             fp = df["file_path"]
             idx = {name: i for i, name in enumerate(names)}
             if with_lineage:

@@ -726,6 +726,25 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
                 assert sorted(indep.read_rows(table, sid)) == _spark_rows(
                     spark, table, sid
                 ), f"trial {trial} snapshot {sid} diverged"
+        if fmt == 3:
+            # v3 row lineage under the random composition: the engine
+            # and the clean-room reader agree on every row's
+            # (_row_id, _last_updated_sequence_number), and no two
+            # live rows share an id (None ids excluded — pre-lineage
+            # overwrite survivors read null)
+            eng = sorted(
+                (r[-2], r[-1])
+                for r in iceberg.read_lineage(spark, table).collect()
+            )
+            ind = sorted(
+                (row[-2], row[-1])
+                for row in indep.read_rows(table, with_lineage=True)
+            )
+            assert eng == ind, f"trial {trial}: lineage decode diverged"
+            rids = [r for r, _ in eng if r is not None]
+            assert len(rids) == len(set(rids)), (
+                f"trial {trial}: duplicate row ids"
+            )
         # cross-format conversion of whatever state the trial left
         # behind: pos/eq delete files and transform partition specs
         # refuse (sanctioned NotImplementedError); every convertible
