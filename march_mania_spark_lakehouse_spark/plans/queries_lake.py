@@ -1848,3 +1848,103 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("long").alias("sum_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q224 — SNAPSHOT-DIFF CDC via row lineage: the changes between the
+# FIRST snapshot and the head of a v3 table (DV delete + carried UPDATE
+# + append in between) computed by joining the two lineage reads on
+# _row_id — no commit walk. The oracle reconstructs each change class
+# relationally: deletes = the deleted predicate over the initial
+# population, update pre/post = the updated predicate over the
+# survivors (post prices bumped), inserts = the appended population. At
+# 100 TB the point is the cost shape: a month of history diffs at the
+# cost of TWO scans + one long-key join, and expired intermediate
+# snapshots are irrelevant.
+# --------------------------------------------------------------------------
+
+_Q224_SQL = f"""
+SELECT 'delete' AS _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 = 0
+UNION ALL
+SELECT 'insert' AS _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey > 0
+UNION ALL
+SELECT 'update_preimage' AS _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 <> 0 AND o_orderkey % 9 = 3
+UNION ALL
+SELECT 'update_postimage' AS _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice + 1.0", "sum_price")}
+FROM orders
+WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 <> 0 AND o_orderkey % 9 = 3
+"""
+
+
+def _snapshot_diff_table(spark: SparkSession, sf_dir: str) -> "tuple[str, int]":
+    """Fingerprint-cached publish: v3 snapshot 1 = orders key%4=1, then
+    DV delete key%5=0, update key%9=3 (+1 price), append key%4=0
+    (key>0). Returns (table, first snapshot id). Guarded on the
+    TERMINAL snapshot count (5: create, delete, update-delete,
+    update-append, append)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"snapshot-diff|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_snapshot_diff", fp
+    )
+    if (
+        iceberg.current_version(table) is not None
+        and len(iceberg.snapshot_ids(table)) != 5
+    ):
+        shutil.rmtree(table)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1),
+            table,
+            format_version=3,
+        )
+        iceberg.delete_where(spark, table, "o_orderkey % 5 = 0")
+        iceberg.update_where(
+            spark, table, "o_orderkey % 9 = 3",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        iceberg.append(
+            orders.filter(
+                (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") > 0)
+            ),
+            table,
+        )
+    first = iceberg.snapshot_ids(table)[0]
+    return table, first
+
+
+@query("q224_snapshot_diff_changelog", oracle=_Q224_SQL, tags=("lake", "agg"))
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-change-class aggregate of the lineage-keyed snapshot diff:
+    each class's row count and exact price sum must hash-match the
+    relational reconstruction."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table, first = _snapshot_diff_table(spark, sf_dir)
+    feed = iceberg.snapshot_diff_changelog(spark, table, first)
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_price"),
+    )
