@@ -1948,3 +1948,63 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("o_totalprice", "sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q225 — LINEAGE-KEYED IVM REFRESH: partial-aggregate state captured at
+# the FIRST snapshot + the signed state of the lineage diff feed must
+# equal a full recompute of the head — bit-identical (decimal-exact
+# sums), across a history with a DV delete, a carried UPDATE, and an
+# append. The oracle IS the recompute, expressed relationally over the
+# head population. At 100 TB this is the gold-table maintenance story
+# completed: refresh cost tracks the diff (two scans + one join + one
+# state merge), never the table, and it keeps working after overwrites
+# and expired history where commit-walk feeds refuse.
+# --------------------------------------------------------------------------
+
+_Q225_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS sum_m,
+       CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_m
+FROM (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 9 = 3 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice AS p
+  FROM orders
+  WHERE o_orderkey % 4 = 0 AND o_orderkey > 0
+) t
+GROUP BY o_orderstatus
+"""
+
+
+@query("q225_lineage_ivm_refresh", oracle=_Q225_SQL, tags=("lake", "agg"))
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh via the lineage diff: agg_state at the first
+    snapshot merged with signed_state of snapshot_diff_changelog must
+    hash-match the relational recompute of the head."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table, first = _snapshot_diff_table(spark, sf_dir)
+    base = ivm.agg_state(
+        iceberg.read_iceberg(spark, table, first).select(
+            "o_orderstatus", "o_totalprice"
+        ),
+        ["o_orderstatus"],
+        "o_totalprice",
+    )
+    feed = iceberg.snapshot_diff_changelog(spark, table, first).select(
+        "o_orderstatus", "o_totalprice", "_change_type"
+    )
+    delta_state = ivm.signed_state(feed, ["o_orderstatus"], "o_totalprice")
+    return ivm.finalize_counts(ivm.merge_states(base, delta_state)).select(
+        "o_orderstatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "sum_m",
+        "avg_m",
+    )

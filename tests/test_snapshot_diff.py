@@ -159,3 +159,42 @@ def test_diff_agrees_across_formats_after_conversion(spark, tmp_path):
         for r in iceberg.snapshot_diff_changelog(spark, it, s1).collect()
     )
     assert d_feed == i_feed and d_feed
+
+
+def test_lineage_ivm_refresh_crosses_an_overwrite(spark, tmp_path):
+    """IVM keyed on the lineage diff: base state at v0 + signed state
+    of the diff feed == full recompute, ACROSS AN OVERWRITE — the
+    commit-walk feed refuses that history, the lineage diff folds it
+    (old ids retract, new ids insert)."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+
+    t = str(tmp_path / "ice")
+    iceberg.create(
+        _df(spark, _rows(0, 20)).repartitionByRange(2, "id"),
+        t,
+        format_version=3,
+    )
+    s1 = iceberg.current_metadata(t)["current-snapshot-id"]
+    base = ivm.agg_state(
+        iceberg.read_lineage(spark, t).select("k", "val"), ["k"], "val"
+    ).localCheckpoint()
+    iceberg.delete_where(spark, t, "id % 4 = 0")
+    iceberg.overwrite(_df(spark, _rows(100, 130)), t)  # feeds refuse this
+    iceberg.update_where(spark, t, "id = 105", {"val": "val + 9.0"})
+    with pytest.raises(iceberg.IcebergNonAppendChangeError):
+        iceberg.table_changes(spark, t, 1, include_deletes=True).collect()
+    feed = iceberg.snapshot_diff_changelog(spark, t, s1)
+    refreshed = ivm.finalize_counts(
+        ivm.merge_states(
+            base, ivm.signed_state(feed.select("k", "val", "_change_type"),
+                                   ["k"], "val")
+        )
+    )
+    recomputed = ivm.finalize_counts(
+        ivm.agg_state(
+            iceberg.read_iceberg(spark, t).select("k", "val"), ["k"], "val"
+        )
+    )
+    got = sorted(tuple(r) for r in refreshed.collect())
+    want = sorted(tuple(r) for r in recomputed.collect())
+    assert got == want and got
