@@ -2008,3 +2008,94 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_m",
         "avg_m",
     )
+
+
+# --------------------------------------------------------------------------
+# q226 — DELTA WRITE-TIME COLUMN DEFAULTS (allowColumnDefaults): the
+# OTHER spec's default semantics, preserved honestly — a metadata-only
+# ADD COLUMN whose default fills only batches written AFTERWARD that
+# omit the column; pre-existing rows read null (no retroactive fill,
+# deliberately unlike Iceberg's initial-default in q223). The oracle
+# reconstructs the three populations (pre-add → null, omitted → 7,
+# explicit → key%50) relationally.
+# --------------------------------------------------------------------------
+
+_Q226_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 4 = 2 THEN 7
+                     WHEN o_orderkey % 4 = 3 THEN o_orderkey % 50
+                     END) AS BIGINT) AS sum_score,
+       CAST(SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_score
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2, 3)
+GROUP BY o_orderstatus
+"""
+
+
+def _orders_delta_defaults_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: Delta v0 = orders key%4=1
+    (3 columns), v1 = metadata-only add_column(score, write_default=7),
+    v2 = append key%4=2 OMITTING score (filled 7), v3 = append key%4=3
+    with explicit score = key%50. Guarded on the TERMINAL version (3)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-defaults|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_delta_defaults", fp
+    )
+    if (
+        delta_log.latest_version(table) is not None
+        and delta_log.latest_version(table) != 3
+    ):
+        shutil.rmtree(table)
+    if delta_log.latest_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(*base_cols),
+            table,
+        )
+        delta_log.add_column(table, "score", "bigint", write_default=7)
+        delta_log.append(
+            orders.filter(F.col("o_orderkey") % 4 == 2).select(*base_cols),
+            table,
+        )
+        delta_log.append(
+            orders.filter(F.col("o_orderkey") % 4 == 3).select(
+                *base_cols,
+                (F.col("o_orderkey") % 50).cast("long").alias("score"),
+            ),
+            table,
+        )
+    return table
+
+
+@query("q226_delta_write_time_defaults", oracle=_Q226_SQL, tags=("lake", "agg"))
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a write-time-defaulted column spanning pre-add
+    rows (null), omitted batches (default 7), and explicit values: sum
+    and null-count must hash-match the relational CASE."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_defaults_table(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("score").cast("long").alias("sum_score"),
+            F.sum(
+                F.when(F.col("score").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null_score"),
+        )
+    )

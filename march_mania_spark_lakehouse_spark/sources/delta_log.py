@@ -603,6 +603,15 @@ def append(
         return create(df, table, stat_cols, txn)
     _enforce_constraints(df, table, cur)
     current = table_schema(table, cur)
+    # write-time column defaults (allowColumnDefaults): a declared
+    # column the batch omits is filled from its CURRENT_DEFAULT
+    # expression; explicit values (nulls included) always win
+    for f in current.fields:
+        if f.name not in df.columns and f.metadata.get("CURRENT_DEFAULT"):
+            df = df.withColumn(
+                f.name,
+                F.expr(str(f.metadata["CURRENT_DEFAULT"])).cast(f.dataType),
+            )
     known = {f.name for f in current.fields}
     if _row_tracking_enabled(table, cur):
         # materialized lineage columns are physical pass-throughs, not
@@ -3335,6 +3344,83 @@ def update_where(
         _op=("UPDATE", {"updateId": uid, "phase": "write"}),
         _cdc_label="update_postimage",
     )
+
+
+#: writer feature for column defaults (Delta PROTOCOL.md "Default
+#: Columns"): the default expression rides the field metadata and
+#: applies at WRITE time only
+DEFAULTS_PROTOCOL = {
+    "minReaderVersion": 1,
+    "minWriterVersion": 7,
+    "writerFeatures": ["allowColumnDefaults"],
+}
+
+
+def add_column(
+    table: str, name: str, type_str: str, write_default=None
+) -> int:
+    """ADD COLUMN — metadata-only (one metaData action; zero files
+    touched). ``write_default`` declares the spec's
+    ``allowColumnDefaults`` writer feature and records the default as
+    the field's ``CURRENT_DEFAULT`` metadata: future appends that OMIT
+    the column are filled at write time. Rows written before the add —
+    and rows whose batch omitted the column before a default existed —
+    read back null: Delta defaults are WRITE-TIME ONLY per the public
+    spec, deliberately unlike Iceberg's retroactive ``initial-default``
+    (`iceberg.add_column`); the engine preserves each format's real
+    semantics rather than papering over the difference. Returns the
+    new version."""
+    from pyspark.sql import types as T
+
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    meta = _latest_metadata(table, cur)
+    schema_json = json.loads(meta["schemaString"])
+    if any(f["name"] == name for f in schema_json["fields"]):
+        raise ValueError(f"{name!r} already in table schema")
+    dt = T._parse_datatype_string(type_str)
+    fld = {"name": name, "type": dt.jsonValue(), "nullable": True,
+           "metadata": {}}
+    actions: list[dict] = [
+        _commit_info("ADD COLUMN", {"column": name, "type": type_str}),
+    ]
+    if write_default is not None:
+        sql_lit = (
+            "'" + str(write_default).replace("'", "''") + "'"
+            if isinstance(write_default, str)
+            else repr(write_default)
+        )
+        fld["metadata"]["CURRENT_DEFAULT"] = sql_lit
+        actions.append(
+            {
+                "protocol": _merge_protocol(
+                    _effective_protocol(table, cur), DEFAULTS_PROTOCOL
+                )
+            }
+        )
+    conf = dict(meta.get("configuration") or {})
+    mapping = column_mapping(table, cur)
+    if mapping is not None:
+        # column-mapping table: fresh physical name + id (protocol rule)
+        max_id = int(conf.get("delta.columnMapping.maxColumnId", "0")) + 1
+        fld["metadata"]["delta.columnMapping.id"] = max_id
+        fld["metadata"]["delta.columnMapping.physicalName"] = (
+            f"col-{uuid.uuid4().hex[:16]}"
+        )
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    schema_json["fields"].append(fld)
+    actions.append(
+        {
+            "metaData": {
+                **meta,
+                "schemaString": json.dumps(schema_json),
+                "configuration": conf,
+            }
+        }
+    )
+    _commit_read_dependent(table, cur + 1, actions, "ADD COLUMN")
+    return cur + 1
 
 
 _WIDEN_OK = {("integer", "long"), ("float", "double")}

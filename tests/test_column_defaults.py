@@ -154,3 +154,67 @@ def test_defaults_compose_with_renames(spark, table):
     assert _both(spark, table) == [
         (1, "a", 1.0, 5), (2, "b", 2.0, 5), (3, "c", 3.0, 8)
     ]
+
+
+# --------------------------------------------------------------------------
+# Delta write-time defaults (allowColumnDefaults): the OTHER spec's
+# semantics, preserved honestly — defaults fill batches that omit the
+# column at WRITE time; pre-existing rows read null (no retroactive
+# fill, deliberately unlike Iceberg's initial-default above).
+# --------------------------------------------------------------------------
+
+from march_mania_spark_lakehouse_spark.sources import delta_log as dl  # noqa: E402
+from tests import delta_reader_independent as delta_indep  # noqa: E402
+
+
+def _dboth(spark, table):
+    eng = sorted(
+        tuple(r) for r in dl.read_delta(spark, table).collect()
+    )
+    assert sorted(delta_indep.read_rows(table)) == eng
+    return eng
+
+
+def test_delta_write_default_fills_future_batches_only(spark, tmp_path):
+    t = str(tmp_path / "delta")
+    dl.create(_df(spark, [(1, "a", 1.0)]), t)
+    dl.add_column(t, "tier", "string", write_default="silver")
+    # feature declared
+    proto = dl._effective_protocol(t, dl.latest_version(t))
+    assert "allowColumnDefaults" in proto["writerFeatures"]
+    # a batch OMITTING the column gets the default; old rows stay null
+    dl.append(_df(spark, [(2, "b", 2.0)]), t)
+    # a batch with explicit values (null included) wins
+    dl.append(
+        _df(
+            spark,
+            [(3, "c", 3.0, "gold"), (4, "d", 4.0, None)],
+            "id long, cat string, val double, tier string",
+        ),
+        t,
+    )
+    assert _dboth(spark, t) == [
+        (1, "a", 1.0, None),      # pre-add: write-time only, no fill
+        (2, "b", 2.0, "silver"),  # omitted: default
+        (3, "c", 3.0, "gold"),    # explicit
+        (4, "d", 4.0, None),      # explicit null wins
+    ]
+
+
+def test_delta_add_column_plain_and_numeric_default(spark, tmp_path):
+    t = str(tmp_path / "delta")
+    dl.create(_df(spark, [(1, "a", 1.0)]), t)
+    dl.add_column(t, "note", "string")  # no default: plain null add
+    dl.add_column(t, "score", "bigint", write_default=7)
+    dl.append(_df(spark, [(2, "b", 2.0)]), t)
+    assert _dboth(spark, t) == [
+        (1, "a", 1.0, None, None),
+        (2, "b", 2.0, None, 7),
+    ]
+    with pytest.raises(ValueError, match="already"):
+        dl.add_column(t, "score", "bigint")
+    # defaults compose with DV deletes and OPTIMIZE (write-time values
+    # are physical once written — rewrites keep them)
+    dl.delete_where(spark, t, "id = 1")
+    dl.optimize(spark, t)
+    assert _dboth(spark, t) == [(2, "b", 2.0, None, 7)]
