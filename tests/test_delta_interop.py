@@ -320,7 +320,11 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
     import random
 
     rng = random.Random(20260815)
-    for trial in range(3):
+    for trial in range(4):
+        # trial 3 runs the same mix on a ROW-TRACKING table: every op
+        # must keep ids consistent between engine and clean-room
+        # reader, and no two live rows may share an id
+        tracked = trial == 3
         table = str(tmp_path / f"rand_{trial}")
         nid = [0]
 
@@ -337,7 +341,10 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
         def batch(rows):
             return _df(spark, rows).withColumnRenamed("cat", cur_cat())
 
-        dlog.create(_df(spark, fresh(rng.randrange(3, 8))), table)
+        dlog.create(
+            _df(spark, fresh(rng.randrange(3, 8))), table,
+            row_tracking=tracked,
+        )
         for _ in range(5):
             # trial 0 draws only row-level-decomposable ops so the
             # CDF-fold check below is guaranteed to run at least once
@@ -393,6 +400,24 @@ def test_random_delta_history_sweep_with_dvs(spark, tmp_path):
             assert sorted(indep.read_rows(table, v)) == _spark_rows(
                 spark, table, v
             ), f"trial {trial} version {v} diverged"
+        if tracked:
+            # row-tracking invariants under the random composition:
+            # engine and clean-room lineage decodes agree, and live
+            # ids never collide (restore/overwrite/merge included —
+            # the high-water mark is monotonic, ranges never reused)
+            eng = sorted(
+                (r[-2], r[-1])
+                for r in dlog.read_delta_lineage(spark, table).collect()
+            )
+            ind = sorted(
+                (row[-2], row[-1])
+                for row in indep.read_rows(table, with_lineage=True)
+            )
+            assert eng == ind, f"trial {trial}: lineage decode diverged"
+            rids = [r for r, _ in eng if r is not None]
+            assert len(rids) == len(set(rids)), (
+                f"trial {trial}: duplicate row ids"
+            )
         # CDF-fold parity over the whole random history whenever it is
         # row-level decomposable (overwrite/restore/optimize histories
         # legitimately refuse): v0 snapshot + inserts + postimages −
