@@ -1755,23 +1755,30 @@ def checkpoint(
             ]
         )
         cpm_type = pa.struct([("version", pa.int64())])
-        k = 3 + len(sidecars)
+        # domainMetadata rows ride the TOP-LEVEL file (like protocol/
+        # metaData) so a reader seeding domains never opens a sidecar
+        k = 3 + len(dm_rows) + len(sidecars)
+        pad = [None] * (len(dm_rows) + len(sidecars))
         top = pa.table(
             {
                 "protocol": pa.array(
-                    [proto, None, None] + [None] * len(sidecars),
-                    type=proto_type,
+                    [proto, None, None] + pad, type=proto_type
                 ),
                 "metaData": pa.array(
-                    [None, rows_meta[1], None] + [None] * len(sidecars),
-                    type=meta_type,
+                    [None, rows_meta[1], None] + pad, type=meta_type
                 ),
                 "checkpointMetadata": pa.array(
-                    [None, None, {"version": v}] + [None] * len(sidecars),
-                    type=cpm_type,
+                    [None, None, {"version": v}] + pad, type=cpm_type
+                ),
+                "domainMetadata": pa.array(
+                    [None, None, None]
+                    + dm_rows
+                    + [None] * len(sidecars),
+                    type=dm_type,
                 ),
                 "sidecar": pa.array(
-                    [None, None, None] + sidecars, type=side_type
+                    [None] * (3 + len(dm_rows)) + sidecars,
+                    type=side_type,
                 ),
             }
         )
@@ -1784,21 +1791,27 @@ def checkpoint(
         for i in range(parts):
             lo = i * chunk
             part_adds = adds[lo: lo + chunk]
-            # spec: each checkpoint row is ONE action — protocol and
-            # metaData get separate leading rows in part 1 (external
-            # readers unwrap a single action per row and would drop
-            # whichever shared a row)
-            head = 2 if i == 0 else 1
+            # spec: each checkpoint row is ONE action — protocol,
+            # metaData and each domainMetadata get separate leading
+            # rows in part 1 (external readers unwrap a single action
+            # per row and would drop whichever shared a row)
+            head = (2 + len(dm_rows)) if i == 0 else 1
             rows = {
                 "protocol": pa.array(
-                    ([proto, None] if i == 0 else [None])
+                    ([proto] + [None] * (head - 1) if i == 0 else [None])
                     + [None] * len(part_adds),
                     type=proto_type,
                 ),
                 "metaData": pa.array(
-                    ([None, rows_meta[1]] if i == 0 else [None])
+                    ([None, rows_meta[1]] + [None] * len(dm_rows)
+                     if i == 0 else [None])
                     + [None] * len(part_adds),
                     type=meta_type,
+                ),
+                "domainMetadata": pa.array(
+                    ([None, None] + dm_rows if i == 0 else [None])
+                    + [None] * len(part_adds),
+                    type=dm_type,
                 ),
                 "add": pa.array([None] * head + part_adds, type=add_type),
             }
@@ -1814,6 +1827,7 @@ def checkpoint(
             {
                 "protocol": pa.array(rows_proto, type=proto_type),
                 "metaData": pa.array(rows_meta, type=meta_type),
+                "domainMetadata": pa.array(rows_dm, type=dm_type),
                 "add": pa.array(rows_add, type=add_type),
             }
         )
@@ -2240,8 +2254,10 @@ def _collect_domain_metadata(table: str, version: int) -> "dict[str, str]":
     for vv in range(start, version + 1):
         p = _commit_path(table, vv)
         if not os.path.exists(p):
-            if vv <= (cp["version"] if cp else -1):
-                continue  # cleaned-up tail below a seeding checkpoint
+            # when the checkpoint seeded, the scan starts ABOVE it and
+            # every commit there must exist; below an UNSEEDABLE
+            # checkpoint a missing commit means the domain state is
+            # unrecoverable — skipping it would silently reuse row ids
             raise FileNotFoundError(
                 f"cannot recover domain metadata for {table}@{version}: "
                 f"commit {vv} is missing and no checkpoint records "
@@ -2524,9 +2540,19 @@ def _rebase_row_ids(
             add["baseRowId"] += shift
             add["defaultRowCommitVersion"] = new_version
             stats = json.loads(add.get("stats") or "{}")
-            new_hwm = max(
-                new_hwm, add["baseRowId"] + int(stats.get("numRecords", 1)) - 1
-            )
+            n = stats.get("numRecords")
+            if n is None:
+                # same footer fallback as _assign_row_ids: defaulting
+                # to 1 record would understate the hwm and let later
+                # appends overlap this file's row ids
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(
+                    os.path.join(table, add["path"])
+                    if not os.path.isabs(add["path"])
+                    else add["path"]
+                ).metadata.num_rows
+            new_hwm = max(new_hwm, add["baseRowId"] + int(n) - 1)
             out.append({"add": add})
         elif dm is not None and dm.get("domain") == ROW_TRACKING_DOMAIN:
             continue  # re-appended below with the shifted mark

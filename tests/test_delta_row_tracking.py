@@ -150,6 +150,63 @@ def test_hwm_survives_checkpoint_and_cleanup(spark, table):
     assert sorted(rid for rid, _ in lin.values()) == list(range(25))
 
 
+@pytest.mark.parametrize(
+    "layout", [{}, {"parts": 2}, {"v2": True}],
+    ids=["single", "multipart", "v2"],
+)
+def test_hwm_survives_checkpoint_when_last_commit_has_no_hwm(
+    spark, table, layout
+):
+    """The checkpoint itself must persist the row-id high-water mark
+    (domainMetadata rows in ALL THREE layouts): when the checkpoint
+    version's own commit carries no hwm action (a DV delete re-adds
+    files with their existing baseRowId — no fresh ids, no hwm
+    action), cleanup would otherwise strand the mark and the next
+    append would restart ids at 0, duplicating live row ids."""
+    dl.create(_df(spark, _rows(0, 10)), table, row_tracking=True)
+    dl.append(_df(spark, _rows(10, 20)), table)
+    dl.delete_where(spark, table, "k = 3")
+    cp_v = dl.latest_version(table)
+    # the scenario's premise: the surviving commit has NO hwm action
+    assert not any(
+        "domainMetadata" in a
+        for a in dl._read_actions(dl._commit_path(table, cp_v))
+    )
+    before = _lineage(spark, table)
+    dl.checkpoint(table, **layout)
+    for vv in range(cp_v):
+        os.utime(dl._commit_path(table, vv), (1, 1))
+    assert dl.cleanup_log(table, retention_ms=0)
+    assert dl._row_id_high_water_mark(table, cp_v) == 19
+    assert _lineage(spark, table) == before
+    dl.append(_df(spark, _rows(20, 25)), table)
+    lin = _lineage(spark, table)
+    live_old = {rid for rid, _ in before.values()}
+    assert sorted(rid for rid, _ in lin.values()) == sorted(
+        live_old | set(range(20, 25))
+    )
+
+
+def test_unseedable_checkpoint_raises_not_silently_reuses(spark, table):
+    """A checkpoint written before domainMetadata support cannot prove
+    there was no high-water mark: once cleanup removed the commits
+    below it, domain recovery must RAISE (documented behavior), not
+    silently restart row ids at 0."""
+    import pyarrow.parquet as pq
+
+    dl.create(_df(spark, _rows(0, 10)), table, row_tracking=True)
+    dl.append(_df(spark, _rows(10, 20)), table)
+    cp_v = dl.checkpoint(table)
+    # simulate the pre-support layout: strip the domainMetadata column
+    p = dl._checkpoint_path(table, cp_v)
+    pq.write_table(pq.read_table(p).drop_columns(["domainMetadata"]), p)
+    for vv in range(cp_v):
+        os.utime(dl._commit_path(table, vv), (1, 1))
+    assert dl.cleanup_log(table, retention_ms=0)
+    with pytest.raises(FileNotFoundError, match="domain metadata"):
+        dl._row_id_high_water_mark(table, cp_v)
+
+
 def test_blind_append_race_rebases_row_ids(spark, table, monkeypatch):
     """Two appends racing for one version must NOT claim overlapping
     row ids: the loser's rebase shifts its baseRowIds above the
