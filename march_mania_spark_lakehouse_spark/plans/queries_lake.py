@@ -2099,3 +2099,254 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_null_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q227 — SCHEMA EVOLUTION THROUGH CONTINUOUS SYNC (round 11): the Delta
+# writer adds a write-defaulted column, RENAMES a column (auto-enabling
+# column mapping), WIDENS an int to long, and adds a post-mapping column
+# whose physical name is a fresh col-<uuid> — then `sync_from_delta`
+# replays every one of those commits onto the Iceberg mirror as
+# metadata-only schema generations with field-ids reconciled, and the
+# query reads the MIRROR. Every file generation resolves (pre-rename
+# files store the old physical name; the mapped add's files store the
+# uuid name) via the mirror's name history. The oracle reconstructs all
+# four populations relationally. At 100 TB the point: one writer-side
+# ADD COLUMN no longer kills the mirror's follow loop — the replay is
+# one KB-scale metadata commit per side, zero data movement.
+# --------------------------------------------------------------------------
+
+_Q227_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 4 = 2 THEN 5
+                     WHEN o_orderkey % 4 = 3 THEN o_orderkey % 50
+                     END) AS BIGINT) AS sum_score,
+       CAST(SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_score,
+       {dsum}
+       CAST(SUM(CASE WHEN o_orderkey % 4 IN (1, 2)
+                     THEN o_orderkey % 1000
+                     ELSE o_orderkey + 3000000000 END)
+            AS BIGINT) AS sum_bucket,
+       CAST(SUM(CASE WHEN o_orderkey % 4 = 3 THEN o_orderkey % 2 END)
+            AS BIGINT) AS sum_flag
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2, 3)
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price") + ",")
+
+
+def _sync_schema_pair(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish of a Delta writer + Iceberg mirror
+    pair whose sync range carries the full schema-evolution menu:
+    v0 create (key%4=1; bucket INT), v1 add score (write_default 5),
+    v2 append key%4=2 omitting score, v3 enable mapping + v4 rename
+    o_totalprice→price, v5 widen bucket int→long, v6 add flag (mapped:
+    col-<uuid> physical name), v7 append key%4=3 with explicit values
+    (bucket beyond int range). Returns the MIRROR path; guarded on the
+    terminal Delta version (7) and the mirror's sync cursor."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"sync-schema|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_sync_schema", fp
+    )
+    dt = os.path.join(root, "delta")
+    it = os.path.join(root, "ice")
+
+    def _terminal() -> bool:
+        if delta_log.latest_version(dt) != 7:
+            return False
+        if iceberg.current_version(it) is None:
+            return False
+        props = iceberg.current_metadata(it).get("properties", {})
+        return props.get("migrated-delta-version") == "7"
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        base = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            (F.col("o_orderkey") % 1000).cast("int").alias("bucket"),
+        )
+        delta_log.create(
+            base.filter(F.col("o_orderkey") % 4 == 1), dt
+        )
+        from march_mania_spark_lakehouse_spark.sources import iceberg as ice
+
+        ice.convert_from_delta(dt, it)
+        delta_log.add_column(dt, "score", "bigint", write_default=5)
+        delta_log.append(base.filter(F.col("o_orderkey") % 4 == 2), dt)
+        delta_log.rename_column(dt, "o_totalprice", "price")
+        delta_log.widen_column(dt, "bucket", "long")
+        delta_log.add_column(dt, "flag", "bigint")
+        delta_log.append(
+            orders.filter(F.col("o_orderkey") % 4 == 3).select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("o_totalprice").alias("price"),
+                (F.col("o_orderkey") + 3000000000).alias("bucket"),
+                (F.col("o_orderkey") % 50).cast("long").alias("score"),
+                (F.col("o_orderkey") % 2).cast("long").alias("flag"),
+            ),
+            dt,
+        )
+        ice.sync_from_delta(dt, it)
+    return it
+
+
+# --------------------------------------------------------------------------
+# q228 — CROSS-FORMAT LINEAGE-KEYED IVM (round 11): the gold-table
+# refresh survives a COMPLETE FORMAT MIGRATION. Partial-aggregate state
+# is captured from the DELTA layer (after a DV delete), the table is
+# migrated with `convert_from_delta` (row ids carried 1:1), writes
+# continue on the ICEBERG side (DV delete + carried update + append),
+# and the refresh folds `snapshot_diff_changelog` from the conversion
+# snapshot into the Delta-side state — bit-identical to a full
+# recompute of the migrated head, which the oracle expresses
+# relationally. At 100 TB: a format migration no longer invalidates
+# downstream incremental state; the refresh pays two lineage scans +
+# one long-key join, never a reprocess.
+# --------------------------------------------------------------------------
+
+_Q228_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS sum_m,
+       CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_m
+FROM (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 9 = 3 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 <> 7
+        AND o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice AS p
+  FROM orders
+  WHERE o_orderkey % 4 = 0 AND o_orderkey > 0
+) t
+GROUP BY o_orderstatus
+"""
+
+
+def _migrated_ivm_pair(spark: SparkSession, sf_dir: str) -> "tuple[str, str, int]":
+    """Fingerprint-cached publish: Delta v0 = orders key%4=1 (row
+    tracking), v1 = DV delete key%10=7; `convert_from_delta` → Iceberg
+    snapshot 1; then ON ICEBERG: DV delete key%5=0, carried update
+    key%9=3 (+1 price), append key%4=0 (key>0). Returns (delta, ice,
+    conversion snapshot id). Guarded on the terminal snapshot count."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"migrated-ivm|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_migrated_ivm", fp
+    )
+    dt = os.path.join(root, "delta")
+    it = os.path.join(root, "ice")
+
+    def _terminal() -> bool:
+        return (
+            delta_log.latest_version(dt) == 1
+            and iceberg.current_version(it) is not None
+            and len(iceberg.snapshot_ids(it)) == 5
+        )
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+            dt,
+            row_tracking=True,
+        )
+        delta_log.delete_where(spark, dt, "o_orderkey % 10 = 7")
+        iceberg.convert_from_delta(dt, it)
+        iceberg.delete_where(spark, it, "o_orderkey % 5 = 0")
+        iceberg.update_where(
+            spark, it, "o_orderkey % 9 = 3",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        iceberg.append(
+            orders.filter(
+                (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") > 0)
+            ).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            it,
+        )
+    return dt, it, iceberg.snapshot_ids(it)[0]
+
+
+@query("q228_migrated_lineage_ivm", oracle=_Q228_SQL, tags=("lake", "agg"))
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-side agg state + Iceberg-side lineage diff (row ids
+    carried through the migration) must hash-match the relational
+    recompute of the migrated head."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    dt, it, first = _migrated_ivm_pair(spark, sf_dir)
+    base = ivm.agg_state(
+        delta_log.read_delta(spark, dt).select(
+            "o_orderstatus", "o_totalprice"
+        ),
+        ["o_orderstatus"],
+        "o_totalprice",
+    )
+    feed = iceberg.snapshot_diff_changelog(spark, it, first).select(
+        "o_orderstatus", "o_totalprice", "_change_type"
+    )
+    delta_state = ivm.signed_state(feed, ["o_orderstatus"], "o_totalprice")
+    return ivm.finalize_counts(ivm.merge_states(base, delta_state)).select(
+        "o_orderstatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "sum_m",
+        "avg_m",
+    )
+
+
+@query("q227_sync_schema_evolution", oracle=_Q227_SQL, tags=("lake", "agg"))
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the ICEBERG MIRROR after the sync replayed add (write
+    default), rename, widen, and a column-mapped add from the Delta
+    writer: every population and every file generation must hash-match
+    the relational CASE oracle."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _sync_schema_pair(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("score").cast("long").alias("sum_score"),
+            F.sum(
+                F.when(F.col("score").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null_score"),
+            dsum("price", "sum_price"),
+            F.sum("bucket").cast("long").alias("sum_bucket"),
+            F.sum("flag").cast("long").alias("sum_flag"),
+        )
+    )

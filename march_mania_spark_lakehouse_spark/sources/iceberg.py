@@ -1324,9 +1324,11 @@ def add_column(
                 "column defaults are an Iceberg v3 feature — "
                 "upgrade_format_version(table, 3) first"
             )
-        if _identity_part_cols(meta):
+        # only INITIAL defaults touch the read path; a write-default is
+        # write-time metadata and composes with any layout
+        if default is not None and _identity_part_cols(meta):
             raise NotImplementedError(
-                "defaults on an identity-partitioned table: the "
+                "initial-defaults on an identity-partitioned table: the "
                 "footer-grouped default read cannot restore hive "
                 "partition columns on every layout"
             )
@@ -1386,11 +1388,21 @@ def rename_column(table: str, old: str, new: str) -> int:
             )
     if new in by_name:
         raise ValueError(f"{new!r} already in table schema")
-    if _identity_part_cols(meta):
+    if any(
+        pf["source-id"] == fid
+        and pf.get("transform", "identity") == "identity"
+        for spec in meta.get("partition-specs", [])
+        for pf in spec["fields"]
+    ):
+        # only the partition SOURCE columns are physically keyed (hive
+        # directory names, manifest partition tuples, basePath
+        # restoration) — renaming any OTHER column on a partitioned
+        # table is plain name-history resolution like the
+        # unpartitioned case
         raise NotImplementedError(
-            "rename on an identity-partitioned table: hive directory "
-            "names and manifest tuples are keyed by the physical column "
-            "name"
+            "rename of an identity-partition source column: hive "
+            "directory names and manifest tuples are keyed by the "
+            "physical column name"
         )
     if fid in _live_equality_ids(meta):
         raise NotImplementedError(
@@ -1863,6 +1875,7 @@ def _read_renamed_groups(
     paths: "list[str]",
     base_path: "str | None",
     extra_fields: "Sequence | None" = None,
+    id_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Per-generation read for tables with renamed columns: data files
     physically carry the column names current WHEN THEY WERE WRITTEN,
@@ -1877,6 +1890,13 @@ def _read_renamed_groups(
     import pyarrow.parquet as pq
     from pyspark.sql import types as T
 
+    if id_cols and not base_path:
+        raise NotImplementedError(
+            "renamed/defaulted read on an identity-partitioned table "
+            "without basePath discovery (evolved-spec or foreign-path "
+            "layout): the grouped read cannot restore the partition "
+            "columns"
+        )
     spark_decl = _spark_schema(schema_json)
     decl_by_id = {
         f["id"]: (f["name"], sf.dataType)
@@ -1916,6 +1936,11 @@ def _read_renamed_groups(
         for f in spark_decl.fields:
             if f.name in alias_of:
                 cols.append(F.col(alias_of[f.name]).alias(f.name))
+            elif f.name in id_cols:
+                # identity partition column: never in the footer (hive
+                # layout) and never renameable (gated) — basePath
+                # discovery restored it under its own stable name
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
                 # absent from this footer group: v3 initial-default
                 # when declared, else the usual null fill
@@ -1999,14 +2024,18 @@ def _read_raw(
     )
     paths = [os.path.join(table, f) for f in sorted(rel_files)]
     if _has_renames(meta) or _has_defaults(schema_json):
-        # rename_column / defaulted add_column gate identity-partitioned
-        # tables, so the grouped path never needs identity restoration.
-        # Defaults need the per-footer grouping: only files physically
-        # LACKING the column take the initial-default (a post-evolution
-        # file's explicit null stays null, per spec).
-        base = table if (has_spec and not evolved) else None
+        # identity partition columns come back via basePath discovery
+        # (partition SOURCES are never renameable — gated — so their
+        # dir names are stable); evolved-spec/foreign layouts raise
+        # inside. Defaults need the per-footer grouping: only files
+        # physically LACKING the column take the initial-default (a
+        # post-evolution file's explicit null stays null, per spec).
+        base = (
+            table if (has_spec and not evolved and not foreign) else None
+        )
         df = _read_renamed_groups(
-            spark, meta, schema_json, paths, base, extra_fields
+            spark, meta, schema_json, paths, base, extra_fields,
+            id_cols=id_cols,
         )
         return df, declared
     if not id_cols:
@@ -4168,8 +4197,180 @@ def _delta_pv_str(v, t: str) -> "str | None":
 
 
 class DeltaSyncSchemaChangeError(NotImplementedError):
-    """A Delta commit in the sync range changed the schema or the
-    partition columns — the mirror cannot replay it (re-convert)."""
+    """A Delta commit in the sync range changed the schema in a way
+    the mirror cannot replay (partition-column changes, non-widening
+    retypes, name reuse across the format line) — re-convert."""
+
+
+#: Delta schemaString type names ⇄ Iceberg primitive type names
+_DELTA_TO_ICE = {
+    "long": "long", "integer": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamptz",
+}
+
+
+def _parse_delta_sql_literal(s: str):
+    """Inverse of `delta_log.add_column`'s CURRENT_DEFAULT rendering:
+    a SQL literal string back to the Python value."""
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1].replace("''", "'")
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(s)
+    except ValueError:
+        return float(s)
+
+
+def _pair_delta_fields(
+    prev_fields: "list[dict]", new_fields: "list[dict]"
+) -> "tuple[list[tuple[dict, dict]], list[dict], list[dict]]":
+    """FIELD-ID RECONCILIATION across one Delta metaData action:
+    match fields by ``delta.columnMapping.id`` when both generations
+    carry it (stable under rename), else by name (without mapping the
+    only legal Delta changes are add/widen — names are stable).
+    Returns (matched pairs old→new, added, dropped)."""
+
+    def _mid(f: dict):
+        return (f.get("metadata") or {}).get("delta.columnMapping.id")
+
+    prev_by_id = {_mid(f): f for f in prev_fields if _mid(f) is not None}
+    pairs: "list[tuple[dict, dict]]" = []
+    un_prev = list(prev_fields)
+    added: "list[dict]" = []
+    for f in new_fields:
+        mid = _mid(f)
+        if mid is not None and mid in prev_by_id:
+            pairs.append((prev_by_id[mid], f))
+            un_prev.remove(prev_by_id[mid])
+        else:
+            added.append(f)
+    # second pass: unmatched new fields pair with unmatched prev by
+    # name (the pre-mapping / mapping-enable generations)
+    prev_by_name = {f["name"]: f for f in un_prev}
+    still_added = []
+    for f in added:
+        if f["name"] in prev_by_name:
+            p = prev_by_name.pop(f["name"])
+            pairs.append((p, f))
+            un_prev.remove(p)
+        else:
+            still_added.append(f)
+    return pairs, still_added, un_prev
+
+
+def _replay_delta_schema_change(
+    delta_table: str, iceberg_table: str, v: int, md: dict
+) -> None:
+    """Replay ONE Delta metaData action's schema evolution onto the
+    Iceberg mirror — metadata-only on both sides, field identity
+    reconciled via `_pair_delta_fields`:
+
+    - ADD COLUMN → `add_column`; a ``CURRENT_DEFAULT`` becomes the
+      Iceberg ``write-default`` (NEVER ``initial-default``: Delta
+      defaults are write-time-only per spec, so pre-evolution rows
+      must read null on BOTH layers), auto-upgrading a v2 mirror to
+      v3. On a column-mapped source the new field's parquet files
+      store the PHYSICAL ``col-<uuid>`` name, so the mirror adds the
+      column under that name and immediately renames it to the
+      logical one — the physical name lands in the field's
+      name-history, and `_read_renamed_groups` resolves every file
+      generation by footer.
+    - RENAME COLUMN → `rename_column` (same field-id, new name; the
+      old physical name stays in the history so post-rename Delta
+      files — which still store the old physical name — resolve).
+    - WIDEN COLUMN → `widen_column` (the sanctioned promotions map
+      1:1 across the specs).
+    - DROP COLUMN → `drop_column`.
+    - mapping-enable / configuration-only metaData actions are
+      no-ops here (names and types unchanged).
+
+    Partition-column changes and anything the Iceberg surgery gates
+    refuse (name reuse, partition-source renames, non-promotions)
+    raise :class:`DeltaSyncSchemaChangeError`."""
+    import json as _json
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    prev_md = delta_log._latest_metadata(delta_table, v - 1)
+    prev_fields = _json.loads(prev_md["schemaString"])["fields"]
+    new_fields = _json.loads(md["schemaString"])["fields"]
+    if list(md.get("partitionColumns") or []) != list(
+        prev_md.get("partitionColumns") or []
+    ):
+        raise DeltaSyncSchemaChangeError(
+            f"delta version {v} changes the partition columns; the "
+            "mirror cannot replay it — re-convert"
+        )
+    pairs, added, dropped = _pair_delta_fields(prev_fields, new_fields)
+    if not (added or dropped) and all(
+        p["name"] == n["name"] and p["type"] == n["type"]
+        for p, n in pairs
+    ):
+        return  # mapping-enable / config-only: nothing to mirror
+    # the mirror's declared schema must still be the image of the
+    # PREVIOUS Delta schema or the two layers already diverged
+    meta = current_metadata(iceberg_table)
+    mirror = meta["schemas"][meta["current-schema-id"]]
+    if [(f["name"], _DELTA_TO_ICE.get(_dtype_str(f))) for f in prev_fields] != [
+        (f["name"], f["type"]) for f in mirror["fields"]
+    ]:
+        raise DeltaSyncSchemaChangeError(
+            f"the mirror's schema does not match delta version {v - 1}'s "
+            "— the layers diverged; re-convert"
+        )
+    try:
+        # order: widen (keyed by the OLD name) → rename → drop → add
+        for p, n in pairs:
+            pt, nt = _dtype_str(p), _dtype_str(n)
+            if pt != nt:
+                widen_column(
+                    iceberg_table, p["name"], _DELTA_TO_ICE[nt]
+                )
+        for p, n in pairs:
+            if p["name"] != n["name"]:
+                rename_column(iceberg_table, p["name"], n["name"])
+        for p in dropped:
+            drop_column(iceberg_table, p["name"])
+        for f in added:
+            t = _dtype_str(f)
+            if t not in _DELTA_TO_ICE:
+                raise DeltaSyncSchemaChangeError(
+                    f"added column {f['name']!r} has non-primitive type "
+                    f"{t!r}; the mirror cannot replay it"
+                )
+            fmeta = f.get("metadata") or {}
+            wd = fmeta.get("CURRENT_DEFAULT")
+            if wd is not None:
+                wd = _parse_delta_sql_literal(str(wd))
+                if int(
+                    current_metadata(iceberg_table).get(
+                        "format-version", 2
+                    )
+                ) < 3:
+                    upgrade_format_version(iceberg_table, 3)
+            phys = fmeta.get("delta.columnMapping.physicalName", f["name"])
+            add_column(
+                iceberg_table, phys, _DELTA_TO_ICE[t], write_default=wd
+            )
+            if phys != f["name"]:
+                rename_column(iceberg_table, phys, f["name"])
+    except DeltaSyncSchemaChangeError:
+        raise
+    except (ValueError, KeyError, NotImplementedError) as e:
+        raise DeltaSyncSchemaChangeError(
+            f"delta version {v}'s schema change does not replay onto "
+            f"the mirror: {e}"
+        ) from e
+
+
+def _dtype_str(f: dict) -> str:
+    """A Delta schemaString field's type name (nested types come back
+    as dicts — surfaced verbatim so callers can refuse them)."""
+    t = f["type"]
+    return t if isinstance(t, str) else str(t)
 
 
 def sync_from_delta(delta_table: str, iceberg_table: str) -> int:
@@ -4264,27 +4465,19 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
         meta["properties"] = props
         _write_metadata(iceberg_table, meta)
 
-    # ---- gates: schema / partition changes don't replay -------------
+    # ---- schema evolution REPLAYS (round 11); partition changes and
+    # non-replayable surgeries still raise inside the replay ----------
+    evolved = False
     for a in actions:
         md = a.get("metaData")
         if md is None:
             continue
-        prev_schema = delta_log.table_schema(delta_table, v - 1)
-        prev_parts = delta_log.table_partition_columns(delta_table, v - 1)
-        import json as _json
-
-        from pyspark.sql import types as T
-
-        new_schema = T.StructType.fromJson(_json.loads(md["schemaString"]))
-        if [
-            (f.name, f.dataType.simpleString()) for f in new_schema.fields
-        ] != [
-            (f.name, f.dataType.simpleString()) for f in prev_schema.fields
-        ] or list(md.get("partitionColumns") or []) != list(prev_parts):
-            raise DeltaSyncSchemaChangeError(
-                f"delta version {v} changes the schema or partition "
-                "columns; the mirror cannot replay it — re-convert"
-            )
+        _replay_delta_schema_change(delta_table, iceberg_table, v, md)
+        evolved = True
+    if evolved:
+        # the replay wrote metadata versions — re-read before building
+        # the mirrored snapshot on top of them
+        meta = dict(current_metadata(iceberg_table))
     adds = {a["add"]["path"]: a["add"] for a in actions if "add" in a}
     removes = {
         a["remove"]["path"]: a["remove"] for a in actions if "remove" in a
@@ -4347,6 +4540,14 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
         is_readd = rel in removes or (
             not part_cols
             and fp_of_existing(rel) in live_by_fp
+        ) or (
+            # partitioned mirror files are digest-named; a Delta re-add
+            # WITHOUT a paired remove (stats-refresh re-commit, legal
+            # per spec) must map to its existing linked file or it gets
+            # staged twice and double-counts rows on the mirror
+            bool(part_cols)
+            and hashlib.sha256(rel.encode()).hexdigest()[:32] + ".parquet"
+            in by_digest
         )
         if is_readd:
             fp = fp_of_existing(rel)
@@ -4674,6 +4875,227 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
     _write_metadata(iceberg_table, meta)
 
 
+#: Iceberg primitive type → Delta schemaString type name
+_ICE_TO_DELTA_JSON = {
+    "long": "long", "int": "integer", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "date": "date", "timestamptz": "timestamp",
+}
+
+
+def _render_delta_sql_literal(v) -> str:
+    """`delta_log.add_column`'s CURRENT_DEFAULT rendering."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _reconcile_delta_mirror_schema(
+    iceberg_table: str,
+    delta_table: str,
+    meta: dict,
+    target_schema: dict,
+    seq_stamp: int,
+) -> bool:
+    """Bring the Delta mirror's declared schema up to ``target_schema``
+    (an Iceberg schema generation) in ONE metaData commit — the
+    reverse-direction schema replay (round 11), field identity
+    reconciled by matching the mirror's current schema to the Iceberg
+    generation that produced it and diffing FIELD IDS from there:
+
+    - widen → the field's Delta type re-declared wider (sanctioned
+      promotions only);
+    - rename → the logical name changes; the commit auto-enables Delta
+      column mapping with ``delta.columnMapping.id`` set to the
+      ICEBERG FIELD ID and the physical name pinned to the old name
+      (what the already-staged files store);
+    - drop → the field leaves the schemaString;
+    - add → a new field whose PHYSICAL name equals its Iceberg name
+      (post-add Iceberg files store exactly that); a ``write-default``
+      maps to ``CURRENT_DEFAULT`` (+ the allowColumnDefaults
+      protocol), while an ``initial-default`` RAISES — Delta defaults
+      are write-time-only per spec, so a retroactive default cannot be
+      represented without rewriting data.
+
+    The commit's commitInfo carries ``sourceSequence=seq_stamp`` (the
+    LAST ALREADY-SYNCED sequence) so a crash between this commit and
+    the snapshot replay resumes exactly: the re-run's reconcile is a
+    no-op and the snapshot replays next. Returns True when a commit
+    was written."""
+    import json as _json
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    dv = delta_log.latest_version(delta_table)
+    mirror_md = delta_log._latest_metadata(delta_table, dv)
+    schema_json = _json.loads(mirror_md["schemaString"])
+    mirror_list = [(f["name"], f["type"]) for f in schema_json["fields"]]
+    target_list = [
+        (f["name"], _ICE_TO_DELTA_JSON.get(f["type"], f["type"]))
+        for f in target_schema["fields"]
+    ]
+    if mirror_list == target_list:
+        return False
+    # which Iceberg generation is the mirror an image of? (unique —
+    # every surgery changes the (name, type) list and name reuse is
+    # refused; identical duplicates would carry identical fields)
+    old_schema = None
+    for s in meta["schemas"]:
+        if [
+            (f["name"], _ICE_TO_DELTA_JSON.get(f["type"], f["type"]))
+            for f in s["fields"]
+        ] == mirror_list:
+            old_schema = s
+    if old_schema is None:
+        raise DeltaSyncSchemaChangeError(
+            f"the mirror's schema matches no generation of "
+            f"{iceberg_table}; the layers diverged — re-convert"
+        )
+    old_by_id = {f["id"]: f for f in old_schema["fields"]}
+    new_by_id = {f["id"]: f for f in target_schema["fields"]}
+    renames = [
+        (old_by_id[i]["name"], new_by_id[i]["name"])
+        for i in old_by_id.keys() & new_by_id.keys()
+        if old_by_id[i]["name"] != new_by_id[i]["name"]
+    ]
+    widens = [
+        (old_by_id[i]["name"], old_by_id[i]["type"], new_by_id[i]["type"])
+        for i in old_by_id.keys() & new_by_id.keys()
+        if old_by_id[i]["type"] != new_by_id[i]["type"]
+    ]
+    drops = [old_by_id[i] for i in old_by_id.keys() - new_by_id.keys()]
+    adds = [new_by_id[i] for i in new_by_id.keys() - old_by_id.keys()]
+
+    conf = dict(mirror_md.get("configuration") or {})
+    part_cols = list(mirror_md.get("partitionColumns") or [])
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    mapped = conf.get("delta.columnMapping.mode") == "name"
+    if (renames or drops) and not mapped:
+        # enable column mapping IN the same commit, ids = Iceberg
+        # field ids — the cross-format field-id reconciliation
+        for f in schema_json["fields"]:
+            fid = {
+                g["name"]: g["id"] for g in old_schema["fields"]
+            }[f["name"]]
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = fid
+            md["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = md
+        conf["delta.columnMapping.mode"] = "name"
+        mapped = True
+    for name, ot, nt in widens:
+        o_d = _ICE_TO_DELTA_JSON.get(ot, ot)
+        n_d = _ICE_TO_DELTA_JSON.get(nt, nt)
+        if (o_d, n_d) not in delta_log._WIDEN_OK:
+            raise DeltaSyncSchemaChangeError(
+                f"{ot} -> {nt} on {name!r} is not a sanctioned "
+                "promotion; the mirror cannot replay it"
+            )
+        if name in part_cols and ot == "float":
+            raise DeltaSyncSchemaChangeError(
+                f"widening partition column {name!r} float -> double "
+                "needs the mirror's partition values re-rendered; "
+                "re-convert"
+            )
+        by_name[name]["type"] = n_d
+    for old, new in renames:
+        if old in part_cols:
+            raise DeltaSyncSchemaChangeError(
+                f"rename of partition column {old!r} does not replay "
+                "(hive directories are keyed by the physical name)"
+            )
+        if new in by_name:
+            raise DeltaSyncSchemaChangeError(
+                f"rename {old!r} -> {new!r} collides on the mirror"
+            )
+        by_name[old]["name"] = new
+    for f in drops:
+        if f["name"] in part_cols:
+            raise DeltaSyncSchemaChangeError(
+                f"drop of partition column {f['name']!r} does not replay"
+            )
+        schema_json["fields"] = [
+            g for g in schema_json["fields"] if g["name"] != f["name"]
+        ]
+    if not schema_json["fields"]:
+        raise DeltaSyncSchemaChangeError("cannot drop the last column")
+    actions: "list[dict]" = []
+    for f in sorted(adds, key=lambda f: f["id"]):
+        if f.get("initial-default") is not None:
+            raise DeltaSyncSchemaChangeError(
+                f"added column {f['name']!r} carries an Iceberg "
+                "initial-default; Delta defaults are write-time-only — "
+                "the retroactive read cannot be represented without a "
+                "rewrite"
+            )
+        t = f["type"]
+        if t not in _ICE_TO_DELTA_JSON:
+            raise DeltaSyncSchemaChangeError(
+                f"added column {f['name']!r} has non-primitive type "
+                f"{t!r}; the mirror cannot replay it"
+            )
+        fmeta: dict = {}
+        if mapped:
+            # physical name == Iceberg name: that is what post-add
+            # Iceberg data files physically store
+            fmeta["delta.columnMapping.id"] = f["id"]
+            fmeta["delta.columnMapping.physicalName"] = f["name"]
+        wd = f.get("write-default")
+        if wd is not None:
+            fmeta["CURRENT_DEFAULT"] = _render_delta_sql_literal(wd)
+            actions.append(
+                {
+                    "protocol": delta_log._merge_protocol(
+                        delta_log._effective_protocol(delta_table, dv),
+                        delta_log.DEFAULTS_PROTOCOL,
+                    )
+                }
+            )
+        schema_json["fields"].append(
+            {
+                "name": f["name"],
+                "type": _ICE_TO_DELTA_JSON[t],
+                "nullable": True,
+                "metadata": fmeta,
+            }
+        )
+    if mapped:
+        ids = [
+            (f.get("metadata") or {}).get("delta.columnMapping.id", 0)
+            for f in schema_json["fields"]
+        ]
+        conf["delta.columnMapping.maxColumnId"] = str(
+            max(
+                [int(conf.get("delta.columnMapping.maxColumnId", "0"))]
+                + [int(i) for i in ids]
+            )
+        )
+    actions.insert(
+        0,
+        delta_log._commit_info(
+            "SYNC SCHEMA",
+            {
+                "source": os.path.abspath(iceberg_table),
+                "sourceSequence": str(seq_stamp),
+                "sourceSchemaId": str(target_schema["schema-id"]),
+            },
+        ),
+    )
+    actions.append(
+        {
+            "metaData": {
+                **mirror_md,
+                "schemaString": _json.dumps(schema_json),
+                "configuration": conf,
+            }
+        }
+    )
+    delta_log._commit_read_dependent(
+        delta_table, dv + 1, actions, "SYNC SCHEMA"
+    )
+    return True
+
+
 def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
     """The REVERSE continuous sync: replay the Iceberg snapshots
     committed since :func:`convert_to_delta` (or the previous sync)
@@ -4759,11 +5181,25 @@ def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
             "snapshots between the sync cursor and the head were "
             "expired; the state diffs are unknowable — re-convert"
         )
-    v = latest
+    last_seq = cursor
     for s in reversed(lineage):
-        v += 1
+        # schema changes BETWEEN snapshots replay first, stamped with
+        # the last already-synced sequence (crash-safe resume: the
+        # re-run's reconcile is a no-op and the snapshot replays next)
+        _reconcile_delta_mirror_schema(
+            iceberg_table, delta_table, meta,
+            meta["schemas"][s.get("schema-id", meta["current-schema-id"])],
+            last_seq,
+        )
+        v = delta_log.latest_version(delta_table) + 1
         _sync_iceberg_snapshot(iceberg_table, delta_table, meta, s, v)
-    return v
+        last_seq = s["sequence-number"]
+    # trailing metadata-only schema changes (no snapshot after them)
+    _reconcile_delta_mirror_schema(
+        iceberg_table, delta_table, meta,
+        meta["schemas"][meta["current-schema-id"]], last_seq,
+    )
+    return delta_log.latest_version(delta_table)
 
 
 def _iceberg_data_entries(meta: dict, snapshot_id: int) -> "dict[str, dict]":
@@ -4851,6 +5287,34 @@ def _sync_iceberg_snapshot(
     )
     added = sorted(set(cur) - set(prev))
     removed = sorted(set(prev) - set(cur))
+
+    # post-rename generation guard: the mirror's column mapping pins
+    # ONE physical name per field, but Iceberg files written after a
+    # rename store the NEW name — Delta cannot express per-generation
+    # physical names, so a new file carrying a renamed column's new
+    # name must raise rather than silently read null on the mirror
+    mapping = delta_log.column_mapping(delta_table) or {}
+    misnamed = {
+        log: phys for log, phys in mapping.items() if log != phys
+    }
+    if misnamed and added:
+        import pyarrow.parquet as _pq
+
+        for fp in added:
+            names = set(_pq.read_schema(fp).names)
+            bad = sorted(
+                log
+                for log, phys in misnamed.items()
+                if log in names and phys not in names
+            )
+            if bad:
+                raise DeltaSyncSchemaChangeError(
+                    f"data file {os.path.basename(fp)} stores renamed "
+                    f"column(s) {bad} under the NEW name, but the "
+                    "mirror's column mapping pins the old physical "
+                    "name; Delta cannot express per-generation "
+                    "physical names — re-convert the mirror"
+                )
 
     def _dv_key(e: dict) -> tuple:
         return (e["puffin_path"], int(e["offset"]), int(e["length"]))
@@ -4961,7 +5425,18 @@ def _sync_iceberg_snapshot(
         }
     ]
     if dv_changed:
-        actions.append({"protocol": dict(delta_log.DV_PROTOCOL)})
+        # MERGE into the mirror's effective protocol (like
+        # delete_where) — a bare DV_PROTOCOL would strip rowTracking/
+        # domainMetadata writer features from a row-tracking mirror
+        # while its configuration still demands them: spec-invalid
+        actions.append(
+            {
+                "protocol": delta_log._merge_protocol(
+                    delta_log._effective_protocol(delta_table, v - 1),
+                    delta_log.DV_PROTOCOL,
+                )
+            }
+        )
     for fp in removed:
         path, _ = delta_path(fp, prev[fp])
         actions.append(

@@ -5,7 +5,10 @@ Delta version, zero data movement — and BOTH clean-room independent
 readers must agree at every step. Appends map to append snapshots,
 DV deletes/updates move their sidecar records verbatim into Puffin
 blobs, OPTIMIZE maps to feed-invisible ``replace``, overwrites map to
-``overwrite`` (feeds honestly refuse), and schema changes raise."""
+``overwrite`` (feeds honestly refuse), and schema evolution REPLAYS
+(round 11): add/rename/widen/drop land as metadata-only Iceberg schema
+generations with field-ids reconciled through the Delta column-mapping
+ids; partition-column changes and name reuse still raise."""
 
 from __future__ import annotations
 
@@ -174,17 +177,168 @@ def test_sync_overwrite_reads_exact_feeds_refuse(spark, pair):
     )
 
 
-def test_sync_schema_change_raises(spark, tmp_path):
+def test_sync_replays_widen(spark, tmp_path):
+    """WIDEN COLUMN replays (round 11): the mirror's field keeps its
+    id and widens its type; files narrower AND wider than the declared
+    type serve together on both layers."""
     dt = str(tmp_path / "delta_widen")
     it = str(tmp_path / "ice_widen")
     delta_log.create(
         spark.createDataFrame(
-            [(1, 2, 1.0)], "id long, k int, val double"
+            [(1, 2, 1.0), (2, 3, 2.0)], "id long, k int, val double"
         ),
         dt,
     )
     iceberg.convert_from_delta(dt, it)
     delta_log.widen_column(dt, "k", "long")
+    delta_log.append(
+        spark.createDataFrame(
+            [(3, 3_000_000_000, 3.0)], "id long, k long, val double"
+        ),
+        dt,
+    )
+    iceberg.sync_from_delta(dt, it)
+    assert _mirror_rows(spark, it) == _delta_rows(dt)
+    meta = iceberg.current_metadata(it)
+    decl = meta["schemas"][meta["current-schema-id"]]
+    assert [(f["name"], f["type"]) for f in decl["fields"]] == [
+        ("id", "long"), ("k", "long"), ("val", "double")
+    ]
+    # non-promotion retype still raises (manufactured metaData commit)
+    v = delta_log.latest_version(dt)
+    md = delta_log._latest_metadata(dt, v)
+    import json as _json
+
+    sj = _json.loads(md["schemaString"])
+    for f in sj["fields"]:
+        if f["name"] == "k":
+            f["type"] = "string"
+    delta_log._write_commit(
+        dt, v + 1,
+        [
+            delta_log._commit_info("RETYPE", {}),
+            {"metaData": {**md, "schemaString": _json.dumps(sj)}},
+        ],
+    )
+    with pytest.raises(iceberg.DeltaSyncSchemaChangeError):
+        iceberg.sync_from_delta(dt, it)
+
+
+def test_sync_replays_add_column_with_write_default(spark, pair):
+    """ADD COLUMN replays; a Delta CURRENT_DEFAULT maps to the Iceberg
+    WRITE-default, never an initial-default — pre-evolution rows read
+    null on BOTH layers (Delta defaults are write-time-only)."""
+    dt, it = pair
+    delta_log.add_column(dt, "score", "long", write_default=7)
+    delta_log.append(  # omits the column → filled with 7 at write
+        _df(spark, _rows(40, 45)), dt
+    )
+    iceberg.sync_from_delta(dt, it)
+    meta = iceberg.current_metadata(it)
+    decl = meta["schemas"][meta["current-schema-id"]]
+    fld = {f["name"]: f for f in decl["fields"]}["score"]
+    assert fld["write-default"] == 7 and "initial-default" not in fld
+    eng = sorted(
+        (r.id, r.score)
+        for r in iceberg.read_iceberg(spark, it).collect()
+    )
+    assert eng == [(i, None) for i in range(40)] + [
+        (i, 7) for i in range(40, 45)
+    ]
+    assert _mirror_rows(spark, it) == _delta_rows(dt)
+
+
+def test_sync_replays_rename_and_mapped_add(spark, pair):
+    """RENAME replays with the field-id kept; post-rename Delta files
+    still store the OLD physical name and resolve through the mirror's
+    name history. A post-mapping ADD gets a col-<uuid> physical name —
+    the mirror adds under it and renames to the logical name, so every
+    file generation resolves by footer."""
+    dt, it = pair
+    delta_log.rename_column(dt, "val", "amount")
+    delta_log.append(_df(spark, _rows(40, 46)).withColumnRenamed(
+        "val", "amount"), dt)
+    delta_log.add_column(dt, "flag", "long")
+    delta_log.append(
+        spark.createDataFrame(
+            [(i, i % 5, float(i), i % 2) for i in range(46, 52)],
+            "id long, k long, amount double, flag long",
+        ),
+        dt,
+    )
+    iceberg.sync_from_delta(dt, it)
+    assert _mirror_rows(spark, it) == _delta_rows(dt)
+    meta = iceberg.current_metadata(it)
+    decl = meta["schemas"][meta["current-schema-id"]]
+    assert [f["name"] for f in decl["fields"]] == [
+        "id", "k", "amount", "flag"
+    ]
+    # the renamed field kept its id; 'val' is in its name history
+    hist = iceberg._field_name_history(meta)
+    fid = {f["name"]: f["id"] for f in decl["fields"]}["amount"]
+    assert hist[fid] == ["val", "amount"]
+    # the mapped add's physical name is in the flag field's history
+    mapping = delta_log.column_mapping(dt)
+    flag_fid = {f["name"]: f["id"] for f in decl["fields"]}["flag"]
+    assert hist[flag_fid] == [mapping["flag"], "flag"]
+    eng = {
+        r.id: r.flag for r in iceberg.read_iceberg(spark, it).collect()
+    }
+    assert all(eng[i] is None for i in range(46))
+    assert all(eng[i] == i % 2 for i in range(46, 52))
+
+
+def test_sync_replays_drop_and_refuses_name_reuse(spark, pair):
+    dt, it = pair
+    delta_log.drop_column(dt, "val")
+    iceberg.sync_from_delta(dt, it)
+    assert _mirror_rows(spark, it) == _delta_rows(dt)
+    meta = iceberg.current_metadata(it)
+    decl = meta["schemas"][meta["current-schema-id"]]
+    assert [f["name"] for f in decl["fields"]] == ["id", "k"]
+    # Delta re-adds the dropped LOGICAL name under a fresh physical
+    # name; Iceberg physical-name resolution refuses the reuse — the
+    # sync surfaces it as the honest schema gate
+    delta_log.add_column(dt, "val", "double")
+    with pytest.raises(iceberg.DeltaSyncSchemaChangeError):
+        iceberg.sync_from_delta(dt, it)
+
+
+def test_sync_partition_column_change_still_raises(spark, pair):
+    dt, it = pair
+    v = delta_log.latest_version(dt)
+    md = delta_log._latest_metadata(dt, v)
+    delta_log._write_commit(
+        dt, v + 1,
+        [
+            delta_log._commit_info("REPARTITION", {}),
+            {"metaData": {**md, "partitionColumns": ["k"]}},
+        ],
+    )
+    with pytest.raises(
+        iceberg.DeltaSyncSchemaChangeError, match="partition"
+    ):
+        iceberg.sync_from_delta(dt, it)
+
+
+def test_sync_schema_change_on_partitioned_mirror(spark, tmp_path):
+    """The add/widen/rename replay composes with identity-partitioned
+    mirrors (digest-linked layout): only partition SOURCE columns are
+    physically keyed, so surgery on the others replays."""
+    dt = str(tmp_path / "delta_part_evo")
+    it = str(tmp_path / "ice_part_evo")
+    delta_log.create(_df(spark, _rows(0, 20)), dt, partition_by=("k",))
+    iceberg.convert_from_delta(dt, it)
+    delta_log.rename_column(dt, "val", "amount")
+    delta_log.add_column(dt, "score", "long", write_default=3)
+    delta_log.append(
+        _df(spark, _rows(20, 30)).withColumnRenamed("val", "amount"),
+        dt,
+    )
+    iceberg.sync_from_delta(dt, it)
+    assert _mirror_rows(spark, it) == _delta_rows(dt)
+    # renaming the partition source itself still raises
+    delta_log.rename_column(dt, "k", "bucket")
     with pytest.raises(iceberg.DeltaSyncSchemaChangeError):
         iceberg.sync_from_delta(dt, it)
 

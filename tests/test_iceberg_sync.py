@@ -188,17 +188,139 @@ def test_reverse_sync_gates(spark, pair, tmp_path):
     iceberg.append(_df(spark, _rows(5, 8)), it2)
     with pytest.raises(ValueError, match="diverged"):
         iceberg.sync_to_delta(it2, dt2)
-    # schema evolution on the source does not replay
-    it3 = str(tmp_path / "ice3")
-    dt3 = str(tmp_path / "delta3")
-    iceberg.create(_df(spark, _rows(0, 5)), it3, format_version=3)
-    iceberg.convert_to_delta(it3, dt3)
+
+
+def test_reverse_sync_replays_merge_schema_append(spark, tmp_path):
+    """A merge-schema append (new column + data in ONE snapshot)
+    replays (round 11): the mirror's schema evolves in its own
+    cursor-stamped commit, then the snapshot lands on top."""
+    it = str(tmp_path / "ice3")
+    dt = str(tmp_path / "delta3")
+    iceberg.create(_df(spark, _rows(0, 5)), it, format_version=3)
+    iceberg.convert_to_delta(it, dt)
     wide = spark.createDataFrame(
         [(100, 0, 1.0, "x")], "id long, k long, val double, note string"
     )
-    iceberg.append(wide, it3, merge_schema=True)
-    with pytest.raises(iceberg.DeltaSyncSchemaChangeError):
-        iceberg.sync_to_delta(it3, dt3)
+    iceberg.append(wide, it, merge_schema=True)
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    sch = delta_log.table_schema(dt)
+    assert [f.name for f in sch.fields] == ["id", "k", "val", "note"]
+    # pre-evolution rows read null on both layers
+    assert {
+        r.note
+        for r in delta_log.read_delta(spark, dt).filter("id < 5").collect()
+    } == {None}
+
+
+def test_reverse_sync_replays_add_with_write_default(spark, pair):
+    it, dt = pair
+    iceberg.add_column(it, "score", "long", write_default=7)
+    iceberg.append(_df(spark, _rows(40, 45)), it)  # omits → filled 7
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    import json
+
+    md = delta_log._latest_metadata(dt, delta_log.latest_version(dt))
+    fld = {
+        f["name"]: f for f in json.loads(md["schemaString"])["fields"]
+    }["score"]
+    assert fld["metadata"]["CURRENT_DEFAULT"] == "7"
+    proto = delta_log._effective_protocol(dt, delta_log.latest_version(dt))
+    assert "allowColumnDefaults" in proto["writerFeatures"]
+    eng = {
+        r.id: r.score for r in delta_log.read_delta(spark, dt).collect()
+    }
+    assert all(eng[i] is None for i in range(40))
+    assert all(eng[i] == 7 for i in range(40, 45))
+
+
+def test_reverse_sync_initial_default_raises(spark, pair):
+    it, dt = pair
+    iceberg.add_column(it, "grade", "long", default=3)
+    with pytest.raises(
+        iceberg.DeltaSyncSchemaChangeError, match="initial-default"
+    ):
+        iceberg.sync_to_delta(it, dt)
+
+
+def test_reverse_sync_replays_widen(spark, tmp_path):
+    it = str(tmp_path / "ice_widen")
+    dt = str(tmp_path / "delta_widen")
+    iceberg.create(
+        spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 2.0)], "id long, k int, val double"
+        ),
+        it,
+        format_version=3,
+    )
+    iceberg.convert_to_delta(it, dt)
+    iceberg.widen_column(it, "k", "long")
+    iceberg.append(
+        spark.createDataFrame(
+            [(3, 3_000_000_000, 3.0)], "id long, k long, val double"
+        ),
+        it,
+    )
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    assert delta_log.table_schema(dt)["k"].dataType.simpleString() == (
+        "bigint"
+    )
+
+
+def test_reverse_sync_replays_rename_then_new_file_raises(spark, pair):
+    """RENAME replays metadata-only (column mapping enabled with the
+    ICEBERG FIELD ID, physical name pinned to what the staged files
+    store); a LATER Iceberg data file carrying the new physical name
+    raises — Delta cannot express per-generation physical names."""
+    it, dt = pair
+    iceberg.rename_column(it, "val", "amount")
+    iceberg.sync_to_delta(it, dt)  # trailing metadata-only reconcile
+    sch = delta_log.table_schema(dt)
+    assert [f.name for f in sch.fields] == ["id", "k", "amount"]
+    mapping = delta_log.column_mapping(dt)
+    assert mapping["amount"] == "val"
+    import json
+
+    md = delta_log._latest_metadata(dt, delta_log.latest_version(dt))
+    fld = {
+        f["name"]: f for f in json.loads(md["schemaString"])["fields"]
+    }["amount"]
+    meta = iceberg.current_metadata(it)
+    decl = meta["schemas"][meta["current-schema-id"]]
+    ice_fid = {f["name"]: f["id"] for f in decl["fields"]}["amount"]
+    assert fld["metadata"]["delta.columnMapping.id"] == ice_fid
+    # existing rows read under the new name on both layers
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    # idempotent: nothing new to replay
+    v = delta_log.latest_version(dt)
+    iceberg.sync_to_delta(it, dt)
+    assert delta_log.latest_version(dt) == v
+    # a post-rename data file stores the NEW physical name → honest gate
+    iceberg.append(
+        spark.createDataFrame(
+            [(99, 0, 9.0)], "id long, k long, amount double"
+        ),
+        it,
+    )
+    with pytest.raises(
+        iceberg.DeltaSyncSchemaChangeError, match="per-generation"
+    ):
+        iceberg.sync_to_delta(it, dt)
+
+
+def test_reverse_sync_replays_drop_then_appends(spark, pair):
+    it, dt = pair
+    iceberg.drop_column(it, "val")
+    iceberg.append(
+        spark.createDataFrame([(99, 0)], "id long, k long"), it
+    )
+    iceberg.sync_to_delta(it, dt)
+    assert [f.name for f in delta_log.table_schema(dt).fields] == [
+        "id", "k"
+    ]
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
 
 
 def test_reverse_sync_branch_snapshots_do_not_replay(spark, pair):

@@ -143,14 +143,26 @@ def test_rename_after_drop_and_append_roundtrip(evolved_table, spark):
     assert got.filter(F.col("customer_id").isNull()).count() == 0
 
 
-def test_rename_gate_identity_partitioned(spark, sf_dir, tmp_path):
+def test_rename_gate_identity_partition_source_only(spark, sf_dir, tmp_path):
+    """Round 11 narrowed the gate: only the partition SOURCE column is
+    physically keyed (hive dirs, manifest tuples, basePath
+    restoration) — renaming any OTHER column on an identity-partitioned
+    table is plain name-history resolution and works."""
     orders = _orders(spark, sf_dir).withColumn(
         "bucket3", (F.col("o_orderkey") % 3).cast("long")
     )
     t = str(tmp_path / "orders_idpart")
     iceberg.create(orders, t, partition_by=["bucket3"])
-    with pytest.raises(NotImplementedError, match="identity-partitioned"):
-        iceberg.rename_column(t, "o_orderstatus", "status")
+    with pytest.raises(NotImplementedError, match="partition source"):
+        iceberg.rename_column(t, "bucket3", "bucket")
+    iceberg.rename_column(t, "o_orderstatus", "status")
+    got = iceberg.read_iceberg(spark, t)
+    assert "status" in got.columns and "bucket3" in got.columns
+    # partition values restored AND renamed column resolves per footer
+    assert got.filter(F.col("bucket3").isNull()).count() == 0
+    assert got.filter(F.col("status").isNull()).count() == 0
+    orig = _orders(spark, sf_dir)
+    assert got.count() == orig.count()
 
 
 def test_rename_gate_name_reuse(evolved_table):
