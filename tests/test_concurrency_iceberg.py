@@ -196,3 +196,84 @@ def test_many_writers_all_appends_land(spark, table):
         range(1, n + 2)
     )
     assert sorted(t[0] for t in indep.read_rows(table)) == want
+
+
+# ---------------------------------------------------------------------------
+# v3 ROW LINEAGE under commit races (round 11): the rebase re-reads the
+# winner's metadata and `_commit_snapshot` re-derives first_row_id from
+# the refreshed next-row-id, so racing writers' id ranges must be
+# DISJOINT — pinned here on format_version=3 twins of the race tests
+# above, through both readers.
+# ---------------------------------------------------------------------------
+
+
+def _lineage(spark, table):
+    """{id: (_row_id, _lus)} from the ENGINE, asserted equal to the
+    independent reader's own decode first."""
+    eng = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in iceberg.read_lineage(spark, table).collect()
+    }
+    ind = {
+        row[0]: (row[-2], row[-1])
+        for row in indep.read_rows(table, with_lineage=True)
+    }
+    assert eng == ind
+    return eng
+
+
+def test_blind_append_rebase_keeps_row_ids_disjoint(
+    spark, table, monkeypatch
+):
+    iceberg.create(_df(spark, 0, 5), table, format_version=3)
+    _inject_winner(
+        monkeypatch, lambda: iceberg.append(_df(spark, 100, 104), table)
+    )
+    iceberg.append(_df(spark, 10, 13), table)
+    lin = _lineage(spark, table)
+    rids = sorted(rid for rid, _ in lin.values())
+    assert rids == list(range(12))  # live-unique, dense, no overlap
+    # the rebased loser's range sits ABOVE the winner's
+    winner = {lin[i][0] for i in range(100, 104)}
+    loser = {lin[i][0] for i in range(10, 13)}
+    assert winner == {5, 6, 7, 8} and loser == {9, 10, 11}
+    # and its sequence number is the retry's, not the planned one
+    assert {lin[i][1] for i in range(10, 13)} == {3}
+    assert int(iceberg.current_metadata(table)["next-row-id"]) == 12
+
+
+def test_many_writers_lineage_ids_all_disjoint(spark, table):
+    """Real 6-thread interleaving on a v3 table: every append lands,
+    every _row_id is live-unique, and the clean-room reader agrees on
+    the full lineage map."""
+    iceberg.create(_df(spark, 0, 1), table, format_version=3)
+    n = 6
+    errs: list = []
+    barrier = threading.Barrier(n)
+
+    def writer(k):
+        try:
+            barrier.wait(30)
+            iceberg.append(
+                _df(spark, 1000 * (k + 1), 1000 * (k + 1) + 3), table
+            )
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(k,)) for k in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert errs == []
+    lin = _lineage(spark, table)
+    assert len(lin) == 1 + 3 * n
+    rids = sorted(rid for rid, _ in lin.values())
+    assert rids == list(range(1 + 3 * n))  # disjoint, dense
+    # each writer's 3-row batch got one contiguous id block
+    for k in range(n):
+        block = sorted(lin[1000 * (k + 1) + j][0] for j in range(3))
+        assert block == list(range(block[0], block[0] + 3))
+    assert int(
+        iceberg.current_metadata(table)["next-row-id"]
+    ) == 1 + 3 * n

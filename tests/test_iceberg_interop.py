@@ -732,16 +732,16 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
             # (_row_id, _last_updated_sequence_number), and no two
             # live rows share an id (None ids excluded — pre-lineage
             # overwrite survivors read null)
-            eng = sorted(
-                (r[-2], r[-1])
+            eng = {
+                r[0]: (r[-2], r[-1])
                 for r in iceberg.read_lineage(spark, table).collect()
-            )
-            ind = sorted(
-                (row[-2], row[-1])
+            }
+            ind = {
+                row[0]: (row[-2], row[-1])
                 for row in indep.read_rows(table, with_lineage=True)
-            )
+            }
             assert eng == ind, f"trial {trial}: lineage decode diverged"
-            rids = [r for r, _ in eng if r is not None]
+            rids = [r for r, _ in eng.values() if r is not None]
             assert len(rids) == len(set(rids)), (
                 f"trial {trial}: duplicate row ids"
             )
