@@ -784,25 +784,23 @@ class _IcebergTableCdcStreamReader:
             }
         return {"seq": 0}
 
-    def _bootstrap_rows(self, meta: dict) -> list:
-        """The re-bootstrap batch: every row live at the CURRENT
-        snapshot (position deletes, deletion vectors, and the
-        strictly-lower equality-delete rule applied driver-side),
-        tagged 'bootstrap_insert' — a downstream state RESET."""
+    def _live_rows(self, meta: dict, snap: dict) -> list:
+        """Live rows at ``snap`` as [(values tuple, _row_id, _lus)] —
+        position deletes, deletion vectors, and the strictly-lower
+        equality-delete rule applied driver-side; lineage resolved per
+        `iceberg.read_lineage`'s rule (materialized columns override
+        entry-level ``first_row_id`` inheritance; a pre-upgrade file
+        yields None)."""
         import pyarrow.parquet as pq
 
         from march_mania_spark_lakehouse_spark.sources import avro_ocf, iceberg
 
-        sid = meta["current-snapshot-id"]
-        if sid == -1:
-            return []
-        snap = iceberg._snapshot(meta, sid)
         schema = meta["schemas"][meta["current-schema-id"]]
         cols = [f["name"] for f in schema["fields"]]
         identity = set(iceberg._identity_part_cols(meta))
         types = {f["name"]: f["type"] for f in schema["fields"]}
         by_fid = {f["id"]: f["name"] for f in schema["fields"]}
-        datafiles: dict = {}  # path -> (seq, partition tuple)
+        datafiles: dict = {}  # path -> (eseq, fseq, first_row_id, part)
         tomb: dict = {}  # path -> set(dead positions)
         eq: list = []  # (seq, key cols, keyset)
         pos_files: list = []
@@ -814,7 +812,11 @@ class _IcebergTableCdcStreamReader:
                 c = d.get("content", 0)
                 if c == 0:
                     datafiles[d["file_path"]] = (
-                        e["sequence_number"], d.get("partition") or {}
+                        e["sequence_number"],
+                        e.get("file_sequence_number")
+                        or e["sequence_number"],
+                        d.get("first_row_id"),
+                        d.get("partition") or {},
                     )
                 elif c == 1:
                     if (d.get("file_format") or "").upper() == "PUFFIN":
@@ -846,7 +848,7 @@ class _IcebergTableCdcStreamReader:
                 tomb.setdefault(fp, set()).add(pos)
         rows = []
         for fp in sorted(datafiles):
-            dseq, part = datafiles[fp]
+            dseq, fseq, first, part = datafiles[fp]
             t = pq.read_table(fp)
             names = set(t.column_names)
             fills = {
@@ -868,9 +870,77 @@ class _IcebergTableCdcStreamReader:
                     for s, kc, ks in eq
                 ):
                     continue
-                rows.append(
-                    tuple(vals[c] for c in cols) + ("bootstrap_insert",)
-                )
+                rid = rec.get("_row_id") if "_row_id" in names else None
+                if rid is None and first is not None:
+                    rid = first + pos
+                lus = None
+                if rid is not None:
+                    lus = (
+                        rec.get("_last_updated_sequence_number")
+                        if "_last_updated_sequence_number" in names
+                        else None
+                    )
+                    if lus is None:
+                        lus = fseq
+                rows.append((tuple(vals[c] for c in cols), rid, lus))
+        return rows
+
+    def _bootstrap_rows(self, meta: dict) -> list:
+        """The re-bootstrap batch: every row live at the CURRENT
+        snapshot, tagged 'bootstrap_insert' — a downstream state
+        RESET."""
+        from march_mania_spark_lakehouse_spark.sources import iceberg
+
+        sid = meta["current-snapshot-id"]
+        if sid == -1:
+            return []
+        snap = iceberg._snapshot(meta, sid)
+        return [
+            vals + ("bootstrap_insert",)
+            for vals, _, _ in self._live_rows(meta, snap)
+        ]
+
+    def _lineage_diff_rows(self, meta: dict, lo: int, hi: int) -> "list | None":
+        """EXACT recovery across expired history via v3 row lineage
+        (round 11): when the cursor's snapshot itself is still retained
+        (tagged/branched through `expire_snapshots`, the resumable-
+        stream pattern) the emitted batch is the lineage DIFF between
+        cursor and head — delete(old image) + insert(new image), the
+        stream's own vocabulary, costing two snapshot reads instead of
+        a full-state 'bootstrap_insert' RESET, and exactly-once for the
+        consumer (no state discard). Returns None when unrecoverable
+        (v2 table, cursor snapshot expired, or null-lineage rows) — the
+        caller falls back to the bootstrap reset."""
+        if int(meta.get("format-version", 2)) < 3:
+            return None
+        by_seq = {s["sequence-number"]: s for s in meta["snapshots"]}
+        old_snap, new_snap = by_seq.get(lo), by_seq.get(hi)
+        if (
+            old_snap is None
+            or new_snap is None
+            or not os.path.exists(old_snap["manifest-list"])
+            or not os.path.exists(new_snap["manifest-list"])
+        ):
+            return None
+        old = self._live_rows(meta, old_snap)
+        new = self._live_rows(meta, new_snap)
+        if any(rid is None for _, rid, _ in old) or any(
+            rid is None for _, rid, _ in new
+        ):
+            return None  # pre-upgrade rows: identity-keyed diff refuses
+        old_by = {rid: (lus, vals) for vals, rid, lus in old}
+        new_by = {rid: (lus, vals) for vals, rid, lus in new}
+        rows = []
+        for rid, (lus, vals) in sorted(old_by.items()):
+            if rid not in new_by:
+                rows.append(vals + ("delete",))
+            elif new_by[rid][0] > lus:
+                rows.append(vals + ("delete",))  # update pre-image
+        for rid, (lus, vals) in sorted(new_by.items()):
+            if rid not in old_by:
+                rows.append(vals + ("insert",))
+            elif lus > old_by[rid][0]:
+                rows.append(vals + ("insert",))  # update post-image
         return rows
 
     def _changes(self, lo: int, hi: int) -> list:
@@ -1159,6 +1229,9 @@ class _IcebergTableCdcStreamReader:
             # snapshots in (lo, hi] were expired past the checkpoint
             if self.starting != "retained":
                 raise
+            diff = self._lineage_diff_rows(meta, lo, hi)
+            if diff is not None:
+                return (diff, {"seq": hi})
             return (self._bootstrap_rows(meta), {"seq": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -1171,9 +1244,13 @@ class _IcebergTableCdcStreamReader:
                 raise
             from march_mania_spark_lakehouse_spark.sources import iceberg
 
-            return iter(
-                self._bootstrap_rows(iceberg.current_metadata(self.table))
+            meta = iceberg.current_metadata(self.table)
+            diff = self._lineage_diff_rows(
+                meta, int(start["seq"]), int(end["seq"])
             )
+            if diff is not None:
+                return iter(diff)
+            return iter(self._bootstrap_rows(meta))
 
     def commit(self, end: dict) -> None:
         pass

@@ -1,0 +1,148 @@
+"""Round-11 lake layer: snapshot-diff as a streaming re-bootstrap mode.
+
+With ``starting_sequence='retained'`` on a **v3** table whose CURSOR
+snapshot is still retained (tagged through `expire_snapshots` — the
+resumable-stream pattern), an expired mid-range no longer degrades to a
+full 'bootstrap_insert' state reset: the emitted batch is the exact
+lineage DIFF between cursor and head (delete/insert vocabulary),
+exactly-once for the consumer. v2 tables and expired cursors keep the
+round-10 bootstrap fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+
+from march_mania_spark_lakehouse_spark.sources import iceberg
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, k long, val double")
+
+
+def _rows(n, lo=0):
+    return [(i, i % 3, float(i)) for i in range(lo, lo + n)]
+
+
+def _sink_rows(spark, sink):
+    return [
+        r
+        for _, p in sorted(
+            (os.path.getmtime(os.path.join(sink, f)), os.path.join(sink, f))
+            for f in os.listdir(sink)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for r in spark.read.parquet(p).collect()
+    ]
+
+
+def test_iceberg_cdc_retained_emits_lineage_diff_after_expiry(
+    spark, table, tmp_path
+):
+    """Expire-mid-stream restart on a v3 table with the cursor snapshot
+    tagged: the resumed batch is the EXACT diff (observed in the batch
+    sizes — not a full snapshot), carries no bootstrap_insert reset,
+    and the plain signed fold over all batches matches the head."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    iceberg.create(
+        _df(spark, _rows(12)).repartitionByRange(2, "id"),
+        table,
+        format_version=3,
+    )
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink = str(tmp_path / "diff_sink")
+    ckpt = str(tmp_path / "diff_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_table_cdc")
+            .option("path", table)
+            .option("starting_sequence", "retained")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # cursor at seq 1 (12 inserts)
+    iceberg.create_tag(table, "stream-cursor")  # pin the cursor snapshot
+    iceberg.delete_where(spark, table, "id < 4")
+    iceberg.update_where(spark, table, "id = 5", {"val": "val + 100.0"})
+    iceberg.append(_df(spark, [(200, 2, 3.0)]), table)
+    removed = iceberg.expire_snapshots(table, keep_last=1)
+    assert removed  # intermediates really expired
+    drain()
+
+    rows = _sink_rows(spark, sink)
+    # no state reset — the diff speaks the stream's native vocabulary
+    assert all(r._change_type in ("insert", "delete") for r in rows)
+    second = rows[12:]
+    got = Counter((r.id, r.k, r.val, r._change_type) for r in second)
+    want = Counter()
+    for i in range(4):
+        want[(i, i % 3, float(i), "delete")] += 1
+    want[(5, 2, 5.0, "delete")] += 1          # update pre-image
+    want[(5, 2, 105.0, "insert")] += 1        # update post-image
+    want[(200, 2, 3.0, "insert")] += 1
+    assert got == want
+    # exact size: 7 diff rows, not a 9-row full-snapshot re-emit
+    assert len(second) == 7
+    # exactly-once: the plain signed fold (no reset handling) == head
+    state: Counter = Counter()
+    for r in rows:
+        state[(r.id, r.k, r.val)] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        (r.id, r.k, r.val)
+        for r in iceberg.read_iceberg(spark, table).collect()
+    )
+    assert +state == head
+
+
+def test_iceberg_cdc_retained_falls_back_when_cursor_expired(
+    spark, table, tmp_path
+):
+    """Without the tag the cursor snapshot expires too — the v3 table
+    still degrades to the round-10 full-snapshot bootstrap reset."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    iceberg.create(_df(spark, _rows(6)), table, format_version=3)
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink = str(tmp_path / "bs_sink")
+    ckpt = str(tmp_path / "bs_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_table_cdc")
+            .option("path", table)
+            .option("starting_sequence", "retained")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    iceberg.delete_where(spark, table, "id = 0")
+    iceberg.append(_df(spark, [(100, 1, 1.0)]), table)
+    iceberg.expire_snapshots(table, keep_last=1)
+    drain()
+    rows = _sink_rows(spark, sink)
+    boot = [r for r in rows if r._change_type == "bootstrap_insert"]
+    assert len(boot) == 6  # full current snapshot (5 survivors + 1 new)
