@@ -4440,9 +4440,84 @@ def sync_from_delta(delta_table: str, iceberg_table: str) -> int:
     latest = delta_log.latest_version(delta_table)
     if latest is None:
         raise FileNotFoundError(f"{delta_table} has no Delta log")
+    if latest > last_synced:
+        _rebase_over_foreign_iceberg_snapshots(iceberg_table, meta)
     for v in range(last_synced + 1, latest + 1):
         _sync_delta_commit(delta_table, iceberg_table, v)
     return current_version(iceberg_table)
+
+
+def _rebase_over_foreign_iceberg_snapshots(
+    iceberg_table: str, meta: dict
+) -> None:
+    """Foreign-commit tolerance on the Iceberg mirror (round 11,
+    symmetric with `_rebase_over_mirror_maintenance`): mirror-side
+    MAINTENANCE — compaction's ``operation='replace'`` snapshots —
+    must not brick the follow loop. The sync's stateless path mapping
+    assumes the mirror's live set is the image of the last synced
+    Delta version, so before replaying further commits the maintenance
+    is superseded by ONE ``replace`` snapshot that re-points at the
+    last sync-owned snapshot's manifests (carried by reference — zero
+    data movement; the compacted files are orphaned for the next
+    vacuum). Foreign snapshots with any other operation raise: genuine
+    divergence."""
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    node = meta.get("current-snapshot-id", -1)
+    foreign: "list[dict]" = []
+    base = None
+    while node in by_id:
+        s = by_id[node]
+        summary = s.get("summary") or {}
+        if "delta-version" in summary or "sync-rebase" in summary or (
+            "parent-snapshot-id" not in s
+        ):
+            base = s  # sync-owned snapshot or the conversion root
+            break
+        foreign.append(s)
+        node = s.get("parent-snapshot-id")
+    if not foreign:
+        return
+    if base is None:
+        raise ValueError(
+            f"{iceberg_table}'s history no longer reaches a sync-owned "
+            "snapshot; the mirror has diverged — re-convert"
+        )
+    for s in foreign:
+        if (s.get("summary") or {}).get("operation") != "replace":
+            raise ValueError(
+                f"{iceberg_table} has an independent "
+                f"{(s.get('summary') or {}).get('operation')!r} snapshot "
+                f"({s['snapshot-id']}) after its last sync; the mirror "
+                "has diverged — re-convert"
+            )
+    manifests = avro_ocf.read_ocf(base["manifest-list"])
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    ml_path = _write_manifest_list(iceberg_table, snapshot_id, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": _now_ms(),
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "replace",
+            "sync-rebase": "true",
+            "undone-snapshots": ",".join(
+                str(s["snapshot-id"]) for s in foreign
+            ),
+        },
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": meta["current-snapshot-id"],
+    }
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+    ]
+    _write_metadata(iceberg_table, meta)
 
 
 def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
@@ -4890,6 +4965,106 @@ def _render_delta_sql_literal(v) -> str:
     return repr(v)
 
 
+def _rebase_over_mirror_maintenance(
+    iceberg_table: str,
+    delta_table: str,
+    synced_v: int,
+    latest: int,
+    cursor: int,
+) -> None:
+    """Foreign-commit tolerance on the Delta mirror (round 11): the
+    mirror has ONE logical writer (the sync), but mirror-side
+    MAINTENANCE — OPTIMIZE's remove+add with ``dataChange=false`` —
+    must not brick the follow loop. The sync's per-snapshot diffs are
+    computed against the MAPPED source state, so before replaying the
+    next snapshot the maintenance is UNDONE in one ``dataChange=false``
+    commit: the compaction outputs are removed and the original add
+    actions (baseRowId, DV descriptors, stats — verbatim from the
+    last-synced state) are re-attached. Zero data movement; the
+    compacted layout is simply superseded (compaction on a mirror is
+    wasted work by design — the source drives the layout). A foreign
+    commit carrying ``dataChange=true`` actions, or any metaData /
+    protocol change, still raises: that is genuine divergence.
+
+    Raises when an original file was vacuumed after the compaction —
+    the pre-maintenance state is then unrecoverable (re-convert)."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    undo_removes: "list[str]" = []  # foreign adds to retire
+    undo_readds: "list[str]" = []  # original paths to restore
+    for v in range(synced_v + 1, latest + 1):
+        for a in delta_log._read_actions(
+            delta_log._commit_path(delta_table, v)
+        ):
+            if "commitInfo" in a or "domainMetadata" in a:
+                # a row-tracking OPTIMIZE bumps the hwm domain — pure
+                # bookkeeping (the mark is monotonic; ids skip a range)
+                continue
+            add, rem = a.get("add"), a.get("remove")
+            if add is not None and add.get("dataChange") is False:
+                undo_removes.append(add["path"])
+            elif rem is not None and rem.get("dataChange") is False:
+                undo_readds.append(rem["path"])
+            else:
+                raise ValueError(
+                    f"{delta_table} has independent commits after its "
+                    f"last sync (version {v}); the mirror has "
+                    "diverged — re-convert"
+                )
+    # original add actions verbatim from the last-synced snapshot
+    synced_live = delta_log._replay(delta_table, synced_v)
+    ts = _now_ms()
+    actions: "list[dict]" = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "SYNC REBASE",
+                "operationParameters": {
+                    "source": os.path.abspath(iceberg_table),
+                    "sourceSequence": str(cursor),
+                    "undoneVersions": f"{synced_v + 1}-{latest}",
+                },
+            }
+        }
+    ]
+    cur_live = delta_log._replay(delta_table, latest)
+    for p in sorted(set(undo_removes)):
+        if p not in cur_live:
+            continue  # superseded by a later maintenance commit
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                }
+            }
+        )
+    # a chained compaction removes its predecessor's own outputs —
+    # those were never part of the synced state and need no restore
+    for p in sorted(set(undo_readds) - set(undo_removes)):
+        if p in cur_live:
+            continue  # re-added by a later maintenance commit
+        orig = synced_live.get(p)
+        if orig is None:
+            raise ValueError(
+                f"maintenance removed {p!r} which the last-synced "
+                "state never carried; the mirror has diverged — "
+                "re-convert"
+            )
+        abs_p = p if os.path.isabs(p) else os.path.join(delta_table, p)
+        if not os.path.exists(abs_p):
+            raise ValueError(
+                f"{p!r} was vacuumed after the mirror-side compaction; "
+                "the pre-maintenance state is unrecoverable — re-convert"
+            )
+        actions.append({"add": {**orig, "dataChange": False}})
+    if len(actions) > 1:
+        delta_log._commit_read_dependent(
+            delta_table, latest + 1, actions, "SYNC REBASE"
+        )
+
+
 def _reconcile_delta_mirror_schema(
     iceberg_table: str,
     delta_table: str,
@@ -5150,11 +5325,13 @@ def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
                     f"{os.path.abspath(iceberg_table)}"
                 )
             if dv_ver != latest:
-                raise ValueError(
-                    f"{delta_table} has independent commits after its "
-                    f"last sync (version {dv_ver}); the mirror has "
-                    "diverged — re-convert"
+                # foreign MAINTENANCE commits (OPTIMIZE et al.,
+                # dataChange=false) rebase; data commits still raise
+                _rebase_over_mirror_maintenance(
+                    iceberg_table, delta_table, dv_ver, latest,
+                    int(params["sourceSequence"]),
                 )
+                latest = delta_log.latest_version(delta_table)
             cursor = int(params["sourceSequence"])
             break
     if cursor is None:

@@ -368,6 +368,32 @@ def test_sync_partitioned_hard_links(spark, tmp_path):
     assert own and all(os.stat(p).st_ino in src_inodes for p in own)
 
 
+def test_sync_rebases_over_mirror_compaction(spark, pair):
+    """Foreign-commit tolerance, Iceberg-mirror direction (round 11):
+    a mirror-side compaction ('replace' snapshot) is superseded by one
+    sync-rebase 'replace' snapshot re-pointing at the last sync-owned
+    manifests (carried by reference), then the sync replays normally.
+    Foreign DATA snapshots still raise."""
+    dt, it = pair
+    delta_log.append(_df(spark, _rows(40, 50)), dt)
+    iceberg.sync_from_delta(dt, it)
+    iceberg.optimize(spark, it, small_file_bytes=1 << 30)  # maintenance
+    delta_log.append(_df(spark, _rows(50, 55)), dt)
+    delta_log.delete_where(spark, dt, "k = 4")
+    iceberg.sync_from_delta(dt, it)
+    assert _mirror_rows(spark, it) == _delta_rows(dt)
+    meta = iceberg.current_metadata(it)
+    assert any(
+        (s.get("summary") or {}).get("sync-rebase") == "true"
+        for s in meta["snapshots"]
+    )
+    # a genuine foreign data snapshot still raises
+    iceberg.append(_df(spark, [(999, 0, 9.0)]), it)
+    delta_log.append(_df(spark, [(998, 0, 8.0)]), dt)
+    with pytest.raises(ValueError, match="diverged"):
+        iceberg.sync_from_delta(dt, it)
+
+
 def test_sync_refuses_wrong_source_or_unconverted(spark, tmp_path, pair):
     dt, it = pair
     other = str(tmp_path / "other_delta")

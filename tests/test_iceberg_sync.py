@@ -323,6 +323,42 @@ def test_reverse_sync_replays_drop_then_appends(spark, pair):
     assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
 
 
+def test_reverse_sync_rebases_over_mirror_optimize(spark, pair):
+    """Foreign-commit tolerance (round 11): a mirror-side OPTIMIZE
+    (dataChange=false maintenance) no longer bricks the follow loop —
+    the sync supersedes it with one dataChange=false rebase commit
+    restoring the last-synced layout (compaction on a mirror is wasted
+    work by design), then replays normally. Genuine foreign DATA
+    commits still raise."""
+    it, dt = pair
+    iceberg.append(_df(spark, _rows(40, 50)), it)
+    iceberg.sync_to_delta(it, dt)
+    delta_log.optimize(spark, dt)  # mirror-side maintenance
+    iceberg.append(_df(spark, _rows(50, 55)), it)
+    iceberg.delete_where(spark, it, "k = 1")
+    iceberg.sync_to_delta(it, dt)
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    ops = [
+        delta_log._commit_operation(dt, v)[0]
+        for v in range(delta_log.latest_version(dt) + 1)
+    ]
+    assert "SYNC REBASE" in ops
+    # the rebase is feed-invisible: the Delta change feed over the
+    # whole history folds to the head
+    feed = delta_log.table_changes(
+        spark, dt, 0, include_deletes=True
+    ).collect()
+    state = Counter(delta_indep.read_rows(dt, 0))
+    for r in feed:
+        state[(r.id, r.k, r.val)] += 1 if r._change_type == "insert" else -1
+    assert sorted((+state).elements()) == _mirror_rows(spark, dt)
+    # a genuine foreign data commit still raises
+    delta_log.append(_df(spark, [(999, 0, 9.0)]), dt)
+    iceberg.append(_df(spark, [(998, 0, 8.0)]), it)
+    with pytest.raises(ValueError, match="diverged"):
+        iceberg.sync_to_delta(it, dt)
+
+
 def test_reverse_sync_branch_snapshots_do_not_replay(spark, pair):
     it, dt = pair
     # a staged WAP/branch snapshot must NOT reach the mirror
