@@ -863,6 +863,79 @@ def _checkpoint_files(table: str, cp: dict) -> "list[str]":
     return [os.path.join(log, named[0])]
 
 
+def _checkpoint_adds(table: str, cp: dict) -> dict[str, dict]:
+    """The add actions recorded in a checkpoint (any of the three
+    layouts), normalized the way `_replay` wants them."""
+    import pyarrow.parquet as pq
+
+    live: dict[str, dict] = {}
+
+    def _take(row: dict) -> None:
+        add = row.get("add")
+        if add and add.get("path"):
+            add["partitionValues"] = _normalize_partition_values(
+                add.get("partitionValues")
+            )
+            # pyarrow surfaces an absent struct as all-null fields
+            dv = add.get("deletionVector")
+            if dv is not None and dv.get("storageType") is None:
+                add["deletionVector"] = None
+            live[add["path"]] = add
+
+    side_dir = os.path.join(_log_dir(table), "_sidecars")
+    for path in _checkpoint_files(table, cp):
+        for row in pq.read_table(path).to_pylist():
+            _take(row)
+            sc = row.get("sidecar")
+            if sc and sc.get("path"):  # V2: adds live in sidecars
+                st = pq.read_table(os.path.join(side_dir, sc["path"]))
+                for srow in st.to_pylist():
+                    _take(srow)
+    return live
+
+
+def _checkpoint_at(table: str, v: int) -> "dict | None":
+    """A checkpoint pointer for a checkpoint written AT exactly
+    version ``v``, reconstructed from the files on disk —
+    ``_last_checkpoint`` only names the NEWEST checkpoint, but older
+    checkpoint parquet files survive log cleanup and are complete
+    snapshots of their version (the historical seed behind
+    `replay_at_checkpoint`)."""
+    import re as _re
+
+    log = _log_dir(table)
+    if os.path.exists(_checkpoint_path(table, v)):
+        return {"version": v, "size": 0}
+    pre = f"{v:020d}.checkpoint."
+    parts = None
+    named = False
+    for n in os.listdir(log):
+        if not (n.startswith(pre) and n.endswith(".parquet")):
+            continue
+        m = _re.fullmatch(r"\d{10}\.(\d{10})\.parquet", n[len(pre):])
+        if m:
+            parts = int(m.group(1))
+        else:
+            named = True
+    if parts:
+        return {"version": v, "size": 0, "parts": parts}
+    if named:
+        return {"version": v, "size": 0}
+    return None
+
+
+def replay_at_checkpoint(table: str, v: int) -> "dict[str, dict] | None":
+    """Live {path: add_action} at ``v`` seeded from a checkpoint
+    written AT exactly ``v`` — works after log cleanup removed the
+    commit tail `_replay` would need (checkpointing a version is how a
+    caller keeps it time-travelable past retention, e.g. a streaming
+    cursor). None when no such checkpoint exists."""
+    cp = _checkpoint_at(table, v)
+    if cp is None:
+        return None
+    return _checkpoint_adds(table, cp)
+
+
 def _replay(table: str, version: int) -> dict[str, dict]:
     """Reconstruct the live file set {path: add_action} at ``version``
     from the nearest checkpoint ≤ version plus the JSON tail — the
@@ -872,29 +945,7 @@ def _replay(table: str, version: int) -> dict[str, dict]:
     start = 0
     cp = _last_checkpoint(table)
     if cp is not None and cp["version"] <= version:
-        import pyarrow.parquet as pq
-
-        def _take(row: dict) -> None:
-            add = row.get("add")
-            if add and add.get("path"):
-                add["partitionValues"] = _normalize_partition_values(
-                    add.get("partitionValues")
-                )
-                # pyarrow surfaces an absent struct as all-null fields
-                dv = add.get("deletionVector")
-                if dv is not None and dv.get("storageType") is None:
-                    add["deletionVector"] = None
-                live[add["path"]] = add
-
-        side_dir = os.path.join(_log_dir(table), "_sidecars")
-        for path in _checkpoint_files(table, cp):
-            for row in pq.read_table(path).to_pylist():
-                _take(row)
-                sc = row.get("sidecar")
-                if sc and sc.get("path"):  # V2: adds live in sidecars
-                    st = pq.read_table(os.path.join(side_dir, sc["path"]))
-                    for srow in st.to_pylist():
-                        _take(srow)
+        live = _checkpoint_adds(table, cp)
         start = cp["version"] + 1
     for v in range(start, version + 1):
         p = _commit_path(table, v)
@@ -3033,6 +3084,47 @@ def table_changes(
     for piece in pieces[1:]:
         out = out.unionByName(piece)
     return out
+
+
+def describe_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per surviving commit, newest first —
+    version, commitInfo timestamp, operation, and the operation
+    parameters rendered as a canonical sorted-key JSON string (the
+    public surface's operationParameters column). Commits removed by
+    `cleanup_log` simply do not appear, matching the real command's
+    behavior after retention. Cost: one KB-scale JSON read per
+    surviving commit — metadata-proportional, never data-proportional."""
+    latest = latest_version(table)
+    if latest is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    rows = []
+    for v in range(latest, -1, -1):
+        p = _commit_path(table, v)
+        if not os.path.exists(p):
+            continue
+        ts, op, params = None, None, {}
+        for a in _read_actions(p):
+            if "commitInfo" in a:
+                ci = a["commitInfo"]
+                ts = ci.get("timestamp")
+                op = ci.get("operation")
+                params = ci.get("operationParameters") or {}
+                break
+        rows.append(
+            (
+                v,
+                ts,
+                op,
+                json.dumps(
+                    {k: str(val) for k, val in sorted(params.items())}
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp_ms long, operation string, "
+        "operation_parameters string",
+    )
 
 
 def _commit_operation(table: str, version: int) -> "tuple[str | None, dict]":

@@ -542,6 +542,99 @@ class _DeltaTableCdcStreamReader:
                 )
         return rows
 
+    def _lineage_diff_rows(self, lo: int, hi: int) -> "list | None":
+        """EXACT recovery across cleaned-up history via Delta ROW
+        TRACKING (round 11, the Iceberg reader's twin): when a
+        checkpoint was written AT the cursor version (checkpointing
+        the cursor is how a caller keeps a stream resumable past
+        `cleanup_log` — old checkpoint parquet survives cleanup), the
+        emitted batch is the row-id diff between cursor and head —
+        delete(old image) + insert(new image), exactly-once for the
+        consumer. None when unrecoverable (no row tracking, no cursor
+        checkpoint, or null-lineage rows) — the caller falls back to
+        the 'bootstrap_insert' reset."""
+        import pyarrow.parquet as pq
+
+        from march_mania_spark_lakehouse_spark.sources import (
+            deletion_vectors,
+            delta_log,
+        )
+
+        if not delta_log._row_tracking_enabled(self.table, hi):
+            return None
+        old_live = delta_log.replay_at_checkpoint(self.table, lo)
+        if old_live is None:
+            return None
+        new_live = delta_log._replay(self.table, hi)
+        schema = delta_log.table_schema(self.table, hi)
+        part_cols = set(delta_log.table_partition_columns(self.table, hi))
+        mapping = delta_log.column_mapping(self.table, hi) or {}
+        cols = [f.name for f in schema.fields]
+        phys = {c: mapping.get(c, c) for c in cols}
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+
+        def rows_of(live) -> "dict | None":
+            out: dict = {}
+            for rel, add in sorted(live.items()):
+                p = rel if os.path.isabs(rel) else os.path.join(
+                    self.table, rel
+                )
+                t = pq.read_table(p)
+                names = set(t.column_names)
+                pv = add.get("partitionValues") or {}
+                fills = {
+                    c: _cast_pv(pv.get(phys[c]), types[c])
+                    for c in cols
+                    if c in part_cols
+                }
+                dv = add.get("deletionVector")
+                dead = (
+                    set(deletion_vectors.read_dv(self.table, dv))
+                    if dv
+                    else set()
+                )
+                base = add.get("baseRowId")
+                dcv = add.get("defaultRowCommitVersion")
+                mat_id = "_row_id" in names
+                mat_rcv = "_row_commit_version" in names
+                for pos, rec in enumerate(t.to_pylist()):
+                    if pos in dead:
+                        continue
+                    rid = rec.get("_row_id") if mat_id else None
+                    if rid is None and base is not None:
+                        rid = base + pos
+                    if rid is None:
+                        return None  # pre-enable file: refuse
+                    rcv = rec.get("_row_commit_version") if mat_rcv else None
+                    if rcv is None:
+                        rcv = dcv
+                    if rcv is None:
+                        return None  # id without a version clock: refuse
+                    out[rid] = (
+                        rcv,
+                        tuple(
+                            fills[c] if c in fills
+                            else (rec.get(phys[c]) if phys[c] in names else None)
+                            for c in cols
+                        ),
+                    )
+            return out
+
+        old_by = rows_of(old_live)
+        if old_by is None:
+            return None
+        new_by = rows_of(new_live)
+        if new_by is None:
+            return None
+        rows = []
+        for rid, (rcv, vals) in sorted(old_by.items()):
+            if rid not in new_by or new_by[rid][0] > rcv:
+                rows.append(vals + ("delete",))
+        for rid, (rcv, vals) in sorted(new_by.items()):
+            if rid not in old_by or rcv > old_by[rid][0]:
+                rows.append(vals + ("insert",))
+        return rows
+
     def read(self, start: dict):
         from march_mania_spark_lakehouse_spark.sources import delta_log
 
@@ -555,6 +648,9 @@ class _DeltaTableCdcStreamReader:
             # commits in (lo, hi] were cleaned up past the checkpoint
             if self.starting != "retained":
                 raise
+            diff = self._lineage_diff_rows(lo, hi)
+            if diff is not None:
+                return (diff, {"version": hi})
             return (self._bootstrap_rows(hi), {"version": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -567,6 +663,11 @@ class _DeltaTableCdcStreamReader:
         except FileNotFoundError:
             if self.starting != "retained":
                 raise
+            diff = self._lineage_diff_rows(
+                int(start["version"]), int(end["version"])
+            )
+            if diff is not None:
+                return iter(diff)
             return iter(self._bootstrap_rows(int(end["version"])))
 
     def commit(self, end: dict) -> None:

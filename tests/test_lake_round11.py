@@ -111,6 +111,75 @@ def test_iceberg_cdc_retained_emits_lineage_diff_after_expiry(
     assert +state == head
 
 
+def test_delta_cdc_retained_emits_lineage_diff_after_cleanup(
+    spark, tmp_path
+):
+    """The Delta twin: checkpointing the CURSOR VERSION keeps the
+    stream resumable past log cleanup (old checkpoint parquet survives
+    — it is a complete snapshot of its version). The resumed batch is
+    the exact row-tracking diff, not a bootstrap reset."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+    )
+
+    table = str(tmp_path / "dtbl")
+    delta_log.create(
+        _df(spark, _rows(12)).repartitionByRange(2, "id"),
+        table,
+        row_tracking=True,
+    )
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    sink = str(tmp_path / "ddiff_sink")
+    ckpt = str(tmp_path / "ddiff_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_table_cdc")
+            .option("path", table)
+            .option("starting_version", "retained")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # cursor at version 0
+    delta_log.checkpoint(table, 0)  # pin the cursor version
+    delta_log.delete_where(spark, table, "id < 4")
+    delta_log.update_where(spark, table, "id = 5", {"val": "val + 100.0"})
+    delta_log.append(_df(spark, [(200, 2, 3.0)]), table)
+    head_v = delta_log.checkpoint(table)
+    for v in range(head_v):
+        p = delta_log._commit_path(table, v)
+        if os.path.exists(p):
+            os.utime(p, (1, 1))
+    assert delta_log.cleanup_log(table, retention_ms=0)
+    drain()
+
+    rows = _sink_rows(spark, sink)
+    assert all(r._change_type in ("insert", "delete") for r in rows)
+    second = rows[12:]
+    got = Counter((r.id, r.k, r.val, r._change_type) for r in second)
+    want = Counter()
+    for i in range(4):
+        want[(i, i % 3, float(i), "delete")] += 1
+    want[(5, 2, 5.0, "delete")] += 1
+    want[(5, 2, 105.0, "insert")] += 1
+    want[(200, 2, 3.0, "insert")] += 1
+    assert got == want and len(second) == 7
+    state: Counter = Counter()
+    for r in rows:
+        state[(r.id, r.k, r.val)] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        (r.id, r.k, r.val)
+        for r in delta_log.read_delta(spark, table).collect()
+    )
+    assert +state == head
+
+
 def test_iceberg_cdc_retained_falls_back_when_cursor_expired(
     spark, table, tmp_path
 ):
