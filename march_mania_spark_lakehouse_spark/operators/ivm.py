@@ -67,9 +67,10 @@ def signed_state(
     state retracts the deleted rows exactly (count and decimal sum are
     the invertible aggregates; min/max are NOT invertible under
     deletes, so the signed state carries them as null — a view needing
-    min/max under deletes recomputes them, which is the standard IVM
-    limitation, not an implementation one). The signed batch aggregate
-    sees only the delta — at 100 TB that is the whole point.
+    min/max under deletes uses `refresh_minmax`, whose dirty-group rule
+    re-scans only the groups a delete's extreme actually touches). The
+    signed batch aggregate sees only the delta — at 100 TB that is the
+    whole point.
 
     CDF label support (round 8): feeds carrying UPDATE pairs
     (`table_changes_cdf` on either lake format) fold correctly —
@@ -85,6 +86,81 @@ def signed_state(
         F.min(F.when(F.lit(False), m)).alias("min_m"),
         F.max(F.when(F.lit(False), m)).alias("max_m"),
     )
+
+
+def refresh_minmax(
+    base: DataFrame,
+    feed: DataFrame,
+    keys: list[str],
+    measure: Column | str,
+    current: DataFrame,
+    change_col: str = "_change_type",
+    dec: str = DEC,
+) -> DataFrame:
+    """Refresh FULL state — count/sum AND min/max — through a
+    delete-carrying feed (round 11): the classic answer to min/max
+    being non-invertible under deletes is the DIRTY-GROUP rule. A
+    delete can only change a group's extreme when it removes a value
+    that TIES the group's current extreme, so:
+
+    - count/sum merge invertibly (`signed_state`), exact as ever;
+    - inserts merge min/max MONOTONICALLY (least/greatest — no rescan);
+    - only groups whose deleted values touch the base extreme (or that
+      the base never saw) re-scan ``current`` — one semi-join-pruned
+      aggregate proportional to DIRTY GROUPS' rows, never the table.
+
+    At 100 TB a day of churn typically dirties a sliver of groups; the
+    other groups refresh from state alone. Returns the state schema
+    (`keys, n, sum_dec, min_m, max_m`); groups retracted to zero rows
+    drop."""
+    m = F.col(measure) if isinstance(measure, str) else measure
+    inv = merge_states(base, signed_state(feed, keys, m, change_col, dec))
+    is_del = F.col(change_col).isin("delete", "update_preimage")
+    ins_mm = (
+        feed.filter(~is_del)
+        .groupBy(*keys)
+        .agg(F.min(m).alias("__ins_min"), F.max(m).alias("__ins_max"))
+    )
+    del_mm = (
+        feed.filter(is_del)
+        .groupBy(*keys)
+        .agg(F.min(m).alias("__del_min"), F.max(m).alias("__del_max"))
+    )
+    base_mm = base.select(
+        *keys,
+        F.col("min_m").alias("__b_min"),
+        F.col("max_m").alias("__b_max"),
+    )
+    s = (
+        inv.join(base_mm, keys, "left")
+        .join(ins_mm, keys, "left")
+        .join(del_mm, keys, "left")
+        .filter(F.col("n") > 0)
+    )
+    dirty_cond = F.col("__del_min").isNotNull() & (
+        F.col("__b_min").isNull()
+        | (F.col("__del_min") <= F.col("__b_min"))
+        | (F.col("__del_max") >= F.col("__b_max"))
+    )
+    # least/greatest skip nulls: a group new in this feed takes its
+    # insert extremes; an untouched group keeps the base's
+    clean = s.filter(~dirty_cond).select(
+        *keys,
+        "n",
+        "sum_dec",
+        F.least("__b_min", "__ins_min").alias("min_m"),
+        F.greatest("__b_max", "__ins_max").alias("max_m"),
+    )
+    dirty_keys = s.filter(dirty_cond).select(*keys, "n", "sum_dec")
+    rescan = (
+        current.join(F.broadcast(dirty_keys.select(*keys)), keys, "semi")
+        .groupBy(*keys)
+        .agg(F.min(m).alias("min_m"), F.max(m).alias("max_m"))
+    )
+    dirty = dirty_keys.join(rescan, keys, "left").select(
+        *keys, "n", "sum_dec", "min_m", "max_m"
+    )
+    return clean.unionByName(dirty)
 
 
 def finalize_counts(state: DataFrame) -> DataFrame:

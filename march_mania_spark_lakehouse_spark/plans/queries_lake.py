@@ -2350,3 +2350,205 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("flag").cast("long").alias("sum_flag"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q229/q230 — ICEBERG METADATA TABLES (round 11): the spec's
+# `SELECT * FROM tbl$partitions / $files / $delete_files / $snapshots`
+# inspection surface. The manifest ENTRIES are read ON EXECUTORS (one
+# task per group of manifests — at 100 TB the files table is a
+# distributed scan of manifest avro, never a driver loop); per spec,
+# record_count is PHYSICAL rows (deletion vectors don't change it), and
+# the DV delete-file's record_count is its cardinality — both facts the
+# relational oracles pin exactly.
+# --------------------------------------------------------------------------
+
+_Q229_SQL = """
+SELECT '{"o_orderstatus": "' || o_orderstatus || '"}' AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2)
+GROUP BY o_orderstatus
+"""
+
+
+def _metadata_tables_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v3 table PARTITIONED by
+    o_orderstatus — snapshot 1 = create (key%4=1), snapshot 2 = append
+    (key%4=2), snapshot 3 = DV delete (key%10=3). Guarded on the
+    terminal snapshot count (3)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"meta-tables|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_meta_tables", fp
+    )
+    if (
+        iceberg.current_version(table) is not None
+        and len(iceberg.snapshot_ids(table)) != 3
+    ):
+        shutil.rmtree(table)
+    if iceberg.current_version(table) is None:
+        orders = catalog.load(spark, "orders", sf_dir)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(*cols),
+            table,
+            partition_by=("o_orderstatus",),
+            format_version=3,
+        )
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 4 == 2).select(*cols),
+            table,
+        )
+        iceberg.delete_where(spark, table, "o_orderkey % 10 = 3")
+    return table
+
+
+@query("q229_metadata_partitions_table", oracle=_Q229_SQL, tags=("lake", "agg"))
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partitions metadata table's physical record counts must
+    hash-match the relational per-partition counts of everything ever
+    inserted (the DV delete must NOT change them, per spec)."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _metadata_tables_fixture(spark, sf_dir)
+    return iceberg.metadata_table(spark, table, "partitions").select(
+        "partition", F.col("record_count").alias("n_rows")
+    )
+
+
+_Q230_SQL = """
+SELECT 'data' AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderkey % 4 IN (1, 2)
+UNION ALL
+SELECT 'deletes' AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderkey % 4 IN (1, 2) AND o_orderkey % 10 = 3
+UNION ALL
+SELECT 'snapshots' AS kind, CAST(3 AS BIGINT) AS n_rows
+"""
+
+
+@query("q230_metadata_files_tables", oracle=_Q230_SQL, tags=("lake", "agg"))
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """files / delete_files / snapshots metadata tables: total physical
+    data rows, total DV cardinality, and the snapshot count must
+    hash-match the relational reconstruction."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _metadata_tables_fixture(spark, sf_dir)
+    data = iceberg.metadata_table(spark, table, "files").agg(
+        F.sum("record_count").cast("long").alias("n_rows")
+    ).select(F.lit("data").alias("kind"), "n_rows")
+    dels = iceberg.metadata_table(spark, table, "delete_files").agg(
+        F.sum("record_count").cast("long").alias("n_rows")
+    ).select(F.lit("deletes").alias("kind"), "n_rows")
+    snaps = iceberg.metadata_table(spark, table, "snapshots").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    ).select(F.lit("snapshots").alias("kind"), "n_rows")
+    return data.unionByName(dels).unionByName(snaps)
+
+
+# --------------------------------------------------------------------------
+# q231 — DELTA DESCRIBE HISTORY: the commit log as a queryable
+# DataFrame (version, operation, parameters) — metadata-proportional,
+# one KB JSON read per surviving commit. The oracle is the literal
+# operation sequence the deterministic fixture publishes.
+# --------------------------------------------------------------------------
+
+_Q231_SQL = """
+SELECT * FROM (VALUES
+  (CAST(3 AS BIGINT), 'WRITE'),
+  (CAST(2 AS BIGINT), 'WRITE'),
+  (CAST(1 AS BIGINT), 'ADD COLUMN'),
+  (CAST(0 AS BIGINT), 'CREATE TABLE AS SELECT')
+) AS t(version, operation)
+"""
+
+
+@query("q231_describe_history", oracle=_Q231_SQL, tags=("lake",))
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the q226 defaults fixture (create → add
+    column → two writes), newest first."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _orders_delta_defaults_table(spark, sf_dir)
+    return delta_log.describe_history(spark, table).select(
+        "version", "operation"
+    )
+
+
+# --------------------------------------------------------------------------
+# q232 — MIN/MAX IVM VIA THE DIRTY-GROUP RULE (round 11): min/max are
+# not invertible under deletes, so q225's refresh carries them as null;
+# this query closes the gap with `ivm.refresh_minmax` — count/sum merge
+# invertibly, insert extremes merge monotonically, and ONLY the groups
+# whose deleted values tie the base extreme re-scan the head (semi-join
+# pruned). Full refreshed state (count/sum/avg/min/max) must hash-match
+# the relational recompute. At 100 TB: a day of churn dirties a sliver
+# of groups; everything else refreshes from KB-scale state.
+# --------------------------------------------------------------------------
+
+_Q232_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS sum_m,
+       CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_m,
+       MIN(p) AS min_m,
+       MAX(p) AS max_m
+FROM (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 9 = 3 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice AS p
+  FROM orders
+  WHERE o_orderkey % 4 = 0 AND o_orderkey > 0
+) t
+GROUP BY o_orderstatus
+"""
+
+
+@query("q232_minmax_ivm_refresh", oracle=_Q232_SQL, tags=("lake", "agg"))
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base state at the first snapshot + the lineage diff, min/max
+    refreshed through the dirty-group rule against the head — must
+    hash-match the full relational recompute."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table, first = _snapshot_diff_table(spark, sf_dir)
+    base = ivm.agg_state(
+        iceberg.read_iceberg(spark, table, first).select(
+            "o_orderstatus", "o_totalprice"
+        ),
+        ["o_orderstatus"],
+        "o_totalprice",
+    )
+    feed = iceberg.snapshot_diff_changelog(spark, table, first).select(
+        "o_orderstatus", "o_totalprice", "_change_type"
+    )
+    current = iceberg.read_iceberg(spark, table).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    state = ivm.refresh_minmax(
+        base, feed, ["o_orderstatus"], "o_totalprice", current
+    )
+    return ivm.finalize_state(state).select(
+        "o_orderstatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "sum_m",
+        "avg_m",
+        "min_m",
+        "max_m",
+    )

@@ -3061,6 +3061,175 @@ class IcebergRefError(ValueError):
     """Unknown ref name, or a ref operation that violates ref rules."""
 
 
+#: metadata_table kinds and their result schemas (Spark DDL)
+_META_TABLE_SCHEMAS = {
+    "snapshots": (
+        "committed_at_ms long, snapshot_id long, parent_id long, "
+        "sequence_number long, operation string"
+    ),
+    "history": "made_current_at_ms long, snapshot_id long, is_current boolean",
+    "refs": "name string, type string, snapshot_id long",
+    "manifests": (
+        "path string, length long, partition_spec_id int, content int, "
+        "sequence_number long, added_files_count int, "
+        "existing_files_count int, deleted_files_count int"
+    ),
+    "files": (
+        "content int, file_path string, file_format string, "
+        "partition string, record_count long, file_size_in_bytes long, "
+        "sequence_number long"
+    ),
+    "delete_files": (
+        "content int, file_path string, file_format string, "
+        "partition string, record_count long, file_size_in_bytes long, "
+        "sequence_number long"
+    ),
+    "partitions": (
+        "partition string, file_count long, record_count long, "
+        "total_size_bytes long"
+    ),
+}
+
+
+def metadata_table(
+    spark: SparkSession,
+    table: str,
+    kind: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """The spec's METADATA TABLES (``SELECT * FROM tbl$files`` surface):
+    inspect a table's own metadata layer as DataFrames.
+
+    - ``snapshots`` / ``history`` / ``refs`` / ``manifests``: built
+      from the metadata JSON / one manifest list — driver-side, KB-
+      sized by construction.
+    - ``files`` / ``delete_files``: the snapshot's live manifest
+      ENTRIES, read ON EXECUTORS (one task per group of manifests via
+      `mapInPandas` — at 100 TB a table has ~10⁵–10⁶ manifest entries
+      and the spec's answer is a distributed scan of the manifest
+      avro, not a driver loop). ``partition`` is rendered as a
+      canonical sorted-key JSON string so it groups/joins portably.
+    - ``partitions``: the files table aggregated per partition tuple
+      (file_count / record_count / total_size — record_count is
+      PHYSICAL rows per spec: DVs do not change it).
+
+    ``snapshot_id`` pins any kind that reads a snapshot (default:
+    current)."""
+    meta = current_metadata(table)
+    if kind not in _META_TABLE_SCHEMAS:
+        raise ValueError(
+            f"unknown metadata table {kind!r}; one of "
+            f"{sorted(_META_TABLE_SCHEMAS)}"
+        )
+    schema = _META_TABLE_SCHEMAS[kind]
+    if kind == "snapshots":
+        rows = [
+            (
+                s["timestamp-ms"],
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["sequence-number"],
+                (s.get("summary") or {}).get("operation"),
+            )
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        cur = meta.get("current-snapshot-id", -1)
+        rows = [
+            (e["timestamp-ms"], e["snapshot-id"], e["snapshot-id"] == cur)
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "refs":
+        rows = [
+            (name, r.get("type", "branch"), r["snapshot-id"])
+            for name, r in sorted(meta.get("refs", {}).items())
+        ]
+        rows.append(("main", "branch", meta.get("current-snapshot-id", -1)))
+        return spark.createDataFrame(sorted(rows), schema)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = _snapshot(meta, sid)
+    ml = avro_ocf.read_ocf(snap["manifest-list"])
+    if kind == "manifests":
+        rows = [
+            (
+                m["manifest_path"],
+                m["manifest_length"],
+                m.get("partition_spec_id", 0),
+                m.get("content", 0),
+                m["sequence_number"],
+                m.get("added_files_count"),
+                m.get("existing_files_count"),
+                m.get("deleted_files_count"),
+            )
+            for m in ml
+        ]
+        return spark.createDataFrame(rows, schema)
+    want_deletes = kind == "delete_files"
+    mans = [
+        m["manifest_path"]
+        for m in ml
+        if (m.get("content", 0) != 0) == want_deletes
+    ]
+    files_schema = _META_TABLE_SCHEMAS["files"]
+    if not mans:
+        files = spark.createDataFrame([], files_schema)
+    else:
+        mdf = spark.createDataFrame(
+            [(p,) for p in mans], "path string"
+        ).repartition(min(len(mans), 32))
+
+        def read_entries(batches):
+            import json as _json
+
+            import pandas as pd
+
+            from march_mania_spark_lakehouse_spark.sources import (
+                avro_ocf as _avro,
+            )
+
+            cols = [
+                "content", "file_path", "file_format", "partition",
+                "record_count", "file_size_in_bytes", "sequence_number",
+            ]
+            for pdf in batches:
+                rows = []
+                for p in pdf["path"]:
+                    for e in _avro.read_ocf(p):
+                        if e["status"] == 2:
+                            continue
+                        d = e["data_file"]
+                        rows.append(
+                            (
+                                d.get("content", 0),
+                                d["file_path"],
+                                d.get("file_format"),
+                                _json.dumps(
+                                    {
+                                        k: None if v is None else str(v)
+                                        for k, v in sorted(
+                                            (d.get("partition") or {}).items()
+                                        )
+                                    }
+                                ),
+                                d["record_count"],
+                                d["file_size_in_bytes"],
+                                e["sequence_number"],
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+
+        files = mdf.mapInPandas(read_entries, files_schema)
+    if kind in ("files", "delete_files"):
+        return files
+    return files.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum("record_count").alias("record_count"),
+        F.sum("file_size_in_bytes").alias("total_size_bytes"),
+    )
+
+
 def create_tag(table: str, name: str, snapshot_id: int | None = None) -> None:
     """Name a snapshot with an immutable TAG ref (audit pins, release
     marks). Metadata-only commit; `expire_snapshots` keeps tagged
