@@ -2458,18 +2458,18 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q231 — DELTA DESCRIBE HISTORY: the commit log as a queryable
-# DataFrame (version, operation, parameters) — metadata-proportional,
-# one KB JSON read per surviving commit. The oracle is the literal
-# operation sequence the deterministic fixture publishes.
+# q231 — DELTA DESCRIBE HISTORY as an oracled query: the round-6
+# command (commit log as a DataFrame — metadata-proportional, one KB
+# JSON read per surviving commit) pinned against the literal operation
+# sequence the deterministic fixture publishes.
 # --------------------------------------------------------------------------
 
 _Q231_SQL = """
 SELECT * FROM (VALUES
-  (CAST(3 AS BIGINT), 'WRITE'),
-  (CAST(2 AS BIGINT), 'WRITE'),
+  (CAST(0 AS BIGINT), 'CREATE TABLE AS SELECT'),
   (CAST(1 AS BIGINT), 'ADD COLUMN'),
-  (CAST(0 AS BIGINT), 'CREATE TABLE AS SELECT')
+  (CAST(2 AS BIGINT), 'WRITE'),
+  (CAST(3 AS BIGINT), 'WRITE')
 ) AS t(version, operation)
 """
 
@@ -2477,7 +2477,7 @@ SELECT * FROM (VALUES
 @query("q231_describe_history", oracle=_Q231_SQL, tags=("lake",))
 def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the q226 defaults fixture (create → add
-    column → two writes), newest first."""
+    column → two writes)."""
     from march_mania_spark_lakehouse_spark.sources import delta_log
 
     table = _orders_delta_defaults_table(spark, sf_dir)
@@ -2551,4 +2551,102 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_m",
         "min_m",
         "max_m",
+    )
+
+
+# --------------------------------------------------------------------------
+# q233 — RENAME ACROSS THE SYNC LINE VIA FIELD-ID RESOLUTION (round
+# 11): the Iceberg writer renames a column and KEEPS WRITING; the Delta
+# mirror follows by flipping to columnMapping.mode=id (every data file
+# this engine writes carries parquet field ids), and the query reads
+# the MIRROR — pre-rename files store the old physical name, post-
+# rename files the new one, and id resolution serves both generations
+# exactly. The oracle reconstructs the two populations relationally.
+# At 100 TB: a writer-side rename costs two KB-scale metadata commits
+# (one per layer) and zero data movement, and the mirror never goes
+# dark.
+# --------------------------------------------------------------------------
+
+_Q233_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2)
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _id_mapped_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v3 Iceberg orders (key%4=1, price
+    under its original name), convert_to_delta, rename
+    o_totalprice→price on the WRITER, append key%4=2 (files store the
+    NEW physical name), sync — the mirror flips to mode=id. Returns
+    the DELTA MIRROR path; guarded on the mirror's mapping mode."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"id-mapped-mirror|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_id_mirror", fp
+    )
+    it = os.path.join(root, "ice")
+    dt = os.path.join(root, "delta")
+
+    def _terminal() -> bool:
+        v = delta_log.latest_version(dt)
+        if v is None:
+            return False
+        md = delta_log._latest_metadata(dt, v)
+        return (md.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "id"
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+            it,
+            format_version=3,
+        )
+        iceberg.convert_to_delta(it, dt)
+        iceberg.rename_column(it, "o_totalprice", "price")
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 4 == 2).select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("o_totalprice").alias("price"),
+            ),
+            it,
+        )
+        iceberg.sync_to_delta(it, dt)
+    return dt
+
+
+@query("q233_id_mapped_mirror_read", oracle=_Q233_SQL, tags=("lake", "agg"))
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the id-mapped Delta mirror spanning both rename
+    generations: counts and exact price sums per status must
+    hash-match the relational oracle."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _id_mapped_mirror(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("price", "sum_price"),
+        )
     )

@@ -305,6 +305,29 @@ def _stage_data_files(
             *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
         )
         partition_by = [mapping.get(c, c) for c in partition_by]
+    else:
+        # columnMapping.mode=id writers stamp each column's mapping id
+        # as the parquet field id (spec: id-mode files carry ids;
+        # readers resolve by them, names are display-only)
+        cur = latest_version(table)
+        md = _latest_metadata(table, cur) if cur is not None else None
+        if md is not None and (md.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "id":
+            ids = {
+                f["name"]: int(f["metadata"]["delta.columnMapping.id"])
+                for f in json.loads(md["schemaString"])["fields"]
+            }
+            df = df.select(
+                *[
+                    F.col(c).alias(
+                        c, metadata={"parquet.field.id": ids[c]}
+                    )
+                    if c in ids
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -1148,20 +1171,36 @@ def _read_files_raw(
     schema = T.StructType.fromJson(json.loads(meta_act["schemaString"]))
     part_cols = list(meta_act.get("partitionColumns") or [])
     conf = meta_act.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode") == "name":
+    mode = conf.get("delta.columnMapping.mode")
+    fields_json = json.loads(meta_act["schemaString"])["fields"]
+    if mode == "name":
         mapping = {
             f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
-            for f in json.loads(meta_act["schemaString"])["fields"]
+            for f in fields_json
         }
     else:
         mapping = None
+    # columnMapping.mode=id (round 11): resolution by PARQUET FIELD ID
+    # — the spec's answer to files whose physical names span rename
+    # generations (a synced Iceberg mirror's). Spark matches schema
+    # fields carrying `parquet.field.id` metadata by id and the rest
+    # (our materialized lineage extras) by name in the same scan.
+    id_mode = mode == "id"
+    fids = (
+        {
+            f["name"]: int(f["metadata"]["delta.columnMapping.id"])
+            for f in fields_json
+        }
+        if id_mode
+        else {}
+    )
     paths = [os.path.join(table, f) for f in files]
     absolute = any(os.path.isabs(f) for f in files)
     # a float→double partition-column widening leaves hive dir strings
     # in the NARROW rendering; the widen commit flips this flag so
     # restoration reads the rewritten (exact-upcast) log values instead
     pv_auth = conf.get("partitionValuesAuthoritative") == "true"
-    if not mapping and not absolute and not pv_auth:
+    if not mapping and not id_mode and not absolute and not pv_auth:
         # vanilla layouts: flat declared-schema scan, or hive basePath
         # discovery for partitioned tables (keeps Spark's partition
         # pruning on ad-hoc filters)
@@ -1201,13 +1240,37 @@ def _read_files_raw(
     # log-planned pruned scans (`scan_partitions`/`scan_pruned`) are
     # the scale path either way.
     phys = {f.name: (mapping or {}).get(f.name, f.name) for f in schema.fields}
+    if id_mode:
+        # partitionValues stay keyed by the recorded physical names
+        by_name = {f["name"]: f for f in fields_json}
+        phys = {
+            f.name: (by_name[f.name].get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in schema.fields
+        }
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    read_schema = T.StructType(
-        [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
-        + list(extra_fields or [])  # physical names, never mapped
-    )
-    df = spark.read.schema(read_schema).parquet(*paths)
-    keep = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+    if id_mode:
+        read_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    {"parquet.field.id": fids[f.name]},
+                )
+                for f in data_fields
+            ]
+            + list(extra_fields or [])  # no ids: resolved by name
+        )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        df = spark.read.schema(read_schema).parquet(*paths)
+        keep = [F.col(f.name) for f in data_fields]
+    else:
+        read_schema = T.StructType(
+            [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+            + list(extra_fields or [])  # physical names, never mapped
+        )
+        df = spark.read.schema(read_schema).parquet(*paths)
+        keep = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
     keep += [F.col(f.name) for f in (extra_fields or [])]
     keep += [
         _fp_norm().alias("__fp"),
@@ -3084,47 +3147,6 @@ def table_changes(
     for piece in pieces[1:]:
         out = out.unionByName(piece)
     return out
-
-
-def describe_history(spark: SparkSession, table: str) -> DataFrame:
-    """DESCRIBE HISTORY: one row per surviving commit, newest first —
-    version, commitInfo timestamp, operation, and the operation
-    parameters rendered as a canonical sorted-key JSON string (the
-    public surface's operationParameters column). Commits removed by
-    `cleanup_log` simply do not appear, matching the real command's
-    behavior after retention. Cost: one KB-scale JSON read per
-    surviving commit — metadata-proportional, never data-proportional."""
-    latest = latest_version(table)
-    if latest is None:
-        raise FileNotFoundError(f"{table} has no Delta log")
-    rows = []
-    for v in range(latest, -1, -1):
-        p = _commit_path(table, v)
-        if not os.path.exists(p):
-            continue
-        ts, op, params = None, None, {}
-        for a in _read_actions(p):
-            if "commitInfo" in a:
-                ci = a["commitInfo"]
-                ts = ci.get("timestamp")
-                op = ci.get("operation")
-                params = ci.get("operationParameters") or {}
-                break
-        rows.append(
-            (
-                v,
-                ts,
-                op,
-                json.dumps(
-                    {k: str(val) for k, val in sorted(params.items())}
-                ),
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "version long, timestamp_ms long, operation string, "
-        "operation_parameters string",
-    )
 
 
 def _commit_operation(table: str, version: int) -> "tuple[str | None, dict]":

@@ -732,7 +732,10 @@ def _rebase_append_metadata(table: str, base_meta: dict) -> dict:
 
 
 def _stage_data_files(
-    df: DataFrame, table: str, spec_info: Sequence[dict]
+    df: DataFrame,
+    table: str,
+    spec_info: Sequence[dict],
+    schema_json: "dict | None" = None,
 ) -> list[tuple[str, dict, int, int]]:
     """Write parquet into data/ under fresh names; return
     [(path relative to table, partition values, record count, bytes)].
@@ -741,9 +744,27 @@ def _stage_data_files(
     manifests — spec identity-column projection); transform fields
     (day/bucket/...) partition by a derived column named after the
     field, which lands in the dir path while the SOURCE column stays in
-    the data file (spec hidden partitioning)."""
+    the data file (spec hidden partitioning).
+
+    ``schema_json`` (round 11): the table's current Iceberg schema —
+    every written column matching a declared field is stamped with its
+    FIELD ID in the parquet footer (``PARQUET:field_id``, what real
+    Iceberg writers always do; Spark's
+    ``spark.sql.parquet.fieldId.write.enabled`` is on by default).
+    Field ids make the files self-describing across renames and are
+    what lets a Delta mirror read them under columnMapping.mode=id."""
     import pyarrow.parquet as pq
 
+    if schema_json is not None:
+        ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+        df = df.select(
+            *[
+                F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+                if c in ids
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     part_cols = []
     for pf in spec_info:
         if pf["transform"] == "identity":
@@ -1201,7 +1222,10 @@ def append(
     # at the winner's next sequence number. Each retry re-writes only a
     # manifest + manifest list (KB of metadata); lost attempts' metadata
     # files are orphans `remove_orphan_files` reclaims.
-    files = _stage_data_files(df, table, _spec_info(meta))
+    files = _stage_data_files(
+        df, table, _spec_info(meta),
+        meta["schemas"][meta["current-schema-id"]],
+    )
     max_retries = 50
     for _ in range(max_retries):
         try:
@@ -1577,7 +1601,10 @@ def _commit_snapshot(
     files = (
         staged_files
         if staged_files is not None
-        else _stage_data_files(df, table, _spec_info(meta))
+        else _stage_data_files(
+            df, table, _spec_info(meta),
+            meta["schemas"][meta["current-schema-id"]],
+        )
     )
     v3 = int(meta.get("format-version", 2)) >= 3
     first_rid = (
@@ -2890,7 +2917,10 @@ def optimize(
             stat_cols = tuple(sort_by)  # cluster by what you skip on
     else:
         df = df.coalesce(n_out)
-    staged = _stage_data_files(df, table, _spec_info(meta))
+    staged = _stage_data_files(
+        df, table, _spec_info(meta),
+        meta["schemas"][meta["current-schema-id"]],
+    )
 
     seq = meta["last-sequence-number"] + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
@@ -3302,7 +3332,10 @@ def append_to_branch(
 
     seq = meta["last-sequence-number"] + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
-    files = _stage_data_files(df, table, _spec_info(meta))
+    files = _stage_data_files(
+        df, table, _spec_info(meta),
+        meta["schemas"][meta["current-schema-id"]],
+    )
     v3 = int(meta.get("format-version", 2)) >= 3
     first_rid = int(meta.get("next-row-id", 0)) if v3 else None
     m_path, m_len, n_files, n_rows = _write_manifest(
@@ -5134,6 +5167,42 @@ def _render_delta_sql_literal(v) -> str:
     return repr(v)
 
 
+def _flip_mirror_to_id_mapping(
+    iceberg_table: str, delta_table: str, seq_stamp: int
+) -> None:
+    """ONE cursor-stamped commit flipping the mirror to
+    ``delta.columnMapping.mode=id``: the schema's
+    ``delta.columnMapping.id`` values are already the ICEBERG FIELD
+    IDS (the schema reconcile sets them), and every data file carries
+    matching ``PARQUET:field_id`` footer entries (the caller verified
+    it), so reads resolve by id across every rename generation —
+    the spec's own answer to per-generation physical names."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    dv = delta_log.latest_version(delta_table)
+    md = delta_log._latest_metadata(delta_table, dv)
+    conf = dict(md.get("configuration") or {})
+    if conf.get("delta.columnMapping.mode") == "id":
+        return
+    conf["delta.columnMapping.mode"] = "id"
+    delta_log._commit_read_dependent(
+        delta_table,
+        dv + 1,
+        [
+            delta_log._commit_info(
+                "SYNC COLUMN MAPPING MODE",
+                {
+                    "source": os.path.abspath(iceberg_table),
+                    "sourceSequence": str(seq_stamp),
+                    "mode": "id",
+                },
+            ),
+            {"metaData": {**md, "configuration": conf}},
+        ],
+        "SYNC COLUMN MAPPING MODE",
+    )
+
+
 def _rebase_over_mirror_maintenance(
     iceberg_table: str,
     delta_table: str,
@@ -5313,7 +5382,7 @@ def _reconcile_delta_mirror_schema(
     conf = dict(mirror_md.get("configuration") or {})
     part_cols = list(mirror_md.get("partitionColumns") or [])
     by_name = {f["name"]: f for f in schema_json["fields"]}
-    mapped = conf.get("delta.columnMapping.mode") == "name"
+    mapped = conf.get("delta.columnMapping.mode") in ("name", "id")
     if (renames or drops) and not mapped:
         # enable column mapping IN the same commit, ids = Iceberg
         # field ids — the cross-format field-id reconciliation
@@ -5634,11 +5703,14 @@ def _sync_iceberg_snapshot(
     added = sorted(set(cur) - set(prev))
     removed = sorted(set(prev) - set(cur))
 
-    # post-rename generation guard: the mirror's column mapping pins
-    # ONE physical name per field, but Iceberg files written after a
-    # rename store the NEW name — Delta cannot express per-generation
-    # physical names, so a new file carrying a renamed column's new
-    # name must raise rather than silently read null on the mirror
+    # post-rename generation guard: a mode=name mirror pins ONE
+    # physical name per field, but Iceberg files written after a
+    # rename store the NEW name. When every data file carries PARQUET
+    # FIELD IDS (this engine's writer stamps them — round 11), the
+    # mirror FLIPS to columnMapping.mode=id in one commit (ids are
+    # already the Iceberg field ids, set by the schema reconcile) and
+    # resolution becomes generation-proof; files without ids keep the
+    # honest raise.
     mapping = delta_log.column_mapping(delta_table) or {}
     misnamed = {
         log: phys for log, phys in mapping.items() if log != phys
@@ -5646,20 +5718,44 @@ def _sync_iceberg_snapshot(
     if misnamed and added:
         import pyarrow.parquet as _pq
 
+        def _ids_of(fp: str) -> "set | None":
+            out = set()
+            for fld in _pq.read_schema(fp):
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is None:
+                    if fld.name in (
+                        "_row_id", "_last_updated_sequence_number",
+                        "_row_commit_version",
+                    ):
+                        continue  # lineage extras: resolved by name
+                    return None
+                out.add(int(fid))
+            return out
+
+        bad_files = []
         for fp in added:
             names = set(_pq.read_schema(fp).names)
-            bad = sorted(
-                log
+            if any(
+                log in names and phys not in names
                 for log, phys in misnamed.items()
-                if log in names and phys not in names
-            )
-            if bad:
+            ):
+                bad_files.append(fp)
+        if bad_files:
+            probe = list(prev) + added
+            if all(_ids_of(fp) is not None for fp in probe):
+                _flip_mirror_to_id_mapping(
+                    iceberg_table, delta_table,
+                    snap["sequence-number"] - 1,
+                )
+                # the flip consumed a mirror version
+                v = delta_log.latest_version(delta_table) + 1
+            else:
                 raise DeltaSyncSchemaChangeError(
-                    f"data file {os.path.basename(fp)} stores renamed "
-                    f"column(s) {bad} under the NEW name, but the "
-                    "mirror's column mapping pins the old physical "
-                    "name; Delta cannot express per-generation "
-                    "physical names — re-convert the mirror"
+                    f"data file {os.path.basename(bad_files[0])} stores "
+                    "renamed column(s) under the NEW physical name and "
+                    "not every file carries parquet field ids; Delta "
+                    "cannot express per-generation physical names "
+                    "without id resolution — re-convert the mirror"
                 )
 
     def _dv_key(e: dict) -> tuple:
@@ -6386,7 +6482,10 @@ def compact(spark: SparkSession, table: str) -> int:
         df, _ = _read_files_lineage(
             spark, table, meta, sid, None, meta["current-schema-id"]
         )
-        staged = _stage_data_files(df, table, _spec_info(meta))
+        staged = _stage_data_files(
+        df, table, _spec_info(meta),
+        meta["schemas"][meta["current-schema-id"]],
+    )
         return _commit_snapshot(
             None, table, meta, "overwrite", True, (), None, staged,
             assign_row_ids=False,
@@ -7091,7 +7190,10 @@ def update_where(
     delete_where(spark, table, pred)
     if v3:
         meta2 = current_metadata(table)
-        staged = _stage_data_files(updated, table, _spec_info(meta2))
+        staged = _stage_data_files(
+        updated, table, _spec_info(meta2),
+        meta2["schemas"][meta2["current-schema-id"]],
+    )
         return _commit_snapshot(
             None, table, meta2, "append", False, stat_cols, None, staged,
             assign_row_ids=False,

@@ -635,6 +635,20 @@ class _DeltaTableCdcStreamReader:
                 rows.append(vals + ("insert",))
         return rows
 
+    def _refuse_id_mapping(self, hi: int) -> None:
+        from march_mania_spark_lakehouse_spark.sources import delta_log
+
+        md = delta_log._latest_metadata(self.table, hi)
+        if (md.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "id":
+            raise NotImplementedError(
+                "delta_table_cdc on a columnMapping.mode=id table: this "
+                "driver-side reader resolves columns by physical name; "
+                "read the table in batch (read_delta handles id "
+                "resolution)"
+            )
+
     def read(self, start: dict):
         from march_mania_spark_lakehouse_spark.sources import delta_log
 
@@ -642,6 +656,7 @@ class _DeltaTableCdcStreamReader:
         hi = delta_log.latest_version(self.table)
         if hi is None or hi <= lo:
             return (iter(()), {"version": lo})
+        self._refuse_id_mapping(hi)
         try:
             return (self._changes(lo, hi), {"version": hi})
         except FileNotFoundError:

@@ -323,26 +323,42 @@ def read_rows(
     fields = snap["schema"]["fields"]
     part_cols = set(snap["partition_columns"])
     types = {f["name"]: f["type"] for f in fields}
-    # column mapping (protocol `delta.columnMapping.mode = name`): files
-    # store PHYSICAL names pinned in each field's metadata; the logical
-    # name is display-only. Resolution is one lookup per field.
-    mapped = snap["configuration"].get("delta.columnMapping.mode") == "name"
+    # column mapping: mode=name stores PHYSICAL names pinned in each
+    # field's metadata (one lookup per field); mode=id resolves by the
+    # parquet footers' PARQUET:field_id against the field's
+    # delta.columnMapping.id (generation-proof across renames).
+    mode = snap["configuration"].get("delta.columnMapping.mode")
+    mapped = mode == "name"
     phys = {
         f["name"]: (
             f.get("metadata", {}).get(
                 "delta.columnMapping.physicalName", f["name"]
             )
-            if mapped
+            if mode in ("name", "id")
             else f["name"]
         )
         for f in fields
     }
+    fids = (
+        {
+            f["name"]: int(f["metadata"]["delta.columnMapping.id"])
+            for f in fields
+        }
+        if mode == "id"
+        else {}
+    )
     out: list[tuple] = []
     for path in snap["files"]:
         t = pq.read_table(os.path.join(table, path))
         cols: dict[str, list] = {}
         n = t.num_rows
         pv = snap["adds"][path]["partitionValues"]
+        by_fid = {}
+        if mode == "id":
+            for fld in t.schema:
+                raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if raw is not None:
+                    by_fid[int(raw)] = fld.name
         for f in fields:
             name = f["name"]
             if name in part_cols:
@@ -350,8 +366,12 @@ def read_rows(
                 # stable), like the file columns themselves
                 val = _cast_partition_value(pv.get(phys[name]), types[name])
                 cols[name] = [val] * n
-            elif phys[name] in t.column_names:
-                cols[name] = t.column(phys[name]).to_pylist()
+                continue
+            src = (
+                by_fid.get(fids[name]) if mode == "id" else phys[name]
+            )
+            if src is not None and src in t.column_names:
+                cols[name] = t.column(src).to_pylist()
             else:
                 cols[name] = [None] * n
         rows = list(zip(*[cols[f["name"]] for f in fields])) if fields else []

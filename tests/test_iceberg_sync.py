@@ -269,11 +269,16 @@ def test_reverse_sync_replays_widen(spark, tmp_path):
     )
 
 
-def test_reverse_sync_replays_rename_then_new_file_raises(spark, pair):
+def test_reverse_sync_rename_flips_mirror_to_id_mapping(spark, pair):
     """RENAME replays metadata-only (column mapping enabled with the
     ICEBERG FIELD ID, physical name pinned to what the staged files
-    store); a LATER Iceberg data file carrying the new physical name
-    raises — Delta cannot express per-generation physical names."""
+    store). A LATER Iceberg data file carries the NEW physical name —
+    since every data file this engine writes is stamped with parquet
+    FIELD IDS, the sync flips the mirror to columnMapping.mode=id in
+    one cursor-stamped commit and resolution becomes generation-proof:
+    pre-rename files (old name), post-rename files (new name), and
+    future appends all serve through id resolution, pinned by the
+    engine AND the clean-room reader."""
     it, dt = pair
     iceberg.rename_column(it, "val", "amount")
     iceberg.sync_to_delta(it, dt)  # trailing metadata-only reconcile
@@ -297,7 +302,60 @@ def test_reverse_sync_replays_rename_then_new_file_raises(spark, pair):
     v = delta_log.latest_version(dt)
     iceberg.sync_to_delta(it, dt)
     assert delta_log.latest_version(dt) == v
-    # a post-rename data file stores the NEW physical name → honest gate
+    # a post-rename data file stores the NEW physical name → the
+    # mirror flips to id mapping and keeps serving exactly
+    iceberg.append(
+        spark.createDataFrame(
+            [(99, 0, 9.0)], "id long, k long, amount double"
+        ),
+        it,
+    )
+    iceberg.sync_to_delta(it, dt)
+    md2 = delta_log._latest_metadata(dt, delta_log.latest_version(dt))
+    assert (md2.get("configuration") or {})[
+        "delta.columnMapping.mode"
+    ] == "id"
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    # a further rename + append keeps replaying on the id-mapped mirror
+    iceberg.rename_column(it, "amount", "price")
+    iceberg.append(
+        spark.createDataFrame(
+            [(100, 1, 10.0)], "id long, k long, price double"
+        ),
+        it,
+    )
+    iceberg.delete_where(spark, it, "id = 99")
+    iceberg.sync_to_delta(it, dt)
+    assert [f.name for f in delta_log.table_schema(dt).fields] == [
+        "id", "k", "price"
+    ]
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    # Delta's OWN writer stamps ids on the id-mapped mirror... but the
+    # mirror is sync-owned; instead pin the stream source's honest gate
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        _DeltaTableCdcStreamReader,
+    )
+
+    rdr = _DeltaTableCdcStreamReader({"path": dt})
+    with pytest.raises(NotImplementedError, match="mode=id"):
+        rdr.read({"version": 0})
+
+
+def test_reverse_sync_rename_without_field_ids_still_raises(
+    spark, tmp_path
+):
+    """The honest gate survives where it must: a mirror whose history
+    contains ID-LESS data files (here: the Iceberg source was itself
+    converted from a plain Delta table, so its original files carry no
+    parquet field ids) cannot flip to id resolution — the sync raises
+    instead of silently nulling the renamed column."""
+    d0 = str(tmp_path / "origin_delta")
+    it = str(tmp_path / "ice")
+    dt = str(tmp_path / "mirror_delta")
+    delta_log.create(_df(spark, _rows(0, 8)), d0)
+    iceberg.convert_from_delta(d0, it)
+    iceberg.convert_to_delta(it, dt)
+    iceberg.rename_column(it, "val", "amount")
     iceberg.append(
         spark.createDataFrame(
             [(99, 0, 9.0)], "id long, k long, amount double"
@@ -305,7 +363,7 @@ def test_reverse_sync_replays_rename_then_new_file_raises(spark, pair):
         it,
     )
     with pytest.raises(
-        iceberg.DeltaSyncSchemaChangeError, match="per-generation"
+        iceberg.DeltaSyncSchemaChangeError, match="field ids"
     ):
         iceberg.sync_to_delta(it, dt)
 

@@ -172,9 +172,10 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
 
 def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
     """Iceberg writer → Delta mirror: appends, DV deletes, updates,
-    compaction, add/widen/drop (renames are gated by design — Delta
-    cannot express per-generation physical names), and mirror-side
-    OPTIMIZE, synced at random points."""
+    compaction, add/widen/drop/RENAME (a post-rename data file flips
+    the mirror to columnMapping.mode=id — every file this engine
+    writes carries parquet field ids), and mirror-side OPTIMIZE,
+    synced at random points."""
     rng = random.Random(20260817)
     for trial in range(3):
         it = str(tmp_path / f"ri{trial}")
@@ -230,12 +231,18 @@ def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
         for step in range(10):
             op = rng.choice(
                 ["append", "append", "dv_delete", "update", "compact",
-                 "add", "add_default", "widen", "drop", "mirror_optimize"]
+                 "add", "add_default", "widen", "drop", "rename",
+                 "mirror_optimize"]
             )
             if op == "append":
                 iceberg.append(
                     _mk_batch(spark, ice_schema(), fresh(rng.randrange(1, 5))),
                     it,
+                )
+            elif op == "rename":
+                cur = [f.name for f in ice_schema().fields][1]
+                iceberg.rename_column(
+                    it, cur, "category" if cur == "cat" else "cat"
                 )
             elif op == "dv_delete":
                 iceberg.delete_where(
