@@ -3494,12 +3494,17 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
         for name, r in meta.get("refs", {}).items()
         if name != "main"
     }
-    kept = snaps[-keep_last:] + [
-        s
-        for s in snaps[:-keep_last]
-        if s["snapshot-id"] in ref_ids
-    ]
-    kept_ids_now = {s["snapshot-id"] for s in kept}
+    # "newest keep_last" counts along the MAIN ANCESTRY, not list
+    # order: a staged branch append lands last in the list, and
+    # keeping it INSTEAD of the main head would expire the snapshot
+    # current-snapshot-id points at — a corrupt table
+    by_sid = {s["snapshot-id"]: s for s in snaps}
+    main_ids: list = []
+    node = meta.get("current-snapshot-id", -1)
+    while node in by_sid:
+        main_ids.append(node)
+        node = by_sid[node].get("parent-snapshot-id", -1)
+    kept_ids_now = set(main_ids[:keep_last]) | ref_ids
     expired = [s for s in snaps if s["snapshot-id"] not in kept_ids_now]
     kept = [s for s in snaps if s["snapshot-id"] in kept_ids_now]  # in order
     if not expired:

@@ -1029,8 +1029,35 @@ class _IcebergTableCdcStreamReader:
         caller falls back to the bootstrap reset."""
         if int(meta.get("format-version", 2)) < 3:
             return None
-        by_seq = {s["sequence-number"]: s for s in meta["snapshots"]}
-        old_snap, new_snap = by_seq.get(lo), by_seq.get(hi)
+        # endpoint resolution must never pick a staged WAP / branch
+        # snapshot (its state is not the main table's): the NEW side
+        # must sit on the head's ancestry; the OLD side is either on
+        # that ancestry or named by a TAG ref (the documented
+        # cursor-retention pattern — expiry breaks the parent chain,
+        # so the tagged cursor is only reachable directly). A branch
+        # HEAD at the cursor sequence falls through to the bootstrap.
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        main: dict = {}
+        node = meta.get("current-snapshot-id", -1)
+        while node in by_id:
+            s = by_id[node]
+            main[s["sequence-number"]] = s
+            node = s.get("parent-snapshot-id", -1)
+        tag_ids = {
+            r["snapshot-id"]
+            for r in (meta.get("refs") or {}).values()
+            if r.get("type") == "tag"
+        }
+        old_snap = main.get(lo) or next(
+            (
+                s
+                for s in meta["snapshots"]
+                if s["sequence-number"] == lo
+                and s["snapshot-id"] in tag_ids
+            ),
+            None,
+        )
+        new_snap = main.get(hi)
         if (
             old_snap is None
             or new_snap is None

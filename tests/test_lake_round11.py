@@ -111,6 +111,68 @@ def test_iceberg_cdc_retained_emits_lineage_diff_after_expiry(
     assert +state == head
 
 
+def test_iceberg_cdc_diff_ignores_staged_branch_snapshots(
+    spark, table, tmp_path
+):
+    """A staged branch snapshot between cursor and head must never be
+    picked as a diff endpoint (sequence numbers are resolved along the
+    MAIN lineage only); when the head sequence belongs to a branch the
+    reader degrades to the safe bootstrap, and the fold still matches
+    the main head."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    iceberg.create(_df(spark, _rows(8)), table, format_version=3)
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink = str(tmp_path / "br_sink")
+    ckpt = str(tmp_path / "br_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_table_cdc")
+            .option("path", table)
+            .option("starting_sequence", "retained")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    iceberg.create_tag(table, "cursor")
+    iceberg.delete_where(spark, table, "id < 2")
+    iceberg.append(_df(spark, [(50, 1, 5.0)]), table)
+    # a staged branch append AFTER the main head: its snapshot rides
+    # meta["snapshots"] but not the main lineage
+    iceberg.create_branch(table, "wip")
+    iceberg.append_to_branch(_df(spark, [(999, 0, 9.0)]), table, "wip")
+    iceberg.expire_snapshots(table, keep_last=1)
+    drain()
+    rows = _sink_rows(spark, sink)
+    state: Counter = Counter()
+    prev_bootstrap = False
+    for r in rows:
+        if r._change_type == "bootstrap_insert":
+            if not prev_bootstrap:
+                state = Counter()  # reset at the bootstrap batch
+            state[(r.id, r.k, r.val)] += 1
+            prev_bootstrap = True
+        else:
+            state[(r.id, r.k, r.val)] += (
+                1 if r._change_type == "insert" else -1
+            )
+            prev_bootstrap = False
+    head = Counter(
+        (r.id, r.k, r.val)
+        for r in iceberg.read_iceberg(spark, table).collect()
+    )
+    assert +state == head
+    assert (999, 0, 9.0) not in state  # the branch row never leaked
+
+
 def test_delta_cdc_retained_emits_lineage_diff_after_cleanup(
     spark, tmp_path
 ):
