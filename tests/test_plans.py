@@ -286,3 +286,47 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
     assert "LeftSemi" in plan21 and "LeftAnti" in plan21
     assert "CartesianProduct" not in plan21
     assert "BroadcastNestedLoopJoin" not in plan21
+
+
+def test_metadata_files_table_reads_manifests_on_executors(
+    spark, tmp_path
+):
+    """iceberg.metadata_table('files') must scan manifest avro via a
+    distributed MapInPandas stage (one task per manifest group), never
+    a driver loop materialized into a local relation."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    t = str(tmp_path / "meta_tbl")
+    iceberg.create(
+        spark.range(40).select(
+            "id", (F.col("id") % 4).alias("k")
+        ).repartitionByRange(4, "id"),
+        t,
+    )
+    iceberg.append(spark.range(40, 60).select("id", (F.col("id") % 4).alias("k")), t)
+    files = iceberg.metadata_table(spark, t, "files")
+    plan = _plan(files)
+    assert "MapInPandas" in plan
+    assert files.count() >= 2
+
+
+def test_refresh_minmax_rescan_is_broadcast_semi_join(spark):
+    """The dirty-group rescan must reach `current` through a BROADCAST
+    semi join on the dirty keys — the table side never shuffles for
+    the membership probe."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+
+    base = ivm.agg_state(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "k string, v double"
+        ),
+        ["k"], "v",
+    )
+    feed = spark.createDataFrame(
+        [("a", 1.0, "delete")], "k string, v double, _change_type string"
+    )
+    current = spark.createDataFrame([("a", 5.0)], "k string, v double")
+    plan = _plan(ivm.refresh_minmax(base, feed, ["k"], "v", current))
+    assert "LeftSemi, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    )
