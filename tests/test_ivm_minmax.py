@@ -130,3 +130,73 @@ def test_refresh_minmax_over_lineage_diff(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_streaming_minmax_materialized_view(spark, tmp_path):
+    """The streaming gold-table loop with NON-INVERTIBLE aggregates:
+    a Delta CDC stream feeds `refresh_minmax` in foreachBatch, state
+    persisted between micro-batches — after deletes that remove group
+    extremes, the maintained view equals a full recompute. (Each drain
+    runs while the source head equals the batch end, so the dirty-group
+    rescan sees consistent state — the production form would pin the
+    rescan to the batch's end version via time travel.)"""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+    )
+
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, i % 3, float(i)) for i in range(18)]
+    delta_log.create(
+        spark.createDataFrame(rows, "id long, k long, v double"), src
+    )
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    # seed: empty state with the right schema
+    ivm.agg_state(
+        delta_log.read_delta(spark, src).select("k", "v").limit(0),
+        ["k"], "v",
+    ).write.mode("overwrite").parquet(state_dir)
+
+    def apply_batch(batch, _bid):
+        base = spark.read.parquet(state_dir)
+        cur = delta_log.read_delta(spark, src).select("k", "v")
+        new_state = ivm.refresh_minmax(
+            base, batch.select("k", "v", "_change_type"), ["k"], "v", cur
+        ).localCheckpoint()
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_table_cdc")
+            .option("path", src).load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    delta_log.delete_where(spark, src, "v >= 15.0")  # group maxes go
+    drain()
+    delta_log.append(
+        spark.createDataFrame([(100, 0, -7.0)], "id long, k long, v double"),
+        src,
+    )
+    delta_log.delete_where(spark, src, "id % 3 = 1")
+    drain()
+    got = sorted(
+        tuple(r)
+        for r in ivm.finalize_state(spark.read.parquet(state_dir)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivm.finalize_state(
+            ivm.agg_state(
+                delta_log.read_delta(spark, src).select("k", "v"),
+                ["k"], "v",
+            )
+        ).collect()
+    )
+    assert got == want and got
