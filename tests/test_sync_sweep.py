@@ -85,6 +85,9 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
 
         def check():
             want = sorted(delta_indep.read_rows(dt))
+            assert sorted(
+                tuple(r) for r in dlog.read_delta(spark, dt).collect()
+            ) == want, f"trial {trial}: delta engine/clean-room diverged"
             eng = sorted(
                 tuple(r) for r in iceberg.read_iceberg(spark, it).collect()
             )
