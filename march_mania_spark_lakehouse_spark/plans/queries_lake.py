@@ -2650,3 +2650,95 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("price", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q234 — MANAGE-SNAPSHOTS ROLLBACK (round 11): a bad append is undone
+# by swinging main's head back to its ancestor — one metadata write,
+# zero files touched — and writing continues on top; the rolled-off
+# snapshot stays time-travelable until expiry, and row ids / sequence
+# numbers stay monotonic across the rollback. The oracle reconstructs
+# the head population (the bad batch absent) relationally.
+# --------------------------------------------------------------------------
+
+_Q234_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE o_orderkey % 4 IN (1, 3)
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _rollback_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: snapshot 1 = orders key%4=1,
+    snapshot 2 = BAD append key%4=2, rollback to snapshot 1, snapshot 3
+    = append key%4=3 (parented on snapshot 1). Guarded on the terminal
+    shape (3 snapshots, head parented on the first)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"rollback|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_rollback", fp
+    )
+
+    def _terminal() -> bool:
+        if iceberg.current_version(table) is None:
+            return False
+        meta = iceberg.current_metadata(table)
+        snaps = meta["snapshots"]
+        return (
+            len(snaps) == 3
+            and meta["current-snapshot-id"] == snaps[-1]["snapshot-id"]
+            and snaps[-1].get("parent-snapshot-id")
+            == snaps[0]["snapshot-id"]
+        )
+
+    if os.path.exists(table) and not _terminal():
+        shutil.rmtree(table)
+    if not os.path.exists(table):
+        orders = catalog.load(spark, "orders", sf_dir)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(*cols),
+            table,
+            format_version=3,
+        )
+        good = iceberg.current_metadata(table)["current-snapshot-id"]
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 4 == 2).select(*cols),
+            table,
+        )
+        iceberg.rollback_to_snapshot(table, good)
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 4 == 3).select(*cols),
+            table,
+        )
+    return table
+
+
+@query("q234_rollback_to_snapshot", oracle=_Q234_SQL, tags=("lake", "agg"))
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the head after a rollback undid the bad append: counts and
+    exact price sums per status must hash-match the relational oracle
+    over the two GOOD populations only."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _rollback_fixture(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

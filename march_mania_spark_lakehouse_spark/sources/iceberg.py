@@ -3260,6 +3260,43 @@ def metadata_table(
     )
 
 
+def rollback_to_snapshot(table: str, snapshot_id: int) -> int:
+    """The spec's manage-snapshots ROLLBACK: swing main's head back to
+    an ANCESTOR snapshot — one metadata write, zero files touched. The
+    rolled-off snapshots stay in the metadata (time-travelable, and
+    recoverable by a forward rollback while retained; the next
+    `expire_snapshots` retires them — retention counts along the main
+    ancestry). Sequence numbers and ``next-row-id`` are NOT rolled
+    back: both are monotonic per spec, so commits after the rollback
+    can never collide with rolled-off sequence numbers or row ids.
+    A non-ancestor target raises — that would silently graft another
+    branch's state onto main (use `fast_forward` for publishing a
+    branch). Returns the new metadata version."""
+    meta = current_metadata(table)
+    _snapshot(meta, snapshot_id)  # must exist
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    node = meta.get("current-snapshot-id", -1)
+    ancestors = set()
+    while node in by_id:
+        ancestors.add(node)
+        node = by_id[node].get("parent-snapshot-id", -1)
+    if snapshot_id not in ancestors:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            "main head; rollback only travels the main ancestry"
+        )
+    if snapshot_id == meta.get("current-snapshot-id"):
+        return current_version(table)
+    meta = dict(meta)
+    now = _now_ms()
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    return _write_metadata(table, meta)
+
+
 def create_tag(table: str, name: str, snapshot_id: int | None = None) -> None:
     """Name a snapshot with an immutable TAG ref (audit pins, release
     marks). Metadata-only commit; `expire_snapshots` keeps tagged

@@ -277,3 +277,45 @@ def test_iceberg_cdc_retained_falls_back_when_cursor_expired(
     rows = _sink_rows(spark, sink)
     boot = [r for r in rows if r._change_type == "bootstrap_insert"]
     assert len(boot) == 6  # full current snapshot (5 survivors + 1 new)
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """Manage-snapshots rollback: the head swings back to an ancestor
+    (metadata-only), rolled-off snapshots stay time-travelable, row
+    ids and sequence numbers stay monotonic across the rollback so a
+    follow-up append can never collide, and a non-ancestor target
+    (staged branch) raises."""
+    t = str(tmp_path / "rb")
+    iceberg.create(_df(spark, _rows(6)), t, format_version=3)
+    good = iceberg.current_metadata(t)["current-snapshot-id"]
+    iceberg.append(_df(spark, [(100, 0, -1.0), (101, 1, -2.0)]), t)
+    bad = iceberg.current_metadata(t)["current-snapshot-id"]
+    iceberg.rollback_to_snapshot(t, good)
+    assert sorted(r.id for r in iceberg.read_iceberg(spark, t).collect()) == (
+        list(range(6))
+    )
+    # rolled-off snapshot still time-travels
+    assert sorted(
+        r.id for r in iceberg.read_iceberg(spark, t, bad).collect()
+    ) == list(range(6)) + [100, 101]
+    # post-rollback append: fresh ids above the rolled-off ones, parent
+    # = the rolled-to snapshot; both readers agree
+    iceberg.append(_df(spark, [(200, 2, 9.0)]), t)
+    from tests import iceberg_reader_independent as indep
+
+    meta = iceberg.current_metadata(t)
+    head = meta["snapshots"][-1]
+    assert head["parent-snapshot-id"] == good
+    lin = {
+        r.id: r._row_id for r in iceberg.read_lineage(spark, t).collect()
+    }
+    assert lin[200] >= 8  # ids of the rolled-off rows stay consumed
+    assert sorted(t2[0] for t2 in indep.read_rows(t)) == (
+        list(range(6)) + [200]
+    )
+    # non-ancestor target (a staged branch head) refuses
+    iceberg.create_branch(t, "wip")
+    iceberg.append_to_branch(_df(spark, [(999, 0, 0.0)]), t, "wip")
+    wip = iceberg.current_metadata(t)["refs"]["wip"]["snapshot-id"]
+    with pytest.raises(ValueError, match="ancestor"):
+        iceberg.rollback_to_snapshot(t, wip)
