@@ -466,3 +466,37 @@ def test_streaming_cdc_source_follows_synced_mirror(spark, tmp_path):
         (r.id, r.k, r.val)
         for r in iceberg.read_iceberg(spark, it).collect()
     )
+
+
+def test_sql_literal_rendering_round_trips():
+    """The CURRENT_DEFAULT literal crossing the format line twice
+    (render on one side, parse on the other) must be value-preserving
+    for every type the sync carries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from march_mania_spark_lakehouse_spark.sources.iceberg import (
+        _parse_delta_sql_literal,
+        _render_delta_sql_literal,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.one_of(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.text(max_size=40),
+            st.booleans(),
+        )
+    )
+    def check(v):
+        got = _parse_delta_sql_literal(_render_delta_sql_literal(v))
+        if isinstance(v, bool):
+            assert got is v
+        elif isinstance(v, float):
+            # int-valued floats may parse back as int — value equality
+            assert float(got) == v or (got == v)
+        else:
+            assert got == v
+
+    check()
