@@ -63,6 +63,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # INTENTIONAL session-wide global: parquet field-id resolution.
+        # The Delta columnMapping.mode=id reader (delta_log._read_files_raw)
+        # builds read schemas carrying parquet.field.id metadata; Spark
+        # consults this flag at ACTION time (probed empirically — a
+        # set/restore around the lazy `spark.read` silently yields nulls),
+        # so it cannot be scoped per-read. It is a no-op for read schemas
+        # without field-id metadata, i.e. every other read in the engine.
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         # Keep harness-captured stdout/stderr tails clean (the bench driver

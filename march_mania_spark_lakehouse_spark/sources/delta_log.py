@@ -1261,7 +1261,16 @@ def _read_files_raw(
             ]
             + list(extra_fields or [])  # no ids: resolved by name
         )
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # Spark consults this flag at ACTION time, not at `spark.read`
+        # time (probed: a set/restore pair around the lazy read yields
+        # all-null columns), so it cannot be scoped per-read — the
+        # engine's own sessions set it at bootstrap (session.py); this
+        # covers externally-built sessions. Only schemas that carry
+        # parquet.field.id metadata change behavior under it.
+        if spark.conf.get(
+            "spark.sql.parquet.fieldId.read.enabled", "false"
+        ) != "true":
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         df = spark.read.schema(read_schema).parquet(*paths)
         keep = [F.col(f.name) for f in data_fields]
     else:
@@ -2281,6 +2290,23 @@ def restore(table: str, version: int) -> int:
             )
     head = _replay(table, cur)
     ts = _now_ms()
+
+    def _dv_key(a: dict):
+        d = a.get("deletionVector")
+        if d is None:
+            return None
+        return (d.get("storageType"), d.get("pathOrInlineDv"),
+                d.get("offset"), d.get("sizeInBytes"))
+
+    # a file present in BOTH states but with a different DV descriptor
+    # (rows deleted — or un-deleted — between target and head) must be
+    # re-added with the TARGET's descriptor, or the restore silently
+    # keeps the head's tombstones
+    dv_changed = sorted(
+        p
+        for p in set(head) & set(target)
+        if _dv_key(head[p]) != _dv_key(target[p])
+    )
     actions = [
         _commit_info("RESTORE", {"version": version}),
         *(
@@ -2290,6 +2316,15 @@ def restore(table: str, version: int) -> int:
         *(
             {"add": {**target[p], "dataChange": True}}
             for p in sorted(set(target) - set(head))
+        ),
+        *(
+            a
+            for p in dv_changed
+            for a in (
+                {"remove": {"path": p, "deletionTimestamp": ts,
+                            "dataChange": True}},
+                {"add": {**target[p], "dataChange": True}},
+            )
         ),
     ]
     _commit_read_dependent(table, cur + 1, actions, "RESTORE")

@@ -3172,11 +3172,19 @@ def metadata_table(
         ]
         return spark.createDataFrame(rows, schema)
     if kind == "refs":
+        # ONE main row, always showing the live head: meta["refs"] may
+        # hold a 'main' entry (every commit path writes it) but older
+        # metadata may predate that — emit main exactly once, overridden
+        # to current-snapshot-id
+        refs = dict(meta.get("refs", {}))
+        refs["main"] = {
+            "snapshot-id": meta.get("current-snapshot-id", -1),
+            "type": "branch",
+        }
         rows = [
             (name, r.get("type", "branch"), r["snapshot-id"])
-            for name, r in sorted(meta.get("refs", {}).items())
+            for name, r in sorted(refs.items())
         ]
-        rows.append(("main", "branch", meta.get("current-snapshot-id", -1)))
         return spark.createDataFrame(sorted(rows), schema)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = _snapshot(meta, sid)
@@ -3290,6 +3298,13 @@ def rollback_to_snapshot(table: str, snapshot_id: int) -> int:
     meta = dict(meta)
     now = _now_ms()
     meta["current-snapshot-id"] = snapshot_id
+    # keep refs["main"] in lockstep with current-snapshot-id (every
+    # commit path writes both): a spec reader resolving the main BRANCH
+    # REF must see the rolled-back head, not the rolled-off one — and
+    # expire_snapshots keys retention off the ref too
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
     meta["last-updated-ms"] = now
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": now, "snapshot-id": snapshot_id}
@@ -4758,6 +4773,12 @@ def _rebase_over_foreign_iceberg_snapshots(
     meta["last-updated-ms"] = snapshot["timestamp-ms"]
     meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
     meta["current-snapshot-id"] = snapshot_id
+    # keep refs["main"] pointing at the rebase head (spec readers
+    # resolve main via refs; leaving it on the superseded snapshot
+    # would let expire_snapshots strand the ref)
+    refs = dict(meta.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
     ]
@@ -5593,6 +5614,7 @@ def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
     if latest is None:
         raise FileNotFoundError(f"{delta_table} has no Delta log")
     cursor = None
+    cursor_sid = None
     for dv_ver in range(latest, -1, -1):
         _op, params = delta_log._commit_operation(delta_table, dv_ver)
         if "sourceSequence" in params:
@@ -5613,31 +5635,79 @@ def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
                 )
                 latest = delta_log.latest_version(delta_table)
             cursor = int(params["sourceSequence"])
+            if "sourceSnapshotId" in params:
+                cursor_sid = int(params["sourceSnapshotId"])
             break
     if cursor is None:
         raise ValueError(
             f"{delta_table} was not created by convert_to_delta; "
             "nothing to sync"
         )
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if cursor_sid is None:
+        # metadata-only sync commits (schema reconcile, id-mapping
+        # flip, rebase) stamp the sequence but not the snapshot id —
+        # sequence numbers are unique per table, so resolve it
+        hits = [
+            s["snapshot-id"]
+            for s in meta["snapshots"]
+            if s["sequence-number"] == cursor
+        ]
+        if len(hits) == 1:
+            cursor_sid = hits[0]
     # follow the MAIN lineage back from the head (meta["snapshots"]
     # also holds staged/branch snapshots that never merged — those
-    # must not replay), stopping at the cursor
-    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    # must not replay), stopping at the CURSOR SNAPSHOT. The stop is
+    # by snapshot ID, not sequence number: after a writer-side
+    # `rollback_to_snapshot` (or a fast-forward past a rollback) the
+    # cursor snapshot is NOT on the head's ancestry, and replaying
+    # parent-diffs on top of the mirror's cursor-image state would
+    # silently leave the rolled-off rows on the mirror.
     lineage: list[dict] = []
-    cur_id = meta["current-snapshot-id"]
-    while cur_id in by_id and by_id[cur_id]["sequence-number"] > cursor:
-        s = by_id[cur_id]
-        lineage.append(s)
-        if "parent-snapshot-id" not in s:
+    anchor = None  # the already-synced snapshot the replay stacks on
+    node = meta["current-snapshot-id"]
+    while node in by_id:
+        s = by_id[node]
+        if (
+            node == cursor_sid
+            if cursor_sid is not None
+            else s["sequence-number"] <= cursor
+        ):
+            anchor = node
             break
-        cur_id = s["parent-snapshot-id"]
-    if lineage and lineage[-1].get("parent-snapshot-id") is not None and (
-        lineage[-1]["parent-snapshot-id"] not in by_id
-    ):
-        raise ValueError(
-            "snapshots between the sync cursor and the head were "
-            "expired; the state diffs are unknowable — re-convert"
+        lineage.append(s)
+        node = s.get("parent-snapshot-id")
+        if node is None:
+            break
+    if anchor is None:
+        if cursor_sid is None or cursor_sid not in by_id:
+            raise ValueError(
+                "the snapshot the mirror was last synced to is no "
+                "longer retained (expired) and is not on the head's "
+                "ancestry; the state diff is unknowable — re-convert"
+            )
+        # non-linear history (rollback / fast-forward past one): the
+        # cursor snapshot is retained but off the main ancestry. The
+        # mirror's state is the cursor snapshot's image, so ONE
+        # compensating commit carrying the STATE DIFF cursor→head
+        # reconverges it exactly (removes the rolled-off files,
+        # retracting their rows from the mirror's change feed). The
+        # target schema is the table's CURRENT one — schema changes
+        # are metadata-only and never roll back, so a head snapshot
+        # written under an older schema still reads (and mirrors)
+        # under the current schema with null fill.
+        head = by_id[meta["current-snapshot-id"]]
+        _reconcile_delta_mirror_schema(
+            iceberg_table, delta_table, meta,
+            meta["schemas"][meta["current-schema-id"]],
+            cursor,
         )
+        v = delta_log.latest_version(delta_table) + 1
+        _sync_iceberg_snapshot(
+            iceberg_table, delta_table, meta, head, v,
+            base_sid=cursor_sid,
+        )
+        return delta_log.latest_version(delta_table)
     last_seq = cursor
     for s in reversed(lineage):
         # schema changes BETWEEN snapshots replay first, stamped with
@@ -5672,18 +5742,30 @@ def _iceberg_data_entries(meta: dict, snapshot_id: int) -> "dict[str, dict]":
     return out
 
 
+_SYNC_BASE_PARENT = object()  # sentinel: diff against snap's parent
+
+
 def _sync_iceberg_snapshot(
-    iceberg_table: str, delta_table: str, meta: dict, snap: dict, v: int
+    iceberg_table: str, delta_table: str, meta: dict, snap: dict, v: int,
+    base_sid=_SYNC_BASE_PARENT,
 ) -> None:
     """Replay ONE Iceberg snapshot onto the Delta mirror (see
-    :func:`sync_to_delta` for the mapping)."""
+    :func:`sync_to_delta` for the mapping). ``base_sid`` overrides the
+    diff base (default: the snapshot's parent) — the COMPENSATING path
+    after a writer-side rollback diffs head against the off-ancestry
+    cursor snapshot instead, and forces ``dataChange=true`` (removing
+    rolled-off rows is a real row change whatever the head's own
+    operation was)."""
     from march_mania_spark_lakehouse_spark.sources import (
         delta_log,
         deletion_vectors,
     )
 
     sid = snap["snapshot-id"]
-    parent = snap.get("parent-snapshot-id")
+    compensating = base_sid is not _SYNC_BASE_PARENT
+    parent = (
+        snap.get("parent-snapshot-id") if not compensating else base_sid
+    )
     op = snap.get("summary", {}).get("operation")
     if snapshot_delete_files(iceberg_table, sid):
         raise NotImplementedError(
@@ -5696,9 +5778,15 @@ def _sync_iceberg_snapshot(
             f"snapshot {sid} carries equality deletes; Delta cannot "
             "represent them — compact first"
         )
-    # schema / spec gates against the mirror's declared state
+    # schema / spec gates against the mirror's declared state (the
+    # compensating path gates against the CURRENT schema: the head
+    # snapshot may have been written before later metadata-only schema
+    # commits, and a rolled-back head always reads under the current
+    # schema)
     schema = meta["schemas"][
-        snap.get("schema-id", meta["current-schema-id"])
+        meta["current-schema-id"]
+        if compensating
+        else snap.get("schema-id", meta["current-schema-id"])
     ]
     _ICE_TO_SPARK = {
         "long": "bigint", "int": "int", "string": "string",
@@ -5814,7 +5902,7 @@ def _sync_iceberg_snapshot(
         for fp in prev_dvs
         if fp in cur and fp not in cur_dvs
     )
-    data_change = op != "replace"
+    data_change = True if compensating else (op != "replace")
 
     def delta_path(fp: str, df_rec: dict) -> "tuple[str, dict]":
         """(add-action path, partitionValues) for an Iceberg data file
@@ -5903,7 +5991,14 @@ def _sync_iceberg_snapshot(
                     "source": os.path.abspath(iceberg_table),
                     "sourceSnapshotId": str(sid),
                     "sourceSequence": str(snap["sequence-number"]),
-                    "sourceOperation": str(op),
+                    "sourceOperation": (
+                        "sync-compensate" if compensating else str(op)
+                    ),
+                    **(
+                        {"compensatedFromSnapshotId": str(base_sid)}
+                        if compensating
+                        else {}
+                    ),
                 },
             }
         }

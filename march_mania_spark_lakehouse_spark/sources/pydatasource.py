@@ -579,7 +579,14 @@ class _DeltaTableCdcStreamReader:
                 p = rel if os.path.isabs(rel) else os.path.join(
                     self.table, rel
                 )
-                t = pq.read_table(p)
+                try:
+                    t = pq.read_table(p)
+                except FileNotFoundError:
+                    # a cursor-side file removed AND vacuumed between
+                    # cursor and head: the old image is unknowable —
+                    # signal unrecoverable so the caller falls back to
+                    # the bootstrap reset (which reads head files only)
+                    return None
                 names = set(t.column_names)
                 pv = add.get("partitionValues") or {}
                 fills = {

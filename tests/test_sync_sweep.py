@@ -112,7 +112,7 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
             op = rng.choice(
                 ["append", "append", "dv_delete", "update", "optimize",
                  "overwrite", "add", "add_default", "rename", "widen",
-                 "drop", "mirror_compact"]
+                 "drop", "mirror_compact", "restore"]
             )
             if op == "append":
                 dlog.append(
@@ -166,6 +166,12 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
             elif op == "mirror_compact":
                 if iceberg.snapshot_files(it):
                     iceberg.optimize(spark, it, small_file_bytes=1 << 30)
+            elif op == "restore":
+                # writer-side time travel: restore is a linear
+                # compensating commit, so the sync replays it like any
+                # other data commit
+                cur_v = dlog.latest_version(dt)
+                dlog.restore(dt, max(0, cur_v - rng.randrange(1, 4)))
             if rng.random() < 0.5:
                 iceberg.sync_from_delta(dt, it)
                 check()
@@ -235,7 +241,7 @@ def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
             op = rng.choice(
                 ["append", "append", "dv_delete", "update", "compact",
                  "add", "add_default", "widen", "drop", "rename",
-                 "mirror_optimize"]
+                 "mirror_optimize", "rollback"]
             )
             if op == "append":
                 iceberg.append(
@@ -290,6 +296,21 @@ def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
             elif op == "mirror_optimize":
                 if dlog.snapshot_files(dt):
                     dlog.optimize(spark, dt)
+            elif op == "rollback":
+                # writer-side rollback: the NEXT sync must detect the
+                # off-ancestry cursor and emit a compensating commit
+                meta = iceberg.current_metadata(it)
+                by_sid = {
+                    s["snapshot-id"]: s for s in meta["snapshots"]
+                }
+                chain, node = [], meta["current-snapshot-id"]
+                while node in by_sid:
+                    chain.append(node)
+                    node = by_sid[node].get("parent-snapshot-id", -1)
+                if len(chain) > 1:
+                    iceberg.rollback_to_snapshot(
+                        it, chain[rng.randrange(1, min(4, len(chain)))]
+                    )
             if rng.random() < 0.5:
                 iceberg.sync_to_delta(it, dt)
                 check()
