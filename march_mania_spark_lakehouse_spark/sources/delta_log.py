@@ -2268,20 +2268,96 @@ def optimize(
     return cur + 1
 
 
+def repartition_table(
+    spark: SparkSession,
+    table: str,
+    partition_by: Sequence[str],
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """REPLACE ... PARTITIONED BY: rewrite the live data under a new
+    hive partition layout and declare the new ``partitionColumns`` in
+    the SAME commit — the only legal way to change a Delta table's
+    partitioning (the spec fixes partitionColumns per metaData action;
+    files of two layouts cannot coexist under one). Rows are unchanged,
+    so every action carries ``dataChange=false`` (change feeds skip the
+    rewrite, the OPTIMIZE rule); row-tracking tables keep their ids
+    through materialized lineage columns, positions be damned. The
+    mirror sync replays this as ONE Iceberg partition-evolution commit
+    (old snapshots keep their old spec — see
+    `iceberg._replay_delta_partition_change`)."""
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    new_parts = list(partition_by)
+    if new_parts == table_partition_columns(table, cur):
+        return cur
+    md = _latest_metadata(table, cur)
+    declared = {f.name for f in table_schema(table, cur).fields}
+    missing = [c for c in new_parts if c not in declared]
+    if missing:
+        raise ValueError(
+            f"partition column(s) {missing} not in the table schema"
+        )
+    if _row_tracking_enabled(table, cur):
+        df = read_delta_lineage(spark, table, cur)
+    else:
+        df = read_delta(spark, table, cur)
+    live = snapshot_files(table, cur)
+    files = _stage_data_files(df, table, new_parts)
+    ts = _now_ms()
+    actions = [
+        _commit_info(
+            "REPLACE PARTITIONED BY",
+            {"partitionBy": ",".join(new_parts)},
+        ),
+        {"metaData": {**md, "partitionColumns": new_parts}},
+        *(
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": False}}
+            for p in sorted(live)
+        ),
+        *_add_actions(table, files, stat_cols),
+    ]
+    for a in actions:
+        if "add" in a:
+            a["add"]["dataChange"] = False
+    actions = _assign_row_ids(table, cur, actions, cur + 1)
+    _commit_read_dependent(table, cur + 1, actions, "REPLACE PARTITIONED BY")
+    return cur + 1
+
+
 def restore(table: str, version: int) -> int:
     """RESTORE: make an older snapshot current again by committing
     forward — remove the files the target version lacks, re-add the
     ones it has that the head dropped (same add metadata, stats
-    included). History is never rewritten: the bad intermediate
+    included), and — per the spec's RESTORE semantics — re-commit the
+    TARGET VERSION's metaData when it differs (schema and partition
+    layout travel back with the data; files and their declared shape
+    must agree). History is never rewritten: the bad intermediate
     versions stay time-travelable and auditable, which is what
     separates RESTORE from a destructive reset. Restored files must
     still exist (i.e. not vacuumed), else this raises before touching
-    the log."""
+    the log. Two honest gates: restoring across a columnMapping-mode
+    change or a rowTracking-enablement change raises (either would
+    silently flip resolution/lineage semantics under live state)."""
     cur = latest_version(table)
     if cur is None:
         raise FileNotFoundError(f"{table} has no Delta log")
     if not (0 <= version <= cur):
         raise ValueError(f"version {version} not in [0, {cur}]")
+    tgt_md = _latest_metadata(table, version)
+    head_md = _latest_metadata(table, cur)
+    restore_md = tgt_md != head_md
+    if restore_md:
+        t_conf = tgt_md.get("configuration") or {}
+        h_conf = head_md.get("configuration") or {}
+        for key in ("delta.columnMapping.mode", "delta.enableRowTracking"):
+            if t_conf.get(key) != h_conf.get(key):
+                raise NotImplementedError(
+                    f"RESTORE to v{version} would change {key!r} "
+                    f"({h_conf.get(key)!r} -> {t_conf.get(key)!r}); "
+                    "resolution/lineage semantics cannot travel back "
+                    "under live state"
+                )
     target = _replay(table, version)
     for path in target:
         if not os.path.exists(os.path.join(table, path)):
@@ -2309,6 +2385,7 @@ def restore(table: str, version: int) -> int:
     )
     actions = [
         _commit_info("RESTORE", {"version": version}),
+        *([{"metaData": tgt_md}] if restore_md else []),
         *(
             {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
             for p in sorted(set(head) - set(target))

@@ -1903,6 +1903,7 @@ def _read_renamed_groups(
     base_path: "str | None",
     extra_fields: "Sequence | None" = None,
     id_cols: "Sequence[str]" = (),
+    id_vals: "dict | None" = None,
 ) -> DataFrame:
     """Per-generation read for tables with renamed columns: data files
     physically carry the column names current WHEN THEY WERE WRITTEN,
@@ -1913,16 +1914,22 @@ def _read_renamed_groups(
     types (resolved physical-name → field-id → declared field), alias
     to declared names, and union. `_metadata` is materialized as a real
     column so merge-on-read delete application still works after the
-    union."""
+    union.
+
+    Identity partition columns restore via ``base_path`` dir discovery
+    on single-spec layouts; an evolved-spec / foreign-path layout
+    passes ``id_vals`` (file → manifest partition values, the spec's
+    identity projection) instead, restored after the union by a
+    broadcast file-keyed join (round 12 — before, this combination
+    raised)."""
     import pyarrow.parquet as pq
     from pyspark.sql import types as T
 
-    if id_cols and not base_path:
+    if id_cols and not base_path and id_vals is None:
         raise NotImplementedError(
             "renamed/defaulted read on an identity-partitioned table "
             "without basePath discovery (evolved-spec or foreign-path "
-            "layout): the grouped read cannot restore the partition "
-            "columns"
+            "layout) requires manifest identity values"
         )
     spark_decl = _spark_schema(schema_json)
     decl_by_id = {
@@ -1964,6 +1971,8 @@ def _read_renamed_groups(
             if f.name in alias_of:
                 cols.append(F.col(alias_of[f.name]).alias(f.name))
             elif f.name in id_cols:
+                if base_path is None:
+                    continue  # restored post-union from id_vals
                 # identity partition column: never in the footer (hive
                 # layout) and never renameable (gated) — basePath
                 # discovery restored it under its own stable name
@@ -1979,6 +1988,26 @@ def _read_renamed_groups(
         cols.extend(F.col(f.name) for f in (extra_fields or []))
         d = d.select(*cols, F.col("_metadata"))
         out = d if out is None else out.unionByName(d)
+    if id_cols and base_path is None:
+        # manifest-authoritative identity restoration (the evolved-
+        # spec rule): file-count-sized broadcast map; __fp / __pos
+        # materialized BEFORE the join severs `_metadata`, so delete
+        # application downstream keeps working
+        by_name = {f.name: f for f in spark_decl.fields}
+        rows = [
+            tuple([fp] + [vals.get(c) for c in id_cols])
+            for fp, vals in sorted((id_vals or {}).items())
+        ]
+        map_schema = T.StructType(
+            [T.StructField("__fp", T.StringType(), False)]
+            + [by_name[c] for c in id_cols]
+        )
+        pmap = spark.createDataFrame(rows, map_schema)
+        out = (
+            out.withColumn("__fp", _norm_file_path())
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(pmap), "__fp", "left")
+        )
     return out
 
 
@@ -2063,6 +2092,11 @@ def _read_raw(
         df = _read_renamed_groups(
             spark, meta, schema_json, paths, base, extra_fields,
             id_cols=id_cols,
+            id_vals=(
+                _identity_values_by_file(meta, sid, list(id_cols))
+                if (id_cols and base is None)
+                else None
+            ),
         )
         return df, declared
     if not id_cols:
@@ -2708,6 +2742,17 @@ def evolve_partition_spec(table: str, partition_by: Sequence[str]) -> int:
             f"{sorted(new_identity)}) would change the physical file "
             "schema; only transform fields may evolve"
         )
+    return _register_partition_spec(table, meta, parsed)
+
+
+def _register_partition_spec(table: str, meta: dict, parsed: list) -> int:
+    """Register a parsed partition spec as the new default (shared by
+    `evolve_partition_spec` and the sync's partition-change replay —
+    the latter bypasses the writer-path identity gate because its data
+    files arrive PRE-SHAPED from the Delta source and every pre-change
+    file is replaced in the same commit)."""
+    schema = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema["fields"]}
     # reuse field-ids for (source, transform) pairs seen in ANY prior
     # spec; new pairs continue from last-partition-id
     prior: dict = {}
@@ -2840,7 +2885,9 @@ def optimize(
 
     Tombstones referencing rewritten files are materialized (the small
     subset is read with deletes applied); delete manifests carry
-    forward, still governing the untouched files. Rewritten rows get
+    forward while they still govern an untouched file — one whose
+    every reference was packed away is dropped, not carried as
+    metadata debris. Rewritten rows get
     the NEW sequence number, so older equality tombstones — correctly —
     no longer apply to them (spec strictly-lower-sequence rule).
     Committed as operation='replace': the change feeds SKIP it (a
@@ -3033,7 +3080,39 @@ def optimize(
                 "deleted_rows_count": 0,
             }
         )
-    manifests = manifests + delete_ml
+    # delete manifests carry forward only while they still GOVERN a
+    # live file: a DV / position-delete manifest whose every reference
+    # was packed away (the rewrite materialized those tombstones) is
+    # dropped, not carried as metadata debris — `delete_files` /
+    # `position_deletes` inspection stays truthful. A manifest with at
+    # least one surviving reference (or any equality delete, which
+    # references by value) carries verbatim.
+    live_paths = {
+        e["data_file"]["file_path"] for _, e in big_entries
+    }
+
+    def _still_governs(m: dict) -> bool:
+        import pyarrow.parquet as _pq
+
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] == 2:
+                continue
+            d = e["data_file"]
+            c = d.get("content", 0)
+            if c == 2:
+                return True  # equality delete: value-addressed
+            if (d.get("file_format") or "").upper() == "PUFFIN":
+                if d["referenced_data_file"] in live_paths:
+                    return True
+            else:
+                refs_col = _pq.read_table(
+                    d["file_path"], columns=["file_path"]
+                ).column("file_path").to_pylist()
+                if any(p in live_paths for p in refs_col):
+                    return True
+        return False
+
+    manifests = manifests + [m for m in delete_ml if _still_governs(m)]
     ml_path = _write_manifest_list(table, snapshot_id, manifests)
     snapshot = {
         "snapshot-id": snapshot_id,
@@ -3118,7 +3197,90 @@ _META_TABLE_SCHEMAS = {
         "partition string, file_count long, record_count long, "
         "total_size_bytes long"
     ),
+    "entries": (
+        "status int, snapshot_id long, sequence_number long, "
+        "content int, file_path string, file_format string, "
+        "partition string, record_count long, file_size_in_bytes long"
+    ),
+    "all_manifests": (
+        "path string, length long, partition_spec_id int, content int, "
+        "sequence_number long, added_files_count int, "
+        "existing_files_count int, deleted_files_count int, "
+        "reference_snapshot_id long"
+    ),
+    "all_files": (
+        "content int, file_path string, file_format string, "
+        "partition string, record_count long, file_size_in_bytes long, "
+        "sequence_number long"
+    ),
+    "position_deletes": (
+        "file_path string, pos long, delete_file_path string, "
+        "sequence_number long"
+    ),
 }
+
+
+def _scan_manifest_entries(
+    spark: SparkSession,
+    manifest_paths: "list[str]",
+    schema: str,
+    want_deletes: "bool | None",
+) -> DataFrame:
+    """Live manifest ENTRIES of the given manifests as a DataFrame,
+    read ON EXECUTORS (one task per group of manifests via
+    `mapInPandas`). ``want_deletes`` filters by data-file content
+    (False → data files, True → delete files, None → both)."""
+    if not manifest_paths:
+        return spark.createDataFrame([], schema)
+    mdf = spark.createDataFrame(
+        [(p,) for p in manifest_paths], "path string"
+    ).repartition(min(len(manifest_paths), 32))
+
+    def read_entries(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from march_mania_spark_lakehouse_spark.sources import (
+            avro_ocf as _avro,
+        )
+
+        cols = [
+            "content", "file_path", "file_format", "partition",
+            "record_count", "file_size_in_bytes", "sequence_number",
+        ]
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                for e in _avro.read_ocf(p):
+                    if e["status"] == 2:
+                        continue
+                    d = e["data_file"]
+                    if want_deletes is not None and (
+                        (d.get("content", 0) != 0) != want_deletes
+                    ):
+                        continue
+                    rows.append(
+                        (
+                            d.get("content", 0),
+                            d["file_path"],
+                            d.get("file_format"),
+                            _json.dumps(
+                                {
+                                    k: None if v is None else str(v)
+                                    for k, v in sorted(
+                                        (d.get("partition") or {}).items()
+                                    )
+                                }
+                            ),
+                            d["record_count"],
+                            d["file_size_in_bytes"],
+                            e["sequence_number"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return mdf.mapInPandas(read_entries, schema)
 
 
 def metadata_table(
@@ -3142,9 +3304,20 @@ def metadata_table(
     - ``partitions``: the files table aggregated per partition tuple
       (file_count / record_count / total_size — record_count is
       PHYSICAL rows per spec: DVs do not change it).
+    - ``entries`` (round 12): the snapshot's RAW manifest entries with
+      status (0 existing / 1 added / 2 deleted) and owning snapshot id
+      — an OPTIMIZE shows its survivors as EXISTING entries here.
+    - ``all_manifests`` / ``all_files`` (round 12): the union across
+      EVERY retained snapshot (all_manifests stamps
+      ``reference_snapshot_id``; all_files scans each distinct
+      manifest once, executor-side).
+    - ``position_deletes`` (round 12): the materialized positions of
+      the snapshot's delete files — v3 Puffin DVs decoded and
+      position-delete parquet read, executor-side, one row per
+      (data file, position).
 
     ``snapshot_id`` pins any kind that reads a snapshot (default:
-    current)."""
+    current); the ``all_*`` kinds ignore it by construction."""
     meta = current_metadata(table)
     if kind not in _META_TABLE_SCHEMAS:
         raise ValueError(
@@ -3186,9 +3359,152 @@ def metadata_table(
             for name, r in sorted(refs.items())
         ]
         return spark.createDataFrame(sorted(rows), schema)
+    if kind == "all_manifests":
+        # every retained snapshot's manifest list, each row stamped
+        # with the snapshot that references it — manifest lists are
+        # KB-sized driver reads, one per snapshot
+        rows = [
+            (
+                m["manifest_path"],
+                m["manifest_length"],
+                m.get("partition_spec_id", 0),
+                m.get("content", 0),
+                m["sequence_number"],
+                m.get("added_files_count"),
+                m.get("existing_files_count"),
+                m.get("deleted_files_count"),
+                s["snapshot-id"],
+            )
+            for s in meta["snapshots"]
+            for m in avro_ocf.read_ocf(s["manifest-list"])
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "all_files":
+        # the union of DISTINCT manifests across every retained
+        # snapshot (a manifest shared by N snapshots reads once), their
+        # live entries scanned ON EXECUTORS like `files`
+        seen: "dict[str, None]" = {}
+        for s in meta["snapshots"]:
+            for m in avro_ocf.read_ocf(s["manifest-list"]):
+                seen.setdefault(m["manifest_path"])
+        return _scan_manifest_entries(spark, sorted(seen), schema, None)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = _snapshot(meta, sid)
     ml = avro_ocf.read_ocf(snap["manifest-list"])
+    if kind == "entries":
+        man_rows = [
+            (m["manifest_path"], m.get("added_snapshot_id"))
+            for m in ml
+        ]
+        if not man_rows:
+            return spark.createDataFrame([], schema)
+        mdf = spark.createDataFrame(
+            man_rows, "path string, added_snapshot_id long"
+        ).repartition(min(len(man_rows), 32))
+
+        def read_all_entries(batches):
+            import json as _json
+
+            import pandas as pd
+
+            from march_mania_spark_lakehouse_spark.sources import (
+                avro_ocf as _avro,
+            )
+
+            cols = [
+                "status", "snapshot_id", "sequence_number", "content",
+                "file_path", "file_format", "partition",
+                "record_count", "file_size_in_bytes",
+            ]
+            for pdf in batches:
+                rows = []
+                for p, asid in zip(pdf["path"], pdf["added_snapshot_id"]):
+                    for e in _avro.read_ocf(p):
+                        d = e["data_file"]
+                        rows.append(
+                            (
+                                e["status"],
+                                e.get("snapshot_id")
+                                if e.get("snapshot_id") is not None
+                                else (None if asid is None else int(asid)),
+                                e["sequence_number"],
+                                d.get("content", 0),
+                                d["file_path"],
+                                d.get("file_format"),
+                                _json.dumps(
+                                    {
+                                        k: None if v is None else str(v)
+                                        for k, v in sorted(
+                                            (d.get("partition") or {}).items()
+                                        )
+                                    }
+                                ),
+                                d["record_count"],
+                                d["file_size_in_bytes"],
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+
+        return mdf.mapInPandas(read_all_entries, schema)
+    if kind == "position_deletes":
+        mans = [m["manifest_path"] for m in ml if m.get("content", 0) != 0]
+        if not mans:
+            return spark.createDataFrame([], schema)
+        mdf = spark.createDataFrame(
+            [(p,) for p in mans], "path string"
+        ).repartition(min(len(mans), 32))
+
+        def read_positions(batches):
+            import pandas as pd
+            import pyarrow.parquet as _pq
+
+            from march_mania_spark_lakehouse_spark.sources import (
+                avro_ocf as _avro,
+            )
+            from march_mania_spark_lakehouse_spark.sources.iceberg import (
+                read_dv_blob,
+            )
+
+            cols = [
+                "file_path", "pos", "delete_file_path", "sequence_number",
+            ]
+            for pdf in batches:
+                rows = []
+                for p in pdf["path"]:
+                    for e in _avro.read_ocf(p):
+                        if e["status"] == 2:
+                            continue
+                        d = e["data_file"]
+                        if d.get("content", 0) != 1:
+                            continue  # equality deletes: no positions
+                        seq = e["sequence_number"]
+                        if (d.get("file_format") or "").upper() == "PUFFIN":
+                            ref = d["referenced_data_file"]
+                            for pos in sorted(
+                                read_dv_blob(
+                                    d["file_path"],
+                                    d["content_offset"],
+                                    d["content_size_in_bytes"],
+                                )
+                            ):
+                                rows.append(
+                                    (ref, pos, d["file_path"], seq)
+                                )
+                        else:
+                            t = _pq.read_table(
+                                d["file_path"],
+                                columns=["file_path", "pos"],
+                            )
+                            for ref, pos in zip(
+                                t.column("file_path").to_pylist(),
+                                t.column("pos").to_pylist(),
+                            ):
+                                rows.append(
+                                    (ref, pos, d["file_path"], seq)
+                                )
+                yield pd.DataFrame(rows, columns=cols)
+
+        return mdf.mapInPandas(read_positions, schema)
     if kind == "manifests":
         rows = [
             (
@@ -3210,55 +3526,9 @@ def metadata_table(
         for m in ml
         if (m.get("content", 0) != 0) == want_deletes
     ]
-    files_schema = _META_TABLE_SCHEMAS["files"]
-    if not mans:
-        files = spark.createDataFrame([], files_schema)
-    else:
-        mdf = spark.createDataFrame(
-            [(p,) for p in mans], "path string"
-        ).repartition(min(len(mans), 32))
-
-        def read_entries(batches):
-            import json as _json
-
-            import pandas as pd
-
-            from march_mania_spark_lakehouse_spark.sources import (
-                avro_ocf as _avro,
-            )
-
-            cols = [
-                "content", "file_path", "file_format", "partition",
-                "record_count", "file_size_in_bytes", "sequence_number",
-            ]
-            for pdf in batches:
-                rows = []
-                for p in pdf["path"]:
-                    for e in _avro.read_ocf(p):
-                        if e["status"] == 2:
-                            continue
-                        d = e["data_file"]
-                        rows.append(
-                            (
-                                d.get("content", 0),
-                                d["file_path"],
-                                d.get("file_format"),
-                                _json.dumps(
-                                    {
-                                        k: None if v is None else str(v)
-                                        for k, v in sorted(
-                                            (d.get("partition") or {}).items()
-                                        )
-                                    }
-                                ),
-                                d["record_count"],
-                                d["file_size_in_bytes"],
-                                e["sequence_number"],
-                            )
-                        )
-                yield pd.DataFrame(rows, columns=cols)
-
-        files = mdf.mapInPandas(read_entries, files_schema)
+    files = _scan_manifest_entries(
+        spark, mans, _META_TABLE_SCHEMAS["files"], want_deletes
+    )
     if kind in ("files", "delete_files"):
         return files
     return files.groupBy("partition").agg(
@@ -4632,6 +4902,53 @@ def _dtype_str(f: dict) -> str:
     return t if isinstance(t, str) else str(t)
 
 
+def _replay_delta_partition_change(
+    delta_table: str, iceberg_table: str, v: int, md: dict, actions: list
+) -> None:
+    """Replay a Delta ``partitionColumns`` change (REPLACE ...
+    PARTITIONED BY) as ICEBERG PARTITION EVOLUTION — one metadata-only
+    spec registration; the commit's remove+add data diff then lands as
+    an ordinary mirrored snapshot whose new manifest carries the NEW
+    spec id, while old snapshots keep their old spec (time travel and
+    per-manifest spec-aware pruning unchanged — q195's machinery).
+
+    The writer-path identity gate does not apply here: Delta can only
+    change partitioning through a FULL rewrite (one metaData action
+    governs every live file), so the same commit must remove every
+    pre-change file — verified below; a partial rewrite raises
+    re-convert. The new identity spec's data files arrive pre-shaped
+    from Delta (hive layout, partition columns restored from manifest
+    partition tuples on read)."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    removes = {a["remove"]["path"] for a in actions if "remove" in a}
+    stale = set(delta_log._replay(delta_table, v - 1)) - removes
+    if stale:
+        raise DeltaSyncSchemaChangeError(
+            f"delta version {v} changes the partition columns but "
+            f"keeps {len(stale)} pre-change file(s); a partition "
+            "change must be a full rewrite — re-convert"
+        )
+    meta = current_metadata(iceberg_table)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema["fields"]}
+    new_parts = list(md.get("partitionColumns") or [])
+    bad = [c for c in new_parts if c not in by_name]
+    if bad:
+        raise DeltaSyncSchemaChangeError(
+            f"delta version {v} partitions by {bad} which the mirror's "
+            "schema lacks — the layers diverged; re-convert"
+        )
+    _register_partition_spec(
+        iceberg_table,
+        meta,
+        [
+            {"name": c, "source": c, "transform": "identity"}
+            for c in new_parts
+        ],
+    )
+
+
 def sync_from_delta(delta_table: str, iceberg_table: str) -> int:
     """UniForm-style CONTINUOUS metadata sync: replay the Delta commits
     made since :func:`convert_from_delta` (or the previous sync) onto
@@ -4805,13 +5122,30 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
         meta["properties"] = props
         _write_metadata(iceberg_table, meta)
 
-    # ---- schema evolution REPLAYS (round 11); partition changes and
+    # ---- schema evolution REPLAYS (round 11); partition-layout
+    # changes replay as Iceberg PARTITION EVOLUTION (round 12);
     # non-replayable surgeries still raise inside the replay ----------
     evolved = False
     for a in actions:
         md = a.get("metaData")
         if md is None:
             continue
+        prev_md = delta_log._latest_metadata(delta_table, v - 1)
+        if list(md.get("partitionColumns") or []) != list(
+            (prev_md or {}).get("partitionColumns") or []
+        ):
+            _replay_delta_partition_change(
+                delta_table, iceberg_table, v, md, actions
+            )
+            # the partition part is handled; let the schema replay see
+            # an unchanged layout so any schema diff in the same
+            # commit still replays (or gates) normally
+            md = {
+                **md,
+                "partitionColumns": list(
+                    (prev_md or {}).get("partitionColumns") or []
+                ),
+            }
         _replay_delta_schema_change(delta_table, iceberg_table, v, md)
         evolved = True
     if evolved:
@@ -4827,6 +5161,15 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
         return
 
     part_cols = delta_log.table_partition_columns(delta_table, v)
+    # files already ON the mirror were linked under the layout of the
+    # version that added them — across a partition change (REPLACE
+    # PARTITIONED BY) the removes still resolve under the PREVIOUS
+    # layout while the adds stage under the new one
+    prev_part_cols = (
+        delta_log.table_partition_columns(delta_table, v - 1)
+        if v > 0
+        else part_cols
+    )
     sid = meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
     prior_ml = avro_ocf.read_ocf(snap["manifest-list"])
@@ -4842,7 +5185,7 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
     by_digest = {os.path.basename(fp): fp for fp in live_by_fp}
 
     def fp_of_existing(rel: str) -> str:
-        if not part_cols:
+        if not prev_part_cols:
             return rel if os.path.isabs(rel) else os.path.abspath(
                 os.path.join(delta_table, rel)
             )
@@ -4878,14 +5221,14 @@ def _sync_delta_commit(delta_table: str, iceberg_table: str, v: int) -> None:
         add = adds[rel]
         desc = add.get("deletionVector")
         is_readd = rel in removes or (
-            not part_cols
+            not prev_part_cols
             and fp_of_existing(rel) in live_by_fp
         ) or (
             # partitioned mirror files are digest-named; a Delta re-add
             # WITHOUT a paired remove (stats-refresh re-commit, legal
             # per spec) must map to its existing linked file or it gets
             # staged twice and double-counts rows on the mirror
-            bool(part_cols)
+            bool(prev_part_cols)
             and hashlib.sha256(rel.encode()).hexdigest()[:32] + ".parquet"
             in by_digest
         )
@@ -6693,8 +7036,42 @@ def change_feed_entries(
     """
     from march_mania_spark_lakehouse_spark.sources import avro_ocf
 
+    # the feed is MAIN's history: restrict to the head's ancestry so a
+    # staged WAP / branch snapshot whose sequence number falls in range
+    # never leaks unpublished rows into the feed (fast-forwarded
+    # branch snapshots ARE on the ancestry and replay normally)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    anc_ids: set = set()
+    node = meta.get("current-snapshot-id", -1)
+    while node in by_id:
+        anc_ids.add(node)
+        node = by_id[node].get("parent-snapshot-id", -1)
+    anc_seqs = {by_id[i]["sequence-number"] for i in anc_ids}
+    if lo > 0 and lo not in anc_seqs:
+        # a RETAINED snapshot at the boundary that once was main (it
+        # appears in the snapshot-log) but no longer is means the
+        # writer ROLLED BACK past the consumer's cursor: continuing
+        # linearly would silently skip the retractions
+        s_lo = next(
+            (s for s in meta["snapshots"] if s["sequence-number"] == lo),
+            None,
+        )
+        log_ids = {
+            e["snapshot-id"] for e in meta.get("snapshot-log", [])
+        }
+        if s_lo is not None and s_lo["snapshot-id"] in log_ids:
+            raise err(
+                f"the snapshot at sequence number {lo} was rolled off "
+                "the main ancestry (rollback_to_snapshot); a linear "
+                "change feed cannot represent the retractions"
+            )
     snaps = sorted(
-        (s for s in meta["snapshots"] if lo < s["sequence-number"] <= hi),
+        (
+            s
+            for s in meta["snapshots"]
+            if lo < s["sequence-number"] <= hi
+            and s["snapshot-id"] in anc_ids
+        ),
         key=lambda s: s["sequence-number"],
     )
     for s in snaps:

@@ -900,12 +900,42 @@ class _IcebergTableCdcStreamReader:
 
             if iceberg.current_version(self.table) is None:
                 return {"seq": 0}
+            meta = iceberg.current_metadata(self.table)
             return {
-                "seq": iceberg.current_metadata(self.table)[
-                    "last-sequence-number"
-                ]
+                "seq": meta["last-sequence-number"],
+                "sid": meta.get("current-snapshot-id", -1),
             }
         return {"seq": 0}
+
+    def _ancestry(self, meta: dict) -> "tuple[dict, set, set]":
+        """(id → snapshot, main-ancestry ids, main-ancestry seqs)."""
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        anc: set = set()
+        node = meta.get("current-snapshot-id", -1)
+        while node in by_id:
+            anc.add(node)
+            node = by_id[node].get("parent-snapshot-id", -1)
+        return by_id, anc, {by_id[i]["sequence-number"] for i in anc}
+
+    def _cursor_snap(self, meta: dict, lo: int, sid, by_id: dict):
+        """The retained snapshot whose state the consumer holds, or
+        None. Offsets checkpoint the exact snapshot id (round 12); a
+        legacy sid-less cursor resolves by unique sequence number,
+        accepted only when the snapshot was once main (snapshot-log
+        membership) — a staged branch snapshot's state was never the
+        stream's."""
+        if sid is not None:
+            return by_id.get(sid)
+        s_lo = next(
+            (s for s in meta["snapshots"] if s["sequence-number"] == lo),
+            None,
+        )
+        if s_lo is None:
+            return None
+        log_ids = {
+            e["snapshot-id"] for e in meta.get("snapshot-log", [])
+        }
+        return s_lo if s_lo["snapshot-id"] in log_ids else None
 
     def _live_rows(self, meta: dict, snap: dict) -> list:
         """Live rows at ``snap`` as [(values tuple, _row_id, _lus)] —
@@ -1078,6 +1108,12 @@ class _IcebergTableCdcStreamReader:
             rid is None for _, rid, _ in new
         ):
             return None  # pre-upgrade rows: identity-keyed diff refuses
+        return self._rid_diff(old, new)
+
+    @staticmethod
+    def _rid_diff(old: list, new: list) -> list:
+        """delete/insert batch between two [(vals, rid, lus)] states,
+        keyed by row id (updates emit pre- and post-image)."""
         old_by = {rid: (lus, vals) for vals, rid, lus in old}
         new_by = {rid: (lus, vals) for vals, rid, lus in new}
         rows = []
@@ -1091,6 +1127,35 @@ class _IcebergTableCdcStreamReader:
                 rows.append(vals + ("insert",))
             elif lus > old_by[rid][0]:
                 rows.append(vals + ("insert",))  # update post-image
+        return rows
+
+    def _state_diff_rows(self, meta: dict, old_snap: dict, new_snap: dict) -> list:
+        """EXACT retraction/insertion batch between two RETAINED
+        snapshots — the non-linear-history recovery (round 12): when
+        the consumer's cursor snapshot was rolled off the main
+        ancestry (`rollback_to_snapshot`, or a fast-forward past one),
+        the emitted batch is the state diff cursor→head, so the
+        consumer's net state reconverges without a reset. Row-lineage
+        keyed when every row carries an id (v3, exactly-once update
+        pre/post images); value-multiset keyed otherwise — still an
+        exact net diff, the delete/insert vocabulary needs no ids."""
+        old = self._live_rows(meta, old_snap)
+        new = self._live_rows(meta, new_snap)
+        if (
+            int(meta.get("format-version", 2)) >= 3
+            and all(rid is not None for _, rid, _ in old)
+            and all(rid is not None for _, rid, _ in new)
+        ):
+            return self._rid_diff(old, new)
+        from collections import Counter
+
+        oc = Counter(vals for vals, _, _ in old)
+        nc = Counter(vals for vals, _, _ in new)
+        rows = []
+        for vals, n in sorted((oc - nc).items(), key=repr):
+            rows.extend([vals + ("delete",)] * n)
+        for vals, n in sorted((nc - oc).items(), key=repr):
+            rows.extend([vals + ("insert",)] * n)
         return rows
 
     def _changes(self, lo: int, hi: int) -> list:
@@ -1367,33 +1432,91 @@ class _IcebergTableCdcStreamReader:
         from march_mania_spark_lakehouse_spark.sources import iceberg
 
         lo = int(start["seq"])
+        sid = start.get("sid")
         if iceberg.current_version(self.table) is None:
-            return (iter(()), {"seq": lo})
+            return (iter(()), dict(start))
         meta = iceberg.current_metadata(self.table)
         hi = meta["last-sequence-number"]
+        by_id, anc_ids, anc_seqs = self._ancestry(meta)
+        head_id = meta.get("current-snapshot-id", -1)
+        # non-linear history first (round 12): a cursor whose snapshot
+        # is no longer on the head's ancestry (rollback_to_snapshot /
+        # fast-forward past one) must NOT continue the linear walk —
+        # that silently skips the retractions. This fires even when the
+        # sequence high-water mark did not move (a bare rollback).
+        linear = lo == 0 or (
+            sid in anc_ids if sid is not None else lo in anc_seqs
+        )
+        if not linear:
+            old_snap = self._cursor_snap(meta, lo, sid, by_id)
+            new_off = {"seq": hi, "sid": head_id}
+            if (
+                old_snap is not None
+                and head_id in by_id
+                and os.path.exists(old_snap["manifest-list"])
+            ):
+                return (
+                    self._state_diff_rows(meta, old_snap, by_id[head_id]),
+                    new_off,
+                )
+            if self.starting == "retained":
+                return (self._bootstrap_rows(meta), new_off)
+            raise ValueError(
+                "the cursor snapshot was rolled off the main ancestry "
+                "and is no longer retained; the retraction batch is "
+                "unknowable — restart with starting_sequence='retained'"
+            )
         if hi <= lo:
-            return (iter(()), {"seq": lo})
+            return (iter(()), dict(start))
         try:
-            return (self._changes(lo, hi), {"seq": hi})
+            return (self._changes(lo, hi), {"seq": hi, "sid": head_id})
         except ValueError:
             # snapshots in (lo, hi] were expired past the checkpoint
             if self.starting != "retained":
                 raise
             diff = self._lineage_diff_rows(meta, lo, hi)
             if diff is not None:
-                return (diff, {"seq": hi})
-            return (self._bootstrap_rows(meta), {"seq": hi})
+                return (diff, {"seq": hi, "sid": head_id})
+            return (self._bootstrap_rows(meta), {"seq": hi, "sid": head_id})
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # iter(): restart replays hand this straight to the runner,
         # which requires an ITERATOR
+        from march_mania_spark_lakehouse_spark.sources import iceberg
+
+        s_sid, e_sid = start.get("sid"), end.get("sid")
+        if s_sid is not None and e_sid is not None and s_sid != e_sid:
+            meta = iceberg.current_metadata(self.table)
+            by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+            anc: set = set()
+            node = e_sid
+            while node in by_id:
+                anc.add(node)
+                node = by_id[node].get("parent-snapshot-id", -1)
+            if s_sid not in anc:
+                # replay of a compensating (non-linear) batch: the
+                # exact diff between the two checkpointed snapshots
+                old_snap, new_snap = by_id.get(s_sid), by_id.get(e_sid)
+                if (
+                    old_snap is not None
+                    and new_snap is not None
+                    and os.path.exists(old_snap["manifest-list"])
+                    and os.path.exists(new_snap["manifest-list"])
+                ):
+                    return iter(
+                        self._state_diff_rows(meta, old_snap, new_snap)
+                    )
+                if self.starting == "retained":
+                    return iter(self._bootstrap_rows(meta))
+                raise ValueError(
+                    "cannot replay the compensating batch: one of its "
+                    "endpoint snapshots is no longer retained"
+                )
         try:
             return iter(self._changes(int(start["seq"]), int(end["seq"])))
         except ValueError:
             if self.starting != "retained":
                 raise
-            from march_mania_spark_lakehouse_spark.sources import iceberg
-
             meta = iceberg.current_metadata(self.table)
             diff = self._lineage_diff_rows(
                 meta, int(start["seq"]), int(end["seq"])

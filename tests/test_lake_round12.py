@@ -305,3 +305,365 @@ def test_restore_reverts_dv_state(spark, tmp_path):
         r.id for r in delta_log.read_delta(spark, t).collect()
     ) == [2, 3, 4, 5]
     assert sorted(r[0] for r in delta_indep.read_rows(t)) == [2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 verdict #6: streaming CDC across a rollback. A cursor whose
+# snapshot was rolled off the main ancestry must emit the EXACT
+# retraction batch (state diff cursor→head), never silently-wrong
+# linear data; the batch change feed raises instead of guessing; staged
+# branch snapshots never leak into the feed.
+# ---------------------------------------------------------------------------
+
+
+def _drain_cdc(spark, table, sink, ckpt, starting="earliest"):
+    q = (
+        spark.readStream.format("iceberg_table_cdc")
+        .option("path", table)
+        .option("starting_sequence", starting)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+
+def _sink_rows(spark, sink):
+    return [
+        r
+        for _, p in sorted(
+            (os.path.getmtime(os.path.join(sink, f)), os.path.join(sink, f))
+            for f in os.listdir(sink)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for r in spark.read.parquet(p).collect()
+    ]
+
+
+def _assert_fold_matches_head(spark, table, rows):
+    state: Counter = Counter()
+    for r in rows:
+        if r._change_type == "bootstrap_insert":
+            state = Counter()
+            state[(r.id, r.k, r.val)] += 1
+        else:
+            state[(r.id, r.k, r.val)] += (
+                1 if r._change_type == "insert" else -1
+            )
+    head = Counter(
+        (r.id, r.k, r.val)
+        for r in iceberg.read_iceberg(spark, table).collect()
+    )
+    assert +state == head
+
+
+def test_iceberg_cdc_rollback_mid_stream_emits_retraction(
+    spark, tmp_path
+):
+    """Cursor at BAD, writer rolls back and appends GOOD: the resumed
+    batch is the exact diff — BAD rows retracted as deletes, GOOD rows
+    inserted, no bootstrap reset — and the signed fold matches the
+    head."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    t = str(tmp_path / "rbs")
+    iceberg.create(_df(spark, _rows(6)), t, format_version=3)
+    good = iceberg.current_metadata(t)["current-snapshot-id"]
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _drain_cdc(spark, t, sink, ckpt)
+    iceberg.append(_df(spark, [(100, 0, -1.0), (101, 1, -2.0)]), t)
+    _drain_cdc(spark, t, sink, ckpt)  # cursor now AT the bad snapshot
+    iceberg.rollback_to_snapshot(t, good)
+    iceberg.append(_df(spark, [(200, 2, 9.0)]), t)
+    _drain_cdc(spark, t, sink, ckpt)
+    rows = _sink_rows(spark, t and sink)
+    assert not any(r._change_type == "bootstrap_insert" for r in rows)
+    third = rows[8:]  # 6 bootstrap-of-create inserts + 2 bad inserts
+    got = Counter((r.id, r._change_type) for r in third)
+    assert got == Counter(
+        {(100, "delete"): 1, (101, "delete"): 1, (200, "insert"): 1}
+    )
+    _assert_fold_matches_head(spark, t, rows)
+
+
+def test_iceberg_cdc_bare_rollback_emits_pure_retraction(
+    spark, tmp_path
+):
+    """Rollback with NO commit after it (the sequence high-water mark
+    never moves): the stream must still wake up and retract."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    t = str(tmp_path / "rbb")
+    iceberg.create(_df(spark, _rows(4)), t, format_version=3)
+    good = iceberg.current_metadata(t)["current-snapshot-id"]
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink, ckpt = str(tmp_path / "sinkb"), str(tmp_path / "ckptb")
+    _drain_cdc(spark, t, sink, ckpt)
+    iceberg.append(_df(spark, [(100, 0, -1.0)]), t)
+    _drain_cdc(spark, t, sink, ckpt)
+    iceberg.rollback_to_snapshot(t, good)
+    _drain_cdc(spark, t, sink, ckpt)
+    rows = _sink_rows(spark, sink)
+    last = rows[5:]
+    assert Counter((r.id, r._change_type) for r in last) == Counter(
+        {(100, "delete"): 1}
+    )
+    _assert_fold_matches_head(spark, t, rows)
+
+
+def test_iceberg_cdc_rollback_v2_multiset_diff(spark, tmp_path):
+    """A v2 table (no row lineage) still reconverges exactly: the
+    compensating batch falls back to the value-multiset diff."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        IcebergTableCdcStreamDataSource,
+    )
+
+    t = str(tmp_path / "rb2")
+    iceberg.create(_df(spark, _rows(5)), t, format_version=2)
+    good = iceberg.current_metadata(t)["current-snapshot-id"]
+    spark.dataSource.register(IcebergTableCdcStreamDataSource)
+    sink, ckpt = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    _drain_cdc(spark, t, sink, ckpt)
+    iceberg.append(_df(spark, [(100, 0, -1.0), (101, 1, 7.0)]), t)
+    _drain_cdc(spark, t, sink, ckpt)
+    iceberg.rollback_to_snapshot(t, good)
+    iceberg.append(_df(spark, [(300, 1, 3.0)]), t)
+    _drain_cdc(spark, t, sink, ckpt)
+    rows = _sink_rows(spark, sink)
+    assert not any(r._change_type == "bootstrap_insert" for r in rows)
+    _assert_fold_matches_head(spark, t, rows)
+
+
+def test_change_feed_boundary_rolled_off_raises(spark, tmp_path):
+    """The BATCH change feed (table_changes / the append-only stream /
+    IVM refresh input) cannot retract — a from_seq pointing at a
+    rolled-off snapshot must raise, not silently skip the
+    retractions."""
+    t = str(tmp_path / "cfb")
+    iceberg.create(_df(spark, _rows(4)), t, format_version=3)
+    good = iceberg.current_metadata(t)["current-snapshot-id"]
+    iceberg.append(_df(spark, [(100, 0, -1.0)]), t)
+    bad_seq = iceberg.current_metadata(t)["last-sequence-number"]
+    iceberg.rollback_to_snapshot(t, good)
+    iceberg.append(_df(spark, [(200, 1, 1.0)]), t)
+    meta = iceberg.current_metadata(t)
+    with pytest.raises(ValueError, match="rolled off"):
+        iceberg.change_feed_entries(
+            meta, bad_seq, meta["last-sequence-number"],
+            ("append", "delete"), err=ValueError,
+        )
+
+
+def test_change_feed_excludes_staged_branch_snapshots(spark, tmp_path):
+    """A staged WAP/branch snapshot whose sequence number falls inside
+    the range must NOT leak unpublished rows into the feed."""
+    t = str(tmp_path / "cfs")
+    iceberg.create(_df(spark, _rows(3)), t, format_version=3)
+    iceberg.create_branch(t, "wip")
+    iceberg.append_to_branch(_df(spark, [(900, 0, 0.0)]), t, "wip")
+    iceberg.append(_df(spark, [(10, 1, 1.0)]), t)
+    got = sorted(
+        r.id
+        for r in iceberg.table_changes(spark, t, 1).collect()
+    )
+    assert got == [10]  # the staged 900 never leaks
+
+
+# ---------------------------------------------------------------------------
+# Round-11 verdict #5: the remaining metadata-table kinds — entries /
+# all_manifests / all_files / position_deletes.
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_table_entries_statuses_across_optimize_and_dv(
+    spark, tmp_path
+):
+    """`entries` exposes raw manifest-entry statuses: appends carry
+    prior manifests by reference (entries stay ADDED at their original
+    sequence numbers), a selective OPTIMIZE writes the kept big file as
+    an EXISTING (0) entry, a DV delete's Puffin file shows as a
+    content-1 entry — and a FULL compaction drops the now-stale DV
+    instead of carrying metadata debris."""
+    t = str(tmp_path / "ment")
+    iceberg.create(_df(spark, _rows(8)).coalesce(1), t, format_version=3)
+    iceberg.append(_df(spark, [(100, 0, 1.0)]).coalesce(1), t)
+    iceberg.append(_df(spark, [(101, 1, 2.0)]).coalesce(1), t)
+    ent = iceberg.metadata_table(spark, t, "entries").collect()
+    assert all(r.status == 1 for r in ent)  # carried by reference
+    assert len(ent) == 3
+    iceberg.delete_where(spark, t, "id = 3")  # DV on the big file
+    ent = iceberg.metadata_table(spark, t, "entries").collect()
+    dv = [r for r in ent if r.content == 1]
+    assert len(dv) == 1 and dv[0].file_format.upper() == "PUFFIN"
+    # selective pack: the create file is "big", the 1-row appends pack
+    big_size = max(
+        r.file_size_in_bytes
+        for r in iceberg.metadata_table(spark, t, "files").collect()
+    )
+    iceberg.optimize(spark, t, small_file_bytes=big_size)
+    ent = iceberg.metadata_table(spark, t, "entries").collect()
+    sts = Counter(r.status for r in ent if r.content == 0)
+    assert sts[0] == 1 and sts[1] == 1  # kept EXISTING + packed ADDED
+    # the DV still governs the kept file: position_deletes stays real
+    pdl = iceberg.metadata_table(spark, t, "position_deletes").collect()
+    live = {
+        r.file_path
+        for r in iceberg.metadata_table(spark, t, "files").collect()
+    }
+    assert len(pdl) == 1 and pdl[0].file_path in live
+    # full compaction materializes the tombstone and DROPS the DV
+    iceberg.optimize(spark, t, small_file_bytes=1 << 30)
+    assert (
+        iceberg.metadata_table(spark, t, "position_deletes").count() == 0
+    )
+    assert iceberg.metadata_table(spark, t, "delete_files").count() == 0
+    assert sorted(
+        r.id for r in iceberg.read_iceberg(spark, t).collect()
+    ) == [0, 1, 2, 4, 5, 6, 7, 100, 101]
+    sids = {s["snapshot-id"] for s in iceberg.current_metadata(t)["snapshots"]}
+    ent = iceberg.metadata_table(spark, t, "entries").collect()
+    assert all(r.snapshot_id in sids for r in ent if r.snapshot_id)
+
+
+def test_metadata_table_all_files_all_manifests(spark, tmp_path):
+    """`all_files` keeps pre-compaction files visible (they live in
+    older snapshots' manifests) while `files` shows only the head;
+    `all_manifests` stamps every referencing snapshot."""
+    t = str(tmp_path / "mall")
+    iceberg.create(_df(spark, _rows(6)), t, format_version=3)
+    iceberg.append(_df(spark, [(50, 0, 1.0)]), t)
+    pre = {
+        r.file_path
+        for r in iceberg.metadata_table(spark, t, "files").collect()
+    }
+    iceberg.optimize(spark, t, small_file_bytes=1 << 30)
+    cur = {
+        r.file_path
+        for r in iceberg.metadata_table(spark, t, "files").collect()
+    }
+    allf = {
+        r.file_path
+        for r in iceberg.metadata_table(spark, t, "all_files").collect()
+    }
+    assert pre - cur  # compaction replaced the layout
+    assert pre <= allf and cur <= allf
+    am = iceberg.metadata_table(spark, t, "all_manifests").collect()
+    sids = {s["snapshot-id"] for s in iceberg.current_metadata(t)["snapshots"]}
+    assert {r.reference_snapshot_id for r in am} == sids
+
+
+def test_metadata_table_position_deletes(spark, tmp_path):
+    """`position_deletes` materializes the delete-file positions: v3
+    Puffin DVs decode, v2 position-delete parquet reads — one row per
+    (data file, position)."""
+    t3 = str(tmp_path / "pd3")
+    iceberg.create(
+        _df(spark, _rows(10)).repartitionByRange(2, "id"),
+        t3,
+        format_version=3,
+    )
+    iceberg.delete_where(spark, t3, "id IN (1, 4, 7)")
+    pd3 = iceberg.metadata_table(spark, t3, "position_deletes").collect()
+    assert len(pd3) == 3
+    assert all(r.delete_file_path.endswith(".puffin") for r in pd3)
+    live = {
+        r.file_path
+        for r in iceberg.metadata_table(spark, t3, "files").collect()
+    }
+    assert {r.file_path for r in pd3} <= live
+    t2 = str(tmp_path / "pd2")
+    iceberg.create(_df(spark, _rows(6)), t2, format_version=2)
+    iceberg.delete_where(spark, t2, "id >= 4")
+    pd2 = iceberg.metadata_table(spark, t2, "position_deletes").collect()
+    assert len(pd2) == 2
+    assert all(r.delete_file_path.endswith(".parquet") for r in pd2)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 verdict #3: Delta partition-layout changes replay as Iceberg
+# PARTITION EVOLUTION through the sync; RESTORE travels metadata back.
+# ---------------------------------------------------------------------------
+
+
+def test_repartition_table_syncs_as_partition_evolution(
+    spark, tmp_path
+):
+    """REPLACE PARTITIONED BY on the Delta writer replays as ONE
+    Iceberg spec-evolution commit; both directions ([] → [k] → [])
+    and appends under each layout keep full-tuple parity through both
+    clean-room readers; pre-evolution mirror snapshots stay
+    time-travelable under their old spec."""
+    from tests import iceberg_reader_independent as ice_indep
+
+    dt = str(tmp_path / "dt")
+    it = str(tmp_path / "it")
+    delta_log.create(
+        _df(spark, _rows(12)).repartitionByRange(2, "id"), dt
+    )
+    iceberg.convert_from_delta(dt, it)
+    pre_sid = iceberg.current_metadata(it)["current-snapshot-id"]
+    delta_log.repartition_table(spark, dt, ["k"])
+    delta_log.append(_df(spark, [(100, 1, 5.0)]).coalesce(1), dt)
+    iceberg.sync_from_delta(dt, it)
+    meta = iceberg.current_metadata(it)
+    assert meta["default-spec-id"] >= 1
+    want = sorted(
+        tuple(r) for r in delta_log.read_delta(spark, dt).collect()
+    )
+    assert sorted(
+        tuple(r) for r in iceberg.read_iceberg(spark, it).collect()
+    ) == want
+    assert sorted(ice_indep.read_rows(it)) == want
+    # the identity column round-trips through manifest partition tuples
+    assert [r.k for r in iceberg.read_iceberg(spark, it).collect()
+            if r.id == 100] == [1]
+    # pre-evolution snapshot still reads under its old spec
+    assert sorted(
+        r.id for r in iceberg.read_iceberg(spark, it, pre_sid).collect()
+    ) == list(range(12))
+    # and back to unpartitioned
+    delta_log.repartition_table(spark, dt, [])
+    delta_log.append(_df(spark, [(200, 2, 6.0)]).coalesce(1), dt)
+    iceberg.sync_from_delta(dt, it)
+    want = sorted(
+        tuple(r) for r in delta_log.read_delta(spark, dt).collect()
+    )
+    assert sorted(
+        tuple(r) for r in iceberg.read_iceberg(spark, it).collect()
+    ) == want
+    assert sorted(ice_indep.read_rows(it)) == want
+
+
+def test_restore_across_repartition_restores_layout(spark, tmp_path):
+    """RESTORE to a version before a REPLACE PARTITIONED BY restores
+    the old layout AND the old metadata (spec semantics) — and the
+    restore commit syncs onto the mirror as another spec evolution."""
+    from tests import iceberg_reader_independent as ice_indep
+
+    dt = str(tmp_path / "dtr")
+    it = str(tmp_path / "itr")
+    delta_log.create(_df(spark, _rows(8)).coalesce(1), dt)
+    iceberg.convert_from_delta(dt, it)
+    v0 = delta_log.latest_version(dt)
+    delta_log.repartition_table(spark, dt, ["k"])
+    iceberg.sync_from_delta(dt, it)
+    delta_log.restore(dt, v0)
+    assert delta_log.table_partition_columns(dt) == []
+    assert sorted(
+        r.id for r in delta_log.read_delta(spark, dt).collect()
+    ) == list(range(8))
+    iceberg.sync_from_delta(dt, it)
+    want = sorted(
+        tuple(r) for r in delta_log.read_delta(spark, dt).collect()
+    )
+    assert sorted(
+        tuple(r) for r in iceberg.read_iceberg(spark, it).collect()
+    ) == want
+    assert sorted(ice_indep.read_rows(it)) == want

@@ -112,7 +112,7 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
             op = rng.choice(
                 ["append", "append", "dv_delete", "update", "optimize",
                  "overwrite", "add", "add_default", "rename", "widen",
-                 "drop", "mirror_compact", "restore"]
+                 "drop", "mirror_compact", "restore", "repartition"]
             )
             if op == "append":
                 dlog.append(
@@ -169,9 +169,22 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
             elif op == "restore":
                 # writer-side time travel: restore is a linear
                 # compensating commit, so the sync replays it like any
-                # other data commit
+                # other data commit. Crossing a columnMapping /
+                # rowTracking enablement is an HONEST engine gate —
+                # the sweep treats it as a refused op, not a failure.
                 cur_v = dlog.latest_version(dt)
-                dlog.restore(dt, max(0, cur_v - rng.randrange(1, 4)))
+                try:
+                    dlog.restore(dt, max(0, cur_v - rng.randrange(1, 4)))
+                except NotImplementedError:
+                    pass
+            elif op == "repartition":
+                # REPLACE PARTITIONED BY flips between unpartitioned
+                # and id-partitioned; the mirror follows with one
+                # partition-evolution commit
+                cur_parts = dlog.table_partition_columns(dt)
+                dlog.repartition_table(
+                    spark, dt, [] if cur_parts else ["id"]
+                )
             if rng.random() < 0.5:
                 iceberg.sync_from_delta(dt, it)
                 check()
