@@ -5915,7 +5915,9 @@ def _reconcile_delta_mirror_schema(
     return True
 
 
-def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
+def sync_to_delta(
+    iceberg_table: str, delta_table: str, rewrite: str = "strict"
+) -> int:
     """The REVERSE continuous sync: replay the Iceberg snapshots
     committed since :func:`convert_to_delta` (or the previous sync)
     onto the Delta mirror — one Delta commit per snapshot, zero data
@@ -5940,10 +5942,16 @@ def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
     - ``operation='replace'`` (compaction / delete rewrites) →
       ``dataChange=false`` on every action, so Delta change feeds skip
       it, per both specs;
-    - position-delete parquet, equality deletes, schema changes, and
-      partition-spec changes raise (honest gates — Delta cannot
-      represent them; on a v3 table run `rewrite_position_deletes`
-      first).
+    - position-delete parquet raises by default; with
+      ``rewrite='auto'`` (opt-in, round 12) the positions are
+      converted to Delta DELETION VECTORS in flight — per referenced
+      file, DV ∪ position rows roaring-encoded into one fresh sidecar,
+      cost bounded by the delete-file bytes, data files untouched
+      (the alternative: `rewrite_position_deletes` on a v3 table
+      first);
+    - equality deletes, schema surgeries the reconcile can't express,
+      and partition-spec changes raise (honest gates — Delta cannot
+      represent them).
 
     The sync cursor is the ``sourceSequence`` recorded in each synced
     commit's commitInfo (seeded by `convert_to_delta`); a foreign
@@ -6048,7 +6056,7 @@ def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
         v = delta_log.latest_version(delta_table) + 1
         _sync_iceberg_snapshot(
             iceberg_table, delta_table, meta, head, v,
-            base_sid=cursor_sid,
+            base_sid=cursor_sid, rewrite=rewrite,
         )
         return delta_log.latest_version(delta_table)
     last_seq = cursor
@@ -6062,7 +6070,9 @@ def sync_to_delta(iceberg_table: str, delta_table: str) -> int:
             last_seq,
         )
         v = delta_log.latest_version(delta_table) + 1
-        _sync_iceberg_snapshot(iceberg_table, delta_table, meta, s, v)
+        _sync_iceberg_snapshot(
+            iceberg_table, delta_table, meta, s, v, rewrite=rewrite
+        )
         last_seq = s["sequence-number"]
     # trailing metadata-only schema changes (no snapshot after them)
     _reconcile_delta_mirror_schema(
@@ -6091,6 +6101,7 @@ _SYNC_BASE_PARENT = object()  # sentinel: diff against snap's parent
 def _sync_iceberg_snapshot(
     iceberg_table: str, delta_table: str, meta: dict, snap: dict, v: int,
     base_sid=_SYNC_BASE_PARENT,
+    rewrite: str = "strict",
 ) -> None:
     """Replay ONE Iceberg snapshot onto the Delta mirror (see
     :func:`sync_to_delta` for the mapping). ``base_sid`` overrides the
@@ -6098,7 +6109,13 @@ def _sync_iceberg_snapshot(
     after a writer-side rollback diffs head against the off-ancestry
     cursor snapshot instead, and forces ``dataChange=true`` (removing
     rolled-off rows is a real row change whatever the head's own
-    operation was)."""
+    operation was). ``rewrite='auto'`` converts POSITION-DELETE
+    parquet to Delta deletion vectors in flight (round 12): each
+    endpoint's per-file tombstone state is the union of its DV
+    positions and its position-delete rows, and a file whose effective
+    state changed re-adds with a freshly roaring-encoded descriptor —
+    cost bounded by the delete-file bytes, data files untouched.
+    Equality deletes stay gated (no Delta analogue)."""
     from march_mania_spark_lakehouse_spark.sources import (
         delta_log,
         deletion_vectors,
@@ -6110,11 +6127,18 @@ def _sync_iceberg_snapshot(
         snap.get("parent-snapshot-id") if not compensating else base_sid
     )
     op = snap.get("summary", {}).get("operation")
-    if snapshot_delete_files(iceberg_table, sid):
+    pos_cur = snapshot_delete_files(iceberg_table, sid)
+    pos_prev = (
+        snapshot_delete_files(iceberg_table, parent)
+        if parent is not None
+        else []
+    )
+    if pos_cur and rewrite != "auto":
         raise NotImplementedError(
             f"snapshot {sid} carries position-delete parquet; Delta "
             "cannot represent it — rewrite_position_deletes on a v3 "
-            "table first"
+            "table first, or sync with rewrite='auto' to convert the "
+            "positions to deletion vectors in flight"
         )
     if snapshot_equality_deletes(iceberg_table, sid):
         raise NotImplementedError(
@@ -6234,17 +6258,55 @@ def _sync_iceberg_snapshot(
     def _dv_key(e: dict) -> tuple:
         return (e["puffin_path"], int(e["offset"]), int(e["length"]))
 
-    dv_changed = sorted(
-        fp
-        for fp, e in cur_dvs.items()
-        if fp in cur
-        and (fp not in prev_dvs or _dv_key(prev_dvs[fp]) != _dv_key(e))
-    )
-    dv_dropped = sorted(
-        fp
-        for fp in prev_dvs
-        if fp in cur and fp not in cur_dvs
-    )
+    rewrite_positions = rewrite == "auto" and bool(pos_cur or pos_prev)
+    if rewrite_positions:
+        # rewrite='auto': each endpoint's per-file tombstone STATE is
+        # DV positions ∪ position-delete rows; diff on the effective
+        # sets (the verbatim framed-bytes fast path can't apply — the
+        # union must be re-encoded)
+        import pyarrow.parquet as _pq
+
+        def _positions_of(dvs, pos_files) -> "dict[str, set]":
+            out: dict[str, set] = {}
+            for e in dvs.values():
+                out.setdefault(e["referenced_data_file"], set()).update(
+                    read_dv_blob(
+                        e["puffin_path"], e["offset"], e["length"]
+                    )
+                )
+            for p in pos_files:
+                t = _pq.read_table(p, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    out.setdefault(fp, set()).add(pos)
+            return out
+
+        cur_pos = _positions_of(cur_dvs, pos_cur)
+        prev_pos = _positions_of(prev_dvs, pos_prev)
+        dv_changed = sorted(
+            fp
+            for fp, s2 in cur_pos.items()
+            if fp in cur and s2 and prev_pos.get(fp, set()) != s2
+        )
+        dv_dropped = sorted(
+            fp
+            for fp, s2 in prev_pos.items()
+            if s2 and fp in cur and not cur_pos.get(fp)
+        )
+    else:
+        dv_changed = sorted(
+            fp
+            for fp, e in cur_dvs.items()
+            if fp in cur
+            and (fp not in prev_dvs or _dv_key(prev_dvs[fp]) != _dv_key(e))
+        )
+        dv_dropped = sorted(
+            fp
+            for fp in prev_dvs
+            if fp in cur and fp not in cur_dvs
+        )
     data_change = True if compensating else (op != "replace")
 
     def delta_path(fp: str, df_rec: dict) -> "tuple[str, dict]":
@@ -6268,10 +6330,24 @@ def _sync_iceberg_snapshot(
         name = hashlib.sha256(fp.encode()).hexdigest()[:32] + ".parquet"
         return os.path.join(dirs, name), pv
 
-    # one fresh sidecar per commit holding every changed DV's blob,
-    # the framed bytes moved verbatim out of the Puffin file
+    # one fresh sidecar per commit holding every changed DV's blob —
+    # the framed bytes moved verbatim out of the Puffin file on the
+    # pure-DV path, roaring re-encoded from the effective position
+    # union on the rewrite='auto' path
     descriptors: dict[str, dict] = {}
-    if dv_changed:
+    if dv_changed and rewrite_positions:
+        descriptors = deletion_vectors.write_dv_blobs(
+            delta_table,
+            [
+                (
+                    fp,
+                    deletion_vectors.encode_dv(sorted(cur_pos[fp])),
+                    len(cur_pos[fp]),
+                )
+                for fp in dv_changed
+            ],
+        )
+    elif dv_changed:
         items = []
         for fp in dv_changed:
             e = cur_dvs[fp]

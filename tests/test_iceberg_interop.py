@@ -664,7 +664,7 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
             op = rng.choice(
                 ["append", "overwrite", "pos_delete", "eq_delete", "upsert",
                  "compact", "optimize", "evolve", "rename", "update",
-                 "rewrite_deletes"]
+                 "rewrite_deletes", "rollback"]
             )
             if op == "append":
                 iceberg.append(batch(fresh_rows(rng.randrange(1, 5))), table)
@@ -705,6 +705,22 @@ def test_random_history_sweep_both_readers_agree(spark, tmp_path):
                 )
             elif op == "rewrite_deletes":
                 iceberg.rewrite_position_deletes(spark, table)
+            elif op == "rollback":
+                # manage-snapshots rollback to a recent main ancestor:
+                # rolled-off snapshots stay time-travelable (checked by
+                # the per-snapshot loop below), ids/seqs stay monotonic
+                meta_r = iceberg.current_metadata(table)
+                by_sid = {
+                    s["snapshot-id"]: s for s in meta_r["snapshots"]
+                }
+                chain, node = [], meta_r["current-snapshot-id"]
+                while node in by_sid:
+                    chain.append(node)
+                    node = by_sid[node].get("parent-snapshot-id", -1)
+                if len(chain) > 1:
+                    iceberg.rollback_to_snapshot(
+                        table, chain[rng.randrange(1, min(3, len(chain)))]
+                    )
             elif op == "optimize":
                 if indep.read_rows(table):
                     iceberg.optimize(spark, table, small_file_bytes=1 << 30)

@@ -667,3 +667,46 @@ def test_restore_across_repartition_restores_layout(spark, tmp_path):
         tuple(r) for r in iceberg.read_iceberg(spark, it).collect()
     ) == want
     assert sorted(ice_indep.read_rows(it)) == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 verdict #4: rewrite='auto' — position-delete parquet
+# converts to Delta deletion vectors in flight during sync_to_delta.
+# ---------------------------------------------------------------------------
+
+
+def test_sync_rewrite_auto_converts_position_deletes(spark, tmp_path):
+    """A v2 writer's position-delete snapshots sync onto the Delta
+    mirror as DV sidecars under rewrite='auto' (strict still raises);
+    chained deletes union-and-re-encode; both clean-room readers agree
+    at every sync point."""
+    it = str(tmp_path / "ice")
+    dt = str(tmp_path / "mirror")
+    iceberg.create(
+        _df(spark, _rows(10)).repartitionByRange(2, "id"),
+        it,
+        format_version=2,
+    )
+    iceberg.convert_to_delta(it, dt)
+    iceberg.delete_where(spark, it, "id < 3")
+    assert iceberg.snapshot_delete_files(it)  # really pos-delete parquet
+    with pytest.raises(NotImplementedError, match="rewrite"):
+        iceberg.sync_to_delta(it, dt)
+    iceberg.sync_to_delta(it, dt, rewrite="auto")
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    assert sorted(r[0] for r in _ice_rows(spark, it)) == list(range(3, 10))
+    # the synced commit really carries a deletionVector descriptor
+    v = delta_log.latest_version(dt)
+    acts = delta_log._read_actions(delta_log._commit_path(dt, v))
+    assert any(
+        "add" in a and a["add"].get("deletionVector") for a in acts
+    )
+    # a second delete on the same file unions into a fresh descriptor
+    iceberg.delete_where(spark, it, "id = 5")
+    iceberg.sync_to_delta(it, dt, rewrite="auto")
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    assert sorted(r[0] for r in _ice_rows(spark, it)) == [3, 4, 6, 7, 8, 9]
+    # ordinary appends keep syncing after the rewrite
+    iceberg.append(_df(spark, [(100, 0, 1.0)]).coalesce(1), it)
+    iceberg.sync_to_delta(it, dt, rewrite="auto")
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
