@@ -564,7 +564,14 @@ class _DeltaTableCdcStreamReader:
             return None
         old_live = delta_log.replay_at_checkpoint(self.table, lo)
         if old_live is None:
-            return None
+            # the non-append recovery path (round 12): the range's
+            # commits are still READABLE (a RESTORE / overwrite raised
+            # DeltaNonAppendChangeError, not log cleanup), so the
+            # cursor state replays from the log directly
+            try:
+                old_live = delta_log._replay(self.table, lo)
+            except FileNotFoundError:
+                return None
         new_live = delta_log._replay(self.table, hi)
         schema = delta_log.table_schema(self.table, hi)
         part_cols = set(delta_log.table_partition_columns(self.table, hi))
@@ -664,10 +671,19 @@ class _DeltaTableCdcStreamReader:
         if hi is None or hi <= lo:
             return (iter(()), {"version": lo})
         self._refuse_id_mapping(hi)
+        from march_mania_spark_lakehouse_spark.sources.delta_log import (
+            DeltaNonAppendChangeError,
+        )
+
         try:
             return (self._changes(lo, hi), {"version": hi})
-        except FileNotFoundError:
-            # commits in (lo, hi] were cleaned up past the checkpoint
+        except (FileNotFoundError, DeltaNonAppendChangeError):
+            # commits in (lo, hi] were cleaned up past the checkpoint,
+            # OR a commit rewrites data files (RESTORE / overwrite)
+            # that the per-commit walk cannot decompose — with row
+            # tracking the resumed batch is the EXACT state diff
+            # cursor→head (delete/insert, update pre/post images), the
+            # same vocabulary, net-exact for the consumer
             if self.starting != "retained":
                 raise
             diff = self._lineage_diff_rows(lo, hi)
@@ -678,11 +694,15 @@ class _DeltaTableCdcStreamReader:
     def readBetweenOffsets(self, start: dict, end: dict):
         # iter(): restart replays hand this straight to the runner,
         # which requires an ITERATOR
+        from march_mania_spark_lakehouse_spark.sources.delta_log import (
+            DeltaNonAppendChangeError,
+        )
+
         try:
             return iter(
                 self._changes(int(start["version"]), int(end["version"]))
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, DeltaNonAppendChangeError):
             if self.starting != "retained":
                 raise
             diff = self._lineage_diff_rows(
@@ -704,10 +724,14 @@ class DeltaTableCdcStreamDataSource(DataSource):
     `ivm.signed_state` materialized views refresh through merge-on-read
     deletes exactly once, the same loop the Iceberg CDC source drives.
     Option ``starting_version``: 'earliest' (default — full retained
-    history, raises on expiry), 'latest' (fresh checkpoints start at
-    the head), or 'retained' (an expired range re-bootstraps as the
-    full current snapshot tagged 'bootstrap_insert' — a downstream
-    state reset; see `_starting_mode`)."""
+    history, raises on expiry OR on a commit the per-commit walk
+    cannot decompose: RESTORE / overwrite), 'latest' (fresh
+    checkpoints start at the head), or 'retained' — an expired range
+    or a non-decomposable commit recovers: with ROW TRACKING the
+    resumed batch is the EXACT state diff cursor→head (round 12 —
+    a mid-stream RESTORE retracts precisely), else the full current
+    snapshot re-emits tagged 'bootstrap_insert' (a downstream state
+    reset; see `_starting_mode`)."""
 
     @classmethod
     def name(cls) -> str:

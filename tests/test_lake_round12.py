@@ -710,3 +710,175 @@ def test_sync_rewrite_auto_converts_position_deletes(spark, tmp_path):
     iceberg.append(_df(spark, [(100, 0, 1.0)]).coalesce(1), it)
     iceberg.sync_to_delta(it, dt, rewrite="auto")
     assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+
+
+# ---------------------------------------------------------------------------
+# Delta CDC stream across non-append commits (the Delta twin of the
+# Iceberg rollback retraction): RESTORE mid-stream recovers with the
+# exact row-tracking state diff; REPLACE PARTITIONED BY is
+# feed-invisible (dataChange=false, the OPTIMIZE rule).
+# ---------------------------------------------------------------------------
+
+
+def _drain_delta_cdc(spark, table, sink, ckpt, starting="retained"):
+    q = (
+        spark.readStream.format("delta_table_cdc")
+        .option("path", table)
+        .option("starting_version", starting)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+
+def test_delta_cdc_restore_mid_stream_emits_exact_diff(spark, tmp_path):
+    """A RESTORE between drains would make the per-commit walk raise;
+    with row tracking the resumed batch is the exact diff — the
+    restored-away rows retract, the resurrected rows insert, no
+    bootstrap reset — and the signed fold matches the head."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+    )
+
+    t = str(tmp_path / "dres")
+    delta_log.create(
+        _df(spark, _rows(8)).repartitionByRange(2, "id"),
+        t,
+        row_tracking=True,
+    )
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    sink, ckpt = str(tmp_path / "rsink"), str(tmp_path / "rckpt")
+    _drain_delta_cdc(spark, t, sink, ckpt)
+    delta_log.delete_where(spark, t, "id < 2")
+    delta_log.append(_df(spark, [(100, 2, 3.0)]).coalesce(1), t)
+    _drain_delta_cdc(spark, t, sink, ckpt)
+    delta_log.restore(t, 0)  # rows 0,1 come back, 100 goes away
+    _drain_delta_cdc(spark, t, sink, ckpt)
+    rows = [
+        r
+        for _, p in sorted(
+            (os.path.getmtime(os.path.join(sink, f)), os.path.join(sink, f))
+            for f in os.listdir(sink)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for r in spark.read.parquet(p).collect()
+    ]
+    assert not any(r._change_type == "bootstrap_insert" for r in rows)
+    third = rows[11:]  # 8 boot inserts + 2 deletes + 1 insert before
+    got = Counter((r.id, r._change_type) for r in third)
+    assert got == Counter(
+        {(0, "insert"): 1, (1, "insert"): 1, (100, "delete"): 1}
+    )
+    state: Counter = Counter()
+    for r in rows:
+        state[(r.id, r.k, r.val)] += 1 if r._change_type == "insert" else -1
+    head = Counter(
+        (r.id, r.k, r.val)
+        for r in delta_log.read_delta(spark, t).collect()
+    )
+    assert +state == head
+
+
+def test_delta_cdc_restore_without_tracking_bootstraps(spark, tmp_path):
+    """No row tracking: a mid-stream RESTORE degrades to the bootstrap
+    reset under 'retained' and raises under 'earliest'."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+    )
+
+    t = str(tmp_path / "dnb")
+    delta_log.create(_df(spark, _rows(5)).coalesce(1), t)
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    sink, ckpt = str(tmp_path / "nsink"), str(tmp_path / "nckpt")
+    _drain_delta_cdc(spark, t, sink, ckpt)
+    delta_log.append(_df(spark, [(50, 1, 1.0)]).coalesce(1), t)
+    delta_log.restore(t, 0)
+    _drain_delta_cdc(spark, t, sink, ckpt)
+    rows = [
+        r
+        for f in os.listdir(sink)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+        for r in spark.read.parquet(os.path.join(sink, f)).collect()
+    ]
+    boot = [r for r in rows if r._change_type == "bootstrap_insert"]
+    assert sorted(r.id for r in boot) == list(range(5))
+
+
+def test_delta_cdc_repartition_feed_invisible(spark, tmp_path):
+    """REPLACE PARTITIONED BY carries dataChange=false everywhere: the
+    CDC stream skips the rewrite and only the follow-up append
+    emits."""
+    from march_mania_spark_lakehouse_spark.sources.pydatasource import (
+        DeltaTableCdcStreamDataSource,
+    )
+
+    t = str(tmp_path / "drp")
+    delta_log.create(_df(spark, _rows(6)).coalesce(1), t)
+    spark.dataSource.register(DeltaTableCdcStreamDataSource)
+    sink, ckpt = str(tmp_path / "psink"), str(tmp_path / "pckpt")
+    _drain_delta_cdc(spark, t, sink, ckpt)
+    delta_log.repartition_table(spark, t, ["k"])
+    delta_log.append(_df(spark, [(60, 1, 2.0)]).coalesce(1), t)
+    _drain_delta_cdc(spark, t, sink, ckpt)
+    rows = [
+        r
+        for f in os.listdir(sink)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+        for r in spark.read.parquet(os.path.join(sink, f)).collect()
+    ]
+    assert len(rows) == 7  # 6 initial inserts + the appended row only
+    assert Counter(r._change_type for r in rows) == Counter(
+        {"insert": 7}
+    )
+    assert [(r.id, r.k) for r in rows if r.id == 60] == [(60, 1)]
+
+
+def test_ivm_refresh_across_rollback_via_lineage_diff(spark, tmp_path):
+    """The IVM rollback story end to end: state captured AT the bad
+    snapshot, writer rolls back and keeps writing — the commit-walk
+    feed refuses the boundary (it cannot retract), while the
+    snapshot-diff changelog from the rolled-off snapshot emits exact
+    retractions and the merged state equals the full recompute."""
+    from march_mania_spark_lakehouse_spark.operators import ivm
+
+    t = str(tmp_path / "ivrb")
+    iceberg.create(
+        _df(spark, _rows(20)).repartitionByRange(2, "id"),
+        t,
+        format_version=3,
+    )
+    good = iceberg.current_metadata(t)["current-snapshot-id"]
+    iceberg.append(_df(spark, [(100, 0, -5.0), (101, 1, -6.0)]), t)
+    bad = iceberg.current_metadata(t)["current-snapshot-id"]
+    bad_seq = iceberg.current_metadata(t)["last-sequence-number"]
+    base = ivm.agg_state(
+        iceberg.read_lineage(spark, t).select("k", "val"), ["k"], "val"
+    ).localCheckpoint()  # the MV's state at the BAD snapshot
+    iceberg.rollback_to_snapshot(t, good)
+    iceberg.append(_df(spark, [(200, 2, 9.0)]), t)
+    # the linear feed refuses: its boundary snapshot was rolled off
+    with pytest.raises(
+        iceberg.IcebergNonAppendChangeError, match="rolled off"
+    ):
+        iceberg.table_changes(spark, t, bad_seq, include_deletes=True)
+    # the lineage diff from the rolled-off snapshot reconverges exactly
+    feed = iceberg.snapshot_diff_changelog(spark, t, bad)
+    refreshed = ivm.finalize_counts(
+        ivm.merge_states(
+            base,
+            ivm.signed_state(
+                feed.select("k", "val", "_change_type"), ["k"], "val"
+            ),
+        )
+    )
+    recomputed = ivm.finalize_counts(
+        ivm.agg_state(
+            iceberg.read_iceberg(spark, t).select("k", "val"), ["k"], "val"
+        )
+    )
+    got = sorted(tuple(r) for r in refreshed.collect())
+    want = sorted(tuple(r) for r in recomputed.collect())
+    assert got == want and got
