@@ -2942,3 +2942,227 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q237 — POSITION_DELETES METADATA TABLE (round 12): the spec's
+# materialized-positions inspection surface joined back to the files
+# table — per partition, how many tombstoned positions does the
+# snapshot carry? Both sides are executor-side manifest scans; the
+# oracle reconstructs the per-partition deleted counts relationally.
+# --------------------------------------------------------------------------
+
+_Q237_SQL = """
+SELECT '{"o_orderstatus": "' || o_orderstatus || '"}' AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_deleted
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2) AND o_orderkey % 10 = 3
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "q237_position_deletes_table", oracle=_Q237_SQL, tags=("lake", "agg")
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join `position_deletes` (v3 Puffin DVs decoded executor-side)
+    to `files` on the referenced data file and count tombstoned
+    positions per partition — must hash-match the relational
+    per-status deleted counts."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _metadata_tables_fixture(spark, sf_dir)
+    pdl = iceberg.metadata_table(spark, table, "position_deletes")
+    files = iceberg.metadata_table(spark, table, "files").select(
+        "file_path", "partition"
+    )
+    return (
+        pdl.join(files, "file_path")
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n_deleted"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q238 — POSITION DELETES CROSSING THE FORMAT LINE (round 12,
+# rewrite='auto'): a v2 Iceberg writer's merge-on-read position
+# deletes — the one data shape Delta cannot hold — sync onto the Delta
+# mirror as DELETION VECTORS, roaring-encoded in flight from the
+# delete-file rows. The oracle reconstructs the surviving population;
+# a hash match proves the rewritten tombstones kill exactly the right
+# rows on the mirror. At 100 TB: the rewrite cost is bounded by the
+# delete-file bytes; data files never move.
+# --------------------------------------------------------------------------
+
+_Q238_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE (o_orderkey % 4 = 1 AND o_orderkey % 10 <> 7)
+   OR o_orderkey % 4 = 2
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _pos_delete_rewritten_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v2 Iceberg orders key%4=1 →
+    convert_to_delta → pos-delete key%10=7 → append key%4=2 →
+    sync_to_delta(rewrite='auto'). Returns the DELTA MIRROR path;
+    guarded on the terminal synced sequence."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"posdel-rewrite|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_posdel_rw", fp
+    )
+    it = os.path.join(root, "ice")
+    dt = os.path.join(root, "delta")
+
+    def _terminal() -> bool:
+        v = delta_log.latest_version(dt)
+        if v is None or iceberg.current_version(it) is None:
+            return False
+        _op, params = delta_log._commit_operation(dt, v)
+        return params.get("sourceSequence") == str(
+            iceberg.current_metadata(it)["last-sequence-number"]
+        )
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(*cols),
+            it,
+            format_version=2,
+        )
+        iceberg.convert_to_delta(it, dt)
+        iceberg.delete_where(spark, it, "o_orderkey % 10 = 7")
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 4 == 2).select(*cols),
+            it,
+        )
+        iceberg.sync_to_delta(it, dt, rewrite="auto")
+    return dt
+
+
+@query(
+    "q238_pos_delete_rewritten_mirror",
+    oracle=_Q238_SQL,
+    tags=("lake", "agg"),
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the Delta mirror after position-delete parquet was
+    rewritten to deletion vectors in flight: counts and exact price
+    sums per status must hash-match the oracle over the surviving
+    population."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _pos_delete_rewritten_mirror(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q239 — RESTORE ACROSS A PARTITION-LAYOUT CHANGE (round 12): REPLACE
+# PARTITIONED BY rewrote the table, a batch landed under the new
+# layout, and RESTORE travels the whole table — data, schema, AND
+# partition layout — back to the pre-change version before writing
+# continues. The oracle is the population that never saw the undone
+# batch. History stays time-travelable; nothing is rewritten twice.
+# --------------------------------------------------------------------------
+
+_Q239_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE o_orderkey % 4 IN (1, 3)
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _restored_layout_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: unpartitioned Delta orders key%4=1
+    (v0) → REPLACE PARTITIONED BY o_orderstatus (v1) → append key%4=2
+    (v2) → RESTORE to v0 (v3 — layout and metadata travel back) →
+    append key%4=3 (v4). Guarded on the terminal version + layout."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"restored-layout|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_restored_layout", fp
+    )
+
+    def _terminal() -> bool:
+        return (
+            delta_log.latest_version(table) == 4
+            and delta_log.table_partition_columns(table) == []
+        )
+
+    if os.path.exists(table) and not _terminal():
+        shutil.rmtree(table)
+    if not os.path.exists(table):
+        orders = catalog.load(spark, "orders", sf_dir)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        delta_log.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(*cols),
+            table,
+        )
+        delta_log.repartition_table(spark, table, ["o_orderstatus"])
+        delta_log.append(
+            orders.filter(F.col("o_orderkey") % 4 == 2).select(*cols),
+            table,
+        )
+        delta_log.restore(table, 0)
+        delta_log.append(
+            orders.filter(F.col("o_orderkey") % 4 == 3).select(*cols),
+            table,
+        )
+    return table
+
+
+@query(
+    "q239_restore_across_repartition",
+    oracle=_Q239_SQL,
+    tags=("lake", "agg"),
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the head after RESTORE undid a partition-layout change and
+    its follow-up batch: counts and exact price sums per status must
+    hash-match the oracle over the two populations that survived."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _restored_layout_table(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
