@@ -1622,6 +1622,59 @@ def describe_history(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def describe_detail(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE DETAIL: the one-row table summary — format, table id,
+    location, created/last-modified timestamps, partition columns,
+    live file count and bytes, table properties, and the effective
+    protocol (versions + table features). Everything comes from the
+    log (metaData + commitInfo + the live-add replay); no data files
+    are opened."""
+    v = latest_version(table)
+    if v is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    md = _latest_metadata(table, v)
+    proto = _effective_protocol(table, v)
+    live = _replay(table, v)
+    last_mod = None
+    for w in range(v, -1, -1):
+        p = _commit_path(table, w)
+        if not os.path.exists(p):
+            break
+        ci = next(
+            (a["commitInfo"] for a in _read_actions(p) if "commitInfo" in a),
+            None,
+        )
+        if ci and ci.get("timestamp") is not None:
+            last_mod = ci["timestamp"]
+            break
+    features = sorted(
+        set(proto.get("readerFeatures") or [])
+        | set(proto.get("writerFeatures") or [])
+    )
+    row = (
+        "delta",
+        md.get("id"),
+        os.path.abspath(table),
+        md.get("createdTime"),
+        last_mod,
+        list(md.get("partitionColumns") or []),
+        len(live),
+        sum(int(a.get("size") or 0) for a in live.values()),
+        dict(md.get("configuration") or {}),
+        int(proto.get("minReaderVersion", 1)),
+        int(proto.get("minWriterVersion", 2)),
+        features,
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, id string, location string, createdAt long, "
+        "lastModified long, partitionColumns array<string>, "
+        "numFiles long, sizeInBytes long, "
+        "properties map<string,string>, minReaderVersion int, "
+        "minWriterVersion int, tableFeatures array<string>",
+    )
+
+
 def inspect_files(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:

@@ -3217,6 +3217,10 @@ _META_TABLE_SCHEMAS = {
         "file_path string, pos long, delete_file_path string, "
         "sequence_number long"
     ),
+    "metadata_log_entries": (
+        "timestamp_ms long, file string, latest_snapshot_id long, "
+        "latest_schema_id int, latest_sequence_number long"
+    ),
 }
 
 
@@ -3359,6 +3363,33 @@ def metadata_table(
             for name, r in sorted(refs.items())
         ]
         return spark.createDataFrame(sorted(rows), schema)
+    if kind == "metadata_log_entries":
+        # every still-addressable metadata GENERATION (vN.metadata.json
+        # not yet retired by cleanup_metadata) — KB-sized driver reads
+        import re as _re
+
+        mdir = _meta_dir(table)
+        rows = []
+        for name in sorted(
+            os.listdir(mdir),
+            key=lambda n: int(n[1:].split(".")[0])
+            if _re.fullmatch(r"v\d+\.metadata\.json", n)
+            else -1,
+        ):
+            if not _re.fullmatch(r"v\d+\.metadata\.json", name):
+                continue
+            with open(os.path.join(mdir, name)) as f:
+                g = json.load(f)
+            rows.append(
+                (
+                    g.get("last-updated-ms"),
+                    name,
+                    g.get("current-snapshot-id", -1),
+                    g.get("current-schema-id", 0),
+                    g.get("last-sequence-number", 0),
+                )
+            )
+        return spark.createDataFrame(rows, schema)
     if kind == "all_manifests":
         # every retained snapshot's manifest list, each row stamped
         # with the snapshot that references it — manifest lists are
@@ -3797,19 +3828,26 @@ def cleanup_metadata(table: str, keep_last: int = 5) -> "list[str]":
     return deleted
 
 
-def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
-    """Retire all but the newest ``keep_last`` snapshots: rewrite the
-    metadata without them (a new metadata version — history of the
-    metadata itself is preserved in older vN files) and delete data
-    files, manifests and manifest lists referenced ONLY by the expired
-    snapshots. Snapshots named by a ref (tag or branch head) are always
-    retained — expiring a tagged release mark out from under its name
-    is never what retention means; intermediate branch ancestry MAY
-    expire (each snapshot's manifest list is self-contained, so the
-    head stays readable). Returns the deleted paths (table-relative)."""
+def expire_snapshots(
+    table: str, keep_last: int = 1, older_than_ms: int | None = None
+) -> list[str]:
+    """Retire old snapshots: rewrite the metadata without them (a new
+    metadata version — history of the metadata itself is preserved in
+    older vN files) and delete data files, manifests and manifest
+    lists referenced ONLY by the expired snapshots. Retention combines
+    the spec's two knobs: the newest ``keep_last`` along the main
+    ancestry ALWAYS stay, and with ``older_than_ms`` (absolute epoch
+    millis, the `expireSnapshots().expireOlderThan(ts)` form) every
+    snapshot at-or-after the cutoff ALSO stays — expiry takes only
+    what both rules allow. Snapshots named by a ref (tag or branch
+    head) are always retained — expiring a tagged release mark out
+    from under its name is never what retention means; intermediate
+    branch ancestry MAY expire (each snapshot's manifest list is
+    self-contained, so the head stays readable). Returns the deleted
+    paths (table-relative)."""
     meta = current_metadata(table)
     snaps = meta["snapshots"]
-    if len(snaps) <= keep_last:
+    if len(snaps) <= keep_last and older_than_ms is None:
         return []
     ref_ids = {
         r["snapshot-id"]
@@ -3827,6 +3865,12 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
         main_ids.append(node)
         node = by_sid[node].get("parent-snapshot-id", -1)
     kept_ids_now = set(main_ids[:keep_last]) | ref_ids
+    if older_than_ms is not None:
+        kept_ids_now |= {
+            s["snapshot-id"]
+            for s in snaps
+            if s["timestamp-ms"] >= older_than_ms
+        }
     expired = [s for s in snaps if s["snapshot-id"] not in kept_ids_now]
     kept = [s for s in snaps if s["snapshot-id"] in kept_ids_now]  # in order
     if not expired:

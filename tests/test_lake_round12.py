@@ -882,3 +882,90 @@ def test_ivm_refresh_across_rollback_via_lineage_diff(spark, tmp_path):
     got = sorted(tuple(r) for r in refreshed.collect())
     want = sorted(tuple(r) for r in recomputed.collect())
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# Spec-parity maintenance additions: age-based snapshot expiry,
+# metadata_log_entries, Delta DESCRIBE DETAIL.
+# ---------------------------------------------------------------------------
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """expireOlderThan semantics: snapshots at-or-after the cutoff
+    stay even beyond keep_last; older unreferenced ones go; tags and
+    the head always survive."""
+    t = str(tmp_path / "exp")
+    iceberg.create(_df(spark, _rows(3)), t, format_version=3)
+    s1 = iceberg.current_metadata(t)["current-snapshot-id"]
+    iceberg.append(_df(spark, [(10, 0, 1.0)]), t)
+    iceberg.append(_df(spark, [(20, 1, 2.0)]), t)
+    meta = iceberg.current_metadata(t)
+    ts2 = next(
+        s["timestamp-ms"]
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    # cutoff beyond every snapshot + keep_last=1: only the head stays
+    iceberg.expire_snapshots(t, keep_last=1, older_than_ms=ts2 + 1)
+    kept = {
+        s["snapshot-id"]
+        for s in iceberg.current_metadata(t)["snapshots"]
+    }
+    assert kept == {meta["current-snapshot-id"]}
+    assert s1 not in kept
+    # cutoff in the past: nothing expires even with keep_last=1
+    iceberg.append(_df(spark, [(30, 2, 3.0)]), t)
+    n_before = len(iceberg.current_metadata(t)["snapshots"])
+    assert iceberg.expire_snapshots(t, keep_last=1, older_than_ms=0) == []
+    assert len(iceberg.current_metadata(t)["snapshots"]) == n_before
+
+
+def test_metadata_log_entries_table(spark, tmp_path):
+    """One row per addressable metadata generation, newest last, each
+    stamped with its snapshot/schema/sequence state; cleanup_metadata
+    shrinks the listing."""
+    t = str(tmp_path / "mle")
+    iceberg.create(_df(spark, _rows(2)), t, format_version=3)
+    iceberg.append(_df(spark, [(10, 0, 1.0)]), t)
+    iceberg.add_column(t, "extra", "long")
+    rows = iceberg.metadata_table(
+        spark, t, "metadata_log_entries"
+    ).collect()
+    assert len(rows) == iceberg.current_version(t)
+    assert [r.file for r in rows] == [
+        f"v{i}.metadata.json" for i in range(1, len(rows) + 1)
+    ]
+    meta = iceberg.current_metadata(t)
+    assert rows[-1].latest_snapshot_id == meta["current-snapshot-id"]
+    assert rows[-1].latest_schema_id == meta["current-schema-id"]
+    assert rows[0].latest_schema_id == 0
+    iceberg.cleanup_metadata(t, keep_last=2)
+    rows = iceberg.metadata_table(
+        spark, t, "metadata_log_entries"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[-1].latest_snapshot_id == meta["current-snapshot-id"]
+
+
+def test_delta_describe_detail(spark, tmp_path):
+    """The one-row summary reflects live state: partition columns,
+    live file count/bytes, properties, and the effective protocol
+    with its table features."""
+    t = str(tmp_path / "det")
+    delta_log.create(
+        _df(spark, _rows(6)).coalesce(1),
+        t,
+        partition_by=["k"],
+        row_tracking=True,
+    )
+    delta_log.delete_where(spark, t, "id = 1")
+    row = delta_log.describe_detail(spark, t).collect()[0]
+    assert row.format == "delta"
+    assert row.partitionColumns == ["k"]
+    assert row.numFiles == len(delta_log.snapshot_files(t))
+    assert row.sizeInBytes > 0
+    assert row.minWriterVersion == 7
+    assert "rowTracking" in row.tableFeatures
+    assert "deletionVectors" in row.tableFeatures
+    assert row.lastModified >= row.createdAt
+    assert row.location == os.path.abspath(t)
