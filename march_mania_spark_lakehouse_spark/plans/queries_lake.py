@@ -3166,3 +3166,108 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q240 — ICEBERG IDENTITY RELAYOUT THROUGH THE SYNC LINE (round 13,
+# the reverse of q235): the ICEBERG writer changes its identity
+# partition layout with `repartition_table` ([] → [status] → []), a
+# batch lands under each layout, and every `sync_to_delta` follows —
+# each relayout replays as ONE mirror commit (metaData
+# partitionColumns change + full file swap, dataChange=false, change
+# feeds skip it), and old mirror versions stay time-travelable under
+# their old layout. The oracle reconstructs the final population
+# relationally. At 100 TB: the writer pays the rewrite once; the
+# mirror follows with hard links — zero data movement.
+# --------------------------------------------------------------------------
+
+_Q240_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2, 3)
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _ice_relayout_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v3 Iceberg orders key%4=1
+    (unpartitioned) → convert_to_delta → repartition_table([status])
+    → append key%4=2 → sync → repartition_table([]) → append key%4=3
+    → sync. Returns the DELTA MIRROR path; guarded on the terminal
+    synced sequence + the flipped-back layout."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"ice-relayout|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ice_relayout", fp
+    )
+    it = os.path.join(root, "ice")
+    dt = os.path.join(root, "delta")
+
+    def _terminal() -> bool:
+        v = delta_log.latest_version(dt)
+        if v is None or iceberg.current_version(it) is None:
+            return False
+        _op, params = delta_log._commit_operation(dt, v)
+        return (
+            params.get("sourceSequence")
+            == str(iceberg.current_metadata(it)["last-sequence-number"])
+            and delta_log.table_partition_columns(dt) == []
+        )
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        iceberg.create(
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(*cols),
+            it,
+            format_version=3,
+        )
+        iceberg.convert_to_delta(it, dt)
+        iceberg.repartition_table(spark, it, ["o_orderstatus"])
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 4 == 2).select(*cols),
+            it,
+        )
+        iceberg.sync_to_delta(it, dt)
+        iceberg.repartition_table(spark, it, [])
+        iceberg.append(
+            orders.filter(F.col("o_orderkey") % 4 == 3).select(*cols),
+            it,
+        )
+        iceberg.sync_to_delta(it, dt)
+    return dt
+
+
+@query(
+    "q240_iceberg_relayout_mirror",
+    oracle=_Q240_SQL,
+    tags=("lake", "agg"),
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the Delta mirror after its sync crossed TWO writer-side
+    Iceberg identity relayouts: counts and exact price sums per status
+    must hash-match the relational oracle over all three batches."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _ice_relayout_mirror(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -1654,10 +1654,13 @@ def describe_detail(spark: SparkSession, table: str) -> DataFrame:
     row = (
         "delta",
         md.get("id"),
+        md.get("name"),  # path tables have no catalog name
+        md.get("description"),
         os.path.abspath(table),
         md.get("createdTime"),
         last_mod,
         list(md.get("partitionColumns") or []),
+        [],  # liquid clustering is not a feature of this engine
         len(live),
         sum(int(a.get("size") or 0) for a in live.values()),
         dict(md.get("configuration") or {}),
@@ -1665,10 +1668,13 @@ def describe_detail(spark: SparkSession, table: str) -> DataFrame:
         int(proto.get("minWriterVersion", 2)),
         features,
     )
+    # column set + order match the reference DESCRIBE DETAIL shape
     return spark.createDataFrame(
         [row],
-        "format string, id string, location string, createdAt long, "
+        "format string, id string, name string, description string, "
+        "location string, createdAt long, "
         "lastModified long, partitionColumns array<string>, "
+        "clusteringColumns array<string>, "
         "numFiles long, sizeInBytes long, "
         "properties map<string,string>, minReaderVersion int, "
         "minWriterVersion int, tableFeatures array<string>",
@@ -2262,8 +2268,10 @@ def optimize(
     and a concurrent reader of the old version still finds its files
     until vacuum.
 
-    Stats default to ``zorder_by`` when ``stat_cols`` is empty — you
-    cluster by exactly the columns you want to skip on."""
+    Stats default to ``zorder_by`` UNION the columns the live adds
+    already carry min/max for when ``stat_cols`` is empty — a
+    compaction must not silently drop the skipping stats the
+    pre-rewrite adds had."""
     cur = latest_version(table)
     if cur is None:
         raise FileNotFoundError(f"{table} has no Delta log")
@@ -2310,7 +2318,12 @@ def optimize(
             {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": False}}
             for p in sorted(live)
         ),
-        *_add_actions(table, files, stat_cols or zorder_by),
+        *_add_actions(
+            table,
+            files,
+            stat_cols
+            or sorted(set(zorder_by) | set(_live_stat_cols(table, cur))),
+        ),
     ]
     # rewrite adds carry dataChange=false: same rows, new layout
     for a in actions:
@@ -2319,6 +2332,23 @@ def optimize(
     actions = _assign_row_ids(table, cur, actions, cur + 1)
     _commit_read_dependent(table, cur + 1, actions, "OPTIMIZE")
     return cur + 1
+
+
+def _live_stat_cols(table: str, version: int) -> list[str]:
+    """LOGICAL column names whose min/max data-skipping stats the live
+    adds carry at ``version`` — the default stat set for full rewrites
+    (OPTIMIZE / REPLACE PARTITIONED BY), so a relayout preserves the
+    skipping stats the pre-rewrite adds had instead of silently
+    dropping them."""
+    mapping = column_mapping(table, version) or {}
+    phys_to_log = {phys: log for log, phys in mapping.items()}
+    phys_cols: set = set()
+    for a in _replay(table, version).values():
+        stats = a.get("stats")
+        if not stats:
+            continue
+        phys_cols.update((json.loads(stats).get("minValues") or {}).keys())
+    return sorted(phys_to_log.get(c, c) for c in phys_cols)
 
 
 def repartition_table(
@@ -2356,6 +2386,11 @@ def repartition_table(
     else:
         df = read_delta(spark, table, cur)
     live = snapshot_files(table, cur)
+    if not stat_cols:
+        # a full rewrite must not silently drop the data-skipping
+        # stats the pre-rewrite adds carried: default to the column
+        # set the live adds recorded min/max for
+        stat_cols = _live_stat_cols(table, cur)
     files = _stage_data_files(df, table, new_parts)
     ts = _now_ms()
     actions = [

@@ -425,8 +425,46 @@ def _identity_part_cols(meta: dict) -> list[str]:
     (ts_day, key_bucket) are derived dir values — their SOURCE columns
     stay in the data files, per the spec's hidden partitioning.
     `evolve_partition_spec` pins the identity set to be IDENTICAL
-    across specs, so the default spec answers for every file."""
+    across specs, so the default spec answers for every file CURRENT
+    writes produce — but `repartition_table` changes the identity set
+    across SNAPSHOTS (each one internally single-identity, full
+    rewrite), so snapshot-scoped reads must use
+    :func:`_identity_part_cols_at` instead."""
     return [pf["name"] for pf in _spec_info(meta) if pf["transform"] == "identity"]
+
+
+def _identity_part_cols_at(meta: dict, sid: int) -> list[str]:
+    """Identity partition columns governing snapshot ``sid``'s data
+    files, resolved from the spec ids its manifest list references —
+    time travel across a `repartition_table` must read each snapshot
+    under ITS identity set (the current default would null out, or
+    fail to restore, the other generation's columns). Within one
+    snapshot the identity set is single-valued by writer discipline:
+    transform evolution keeps it equal across specs, and an identity
+    change is always a full rewrite."""
+    snap = _snapshot(meta, sid)
+    spec_ids = {
+        m.get("partition_spec_id", 0)
+        for m in avro_ocf.read_ocf(snap["manifest-list"])
+        if m.get("content", 0) == 0
+    }
+    if not spec_ids:
+        return _identity_part_cols(meta)
+    sets = {
+        tuple(
+            pf["name"]
+            for pf in _spec_info(meta, i)
+            if pf["transform"] == "identity"
+        )
+        for i in spec_ids
+    }
+    if len(sets) > 1:
+        raise NotImplementedError(
+            f"snapshot {sid} mixes manifests whose specs disagree on "
+            f"the identity-column set ({sorted(sets)}); hive layouts "
+            "cannot coexist in one snapshot"
+        )
+    return list(sets.pop())
 
 
 # --------------------------------------------------------------------------
@@ -2061,7 +2099,7 @@ def _read_raw(
         spark_schema = T.StructType(
             list(spark_schema.fields) + list(extra_fields)
         )
-    id_cols = _identity_part_cols(meta)
+    id_cols = _identity_part_cols_at(meta, sid)
     evolved = len(meta.get("partition-specs", [])) > 1
     has_spec = bool(_spec_info(meta))
     # clone tables reference the SOURCE's files in place: paths that
@@ -2740,9 +2778,76 @@ def evolve_partition_spec(table: str, partition_by: Sequence[str]) -> int:
         raise NotImplementedError(
             f"evolving the identity-column set ({sorted(old_identity)} -> "
             f"{sorted(new_identity)}) would change the physical file "
-            "schema; only transform fields may evolve"
+            "schema; only transform fields may evolve metadata-only — "
+            "use repartition_table for an identity relayout (it "
+            "rewrites the live data under the new spec in one commit)"
         )
     return _register_partition_spec(table, meta, parsed)
+
+
+def repartition_table(
+    spark: SparkSession,
+    table: str,
+    partition_by: Sequence[str],
+    stat_cols: Sequence[str] = (),
+) -> int:
+    """REPLACE ... PARTITIONED BY for Iceberg: change the IDENTITY
+    partition layout by rewriting the live data pre-shaped under the
+    new spec in ONE ``replace`` snapshot — the Iceberg twin of
+    `delta_log.repartition_table`, and the only way to change the
+    identity set in this engine (identity fields are hive-laid-out, so
+    their columns physically leave the data files; a metadata-only
+    flip would strand one generation unreadable —
+    `evolve_partition_spec`'s honest gate). Transform fields may ride
+    along (``["k", "bucket(4, id)"]``).
+
+    Semantics mirror the Delta op: rows are unchanged, so the commit
+    is ``operation='replace'`` (change feeds skip it); tombstones on
+    the old layout are MATERIALIZED by the rewrite (the new snapshot
+    has no delete files); v3 row lineage survives as materialized
+    ``_row_id`` columns; old snapshots keep their old spec and stay
+    time-travelable (reads resolve identity columns PER SNAPSHOT). The
+    spec registration and the file swap land in one atomic metadata
+    write — no torn intermediate state for a concurrent writer to
+    append into. The Delta-mirror sync replays this as one relayout
+    commit (metaData partitionColumns change + full file swap,
+    ``dataChange=false``).
+
+    Returns the new snapshot id (or the current one when the spec
+    already matches)."""
+    meta = current_metadata(table)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema["fields"]}
+    parsed = [_parse_partition_field(s, by_name) for s in partition_by]
+    if len({p["name"] for p in parsed}) != len(parsed):
+        raise ValueError("duplicate partition field names")
+    cur_spec = _spec_info(meta)
+    want = [(p["name"], p["transform"], p["source"]) for p in parsed]
+    have = [(pf["name"], pf["transform"], pf["source"]) for pf in cur_spec]
+    sid = meta.get("current-snapshot-id", -1)
+    if want == have:
+        return sid
+    if sid == -1:
+        # empty table: pure spec registration, nothing to rewrite
+        _register_partition_spec(table, meta, parsed)
+        return sid
+    v3 = int(meta.get("format-version", 2)) >= 3
+    if v3:
+        df, _ = _read_files_lineage(
+            spark, table, meta, sid, None, meta["current-schema-id"]
+        )
+    else:
+        df = read_iceberg(spark, table)
+    meta2, spec_id = _registered_spec_meta(meta, parsed)
+    staged = _stage_data_files(
+        df, table, _spec_info(meta2, spec_id),
+        meta2["schemas"][meta2["current-schema-id"]],
+    )
+    return _commit_snapshot(
+        None, table, meta2, "replace", True, stat_cols,
+        {"repartitioned-by": ",".join(partition_by)},
+        staged, assign_row_ids=not v3,
+    )
 
 
 def _register_partition_spec(table: str, meta: dict, parsed: list) -> int:
@@ -2751,6 +2856,19 @@ def _register_partition_spec(table: str, meta: dict, parsed: list) -> int:
     the latter bypasses the writer-path identity gate because its data
     files arrive PRE-SHAPED from the Delta source and every pre-change
     file is replaced in the same commit)."""
+    meta2, spec_id = _registered_spec_meta(meta, parsed)
+    if meta2 is not meta:
+        _write_metadata(table, meta2)
+    return spec_id
+
+
+def _registered_spec_meta(meta: dict, parsed: list) -> "tuple[dict, int]":
+    """PURE spec registration: returns (new meta dict, spec id) without
+    writing — `repartition_table` folds the registration and its full
+    rewrite into ONE metadata commit (a crash between a written spec
+    flip and the rewrite would otherwise leave a mixed-identity head
+    that new appends could corrupt). Returns ``meta`` unchanged (same
+    object) when the parsed spec already IS the default."""
     schema = meta["schemas"][meta["current-schema-id"]]
     by_name = {f["name"]: f for f in schema["fields"]}
     # reuse field-ids for (source, transform) pairs seen in ANY prior
@@ -2778,16 +2896,29 @@ def _register_partition_spec(table: str, meta: dict, parsed: list) -> int:
                 "field-id": fid,
             }
         )
-    new_spec_id = max(s.get("spec-id", 0) for s in meta["partition-specs"]) + 1
-    meta = dict(meta)
-    meta["partition-specs"] = list(meta["partition-specs"]) + [
-        {"spec-id": new_spec_id, "fields": spec_fields}
-    ]
+    # reference Iceberg reuses an EQUIVALENT existing spec rather than
+    # minting a new id — layout flip-flops (REPLACE PARTITIONED BY
+    # toggling, RESTORE across a repartition) must not grow
+    # partition-specs unboundedly
+    for s in meta["partition-specs"]:
+        if s["fields"] == spec_fields:
+            new_spec_id = s.get("spec-id", 0)
+            if meta.get("default-spec-id", 0) == new_spec_id:
+                return meta, new_spec_id  # already the default: no-op
+            meta = dict(meta)
+            break
+    else:
+        meta = dict(meta)
+        new_spec_id = (
+            max(s.get("spec-id", 0) for s in meta["partition-specs"]) + 1
+        )
+        meta["partition-specs"] = list(meta["partition-specs"]) + [
+            {"spec-id": new_spec_id, "fields": spec_fields}
+        ]
     meta["default-spec-id"] = new_spec_id
     meta["last-partition-id"] = next_id
     meta["last-updated-ms"] = _now_ms()
-    _write_metadata(table, meta)
-    return new_spec_id
+    return meta, new_spec_id
 
 
 def scan_null(
@@ -3084,35 +3215,94 @@ def optimize(
     # live file: a DV / position-delete manifest whose every reference
     # was packed away (the rewrite materialized those tombstones) is
     # dropped, not carried as metadata debris — `delete_files` /
-    # `position_deletes` inspection stays truthful. A manifest with at
-    # least one surviving reference (or any equality delete, which
-    # references by value) carries verbatim.
+    # `position_deletes` inspection stays truthful. A manifest where
+    # only SOME references survive is REWRITTEN with just the
+    # governing entries (carrying it verbatim would leave stale DV /
+    # position entries for packed-away files as debris rows in those
+    # same metadata tables); one where every entry survives (or any
+    # equality delete, which references by value) carries verbatim.
     live_paths = {
         e["data_file"]["file_path"] for _, e in big_entries
     }
 
-    def _still_governs(m: dict) -> bool:
+    def _carry_delete_manifest(m: dict) -> "dict | None":
         import pyarrow.parquet as _pq
 
-        for e in avro_ocf.read_ocf(m["manifest_path"]):
+        entries = list(avro_ocf.read_ocf(m["manifest_path"]))
+
+        def _governs(e: dict) -> bool:
             if e["status"] == 2:
-                continue
+                return False
             d = e["data_file"]
-            c = d.get("content", 0)
-            if c == 2:
+            if d.get("content", 0) == 2:
                 return True  # equality delete: value-addressed
             if (d.get("file_format") or "").upper() == "PUFFIN":
-                if d["referenced_data_file"] in live_paths:
-                    return True
-            else:
-                refs_col = _pq.read_table(
-                    d["file_path"], columns=["file_path"]
-                ).column("file_path").to_pylist()
-                if any(p in live_paths for p in refs_col):
-                    return True
-        return False
+                return d["referenced_data_file"] in live_paths
+            refs_col = _pq.read_table(
+                d["file_path"], columns=["file_path"]
+            ).column("file_path").to_pylist()
+            return any(p in live_paths for p in refs_col)
 
-    manifests = manifests + [m for m in delete_ml if _still_governs(m)]
+        alive = [e for e in entries if _governs(e)]
+        if not alive:
+            return None
+        if len(alive) == len(entries):
+            return m
+        d_spec_id = m.get("partition_spec_id", 0)
+        d_fields = next(
+            s["fields"] for s in meta["partition-specs"]
+            if s.get("spec-id", 0) == d_spec_id
+        )
+        d_schema = _manifest_entry_schema(
+            _partition_record_schema(d_fields, schema)
+        )
+        has_eq = any(
+            e["data_file"].get("content", 0) == 2 for e in alive
+        )
+        if has_eq:
+            d_schema = _with_equality_ids(d_schema)
+        d_records = [
+            {
+                "status": 0,  # EXISTING — original sequence preserved
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": (
+                    {
+                        **e["data_file"],
+                        "equality_ids": e["data_file"].get("equality_ids"),
+                    }
+                    if has_eq
+                    else e["data_file"]
+                ),
+            }
+            for e in alive
+        ]
+        d_path = os.path.join(
+            _meta_dir(table), f"{uuid.uuid4().hex}-m0.avro"
+        )
+        avro_ocf.write_ocf(d_path, d_schema, d_records)
+        return {
+            **m,
+            "manifest_path": d_path,
+            "manifest_length": os.path.getsize(d_path),
+            "added_snapshot_id": snapshot_id,
+            "min_sequence_number": min(
+                e["sequence_number"] for e in alive
+            ),
+            "added_files_count": 0,
+            "existing_files_count": len(alive),
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in alive
+            ),
+            "deleted_rows_count": 0,
+        }
+
+    manifests = manifests + [
+        c for m in delete_ml if (c := _carry_delete_manifest(m)) is not None
+    ]
     ml_path = _write_manifest_list(table, snapshot_id, manifests)
     snapshot = {
         "snapshot-id": snapshot_id,
@@ -4749,7 +4939,37 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
             delta_log._hwm_action(int(meta["next-row-id"]) - 1)
         )
     delta_log._write_commit(delta_table, 0, actions)
+    _pin_sync_cursor(iceberg_table, delta_table, sid)
     return 0
+
+
+def _pin_sync_cursor(
+    iceberg_table: str, delta_table: str, sid: int
+) -> None:
+    """Auto-managed ``sync-cursor-*`` TAG on the SOURCE table pinned to
+    the mirror's last-synced snapshot (round 13), keyed per mirror path
+    so independent mirrors don't thrash one ref. Ref retention keeps
+    the cursor snapshot alive through `expire_snapshots`, so continuous
+    sync never hits the documented re-convert under routine
+    maintenance — including the rollback case, where the pinned
+    OFF-ANCESTRY cursor staying retained is exactly what makes the
+    compensating state diff computable. Each sync advances the tag;
+    `drop_ref` releases it if the mirror is decommissioned."""
+    name = (
+        "sync-cursor-"
+        + hashlib.sha256(
+            os.path.abspath(delta_table).encode()
+        ).hexdigest()[:8]
+    )
+    meta = current_metadata(iceberg_table)
+    refs = dict(meta.get("refs", {}))
+    if refs.get(name, {}).get("snapshot-id") == sid:
+        return
+    refs[name] = {"snapshot-id": sid, "type": "tag"}
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = _now_ms()
+    _write_metadata(iceberg_table, meta)
 
 
 def _delta_pv_str(v, t: str) -> "str | None":
@@ -6066,9 +6286,18 @@ def sync_to_delta(
         if (
             node == cursor_sid
             if cursor_sid is not None
-            else s["sequence-number"] <= cursor
+            else s["sequence-number"] == cursor
         ):
             anchor = node
+            break
+        if cursor_sid is None and s["sequence-number"] < cursor:
+            # the walk passed BELOW a sid-less cursor without an exact
+            # sequence hit: the cursor snapshot was rolled off the main
+            # ancestry and then expired. Anchoring on this ancestor
+            # (seq < cursor) would replay parent-diffs onto the
+            # mirror's cursor-image state and silently keep the
+            # rolled-off rows — the state diff is unknowable. Fall
+            # through to the re-convert raise below.
             break
         lineage.append(s)
         node = s.get("parent-snapshot-id")
@@ -6102,6 +6331,9 @@ def sync_to_delta(
             iceberg_table, delta_table, meta, head, v,
             base_sid=cursor_sid, rewrite=rewrite,
         )
+        _pin_sync_cursor(
+            iceberg_table, delta_table, head["snapshot-id"]
+        )
         return delta_log.latest_version(delta_table)
     last_seq = cursor
     for s in reversed(lineage):
@@ -6123,6 +6355,10 @@ def sync_to_delta(
         iceberg_table, delta_table, meta,
         meta["schemas"][meta["current-schema-id"]], last_seq,
     )
+    if meta.get("current-snapshot-id", -1) != -1:
+        _pin_sync_cursor(
+            iceberg_table, delta_table, meta["current-snapshot-id"]
+        )
     return delta_log.latest_version(delta_table)
 
 
@@ -6184,10 +6420,19 @@ def _sync_iceberg_snapshot(
             "table first, or sync with rewrite='auto' to convert the "
             "positions to deletion vectors in flight"
         )
-    if snapshot_equality_deletes(iceberg_table, sid):
+    eq_cur = snapshot_equality_deletes(iceberg_table, sid)
+    eq_prev = (
+        snapshot_equality_deletes(iceberg_table, parent)
+        if parent is not None
+        else []
+    )
+    if eq_cur and rewrite != "auto":
         raise NotImplementedError(
             f"snapshot {sid} carries equality deletes; Delta cannot "
-            "represent them — compact first"
+            "represent them — compact first, or sync with "
+            "rewrite='auto' to resolve them to deletion vectors in "
+            "flight (bounded by the key-column scan of lower-sequence "
+            "files)"
         )
     # schema / spec gates against the mirror's declared state (the
     # compensating path gates against the CURRENT schema: the head
@@ -6214,21 +6459,46 @@ def _sync_iceberg_snapshot(
             f"snapshot {sid}'s schema does not match the mirror's; "
             "schema changes do not replay — re-convert"
         )
-    spec = _spec_info(meta)
-    if any(pf["transform"] != "identity" for pf in spec):
+    # the spec governing THIS snapshot's data files, resolved from its
+    # manifests' spec ids — once `repartition_table` has evolved the
+    # layout, the current default spec doesn't answer for mid-lineage
+    # snapshots
+    snap_spec_ids = sorted(
+        {
+            m.get("partition_spec_id", 0)
+            for m in avro_ocf.read_ocf(snap["manifest-list"])
+            if m.get("content", 0) == 0
+        }
+    )
+    specs = [_spec_info(meta, i) for i in snap_spec_ids]
+    if any(pf["transform"] != "identity" for sp in specs for pf in sp):
         raise NotImplementedError(
             "Delta cannot represent transform partition specs"
         )
-    part_cols = [pf["source"] for pf in spec]
-    part_types = {pf["source"]: pf["source_type"] for pf in spec}
-    if part_cols != delta_log.table_partition_columns(delta_table):
+    prev_cols = delta_log.table_partition_columns(delta_table)
+    col_sets = {tuple(pf["source"] for pf in sp) for sp in specs}
+    if len(col_sets) > 1:
         raise DeltaSyncSchemaChangeError(
-            f"snapshot {sid}'s partition spec does not match the "
-            "mirror's partition columns — re-convert"
+            f"snapshot {sid} mixes manifests of different identity "
+            "layouts — re-convert"
         )
+    part_cols = list(col_sets.pop()) if col_sets else list(prev_cols)
+    type_by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    part_types = {
+        c: type_by_name[c]
+        for c in set(part_cols) | set(prev_cols)
+        if c in type_by_name
+    }
+    relayout = part_cols != prev_cols
 
     cur = _iceberg_data_entries(meta, sid)
     prev = _iceberg_data_entries(meta, parent) if parent is not None else {}
+    if relayout and set(cur) & set(prev):
+        raise DeltaSyncSchemaChangeError(
+            f"snapshot {sid} changes the partition layout but keeps "
+            f"{len(set(cur) & set(prev))} pre-change file(s); a layout "
+            "change must be a full rewrite — re-convert"
+        )
     cur_dvs = {
         e["referenced_data_file"]: e
         for e in snapshot_dv_entries(iceberg_table, sid)
@@ -6302,15 +6572,18 @@ def _sync_iceberg_snapshot(
     def _dv_key(e: dict) -> tuple:
         return (e["puffin_path"], int(e["offset"]), int(e["length"]))
 
-    rewrite_positions = rewrite == "auto" and bool(pos_cur or pos_prev)
+    rewrite_positions = rewrite == "auto" and bool(
+        pos_cur or pos_prev or eq_cur or eq_prev
+    )
     if rewrite_positions:
         # rewrite='auto': each endpoint's per-file tombstone STATE is
-        # DV positions ∪ position-delete rows; diff on the effective
-        # sets (the verbatim framed-bytes fast path can't apply — the
-        # union must be re-encoded)
+        # DV positions ∪ position-delete rows ∪ equality deletes
+        # RESOLVED to positions (round 13); diff on the effective sets
+        # (the verbatim framed-bytes fast path can't apply — the union
+        # must be re-encoded)
         import pyarrow.parquet as _pq
 
-        def _positions_of(dvs, pos_files) -> "dict[str, set]":
+        def _positions_of(dvs, pos_files, eq_sid) -> "dict[str, set]":
             out: dict[str, set] = {}
             for e in dvs.values():
                 out.setdefault(e["referenced_data_file"], set()).update(
@@ -6325,10 +6598,17 @@ def _sync_iceberg_snapshot(
                     t.column("pos").to_pylist(),
                 ):
                     out.setdefault(fp, set()).add(pos)
+            if eq_sid is not None:
+                for fp, poss in _equality_delete_positions(
+                    iceberg_table, eq_sid
+                ).items():
+                    out.setdefault(fp, set()).update(poss)
             return out
 
-        cur_pos = _positions_of(cur_dvs, pos_cur)
-        prev_pos = _positions_of(prev_dvs, pos_prev)
+        cur_pos = _positions_of(cur_dvs, pos_cur, sid if eq_cur else None)
+        prev_pos = _positions_of(
+            prev_dvs, pos_prev, parent if eq_prev else None
+        )
         dv_changed = sorted(
             fp
             for fp, s2 in cur_pos.items()
@@ -6353,22 +6633,49 @@ def _sync_iceberg_snapshot(
         )
     data_change = True if compensating else (op != "replace")
 
-    def delta_path(fp: str, df_rec: dict) -> "tuple[str, dict]":
+    # partitionValues (and the hive dirs) are keyed by the mirror's
+    # PHYSICAL names on column-mapped mirrors (Delta spec; what the
+    # reader's broadcast restoration looks up) — a relayout by a
+    # RENAMED column would otherwise write logical keys the reader
+    # can't resolve. metaData.partitionColumns stays the LOGICAL view.
+    pv_phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in json.loads(
+            delta_log._latest_metadata(
+                delta_table, delta_log.latest_version(delta_table)
+            )["schemaString"]
+        )["fields"]
+    }
+
+    def delta_path(
+        fp: str, df_rec: dict, cols: "list[str] | None" = None
+    ) -> "tuple[str, dict]":
         """(add-action path, partitionValues) for an Iceberg data file
         — in place when unpartitioned, digest-named hive layout when
-        partitioned (matching convert_to_delta's deterministic rule)."""
-        if not part_cols:
+        partitioned (matching convert_to_delta's deterministic rule).
+        ``cols`` selects the layout: removes across a RELAYOUT commit
+        resolve under the mirror's pre-change columns, adds under the
+        snapshot's own."""
+        cols = part_cols if cols is None else cols
+        if not cols:
             return fp, {}
         pv = {
-            c: _delta_pv_str(
+            pv_phys.get(c, c): _delta_pv_str(
                 (df_rec.get("partition") or {}).get(c), part_types[c]
             )
-            for c in part_cols
+            for c in cols
         }
         dirs = os.path.join(
             *(
-                f"{c}={pv[c] if pv[c] is not None else '__HIVE_DEFAULT_PARTITION__'}"
-                for c in part_cols
+                "{}={}".format(
+                    pv_phys.get(c, c),
+                    pv[pv_phys.get(c, c)]
+                    if pv[pv_phys.get(c, c)] is not None
+                    else "__HIVE_DEFAULT_PARTITION__",
+                )
+                for c in cols
             )
         )
         name = hashlib.sha256(fp.encode()).hexdigest()[:32] + ".parquet"
@@ -6479,8 +6786,17 @@ def _sync_iceberg_snapshot(
                 )
             }
         )
+    if relayout:
+        # one commit changes partitionColumns AND swaps every file —
+        # the only legal Delta shape for a layout change (mirrors
+        # delta_log.repartition_table); removes resolve under the
+        # mirror's PRE-change layout, adds under the snapshot's own
+        md = delta_log._latest_metadata(delta_table, v - 1)
+        actions.append(
+            {"metaData": {**md, "partitionColumns": list(part_cols)}}
+        )
     for fp in removed:
-        path, _ = delta_path(fp, prev[fp])
+        path, _ = delta_path(fp, prev[fp], prev_cols)
         actions.append(
             {
                 "remove": {
@@ -6925,6 +7241,86 @@ def snapshot_equality_deletes(
                     )
                 )
     return sorted(out)
+
+
+def _equality_delete_positions(
+    table: str, snapshot_id: int
+) -> "dict[str, set[int]]":
+    """Resolve a snapshot's EQUALITY deletes to per-file POSITIONS —
+    the shape `sync_to_delta(rewrite='auto')` needs to encode them as
+    Delta deletion vectors (round 13). Applies the spec's rules exactly
+    as the scan path does: a tombstone key at sequence d kills matching
+    rows only in data files with STRICTLY LOWER sequence, and a NULL
+    key value matches NULL (tuple equality, the eqNullSafe twin).
+
+    Cost is bounded by a KEY-COLUMN-pruned scan of the candidate data
+    files (those below the highest tombstone sequence) plus the
+    tombstone files themselves — the same matching-row scan every read
+    of this snapshot already performs. Key columns that are identity
+    partition columns (physically absent from data files) resolve from
+    the manifest partition tuples: all rows of a file share the value,
+    so the whole file matches or none of it does."""
+    import pyarrow.parquet as _pq
+
+    eq = snapshot_equality_deletes(table, snapshot_id)
+    if not eq:
+        return {}
+    meta = current_metadata(table)
+    id_cols = set(_identity_part_cols_at(meta, snapshot_id))
+    src_type = {
+        f["name"]: f["type"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    seqs = _data_file_sequences(table, snapshot_id)
+    entries = _iceberg_data_entries(meta, snapshot_id)
+    out: dict[str, set[int]] = {}
+    by_cols: dict = {}
+    for path, dseq, cols in eq:
+        by_cols.setdefault(tuple(cols), []).append((path, dseq))
+    for cols, files in sorted(by_cols.items()):
+        # consolidated tombstone keys: value tuple → highest sequence.
+        # Identity-column key values convert to the MANIFEST
+        # representation (date → days, ts → micros) so they compare
+        # like-for-like with the partition tuples.
+        key_seq: dict = {}
+        for path, dseq in files:
+            t = _pq.read_table(path, columns=list(cols))
+            for rec in t.to_pylist():
+                val = tuple(
+                    _partition_compare_value(
+                        rec[c], "identity", src_type[c]
+                    )
+                    if c in id_cols and rec[c] is not None
+                    else rec[c]
+                    for c in cols
+                )
+                key_seq[val] = max(key_seq.get(val, dseq), dseq)
+        max_seq = max(s for _, s in files)
+        file_cols = [c for c in cols if c not in id_cols]
+        for fp, fseq in sorted(seqs.items()):
+            if fseq >= max_seq:
+                continue  # spec ordering rule: nothing here can match
+            part = (entries[fp].get("partition") or {}) if fp in entries else {}
+            fixed = {c: part.get(c) for c in cols if c in id_cols}
+            t = (
+                _pq.read_table(fp, columns=file_cols)
+                if file_cols
+                else None
+            )
+            n = (
+                t.num_rows
+                if t is not None
+                else entries[fp]["record_count"]
+            )
+            rows = t.to_pylist() if t is not None else [{}] * n
+            for pos, rec in enumerate(rows):
+                val = tuple(
+                    fixed[c] if c in fixed else rec[c] for c in cols
+                )
+                s = key_seq.get(val)
+                if s is not None and fseq < s:
+                    out.setdefault(fp, set()).add(pos)
+    return out
 
 
 def _data_file_sequences(table: str, snapshot_id: int) -> dict[str, int]:

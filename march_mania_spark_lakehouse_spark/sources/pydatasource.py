@@ -829,10 +829,12 @@ class _IcebergTableStreamReader:
         cols = [f["name"] for f in schema["fields"]]
         # identity-transform partition columns are physically absent
         # from data files (hive layout); their TYPED values ride in the
-        # manifest entry's partition tuple — restore from there.
-        # Transform fields (ts_day / key_bucket) need nothing: their
-        # source columns stay in the files (hidden partitioning).
-        identity = set(iceberg._identity_part_cols(meta))
+        # manifest entry's partition tuple — restore from there, PER
+        # ENTRY (after a repartition_table the identity set differs per
+        # generation; a schema column present in the tuple is an
+        # identity value by construction). Transform fields (ts_day /
+        # key_bucket) need nothing: their source columns stay in the
+        # files (hidden partitioning).
         for path, part in files:
             t = pq.read_table(path)
             names = set(t.column_names)
@@ -841,7 +843,7 @@ class _IcebergTableStreamReader:
                 for c, ty in (
                     (f["name"], f["type"]) for f in schema["fields"]
                 )
-                if c in identity
+                if c in part
             }
             for rec in t.to_pylist():
                 yield tuple(
@@ -974,7 +976,6 @@ class _IcebergTableCdcStreamReader:
 
         schema = meta["schemas"][meta["current-schema-id"]]
         cols = [f["name"] for f in schema["fields"]]
-        identity = set(iceberg._identity_part_cols(meta))
         types = {f["name"]: f["type"] for f in schema["fields"]}
         by_fid = {f["id"]: f["name"] for f in schema["fields"]}
         datafiles: dict = {}  # path -> (eseq, fseq, first_row_id, part)
@@ -1028,10 +1029,12 @@ class _IcebergTableCdcStreamReader:
             dseq, fseq, first, part = datafiles[fp]
             t = pq.read_table(fp)
             names = set(t.column_names)
+            # per-entry tuple, not the current identity set: after a
+            # repartition_table the identity set differs per generation
             fills = {
                 c: _iceberg_partition_value(part.get(c), types[c])
                 for c in cols
-                if c in identity
+                if c in part
             }
             gone = tomb.get(fp, ())
             for pos, rec in enumerate(t.to_pylist()):
@@ -1191,7 +1194,6 @@ class _IcebergTableCdcStreamReader:
         snap = iceberg._snapshot(meta, meta["current-snapshot-id"])
         schema = meta["schemas"][meta["current-schema-id"]]
         cols = [f["name"] for f in schema["fields"]]
-        identity = set(iceberg._identity_part_cols(meta))
         types = {f["name"]: f["type"] for f in schema["fields"]}
         by_fid = {f["id"]: f["name"] for f in schema["fields"]}
         added, pos_dels = [], []
@@ -1236,11 +1238,17 @@ class _IcebergTableCdcStreamReader:
                 )
 
         def _fills(path: str) -> dict:
+            # fill from THIS entry's partition tuple (generation-proof:
+            # after a repartition_table the identity set differs across
+            # generations — a schema column present in the tuple is an
+            # identity value by construction, transform field names
+            # never collide with schema columns); files whose tuple
+            # lacks the column carry it physically
             part = part_of.get(path) or {}
             return {
                 c: _iceberg_partition_value(part.get(c), types[c])
                 for c in cols
-                if c in identity
+                if c in part
             }
 
         rows = []
@@ -1317,14 +1325,14 @@ class _IcebergTableCdcStreamReader:
         for s in sorted(eq_by_seq):
             rows.extend(
                 self._eq_dead_rows(
-                    meta, s, eq_by_seq[s], cols, types, identity
+                    meta, s, eq_by_seq[s], cols, types
                 )
             )
         return rows
 
     def _eq_dead_rows(
         self, meta: dict, del_seq: int, files: list, cols: list,
-        types: dict, identity: set,
+        types: dict,
     ) -> list:
         """Rows an equality-delete commit killed: alive at the commit's
         PARENT snapshot, matching any delete file's key tuples —
@@ -1430,7 +1438,7 @@ class _IcebergTableCdcStreamReader:
             fills = {
                 c: _iceberg_partition_value(part.get(c), types[c])
                 for c in cols
-                if c in identity
+                if c in part
             }
             gone = tomb.get(fp, ())
             for pos, rec in enumerate(t.to_pylist()):

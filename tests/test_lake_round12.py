@@ -258,7 +258,10 @@ def test_sync_to_delta_plain_fast_forward_still_linear(spark, tmp_path):
 def test_sync_to_delta_rollback_with_expired_cursor_raises(
     spark, tmp_path
 ):
-    """When the rolled-off cursor snapshot has been expired the state
+    """Round-13 split behavior: with the auto-managed sync-cursor TAG
+    (default), routine expiry RETAINS the rolled-off cursor snapshot
+    and the next sync compensates normally; once the tag is dropped
+    (mirror decommissioned) and the cursor truly expires, the state
     diff is unknowable — the sync must refuse, not guess."""
     it = str(tmp_path / "ice")
     dt = str(tmp_path / "mirror")
@@ -267,18 +270,36 @@ def test_sync_to_delta_rollback_with_expired_cursor_raises(
     iceberg.convert_to_delta(it, dt)
     iceberg.append(_df(spark, _sync_rows(40, 42)), it)  # BAD
     iceberg.sync_to_delta(it, dt)
+    cursor = iceberg.current_metadata(it)["current-snapshot-id"]
     iceberg.rollback_to_snapshot(it, good)
     iceberg.append(_df(spark, _sync_rows(50, 52)), it)
-    bad = {
-        s["snapshot-id"]
-        for s in iceberg.current_metadata(it)["snapshots"]
-    } - set()
-    iceberg.expire_snapshots(it, keep_last=2)  # rolled-off BAD goes
+    iceberg.expire_snapshots(it, keep_last=2)
     kept = {
         s["snapshot-id"]
         for s in iceberg.current_metadata(it)["snapshots"]
     }
-    assert bad - kept  # the rolled-off snapshot really expired
+    assert cursor in kept  # the sync-cursor tag protected it
+    iceberg.sync_to_delta(it, dt)  # compensates, no re-convert
+    assert _mirror_rows(spark, dt) == _ice_rows(spark, it)
+    # decommission path: drop the tag, force the cursor out, and the
+    # next post-rollback sync honestly refuses
+    iceberg.append(_df(spark, _sync_rows(60, 62)), it)  # BAD 2
+    iceberg.sync_to_delta(it, dt)
+    for name in list(iceberg.current_metadata(it).get("refs", {})):
+        if name.startswith("sync-cursor-"):
+            iceberg.drop_ref(it, name)
+    cur2 = iceberg.current_metadata(it)["current-snapshot-id"]
+    iceberg.rollback_to_snapshot(
+        it,
+        iceberg.current_metadata(it)["snapshots"][0]["snapshot-id"],
+    )
+    iceberg.append(_df(spark, _sync_rows(70, 72)), it)
+    iceberg.expire_snapshots(it, keep_last=1)
+    kept = {
+        s["snapshot-id"]
+        for s in iceberg.current_metadata(it)["snapshots"]
+    }
+    assert cur2 not in kept  # the cursor really expired this time
     with pytest.raises(ValueError, match="re-convert"):
         iceberg.sync_to_delta(it, dt)
 
@@ -969,3 +990,14 @@ def test_delta_describe_detail(spark, tmp_path):
     assert "deletionVectors" in row.tableFeatures
     assert row.lastModified >= row.createdAt
     assert row.location == os.path.abspath(t)
+    # reference DESCRIBE DETAIL column set + order (positional
+    # consumers): name/description null for path tables,
+    # clusteringColumns empty (no liquid clustering)
+    assert delta_log.describe_detail(spark, t).columns == [
+        "format", "id", "name", "description", "location",
+        "createdAt", "lastModified", "partitionColumns",
+        "clusteringColumns", "numFiles", "sizeInBytes", "properties",
+        "minReaderVersion", "minWriterVersion", "tableFeatures",
+    ]
+    assert row.name is None and row.description is None
+    assert row.clusteringColumns == []

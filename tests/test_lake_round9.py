@@ -259,7 +259,7 @@ def test_expired_equality_delete_snapshot_raises_cleanly():
     rdr = object.__new__(_IcebergTableCdcStreamReader)
     meta = {"snapshots": [{"sequence-number": 1, "snapshot-id": 11}]}
     with pytest.raises(ValueError, match="unrecoverable"):
-        rdr._eq_dead_rows(meta, 5, [], [], {}, set())
+        rdr._eq_dead_rows(meta, 5, [], [], {})
 
 
 # --------------------------------------------------------------------------

@@ -193,13 +193,19 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
 
 
 def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
-    """Iceberg writer → Delta mirror: appends, DV deletes, updates,
-    compaction, add/widen/drop/RENAME (a post-rename data file flips
-    the mirror to columnMapping.mode=id — every file this engine
-    writes carries parquet field ids), and mirror-side OPTIMIZE,
-    synced at random points."""
+    """Iceberg writer → Delta mirror: appends, DV deletes (v3) or
+    POSITION-DELETE parquet (the v2 trial — rewrite='auto' converts in
+    flight), EQUALITY deletes (resolved to DVs in flight, round 13),
+    updates, compaction, identity RELAYOUT (repartition_table — the
+    mirror follows with one metaData+swap commit), rollback, snapshot
+    EXPIRY (the sync-cursor tag must keep continuous sync alive),
+    add/widen/drop/RENAME (a post-rename data file flips the mirror to
+    columnMapping.mode=id — every file this engine writes carries
+    parquet field ids), and mirror-side OPTIMIZE, synced at random
+    points."""
     rng = random.Random(20260817)
     for trial in range(3):
+        v2 = trial == 1  # the position-delete-parquet generation
         it = str(tmp_path / f"ri{trial}")
         dt = str(tmp_path / f"rd{trial}")
         nid = [0]
@@ -219,7 +225,7 @@ def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
                 fresh(rng.randrange(4, 9)),
             ),
             it,
-            format_version=3,
+            format_version=2 if v2 else 3,
         )
         iceberg.convert_to_delta(it, dt)
         int_cols: list = []
@@ -250,12 +256,16 @@ def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
                 f"trial {trial}: clean-room mirror diverged"
             )
 
+        ops = [
+            "append", "append", "dv_delete", "update", "compact",
+            "add", "widen", "drop", "rename",
+            "mirror_optimize", "rollback", "eq_delete", "evolve_spec",
+            "expire",
+        ]
+        if not v2:
+            ops.append("add_default")  # column defaults are v3-only
         for step in range(10):
-            op = rng.choice(
-                ["append", "append", "dv_delete", "update", "compact",
-                 "add", "add_default", "widen", "drop", "rename",
-                 "mirror_optimize", "rollback"]
-            )
+            op = rng.choice(ops)
             if op == "append":
                 iceberg.append(
                     _mk_batch(spark, ice_schema(), fresh(rng.randrange(1, 5))),
@@ -263,13 +273,52 @@ def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
                 )
             elif op == "rename":
                 cur = [f.name for f in ice_schema().fields][1]
-                iceberg.rename_column(
-                    it, cur, "category" if cur == "cat" else "cat"
-                )
+                try:
+                    iceberg.rename_column(
+                        it, cur, "category" if cur == "cat" else "cat"
+                    )
+                except NotImplementedError:
+                    # identity-partition source after an evolve_spec,
+                    # or a live eq-delete key: honest engine gates —
+                    # refused op, not a failure
+                    pass
             elif op == "dv_delete":
                 iceberg.delete_where(
                     spark, it, f"id % 3 = {rng.randrange(3)}"
                 )
+            elif op == "eq_delete":
+                # CDC-style equality tombstones on the key column;
+                # rewrite='auto' resolves them to mirror DVs in flight
+                victims = [
+                    i for i in range(nid[0]) if i % 5 == rng.randrange(5)
+                ][-4:]
+                if victims:
+                    iceberg.delete_by_equality(
+                        spark,
+                        it,
+                        spark.createDataFrame(
+                            [(i,) for i in victims], "id long"
+                        ),
+                    )
+            elif op == "evolve_spec":
+                # identity relayout [] ↔ [cat-ish]: a full rewrite
+                # under the new spec; the mirror follows with one
+                # metaData + full-swap commit
+                cur_spec = iceberg._spec_info(
+                    iceberg.current_metadata(it)
+                )
+                target = (
+                    [] if cur_spec else [ice_schema().fields[1].name]
+                )
+                try:
+                    iceberg.repartition_table(spark, it, target)
+                except NotImplementedError:
+                    pass  # e.g. relayout onto a gated combination
+            elif op == "expire":
+                # aggressive retention: the auto-managed sync-cursor
+                # tag must keep the cursor snapshot alive so the next
+                # sync never needs a re-convert
+                iceberg.expire_snapshots(it, keep_last=1)
             elif op == "update":
                 iceberg.update_where(
                     spark, it, f"id % 4 = {rng.randrange(4)}",
@@ -325,7 +374,7 @@ def test_random_sync_sweep_iceberg_writer(spark, tmp_path):
                         it, chain[rng.randrange(1, min(4, len(chain)))]
                     )
             if rng.random() < 0.5:
-                iceberg.sync_to_delta(it, dt)
+                iceberg.sync_to_delta(it, dt, rewrite="auto")
                 check()
-        iceberg.sync_to_delta(it, dt)
+        iceberg.sync_to_delta(it, dt, rewrite="auto")
         check()
