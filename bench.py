@@ -35,6 +35,12 @@ def main() -> None:
     specs = {n: s for n, s in sorted(all_queries().items()) if s.bench}
 
     timings: dict[str, float] = {}
+    # warmup (first-call) durations, recorded SEPARATELY: for the lake
+    # family this is where fixture-cache publishes land, so the timed
+    # steady-state samples measure the QUERY, not the publish — and
+    # round-over-round artifact comparisons can tell a publish-cost
+    # change from a plan regression (BENCH_FULL carries both phases).
+    warmups: dict[str, float] = {}
     for name, spec in specs.items():
         # First execution pays whole-stage-codegen JIT compilation for the
         # query's generated classes; then take the best of two steady-state
@@ -45,7 +51,9 @@ def main() -> None:
         # sampling (up to two extra runs) until two samples land within
         # that band — round-over-round artifact comparisons should track
         # the plan, not a neighbor's compile job.
+        t0 = time.perf_counter()
         _force(spec.fn(spark, sf_dir))
+        warmups[name] = round(time.perf_counter() - t0, 3)
         samples: list[float] = []
         for _ in range(4):
             t0 = time.perf_counter()
@@ -95,6 +103,9 @@ def main() -> None:
         "n_queries": len(timings),
         "mean_query_sec": round(total / max(len(timings), 1), 4),
         "queries": timings,
+        # first-call durations (fixture publish + JIT): reported so
+        # publish-cost drift never masquerades as a query regression
+        "warmup_sec": warmups,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query timings (long names, 3 decimals) for humans/judges.
