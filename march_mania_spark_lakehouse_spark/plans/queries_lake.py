@@ -3271,3 +3271,420 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q241 — EQUALITY DELETES CROSSING THE FORMAT LINE (round 13,
+# rewrite='auto'): a v2 Iceberg writer runs the CDC upsert idiom —
+# equality tombstone + append — and the Delta mirror follows by
+# RESOLVING the value-addressed tombstones to per-file positions
+# (strictly-lower-sequence rule, null matching) and encoding deletion
+# vectors in flight. The oracle reconstructs the upserted population;
+# a hash match proves the resolved tombstones kill exactly the
+# superseded rows and spare the re-appended ones. At 100 TB: cost is
+# a key-column-pruned scan of the sub-sequence files — the matching-
+# row scan every merge-on-read read already pays.
+# --------------------------------------------------------------------------
+
+_Q241_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 4 = 1
+) t
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _eq_delete_rewritten_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v2 Iceberg orders key%4=1 →
+    convert_to_delta → UPSERT (equality tombstone + append) bumping
+    key%10=3 prices by 1.0 → sync_to_delta(rewrite='auto'). Returns
+    the DELTA MIRROR path; guarded on the terminal synced sequence."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"eqdel-rewrite|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_eqdel_rw", fp
+    )
+    it = os.path.join(root, "ice")
+    dt = os.path.join(root, "delta")
+
+    def _terminal() -> bool:
+        v = delta_log.latest_version(dt)
+        if v is None or iceberg.current_version(it) is None:
+            return False
+        _op, params = delta_log._commit_operation(dt, v)
+        return params.get("sourceSequence") == str(
+            iceberg.current_metadata(it)["last-sequence-number"]
+        )
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        base = orders.filter(F.col("o_orderkey") % 4 == 1).select(*cols)
+        iceberg.create(base, it, format_version=2)
+        iceberg.convert_to_delta(it, dt)
+        iceberg.upsert(
+            spark,
+            it,
+            base.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+            ),
+            ["o_orderkey"],
+        )
+        iceberg.sync_to_delta(it, dt, rewrite="auto")
+    return dt
+
+
+@query(
+    "q241_eq_delete_rewritten_mirror",
+    oracle=_Q241_SQL,
+    tags=("lake", "agg"),
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the Delta mirror after equality tombstones were resolved to
+    deletion vectors in flight: counts and exact price sums per status
+    must hash-match the oracle over the upserted population."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _eq_delete_rewritten_mirror(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q242 — CONTINUOUS SYNC UNDER AGGRESSIVE RETENTION (round 13): the
+# writer runs expire_snapshots(keep_last=1) between every append and
+# sync — the auto-managed sync-cursor tag keeps each last-synced
+# snapshot retained until the sync advances it, so the mirror follows
+# incrementally forever (no re-convert) even though only the head
+# survives each expiry. The oracle is the full appended population.
+# At 100 TB: retention and replication stop fighting — the tag pins
+# exactly ONE extra snapshot per mirror.
+# --------------------------------------------------------------------------
+
+_Q242_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE o_orderkey % 4 IN (0, 1, 2, 3) AND o_orderkey > 0
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _expiry_synced_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: v3 Iceberg orders key%4=1 →
+    convert_to_delta → three rounds of (append key%4=r, expire
+    keep_last=1, sync). Returns the DELTA MIRROR path; guarded on the
+    terminal synced sequence and single-digit retained snapshots."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"expiry-sync|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_expiry_sync", fp
+    )
+    it = os.path.join(root, "ice")
+    dt = os.path.join(root, "delta")
+
+    def _terminal() -> bool:
+        v = delta_log.latest_version(dt)
+        if v is None or iceberg.current_version(it) is None:
+            return False
+        _op, params = delta_log._commit_operation(dt, v)
+        return params.get("sourceSequence") == str(
+            iceberg.current_metadata(it)["last-sequence-number"]
+        )
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        pos = orders.filter(F.col("o_orderkey") > 0)
+        iceberg.create(
+            pos.filter(F.col("o_orderkey") % 4 == 1).select(*cols),
+            it,
+            format_version=3,
+        )
+        iceberg.convert_to_delta(it, dt)
+        for r in (2, 3, 0):
+            iceberg.append(
+                pos.filter(F.col("o_orderkey") % 4 == r).select(*cols),
+                it,
+            )
+            iceberg.expire_snapshots(it, keep_last=1)
+            iceberg.sync_to_delta(it, dt)
+    return dt
+
+
+@query(
+    "q242_expiry_survived_mirror",
+    oracle=_Q242_SQL,
+    tags=("lake", "agg"),
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the Delta mirror after three append→expire(keep_last=1)→
+    sync rounds: counts and exact price sums per status must hash-match
+    the oracle over the full appended population — retention never
+    forced a re-convert."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _expiry_synced_mirror(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q243 — NESTED TYPES THROUGH THE LAKE LAYER (round 13): the 100 TB
+# event shape — an Iceberg table whose rows carry a struct column and
+# an array-of-struct column (order header + collected line items),
+# every nested field id-tracked per the spec. The query reads the
+# table back, explodes the nested items, and aggregates — a hash
+# match against the flat relational oracle proves the nested
+# round-trip loses nothing. At 100 TB: nested columns are plain
+# parquet groups — columnar pruning reads only the subfields touched.
+# --------------------------------------------------------------------------
+
+_Q243_SQL = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {dsum}
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 8 = 1
+GROUP BY o.o_orderstatus
+""".format(dsum=sql_dsum("l.l_quantity", "sum_qty"))
+
+
+def _nested_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: orders key%8=1 joined to an
+    array<struct> of their line items plus a struct header, written as
+    ONE Iceberg table with nested field-ids. Returns the table path."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"nested-orders|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_nested", fp)
+    it = os.path.join(root, "ice")
+    if os.path.exists(root) and iceberg.current_version(it) is None:
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir).filter(
+            F.col("o_orderkey") % 8 == 1
+        )
+        items = (
+            catalog.load(spark, "lineitem", sf_dir)
+            .join(
+                orders.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "inner",
+            )
+            .groupBy("l_orderkey")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                ).alias("items")
+            )
+        )
+        nested = (
+            orders.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+            .join(items, F.col("o_orderkey") == items["l_orderkey"], "left")
+            .select(
+                "o_orderkey",
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("prio"),
+                ).alias("info"),
+                "items",
+            )
+        )
+        iceberg.create(nested, it)
+    return it
+
+
+@query(
+    "q243_nested_lakehouse_roundtrip",
+    oracle=_Q243_SQL,
+    tags=("lake", "nested"),
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode the nested items of the struct/array Iceberg table and
+    aggregate per header-struct status: distinct orders, item rows and
+    exact quantity sums must hash-match the flat relational oracle."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _nested_orders_table(spark, sf_dir)
+    df = iceberg.read_iceberg(spark, table)
+    return (
+        df.select(
+            "o_orderkey",
+            F.col("info.status").alias("o_orderstatus"),
+            F.explode("items").alias("item"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("item.qty", "sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q244 — NESTED SCHEMA EVOLUTION THROUGH SYNC (round 13): the Iceberg
+# writer adds a field INSIDE a struct by dotted path (metadata-only;
+# pre-evolution files read the subfield as null), appends rows that
+# carry it, and the Delta mirror follows through sync as a pure
+# schemaString re-render — zero data movement on either side. The
+# oracle reconstructs both generations relationally; the PRE marker
+# rows prove old files surface null, not garbage.
+# --------------------------------------------------------------------------
+
+_Q244_SQL = """
+SELECT t.status,
+       t.prio_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM (
+  SELECT o_orderstatus AS status, 'PRE' AS prio_class, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 2
+  UNION ALL
+  SELECT o_orderstatus AS status,
+         CASE WHEN o_orderpriority < '3' THEN 'HI' ELSE 'LO' END
+           AS prio_class,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 3
+) t
+GROUP BY t.status, t.prio_class
+""".format(dsum=sql_dsum("t.o_totalprice", "sum_price"))
+
+
+def _nested_evolution_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: Iceberg orders key%4=2 with a
+    struct column → convert_to_delta → add_column('info.prio_class')
+    → append key%4=3 rows carrying it → sync. Returns the DELTA
+    MIRROR path; guarded on the terminal synced sequence."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"nested-evo|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_nested_evo", fp)
+    it = os.path.join(root, "ice")
+    dt = os.path.join(root, "delta")
+
+    def _terminal() -> bool:
+        v = delta_log.latest_version(dt)
+        if v is None or iceberg.current_version(it) is None:
+            return False
+        _op, params = delta_log._commit_operation(dt, v)
+        return params.get("sourceSequence") == str(
+            iceberg.current_metadata(it)["last-sequence-number"]
+        )
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        base = orders.filter(F.col("o_orderkey") % 4 == 2).select(
+            "o_orderkey",
+            F.struct(F.col("o_orderstatus").alias("status")).alias("info"),
+            "o_totalprice",
+        )
+        iceberg.create(base, it)
+        iceberg.convert_to_delta(it, dt)
+        iceberg.add_column(it, "info.prio_class", "string")
+        post = orders.filter(F.col("o_orderkey") % 4 == 3).select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.when(F.col("o_orderpriority") < "3", "HI")
+                .otherwise("LO")
+                .alias("prio_class"),
+            ).alias("info"),
+            "o_totalprice",
+        )
+        iceberg.append(post, it)
+        iceberg.sync_to_delta(it, dt)
+    return dt
+
+
+@query(
+    "q244_nested_evolution_synced_mirror",
+    oracle=_Q244_SQL,
+    tags=("lake", "nested"),
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the Delta mirror after a dotted-path nested add crossed
+    the format line: per (status, coalesced prio_class) counts and
+    exact price sums must hash-match the two-generation oracle."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _nested_evolution_mirror(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy(
+            F.col("info.status").alias("status"),
+            F.coalesce(F.col("info.prio_class"), F.lit("PRE")).alias(
+                "prio_class"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -85,6 +85,7 @@ _SPARK_TO_ICEBERG = {
     "boolean": "boolean",
     "date": "date",
     "timestamp": "timestamptz",
+    "binary": "binary",
 }
 
 
@@ -97,19 +98,105 @@ def _iceberg_type(spark_type: str) -> str:
         raise NotImplementedError(f"no Iceberg mapping for {spark_type!r}") from None
 
 
+def _iceberg_type_of(dt, alloc) -> "str | dict":
+    """Iceberg type for a Spark ``DataType`` — a primitive name, or the
+    spec's nested dict form for struct / list (array) / map. ``alloc``
+    hands out fresh field-ids: per spec §Schemas EVERY nested field
+    (struct member, list element, map key and value) carries its own
+    unique id. Sibling struct fields take their ids before any child
+    descends (the same level-order real writers use), so a flat schema
+    keeps the historical 1..n assignment byte-for-byte."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        ids = [alloc() for _ in dt.fields]
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": i,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type_of(f.dataType, alloc),
+                }
+                for i, f in zip(ids, dt.fields)
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type_of(dt.elementType, alloc),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid = alloc()
+        vid = alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type_of(dt.keyType, alloc),
+            "value-id": vid,
+            "value": _iceberg_type_of(dt.valueType, alloc),
+            "value-required": not dt.valueContainsNull,
+        }
+    return _iceberg_type(dt.simpleString())
+
+
+def _nested_type_ids(t) -> "list[int]":
+    """All field-ids carried INSIDE a type (not the field's own id)."""
+    if not isinstance(t, dict):
+        return []
+    if t["type"] == "struct":
+        out = []
+        for f in t["fields"]:
+            out.append(f["id"])
+            out.extend(_nested_type_ids(f["type"]))
+        return out
+    if t["type"] == "list":
+        return [t["element-id"]] + _nested_type_ids(t["element"])
+    if t["type"] == "map":
+        return (
+            [t["key-id"]]
+            + _nested_type_ids(t["key"])
+            + [t["value-id"]]
+            + _nested_type_ids(t["value"])
+        )
+    return []
+
+
+def _max_field_id(schema_json: dict) -> int:
+    """Highest field-id anywhere in a schema (``last-column-id`` input
+    — nested ids count; the spec's id space is table-wide)."""
+    ids = [0]
+    for f in schema_json["fields"]:
+        ids.append(f["id"])
+        ids.extend(_nested_type_ids(f["type"]))
+    return max(ids)
+
+
 def _schema_json(df: DataFrame) -> dict:
     return _schema_json_from_struct(df.schema)
 
 
 def _schema_json_from_struct(struct) -> dict:
+    import itertools
+
+    counter = itertools.count(1)
+
+    def alloc() -> int:
+        return next(counter)
+
+    top_ids = [alloc() for _ in struct.fields]
     fields = []
-    for i, f in enumerate(struct.fields, start=1):
+    for i, f in zip(top_ids, struct.fields):
         fields.append(
             {
                 "id": i,
                 "name": f.name,
                 "required": False,
-                "type": _iceberg_type(f.dataType.simpleString()),
+                "type": _iceberg_type_of(f.dataType, alloc),
             }
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
@@ -978,6 +1065,28 @@ def single_value_read(data: bytes, iceberg_type: str):
     raise NotImplementedError(f"bounds for type {iceberg_type!r}")
 
 
+def _resolve_field_path(schema: dict, col: str) -> "tuple[int, str]":
+    """(field-id, primitive type) for a top-level column name OR a
+    dotted struct path (``"info.cnt"``) — the nested-stats resolution
+    input. Raises ``KeyError`` when the path is missing or addresses a
+    non-struct interior / non-primitive leaf (bounds are recorded for
+    primitive leaves only, per the spec's per-field stats maps)."""
+    fields = schema["fields"]
+    *path, leaf = col.split(".")
+    for i, seg in enumerate(path):
+        by = {f["name"]: f for f in fields}
+        if seg not in by:
+            raise KeyError(col)
+        t = by[seg]["type"]
+        if not (isinstance(t, dict) and t["type"] == "struct"):
+            raise KeyError(col)
+        fields = t["fields"]
+    by = {f["name"]: f for f in fields}
+    if leaf not in by or isinstance(by[leaf]["type"], dict):
+        raise KeyError(col)
+    return by[leaf]["id"], by[leaf]["type"]
+
+
 def _file_bounds(path: str, schema: dict, stat_cols: Sequence[str]) -> tuple:
     """(lower_bounds, upper_bounds, null_value_counts) — bounds as
     [{key: field-id, value: bytes}] and null counts as
@@ -985,19 +1094,25 @@ def _file_bounds(path: str, schema: dict, stat_cols: Sequence[str]) -> tuple:
     statistics — KB reads, the same planner input real writers record.
     Bounds skip columns with any stats-less row group; null counts sum
     independently (a column can have countable nulls but no min/max,
-    e.g. all-null)."""
+    e.g. all-null). ``stat_cols`` entries may be DOTTED STRUCT PATHS
+    (``"info.cnt"``): parquet keeps row-group stats per primitive LEAF,
+    and the manifest keys them by the leaf's own field-id — nested data
+    skipping costs nothing extra at write time."""
     if not stat_cols:
         return None, None, None
     import pyarrow.parquet as pq
 
-    by_name = {f["name"]: f for f in schema["fields"]}
     md = pq.ParquetFile(path).metadata
-    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    # leaf columns key by their full dotted path (flat cols: path==name)
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
     lowers, uppers, nulls = [], [], []
     for c in stat_cols:
-        if c not in idx or c not in by_name:
+        try:
+            fid, leaf_type = _resolve_field_path(schema, c)
+        except KeyError:
             continue
-        fid = by_name[c]["id"]
+        if c not in idx:
+            continue
         mins, maxs = [], []
         nv, nv_ok = 0, True
         for rg in range(md.num_row_groups):
@@ -1015,7 +1130,7 @@ def _file_bounds(path: str, schema: dict, stat_cols: Sequence[str]) -> tuple:
             nulls.append({"key": fid, "value": nv})
         if len(mins) != md.num_row_groups or not mins:
             continue
-        t = by_name[c]["type"]
+        t = leaf_type
         lowers.append({"key": fid, "value": _single_value_bytes(min(mins), t)})
         uppers.append({"key": fid, "value": _single_value_bytes(max(maxs), t)})
     return lowers or None, uppers or None, nulls or None
@@ -1157,7 +1272,7 @@ def create(
         "location": os.path.abspath(table),
         "last-sequence-number": 0,
         "last-updated-ms": _now_ms(),
-        "last-column-id": len(schema["fields"]),
+        "last-column-id": _max_field_id(schema),
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
@@ -1221,6 +1336,9 @@ def append(
         hist_names = {
             n for names in _field_name_history(meta).values() for n in names
         }
+        import itertools
+
+        counter = itertools.count(next_id + 1)
         for f in extra:
             if f.name in hist_names:
                 raise IcebergSchemaMismatchError(
@@ -1228,15 +1346,18 @@ def append(
                     "renamed field; physical file names must resolve to "
                     "exactly one field-id — pick a fresh name"
                 )
-            next_id += 1
+            fid = next(counter)
             new_fields.append(
                 {
-                    "id": next_id,
+                    "id": fid,
                     "name": f.name,
                     "required": False,
-                    "type": _iceberg_type(f.dataType.simpleString()),
+                    "type": _iceberg_type_of(
+                        f.dataType, lambda: next(counter)
+                    ),
                 }
             )
+        next_id = next(counter) - 1
         new_schema = {
             "type": "struct",
             "schema-id": len(meta["schemas"]),
@@ -1349,10 +1470,53 @@ def _has_defaults(schema_json: dict) -> bool:
     )
 
 
+def _navigate_struct(fields: "list[dict]", path: "list[str]") -> "list[dict]":
+    """The field list of the nested STRUCT addressed by dotted ``path``
+    segments inside ``fields`` (mutating the returned list mutates the
+    caller's copy). A segment that is missing raises ``KeyError``; one
+    that is not a struct raises — nested evolution addresses struct
+    members only (list/map interiors keep an honest gate: their
+    element/key/value have no names to address)."""
+    cur = fields
+    for i, seg in enumerate(path):
+        by = {f["name"]: f for f in cur}
+        if seg not in by:
+            raise KeyError(
+                f"{'.'.join(path[: i + 1])!r} not in table schema"
+            )
+        t = by[seg]["type"]
+        if not (isinstance(t, dict) and t["type"] == "struct"):
+            raise NotImplementedError(
+                f"{'.'.join(path[: i + 1])!r} is not a struct; nested "
+                "evolution addresses struct fields only (list/map "
+                "interiors are gated)"
+            )
+        cur = t["fields"]
+    return cur
+
+
+def _nested_name_ever(meta: dict, path: "list[str]", name: str) -> bool:
+    """Did ANY schema generation carry a field called ``name`` inside
+    the struct at ``path``? Re-adding a once-dropped nested name would
+    RESURRECT the old files' bytes (nested reads resolve by name), so
+    `add_column` gates on this — the nested analogue of the top-level
+    name-history rule."""
+    for s in meta["schemas"]:
+        try:
+            fields = _navigate_struct(
+                [dict(f) for f in s["fields"]], path
+            )
+        except (KeyError, NotImplementedError):
+            continue
+        if any(f["name"] == name for f in fields):
+            return True
+    return False
+
+
 def add_column(
     table: str,
     name: str,
-    type_str: str,
+    type_str,
     default=None,
     write_default=None,
 ) -> int:
@@ -1365,57 +1529,99 @@ def add_column(
     ``write_default`` fills the column at WRITE time when an appended
     batch omits it (defaults to ``default``). Defaults require
     format-version 3; a plain null-filling add works on v2 via
-    ``append(..., merge_schema=True)`` as before. Returns the new
-    metadata version."""
+    ``append(..., merge_schema=True)`` as before.
+
+    ``type_str`` is a primitive type name OR a Spark ``DataType``
+    (struct/array/map supported — every nested field gets a fresh
+    spec field-id). ``name`` may be a DOTTED PATH (``"info.flag"``):
+    the new field lands INSIDE the addressed struct — pre-evolution
+    files read it as null (parquet missing-subfield semantics), no
+    data moves. Nested adds take no defaults (the footer discriminator
+    and write-fill are top-level machinery) and a once-dropped nested
+    name cannot be re-added (same resurrection rule as top level).
+    Returns the new metadata version."""
+    import copy
+    import itertools
+
     meta = current_metadata(table)
     declared = meta["schemas"][meta["current-schema-id"]]
-    if any(f["name"] == name for f in declared["fields"]):
-        raise ValueError(f"{name!r} already in table schema")
-    hist_names = {
-        n for names in _field_name_history(meta).values() for n in names
-    }
-    if name in hist_names:
-        raise IcebergSchemaMismatchError(
-            f"column name {name!r} was carried by a dropped or renamed "
-            "field; physical file names must resolve to exactly one "
-            "field-id — pick a fresh name"
+    counter = itertools.count(meta["last-column-id"] + 1)
+
+    def _make_field(fname: str) -> dict:
+        fid = next(counter)
+        t = (
+            _iceberg_type(type_str)
+            if isinstance(type_str, str)
+            else _iceberg_type_of(type_str, lambda: next(counter))
         )
-    if default is not None or write_default is not None:
-        if int(meta.get("format-version", 2)) < 3:
-            raise ValueError(
-                "column defaults are an Iceberg v3 feature — "
-                "upgrade_format_version(table, 3) first"
-            )
-        # only INITIAL defaults touch the read path; a write-default is
-        # write-time metadata and composes with any layout
-        if default is not None and _identity_part_cols(meta):
+        return {"id": fid, "name": fname, "required": False, "type": t}
+
+    if "." in name:
+        if default is not None or write_default is not None:
             raise NotImplementedError(
-                "initial-defaults on an identity-partitioned table: the "
-                "footer-grouped default read cannot restore hive "
-                "partition columns on every layout"
+                "defaults on a nested field add are not supported — "
+                "the footer discriminator and write-time fill are "
+                "top-level machinery"
             )
-    fid = meta["last-column-id"] + 1
-    field = {
-        "id": fid,
-        "name": name,
-        "required": False,
-        "type": _iceberg_type(type_str),
-    }
-    if default is not None:
-        field["initial-default"] = default
-    if write_default is not None or default is not None:
-        field["write-default"] = (
-            write_default if write_default is not None else default
-        )
+        *path, leaf = name.split(".")
+        new_fields = copy.deepcopy(declared["fields"])
+        parent = _navigate_struct(new_fields, path)
+        if any(f["name"] == leaf for f in parent):
+            raise ValueError(f"{name!r} already in table schema")
+        if _nested_name_ever(meta, path, leaf):
+            raise IcebergSchemaMismatchError(
+                f"nested name {name!r} was carried by a dropped field; "
+                "re-adding it would resurrect the old files' bytes "
+                "(nested reads resolve by name) — pick a fresh name"
+            )
+        parent.append(_make_field(leaf))
+    else:
+        if any(f["name"] == name for f in declared["fields"]):
+            raise ValueError(f"{name!r} already in table schema")
+        hist_names = {
+            n for names in _field_name_history(meta).values() for n in names
+        }
+        if name in hist_names:
+            raise IcebergSchemaMismatchError(
+                f"column name {name!r} was carried by a dropped or renamed "
+                "field; physical file names must resolve to exactly one "
+                "field-id — pick a fresh name"
+            )
+        if default is not None or write_default is not None:
+            if int(meta.get("format-version", 2)) < 3:
+                raise ValueError(
+                    "column defaults are an Iceberg v3 feature — "
+                    "upgrade_format_version(table, 3) first"
+                )
+            # only INITIAL defaults touch the read path; a write-default
+            # is write-time metadata and composes with any layout
+            if default is not None and _identity_part_cols(meta):
+                raise NotImplementedError(
+                    "initial-defaults on an identity-partitioned table: "
+                    "the footer-grouped default read cannot restore hive "
+                    "partition columns on every layout"
+                )
+            if not isinstance(type_str, str):
+                raise NotImplementedError(
+                    "defaults on a nested-typed column are not supported"
+                )
+        field = _make_field(name)
+        if default is not None:
+            field["initial-default"] = default
+        if write_default is not None or default is not None:
+            field["write-default"] = (
+                write_default if write_default is not None else default
+            )
+        new_fields = list(declared["fields"]) + [field]
     new_schema = {
         "type": "struct",
         "schema-id": len(meta["schemas"]),
-        "fields": list(declared["fields"]) + [field],
+        "fields": new_fields,
     }
     meta = dict(meta)
     meta["schemas"] = list(meta["schemas"]) + [new_schema]
     meta["current-schema-id"] = new_schema["schema-id"]
-    meta["last-column-id"] = fid
+    meta["last-column-id"] = next(counter) - 1
     _write_name_mapping(meta)
     return _write_metadata(table, meta)
 
@@ -1435,6 +1641,12 @@ def rename_column(table: str, old: str, new: str) -> int:
     equality-delete file (tombstone parquet stores write-time names),
     and reusing ANY historical name of another field (physical names
     must resolve to exactly one field-id). Returns the new schema id."""
+    if "." in old or "." in new:
+        raise NotImplementedError(
+            "nested field rename: old files store the write-time nested "
+            "name and the declared-schema read would surface null — the "
+            "per-generation group read covers top-level names only"
+        )
     meta = current_metadata(table)
     declared = meta["schemas"][meta["current-schema-id"]]
     by_name = {f["name"]: f for f in declared["fields"]}
@@ -1514,9 +1726,44 @@ def widen_column(table: str, col: str, new_type: str) -> int:
     spec's bucket hash treats int as long and float as double by
     design (`_bucket_udf` hashes 8-byte LE blocks), truncate is plain
     integer math, identity restoration casts to the CURRENT declared
-    type. Returns the new schema id."""
+    type. Returns the new schema id.
+
+    ``col`` may be a DOTTED PATH (``"info.cnt"``) — the promotion
+    applies to a struct member (same metadata-only rule; old files'
+    narrower nested values upcast on read)."""
+    import copy
+
     meta = current_metadata(table)
     declared = meta["schemas"][meta["current-schema-id"]]
+    if "." in col:
+        *path, leaf = col.split(".")
+        new_fields = copy.deepcopy(declared["fields"])
+        parent = _navigate_struct(new_fields, path)
+        by_leaf = {f["name"]: f for f in parent}
+        if leaf not in by_leaf:
+            raise KeyError(f"{col!r} not in table schema")
+        old_type = by_leaf[leaf]["type"]
+        if old_type == new_type:
+            return meta["current-schema-id"]
+        if not isinstance(old_type, str) or (
+            old_type, new_type
+        ) not in _WIDEN_OK:
+            raise ValueError(
+                f"{old_type} -> {new_type} is not a sanctioned promotion "
+                f"(allowed: {sorted(_WIDEN_OK)})"
+            )
+        by_leaf[leaf]["type"] = new_type
+        new_schema = {
+            "type": "struct",
+            "schema-id": len(meta["schemas"]),
+            "fields": new_fields,
+        }
+        meta = dict(meta)
+        meta["schemas"] = list(meta["schemas"]) + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["last-updated-ms"] = _now_ms()
+        _write_metadata(table, meta)
+        return new_schema["schema-id"]
     by_name = {f["name"]: f for f in declared["fields"]}
     if col not in by_name:
         raise KeyError(f"{col!r} not in table schema")
@@ -1564,9 +1811,41 @@ def drop_column(table: str, col: str) -> int:
     The field-id is retired, never reused (``last-column-id`` is
     monotone). Gates: partition-spec SOURCE columns of any spec
     generation (manifest tuples/planning key on them) and live
-    equality-delete key columns. Returns the new schema id."""
+    equality-delete key columns. Returns the new schema id.
+
+    ``col`` may be a DOTTED PATH (``"info.flag"``) — the member leaves
+    the struct's declared shape (bytes stay in the files for time
+    travel; the retired name cannot be re-added, see `add_column`).
+    The last member of a struct cannot be dropped (parquet has no
+    empty groups) — drop the whole column instead."""
+    import copy
+
     meta = current_metadata(table)
     declared = meta["schemas"][meta["current-schema-id"]]
+    if "." in col:
+        *path, leaf = col.split(".")
+        new_fields = copy.deepcopy(declared["fields"])
+        parent = _navigate_struct(new_fields, path)
+        if not any(f["name"] == leaf for f in parent):
+            raise KeyError(f"{col!r} not in table schema")
+        if len(parent) == 1:
+            raise ValueError(
+                f"cannot drop the last member of struct "
+                f"{'.'.join(path)!r}; drop the whole column instead"
+            )
+        parent[:] = [f for f in parent if f["name"] != leaf]
+        new_schema = {
+            "type": "struct",
+            "schema-id": len(meta["schemas"]),
+            "fields": new_fields,
+        }
+        meta = dict(meta)
+        meta["schemas"] = list(meta["schemas"]) + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["last-updated-ms"] = _now_ms()
+        _write_name_mapping(meta)
+        _write_metadata(table, meta)
+        return new_schema["schema-id"]
     by_name = {f["name"]: f for f in declared["fields"]}
     if col not in by_name:
         raise KeyError(f"{col!r} not in table schema")
@@ -1879,11 +2158,34 @@ def _spark_schema(schema: dict):
         "binary": T.BinaryType(),
     }
 
-    def one(tname: str):
-        if tname.startswith("decimal"):
-            p, s = re.findall(r"-?\d+", tname)
+    def one(t):
+        if isinstance(t, dict):  # spec nested forms
+            if t["type"] == "struct":
+                return T.StructType(
+                    [
+                        T.StructField(
+                            f["name"],
+                            one(f["type"]),
+                            not f.get("required", False),
+                        )
+                        for f in t["fields"]
+                    ]
+                )
+            if t["type"] == "list":
+                return T.ArrayType(
+                    one(t["element"]), not t.get("element-required", False)
+                )
+            if t["type"] == "map":
+                return T.MapType(
+                    one(t["key"]),
+                    one(t["value"]),
+                    not t.get("value-required", False),
+                )
+            raise NotImplementedError(f"unknown nested type {t['type']!r}")
+        if t.startswith("decimal"):
+            p, s = re.findall(r"-?\d+", t)
             return T.DecimalType(int(p), int(s))
-        return back[tname]
+        return back[t]
 
     return T.StructType(
         [T.StructField(f["name"], one(f["type"]), True) for f in schema["fields"]]
@@ -2681,8 +2983,9 @@ def scan_range(
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = _snapshot(meta, sid)
     schema = meta["schemas"][meta["current-schema-id"]]
-    field = next(f for f in schema["fields"] if f["name"] == col)
-    fid, ftype = field["id"], field["type"]
+    # top-level name or dotted struct path — nested leaves prune from
+    # their own field-id's bounds exactly like flat columns
+    fid, ftype = _resolve_field_path(schema, col)
 
     def _range_fields(spec_id: int) -> list:
         return [
@@ -4542,7 +4845,7 @@ def convert_from_delta(delta_table: str, iceberg_table: str) -> int:
         "location": os.path.abspath(iceberg_table),
         "last-sequence-number": 0,
         "last-updated-ms": _now_ms(),
-        "last-column-id": len(schema["fields"]),
+        "last-column-id": _max_field_id(schema),
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
@@ -4798,15 +5101,7 @@ def convert_to_delta(iceberg_table: str, delta_table: str) -> int:
         int(meta.get("format-version", 2)) >= 3 and "next-row-id" in meta
     )
     schema = meta["schemas"][meta["current-schema-id"]]
-    back = {
-        "long": T.LongType(), "int": T.IntegerType(), "string": T.StringType(),
-        "double": T.DoubleType(), "float": T.FloatType(),
-        "boolean": T.BooleanType(), "date": T.DateType(),
-        "timestamptz": T.TimestampType(),
-    }
-    struct = T.StructType(
-        [T.StructField(f["name"], back[f["type"]], True) for f in schema["fields"]]
-    )
+    struct = _spark_schema(schema)  # nested types render recursively
     os.makedirs(delta_table, exist_ok=True)
 
     adds = []
@@ -5000,7 +5295,135 @@ _DELTA_TO_ICE = {
     "long": "long", "integer": "int", "string": "string",
     "double": "double", "float": "float", "boolean": "boolean",
     "date": "date", "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp", "binary": "binary",
 }
+
+
+def _norm_delta_dtype(t):
+    """A Delta schemaString type in structural form: field metadata
+    stripped, nullability booleans normalized, decimal rendered without
+    the space — the comparison key for 'same type across the format
+    line' checks (a mapped mirror's nested fields may carry
+    columnMapping metadata that is irrelevant to shape)."""
+    if isinstance(t, dict):
+        if t["type"] == "struct":
+            return (
+                "struct",
+                tuple(
+                    (
+                        f["name"],
+                        _norm_delta_dtype(f["type"]),
+                        bool(f.get("nullable", True)),
+                    )
+                    for f in t["fields"]
+                ),
+            )
+        if t["type"] == "array":
+            return (
+                "array",
+                _norm_delta_dtype(t["elementType"]),
+                bool(t.get("containsNull", True)),
+            )
+        if t["type"] == "map":
+            return (
+                "map",
+                _norm_delta_dtype(t["keyType"]),
+                _norm_delta_dtype(t["valueType"]),
+                bool(t.get("valueContainsNull", True)),
+            )
+        return ("?", str(t))
+    return t.replace(" ", "") if t.startswith("decimal") else t
+
+
+def _ice_type_to_delta(t):
+    """Iceberg type → Delta schemaString type, recursive (struct /
+    list→array / map). Raises ``KeyError`` on a primitive with no
+    Delta counterpart — callers wrap that into the re-convert error."""
+    if isinstance(t, dict):
+        if t["type"] == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": _ice_type_to_delta(f["type"]),
+                        "nullable": not f.get("required", False),
+                        "metadata": {},
+                    }
+                    for f in t["fields"]
+                ],
+            }
+        if t["type"] == "list":
+            return {
+                "type": "array",
+                "elementType": _ice_type_to_delta(t["element"]),
+                "containsNull": not t.get("element-required", False),
+            }
+        if t["type"] == "map":
+            return {
+                "type": "map",
+                "keyType": _ice_type_to_delta(t["key"]),
+                "valueType": _ice_type_to_delta(t["value"]),
+                "valueContainsNull": not t.get("value-required", False),
+            }
+        raise KeyError(f"unknown nested type {t['type']!r}")
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    return _ICE_TO_DELTA_JSON[t]
+
+
+def _nested_change_replays(old_t, new_t) -> bool:
+    """True iff ``new_t`` (Iceberg type) differs from ``old_t`` only by
+    nested field ADDs, DROPs, and sanctioned primitive WIDENs — names
+    stable per field-id. These are exactly the nested changes whose
+    Delta-mirror replay is a pure schemaString type re-render: a
+    missing nested subfield reads null, a dropped one is pruned, a
+    widened one upcasts, all on unchanged parquet. Nested renames and
+    container re-shapes return False (re-convert)."""
+    if isinstance(old_t, str) or isinstance(new_t, str):
+        return old_t == new_t or (old_t, new_t) in _WIDEN_OK
+    if old_t["type"] != new_t["type"]:
+        return False
+    if old_t["type"] == "struct":
+        old_by = {f["id"]: f for f in old_t["fields"]}
+        new_by = {f["id"]: f for f in new_t["fields"]}
+        for i in old_by.keys() & new_by.keys():
+            if old_by[i]["name"] != new_by[i]["name"]:
+                return False
+            if not _nested_change_replays(
+                old_by[i]["type"], new_by[i]["type"]
+            ):
+                return False
+        return True
+    if old_t["type"] == "list":
+        return old_t["element-id"] == new_t[
+            "element-id"
+        ] and _nested_change_replays(old_t["element"], new_t["element"])
+    if old_t["type"] == "map":
+        return (
+            old_t["key-id"] == new_t["key-id"]
+            and old_t["value-id"] == new_t["value-id"]
+            and _nested_change_replays(old_t["key"], new_t["key"])
+            and _nested_change_replays(old_t["value"], new_t["value"])
+        )
+    return False
+
+
+def _delta_ice_shape_eq(delta_fields: "list[dict]", ice_fields: "list[dict]") -> bool:
+    """True iff a Delta field list and an Iceberg field list declare
+    the same (name, type-shape) sequence — the cross-format
+    'is the mirror an image of this generation?' predicate."""
+    if len(delta_fields) != len(ice_fields):
+        return False
+    try:
+        return [
+            (f["name"], _norm_delta_dtype(f["type"])) for f in delta_fields
+        ] == [
+            (f["name"], _norm_delta_dtype(_ice_type_to_delta(f["type"])))
+            for f in ice_fields
+        ]
+    except (KeyError, NotImplementedError):
+        return False
 
 
 def _parse_delta_sql_literal(s: str):
@@ -5107,9 +5530,7 @@ def _replay_delta_schema_change(
     # PREVIOUS Delta schema or the two layers already diverged
     meta = current_metadata(iceberg_table)
     mirror = meta["schemas"][meta["current-schema-id"]]
-    if [(f["name"], _DELTA_TO_ICE.get(_dtype_str(f))) for f in prev_fields] != [
-        (f["name"], f["type"]) for f in mirror["fields"]
-    ]:
+    if not _delta_ice_shape_eq(prev_fields, mirror["fields"]):
         raise DeltaSyncSchemaChangeError(
             f"the mirror's schema does not match delta version {v - 1}'s "
             "— the layers diverged; re-convert"
@@ -5117,25 +5538,44 @@ def _replay_delta_schema_change(
     try:
         # order: widen (keyed by the OLD name) → rename → drop → add
         for p, n in pairs:
-            pt, nt = _dtype_str(p), _dtype_str(n)
-            if pt != nt:
-                widen_column(
-                    iceberg_table, p["name"], _DELTA_TO_ICE[nt]
+            if _norm_delta_dtype(p["type"]) == _norm_delta_dtype(n["type"]):
+                continue
+            if not (
+                isinstance(p["type"], str) and isinstance(n["type"], str)
+            ):
+                raise DeltaSyncSchemaChangeError(
+                    f"delta version {v} changes the NESTED type of "
+                    f"{n['name']!r}; the mirror cannot replay a nested "
+                    "type change from the Delta side — re-convert"
                 )
+            widen_column(
+                iceberg_table, p["name"], _DELTA_TO_ICE[_dtype_str(n)]
+            )
         for p, n in pairs:
             if p["name"] != n["name"]:
                 rename_column(iceberg_table, p["name"], n["name"])
         for p in dropped:
             drop_column(iceberg_table, p["name"])
         for f in added:
-            t = _dtype_str(f)
-            if t not in _DELTA_TO_ICE:
+            t = f["type"]
+            if isinstance(t, dict):
+                # nested-typed ADD: translate the whole type tree; the
+                # mirror allocates fresh ids for every nested field
+                from pyspark.sql.types import _parse_datatype_json_value
+
+                add_t = _parse_datatype_json_value(t)
+                wd = None
+            elif t in _DELTA_TO_ICE:
+                add_t = _DELTA_TO_ICE[t]
+                wd = None
+            else:
                 raise DeltaSyncSchemaChangeError(
-                    f"added column {f['name']!r} has non-primitive type "
+                    f"added column {f['name']!r} has unsupported type "
                     f"{t!r}; the mirror cannot replay it"
                 )
             fmeta = f.get("metadata") or {}
-            wd = fmeta.get("CURRENT_DEFAULT")
+            if not isinstance(t, dict):
+                wd = fmeta.get("CURRENT_DEFAULT")
             if wd is not None:
                 wd = _parse_delta_sql_literal(str(wd))
                 if int(
@@ -5145,9 +5585,7 @@ def _replay_delta_schema_change(
                 ) < 3:
                     upgrade_format_version(iceberg_table, 3)
             phys = fmeta.get("delta.columnMapping.physicalName", f["name"])
-            add_column(
-                iceberg_table, phys, _DELTA_TO_ICE[t], write_default=wd
-            )
+            add_column(iceberg_table, phys, add_t, write_default=wd)
             if phys != f["name"]:
                 rename_column(iceberg_table, phys, f["name"])
     except DeltaSyncSchemaChangeError:
@@ -5827,6 +6265,7 @@ _ICE_TO_DELTA_JSON = {
     "long": "long", "int": "integer", "string": "string",
     "double": "double", "float": "float", "boolean": "boolean",
     "date": "date", "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz", "binary": "binary",
 }
 
 
@@ -6012,22 +6451,14 @@ def _reconcile_delta_mirror_schema(
     dv = delta_log.latest_version(delta_table)
     mirror_md = delta_log._latest_metadata(delta_table, dv)
     schema_json = _json.loads(mirror_md["schemaString"])
-    mirror_list = [(f["name"], f["type"]) for f in schema_json["fields"]]
-    target_list = [
-        (f["name"], _ICE_TO_DELTA_JSON.get(f["type"], f["type"]))
-        for f in target_schema["fields"]
-    ]
-    if mirror_list == target_list:
+    if _delta_ice_shape_eq(schema_json["fields"], target_schema["fields"]):
         return False
     # which Iceberg generation is the mirror an image of? (unique —
     # every surgery changes the (name, type) list and name reuse is
     # refused; identical duplicates would carry identical fields)
     old_schema = None
     for s in meta["schemas"]:
-        if [
-            (f["name"], _ICE_TO_DELTA_JSON.get(f["type"], f["type"]))
-            for f in s["fields"]
-        ] == mirror_list:
+        if _delta_ice_shape_eq(schema_json["fields"], s["fields"]):
             old_schema = s
     if old_schema is None:
         raise DeltaSyncSchemaChangeError(
@@ -6041,11 +6472,15 @@ def _reconcile_delta_mirror_schema(
         for i in old_by_id.keys() & new_by_id.keys()
         if old_by_id[i]["name"] != new_by_id[i]["name"]
     ]
-    widens = [
+    retypes = [
         (old_by_id[i]["name"], old_by_id[i]["type"], new_by_id[i]["type"])
         for i in old_by_id.keys() & new_by_id.keys()
         if old_by_id[i]["type"] != new_by_id[i]["type"]
     ]
+    widens = [
+        t for t in retypes if isinstance(t[1], str) and isinstance(t[2], str)
+    ]
+    nested_retypes = [t for t in retypes if t not in widens]
     drops = [old_by_id[i] for i in old_by_id.keys() - new_by_id.keys()]
     adds = [new_by_id[i] for i in new_by_id.keys() - old_by_id.keys()]
 
@@ -6081,6 +6516,25 @@ def _reconcile_delta_mirror_schema(
                 "re-convert"
             )
         by_name[name]["type"] = n_d
+    for name, ot, nt in nested_retypes:
+        # nested evolution (field adds/drops/widens INSIDE a struct /
+        # list / map, ids stable): the Delta replay is a pure type
+        # re-render — missing subfields read null, dropped ones prune,
+        # widened ones upcast, all on unchanged parquet. Anything else
+        # (nested rename, container re-shape) re-converts.
+        if not _nested_change_replays(ot, nt):
+            raise DeltaSyncSchemaChangeError(
+                f"the nested type change on {name!r} is not a pure "
+                "add/drop/widen of struct members; the mirror cannot "
+                "replay it — re-convert"
+            )
+        try:
+            by_name[name]["type"] = _ice_type_to_delta(nt)
+        except (KeyError, NotImplementedError) as e:
+            raise DeltaSyncSchemaChangeError(
+                f"the nested type of {name!r} does not render onto "
+                f"Delta: {e}"
+            ) from e
     for old, new in renames:
         if old in part_cols:
             raise DeltaSyncSchemaChangeError(
@@ -6112,11 +6566,13 @@ def _reconcile_delta_mirror_schema(
                 "rewrite"
             )
         t = f["type"]
-        if t not in _ICE_TO_DELTA_JSON:
+        try:
+            t_delta = _ice_type_to_delta(t)
+        except (KeyError, NotImplementedError) as e:
             raise DeltaSyncSchemaChangeError(
-                f"added column {f['name']!r} has non-primitive type "
-                f"{t!r}; the mirror cannot replay it"
-            )
+                f"added column {f['name']!r} has type {t!r} with no "
+                f"Delta rendering ({e}); the mirror cannot replay it"
+            ) from e
         fmeta: dict = {}
         if mapped:
             # physical name == Iceberg name: that is what post-add
@@ -6137,7 +6593,7 @@ def _reconcile_delta_mirror_schema(
         schema_json["fields"].append(
             {
                 "name": f["name"],
-                "type": _ICE_TO_DELTA_JSON[t],
+                "type": t_delta,
                 "nullable": True,
                 "metadata": fmeta,
             }
@@ -6444,13 +6900,13 @@ def _sync_iceberg_snapshot(
         if compensating
         else snap.get("schema-id", meta["current-schema-id"])
     ]
-    _ICE_TO_SPARK = {
-        "long": "bigint", "int": "int", "string": "string",
-        "double": "double", "float": "float", "boolean": "boolean",
-        "date": "date", "timestamptz": "timestamp",
-    }
     mirror_schema = delta_log.table_schema(delta_table)
-    want = [(f["name"], _ICE_TO_SPARK.get(f["type"])) for f in schema["fields"]]
+    # simpleString comparison: nullability-insensitive on both sides,
+    # and nested types (struct/array/map) render recursively
+    want = [
+        (f.name, f.dataType.simpleString())
+        for f in _spark_schema(schema).fields
+    ]
     have = [
         (f.name, f.dataType.simpleString()) for f in mirror_schema.fields
     ]
@@ -7297,9 +7753,60 @@ def _equality_delete_positions(
                 key_seq[val] = max(key_seq.get(val, dseq), dseq)
         max_seq = max(s for _, s in files)
         file_cols = [c for c in cols if c not in id_cols]
+        # manifest-bounds pruning: a candidate file whose recorded
+        # [lower, upper] for SOME key column excludes every tombstone
+        # value cannot match — skipped from metadata alone. At 100 TB
+        # with sort-clustered keys this is what turns the resolution
+        # from "scan every older file's keys" into "scan the files the
+        # tombstones actually touch". Null tombstone keys disable the
+        # prune on their column (bounds never cover nulls).
+        fid_of = {
+            f["name"]: f["id"]
+            for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        }
+        vals_by_col = {
+            c: {v[i] for v in key_seq} for i, c in enumerate(cols)
+        }
+
+        def _can_match(fp: str) -> bool:
+            e = entries.get(fp)
+            if e is None:
+                return True
+            part = e.get("partition") or {}
+            for c in cols:
+                if c in id_cols and c in part:
+                    # identity value: ALL rows share it — exact prune
+                    if part[c] not in vals_by_col[c]:
+                        return False
+                    continue
+                if None in vals_by_col[c]:
+                    continue
+                lob = {b["key"]: b["value"] for b in (e.get("lower_bounds") or [])}
+                upb = {b["key"]: b["value"] for b in (e.get("upper_bounds") or [])}
+                fid = fid_of.get(c)
+                if fid not in lob or fid not in upb:
+                    continue
+                try:
+                    lo = single_value_read(lob[fid], src_type[c])
+                    hi = single_value_read(upb[fid], src_type[c])
+                except NotImplementedError:
+                    continue  # undecodable bounds: keep the file
+                try:
+                    hit = any(
+                        v is not None and lo <= v <= hi
+                        for v in vals_by_col[c]
+                    )
+                except TypeError:
+                    continue  # incomparable reps (tz-naive/aware): keep
+                if not hit:
+                    return False
+            return True
+
         for fp, fseq in sorted(seqs.items()):
             if fseq >= max_seq:
                 continue  # spec ordering rule: nothing here can match
+            if not _can_match(fp):
+                continue
             part = (entries[fp].get("partition") or {}) if fp in entries else {}
             fixed = {c: part.get(c) for c in cols if c in id_cols}
             t = (

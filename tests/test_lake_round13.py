@@ -610,3 +610,44 @@ def test_iceberg_cdc_stream_across_identity_relayout(spark, tmp_path):
     )
     assert +state == head  # every generation's k restored, none nulled
     assert state[(100, 1, 5.0)] == 1 and state[(200, 2, 6.0)] == 1
+
+
+def test_equality_delete_resolution_prunes_by_bounds(
+    spark, tmp_path, monkeypatch
+):
+    """The eq→position resolution skips candidate files whose manifest
+    key bounds exclude every tombstone value — with sort-clustered
+    files, only the touched file's keys are scanned (plus the
+    tombstone file itself)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "eqpr")
+    iceberg.create(
+        _df(spark, _rows(100)).repartitionByRange(4, "id"),
+        t,
+        format_version=2,
+        stat_cols=["id"],
+    )
+    iceberg.delete_by_equality(
+        spark, t, spark.createDataFrame([(7,)], "id long")
+    )
+    real = pq.read_table
+    opened = []
+
+    def counting(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_table", counting)
+    pos = iceberg._equality_delete_positions(
+        t, iceberg.current_metadata(t)["current-snapshot-id"]
+    )
+    assert sum(len(v) for v in pos.values()) == 1
+    data_reads = [
+        p
+        for p in opened
+        if "/data/" in p and "eqdelete-" not in os.path.basename(p)
+    ]
+    # 4 range-clustered data files: bounds keep only the one whose
+    # [lo, hi] covers id=7 (the tombstone parquet itself always reads)
+    assert len(data_reads) == 1, data_reads
