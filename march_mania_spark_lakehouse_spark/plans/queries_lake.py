@@ -3688,3 +3688,362 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q245 — NESTED DATA SKIPPING (round 13): dotted stat_cols record
+# manifest bounds keyed by the struct LEAF's own field-id (parquet
+# already keeps row-group stats per primitive leaf — nested bounds
+# cost nothing extra at write time), and scan_range prunes a nested
+# predicate from manifests alone. The fixture range-clusters on the
+# nested key, so the band scan plans a fraction of the files; the
+# oracle is the flat relational band. At 100 TB this makes the nested
+# events table directly range-scannable — no flattened projection
+# copy needed.
+# --------------------------------------------------------------------------
+
+_Q245_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE o_orderkey % 6 = 1
+  AND o_totalprice >= 50000.0 AND o_totalprice <= 100000.0
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _nested_stats_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: orders key%6=1 as (o_orderkey,
+    info struct<price, status>), range-clustered on the nested price
+    and created with stat_cols=['info.price']."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"nested-stats|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_nested_stats", fp)
+    it = os.path.join(root, "ice")
+    if os.path.exists(root) and iceberg.current_version(it) is None:
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir).filter(
+            F.col("o_orderkey") % 6 == 1
+        )
+        nested = orders.repartitionByRange(8, "o_totalprice").select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("info"),
+        )
+        iceberg.create(nested, it, stat_cols=["info.price"])
+    return it
+
+
+@query(
+    "q245_nested_pruned_scan",
+    oracle=_Q245_SQL,
+    tags=("lake", "nested"),
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-scan a NESTED leaf via manifest bounds (dotted stat_cols):
+    per-status counts and exact price sums over the band must
+    hash-match the flat relational oracle."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _nested_stats_table(spark, sf_dir)
+    return (
+        iceberg.scan_range(spark, table, "info.price", 50000.0, 100000.0)
+        .groupBy(F.col("info.status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("info.price", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q246 — CHERRY-PICK PUBLISH (round 13): write-audit-publish where
+# main MOVED between fork and publish — fast_forward's ancestor rule
+# refuses, and cherry_pick re-attaches the audited branch append onto
+# the moved main as ONE metadata-only commit (no data byte moves, the
+# change feed emits the rows once). The oracle is the three-way union;
+# a hash match proves publish-after-divergence loses nothing and
+# duplicates nothing. At 100 TB: the publish cost is one manifest
+# re-attachment, independent of table or branch size.
+# --------------------------------------------------------------------------
+
+_Q246_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE o_orderkey % 12 IN (1, 5, 9)
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _cherry_picked_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: base key%12=1 → branch append
+    key%12=5 (audit) → main append key%12=9 (divergence) →
+    cherry_pick(audit head). Guarded on the terminal sequence (4 data
+    commits: create, branch append, main append, cherry-pick)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"cherry-pick|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cherry", fp)
+    it = os.path.join(root, "ice")
+
+    def _terminal() -> bool:
+        if iceberg.current_version(it) is None:
+            return False
+        return iceberg.current_metadata(it)["last-sequence-number"] == 4
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+        def grp(r):
+            return orders.filter(F.col("o_orderkey") % 12 == r).select(*cols)
+
+        iceberg.create(grp(1), it)
+        iceberg.create_branch(it, "audit")
+        staged = iceberg.append_to_branch(grp(5), it, "audit")
+        iceberg.append(grp(9), it)  # main moves past the fork
+        iceberg.cherry_pick(it, staged)
+    return it
+
+
+@query(
+    "q246_cherry_pick_publish",
+    oracle=_Q246_SQL,
+    tags=("lake", "agg"),
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read main after a cherry-picked publish onto a moved head:
+    per-status counts and exact price sums must hash-match the
+    three-way-union oracle (no loss, no double-apply)."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _cherry_picked_table(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q247 — REORG APPLY (PURGE) (round 13): DV-masked files are rewritten
+# clean (mask materialized), untouched files keep their identity, and
+# the head carries zero deletion vectors — the maintenance op that
+# caps merge-on-read debt. The oracle is the post-delete population;
+# a hash match proves the purge changed layout, not data. At 100 TB:
+# cost bounded by the DV-carrying files' bytes, not the table.
+# --------------------------------------------------------------------------
+
+_Q247_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM orders
+WHERE o_orderkey % 6 = 2 AND o_orderkey % 30 != 2
+GROUP BY o_orderstatus
+""".format(dsum=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _reorg_purged_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: Delta orders key%6=2 (4 files) →
+    DV delete key%30=2 → reorg_purge. Guarded on the terminal version
+    AND a DV-free head."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"reorg-purge|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_reorg", fp)
+    dt = os.path.join(root, "delta")
+
+    def _terminal() -> bool:
+        v = delta_log.latest_version(dt)
+        if v != 2:
+            return False
+        return not any(
+            a.get("deletionVector")
+            for a in delta_log._replay(dt, v).values()
+        )
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir)
+        base = (
+            orders.filter(F.col("o_orderkey") % 6 == 2)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(4, "o_orderkey")
+        )
+        delta_log.create(base, dt)
+        delta_log.delete_where(spark, dt, "o_orderkey % 30 = 2")
+        delta_log.reorg_purge(spark, dt)
+    return dt
+
+
+@query(
+    "q247_reorg_purged_table",
+    oracle=_Q247_SQL,
+    tags=("lake", "agg"),
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the Delta table after REORG APPLY (PURGE): per-status
+    counts and exact price sums must hash-match the post-delete oracle
+    — the purge changed layout, not data."""
+    from march_mania_spark_lakehouse_spark.sources import delta_log
+
+    table = _reorg_purged_table(spark, sf_dir)
+    return (
+        delta_log.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q248 — DELTA-WRITER NESTED EVOLUTION THROUGH SYNC (round 13, the
+# q244 symmetric): the DELTA writer adds a struct member by dotted
+# path, appends rows that carry it, and the ICEBERG mirror follows
+# through sync_from_delta — the name-keyed type-tree diff replays as
+# dotted ops with fresh nested field-ids. Oracle reconstructs both
+# generations; PRE rows prove old files surface null on the mirror.
+# --------------------------------------------------------------------------
+
+_Q248_SQL = """
+SELECT t.status,
+       t.band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum}
+FROM (
+  SELECT o_orderstatus AS status, 'PRE' AS band, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey > 0
+  UNION ALL
+  SELECT o_orderstatus AS status,
+         CASE WHEN o_totalprice >= 150000.0 THEN 'BIG' ELSE 'SMALL' END
+           AS band,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1
+) t
+GROUP BY t.status, t.band
+""".format(dsum=sql_dsum("t.o_totalprice", "sum_price"))
+
+
+def _delta_nested_evolution_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached publish: Delta orders key%4=0 with a struct
+    column → convert_from_delta → delta add_column('info.band') →
+    append key%4=1 rows carrying it → sync_from_delta. Returns the
+    ICEBERG MIRROR path; guarded on the terminal synced version."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from march_mania_spark_lakehouse_spark.sources import delta_log, iceberg
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"delta-nested-evo|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_dnested_evo", fp
+    )
+    dt = os.path.join(root, "delta")
+    it = os.path.join(root, "ice")
+
+    def _terminal() -> bool:
+        if iceberg.current_version(it) is None:
+            return False
+        v = delta_log.latest_version(dt)
+        if v is None:
+            return False
+        props = iceberg.current_metadata(it).get("properties") or {}
+        return props.get("migrated-delta-version") == str(v)
+
+    if os.path.exists(root) and not _terminal():
+        shutil.rmtree(root)
+    if not os.path.exists(root):
+        orders = catalog.load(spark, "orders", sf_dir).filter(
+            F.col("o_orderkey") > 0
+        )
+        base = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey",
+            F.struct(F.col("o_orderstatus").alias("status")).alias("info"),
+            "o_totalprice",
+        )
+        delta_log.create(base, dt)
+        iceberg.convert_from_delta(dt, it)
+        delta_log.add_column(dt, "info.band", "string")
+        post = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.when(F.col("o_totalprice") >= 150000.0, "BIG")
+                .otherwise("SMALL")
+                .alias("band"),
+            ).alias("info"),
+            "o_totalprice",
+        )
+        delta_log.append(post, dt)
+        iceberg.sync_from_delta(dt, it)
+    return it
+
+
+@query(
+    "q248_delta_nested_evolution_mirror",
+    oracle=_Q248_SQL,
+    tags=("lake", "nested"),
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the ICEBERG mirror after a Delta-writer dotted nested add
+    crossed the format line: per (status, coalesced band) counts and
+    exact price sums must hash-match the two-generation oracle."""
+    from march_mania_spark_lakehouse_spark.sources import iceberg
+
+    table = _delta_nested_evolution_mirror(spark, sf_dir)
+    return (
+        iceberg.read_iceberg(spark, table)
+        .groupBy(
+            F.col("info.status").alias("status"),
+            F.coalesce(F.col("info.band"), F.lit("PRE")).alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -2334,6 +2334,61 @@ def optimize(
     return cur + 1
 
 
+def reorg_purge(
+    spark: SparkSession, table: str, stat_cols: Sequence[str] = ()
+) -> int:
+    """REORG TABLE ... APPLY (PURGE): rewrite ONLY the live files that
+    carry deletionVector descriptors — materializing their masks into
+    clean parquet — and leave every clean file untouched. The commit is
+    remove+add with ``dataChange=false`` (same rows, new layout), so
+    readers see identical data, change feeds skip it, the sync replays
+    it as an ordinary ``replace``, and the DV sidecar references drop
+    out of the log head (vacuum reclaims the bitmap files once
+    retention passes). Cost is bounded by the DV-CARRYING files' bytes
+    — the targeted form of OPTIMIZE for the common shape where deletes
+    concentrate in a few files of a huge table. Row tracking: the
+    rewritten rows MATERIALIZE their ids (the spec's
+    inherit-or-materialize rule; surviving ``_row_id``s are stable).
+    Returns the new version — or the current one when no live file
+    carries a DV (nothing to purge)."""
+    cur = latest_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"{table} has no Delta log")
+    live = _replay(table, cur)
+    dv_files = sorted(p for p, a in live.items() if a.get("deletionVector"))
+    if not dv_files:
+        return cur
+    if _row_tracking_enabled(table, cur):
+        df = read_delta_lineage(spark, table, cur, files=dv_files)
+    else:
+        df = _scan_with_positions(spark, table, dv_files, cur)
+        for c in ("__fp", "__pos"):
+            if c in df.columns:
+                df = df.drop(c)
+    part_cols = table_partition_columns(table, cur)
+    files = _stage_data_files(df, table, part_cols)
+    ts = _now_ms()
+    actions = [
+        _commit_info(
+            "REORG",
+            {"applyPurge": "true", "purgedFiles": str(len(dv_files))},
+        ),
+        *(
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": False}}
+            for p in dv_files
+        ),
+        *_add_actions(
+            table, files, stat_cols or _live_stat_cols(table, cur)
+        ),
+    ]
+    for a in actions:
+        if "add" in a:
+            a["add"]["dataChange"] = False
+    actions = _assign_row_ids(table, cur, actions, cur + 1)
+    _commit_read_dependent(table, cur + 1, actions, "REORG")
+    return cur + 1
+
+
 def _live_stat_cols(table: str, version: int) -> list[str]:
     """LOGICAL column names whose min/max data-skipping stats the live
     adds carry at ``version`` — the default stat set for full rewrites
@@ -2676,7 +2731,10 @@ def _assign_row_ids(
 
 
 def read_delta_lineage(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    files: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """ROW-TRACKING read: the table's declared columns plus ``_row_id``
     and ``_row_commit_version`` (nullable long), per the Delta spec's
@@ -2705,12 +2763,17 @@ def read_delta_lineage(
             "create(..., row_tracking=True)"
         )
     live = _replay(table, v)
+    # ``files`` restricts the read to a subset of the live set (the
+    # targeted-rewrite input, e.g. reorg_purge) — lineage semantics
+    # are per-file, so the subset read is exact
+    scope = sorted(live) if files is None else sorted(files)
+    in_scope = set(scope)
     extra = [
         T.StructField(MATERIALIZED_ROW_ID_COL, T.LongType(), True),
         T.StructField(MATERIALIZED_ROW_COMMIT_COL, T.LongType(), True),
     ]
     df = _read_files_raw(
-        spark, table, sorted(live), v, with_positions=True,
+        spark, table, scope, v, with_positions=True,
         extra_fields=extra,
     )
     dvs = [
@@ -2722,7 +2785,7 @@ def read_delta_lineage(
             None,
         )
         for p, a in live.items()
-        if a.get("deletionVector")
+        if a.get("deletionVector") and p in in_scope
     ]
     if dvs:
         df = df.join(
@@ -3545,6 +3608,12 @@ def rename_column(table: str, old: str, new: str) -> int:
     physical name (and id) stay, zero files rewritten. Auto-upgrades
     the table to column mapping on first use. Time travel to an older
     version reads under that version's schemaString, i.e. the old name."""
+    if "." in old or "." in new:
+        raise NotImplementedError(
+            "nested field rename: this engine resolves nested members "
+            "by NAME inside the struct group, so old files would "
+            "surface null under the new name — top-level renames only"
+        )
     cur = latest_version(table)
     if column_mapping(table, cur) is None:
         cur = enable_column_mapping(table)
@@ -3588,8 +3657,46 @@ def drop_column(table: str, col: str) -> int:
     same LOGICAL name gets a fresh ``col-<uuid>`` physical name (see
     `append(merge_schema=True)`), so it can never resurrect the dropped
     bytes. Auto-upgrades to column mapping (dropping without mapping
-    would break on a future re-add)."""
+    would break on a future re-add).
+
+    ``col`` may be a DOTTED PATH (``"info.flag"``): the member leaves
+    the struct's declared shape and the path is RETIRED in table
+    configuration (nested members resolve by name, so the name-keyed
+    gate replaces the physical-name protection top-level drops get
+    from column mapping). The last member of a struct cannot drop."""
     cur = latest_version(table)
+    if "." in col:
+        meta = _latest_metadata(table, cur)
+        schema = json.loads(meta["schemaString"])
+        *path, leaf = col.split(".")
+        parent = _navigate_delta_struct(schema["fields"], path)
+        if not any(f["name"] == leaf for f in parent):
+            raise KeyError(f"{col!r} not in table schema")
+        if len(parent) == 1:
+            raise DeltaColumnMappingError(
+                f"cannot drop the last member of struct "
+                f"{'.'.join(path)!r}; drop the whole column instead"
+            )
+        parent[:] = [f for f in parent if f["name"] != leaf]
+        conf = dict(meta.get("configuration") or {})
+        retired = _retired_nested(conf) | {col}
+        conf[RETIRED_NESTED_KEY] = json.dumps(sorted(retired))
+        _commit_read_dependent(
+            table,
+            cur + 1,
+            [
+                _commit_info("DROP COLUMN", {"column": col}),
+                {
+                    "metaData": {
+                        **meta,
+                        "schemaString": json.dumps(schema),
+                        "configuration": conf,
+                    }
+                },
+            ],
+            "DROP COLUMN",
+        )
+        return cur + 1
     if column_mapping(table, cur) is None:
         cur = enable_column_mapping(table)
     meta = _latest_metadata(table, cur)
@@ -3695,6 +3802,43 @@ DEFAULTS_PROTOCOL = {
     "writerFeatures": ["allowColumnDefaults"],
 }
 
+#: configuration key recording dropped NESTED field paths. Top-level
+#: drops are resurrection-safe through column mapping (a re-add gets a
+#: fresh physical name), but this engine's readers resolve NESTED
+#: members by NAME inside the struct group — so a retired nested name
+#: must stay retired or a re-add would surface the dropped bytes.
+#: (Reference Delta solves this with per-nested-field physical names;
+#: the name-keyed gate preserves the same safety under name-resolution
+#: reader semantics.)
+RETIRED_NESTED_KEY = "spark_graft.nested.retiredPaths"
+
+
+def _navigate_delta_struct(
+    fields: "list[dict]", path: "list[str]"
+) -> "list[dict]":
+    """The json field list of the nested STRUCT at dotted ``path``
+    inside a schemaString's fields (mutations hit the caller's copy).
+    Missing segment → KeyError; non-struct segment → the honest gate
+    (list/map interiors have no names to address)."""
+    cur = fields
+    for i, seg in enumerate(path):
+        by = {f["name"]: f for f in cur}
+        if seg not in by:
+            raise KeyError(f"{'.'.join(path[: i + 1])!r} not in table schema")
+        t = by[seg]["type"]
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise NotImplementedError(
+                f"{'.'.join(path[: i + 1])!r} is not a struct; nested "
+                "evolution addresses struct fields only (list/map "
+                "interiors are gated)"
+            )
+        cur = t["fields"]
+    return cur
+
+
+def _retired_nested(conf: dict) -> "set[str]":
+    return set(json.loads(conf.get(RETIRED_NESTED_KEY, "[]")))
+
 
 def add_column(
     table: str, name: str, type_str: str, write_default=None
@@ -3717,6 +3861,46 @@ def add_column(
         raise FileNotFoundError(f"{table} has no Delta log")
     meta = _latest_metadata(table, cur)
     schema_json = json.loads(meta["schemaString"])
+    if "." in name:
+        # dotted path: the new field lands INSIDE a struct — old files
+        # read it as null (parquet missing-subfield semantics); no
+        # defaults (write-time fill is top-level machinery) and no
+        # re-use of a retired nested name
+        if write_default is not None:
+            raise NotImplementedError(
+                "defaults on a nested field add are not supported — "
+                "write-time fill is top-level machinery"
+            )
+        *path, leaf = name.split(".")
+        parent = _navigate_delta_struct(schema_json["fields"], path)
+        if any(f["name"] == leaf for f in parent):
+            raise ValueError(f"{name!r} already in table schema")
+        conf = dict(meta.get("configuration") or {})
+        if name in _retired_nested(conf):
+            raise DeltaColumnMappingError(
+                f"nested name {name!r} was dropped; re-adding it would "
+                "resurrect the old files' bytes (nested reads resolve "
+                "by name) — pick a fresh name"
+            )
+        dt = T._parse_datatype_string(type_str)
+        parent.append(
+            {
+                "name": leaf,
+                "type": dt.jsonValue(),
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+        _commit_read_dependent(
+            table,
+            cur + 1,
+            [
+                _commit_info("ADD COLUMN", {"column": name, "type": type_str}),
+                {"metaData": {**meta, "schemaString": json.dumps(schema_json)}},
+            ],
+            "ADD COLUMN",
+        )
+        return cur + 1
     if any(f["name"] == name for f in schema_json["fields"]):
         raise ValueError(f"{name!r} already in table schema")
     dt = T._parse_datatype_string(type_str)
@@ -3793,6 +3977,38 @@ def widen_column(table: str, col: str, new_type: str) -> int:
         raise FileNotFoundError(f"{table} has no Delta log")
     meta = _latest_metadata(table, cur)
     schema = json.loads(meta["schemaString"])
+    if "." in col:
+        # dotted path: promote a struct member in place (same
+        # metadata-only rule; old files' narrower nested values upcast
+        # on the declared-schema scan)
+        *path, leaf = col.split(".")
+        parent = _navigate_delta_struct(schema["fields"], path)
+        by_leaf = {f["name"]: f for f in parent}
+        if leaf not in by_leaf:
+            raise KeyError(f"{col!r} not in table schema")
+        old_type = by_leaf[leaf]["type"]
+        if old_type == new_type:
+            return cur
+        if not isinstance(old_type, str) or (
+            old_type, new_type
+        ) not in _WIDEN_OK:
+            raise ValueError(
+                f"{old_type} -> {new_type} is not a sanctioned promotion "
+                f"(allowed: {sorted(_WIDEN_OK)})"
+            )
+        by_leaf[leaf]["type"] = new_type
+        _commit_read_dependent(
+            table,
+            cur + 1,
+            [
+                _commit_info(
+                    "WIDEN COLUMN", {"column": col, "type": new_type}
+                ),
+                {"metaData": {**meta, "schemaString": json.dumps(schema)}},
+            ],
+            "WIDEN COLUMN",
+        )
+        return cur + 1
     by_name = {f["name"]: f for f in schema["fields"]}
     if col not in by_name:
         raise KeyError(f"{col!r} not in table schema")

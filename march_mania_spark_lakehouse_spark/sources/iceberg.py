@@ -958,6 +958,11 @@ def _typed_partition(pvals: dict, meta: dict) -> dict:
     out = {}
     for k, v in pvals.items():
         t = types.get(k, "string")
+        if v is None or not isinstance(v, str):
+            # already in manifest representation (a re-attached entry,
+            # e.g. cherry_pick): pass through untouched
+            out[k] = v
+            continue
         # Spark hive-layout dirs escape special chars ('%3A' etc.);
         # '%' itself is written as '%25', so unquoting is lossless
         v = urllib.parse.unquote(v)
@@ -4268,6 +4273,87 @@ def fast_forward(table: str, branch: str) -> int:
     return target
 
 
+def cherry_pick(table: str, snapshot_id: int) -> int:
+    """CHERRY-PICK (the spec's manage-snapshots ``cherrypick_snapshot``):
+    apply an APPEND snapshot's added files onto the CURRENT main head
+    as a NEW commit — the publish path when main has MOVED since the
+    branch forked, where `fast_forward`'s ancestor rule correctly
+    refuses. Metadata-only: the picked files are re-attached through a
+    fresh manifest at a fresh sequence number; no data byte moves, and
+    the change feed emits the rows once, at the new sequence.
+
+    Honest gates (each would silently corrupt state otherwise): only
+    ``operation='append'`` snapshots pick (an overwrite/delete/replace
+    captures a whole-table view that may conflict with main's moves —
+    rebuild instead, per the reference behavior); the picked files
+    must not already be live on main (double-pick); and the picked
+    manifests must be under the CURRENT default partition spec (a
+    relayout between fork and publish re-shapes the partition record).
+    On v3, the picked entries CARRY their branch-assigned
+    ``first_row_id``s — ids were allocated at branch-commit time from
+    the shared monotonic counter, so re-attachment cannot collide.
+    Returns the new metadata version."""
+    meta = current_metadata(table)
+    snap = _snapshot(meta, snapshot_id)
+    op = (snap.get("summary") or {}).get("operation")
+    if op != "append":
+        raise NotImplementedError(
+            f"cherry-pick of a {op!r} snapshot: only append snapshots "
+            "re-apply safely onto a moved main — rebuild the change "
+            "instead"
+        )
+    added: "list[tuple[str, dict, int, int]]" = []
+    row_ids: "list[int | None]" = []
+    table_abs = os.path.abspath(table)
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        if m.get("content", 0) != 0:
+            continue
+        if m.get("added_snapshot_id") != snapshot_id:
+            continue
+        if m.get("partition_spec_id", 0) != meta["default-spec-id"]:
+            raise NotImplementedError(
+                "cherry-pick across a partition-spec change: the "
+                "picked manifest's partition record no longer matches "
+                "the default spec — rebuild the change"
+            )
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] != 1 or e["data_file"].get("content", 0) != 0:
+                continue
+            rec = e["data_file"]
+            added.append(
+                (
+                    os.path.relpath(rec["file_path"], table_abs),
+                    dict(rec.get("partition") or {}),
+                    int(rec["record_count"]),
+                    int(rec["file_size_in_bytes"]),
+                )
+            )
+            row_ids.append(rec.get("first_row_id"))
+    if not added:
+        raise ValueError(f"snapshot {snapshot_id} added no data files")
+    live = set(snapshot_files(table))  # table-relative paths
+    dup = [rel for rel, *_ in added if rel in live]
+    if dup:
+        raise ValueError(
+            f"cherry-pick would double-apply {len(dup)} file(s) already "
+            f"live on main (e.g. {dup[0]!r}) — already published?"
+        )
+    v3 = int(meta.get("format-version", 2)) >= 3
+    explicit = row_ids if v3 and all(r is not None for r in row_ids) else None
+    return _commit_snapshot(
+        None,
+        table,
+        meta,
+        "append",
+        False,
+        (),
+        {"cherry-picked-from": str(snapshot_id)},
+        staged_files=added,
+        assign_row_ids=explicit is None,
+        explicit_row_ids=explicit,
+    )
+
+
 class IcebergAuditError(RuntimeError):
     """The audit callback rejected the staged snapshot."""
 
@@ -5409,6 +5495,48 @@ def _nested_change_replays(old_t, new_t) -> bool:
     return False
 
 
+def _delta_nested_ops(path: str, old_t, new_t, ops: "list[tuple]") -> None:
+    """Diff two Delta schemaString nested types into dotted
+    add/drop/widen ops for the Iceberg mirror. Fields pair by NAME —
+    legal because nested renames are gated on the Delta writer (nested
+    members resolve by name there too). List/map interior changes and
+    container re-shapes raise re-convert; the writer gates them, so
+    reaching one here means the logs were produced elsewhere."""
+    if isinstance(old_t, str) or isinstance(new_t, str):
+        if _norm_delta_dtype(old_t) == _norm_delta_dtype(new_t):
+            return
+        if not (isinstance(old_t, str) and isinstance(new_t, str)):
+            raise DeltaSyncSchemaChangeError(
+                f"nested type of {path!r} changed container shape; the "
+                "mirror cannot replay it — re-convert"
+            )
+        ops.append(("widen", path, new_t))
+        return
+    if old_t.get("type") != new_t.get("type"):
+        raise DeltaSyncSchemaChangeError(
+            f"nested type of {path!r} changed container shape; the "
+            "mirror cannot replay it — re-convert"
+        )
+    if old_t["type"] == "struct":
+        old_by = {f["name"]: f for f in old_t["fields"]}
+        new_by = {f["name"]: f for f in new_t["fields"]}
+        for n in old_by:
+            if n not in new_by:
+                ops.append(("drop", f"{path}.{n}", None))
+        for n, f in new_by.items():
+            if n not in old_by:
+                ops.append(("add", f"{path}.{n}", f["type"]))
+            else:
+                _delta_nested_ops(
+                    f"{path}.{n}", old_by[n]["type"], f["type"], ops
+                )
+        return
+    raise DeltaSyncSchemaChangeError(
+        f"nested change inside a {old_t['type']!r} at {path!r} does not "
+        "replay (no names to address) — re-convert"
+    )
+
+
 def _delta_ice_shape_eq(delta_fields: "list[dict]", ice_fields: "list[dict]") -> bool:
     """True iff a Delta field list and an Iceberg field list declare
     the same (name, type-shape) sequence — the cross-format
@@ -5543,11 +5671,29 @@ def _replay_delta_schema_change(
             if not (
                 isinstance(p["type"], str) and isinstance(n["type"], str)
             ):
-                raise DeltaSyncSchemaChangeError(
-                    f"delta version {v} changes the NESTED type of "
-                    f"{n['name']!r}; the mirror cannot replay a nested "
-                    "type change from the Delta side — re-convert"
+                # NESTED evolution (round 13): diff the type trees into
+                # dotted add/drop/widen ops and replay them on the
+                # mirror. Root path = the PREVIOUS name — a same-commit
+                # top-level rename replays in the rename phase below,
+                # after these ops land on the pre-rename mirror state.
+                from pyspark.sql.types import _parse_datatype_json_value
+
+                nested_ops: "list[tuple]" = []
+                _delta_nested_ops(
+                    p["name"], p["type"], n["type"], nested_ops
                 )
+                for kind, pth, t in nested_ops:
+                    if kind == "widen":
+                        widen_column(iceberg_table, pth, _DELTA_TO_ICE[t])
+                    elif kind == "drop":
+                        drop_column(iceberg_table, pth)
+                    else:
+                        add_column(
+                            iceberg_table,
+                            pth,
+                            _parse_datatype_json_value(t),
+                        )
+                continue
             widen_column(
                 iceberg_table, p["name"], _DELTA_TO_ICE[_dtype_str(n)]
             )

@@ -342,3 +342,76 @@ def test_nested_stat_cols_and_scan_range_pruning(spark, tmp_path):
     got = iceberg.scan_range(spark, t, "info.cnt", 2, 4)
     assert sorted(r.k for r in got.collect()) == [2, 3, 4]
     assert got.select(F.input_file_name()).distinct().count() == 1
+
+
+def test_delta_writer_nested_evolution_replays(spark, tmp_path):
+    """The symmetric direction: dotted nested add/widen/drop on the
+    DELTA writer replay onto the Iceberg mirror through sync as dotted
+    ops (name-keyed diff of the type trees)."""
+    dt, it = str(tmp_path / "dt"), str(tmp_path / "it")
+    base = spark.createDataFrame(
+        [(i, Row(status="AB"[i % 2], cnt=i)) for i in range(8)],
+        "k long, info struct<status: string, cnt: int>",
+    )
+    delta_log.create(base, dt)
+    iceberg.convert_from_delta(dt, it)
+    # add
+    delta_log.add_column(dt, "info.flag", "int")
+    delta_log.append(
+        spark.createDataFrame(
+            [(100, Row(status="Z", cnt=1, flag=7))],
+            "k long, info struct<status: string, cnt: int, flag: int>",
+        ),
+        dt,
+    )
+    iceberg.sync_from_delta(dt, it)
+    got = iceberg.read_iceberg(spark, it)
+    assert got.schema["info"].dataType.names == ["status", "cnt", "flag"]
+    assert got.filter(F.col("info.flag") == 7).count() == 1
+    assert got.filter(F.col("info.flag").isNull()).count() == 8
+    # widen
+    delta_log.widen_column(dt, "info.cnt", "long")
+    big = 2**40
+    delta_log.append(
+        spark.createDataFrame(
+            [(200, Row(status="W", cnt=big, flag=1))],
+            "k long, info struct<status: string, cnt: long, flag: int>",
+        ),
+        dt,
+    )
+    iceberg.sync_from_delta(dt, it)
+    got = iceberg.read_iceberg(spark, it)
+    assert isinstance(got.schema["info"].dataType["cnt"].dataType, T.LongType)
+    assert got.select(F.sum("info.cnt").alias("s")).first().s == 28 + 1 + big
+    # drop
+    delta_log.drop_column(dt, "info.flag")
+    iceberg.sync_from_delta(dt, it)
+    got = iceberg.read_iceberg(spark, it)
+    assert got.schema["info"].dataType.names == ["status", "cnt"]
+    assert _canon(got) == _canon(delta_log.read_delta(spark, dt))
+    # the mirror's nested ids stayed unique through the replays
+    meta = iceberg.current_metadata(it)
+    sch = meta["schemas"][meta["current-schema-id"]]
+    ids = [f["id"] for f in sch["fields"]]
+    for f in sch["fields"]:
+        ids.extend(iceberg._nested_type_ids(f["type"]))
+    assert len(ids) == len(set(ids))
+
+
+def test_delta_writer_nested_gates(spark, tmp_path):
+    dt = str(tmp_path / "dt")
+    delta_log.create(
+        spark.createDataFrame(
+            [(1, Row(a=1, b=2))], "k long, info struct<a: int, b: int>"
+        ),
+        dt,
+    )
+    delta_log.drop_column(dt, "info.a")
+    with pytest.raises(delta_log.DeltaColumnMappingError):
+        delta_log.add_column(dt, "info.a", "int")  # resurrection gate
+    with pytest.raises(NotImplementedError):
+        delta_log.rename_column(dt, "info.b", "info.c")
+    with pytest.raises(delta_log.DeltaColumnMappingError):
+        delta_log.drop_column(dt, "info.b")  # last member
+    with pytest.raises(NotImplementedError):
+        delta_log.add_column(dt, "info.b", "int", write_default=3)

@@ -112,7 +112,8 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
             op = rng.choice(
                 ["append", "append", "dv_delete", "update", "optimize",
                  "overwrite", "add", "add_default", "rename", "widen",
-                 "drop", "mirror_compact", "restore", "repartition"]
+                 "drop", "mirror_compact", "restore", "repartition",
+                 "reorg"]
             )
             if op == "append":
                 dlog.append(
@@ -128,6 +129,10 @@ def test_random_sync_sweep_delta_writer(spark, tmp_path):
                 )
             elif op == "optimize":
                 dlog.optimize(spark, dt)
+            elif op == "reorg":
+                # REORG APPLY (PURGE): rewrite only DV-carrying files;
+                # no-op when the head carries none
+                dlog.reorg_purge(spark, dt)
             elif op == "overwrite":
                 dlog.overwrite(
                     _mk_batch(spark, _delta_schema(dt), fresh(rng.randrange(2, 6))),
