@@ -1092,6 +1092,45 @@ def _resolve_field_path(schema: dict, col: str) -> "tuple[int, str]":
     return by[leaf]["id"], by[leaf]["type"]
 
 
+def _field_paths_by_id(schema: dict) -> "dict[int, str]":
+    """field-id → dotted path for every addressable field (top-level
+    and struct members; list/map interiors have no stat paths)."""
+    out: "dict[int, str]" = {}
+
+    def walk(fields, prefix):
+        for f in fields:
+            path = f"{prefix}{f['name']}"
+            out[f["id"]] = path
+            t = f["type"]
+            if isinstance(t, dict) and t["type"] == "struct":
+                walk(t["fields"], path + ".")
+
+    walk(schema["fields"], "")
+    return out
+
+
+def _live_stat_paths(meta: dict, sid: int) -> "list[str]":
+    """The dotted stat paths whose min/max bounds the snapshot's live
+    data entries already carry — the default stat set for full
+    rewrites (OPTIMIZE / compact / REPLACE PARTITIONED BY), so a
+    maintenance pass preserves the data skipping the table had instead
+    of silently dropping it (including NESTED leaf bounds, which key
+    by the leaf's own field-id)."""
+    paths = _field_paths_by_id(meta["schemas"][meta["current-schema-id"]])
+    fids: set = set()
+    snap = _snapshot(meta, sid)
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        if m.get("content", 0) != 0:
+            continue
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] not in (0, 1) or e["data_file"].get("content", 0):
+                continue
+            fids.update(
+                b["key"] for b in (e["data_file"].get("lower_bounds") or [])
+            )
+    return sorted(paths[f] for f in fids if f in paths)
+
+
 def _file_bounds(path: str, schema: dict, stat_cols: Sequence[str]) -> tuple:
     """(lower_bounds, upper_bounds, null_value_counts) — bounds as
     [{key: field-id, value: bytes}] and null counts as
@@ -3151,6 +3190,10 @@ def repartition_table(
         df, table, _spec_info(meta2, spec_id),
         meta2["schemas"][meta2["current-schema-id"]],
     )
+    if not stat_cols:
+        # a relayout must not silently drop the data-skipping stats
+        # the live entries carried (nested leaf bounds included)
+        stat_cols = _live_stat_paths(meta, sid)
     return _commit_snapshot(
         None, table, meta2, "replace", True, stat_cols,
         {"repartitioned-by": ",".join(partition_by)},
@@ -3399,10 +3442,13 @@ def optimize(
             *sort_by
         )
         _apply_sort_order(meta, sort_by)  # recorded in THIS commit
-        if not stat_cols:
-            stat_cols = tuple(sort_by)  # cluster by what you skip on
     else:
         df = df.coalesce(n_out)
+    if not stat_cols:
+        # cluster-by cols plus every path the live entries already
+        # carry bounds for (nested leaves included) — a compaction
+        # must not silently drop the skipping stats the table had
+        stat_cols = sorted(set(sort_by) | set(_live_stat_paths(meta, sid)))
     staged = _stage_data_files(
         df, table, _spec_info(meta),
         meta["schemas"][meta["current-schema-id"]],
@@ -8126,6 +8172,7 @@ def compact(spark: SparkSession, table: str) -> int:
     row POSITION changes, ids don't) and the new entries stay
     lineage-free (a file must inherit or materialize, never both)."""
     meta = current_metadata(table)
+    stat_cols = _live_stat_paths(meta, meta["current-snapshot-id"])
     if int(meta.get("format-version", 2)) >= 3:
         sid = meta["current-snapshot-id"]
         df, _ = _read_files_lineage(
@@ -8136,10 +8183,10 @@ def compact(spark: SparkSession, table: str) -> int:
         meta["schemas"][meta["current-schema-id"]],
     )
         return _commit_snapshot(
-            None, table, meta, "overwrite", True, (), None, staged,
+            None, table, meta, "overwrite", True, stat_cols, None, staged,
             assign_row_ids=False,
         )
-    return overwrite(read_iceberg(spark, table), table)
+    return overwrite(read_iceberg(spark, table), table, stat_cols=stat_cols)
 
 
 def upsert(

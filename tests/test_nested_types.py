@@ -415,3 +415,110 @@ def test_delta_writer_nested_gates(spark, tmp_path):
         delta_log.drop_column(dt, "info.b")  # last member
     with pytest.raises(NotImplementedError):
         delta_log.add_column(dt, "info.b", "int", write_default=3)
+
+
+def _nested_leaf_bounds_fids(t):
+    """Set of field-ids with recorded lower bounds on the CURRENT
+    snapshot's live data entries."""
+    from march_mania_spark_lakehouse_spark.sources import avro_ocf
+
+    meta = iceberg.current_metadata(t)
+    snap = [
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ][0]
+    fids = set()
+    for m in avro_ocf.read_ocf(snap["manifest-list"]):
+        if m.get("content", 0):
+            continue
+        for e in avro_ocf.read_ocf(m["manifest_path"]):
+            if e["status"] in (0, 1) and not e["data_file"].get("content", 0):
+                fids.update(
+                    b["key"]
+                    for b in (e["data_file"].get("lower_bounds") or [])
+                )
+    return fids
+
+
+def test_maintenance_preserves_nested_stats(spark, tmp_path):
+    """OPTIMIZE and compact default their stat set to every path the
+    live entries carry bounds for — INCLUDING nested leaves — so a
+    maintenance pass never silently drops nested data skipping."""
+    t = str(tmp_path / "t")
+    rows = [(i, Row(cnt=i)) for i in range(100)]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField(
+                "info", T.StructType([T.StructField("cnt", T.IntegerType())])
+            ),
+        ]
+    )
+    iceberg.create(
+        spark.createDataFrame(rows, schema).repartitionByRange(4, "k"),
+        t,
+        stat_cols=["info.cnt"],
+    )
+    sch = iceberg.current_metadata(t)["schemas"][0]
+    fid, _t = iceberg._resolve_field_path(sch, "info.cnt")
+    assert fid in _nested_leaf_bounds_fids(t)
+    # OPTIMIZE with no explicit stat_cols: bounds survive the pack
+    iceberg.optimize(spark, t)
+    assert fid in _nested_leaf_bounds_fids(t)
+    got = iceberg.scan_range(spark, t, "info.cnt", 2, 4)
+    assert sorted(r.k for r in got.collect()) == [2, 3, 4]
+    # compact (full rewrite) keeps them too
+    iceberg.compact(spark, t)
+    assert fid in _nested_leaf_bounds_fids(t)
+    got = iceberg.scan_range(spark, t, "info.cnt", 2, 4)
+    assert sorted(r.k for r in got.collect()) == [2, 3, 4]
+
+
+def test_delta_nested_stats_and_scan_pruned(spark, tmp_path):
+    """Delta-side nested data skipping: add-action stats key by the
+    parquet LEAF PATH (dotted), so stat_cols=['info.cnt'] records
+    nested min/max and scan_pruned plans from the log alone — and
+    OPTIMIZE's live-stat defaulting preserves the dotted keys.
+    (Divergence note: reference Delta nests its stats objects; this
+    engine keys them flat by dotted path — self-consistent across its
+    writer, planner, and maintenance.)"""
+    t = str(tmp_path / "t")
+    rows = [(i, Row(cnt=i)) for i in range(100)]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField(
+                "info", T.StructType([T.StructField("cnt", T.IntegerType())])
+            ),
+        ]
+    )
+    delta_log.create(
+        spark.createDataFrame(rows, schema).repartitionByRange(4, "k"),
+        t,
+        stat_cols=["info.cnt"],
+    )
+    import json as _json
+
+    v = delta_log.latest_version(t)
+    stats = [
+        _json.loads(a["stats"])
+        for a in delta_log._replay(t, v).values()
+        if a.get("stats")
+    ]
+    assert stats and all("info.cnt" in s["minValues"] for s in stats)
+    got = delta_log.scan_pruned(spark, t, "info.cnt", 2, 4)
+    assert sorted(r.k for r in got.collect()) == [2, 3, 4]
+    assert got.select(F.input_file_name()).distinct().count() == 1
+    # OPTIMIZE defaults its stat set from the live adds — dotted keys
+    # survive the pack
+    delta_log.optimize(spark, t)
+    v = delta_log.latest_version(t)
+    stats = [
+        _json.loads(a["stats"])
+        for a in delta_log._replay(t, v).values()
+        if a.get("stats")
+    ]
+    assert stats and all("info.cnt" in s["minValues"] for s in stats)
+    got = delta_log.scan_pruned(spark, t, "info.cnt", 2, 4)
+    assert sorted(r.k for r in got.collect()) == [2, 3, 4]
