@@ -114,29 +114,61 @@ def refresh_minmax(
     (`keys, n, sum_dec, min_m, max_m`); groups retracted to zero rows
     drop."""
     m = F.col(measure) if isinstance(measure, str) else measure
-    inv = merge_states(base, signed_state(feed, keys, m, change_col, dec))
     is_del = F.col(change_col).isin("delete", "update_preimage")
-    ins_mm = (
-        feed.filter(~is_del)
-        .groupBy(*keys)
-        .agg(F.min(m).alias("__ins_min"), F.max(m).alias("__ins_max"))
+    sign = F.when(is_del, F.lit(-1)).otherwise(F.lit(1))
+    # ONE aggregate pass over the feed (optimization round 13, guide
+    # §2.3/§2.4): signed count/sum AND the insert/delete extremes as
+    # conditional aggregates — the previous three filtered groupBys
+    # (signed_state + ins_mm + del_mm) put three copies of the feed
+    # subtree (for the lake queries: the two-lineage-scan changelog
+    # join) into the plan. One full-outer join against the base state
+    # then replaces merge_states' union-reaggregate plus three left
+    # joins.
+    fs = feed.groupBy(*keys).agg(
+        F.sum(sign).alias("__f_n"),
+        F.sum(sign * m.cast(dec)).alias("__f_sum"),
+        F.min(F.when(~is_del, m)).alias("__ins_min"),
+        F.max(F.when(~is_del, m)).alias("__ins_max"),
+        F.min(F.when(is_del, m)).alias("__del_min"),
+        F.max(F.when(is_del, m)).alias("__del_max"),
     )
-    del_mm = (
-        feed.filter(is_del)
-        .groupBy(*keys)
-        .agg(F.min(m).alias("__del_min"), F.max(m).alias("__del_max"))
-    )
-    base_mm = base.select(
+    b = base.select(
         *keys,
+        F.col("n").alias("__b_n"),
+        F.col("sum_dec").alias("__b_sum"),
         F.col("min_m").alias("__b_min"),
         F.col("max_m").alias("__b_max"),
     )
+
+    def _nadd(x: str, y: str) -> Column:
+        # SUM-over-union semantics: null iff both inputs null (a group
+        # absent from one side / an all-null-measure sum), else
+        # null-as-absent addition — bit-identical to merge_states
+        return (
+            F.when(F.col(x).isNull(), F.col(y))
+            .when(F.col(y).isNull(), F.col(x))
+            .otherwise(F.col(x) + F.col(y))
+        )
+
     s = (
-        inv.join(base_mm, keys, "left")
-        .join(ins_mm, keys, "left")
-        .join(del_mm, keys, "left")
+        b.join(fs, keys, "full_outer")
+        .select(
+            *keys,
+            _nadd("__b_n", "__f_n").alias("n"),
+            _nadd("__b_sum", "__f_sum").alias("sum_dec"),
+            "__b_min",
+            "__b_max",
+            "__ins_min",
+            "__ins_max",
+            "__del_min",
+            "__del_max",
+        )
         .filter(F.col("n") > 0)
     )
+    # the tiny per-group state is referenced three times below (clean
+    # split, dirty keys, rescan's semi-join build side): materialize it
+    # once so the scans/joins above it run once, not three times
+    s = s.localCheckpoint(eager=True)
     dirty_cond = F.col("__del_min").isNotNull() & (
         F.col("__b_min").isNull()
         | (F.col("__del_min") <= F.col("__b_min"))

@@ -2578,6 +2578,40 @@ MATERIALIZED_ROW_ID_COL = "_row_id"
 MATERIALIZED_ROW_COMMIT_COL = "_row_commit_version"
 
 
+def footer_proves_nonnull(path: str, col: str) -> bool:
+    """True when the parquet FOOTER alone proves every physical row of
+    ``path`` carries a non-null ``col``: the column exists and every
+    row group's statistics record null_count == 0. Used by the
+    changelog null-id validation (both formats) to skip the row-level
+    Spark check — a KB footer read per suspect file instead of a full
+    join-and-count job per changelog build (optimization round 13,
+    guide §1/§5: no driver-triggered jobs on the query-build path).
+    Missing column, missing statistics, or unreadable footer → False
+    (the caller falls back to the exact row-level check)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return False
+    if md.num_rows == 0:
+        return True
+    idx = None
+    for i in range(md.num_columns):
+        # column(i).path_in_schema is the dotted path; top-level
+        # lineage columns compare directly
+        if md.row_group(0).column(i).path_in_schema == col:
+            idx = i
+            break
+    if idx is None:
+        return False
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or st.null_count is None or st.null_count > 0:
+            return False
+    return True
+
+
 def _merge_protocol(base: "dict | None", extra: dict) -> dict:
     """Feature-UNION of two protocol actions: re-emitting a protocol
     (DV commits do it defensively) must never DROP features a prior
@@ -2851,11 +2885,19 @@ def snapshot_diff_changelog(
         F.col("_row_commit_version").alias("__new_rcv"),
     )
     both = new.join(old, "_row_id", "full_outer")
-    # null ids are possible only when some live add lacks baseRowId
+    # null ids are possible only when some live add lacks baseRowId —
+    # and even then the parquet footer usually proves a materialized
+    # `_row_id` with zero nulls (OPTIMIZE/update-carry output), which
+    # skips the row-level Spark job (optimization round 13; see the
+    # Iceberg twin)
     def _may_have_null_ids(v: int) -> bool:
-        return any(
-            a.get("baseRowId") is None for a in _replay(table, v).values()
-        )
+        for p, a in _replay(table, v).items():
+            if a.get("baseRowId") is None and not footer_proves_nonnull(
+                p if os.path.isabs(p) else os.path.join(table, p),
+                MATERIALIZED_ROW_ID_COL,
+            ):
+                return True
+        return False
 
     if _may_have_null_ids(from_version) or _may_have_null_ids(v_new):
         if both.filter(F.col("_row_id").isNull()).limit(1).count() > 0:
@@ -2864,28 +2906,42 @@ def snapshot_diff_changelog(
                 "before rowTracking); identity-keyed diffing needs "
                 "identities"
             )
-    inserts = both.filter(F.col("__old_rcv").isNull()).select(
-        *names, "_row_id", F.lit("insert").alias("_change_type")
-    )
-    deletes = both.filter(F.col("__new_rcv").isNull()).select(
-        *[F.col(f"__old_{n}").alias(n) for n in names],
-        "_row_id",
-        F.lit("delete").alias("_change_type"),
-    )
-    changed = both.filter(
+    # single-pass classification — same rewrite as the Iceberg twin
+    # (optimization round 13, guide §2.4): one join, 0-2 change rows
+    # per joined row via a typed array + explode, instead of four
+    # copies of the join subtree in the physical plan.
+    def _new_row(ct: str):
+        return F.struct(
+            *[F.col(n).alias(n) for n in names],
+            F.col("_row_id").alias("_row_id"),
+            F.lit(ct).alias("_change_type"),
+        )
+
+    def _old_row(ct: str):
+        return F.struct(
+            *[F.col(f"__old_{n}").alias(n) for n in names],
+            F.col("_row_id").alias("_row_id"),
+            F.lit(ct).alias("_change_type"),
+        )
+
+    is_ins = F.col("__old_rcv").isNull()
+    is_del = F.col("__new_rcv").isNull()
+    is_upd = (
         F.col("__old_rcv").isNotNull()
         & F.col("__new_rcv").isNotNull()
         & (F.col("__new_rcv") > F.col("__old_rcv"))
     )
-    pre = changed.select(
-        *[F.col(f"__old_{n}").alias(n) for n in names],
-        "_row_id",
-        F.lit("update_preimage").alias("_change_type"),
+    emit = F.array_compact(
+        F.array(
+            F.when(is_ins, _new_row("insert")).when(
+                is_upd, _new_row("update_postimage")
+            ),
+            F.when(is_del, _old_row("delete")).when(
+                is_upd, _old_row("update_preimage")
+            ),
+        )
     )
-    post = changed.select(
-        *names, "_row_id", F.lit("update_postimage").alias("_change_type")
-    )
-    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+    return both.select(F.explode(emit).alias("__c")).select("__c.*")
 
 
 def _rebase_row_ids(

@@ -2753,6 +2753,15 @@ def snapshot_diff_changelog(
     # the METADATA admits the possibility (some live entry inherits no
     # id — pre-upgrade or materialized files); pure inherited-lineage
     # tables skip it, so the common case costs exactly the two scans.
+    # For entries that DO inherit no id, the parquet footer usually
+    # proves a materialized `_row_id` column with zero nulls
+    # (compaction/update-carry output) — that proof replaces the
+    # row-level Spark job the old check ran on every changelog build
+    # (optimization round 13); only unprovable files fall back to it.
+    from march_mania_spark_lakehouse_spark.sources.delta_log import (
+        footer_proves_nonnull,
+    )
+
     def _may_have_null_ids(snap_id: int) -> bool:
         snap = _snapshot(meta, snap_id)
         for m in avro_ocf.read_ocf(snap["manifest-list"]):
@@ -2763,6 +2772,9 @@ def snapshot_diff_changelog(
                     e["status"] in (0, 1)
                     and e["data_file"].get("content", 0) == 0
                     and e["data_file"].get("first_row_id") is None
+                    and not footer_proves_nonnull(
+                        e["data_file"]["file_path"], "_row_id"
+                    )
                 ):
                     return True
         return False
@@ -2774,28 +2786,45 @@ def snapshot_diff_changelog(
                 "before the v3 upgrade); identity-keyed diffing needs "
                 "identities"
             )
-    inserts = both.filter(F.col("__old_lus").isNull()).select(
-        *names, "_row_id", F.lit("insert").alias("_change_type")
-    )
-    deletes = both.filter(F.col("__new_lus").isNull()).select(
-        *[F.col(f"__old_{n}").alias(n) for n in names],
-        "_row_id",
-        F.lit("delete").alias("_change_type"),
-    )
-    changed = both.filter(
+    # SINGLE-PASS classification (optimization round 13, guide §2.4):
+    # the previous four filter-branches-of-one-join union made the
+    # physical plan contain four copies of the join subtree (eight
+    # lineage scans); composed into the IVM refreshes this compounded
+    # to 94-scan/240-Exchange plans (plans/r13/q232_before.txt). One
+    # row of `both` instead emits 0-2 change rows via a typed array +
+    # explode — identical row set, one join, two scans.
+    def _new_row(ct: str):
+        return F.struct(
+            *[F.col(n).alias(n) for n in names],
+            F.col("_row_id").alias("_row_id"),
+            F.lit(ct).alias("_change_type"),
+        )
+
+    def _old_row(ct: str):
+        return F.struct(
+            *[F.col(f"__old_{n}").alias(n) for n in names],
+            F.col("_row_id").alias("_row_id"),
+            F.lit(ct).alias("_change_type"),
+        )
+
+    is_ins = F.col("__old_lus").isNull()
+    is_del = F.col("__new_lus").isNull()
+    is_upd = (
         F.col("__old_lus").isNotNull()
         & F.col("__new_lus").isNotNull()
         & (F.col("__new_lus") > F.col("__old_lus"))
     )
-    pre = changed.select(
-        *[F.col(f"__old_{n}").alias(n) for n in names],
-        "_row_id",
-        F.lit("update_preimage").alias("_change_type"),
+    emit = F.array_compact(
+        F.array(
+            F.when(is_ins, _new_row("insert")).when(
+                is_upd, _new_row("update_postimage")
+            ),
+            F.when(is_del, _old_row("delete")).when(
+                is_upd, _old_row("update_preimage")
+            ),
+        )
     )
-    post = changed.select(
-        *names, "_row_id", F.lit("update_postimage").alias("_change_type")
-    )
-    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+    return both.select(F.explode(emit).alias("__c")).select("__c.*")
 
 
 def _apply_delete_files(
