@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
+
 
 def blocked_levenshtein_pairs(
     df: DataFrame,
@@ -38,7 +40,14 @@ def blocked_levenshtein_pairs(
     residual risk — mitigate upstream by refining the key, exactly like
     salting a skewed join (`operators/skew.py`).
     """
-    a = df.select(
+    # The verify stage runs WHERE the probe side is partitioned: when the
+    # block join broadcasts (the common shape — the blocked table is the
+    # small side), a single-file input scans as ONE task and every
+    # levenshtein runs serially while the other cores idle
+    # (optimization round 13, guide §2.6/§2.5-input-skew).
+    # `rebalance_scan` is an identity whenever the scan already has ≥
+    # default-parallelism partitions, i.e. always at real scale.
+    a = rebalance_scan(df).select(
         block.alias("block"),
         F.col(id_col).alias("id_a"),
         F.col(name_col).alias("name_a"),

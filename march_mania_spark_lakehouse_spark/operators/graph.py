@@ -64,16 +64,42 @@ def _resolve_state_mode(df: DataFrame, state: str | None) -> str:
     return state
 
 
-def _materialize(df: DataFrame, state: str) -> DataFrame:
+def _materialize(df: DataFrame, state: str, eager: bool = True) -> DataFrame:
     """Truncate lineage between iteration rounds per ``state`` (see
-    `_STATE_MODES`)."""
+    `_STATE_MODES`).
+
+    ``eager=False`` truncates the LOGICAL plan immediately (the analyzer
+    sees a LogicalRDD either way) but defers the job: the RDD is marked
+    persist+truncate and computes with the NEXT action that consumes it
+    (optimization round 13, guide §1.2/§2.6 — fewer driver barriers).
+    A fixed-iteration loop whose only required actions are its
+    convergence checks then runs one job per check instead of one per
+    round. ``reliable`` stays eager regardless: deferred reliable
+    checkpoints change the fault-tolerance story mid-loop."""
     if state == "reliable":
         return df.checkpoint(eager=True)
     if state == "disk":
         from pyspark.storagelevel import StorageLevel
 
-        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+    return df.localCheckpoint(eager=eager)
+
+
+def _both_directions(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(a, b) rows carrying each input edge in both directions, in ONE
+    pass: `edges ∪ edges.swap` puts two copies of the (possibly
+    expensive) edge-producing subtree into the physical plan — the
+    union-branch duplication of guide §2.4 — where an explode of a
+    2-element struct array emits the identical row multiset from a
+    single traversal."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
 
 
 def connected_components(
@@ -110,10 +136,19 @@ def connected_components(
 
     ``state`` picks the iteration-state materialization mode (see
     `_STATE_MODES`; None = auto)."""
+    # Partition the (big) edge table by the per-round join key ONCE:
+    # every propagation round joins `sym.b == labels.node`, and without
+    # an established partitioning Spark re-shuffles the full edge list
+    # every round — the per-node label state is the side that should
+    # move (guide §2.4: operations keyed the same way share one
+    # exchange). The explicit repartition lands BEFORE the distinct,
+    # which a hash partitioning on `b` already satisfies (subset of the
+    # (a,b) clustering), so setup still costs one shuffle; the cached
+    # partitioning then serves every round.
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        _both_directions(edges, src, dst)
         .filter(F.col("a") != F.col("b"))
+        .repartition("b")
         .distinct()
         .cache()
     )
@@ -130,8 +165,13 @@ def connected_components(
     # Checkpoint (not cache): iterative plans double in size every round
     # if lineage is kept — the analyzer, not the data, OOMs. Lineage
     # truncation per round keeps plan size constant; `_materialize`
-    # picks memory-resident vs disk-backed.
-    labels = _materialize(labels, state)
+    # picks memory-resident vs disk-backed. LAZY (eager=False): the
+    # convergence aggregate below is the action that computes each
+    # checkpointed round — one job per CHECK instead of one
+    # materialization job per round plus one agg job per check
+    # (optimization round 13, guide §2.6: a round is a driver barrier;
+    # check_every=2 now costs 1 job per 2 rounds, 3× fewer barriers).
+    labels = _materialize(labels, state, eager=False)
     # Convergence witness: min-propagation only ever DECREASES labels, so
     # Σ lbl strictly decreases until the fixpoint — one cheap agg over the
     # checkpointed labels replaces a join-based changed-rows check.
@@ -153,7 +193,9 @@ def connected_components(
             )
             candidates = candidates.union(hop)
         new_labels = _materialize(
-            candidates.groupBy("node").agg(F.min("lbl").alias("lbl")), state
+            candidates.groupBy("node").agg(F.min("lbl").alias("lbl")),
+            state,
+            eager=False,
         )
         labels = new_labels
         if (it + 1) % check_every == 0 or (it + 1) == max_iter:
@@ -225,33 +267,57 @@ def pagerank(
     d_num, d_den = int(damping_pct), 100
     state = _resolve_state_mode(edges, state)
     # materialize the edge list once — it feeds every iteration, and an
-    # upstream join pipeline would otherwise re-execute per step
+    # upstream join pipeline would otherwise re-execute per step. All
+    # three inputs are LAZY checkpoints (plan truncated now, computed by
+    # the next consuming action): `nodes.count()` below is the single
+    # init job — it computes and persists e + nodes in one pass; deg
+    # rides the first iteration's action (optimization round 13, guide
+    # §2.6 — one barrier instead of four).
     e = _materialize(
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
+        # partitioned by the per-step join key so each power-iteration
+        # step shuffles only the node-sized rank state, never the edge
+        # list (guide §2.4); deg's groupBy below reuses the same
+        # partitioning shuffle-free
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .repartition("e_src"),
         state,
+        eager=False,
     )
     nodes = _materialize(
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct(),
         state,
+        eager=False,
     )
     n = nodes.count()  # scalar boundary (reference §2.12 pattern)
-    deg = _materialize(
-        e.groupBy(F.col("e_src").alias("node")).agg(F.count(F.lit(1)).alias("d")),
+    deg = e.groupBy(F.col("e_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # Attach the out-degree to each EDGE once, and precompute the
+    # dangling node set once (optimization round 13, guide §2.4): the
+    # previous loop joined ranks⋈deg per step TWICE (once under contrib,
+    # once under dangling), re-running a node-sized join 2·iters times.
+    # Both deg computations reuse e's e_src partitioning shuffle-free;
+    # per step the only remaining joins are ranks⋈e2 (co-partitioned on
+    # the same key) and the node-sized rank update.
+    e2 = _materialize(
+        e.join(deg.withColumnRenamed("node", "e_src"), "e_src"),
         state,
+        eager=False,
+    )
+    dang = _materialize(
+        nodes.join(deg, "node", "left_anti"), state, eager=False
     )
     teleport = ((d_den - d_num) * unit) // (d_den * n)  # exact python int
     ranks = nodes.withColumn("rank_fp", F.lit(unit // n).cast("long"))
     for i in range(iters):
-        with_deg = ranks.join(deg, on="node", how="left")
         contrib = (
-            with_deg.filter(F.col("d").isNotNull())
-            .join(e, F.col("node") == F.col("e_src"))
+            ranks.join(e2, F.col("node") == F.col("e_src"))
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.expr("rank_fp DIV d")).alias("contrib"))
         )
-        dangling = with_deg.filter(F.col("d").isNull()).agg(
+        dangling = ranks.join(dang, "node", "leftsemi").agg(
             F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("mass")
         )
         ranks = (
@@ -267,7 +333,9 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            ranks = _materialize(ranks, state)
+            # lazy: plan truncation is what the loop needs; the caller's
+            # terminal action computes every deferred step in one cascade
+            ranks = _materialize(ranks, state, eager=False)
     return ranks.select(
         "node", "rank_fp", (F.col("rank_fp") / F.lit(float(unit))).alias("rank")
     )
@@ -294,11 +362,11 @@ def triangle_count(
     """
     state = _resolve_state_mode(edges, state)
     und = _materialize(  # feeds deg + orientation; don't recompute
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        _both_directions(edges, src, dst)
         .filter(F.col("a") != F.col("b"))
         .distinct(),
         state,
+        eager=False,
     )
     deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     keyed = (
@@ -312,6 +380,7 @@ def triangle_count(
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         ).select("a", "b"),
         state,
+        eager=False,
     )
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -321,10 +390,10 @@ def triangle_count(
         .join(e3, on=["x", "z"], how="leftsemi")
         .select("x", "y", "z")
     )
+    # one traversal of the wedge join, not three: the x/y/z union put
+    # three copies of the e1⋈e2⋈e3 subtree into the plan (guide §2.4)
     per_node = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
@@ -357,8 +426,12 @@ def bfs_distances(
     """
     state = _resolve_state_mode(edges, state)
     e = _materialize(  # reused every level; don't re-run its lineage
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
+        # partitioned by the per-level join key: each relaxation level
+        # then shuffles only the frontier, never the edges (guide §2.4)
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .repartition("e_src"),
         state,
+        eager=False,
     )
     dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
         "dist", F.lit(0).cast("int")
@@ -374,5 +447,8 @@ def bfs_distances(
             .agg(F.min("dist").cast("int").alias("dist"))
         )
         if (h + 1) % checkpoint_every == 0 and (h + 1) < max_hops:
-            dist = _materialize(dist, state)
+            # lazy: no convergence check here (fixed hop count), so the
+            # caller's terminal action is the only job — intermediate
+            # levels persist as they stream through it
+            dist = _materialize(dist, state, eager=False)
     return dist

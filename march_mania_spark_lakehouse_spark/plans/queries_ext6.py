@@ -201,8 +201,14 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, "c_custkey", "c_name",
         block=F.substring(F.col("c_name"), 1, 16), max_dist=1,
     )
-    sym = pairs.select(F.col("id_a").alias("c_custkey")).unionByName(
-        pairs.select(F.col("id_b").alias("c_custkey"))
+    # ONE pass over the blocked join: the id_a/id_b union branches each
+    # re-ran the whole prefix-block join + levenshtein verify
+    # (plans/r13/q109_before.txt shows two BroadcastHashJoins doing
+    # identical work); exploding both endpoints of each pair emits the
+    # identical row multiset from a single join (optimization round 13,
+    # guide §2.4).
+    sym = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("c_custkey")
     )
     return sym.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_similar"))
 

@@ -252,22 +252,27 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_quantity"
     )
     pairs = o.join(li, o.o_orderkey == li.l_orderkey)
-    fwd = pairs.select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + _Q164_SUPP_OFFSET).alias("dst"),
-    ).distinct()
-    rev = (
-        pairs.groupBy(
-            (F.col("l_suppkey") + _Q164_SUPP_OFFSET).alias("src"),
-            F.col("o_custkey").alias("dst"),
+    # fwd (distinct cust→supp) and rev (supp→cust where Σqty clears the
+    # bar) both reduce to ONE (cust, supp) aggregate — the previous
+    # fwd-distinct ∪ rev-groupBy put two copies of the orders⋈lineitem
+    # join into the plan (optimization round 13, guide §2.3/§2.4): one
+    # grouped pass now emits the fwd edge always and the rev edge
+    # conditionally, identical row multiset.
+    g = pairs.groupBy(
+        F.col("o_custkey").alias("c"),
+        (F.col("l_suppkey") + _Q164_SUPP_OFFSET).alias("s"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+    emit = F.array_compact(
+        F.array(
+            F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+            F.when(
+                F.col("q") > _Q164_REV_MIN_QTY,
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            ),
         )
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
-        .filter(F.col("q") > _Q164_REV_MIN_QTY)
-        .select("src", "dst")
     )
-    return graph.pagerank(
-        fwd.unionByName(rev), damping_pct=85, iters=_Q164_ITERS
-    )
+    edges = g.select(F.explode(emit).alias("e")).select("e.src", "e.dst")
+    return graph.pagerank(edges, damping_pct=85, iters=_Q164_ITERS)
 
 
 # --------------------------------------------------------------------------
@@ -400,9 +405,16 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # both directions from one traversal of the distinct-pairs join —
+    # the two-branch union duplicated it in the plan (guide §2.4)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     seeds = (
         catalog.load(spark, "customer", sf_dir)
         .filter(F.col("c_custkey") % 97 == 0)

@@ -192,15 +192,16 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(
         "doc_id", "source", F.expr("n_chars div 200").alias("bkt")
     )
+    # consecutive-pair edges via lead() over the same cell window the
+    # rn self-join used: identical (rn, rn+1) pairs, but one window pass
+    # with no self-join — the join shuffled/sorted the ranked table
+    # twice and matched rn=rn+1 (optimization round 13, guide §2.4)
     w = Window.partitionBy("source", "bkt").orderBy("doc_id")
-    ranked = nodes.withColumn("rn", F.row_number().over(w))
-    a, b = ranked.alias("a"), ranked.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.bkt") == F.col("b.bkt"))
-        & (F.col("b.rn") == F.col("a.rn") + 1),
-    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    edges = (
+        nodes.withColumn("dst", F.lead("doc_id").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
     comp = connected_components(edges)
     return (
         nodes.select("doc_id")
@@ -273,8 +274,15 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels to an integer-exact quality surrogate and keep each group's
     argmax (score DESC, doc_id ASC). Dedup emits GROUPS; a selection
     policy emits the survivor set — the production curation shape."""
+    from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
+
     comp = _component_labels(spark, sf_dir)
-    docs = catalog.load(spark, "documents", sf_dir)
+    # score's three split() passes over text are projected BELOW the
+    # join exchange (shuffle 8 bytes of score, not the text — right at
+    # scale, guide §2.3), which on a single-file scan serializes them
+    # onto one task; rebalance_scan restores parallelism and is an
+    # identity on well-split inputs (optimization round 13)
+    docs = rebalance_scan(catalog.load(spark, "documents", sf_dir))
     score = F.expr(
         "least(size(split(text, ' ')), 148)"
         " * size(array_distinct(split(text, ' ')))"
