@@ -43,7 +43,12 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown feeds a single-shuffle hash aggregate."""
     li = catalog.load(spark, "lineitem", sf_dir)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        # rebalance AFTER the pushed-down filter: a single-file fact scan
+        # is one task, which serializes the whole partial-aggregate stage;
+        # identity on well-split inputs (optimization round 13, guide §2.5)
+        ops.rebalance_scan(
+            li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
@@ -83,7 +88,10 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join (J1): lineitem⋈orders⋈customer⋈nation⋈region with the
     dimension sides broadcast — the fact never shuffles for the joins;
     the one shuffle is the final aggregation."""
-    li = catalog.load(spark, "lineitem", sf_dir)
+    # rebalance the fact side: the dims broadcast, so without a shuffle
+    # boundary the probe + partial agg inherit the single-file scan's one
+    # task (identity at scale; optimization round 13, guide §2.5)
+    li = ops.rebalance_scan(catalog.load(spark, "lineitem", sf_dir))
     orders = catalog.load(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))

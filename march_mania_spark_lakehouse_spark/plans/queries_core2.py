@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
 from march_mania_spark_lakehouse_spark.functions.numeric import DEC, dsum, sql_dsum
+from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
 from march_mania_spark_lakehouse_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -68,7 +69,10 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 @query("q36_rollup_totals", oracle=_Q36_SQL, tags=("agg",))
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals with GROUPING() disambiguation."""
-    li = catalog.load(spark, "lineitem", sf_dir)
+    # single-file fact scan = one task; the rollup EXPANDS rows before
+    # the partial agg, so serialization hurts ×(grouping sets). Identity
+    # at scale (optimization round 13, guide §2.5).
+    li = rebalance_scan(catalog.load(spark, "lineitem", sf_dir))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
@@ -91,7 +95,8 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 @query("q37_cube_totals", oracle=_Q37_SQL, tags=("agg",))
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions (all 2² grouping sets in one pass)."""
-    li = catalog.load(spark, "lineitem", sf_dir)
+    # same single-task-scan story as q36 (×4 cube expansion)
+    li = rebalance_scan(catalog.load(spark, "lineitem", sf_dir))
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),

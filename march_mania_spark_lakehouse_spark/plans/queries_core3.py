@@ -104,7 +104,15 @@ GROUP BY l_suppkey
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOS aggregation shape (J2/A2): attach each 'opponent''s stats via a
     broadcast join on the opponent key, then average per entity."""
-    li = catalog.load(spark, "lineitem", sf_dir).select("l_suppkey", "l_partkey")
+    from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
+
+    # fact side of a broadcast join over a single-file scan: one task
+    # runs the probe AND the (suppkey, partkey) partial aggregate;
+    # rebalance restores parallelism, identity at scale (optimization
+    # round 13, guide §2.5). Measured 2.1-2.9 -> 1.7-1.9 s back-to-back.
+    li = rebalance_scan(
+        catalog.load(spark, "lineitem", sf_dir).select("l_suppkey", "l_partkey")
+    )
     part = catalog.load(spark, "part", sf_dir).select(
         "p_partkey", "p_retailprice", "p_size"
     )

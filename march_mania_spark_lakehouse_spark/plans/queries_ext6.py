@@ -276,7 +276,12 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the aggregation (map-side combined); the window runs over
     nation×year rows. Delta/ratio are single IEEE ops on exact-decimal
     doubles — deterministic without rounding."""
-    li = catalog.load(spark, "lineitem", sf_dir)
+    from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
+
+    # fact side of broadcast joins over a single-file scan (one task
+    # otherwise runs probe + partial agg); identity at scale
+    # (optimization round 13, guide §2.5)
+    li = rebalance_scan(catalog.load(spark, "lineitem", sf_dir))
     orders = catalog.load(spark, "orders", sf_dir)
     cust = catalog.load(spark, "customer", sf_dir)
     nation = catalog.load(spark, "nation", sf_dir)

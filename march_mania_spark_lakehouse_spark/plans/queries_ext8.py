@@ -741,8 +741,15 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice on the same key."""
     from pyspark.sql import functions as F
 
-    li = catalog.load(spark, "lineitem", sf_dir).select(
-        "l_returnflag", "l_extendedprice"
+    from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
+
+    # three passes over lineitem (median, MAD, outlier count) all
+    # inherit the single-file scan's one task without a shuffle
+    # boundary; identity at scale (optimization round 13, guide §2.5)
+    li = rebalance_scan(
+        catalog.load(spark, "lineitem", sf_dir).select(
+            "l_returnflag", "l_extendedprice"
+        )
     )
     med = li.groupBy("l_returnflag").agg(
         F.median("l_extendedprice").alias("med")

@@ -242,3 +242,20 @@ def test_graph_state_modes_and_sparse_convergence(spark, tmp_path):
         getattr(jsc, "checkpointDir_$eq")(
             spark.sparkContext._jvm.scala.Option.apply(None)
         )
+
+
+def test_both_directions_matches_union_swap(spark):
+    """_both_directions (optimization r13) must emit the exact union
+    multiset of the two directed copies it replaces."""
+    from march_mania_spark_lakehouse_spark.operators.graph import _both_directions
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 3), (1, 2)], ["src", "dst"]
+    )
+    got = sorted(
+        (r.a, r.b) for r in _both_directions(edges, "src", "dst").collect()
+    )
+    want = sorted(
+        [(1, 2), (2, 3), (3, 3), (1, 2), (2, 1), (3, 2), (3, 3), (2, 1)]
+    )
+    assert got == want

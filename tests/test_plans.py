@@ -330,3 +330,22 @@ def test_refresh_minmax_rescan_is_broadcast_semi_join(spark):
     assert "LeftSemi, BuildRight" in plan or (
         "BroadcastHashJoin" in plan and "LeftSemi" in plan
     )
+
+
+def test_fuzzy_endpoint_union_runs_blocked_join_once(spark, sf_dir):
+    """q109 (optimization r13): emitting both pair endpoints must NOT
+    duplicate the blocked levenshtein join — the plan carries exactly
+    one join doing the verify, plus a Generate (explode) above it."""
+    plan = _plan(all_queries()["q109_fuzzy_name_match"].fn(spark, sf_dir))
+    assert plan.count("levenshtein") <= 2, plan  # 1 join node + its detail
+    assert "Generate" in plan and "explode" in plan
+
+
+def test_q01_rebalance_keeps_filter_pushdown(spark, sf_dir):
+    """q01 (optimization r13): the fact-side rebalance sits ABOVE the
+    pushed filter — PushedFilters must still carry l_shipdate and the
+    scan schema stays pruned."""
+    plan = _plan(all_queries()["q01_pricing_summary"].fn(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "RoundRobinPartitioning" in plan
+    assert "l_comment" not in plan  # projection pruning intact

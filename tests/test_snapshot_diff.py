@@ -198,3 +198,39 @@ def test_lineage_ivm_refresh_crosses_an_overwrite(spark, tmp_path):
     got = sorted(tuple(r) for r in refreshed.collect())
     want = sorted(tuple(r) for r in recomputed.collect())
     assert got == want and got
+
+
+def test_footer_proves_nonnull(spark, tmp_path):
+    """The changelog's footer-based null-id proof (optimization r13):
+    True only when every row group's stats prove zero nulls for the
+    column; missing column or present nulls fall back to False."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from march_mania_spark_lakehouse_spark.sources.delta_log import (
+        footer_proves_nonnull,
+    )
+
+    clean = str(tmp_path / "clean.parquet")
+    pq.write_table(
+        pa.table({"_row_id": pa.array([1, 2, 3], "int64"), "v": [1, 2, 3]}),
+        clean,
+    )
+    assert footer_proves_nonnull(clean, "_row_id") is True
+
+    withnull = str(tmp_path / "null.parquet")
+    pq.write_table(
+        pa.table({"_row_id": pa.array([1, None, 3], "int64"), "v": [1, 2, 3]}),
+        withnull,
+    )
+    assert footer_proves_nonnull(withnull, "_row_id") is False
+
+    assert footer_proves_nonnull(clean, "_row_id_missing") is False
+    assert footer_proves_nonnull(str(tmp_path / "absent.parquet"), "_row_id") is False
+
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table({"_row_id": pa.array([], "int64")}), empty
+    )
+    assert footer_proves_nonnull(empty, "_row_id") is True
