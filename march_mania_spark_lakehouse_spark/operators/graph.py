@@ -368,7 +368,17 @@ def triangle_count(
         state,
         eager=False,
     )
-    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # deg is referenced three times (both sides of the orientation join
+    # + the final all-nodes left join) — materialize the node-sized
+    # aggregate once instead of re-aggregating the edge list per branch
+    # (optimization round 13, guide §2.4/§5)
+    deg = _materialize(
+        und.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ),
+        state,
+        eager=False,
+    )
     keyed = (
         und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
         .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")

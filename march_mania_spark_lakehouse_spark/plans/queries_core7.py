@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark import catalog
-from march_mania_spark_lakehouse_spark.functions.numeric import dsum, sql_dsum
+from march_mania_spark_lakehouse_spark.functions.numeric import DEC, dsum, sql_dsum
 from march_mania_spark_lakehouse_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -140,8 +140,23 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         )
     )
-    v = base.groupBy("l_partkey").agg(dsum("rev", "part_value"))
-    tot = base.agg(dsum("rev", "total_value"))
+    # ONE pass over the fact join: the grand total re-aggregates the
+    # per-part DECIMAL sums instead of re-running the base subtree
+    # (optimization round 13, guide §2.3/§2.4 — the v/tot branches each
+    # carried a full scan+join copy). Exact-decimal addition is
+    # associative, so Σ_parts(Σ_rows) ≡ Σ_rows bit-for-bit (the double
+    # casts happen only after each exact total, exactly as before).
+    # The checkpoint pins the sharing: without it the optimizer
+    # collapses Σ_parts back into a global Σ_rows and re-derives the
+    # two-pass plan (observed: branch 2's scan drops l_partkey). The
+    # materialized state is part-bounded — the query's own output size.
+    vdec = base.groupBy("l_partkey").agg(
+        F.sum(F.col("rev").cast(DEC)).alias("pv")
+    ).localCheckpoint(eager=True)
+    v = vdec.select(
+        "l_partkey", F.col("pv").cast("double").alias("part_value")
+    )
+    tot = vdec.agg(F.sum("pv").cast("double").alias("total_value"))
     return v.join(F.broadcast(tot)).filter(
         F.col("part_value") > F.lit(_Q155_FRACTION) * F.col("total_value")
     ).select("l_partkey", "part_value")
@@ -379,6 +394,11 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_suppkey", "l_orderkey")
         .distinct()
+        # referenced by BOTH the semi (l1) and anti (late_others) branches:
+        # without materialization the fact⋈orders join runs twice
+        # (optimization round 13, guide §2.4/§3.3); the deduped pair set
+        # is orders-bounded, so checkpointing it is the cheap side
+        .localCheckpoint(eager=True)
     )
     pairs = li.select("l_suppkey", "l_orderkey").distinct()
     l1 = late.select(
