@@ -122,7 +122,11 @@ def cms_frequency_estimates(
     spark = df.sparkSession
     sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
     rows = [(int(c), int(sk.estimateCount(c))) for c in candidates]
-    return spark.createDataFrame(rows, "key long, est_count long")
+    from march_mania_spark_lakehouse_spark.sources.local_rows import local_df
+
+    # candidate-panel-sized result: input-sized slices, not one
+    # near-empty Python task per core (sources/local_rows.py)
+    return local_df(spark, rows, "key long, est_count long")
 
 
 def cms_portable_sketch(

@@ -329,7 +329,10 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int") % 5, F.lit(2)
         ).alias("k5")
     )
-    dim = spark.createDataFrame(
+    from march_mania_spark_lakehouse_spark.sources.local_rows import local_df
+
+    dim = local_df(
+        spark,
         [(0, "zero"), (1, "one"), (3, "three"), (4, "four"), (None, "missing")],
         "k5 int, label string",
     )

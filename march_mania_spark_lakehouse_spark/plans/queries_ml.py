@@ -72,8 +72,11 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(test.count()),
         )
     ]
-    return spark.createDataFrame(
-        metrics, "holdout_year int, auc double, logloss double, n_train long, n_test long"
+    from march_mania_spark_lakehouse_spark.sources.local_rows import local_df
+
+    return local_df(
+        spark, metrics,
+        "holdout_year int, auc double, logloss double, n_train long, n_test long",
     )
 
 

@@ -61,6 +61,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from march_mania_spark_lakehouse_spark.sources.local_rows import local_df
+
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
@@ -1108,9 +1110,13 @@ def _dv_tombstones(
         (fp, json.dumps(new), json.dumps(old) if old else None)
         for fp, new, old in entries
     ]
-    src = spark.createDataFrame(rows, "__fp string, __new string, __old string")
-    if len(rows) > 1:  # one bitmap decode per task when files allow
-        src = src.repartition(len(rows))
+    # one bitmap decode per task when files allow — slice the local list
+    # directly instead of repartition()ing a default-parallelism spread
+    # (same fan-out, one Exchange fewer; sources/local_rows.py)
+    src = local_df(
+        spark, rows, "__fp string, __new string, __old string",
+        slices=len(rows),
+    )
 
     def _explode(batches):
         from march_mania_spark_lakehouse_spark.sources import deletion_vectors
@@ -1300,7 +1306,7 @@ def _read_files_raw(
         pv_schema = ", ".join(
             ["__fp string"] + [f"__pv{i} string" for i in range(len(part_cols))]
         )
-        pmap = spark.createDataFrame(rows, pv_schema)
+        pmap = local_df(spark, rows, pv_schema)
         df = df.join(F.broadcast(pmap), "__fp", "left")
         by_name = {f.name: f for f in schema.fields}
         for i, c in enumerate(part_cols):
@@ -1615,8 +1621,8 @@ def describe_history(spark: SparkSession, table: str) -> DataFrame:
                 json.dumps(ci.get("operationParameters") or {}, sort_keys=True),
             )
         )
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "version long, timestamp_ms long, operation string, "
         "operation_parameters string",
     )
@@ -1669,8 +1675,8 @@ def describe_detail(spark: SparkSession, table: str) -> DataFrame:
         features,
     )
     # column set + order match the reference DESCRIBE DETAIL shape
-    return spark.createDataFrame(
-        [row],
+    return local_df(
+        spark, [row],
         "format string, id string, name string, description string, "
         "location string, createdAt long, "
         "lastModified long, partitionColumns array<string>, "
@@ -1705,8 +1711,8 @@ def inspect_files(
                 add.get("deletionVector") is not None,
             )
         )
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "file_path string, partition_values string, size_bytes long, "
         "record_count long, has_deletion_vector boolean",
     )
@@ -2835,8 +2841,8 @@ def read_delta_lineage(
         )
         for p, a in live.items()
     ]
-    lmap = spark.createDataFrame(
-        rows, "__lfp string, __base long, __dver long"
+    lmap = local_df(
+        spark, rows, "__lfp string, __base long, __dver long"
     )
     df = df.join(F.broadcast(lmap), df["__fp"] == lmap["__lfp"], "left")
     rid = F.coalesce(

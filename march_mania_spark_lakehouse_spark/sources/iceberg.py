@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from march_mania_spark_lakehouse_spark.sources import avro_ocf
+from march_mania_spark_lakehouse_spark.sources.local_rows import local_df
 
 FORMAT_VERSION = 2
 
@@ -2157,8 +2158,10 @@ def _dv_tombstones(spark: SparkSession, dv_entries: "list[dict]") -> DataFrame:
          e["referenced_data_file"])
         for e in dv_entries
     ]
-    desc = spark.createDataFrame(
-        rows, "puffin string, off long, length long, fp string"
+    # one DV-blob decode per task when files allow (sources/local_rows.py)
+    desc = local_df(
+        spark, rows, "puffin string, off long, length long, fp string",
+        slices=len(rows),
     )
 
     def expand(batches):
@@ -2386,7 +2389,7 @@ def _read_renamed_groups(
             [T.StructField("__fp", T.StringType(), False)]
             + [by_name[c] for c in id_cols]
         )
-        pmap = spark.createDataFrame(rows, map_schema)
+        pmap = local_df(spark, rows, map_schema)
         out = (
             out.withColumn("__fp", _norm_file_path())
             .withColumn("__pos", F.col("_metadata.row_index"))
@@ -2519,7 +2522,7 @@ def _read_raw(
             [T.StructField("__fp", T.StringType(), False)]
             + [by_name[c] for c in id_cols]
         )
-        pmap = spark.createDataFrame(rows, map_schema)
+        pmap = local_df(spark, rows, map_schema)
         # materialize __fp AND __pos BEFORE the identity join: the join
         # severs `_metadata`, and downstream delete application
         # (`_apply_delete_files`) needs both — it reuses these helpers
@@ -2678,8 +2681,8 @@ def _read_files_lineage(
         extra_fields=extra,
     )
     live = _apply_delete_files(spark, table, sid, df, keep_positions=True)
-    lmap = spark.createDataFrame(
-        [(fp, first, int(seq)) for fp, first, seq in descs],
+    lmap = local_df(
+        spark, [(fp, first, int(seq)) for fp, first, seq in descs],
         "__lfp string, __first long, __fseq long",
     )
     live = live.join(
@@ -2886,7 +2889,7 @@ def _apply_delete_files(
         seq_rows = [
             (path, seq) for path, seq in _data_file_sequences(table, sid).items()
         ]
-        seq_df = spark.createDataFrame(seq_rows, "__fp string, __dseq long")
+        seq_df = local_df(spark, seq_rows, "__fp string, __dseq long")
         df = df.join(F.broadcast(seq_df), "__fp", "left")
         # CONSOLIDATE tombstone files sharing an equality-column set
         # into ONE anti-join (each key row tagged with its file's
@@ -3809,9 +3812,13 @@ def _scan_manifest_entries(
     (False → data files, True → delete files, None → both)."""
     if not manifest_paths:
         return spark.createDataFrame([], schema)
-    mdf = spark.createDataFrame(
-        [(p,) for p in manifest_paths], "path string"
-    ).repartition(min(len(manifest_paths), 32))
+    # one task per group of manifests: slice the local list directly —
+    # same fan-out as the old repartition(min(n, 32)), one Exchange and
+    # one default-parallelism spread fewer (sources/local_rows.py)
+    mdf = local_df(
+        spark, [(p,) for p in manifest_paths], "path string",
+        slices=min(len(manifest_paths), 32),
+    )
 
     def read_entries(batches):
         import json as _json
@@ -3913,14 +3920,14 @@ def metadata_table(
             )
             for s in meta["snapshots"]
         ]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     if kind == "history":
         cur = meta.get("current-snapshot-id", -1)
         rows = [
             (e["timestamp-ms"], e["snapshot-id"], e["snapshot-id"] == cur)
             for e in meta.get("snapshot-log", [])
         ]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     if kind == "refs":
         # ONE main row, always showing the live head: meta["refs"] may
         # hold a 'main' entry (every commit path writes it) but older
@@ -3935,7 +3942,7 @@ def metadata_table(
             (name, r.get("type", "branch"), r["snapshot-id"])
             for name, r in sorted(refs.items())
         ]
-        return spark.createDataFrame(sorted(rows), schema)
+        return local_df(spark, sorted(rows), schema)
     if kind == "metadata_log_entries":
         # every still-addressable metadata GENERATION (vN.metadata.json
         # not yet retired by cleanup_metadata) — KB-sized driver reads
@@ -3962,7 +3969,7 @@ def metadata_table(
                     g.get("last-sequence-number", 0),
                 )
             )
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     if kind == "all_manifests":
         # every retained snapshot's manifest list, each row stamped
         # with the snapshot that references it — manifest lists are
@@ -3982,7 +3989,7 @@ def metadata_table(
             for s in meta["snapshots"]
             for m in avro_ocf.read_ocf(s["manifest-list"])
         ]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     if kind == "all_files":
         # the union of DISTINCT manifests across every retained
         # snapshot (a manifest shared by N snapshots reads once), their
@@ -4002,9 +4009,10 @@ def metadata_table(
         ]
         if not man_rows:
             return spark.createDataFrame([], schema)
-        mdf = spark.createDataFrame(
-            man_rows, "path string, added_snapshot_id long"
-        ).repartition(min(len(man_rows), 32))
+        mdf = local_df(
+            spark, man_rows, "path string, added_snapshot_id long",
+            slices=min(len(man_rows), 32),
+        )
 
         def read_all_entries(batches):
             import json as _json
@@ -4054,9 +4062,10 @@ def metadata_table(
         mans = [m["manifest_path"] for m in ml if m.get("content", 0) != 0]
         if not mans:
             return spark.createDataFrame([], schema)
-        mdf = spark.createDataFrame(
-            [(p,) for p in mans], "path string"
-        ).repartition(min(len(mans), 32))
+        mdf = local_df(
+            spark, [(p,) for p in mans], "path string",
+            slices=min(len(mans), 32),
+        )
 
         def read_positions(batches):
             import pandas as pd
@@ -4123,7 +4132,7 @@ def metadata_table(
             )
             for m in ml
         ]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     want_deletes = kind == "delete_files"
     mans = [
         m["manifest_path"]
@@ -4804,8 +4813,8 @@ def inspect_snapshots(spark: SparkSession, table: str) -> DataFrame:
         )
         for s in meta["snapshots"]
     ]
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "snapshot_id long, parent_id long, sequence_number long, "
         "timestamp_ms long, operation string, schema_id int, "
         "is_current boolean",
@@ -4822,7 +4831,7 @@ def inspect_refs(spark: SparkSession, table: str) -> DataFrame:
     rows = [
         (name, r["type"], r["snapshot-id"]) for name, r in sorted(refs.items())
     ]
-    return spark.createDataFrame(rows, "name string, type string, snapshot_id long")
+    return local_df(spark, rows, "name string, type string, snapshot_id long")
 
 
 def inspect_files(
@@ -4853,8 +4862,8 @@ def inspect_files(
                     json.dumps(d.get("partition") or {}, sort_keys=True),
                 )
             )
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "file_path string, content int, status int, spec_id int, "
         "sequence_number long, record_count long, file_size_bytes long, "
         "partition string",
@@ -7545,7 +7554,8 @@ def _commit_dv_delete(
 
     existing = snapshot_dv_entries(table, sid)
     if existing:
-        desc = spark.createDataFrame(
+        desc = local_df(
+            spark,
             [
                 (
                     e["referenced_data_file"],
@@ -8815,8 +8825,8 @@ def inspect_statistics(spark: SparkSession, table: str) -> DataFrame:
                     bm["length"],
                 )
             )
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "snapshot_id long, column string, blob_type string, "
         "ndv long, sketch_ndv long, payload_bytes long",
     )
@@ -8984,8 +8994,8 @@ def inspect_manifests(
         )
         for m in avro_ocf.read_ocf(snap["manifest-list"])
     ]
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "path string, length long, partition_spec_id int, content int, "
         "added_files int, existing_files int, deleted_files int, "
         "added_rows long, existing_rows long",
@@ -9092,7 +9102,8 @@ def rewrite_position_deletes(spark: SparkSession, table: str) -> int:
         return sid
     import pyarrow.parquet as pq
 
-    live_df = spark.createDataFrame(
+    live_df = local_df(
+        spark,
         [(os.path.abspath(os.path.join(table, f)),) for f in snapshot_files(table, sid)],
         "file_path string",
     )

@@ -111,7 +111,11 @@ def start_hll_merge_sink(
                 )
                 .collect()
             )
-            new = spark.createDataFrame(merged_rows, "n_batches long, sk binary")
+            from march_mania_spark_lakehouse_spark.sources.local_rows import (
+                local_df,
+            )
+
+            new = local_df(spark, merged_rows, "n_batches long, sk binary")
         out = new.select(
             "n_batches",
             "sk",
