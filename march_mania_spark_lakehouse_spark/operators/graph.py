@@ -18,10 +18,61 @@ regardless of partitioning or iteration interleaving.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Small-graph fast path (optimization round 14, guide §2.2/§2.6): when
+#: the materialized iteration state is at most this many rows, the
+#: per-round shuffles are KB-to-MB-sized and the loop's cost is pure
+#: scheduling — 32-way exchanges of near-empty partitions plus AQE's
+#: per-exchange re-planning (measured at sf0.1: q83's whole fixpoint is
+#: ~1 CPU-second of real work inside ~15 CPU-seconds of task overhead).
+#: Below the threshold the loop runs with shuffle partitions derived
+#: from the measured row count (~1M rows ≈ 16-32 MB per partition);
+#: above it the session conf is left untouched, so cluster-scale graphs
+#: keep AQE coalescing/skew handling and full parallelism. The
+#: threshold is data-derived, not host-derived: the same gate picks the
+#: same path on any cluster.
+_SMALL_GRAPH_ROWS = 2_000_000
+_ROWS_PER_PARTITION = 1_000_000
+
+
+def _loop_conf(n_rows: int, disable_aqe: bool) -> dict[str, str] | None:
+    """Scoped conf for an iteration loop whose per-round state is
+    ``n_rows`` rows, or None (leave the session conf alone) above the
+    small-graph threshold. ``disable_aqe`` additionally skips AQE's
+    per-exchange re-optimization inside the loop — right when every
+    per-round relation is tiny and join strategies cannot change
+    (label/rank/frontier propagation), wrong when mid-size joins still
+    want runtime broadcast planning (triangle orientation)."""
+    if n_rows > _SMALL_GRAPH_ROWS:
+        return None
+    k = max(1, -(-n_rows // _ROWS_PER_PARTITION))
+    conf = {"spark.sql.shuffle.partitions": str(k)}
+    if disable_aqe:
+        conf["spark.sql.adaptive.enabled"] = "false"
+    return conf
+
+
+@contextlib.contextmanager
+def _scoped_conf(spark, conf: dict[str, str] | None):
+    """Set runtime SQL confs for the duration of a loop, restoring the
+    caller's values on exit (including on error). A no-op when ``conf``
+    is None, so the at-scale path never touches the session."""
+    if not conf:
+        yield
+        return
+    old = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 #: Iteration-state materialization modes (lineage truncation between
 #: driver-loop rounds — iterative plans otherwise double in analyzer
@@ -70,12 +121,21 @@ def _materialize(df: DataFrame, state: str, eager: bool = True) -> DataFrame:
 
     ``eager=False`` truncates the LOGICAL plan immediately (the analyzer
     sees a LogicalRDD either way) but defers the job: the RDD is marked
-    persist+truncate and computes with the NEXT action that consumes it
-    (optimization round 13, guide §1.2/§2.6 — fewer driver barriers).
-    A fixed-iteration loop whose only required actions are its
-    convergence checks then runs one job per check instead of one per
-    round. ``reliable`` stays eager regardless: deferred reliable
-    checkpoints change the fault-tolerance story mid-loop."""
+    persist+truncate and computes with the NEXT action that consumes it.
+    Deferral is only safe when the consuming plan scans the RDD ONCE:
+    a lazily-persisted RDD referenced by several scans materializes
+    under whichever query stages reach it first, and independent AQE
+    stages run CONCURRENTLY — each racing task recomputes the full
+    upstream chain before the first finisher populates the block store
+    (measured in optimization round 14: the round-13 lazy checkpoints
+    cost q83 +1.4 s / q165 +1.0 s / q166 +2.3 s of duplicated work at
+    32 cores while looking flat at 8, where the stages serialize).
+    Iteration state here is always multiply-consumed (the propagation
+    join, the candidate union, the shortening hop, the convergence
+    agg), so the loops below checkpoint EAGERLY: compute once, then
+    every consumer reads the persisted blocks. ``reliable`` stays eager
+    regardless: deferred reliable checkpoints change the
+    fault-tolerance story mid-loop."""
     if state == "reliable":
         return df.checkpoint(eager=True)
     if state == "disk":
@@ -122,11 +182,10 @@ def connected_components(
     ``shorten_hops`` chains that many label→label pointer jumps per
     round: more hops divide the distance-to-minimum faster (fewer
     rounds) at one extra (node,label) self-join per hop per round.
-    Measured at sf0.1 (5k nodes, ~200-long chains): hops=2 saves ~2 of
-    8 rounds but the serialized extra join costs more than the saved
-    rounds locally (5.5s vs 3.9s), so the default stays 1; the knob
-    exists for cluster runs where a round is a cross-executor barrier
-    and barrier count, not per-round CPU, is the bill.
+    The default is 1; on the small-graph fast path (see `_loop_conf`)
+    the operator raises it to 3 — there the extra joins are sub-ms and
+    the saved rounds are saved barriers. The value never changes the
+    fixpoint, only how many rounds reach it.
 
     ``check_every``: run the convergence aggregate (one driver-side job
     per check) only every k rounds instead of every round. Worst case
@@ -152,59 +211,80 @@ def connected_components(
         .distinct()
         .cache()
     )
-    # initial label: min(self, neighbors)
-    labels = (
-        sym.groupBy("a")
-        .agg(F.min("b").alias("lbl"))
-        .select(
-            F.col("a").alias("node"),
-            F.least(F.col("a"), F.col("lbl")).alias("lbl"),
-        )
-    )
+    # One cheap job builds the cache and measures the graph: the count
+    # feeds the small-graph gate (see `_loop_conf`) and every later job
+    # reads the cached edge list instead of re-deriving it.
+    n_sym = sym.count()
+    loop_conf = _loop_conf(n_sym, disable_aqe=True)
+    if loop_conf is not None:
+        # Small graph: rounds are barrier-bound, per-round joins are
+        # trivial, so chain MORE pointer jumps per round — distance to
+        # the minimum divides faster, fewer rounds (measured at sf0.1:
+        # 10 rounds → 6, each extra hop a sub-ms join). At scale every
+        # hop is a real node-sized self-join per round, so the caller's
+        # knob stands untouched there. The fixpoint is identical either
+        # way (min-propagation is idempotent and order-insensitive).
+        shorten_hops = max(shorten_hops, 3)
     state = _resolve_state_mode(edges, state)
-    # Checkpoint (not cache): iterative plans double in size every round
-    # if lineage is kept — the analyzer, not the data, OOMs. Lineage
-    # truncation per round keeps plan size constant; `_materialize`
-    # picks memory-resident vs disk-backed. LAZY (eager=False): the
-    # convergence aggregate below is the action that computes each
-    # checkpointed round — one job per CHECK instead of one
-    # materialization job per round plus one agg job per check
-    # (optimization round 13, guide §2.6: a round is a driver barrier;
-    # check_every=2 now costs 1 job per 2 rounds, 3× fewer barriers).
-    labels = _materialize(labels, state, eager=False)
-    # Convergence witness: min-propagation only ever DECREASES labels, so
-    # Σ lbl strictly decreases until the fixpoint — one cheap agg over the
-    # checkpointed labels replaces a join-based changed-rows check.
-    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-    check_every = max(1, check_every)
-    for it in range(max_iter):
-        # propagate: candidate label for each node = min over neighbors'
-        # labels and its own; plus path-shortening hop (label's label).
-        via_edges = (
-            sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), F.col("lbl"))
-        )
-        candidates = labels.select("node", "lbl").union(via_edges)
-        hop = labels.select("node", "lbl")
-        for _ in range(max(0, shorten_hops)):
-            nxt = labels.select(F.col("node").alias("__n"), F.col("lbl").alias("__l"))
-            hop = hop.join(nxt, hop["lbl"] == nxt["__n"]).select(
-                hop["node"].alias("node"), nxt["__l"].alias("lbl")
+    with _scoped_conf(edges.sparkSession, loop_conf):
+        # initial label: min(self, neighbors)
+        labels = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("lbl"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("lbl")).alias("lbl"),
             )
-            candidates = candidates.union(hop)
-        new_labels = _materialize(
-            candidates.groupBy("node").agg(F.min("lbl").alias("lbl")),
-            state,
-            eager=False,
         )
-        labels = new_labels
-        if (it + 1) % check_every == 0 or (it + 1) == max_iter:
-            new_sum = new_labels.agg(
-                F.sum(F.col("lbl").cast("decimal(38,0)"))
-            ).first()[0]
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
+        # Checkpoint (not cache): iterative plans double in size every
+        # round if lineage is kept — the analyzer, not the data, OOMs.
+        # Lineage truncation per round keeps plan size constant;
+        # `_materialize` picks memory-resident vs disk-backed. EAGER:
+        # each round's labels feed FOUR scans of the next round's plan
+        # (the propagation join, the candidate union, the shortening
+        # hop's two sides) plus the convergence agg — a lazy checkpoint
+        # here lets those concurrent stages race to recompute the round
+        # (see `_materialize`; the round-13 lazy variant cost q83
+        # 2.8→4.3-8.3 s on the driver bench), where one eager job
+        # computes it exactly once.
+        labels = _materialize(labels, state, eager=True)
+        # Convergence witness: min-propagation only ever DECREASES
+        # labels, so Σ lbl strictly decreases until the fixpoint — one
+        # cheap agg over the checkpointed labels replaces a join-based
+        # changed-rows check.
+        prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+        check_every = max(1, check_every)
+        for it in range(max_iter):
+            # propagate: candidate label for each node = min over
+            # neighbors' labels and its own; plus path-shortening hop
+            # (label's label).
+            via_edges = (
+                sym.join(labels, sym.b == labels.node)
+                .select(F.col("a").alias("node"), F.col("lbl"))
+            )
+            candidates = labels.select("node", "lbl").union(via_edges)
+            hop = labels.select("node", "lbl")
+            for _ in range(max(0, shorten_hops)):
+                nxt = labels.select(
+                    F.col("node").alias("__n"), F.col("lbl").alias("__l")
+                )
+                hop = hop.join(nxt, hop["lbl"] == nxt["__n"]).select(
+                    hop["node"].alias("node"), nxt["__l"].alias("lbl")
+                )
+                candidates = candidates.union(hop)
+            new_labels = _materialize(
+                candidates.groupBy("node").agg(F.min("lbl").alias("lbl")),
+                state,
+                eager=True,
+            )
+            labels = new_labels
+            if (it + 1) % check_every == 0 or (it + 1) == max_iter:
+                new_sum = new_labels.agg(
+                    F.sum(F.col("lbl").cast("decimal(38,0)"))
+                ).first()[0]
+                if new_sum == prev_sum:
+                    break
+                prev_sum = new_sum
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 
@@ -268,11 +348,11 @@ def pagerank(
     state = _resolve_state_mode(edges, state)
     # materialize the edge list once — it feeds every iteration, and an
     # upstream join pipeline would otherwise re-execute per step. All
-    # three inputs are LAZY checkpoints (plan truncated now, computed by
-    # the next consuming action): `nodes.count()` below is the single
-    # init job — it computes and persists e + nodes in one pass; deg
-    # rides the first iteration's action (optimization round 13, guide
-    # §2.6 — one barrier instead of four).
+    # checkpoints are EAGER: e is scanned twice by nodes' union and once
+    # per step, ranks twice per step — multiply-consumed RDDs must be
+    # materialized before their consumers run or concurrent AQE stages
+    # recompute them redundantly (see `_materialize`; round-13's lazy
+    # variant read 6.9 s at 32 cores vs 4.6 s eager on the driver bench).
     e = _materialize(
         # partitioned by the per-step join key so each power-iteration
         # step shuffles only the node-sized rank state, never the edge
@@ -281,64 +361,78 @@ def pagerank(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .repartition("e_src"),
         state,
-        eager=False,
+        eager=True,
     )
     nodes = _materialize(
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct(),
         state,
-        eager=False,
+        eager=True,
     )
     n = nodes.count()  # scalar boundary (reference §2.12 pattern)
-    deg = e.groupBy(F.col("e_src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    # Attach the out-degree to each EDGE once, and precompute the
-    # dangling node set once (optimization round 13, guide §2.4): the
-    # previous loop joined ranks⋈deg per step TWICE (once under contrib,
-    # once under dangling), re-running a node-sized join 2·iters times.
-    # Both deg computations reuse e's e_src partitioning shuffle-free;
-    # per step the only remaining joins are ranks⋈e2 (co-partitioned on
-    # the same key) and the node-sized rank update.
-    e2 = _materialize(
-        e.join(deg.withColumnRenamed("node", "e_src"), "e_src"),
-        state,
-        eager=False,
-    )
-    dang = _materialize(
-        nodes.join(deg, "node", "left_anti"), state, eager=False
-    )
-    teleport = ((d_den - d_num) * unit) // (d_den * n)  # exact python int
-    ranks = nodes.withColumn("rank_fp", F.lit(unit // n).cast("long"))
-    for i in range(iters):
-        contrib = (
-            ranks.join(e2, F.col("node") == F.col("e_src"))
-            .groupBy(F.col("e_dst").alias("node"))
-            .agg(F.sum(F.expr("rank_fp DIV d")).alias("contrib"))
+    # e is persisted, so measuring the graph for the small-graph gate
+    # (see `_loop_conf`) is one cheap cache-scan job
+    loop_conf = _loop_conf(e.count(), disable_aqe=True)
+    with _scoped_conf(edges.sparkSession, loop_conf):
+        deg = e.groupBy(F.col("e_src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
         )
-        dangling = ranks.join(dang, "node", "leftsemi").agg(
-            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("mass")
+        # Attach the out-degree to each EDGE once, and precompute the
+        # dangling node set once (optimization round 13, guide §2.4):
+        # the previous loop joined ranks⋈deg per step TWICE (once under
+        # contrib, once under dangling), re-running a node-sized join
+        # 2·iters times. Both deg computations reuse e's e_src
+        # partitioning shuffle-free; per step the only remaining joins
+        # are ranks⋈e2 (co-partitioned on the same key) and the
+        # node-sized rank update.
+        e2 = _materialize(
+            e.join(deg.withColumnRenamed("node", "e_src"), "e_src"),
+            state,
+            eager=True,
         )
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .join(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(teleport).cast("long")
-                    + F.expr(f"({d_num} * coalesce(contrib, 0L)) DIV {d_den}")
-                    + F.expr(f"({d_num} * mass) DIV ({d_den} * {n}L)")
-                ).alias("rank_fp"),
+        dang = _materialize(
+            nodes.join(deg, "node", "left_anti"), state, eager=True
+        )
+        teleport = ((d_den - d_num) * unit) // (d_den * n)  # exact int
+        ranks = nodes.withColumn("rank_fp", F.lit(unit // n).cast("long"))
+        for i in range(iters):
+            contrib = (
+                ranks.join(e2, F.col("node") == F.col("e_src"))
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg(F.sum(F.expr("rank_fp DIV d")).alias("contrib"))
             )
+            dangling = ranks.join(dang, "node", "leftsemi").agg(
+                F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("mass")
+            )
+            ranks = (
+                nodes.join(contrib, on="node", how="left")
+                .join(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport).cast("long")
+                        + F.expr(f"({d_num} * coalesce(contrib, 0L)) DIV {d_den}")
+                        + F.expr(f"({d_num} * mass) DIV ({d_den} * {n}L)")
+                    ).alias("rank_fp"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+                # eager: ranks feed the contrib join AND the
+                # dangling-mass aggregate of every following step — two
+                # concurrent consumers per step (see `_materialize`)
+                ranks = _materialize(ranks, state, eager=True)
+        out = ranks.select(
+            "node",
+            "rank_fp",
+            (F.col("rank_fp") / F.lit(float(unit))).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            # lazy: plan truncation is what the loop needs; the caller's
-            # terminal action computes every deferred step in one cascade
-            ranks = _materialize(ranks, state, eager=False)
-    return ranks.select(
-        "node", "rank_fp", (F.col("rank_fp") / F.lit(float(unit))).alias("rank")
-    )
+        if loop_conf is not None:
+            # pin the tail steps too: the caller's action plans OUTSIDE
+            # this conf scope, so without the pin the last (un-
+            # checkpointed) steps would re-plan at session partitioning
+            out = _materialize(out, state, eager=True)
+    return out
 
 
 def triangle_count(
@@ -366,50 +460,70 @@ def triangle_count(
         .filter(F.col("a") != F.col("b"))
         .distinct(),
         state,
-        eager=False,
+        eager=True,
     )
-    # deg is referenced three times (both sides of the orientation join
-    # + the final all-nodes left join) — materialize the node-sized
-    # aggregate once instead of re-aggregating the edge list per branch
-    # (optimization round 13, guide §2.4/§5)
-    deg = _materialize(
-        und.groupBy(F.col("a").alias("node")).agg(
-            F.count(F.lit(1)).alias("deg")
-        ),
-        state,
-        eager=False,
-    )
-    keyed = (
-        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
-        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
-    )
-    # orient: smaller (deg, id) → larger (deg, id); total order ⇒ acyclic
-    oriented = _materialize(  # three self-join branches below
-        keyed.filter(
-            (F.col("da") < F.col("db"))
-            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-        ).select("a", "b"),
-        state,
-        eager=False,
-    )
-    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = (
-        e1.join(e2, on="y")
-        .join(e3, on=["x", "z"], how="leftsemi")
-        .select("x", "y", "z")
-    )
-    # one traversal of the wedge join, not three: the x/y/z union put
-    # three copies of the e1⋈e2⋈e3 subtree into the plan (guide §2.4)
-    per_node = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    return deg.select("node").join(per_node, "node", "left").select(
-        "node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
-    )
+    # und is persisted, so the small-graph gate's count is one cheap
+    # job. AQE stays ON here even on the small path: the orientation
+    # and wedge joins are mid-sized and want runtime broadcast planning
+    # (measured: disabling AQE costs ~1.3 s at sf0.1 — SMJ everywhere).
+    loop_conf = _loop_conf(und.count(), disable_aqe=False)
+    with _scoped_conf(edges.sparkSession, loop_conf):
+        # deg is referenced three times (both sides of the orientation
+        # join + the final all-nodes left join) — materialize the
+        # node-sized aggregate once instead of re-aggregating the edge
+        # list per branch (optimization round 13, guide §2.4/§5)
+        deg = _materialize(
+            und.groupBy(F.col("a").alias("node")).agg(
+                F.count(F.lit(1)).alias("deg")
+            ),
+            state,
+            eager=True,
+        )
+        keyed = (
+            und.join(
+                deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"),
+                "a",
+            )
+            .join(
+                deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"),
+                "b",
+            )
+        )
+        # orient: smaller (deg, id) → larger (deg, id); total order ⇒
+        # acyclic
+        oriented = _materialize(  # three self-join branches below
+            keyed.filter(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+            ).select("a", "b"),
+            state,
+            eager=True,
+        )
+        e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = (
+            e1.join(e2, on="y")
+            .join(e3, on=["x", "z"], how="leftsemi")
+            .select("x", "y", "z")
+        )
+        # one traversal of the wedge join, not three: the x/y/z union
+        # put three copies of the e1⋈e2⋈e3 subtree into the plan
+        # (guide §2.4)
+        per_node = (
+            tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles"))
+        )
+        out = deg.select("node").join(per_node, "node", "left").select(
+            "node",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+        if loop_conf is not None:
+            # the wedge join must execute under the scoped partitioning;
+            # the caller's action plans outside it (see pagerank)
+            out = _materialize(out, state, eager=True)
+    return out
 
 
 def bfs_distances(
@@ -441,24 +555,35 @@ def bfs_distances(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .repartition("e_src"),
         state,
-        eager=False,
+        eager=True,
     )
-    dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
-        "dist", F.lit(0).cast("int")
-    )
-    for h in range(max_hops):
-        step = (
-            dist.join(e, dist.node == e.e_src)
-            .select(F.col("e_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+    # e is persisted; the small-graph gate's count is one cheap job
+    loop_conf = _loop_conf(e.count(), disable_aqe=True)
+    with _scoped_conf(edges.sparkSession, loop_conf):
+        dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+            "dist", F.lit(0).cast("int")
         )
-        dist = (
-            dist.unionByName(step)
-            .groupBy("node")
-            .agg(F.min("dist").cast("int").alias("dist"))
-        )
-        if (h + 1) % checkpoint_every == 0 and (h + 1) < max_hops:
-            # lazy: no convergence check here (fixed hop count), so the
-            # caller's terminal action is the only job — intermediate
-            # levels persist as they stream through it
-            dist = _materialize(dist, state, eager=False)
+        for h in range(max_hops):
+            step = (
+                dist.join(e, dist.node == e.e_src)
+                .select(
+                    F.col("e_dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+            )
+            dist = (
+                dist.unionByName(step)
+                .groupBy("node")
+                .agg(F.min("dist").cast("int").alias("dist"))
+            )
+            if (h + 1) % checkpoint_every == 0 and (h + 1) < max_hops:
+                # eager: dist feeds both the next level's relaxation
+                # join and the union head — two concurrent consumers
+                # (see `_materialize`; the round-13 lazy variant read
+                # 5.2 s at 32 cores vs 3.0 s eager on the driver bench)
+                dist = _materialize(dist, state, eager=True)
+        if loop_conf is not None:
+            # pin the tail levels under the scoped partitioning (the
+            # caller's action plans outside it — see pagerank)
+            dist = _materialize(dist, state, eager=True)
     return dist

@@ -72,6 +72,26 @@ def get_spark(
         # without field-id metadata, i.e. every other read in the engine.
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"))
+        # Shuffle/spill scratch space (guide §2.1/§6): every shuffle map
+        # task creates+closes a data and an index file, and on this
+        # sandbox's overlay root that costs ~150 ms of blocked time PER
+        # MAP TASK regardless of bytes (measured round 14: a 32-map-task
+        # KB-sized shuffle spends 5 s of summed task time in shuffle
+        # write; the same shuffle on tmpfs spends 0.6 s). Default to a
+        # tmpfs scratch dir when one exists and no explicit dir is
+        # given; on a real cluster the platform (YARN/k8s) provisions
+        # spark.local.dir on fast NVMe and SPARK_GRAFT_LOCAL_DIR (or the
+        # platform conf) takes precedence — shuffle data is
+        # re-computable, so tmpfs loses nothing but page cache.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark_graft_local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # Keep harness-captured stdout/stderr tails clean (the bench driver
         # records the last ~2000 chars; \r progress frames are pure noise).
