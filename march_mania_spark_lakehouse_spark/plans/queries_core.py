@@ -43,12 +43,12 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown feeds a single-shuffle hash aggregate."""
     li = catalog.load(spark, "lineitem", sf_dir)
     return (
-        # rebalance AFTER the pushed-down filter: a single-file fact scan
-        # is one task, which serializes the whole partial-aggregate stage;
-        # identity on well-split inputs (optimization round 13, guide §2.5)
-        ops.rebalance_scan(
-            li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-        )
+        # No rebalance here (optimization round 14): the downstream is a
+        # plain partial aggregate over few columns — round-robin
+        # exchanging the full fact table to parallelize it cost more
+        # than the one-core work it spread (driver bench 1.45 → 1.83 s
+        # in round 13); heavier probes (q37/q49) keep theirs.
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
@@ -88,10 +88,11 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join (J1): lineitem⋈orders⋈customer⋈nation⋈region with the
     dimension sides broadcast — the fact never shuffles for the joins;
     the one shuffle is the final aggregation."""
-    # rebalance the fact side: the dims broadcast, so without a shuffle
-    # boundary the probe + partial agg inherit the single-file scan's one
-    # task (identity at scale; optimization round 13, guide §2.5)
-    li = ops.rebalance_scan(catalog.load(spark, "lineitem", sf_dir))
+    # No rebalance (optimization round 14): the broadcast-join probe +
+    # partial agg are cheap enough that the added round-robin exchange
+    # of the fact table cost more than it bought (driver bench
+    # 1.03 → 1.74 s in round 13)
+    li = catalog.load(spark, "lineitem", sf_dir)
     orders = catalog.load(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))

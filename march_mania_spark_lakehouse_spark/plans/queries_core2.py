@@ -69,10 +69,11 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 @query("q36_rollup_totals", oracle=_Q36_SQL, tags=("agg",))
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals with GROUPING() disambiguation."""
-    # single-file fact scan = one task; the rollup EXPANDS rows before
-    # the partial agg, so serialization hurts ×(grouping sets). Identity
-    # at scale (optimization round 13, guide §2.5).
-    li = rebalance_scan(catalog.load(spark, "lineitem", sf_dir))
+    # No rebalance (optimization round 14): the rollup's ×3 expansion is
+    # still a cheap partial aggregate — the added full-fact exchange
+    # cost more than the parallelism bought (driver 0.78 → 0.92 s in
+    # round 13); q37's ×4 cube keeps its rebalance (it paid: 1.31×)
+    li = catalog.load(spark, "lineitem", sf_dir)
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),

@@ -142,17 +142,21 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE pass over the fact join: the grand total re-aggregates the
     # per-part DECIMAL sums instead of re-running the base subtree
-    # (optimization round 13, guide §2.3/§2.4 — the v/tot branches each
-    # carried a full scan+join copy). Exact-decimal addition is
-    # associative, so Σ_parts(Σ_rows) ≡ Σ_rows bit-for-bit (the double
-    # casts happen only after each exact total, exactly as before).
-    # The checkpoint pins the sharing: without it the optimizer
-    # collapses Σ_parts back into a global Σ_rows and re-derives the
-    # two-pass plan (observed: branch 2's scan drops l_partkey). The
-    # materialized state is part-bounded — the query's own output size.
+    # (guide §2.3/§2.4 — the v/tot branches each carried a full
+    # scan+join copy). Exact-decimal addition is associative, so
+    # Σ_parts(Σ_rows) ≡ Σ_rows bit-for-bit (the double casts happen
+    # only after each exact total, exactly as before). Round 13 pinned
+    # the shared aggregate with an eager localCheckpoint, which cost
+    # more than the saved pass at bench scale (driver: 0.50 → 0.75 s —
+    # a blocking job plus lost broadcast planning below the pin);
+    # round 14 drops the pin and lets the two branches share the
+    # partial-aggregate EXCHANGE instead: both carry the identical
+    # scan→join→partial-agg→Exchange(l_partkey) subtree, which
+    # ReuseExchange/AQE stage reuse executes once (verified in
+    # plans/r14/q155_after.txt — the tot branch reads a ReusedExchange).
     vdec = base.groupBy("l_partkey").agg(
         F.sum(F.col("rev").cast(DEC)).alias("pv")
-    ).localCheckpoint(eager=True)
+    )
     v = vdec.select(
         "l_partkey", F.col("pv").cast("double").alias("part_value")
     )
@@ -380,49 +384,48 @@ JOIN supplier s ON w.l_suppkey = s.s_suppkey
 
 @query("q160_tpch_q21_sole_late_supplier", oracle=_Q160_SQL, tags=("join", "tpch"))
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: per supplier, the number of finished orders
-    where it shipped late, some other supplier participated (EXISTS →
-    leftsemi self-join), and no other supplier was late (NOT EXISTS →
-    leftanti self-join). The late set is deduplicated to (supplier,
-    order) pairs first so both self-joins run on keys, not full rows —
-    at scale that is the difference between joining a pair table and
-    re-shuffling the fact table twice."""
+    """TPC-H Q21 shape, computed as per-order aggregates instead of
+    EXISTS/NOT EXISTS self-joins (optimization round 14, guide §2.3 —
+    aggregate before you shuffle): a late pair (s, o) survives iff s is
+    the ONLY late supplier of o (NOT EXISTS ⇔ the order's distinct late
+    supplier count is 1) and o has at least two distinct suppliers
+    overall (EXISTS ⇔ min supplier ≠ max supplier per order). That is
+    two keyed aggregates plus an order-keyed semi join — no duplicated
+    fact⋈orders subtree, no self-joins, no pinned intermediate (the
+    round-13 localCheckpoint pin cost 0.99 → 1.35 s on the driver
+    bench; every aggregate here is map-side combinable at any scale)."""
     li = catalog.load(spark, "lineitem", sf_dir)
     o = catalog.load(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_suppkey", "l_orderkey")
-        .distinct()
-        # referenced by BOTH the semi (l1) and anti (late_others) branches:
-        # without materialization the fact⋈orders join runs twice
-        # (optimization round 13, guide §2.4/§3.3); the deduped pair set
-        # is orders-bounded, so checkpointing it is the cheap side
-        .localCheckpoint(eager=True)
     )
-    pairs = li.select("l_suppkey", "l_orderkey").distinct()
-    l1 = late.select(
-        F.col("l_suppkey").alias("supp"), F.col("l_orderkey").alias("ok")
+    # orders with exactly ONE distinct late supplier, and that supplier
+    # (max == the only one when the distinct count is 1)
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.max("l_suppkey").alias("supp"),
+        )
+        .filter(F.col("n_late") == 1)
     )
-    others = pairs.select(
-        F.col("l_suppkey").alias("o_supp"), F.col("l_orderkey").alias("o_ok")
+    # orders where some OTHER supplier participated: ≥ 2 distinct
+    # suppliers ⇔ min ≠ max — one plain min/max aggregate instead of a
+    # distinct + count-distinct pass
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx"))
+        .filter(F.col("mn") < F.col("mx"))
+        .select("l_orderkey")
     )
-    late_others = late.select(
-        F.col("l_suppkey").alias("x_supp"), F.col("l_orderkey").alias("x_ok")
-    )
+    # sole has one row per qualifying order, so the per-supplier count
+    # of rows IS the original COUNT(DISTINCT l_orderkey)
     waiting = (
-        l1.join(
-            others,
-            (F.col("ok") == F.col("o_ok")) & (F.col("supp") != F.col("o_supp")),
-            "leftsemi",
-        )
-        .join(
-            late_others,
-            (F.col("ok") == F.col("x_ok")) & (F.col("supp") != F.col("x_supp")),
-            "leftanti",
-        )
+        sole.join(multi, "l_orderkey", "leftsemi")
         .groupBy("supp")
-        .agg(F.countDistinct("ok").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
     s = catalog.load(spark, "supplier", sf_dir)
     return waiting.join(

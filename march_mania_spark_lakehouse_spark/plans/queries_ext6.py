@@ -276,12 +276,11 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the aggregation (map-side combined); the window runs over
     nation×year rows. Delta/ratio are single IEEE ops on exact-decimal
     doubles — deterministic without rounding."""
-    from march_mania_spark_lakehouse_spark.operators.core import rebalance_scan
-
-    # fact side of broadcast joins over a single-file scan (one task
-    # otherwise runs probe + partial agg); identity at scale
-    # (optimization round 13, guide §2.5)
-    li = rebalance_scan(catalog.load(spark, "lineitem", sf_dir))
+    # No rebalance (optimization round 14): the probe + map-side-
+    # combined partial agg are too cheap to justify round-robin
+    # exchanging the whole fact table (driver 0.90 → 1.26 s in
+    # round 13)
+    li = catalog.load(spark, "lineitem", sf_dir)
     orders = catalog.load(spark, "orders", sf_dir)
     cust = catalog.load(spark, "customer", sf_dir)
     nation = catalog.load(spark, "nation", sf_dir)

@@ -257,22 +257,23 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
     hash joins; Q11's one-row grand total may cross as a broadcast
     nested loop but never a cartesian; Q12's shipdate band must reach
     the lineitem scan; Q13 must keep its outer join (empty groups
-    survive); Q21's two self-joins on derived pair tables are the one
-    place sort-merge is the *correct* at-scale shape (both sides are
-    corpus-sized key sets), so only cartesians are banned there."""
+    survive); Q21 runs as per-order aggregates plus an order-keyed
+    semi join (round 14), so the pair-table self-joins must stay
+    gone."""
     q = all_queries()
 
     plan2 = _plan(q["q154_tpch_q2_min_cost_supplier"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan2
     assert "SortMergeJoin" not in plan2 and "CartesianProduct" not in plan2
 
-    # q155's per-part decimal sums are localCheckpoint-pinned since the
-    # round-13 single-pass restructure (the optimizer otherwise
-    # collapses the grand total back into a second fact pass), so the
-    # visible plan reads the checkpoint RDD on both branches; the dim
-    # broadcasts live inside the checkpointed job.
+    # q155's grand total re-aggregates the per-part decimal sums; both
+    # branches carry the identical scan→join→partial-agg exchange,
+    # which executes once via exchange reuse (round 14 dropped the
+    # round-13 localCheckpoint pin — the blocking job cost more than
+    # the saved pass). The dim joins broadcast; the 1-row total crosses
+    # as a broadcast nested loop, never a cartesian.
     plan11 = _plan(q["q155_tpch_q11_important_parts"].fn(spark, sf_dir))
-    assert "ExistingRDD" in plan11  # both branches share the pinned agg
+    assert "BroadcastHashJoin" in plan11  # dim joins visible again
     assert "BroadcastNestedLoopJoin" in plan11  # 1-row total broadcasts
     assert "CartesianProduct" not in plan11
 
@@ -289,7 +290,10 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in plan20 and "CartesianProduct" not in plan20
 
     plan21 = _plan(q["q160_tpch_q21_sole_late_supplier"].fn(spark, sf_dir))
-    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+    # round 14: EXISTS/NOT EXISTS run as per-order aggregates, so the
+    # only join machinery left is the order-keyed semi join and the
+    # supplier broadcast — the pair-table self-joins are gone
+    assert "LeftSemi" in plan21
     assert "CartesianProduct" not in plan21
     assert "BroadcastNestedLoopJoin" not in plan21
 
@@ -347,11 +351,14 @@ def test_fuzzy_endpoint_union_runs_blocked_join_once(spark, sf_dir):
     assert "Generate" in plan and "explode" in plan
 
 
-def test_q01_rebalance_keeps_filter_pushdown(spark, sf_dir):
-    """q01 (optimization r13): the fact-side rebalance sits ABOVE the
-    pushed filter — PushedFilters must still carry l_shipdate and the
-    scan schema stays pruned."""
+def test_q01_filter_pushdown_no_rebalance(spark, sf_dir):
+    """q01 (optimization r14): the round-13 fact-side rebalance was
+    reverted — the driver bench showed the full-fact round-robin
+    exchange costing more than the one-core partial aggregate it
+    parallelized (1.45 → 1.83 s). PushedFilters must carry l_shipdate,
+    the scan schema stays pruned, and no round-robin exchange remains
+    (heavier probes q37/q49 keep theirs)."""
     plan = _plan(all_queries()["q01_pricing_summary"].fn(spark, sf_dir))
     assert "LessThanOrEqual(l_shipdate" in plan
-    assert "RoundRobinPartitioning" in plan
+    assert "RoundRobinPartitioning" not in plan
     assert "l_comment" not in plan  # projection pruning intact
