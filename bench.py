@@ -10,8 +10,10 @@ measurements.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
 
 from march_mania_spark_lakehouse_spark.plans import all_queries
@@ -22,10 +24,78 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_sec_by_group(logdir: str, app_id: str) -> dict[str, float]:
+    """Sum executor CPU seconds per job group from the Spark event log.
+
+    Round-14 bench hygiene (additions-only): wall clock on a shared
+    host tracks the neighbors; summed task CPU tracks the PLAN, so
+    BENCH_FULL carries both and a judge can tell host noise from a
+    plan change without a re-run. Returns {} on any parse trouble —
+    the timing surface must never fail on the metrics add-on."""
+    jobs_by_group: dict[str, set] = {}
+    stages_by_job: dict[int, set] = {}
+    cpu_by_stage: dict[int, int] = {}
+    try:
+        paths = sorted(
+            glob.glob(os.path.join(logdir, f"*{app_id}*", "events_*"))
+            + glob.glob(os.path.join(logdir, f"*{app_id}*"))
+        )
+        for path in paths:
+            if os.path.isdir(path):
+                continue
+            with open(path) as fh:
+                for line in fh:
+                    try:
+                        ev = json.loads(line)
+                    except ValueError:
+                        continue  # truncated in-progress tail line
+                    k = ev.get("Event")
+                    if k == "SparkListenerJobStart":
+                        grp = (ev.get("Properties") or {}).get(
+                            "spark.jobGroup.id", "?"
+                        )
+                        jobs_by_group.setdefault(grp, set()).add(ev["Job ID"])
+                        stages_by_job[ev["Job ID"]] = {
+                            s["Stage ID"] for s in ev.get("Stage Infos", [])
+                        }
+                    elif k == "SparkListenerTaskEnd":
+                        m = ev.get("Task Metrics") or {}
+                        cpu_by_stage[ev["Stage ID"]] = cpu_by_stage.get(
+                            ev["Stage ID"], 0
+                        ) + m.get("Executor CPU Time", 0)
+    except OSError:
+        return {}
+    out: dict[str, float] = {}
+    for grp, jobs in jobs_by_group.items():
+        stages: set = set()
+        for j in jobs:
+            stages |= stages_by_job.get(j, set())
+        out[grp] = round(
+            sum(cpu_by_stage.get(s, 0) for s in stages) / 1e9, 3
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # Event logging feeds the per-query cpu_sec map (see
+    # `_cpu_sec_by_group`); the log lives on scratch space and is
+    # removed after parsing. Listener overhead is driver-side and
+    # outside every task, so the timed noop-sink samples are unchanged
+    # in methodology.
+    eventlog_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"bench_eventlog_{os.getpid()}"
+    )
+    os.makedirs(eventlog_dir, exist_ok=True)
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": eventlog_dir,
+            "spark.eventLog.compress": "false",
+        },
+    )
     # The driver records the tail of this process's output next to the
     # parsed JSON line; JVM WARN spam (e.g. WindowExec on a deliberate
     # 256-row unpartitioned cumulative) bloats that artifact, so bench
@@ -35,6 +105,7 @@ def main() -> None:
     specs = {n: s for n, s in sorted(all_queries().items()) if s.bench}
 
     timings: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     # warmup (first-call) durations, recorded SEPARATELY: for the lake
     # family this is where fixture-cache publishes land, so the timed
     # steady-state samples measure the QUERY, not the publish — and
@@ -51,9 +122,13 @@ def main() -> None:
         # sampling (up to two extra runs) until two samples land within
         # that band — round-over-round artifact comparisons should track
         # the plan, not a neighbor's compile job.
+        spark.sparkContext.setJobGroup(f"warm::{name}", name)
         t0 = time.perf_counter()
         _force(spec.fn(spark, sf_dir))
         warmups[name] = round(time.perf_counter() - t0, 3)
+        # steady-state samples share one job group so the event-log CPU
+        # sum divides by the run count into a per-execution average
+        spark.sparkContext.setJobGroup(name, name)
         samples: list[float] = []
         for _ in range(4):
             t0 = time.perf_counter()
@@ -63,7 +138,9 @@ def main() -> None:
                 lo, lo2 = sorted(samples)[:2]
                 if lo2 <= 1.5 * lo:
                     break
+        n_runs[name] = len(samples)
         timings[name] = round(min(samples), 3)
+        spark.sparkContext.setJobGroup("idle", "idle")
 
     # Temporal separation for outliers (round 8): one noisy host window
     # can swallow ALL of a query's adaptive samples (round 7's q179 —
@@ -89,11 +166,29 @@ def main() -> None:
         p = prior.get(name)
         if p and timings[name] > 3 * p:
             best = timings[name]
+            spark.sparkContext.setJobGroup(name, name)
             for _ in range(2):
                 t0 = time.perf_counter()
                 _force(specs[name].fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
+                n_runs[name] += 1
             timings[name] = round(best, 3)
+            spark.sparkContext.setJobGroup("idle", "idle")
+
+    # Per-query executor-CPU seconds (per steady-state execution,
+    # averaged over the query's sample runs): flush the event log by
+    # stopping the session, then parse. Stopping before the final print
+    # also keeps the captured stdout tail free of shutdown chatter.
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    time.sleep(1)
+    grp_cpu = _cpu_sec_by_group(eventlog_dir, app_id)
+    cpu_sec = {
+        name: round(grp_cpu[name] / max(n_runs.get(name, 1), 1), 3)
+        for name in timings
+        if name in grp_cpu
+    }
+    shutil.rmtree(eventlog_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -106,6 +201,10 @@ def main() -> None:
         # first-call durations (fixture publish + JIT): reported so
         # publish-cost drift never masquerades as a query regression
         "warmup_sec": warmups,
+        # summed executor task CPU per steady-state execution (event-log
+        # sum over the query's job group / its run count): wall clock
+        # tracks the host, CPU tracks the plan — round-14 bench hygiene
+        "cpu_sec": cpu_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query timings (long names, 3 decimals) for humans/judges.
@@ -134,7 +233,6 @@ def main() -> None:
         keep -= 10
     print(line_of({k: short[k] for k in sorted(by_slowest[:keep])},
                   len(short) - keep))
-    spark.stop()
 
 
 if __name__ == "__main__":
