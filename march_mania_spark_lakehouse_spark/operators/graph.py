@@ -363,20 +363,29 @@ def pagerank(
         state,
         eager=True,
     )
-    nodes = _materialize(
-        e.select(F.col("e_src").alias("node"))
-        .unionByName(e.select(F.col("e_dst").alias("node")))
-        .distinct(),
-        state,
-        eager=True,
-    )
-    n = nodes.count()  # scalar boundary (reference §2.12 pattern)
     # e is persisted, so measuring the graph for the small-graph gate
-    # (see `_loop_conf`) is one cheap cache-scan job
+    # (see `_loop_conf`) is one cheap cache-scan job; everything
+    # node-sized — including the nodes distinct — then runs under the
+    # derived partitioning
     loop_conf = _loop_conf(e.count(), disable_aqe=True)
     with _scoped_conf(edges.sparkSession, loop_conf):
-        deg = e.groupBy(F.col("e_src").alias("node")).agg(
-            F.count(F.lit(1)).alias("d")
+        nodes = _materialize(
+            e.select(F.col("e_src").alias("node"))
+            .unionByName(e.select(F.col("e_dst").alias("node")))
+            .distinct(),
+            state,
+            eager=True,
+        )
+        n = nodes.count()  # scalar boundary (reference §2.12 pattern)
+        # deg feeds BOTH the e2 build and the dangling anti-join;
+        # materialize the node-sized aggregate once instead of scanning
+        # the persisted edge list twice (guide §2.4/§5)
+        deg = _materialize(
+            e.groupBy(F.col("e_src").alias("node")).agg(
+                F.count(F.lit(1)).alias("d")
+            ),
+            state,
+            eager=True,
         )
         # Attach the out-degree to each EDGE once, and precompute the
         # dangling node set once (optimization round 13, guide §2.4):
