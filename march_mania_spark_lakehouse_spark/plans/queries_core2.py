@@ -325,13 +325,24 @@ GROUP BY l_linestatus
 @query("q45_percentiles", oracle=_Q45_SQL, tags=("agg",))
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (the reference's percentile_approx
-    consensus A3, switched to exact for oracle parity)."""
+    consensus A3, switched to exact for oracle parity). The three
+    l_quantity percentiles come from ONE array-argument percentile
+    aggregate (optimization round 14): three scalar calls each buffered
+    and sorted the full 600k-value column independently — one buffer,
+    one sort, identical interpolated values."""
     li = catalog.load(spark, "lineitem", sf_dir)
-    return li.groupBy("l_linestatus").agg(
-        F.percentile("l_quantity", 0.25).alias("p25_qty"),
-        F.percentile("l_quantity", 0.50).alias("p50_qty"),
-        F.percentile("l_quantity", 0.75).alias("p75_qty"),
+    agg = li.groupBy("l_linestatus").agg(
+        F.percentile(
+            "l_quantity", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+        ).alias("q_qty"),
         F.percentile("l_extendedprice", 0.90).alias("p90_price"),
+    )
+    return agg.select(
+        "l_linestatus",
+        F.col("q_qty")[0].alias("p25_qty"),
+        F.col("q_qty")[1].alias("p50_qty"),
+        F.col("q_qty")[2].alias("p75_qty"),
+        "p90_price",
     )
 
 

@@ -331,14 +331,26 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from march_mania_spark_lakehouse_spark.operators import graph
 
-    li = catalog.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    # Dedupe (order, part) BEFORE the self-join (optimization round 14,
+    # guide §2.3): lineitem repeats a part within an order, so deduping
+    # first shrinks the join quadratically per order AND turns the
+    # count-distinct aggregate (two shuffles via the distinct-agg
+    # rewrite) into a plain map-side-combinable count — each surviving
+    # (a, b, order) triple appears exactly once. Row-identical output
+    # (verified exceptAll both ways = 0); measured 3.4 → 1.4-2.1 s at
+    # sf0.1 for the pair generation alone.
+    li = (
+        catalog.load(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     l2 = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
     pairs = (
         li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey != l2.p2))
         .groupBy(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-        .agg(F.countDistinct("l_orderkey").alias("n_co"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 2)
         .select("src", "dst")
     )
