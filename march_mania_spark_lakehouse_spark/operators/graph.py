@@ -239,19 +239,24 @@ def connected_components(
         # Checkpoint (not cache): iterative plans double in size every
         # round if lineage is kept — the analyzer, not the data, OOMs.
         # Lineage truncation per round keeps plan size constant;
-        # `_materialize` picks memory-resident vs disk-backed. EAGER:
-        # each round's labels feed FOUR scans of the next round's plan
-        # (the propagation join, the candidate union, the shortening
-        # hop's two sides) plus the convergence agg — a lazy checkpoint
-        # here lets those concurrent stages race to recompute the round
-        # (see `_materialize`; the round-13 lazy variant cost q83
-        # 2.8→4.3-8.3 s on the driver bench), where one eager job
-        # computes it exactly once.
-        labels = _materialize(labels, state, eager=True)
+        # `_materialize` picks memory-resident vs disk-backed.
+        #
+        # Eager-vs-lazy per round (optimization round 14): each round's
+        # labels feed FOUR scans of the next round's plan (the
+        # propagation join, the candidate union, the shortening hop's
+        # two sides), so a checkpoint left lazy INTO the next round
+        # lets those concurrent stages race to recompute the round
+        # (see `_materialize`; the round-13 all-lazy variant cost q83
+        # 2.8→8.3 s on the driver bench). A round whose convergence agg
+        # runs IMMEDIATELY is the one safe deferral: the agg is a
+        # single synchronous consumer, so it materializes the blocks
+        # with no competitor — one job per check round instead of a
+        # checkpoint job plus an agg job. Non-check rounds stay eager.
+        labels = _materialize(labels, state, eager=False)
         # Convergence witness: min-propagation only ever DECREASES
         # labels, so Σ lbl strictly decreases until the fixpoint — one
         # cheap agg over the checkpointed labels replaces a join-based
-        # changed-rows check.
+        # changed-rows check (and doubles as the init materializer).
         prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
         check_every = max(1, check_every)
         for it in range(max_iter):
@@ -272,13 +277,14 @@ def connected_components(
                     hop["node"].alias("node"), nxt["__l"].alias("lbl")
                 )
                 candidates = candidates.union(hop)
+            check_now = (it + 1) % check_every == 0 or (it + 1) == max_iter
             new_labels = _materialize(
                 candidates.groupBy("node").agg(F.min("lbl").alias("lbl")),
                 state,
-                eager=True,
+                eager=not check_now,
             )
             labels = new_labels
-            if (it + 1) % check_every == 0 or (it + 1) == max_iter:
+            if check_now:
                 new_sum = new_labels.agg(
                     F.sum(F.col("lbl").cast("decimal(38,0)"))
                 ).first()[0]

@@ -401,15 +401,16 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_suppkey", "l_orderkey")
     )
-    # orders with exactly ONE distinct late supplier, and that supplier
-    # (max == the only one when the distinct count is 1)
+    # orders with exactly ONE distinct late supplier (min == max over
+    # the late rows — a plain min/max aggregate, no distinct-aggregate
+    # expand), and that supplier
     sole = (
         late.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_late"),
+            F.min("l_suppkey").alias("l_mn"),
             F.max("l_suppkey").alias("supp"),
         )
-        .filter(F.col("n_late") == 1)
+        .filter(F.col("l_mn") == F.col("supp"))
     )
     # orders where some OTHER supplier participated: ≥ 2 distinct
     # suppliers ⇔ min ≠ max — one plain min/max aggregate instead of a

@@ -37,8 +37,18 @@ def local_df(
     explicitly when downstream per-task work wants a specific fan-out
     (e.g. one manifest or one DV decode per task); that replaces the
     ``createDataFrame(...).repartition(n)`` idiom WITHOUT the extra
-    Exchange, since parallelize distributes the list round-robin
-    already.
+    Exchange. Note ParallelCollectionRDD slices the list into
+    CONTIGUOUS equal-count blocks (not round-robin interleaving), so
+    per-slice fan-out balances by row COUNT only — fine for the
+    one-unit-of-work-per-row callers here; do not rely on it to break
+    up skew the way ``repartition(n)`` would.
+
+    Error-timing note: plain ``createDataFrame(list)`` verifies rows
+    against the schema eagerly on the driver; the parallelize path
+    surfaces a malformed row as a task failure at the FIRST ACTION
+    instead. These lists are engine-built (never user input), so the
+    trade is acceptable — but attribute such a failure to the build
+    site, not the action site.
     """
     rows = rows if isinstance(rows, list) else list(rows)
     if not rows:

@@ -45,7 +45,13 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    specs = {n.split("_", 1)[0]: s for n, s in all_queries().items() if s.bench}
+    specs: dict = {}
+    for n, s in all_queries().items():
+        if not s.bench:
+            continue
+        short = n.split("_", 1)[0]
+        assert short not in specs, f"ambiguous short query name {short!r}"
+        specs[short] = s
     spec = specs[qshort]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -76,7 +82,10 @@ def main() -> None:
         with open(path) as fh:
             lines.extend(fh.readlines())
     for line in lines:
-        ev = json.loads(line)
+        try:
+            ev = json.loads(line)
+        except ValueError:
+            continue  # truncated in-progress tail line / non-JSON noise
         k = ev.get("Event")
         if k == "SparkListenerJobStart":
             grp = (ev.get("Properties") or {}).get("spark.jobGroup.id", "?")
